@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for local development and tests.
+  *
+  * The production driver (Verify/Bench) builds its own session; this one
+  * mirrors it but picks settings designed to scale: AQE on (runtime
+  * re-planning, skew-join splitting), shuffle partitions sized to the
+  * parallelism rather than the Spark default of 200.
+  */
+object GraftSession {
+  def local(threads: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$threads]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // testdata events.ts is parquet TIMESTAMP(NANOS): read as nanos-long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

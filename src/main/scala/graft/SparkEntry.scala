@@ -1,13 +1,516 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ext.{Dedup, Similarity}
+import graft.functions.{TextFunctions => TF}
+import graft.ops.{Batching, Diff}
+import graft.sinks.{EsBulkSink, Upsert}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry (+ oracle SQL) per implemented
+  * operator from SURVEY.md §2 and per north-star extension.
+  *
+  * Oracle-parity conventions (driver hash-compares values after sorting
+  * columns by name):
+  *  - every computed column is aliased identically here and in the SQL;
+  *  - every query ends in a deterministic ORDER BY (total order);
+  *  - double SUMs go through DECIMAL(18,4) per-row casts so the aggregate
+  *    is exact and order-independent, then back to DOUBLE (identical value
+  *    in both engines regardless of partitioning / summation order);
+  *  - ratios/scores are per-row IEEE double ops (identical in both
+  *    engines), rounded to 4 decimals.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = Tables.load(s, dir, name)
+
+  /** events + string `day` bucket — the reference's `month` partition
+    * analog at non-degenerate cardinality (SURVEY.md §1.1).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.withDay(Tables.loadEvents(s, dir))
+
+  /** Emulated sink state for the sync operators: the sink is missing (a)
+    * every partition from 2024-01-20 on (partition-level gap, J1) and (b)
+    * every 10th row id (row-level gap, J2) — mirroring FIXTURES.md §A.
+    */
+  private def sinkState(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(col("day") < "2024-01-20").filter(col("event_id") % 10 =!= 0)
+
+  /** Exact, order-independent sum of a double expression (see conventions). */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("a1_daily_counts")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------------- §2.1 scans
+    // S1+P1+O3: projected, ordered scan (Debug.py:16-25 / Partition-script.py:30)
+    "s1_scan_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)),
+
+    // S3+P2: partition-pruned scan — declarative push_down_predicate
+    // (data-s3-elastic-transfer.py:301-308)
+    "s3_pruned_scan" -> ((s, dir) =>
+      events(s, dir)
+        .filter(col("day") === "2024-01-05")
+        .select("event_id", "event_type", "value", "day")
+        .orderBy("event_id")),
+
+    // S5/W2/O2: keyset pagination (search_after) — ID-based-transfer.py:118-154
+    "o2_keyset_page" -> ((s, dir) =>
+      Batching.keysetPage(
+        events(s, dir).select("event_id", "event_type"), "event_id", Some(lit(500L)), 1000)),
+
+    // --------------------------------------------------- §2.5 aggregations
+    // A1: per-partition counts (data-s3-elastic-transfer.py:102) — flagship
+    "a1_daily_counts" -> ((s, dir) =>
+      events(s, dir).groupBy("day").agg(count(lit(1)).as("cnt")).orderBy("day")),
+
+    // A2/S4: the Athena GROUP BY shipped to spark.sql (ID-based-transfer.py:55-60)
+    "a2_group_count_sql" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+               FROM lineitem GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")
+    }),
+
+    // A3/O4: top-k partitions by count (ES terms agg, size=20 —
+    // data-s3-elastic-transfer.py:51-61); exact where ES is approximate
+    "a3_topk_days" -> ((s, dir) =>
+      events(s, dir).groupBy("day").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("day")).limit(20)),
+
+    // A4: global count (Partition-script.py:19,23)
+    "a4_global_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // A5: distinct partitions (Partition-script.py:45)
+    "a5_distinct_days" -> ((s, dir) =>
+      events(s, dir).select("day").distinct().orderBy("day")),
+
+    // ------------------------------------------------- §2.3 filters/predicates
+    // P2: equality filter (Partition-script.py:22)
+    "p2_filter_eq" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")),
+
+    // P3: IN-list predicate (ID-based-transfer.py:177-187)
+    "p3_in_list" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")),
+
+    // ----------------------------------------------- §2.4 joins / set ops
+    // J1/T1: partitions missing from sink (data-s3-elastic-transfer.py:282-285)
+    "j1_partition_anti" -> ((s, dir) =>
+      Diff.partitionDiff(events(s, dir), sinkState(s, dir), "day").orderBy("day")),
+
+    // J2/T2: ids missing from sink (ID-based-transfer.py:241)
+    "j2_id_anti" -> ((s, dir) =>
+      Diff.idDiff(events(s, dir), sinkState(s, dir), "event_id").orderBy("event_id")),
+
+    // J3: per-partition count reconciliation (ID-based-transfer.py:90-109)
+    "j3_count_reconcile" -> ((s, dir) =>
+      Diff.countReconcile(events(s, dir), sinkState(s, dir), "day").orderBy("day")),
+
+    // J4: fetch rows for missing ids via semi-join, replacing chunked
+    // IN-lists (ID-based-transfer.py:183-187)
+    "j4_semi_fetch" -> ((s, dir) =>
+      Diff.fetchByKeys(
+        events(s, dir),
+        Diff.idDiff(events(s, dir), sinkState(s, dir), "event_id"),
+        "event_id")
+        .select("event_id", "day", "event_type", "value")
+        .orderBy("event_id")),
+
+    // J5: union-all reassembly (ID-based-transfer.py:194)
+    "j5_union_all" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.filter(col("event_type") === "click")
+        .unionByName(e.filter(col("event_type") === "error"))
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
+    // ------------------------------------------- §2.7 scalar transforms
+    // F1+F2: lenient coercion — try_cast + defaults, the reference's
+    // try/except-per-field (data-s3-elastic-transfer.py:126-184) as columns
+    "f1_coerce_defaults" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        coalesce(regexp_extract(col("props"), "\"k\": (\\d+)", 1).try_cast("int"), lit(0)).as("k"),
+        coalesce(col("event_type").try_cast("int"), lit(-1)).as("et_num"),
+        coalesce(col("value"), lit(0.0)).as("val_d")
+      ).orderBy("event_id")),
+
+    // F3: row→JSON document (data-s3-elastic-transfer.py:154-186); no oracle
+    // (JSON text formatting is engine-specific) → rows-only check
+    "f3_to_json" -> ((s, dir) =>
+      EsBulkSink.toNdjson(
+        events(s, dir).select("event_id", "day", "event_type", "value").orderBy("event_id"),
+        "events_idx", Some("event_id"))),
+
+    // ------------------------------------------------- §2.8 batching
+    // W1: global ordinal batching (zipWithIndex pagination,
+    // data-s3-elastic-transfer.py:330-343) — batch stats per 1000-row batch
+    "w1_ordinal_batches" -> ((s, dir) =>
+      Batching.withOrdinalBatch(events(s, dir), "event_id", 1000)
+        .groupBy("batch")
+        .agg(count(lit(1)).as("cnt"), min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("batch")),
+
+    // ---------------------------------------------------- §2.2 sinks
+    // K1: partitioned parquet write + re-read (Partition-script.py:34-49)
+    "k1_write_roundtrip" -> ((s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft_k1_" + math.abs(dir.hashCode)
+      events(s, dir).write.mode("overwrite").partitionBy("day").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("day")
+    }),
+
+    // K3: idempotent last-write-wins upsert by id (ID-based-transfer.py:198-223)
+    "k3_upsert_last_wins" -> ((s, dir) => {
+      val base = t(s, dir, "events").select(col("event_id"), col("value"), lit(1).as("version"))
+      val updates = t(s, dir, "events").filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), (col("value") + 100).as("value"), lit(2).as("version"))
+      Upsert.lastWriteWins(base.unionByName(updates), "event_id", "version").orderBy("event_id")
+    }),
+
+    // ------------------------------------------- §2.9 incremental semantics
+    // T4: event-time tumbling window (streaming form in graft.streaming)
+    "t4_event_time_window" -> ((s, dir) =>
+      Tables.loadEvents(s, dir)
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"), col("cnt"), col("total_value"))
+        .orderBy("day")),
+
+    // T1+T5: the sync plan — rows of partitions the sink lacks, skipping
+    // present ones (data-s3-elastic-transfer.py:287-291)
+    "t5_incremental_plan" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.join(Diff.partitionDiff(e, sinkState(s, dir), "day"), Seq("day"), "left_semi")
+        .groupBy("day").agg(count(lit(1)).as("cnt"))
+        .orderBy("day")
+    }),
+
+    // ------------------------------------------------ bench headliners
+    // TPC-H Q1-style pricing summary (exercises multi-agg + decimal sums)
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // star-schema join: revenue per nation (broadcast dims, shuffle fact once)
+    "q3_star_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("n_name")
+    }),
+
+    // ------------------------------------------- LLM-pipeline extensions
+    "x_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+
+    "x_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("len"),
+        round(TF.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TF.stopwordRatio(col("text")), 4).as("stop_ratio"),
+        TF.qualityScore(col("text")).as("quality")
+      ).orderBy("doc_id")),
+
+    "x_lang_id" -> ((s, dir) =>
+      TF.withLangId(t(s, dir, "documents").select("doc_id", "text"), "text")
+        .select("doc_id", "lang_pred")
+        .orderBy("doc_id")),
+
+    "x_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "x_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("keep_id")),
+
+    // exact 3-gram Jaccard on a deterministic 25% sample (the oracle path;
+    // scale path is x_minhash_lsh). Threshold 0.01: the synthetic corpus
+    // has no true near-dups (max pairwise Jaccard ≈ 0.02), so this keeps
+    // the check non-trivial.
+    "x_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", n = 3, threshold = 0.01)
+        .orderBy("doc_a", "doc_b")),
+
+    // MinHash+LSH near-dup over ALL documents — banded candidate join, no
+    // O(n²); rows-only check (xxhash64 signatures aren't SQL-portable)
+    "x_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text", n = 3,
+        bands = 16, rowsPerBand = 4, threshold = 0.3)
+        .orderBy("doc_a", "doc_b")),
+
+    // SimHash near-dup pairs, chunk-bucketed candidates; rows-only check
+    "x_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+
+    // brute-force cosine top-5 for 10 query vectors (exact ANN baseline)
+    "x_embed_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // embedding near-dup pairs on a deterministic 20% sample
+    "x_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(
+        t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", threshold = 0.18)
+        .orderBy("id_a", "id_b")),
+
+    // LSH-bucketed ANN (scale path); rows-only check (recall vs brute
+    // force asserted in ScalaTest)
+    "x_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // multimodal metadata plumbing: payload bytes → shape/frames metadata
+    // (decode itself is a stubbed mapPartitions — see graft.ext.Multimodal)
+    "x_multimodal_meta" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        expr("octet_length(text)").cast("bigint").as("n_bytes"),
+        (floor(expr("octet_length(text)") / lit(100.0)).cast("bigint") + 1).as("n_frames"),
+        round((floor(expr("octet_length(text)") / lit(100.0)) + 1) / lit(24.0), 4).as("est_seconds")
+      ).orderBy("doc_id"))
+  )
+
+  /** DuckDB-equivalent SQL per query (driver runs these on the same
+    * parquet registered as bare table names). Formulations mirror the
+    * Spark plans exactly — see conventions in the header.
+    */
+  def oracleSql: Map[String, String] = {
+    val dayE = "strftime(ts, '%Y-%m-%d')"
+    val sinkSql = s"SELECT *, $dayE AS day FROM events WHERE $dayE < '2024-01-20' AND event_id % 10 <> 0"
+    val toksE = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+    val stopList = TF.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    Map(
+      "s1_scan_project" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+           FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+      "s3_pruned_scan" ->
+        s"""SELECT event_id, event_type, value, $dayE AS day FROM events
+            WHERE $dayE = '2024-01-05' ORDER BY event_id""",
+      "o2_keyset_page" ->
+        "SELECT event_id, event_type FROM events WHERE event_id > 500 ORDER BY event_id LIMIT 1000",
+      "a1_daily_counts" ->
+        s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "a2_group_count_sql" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+           FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+      "a3_topk_days" ->
+        s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY cnt DESC, day LIMIT 20",
+      "a4_global_count" -> "SELECT count(*) AS cnt FROM lineitem",
+      "a5_distinct_days" ->
+        s"SELECT DISTINCT $dayE AS day FROM events ORDER BY day",
+      "p2_filter_eq" ->
+        """SELECT c_custkey, c_name, c_acctbal FROM customer
+           WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""",
+      "p3_in_list" ->
+        """SELECT o_orderpriority, count(*) AS cnt FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      "j1_partition_anti" ->
+        s"""WITH src AS (SELECT DISTINCT $dayE AS day FROM events),
+                 snk AS (SELECT DISTINCT day FROM ($sinkSql))
+            SELECT day FROM src WHERE NOT EXISTS (SELECT 1 FROM snk WHERE snk.day = src.day)
+            ORDER BY day""",
+      "j2_id_anti" ->
+        s"""WITH src AS (SELECT DISTINCT event_id FROM events),
+                 snk AS (SELECT DISTINCT event_id FROM ($sinkSql))
+            SELECT event_id FROM src WHERE NOT EXISTS (SELECT 1 FROM snk WHERE snk.event_id = src.event_id)
+            ORDER BY event_id""",
+      "j3_count_reconcile" ->
+        s"""WITH src AS (SELECT $dayE AS day, count(*) AS src_cnt FROM events GROUP BY 1),
+                 snk AS (SELECT day, count(*) AS sink_cnt FROM ($sinkSql) GROUP BY 1)
+            SELECT coalesce(src.day, snk.day) AS day,
+                   coalesce(src_cnt, 0) AS src_cnt, coalesce(sink_cnt, 0) AS sink_cnt
+            FROM src FULL OUTER JOIN snk ON src.day = snk.day
+            WHERE coalesce(src_cnt, 0) <> coalesce(sink_cnt, 0) ORDER BY day""",
+      "j4_semi_fetch" ->
+        s"""WITH snk AS (SELECT DISTINCT event_id FROM ($sinkSql)),
+                 missing AS (SELECT DISTINCT event_id FROM events
+                   WHERE NOT EXISTS (SELECT 1 FROM snk WHERE snk.event_id = events.event_id))
+            SELECT event_id, $dayE AS day, event_type, value FROM events
+            WHERE EXISTS (SELECT 1 FROM missing WHERE missing.event_id = events.event_id)
+            ORDER BY event_id""",
+      "j5_union_all" ->
+        """SELECT event_type, count(*) AS cnt FROM (
+             SELECT * FROM events WHERE event_type = 'click'
+             UNION ALL
+             SELECT * FROM events WHERE event_type = 'error') u
+           GROUP BY event_type ORDER BY event_type""",
+      "f1_coerce_defaults" ->
+        """SELECT event_id,
+                  coalesce(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER), 0) AS k,
+                  coalesce(TRY_CAST(event_type AS INTEGER), -1) AS et_num,
+                  coalesce(value, 0.0) AS val_d
+           FROM events ORDER BY event_id""",
+      "w1_ordinal_batches" ->
+        """WITH t AS (SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn FROM events)
+           SELECT CAST(floor((rn - 1) / 1000.0) AS BIGINT) + 1 AS batch, count(*) AS cnt,
+                  min(event_id) AS min_id, max(event_id) AS max_id
+           FROM t GROUP BY 1 ORDER BY 1""",
+      "k1_write_roundtrip" ->
+        s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "k3_upsert_last_wins" ->
+        """WITH allv AS (
+             SELECT event_id, value, 1 AS version FROM events
+             UNION ALL
+             SELECT event_id, value + 100 AS value, 2 AS version FROM events WHERE event_id % 7 = 0),
+           r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY version DESC) AS rn FROM allv)
+           SELECT event_id, value, version FROM r WHERE rn = 1 ORDER BY event_id""",
+      "t4_event_time_window" ->
+        s"""SELECT $dayE AS day, count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1 ORDER BY 1""",
+      "t5_incremental_plan" ->
+        s"""WITH e AS (SELECT *, $dayE AS day FROM events),
+                 snk AS (SELECT DISTINCT day FROM ($sinkSql)),
+                 missing AS (SELECT DISTINCT day FROM e
+                   WHERE NOT EXISTS (SELECT 1 FROM snk WHERE snk.day = e.day))
+            SELECT day, count(*) AS cnt FROM e
+            WHERE EXISTS (SELECT 1 FROM missing WHERE missing.day = e.day)
+            GROUP BY day ORDER BY day""",
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                  count(*) AS cnt
+           FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+      "q3_star_join_revenue" ->
+        """SELECT n_name,
+                  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                  count(*) AS cnt
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name ORDER BY n_name""",
+      "x_token_count" ->
+        s"SELECT doc_id, CAST(len($toksE) AS INTEGER) AS n_tokens FROM documents ORDER BY doc_id",
+      "x_quality_score" ->
+        s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS len,
+                   round(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END, 4) AS punct_ratio,
+                   round(CASE WHEN len($toksE) = 0 THEN 0.0
+                     ELSE CAST(len(list_filter($toksE, t -> list_contains($stopList, t))) AS DOUBLE) / len($toksE) END, 4) AS stop_ratio,
+                   round((CASE WHEN len($toksE) = 0 THEN 0.0
+                     ELSE CAST(len(list_filter($toksE, t -> list_contains($stopList, t))) AS DOUBLE) / len($toksE) END) * 0.5
+                     + CAST(least(len($toksE), 200) AS DOUBLE) / 400.0, 4) AS quality
+            FROM documents ORDER BY doc_id""",
+      "x_lang_id" -> langIdSql,
+      "x_fingerprint" ->
+        "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents ORDER BY doc_id",
+      "x_dedup_exact" ->
+        """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           FROM documents GROUP BY fp ORDER BY keep_id""",
+      "x_ngram_jaccard" ->
+        s"""WITH d AS (SELECT doc_id, $toksE AS toks FROM documents WHERE doc_id % 4 = 0),
+                 s AS (SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+                   FROM d),
+                 e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+                 sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+                 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                       FROM e a JOIN e b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) AS jaccard
+            FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+            WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.01
+            ORDER BY doc_a, doc_b""",
+      "x_embed_cosine_topk" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+                q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
+                s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                        list_dot_product(q.vq, e.v) /
+                          (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(e.v, e.v))) AS score
+                      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+                r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, neighbor_id) AS rank
+                      FROM s)
+           SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 4) AS score
+           FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+      "x_embed_neardup" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                      FROM embeddings WHERE vec_id % 5 = 0),
+                p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                        round(list_dot_product(a.v, b.v) /
+                          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+                      FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
+           SELECT id_a, id_b, cos FROM p WHERE cos >= 0.18 ORDER BY id_a, id_b""",
+      "x_multimodal_meta" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                  CAST(floor(octet_length(encode(text)) / 100.0) AS BIGINT) + 1 AS n_frames,
+                  round((floor(octet_length(encode(text)) / 100.0) + 1) / 24.0, 4) AS est_seconds
+           FROM documents ORDER BY doc_id"""
+    )
+  }
+
+  /** lang-ID oracle: replace-count marker hits, same formula as
+    * TextFunctions.langId (counts are computed with length-difference
+    * arithmetic in BOTH engines so the semantics are identical).
+    */
+  private def langIdSql: String = {
+    def hits(markers: Seq[String]): String =
+      markers
+        .map(m => s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}")
+        .mkString(" + ")
+    val en = hits(TF.langMarkers.find(_._1 == "en").get._2)
+    val fr = hits(TF.langMarkers.find(_._1 == "fr").get._2)
+    val es = hits(TF.langMarkers.find(_._1 == "es").get._2)
+    val de = hits(TF.langMarkers.find(_._1 == "de").get._2)
+    s"""WITH d AS (SELECT doc_id, text,
+            ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' ' AS p FROM documents),
+         h AS (SELECT doc_id, text, $en AS en_h, $fr AS fr_h, $es AS es_h, $de AS de_h FROM d)
+        SELECT doc_id,
+          CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+               WHEN en_h >= greatest(en_h, fr_h, es_h, de_h) AND en_h > 0 THEN 'en'
+               WHEN fr_h >= greatest(en_h, fr_h, es_h, de_h) AND fr_h > 0 THEN 'fr'
+               WHEN es_h >= greatest(en_h, fr_h, es_h, de_h) AND es_h > 0 THEN 'es'
+               WHEN de_h >= greatest(en_h, fr_h, es_h, de_h) AND de_h > 0 THEN 'de'
+               ELSE 'und' END AS lang_pred
+        FROM h ORDER BY doc_id"""
+  }
 }

@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (north-star extension).
+  *
+  * Images/audio/video are carried as opaque `binary` columns with typed
+  * metadata. The Spark-side plumbing — schema, partition-sized batching,
+  * feature schema — is real and tested; the actual decoder is a clearly
+  * marked STUB (no image/audio libraries exist in this container): it
+  * produces deterministic fake features from the bytes, so tests are
+  * reproducible and the pipeline shape (batched mapPartitions, fixed-width
+  * feature vectors) is exactly what a real decoder would slot into.
+  *
+  * Scale design: decode runs per-partition with local batching (`grouped`),
+  * so decoder state (a model, a codec context) is initialized once per
+  * batch, not per row, and no shuffle is introduced — the feature extract
+  * is a map over the scan.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload plus typed metadata. */
+  final case class MediaRow(id: Long, media: Array[Byte], format: String)
+
+  /** Extracted features: shape metadata + fixed-width feature vector. */
+  final case class MediaFeatures(
+      id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      features: Array[Float])
+
+  val featureDim = 8
+
+  /** STUB decoder — stands in for an image/audio codec. Deterministic in
+    * the payload bytes. A real implementation replaces ONLY this function.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
+    val h = java.util.Arrays.hashCode(payload)
+    val width = 64 + math.abs(h % 1024)        // fake width
+    val height = 64 + math.abs((h >> 10) % 1024) // fake height
+    val frames = 1 + payload.length / 100       // fake frame count
+    (width, height, frames)
+  }
+
+  /** STUB feature extractor — stands in for an embedding model forward
+    * pass. Deterministic in the payload.
+    */
+  def featuresStub(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % featureDim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Wrap a string column as a binary media payload (testdata has no real
+    * media; `documents.text` bytes play the payload role).
+    */
+  def asMedia(docs: DataFrame, idCol: String, payloadCol: String, format: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(payloadCol).cast("binary").as("media"),
+        lit(format).as("format"))
+      .as[MediaRow]
+  }
+
+  /** Batched decode + feature extraction: mapPartitions with local
+    * `grouped(batchSize)` — the batch shape a vectorized decoder (or a
+    * Pandas-UDF-style columnar kernel) needs, with no shuffle.
+    */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real decoder would process `batch` as one vectorized call
+        batch.iterator.map { r =>
+          val (w, h, f) = decodeStub(r.media)
+          MediaFeatures(r.id, r.media.length.toLong, w, h, f, featuresStub(r.media))
+        }
+      }
+    }
+  }
+
+  /** Deterministic frame sampling plan for video payloads: every
+    * `stride`-th frame index, as rows. Pure column math (no decode) — the
+    * decode of chosen frames happens in [[extractFeatures]].
+    */
+  def sampleFrames(media: DataFrame, idCol: String, nFramesCol: String, stride: Int): DataFrame =
+    media.select(
+      col(idCol),
+      explode(sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(stride))).as("frame_idx"))
+}

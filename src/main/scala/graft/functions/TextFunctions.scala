@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (north-star extension, SURVEY.md §2.10): tokenization, fingerprinting,
+  * quality scoring, language-ID.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` — 100%
+  * whole-stage-codegen, no UDFs — so each is a per-row map over the scan
+  * with zero shuffles; at 100 TB these run at parquet-read speed.
+  *
+  * Every function mirrors an ANSI-SQL formulation exactly (see
+  * SparkEntry.oracleSql) so results are oracle-checkable bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Collapse runs of whitespace to single spaces and trim. */
+  def normalizeWs(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. "" tokenizes to [""] (size 1)
+    * — matches DuckDB string_split; callers guard if they need 0.
+    */
+  def tokens(text: Column): Column = split(normalizeWs(text), " ")
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: count of alphanumeric runs + count of
+    * non-space punctuation marks (each punctuation mark is its own token,
+    * as byte-pair encoders typically do).
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(normalizeWs(text), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Document fingerprint: md5 of the case-folded, whitespace-normalized
+    * text. Exact-dup detection key.
+    */
+  def fingerprint(text: Column): Column = md5(lower(normalizeWs(text)))
+
+  /** Ratio of punctuation characters to total characters (0 when empty). */
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / len.cast("double"))
+  }
+
+  /** English-ish stopword list shared with the oracle SQL. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(stops.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: half stopword naturalness, half
+    * length adequacy (saturating at 200 tokens). Deterministic, documented,
+    * oracle-checkable — a stand-in for model-based quality classifiers.
+    */
+  def qualityScore(text: Column): Column =
+    round(stopwordRatio(text) * lit(0.5) + least(tokenCount(text), lit(200)).cast("double") / lit(400.0), 4)
+
+  /** Per-language marker-word profiles for the n-gram-heuristic language ID.
+    * Real stopword markers; scored by occurrence count. CJK is detected by
+    * script range first.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "fr" -> Seq(" le ", " la ", " et ", " les "),
+    "es" -> Seq(" el ", " los ", " que ", " y "),
+    "de" -> Seq(" der ", " und ", " die ", " das ")
+  )
+
+  /** Non-overlapping occurrence count of each marker, summed — computed as
+    * length-difference arithmetic so the SQL oracle can use the exact same
+    * formula (`(len(p) - len(replace(p, m, ''))) / len(m)`).
+    */
+  private def markerHits(padded: Column, markers: Seq[String]): Column =
+    markers
+      .map(m => (length(padded) - length(replace(padded, lit(m), lit("")))) / lit(m.length))
+      .reduce(_ + _)
+
+  /** Heuristic language ID: CJK script ⇒ zh; else argmax of marker-word
+    * hits with deterministic tie order (en > fr > es > de); no hits ⇒ 'und'.
+    *
+    * Implementation note: the padded text and per-language hit counts are
+    * bound ONCE via `with_fields`-style struct locals — naive inlining
+    * duplicates the normalize+replace chain ~50× and blows the 64 KB
+    * whole-stage-codegen method limit (observed), falling back to the
+    * interpreted path. Binding through a struct keeps each subexpression
+    * evaluated once and the final CASE tiny.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(normalizeWs(text)), lit(" "))
+    val hits = langMarkers.map { case (lang, ms) => lang -> markerHits(padded, ms) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === best && h > 0, lit(lang)).otherwise(acc)
+    }
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
+  }
+
+  /** Dataframe-level language ID: like [[langId]] but staged through
+    * intermediate projections so the padded text and the four hit counts
+    * are each computed ONCE per row. The fully-inlined [[langId]] column
+    * duplicates the normalize chain ~50× and exceeds the 64 KB
+    * whole-stage-codegen method limit (observed at sf0.001); the staged
+    * form stays inside codegen. Output: input columns + `lang_pred`.
+    */
+  def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame = {
+    val orig = df.columns.map(col).toSeq
+    val staged = df
+      .withColumn("__lid_p", concat(lit(" "), lower(normalizeWs(col(textCol))), lit(" ")))
+      .withColumn("__lid_cjk", col(textCol).rlike("[\\u4e00-\\u9fff]"))
+    val withHits = langMarkers.foldLeft(staged) { case (d, (lang, ms)) =>
+      d.withColumn(s"__lid_$lang", markerHits(col("__lid_p"), ms))
+    }
+    val h = (l: String) => col(s"__lid_$l")
+    val best = langMarkers.map { case (l, _) => h(l) }.reduce((a, b) => greatest(a, b))
+    val pick = langMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(h(lang) === best && h(lang) > 0, lit(lang)).otherwise(acc)
+    }
+    withHits
+      .withColumn("lang_pred", when(col("__lid_cjk"), lit("zh")).otherwise(pick))
+      .select((orig :+ col("lang_pred")): _*)
+  }
+
+  /** Rolling (polynomial) hash over tokens — a shingle-friendly document
+    * fingerprint: sum of xxhash64(token) * 31^position truncated to long.
+    * Order-sensitive, unlike a bag-of-words hash.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => acc * lit(31L) + xxhash64(t)
+    )
+}

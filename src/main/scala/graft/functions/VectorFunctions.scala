@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, via Spark's
+  * higher-order functions (north-star extension; SURVEY.md §2.10).
+  *
+  * HOFs (`zip_with`, `aggregate`) evaluate inside the JVM per row with no
+  * shuffle and no UDF serialization boundary. Values are cast to double
+  * before arithmetic so results match a double-precision oracle and don't
+  * accumulate float error over 100 TB of vectors.
+  *
+  * If profiling shows the HOF interpreter dominating at bench scale, the
+  * upgrade path is a fused codegen `Expression` for dot product — measure
+  * first (SURVEY.md §7.3).
+  */
+object VectorFunctions {
+
+  /** Element-wise cast to double. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product of two equal-length numeric arrays (double accumulation,
+    * sequential order — matches a scalar SQL loop bit-for-bit).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Squared euclidean distance. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Sign-random-projection bucket for LSH ANN: `nBits` deterministic
+    * pseudo-random hyperplanes; bit i is the sign of the projection onto
+    * plane i. Planes are derived from xxhash64(bit, dim) — deterministic
+    * across runs and engines, no stored model. Vectors whose buckets share
+    * all bits are near-neighbor candidates.
+    */
+  def srpBucket(v: Column, nBits: Int): Column = {
+    val d = toDouble(v)
+    val bits = (0 until nBits).map { i =>
+      // plane_i[j] = hash(i, j) mapped to [-1, 1]
+      val proj = aggregate(
+        zip_with(d, transform(d, (_, j) => planeCoef(i, j)), (x, c) => x * c),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+      when(proj >= 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Deterministic pseudo-random plane coefficient in [-1, 1] from
+    * (planeId, dimIndex) — xxhash64 scaled. Public so tests can recompute.
+    */
+  def planeCoef(planeId: Int, dimIdx: Column): Column =
+    (xxhash64(lit(planeId), dimIdx).cast("double") / lit(Long.MaxValue.toDouble))
+}

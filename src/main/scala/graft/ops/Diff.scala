@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-detection joins (SURVEY.md §2.4 J1–J5, §2.9 T1/T2).
+  *
+  * The reference computes all of these in driver Python over collected sets
+  * (`data-s3-elastic-transfer.py:282-285`, `ID-based-transfer.py:241`) —
+  * O(all keys) through one process. Here each is a distributed join;
+  * Catalyst picks broadcast-hash when one side's stats are small and
+  * sort-merge otherwise, so the same three lines work at 60 k rows and at
+  * 100 TB (where the sink-state id set shuffles instead of OOMing a driver).
+  */
+object Diff {
+
+  /** J1/T1: partitions present in source but absent from the sink. */
+  def partitionDiff(source: DataFrame, sinkState: DataFrame, partCol: String): DataFrame =
+    source
+      .select(partCol)
+      .distinct()
+      .join(sinkState.select(partCol).distinct(), Seq(partCol), "left_anti")
+
+  /** J2/T2: row ids present in source but absent from the sink.
+    * At extreme scale, pre-filter with a bloom filter on the sink ids
+    * before the anti-join shuffle (SURVEY.md §2.9 T2).
+    */
+  def idDiff(source: DataFrame, sinkState: DataFrame, idCol: String): DataFrame =
+    source
+      .select(idCol)
+      .distinct()
+      .join(sinkState.select(idCol).distinct(), Seq(idCol), "left_anti")
+
+  /** J3: per-partition count reconciliation — full-outer join of grouped
+    * counts, nulls coalesced to 0, mismatches kept. This is the reference's
+    * correctness check (`ID-based-transfer.py:90-109`) as one plan.
+    * Output columns: partCol, src_cnt, sink_cnt.
+    */
+  def countReconcile(source: DataFrame, sinkState: DataFrame, partCol: String): DataFrame = {
+    val s = source.groupBy(partCol).agg(count(lit(1)).as("src_cnt"))
+    val k = sinkState.groupBy(partCol).agg(count(lit(1)).as("sink_cnt"))
+    s.join(k, Seq(partCol), "full_outer")
+      .select(
+        col(partCol),
+        coalesce(col("src_cnt"), lit(0L)).as("src_cnt"),
+        coalesce(col("sink_cnt"), lit(0L)).as("sink_cnt")
+      )
+      .filter(col("src_cnt") =!= col("sink_cnt"))
+  }
+
+  /** J4: fetch the full rows for a set of keys — a left-semi join instead
+    * of the reference's chunked 10 000-id SQL IN-lists
+    * (`ID-based-transfer.py:177-187`). No chunking: the key set is a
+    * DataFrame, and the join strategy (broadcast vs shuffle) is chosen from
+    * its size.
+    */
+  def fetchByKeys(source: DataFrame, keys: DataFrame, keyCol: String): DataFrame =
+    source.join(keys.select(keyCol), Seq(keyCol), "left_semi")
+
+  /** J2+J4 fused: rows whose id is missing from the sink, in one anti-join
+    * (skips materializing the id set — one shuffle instead of two).
+    */
+  def missingRows(source: DataFrame, sinkState: DataFrame, idCol: String): DataFrame =
+    source.join(sinkState.select(idCol).distinct(), Seq(idCol), "left_anti")
+}

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source layer (SURVEY.md §2.1 S1–S3, S7).
+  *
+  * The reference reads parquet directly (`Debug.py:16`,
+  * `Partition-script.py:16`) and via the Glue catalog with a partition
+  * push-down predicate (`data-s3-elastic-transfer.py:95-101, 301-308`).
+  * Here both collapse to `spark.read.parquet`: Catalyst's
+  * `PruneFileSourcePartitions` + parquet filter/column pushdown replace the
+  * manual `push_down_predicate` string — on a Hive-partitioned layout a
+  * `filter($"day" === d)` prunes directories before any I/O happens, which
+  * is what keeps a 100 TB table readable (only the requested partition's
+  * files are listed and scanned).
+  */
+object Tables {
+
+  /** S1: plain parquet scan of one driver-testdata table. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events scan with `ts` normalized to TimestampType. The testdata stores
+    * ts as parquet TIMESTAMP(NANOS), which Spark only reads as a nanos-long
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set by our sessions); `div`
+    * keeps the nanos→micros conversion in exact integer arithmetic.
+    */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+
+  /** S2: partitioned-dataset scan (Hive layout, e.g. `.../day=2024-01-05/`).
+    * `basePath` keeps the partition column in the schema, mirroring the
+    * Glue catalog table of `data-s3-elastic-transfer.py:95-99`.
+    */
+  def loadPartitioned(spark: SparkSession, basePath: String): DataFrame =
+    spark.read.option("basePath", basePath).parquet(basePath)
+
+  /** S3: partition-pruned scan — the declarative form of the reference's
+    * `push_down_predicate=f"month='{month}'"`. Catalyst prunes partitions;
+    * no custom rule needed (SURVEY.md §4).
+    */
+  def loadPartition(spark: SparkSession, basePath: String, partCol: String, value: String): DataFrame =
+    loadPartitioned(spark, basePath).filter(col(partCol) === lit(value))
+
+  /** The reference's incremental unit is a month-valued string partition
+    * column (`Partition-script.py:37`). The driver testdata's `events.ts`
+    * spans ~30 days, so we bucket at day granularity — same semantics,
+    * non-degenerate cardinality.
+    */
+  def withDay(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
+}

@@ -1,0 +1,84 @@
+package graft.sync
+
+import graft.ops.Diff
+import graft.sinks.{EsBulkSink, Upsert}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's two pipelines re-expressed as distributed plans
+  * (SURVEY.md §3.1/§3.2, §2.9).
+  *
+  * `data-s3-elastic-transfer.py  main()` — partition-incremental sync — was:
+  * collect source months, collect sink months, Python set-diff, then per
+  * month: scan, rdd.map to dicts, zipWithIndex re-scan per 50 000-row batch,
+  * POST from the driver. Here the whole thing is TWO jobs regardless of how
+  * many partitions are missing: one anti-join to plan, one distributed
+  * semi-join + write to move the data. No per-batch re-scans, nothing
+  * funnels through the driver.
+  *
+  * `ID-based-transfer.py  main()` — row-level reconciliation — was serial
+  * driver Python (Athena polling, 10 000-doc ES cursor pages, Python set
+  * difference, chunked IN-lists, pandas iterrows). Here: one count
+  * reconciliation plan + one anti-join + one idempotent upsert.
+  */
+object IncrementalSync {
+
+  /** Result of a partition-level sync: which partitions moved, how many rows. */
+  final case class SyncReport(partitionsMoved: Seq[String], rowsMoved: Long)
+
+  /** T1+T5: move every source partition absent from the sink, skipping
+    * already-present ones (`data-s3-elastic-transfer.py:287-291`). One
+    * semi-join selects all missing partitions' rows at once — per-partition
+    * looping (reference `:296`) is left to Spark's task scheduler.
+    */
+  def syncMissingPartitions(
+      source: DataFrame,
+      sinkState: DataFrame,
+      partCol: String,
+      writeSink: DataFrame => Unit): SyncReport = {
+    val missing = Diff.partitionDiff(source, sinkState, partCol).cache()
+    try {
+      val parts = missing.collect().map(_.getString(0)).toSeq.sorted
+      if (parts.isEmpty) SyncReport(Seq.empty, 0L)
+      else {
+        val rows = source.join(missing, Seq(partCol), "left_semi")
+        val n = rows.count()
+        writeSink(rows)
+        SyncReport(parts, n)
+      }
+    } finally { missing.unpersist(): Unit }
+  }
+
+  /** T2: row-level reconciliation — rows whose id the sink lacks, coerced
+    * and upserted idempotently (K3). `reconcile first`: only partitions whose
+    * counts mismatch are even scanned for ids, mirroring
+    * `ID-based-transfer.py:299-309` but as joins.
+    */
+  def reconcileByIds(
+      source: DataFrame,
+      sinkState: DataFrame,
+      partCol: String,
+      idCol: String,
+      indexDir: String,
+      versionCol: String): Long = {
+    val mismatched = Diff.countReconcile(source, sinkState, partCol).select(partCol)
+    val candidates = source.join(mismatched, Seq(partCol), "left_semi")
+    val missing = Diff.missingRows(candidates, sinkState, idCol)
+      .withColumn(versionCol, lit(System.currentTimeMillis()))
+    val n = missing.count()
+    if (n > 0) EsBulkSink.upsertById(missing, indexDir, idCol, versionCol)
+    n
+  }
+
+  /** Post-sync acceptance check, ported from the reference's own invariant
+    * (`ID-based-transfer.py:94-106`): per-partition counts must match and
+    * the id sets must be equal. Returns (mismatchedPartitionCount,
+    * missingIdCount) — (0, 0) means in sync.
+    */
+  def verifyInSync(source: DataFrame, sink: DataFrame, partCol: String, idCol: String): (Long, Long) = {
+    val dedupSink = Upsert.dedupKeepMin(sink, Seq(idCol), idCol)
+    val countMismatches = Diff.countReconcile(source, dedupSink, partCol).count()
+    val missingIds = Diff.idDiff(source, dedupSink, idCol).count()
+    (countMismatches, missingIds)
+  }
+}
