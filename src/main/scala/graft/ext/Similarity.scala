@@ -40,10 +40,15 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
-  /** LSH-bucketed approximate top-k: only corpus vectors in the same
-    * sign-random-projection bucket as the query are scored. Multi-probe via
-    * `probes` extra buckets (flipping one bit) recovers recall lost to
-    * boundary effects.
+  /** LSH-bucketed approximate top-k: only corpus vectors landing in the
+    * same sign-random-projection bucket as the query — in ANY of `tables`
+    * independent hash tables (OR-amplification), with `probes` extra
+    * single-bit-flip buckets per table (multi-probe) — are scored.
+    *
+    * Recall for a pair at angle θ: p = 1-θ/π per bit; per table p^nBits
+    * (+probe mass); over L tables 1-(1-·)^L. Cost: candidate set size ≈
+    * |corpus|·|queries|·L·(probes+1)/2^nBits — tune nBits up as the corpus
+    * grows to hold the candidate set constant.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -52,18 +57,26 @@ object Similarity {
       vecCol: String,
       k: Int,
       nBits: Int = 8,
-      probes: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v_c"),
-      srpBucket(col(vecCol), nBits).as("bucket"))
-    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("v_q"),
-      srpBucket(col(vecCol), nBits).as("b0"))
-    // multi-probe: the bucket itself plus `probes` single-bit flips
-    val probeBuckets = array(
-      (col("b0") +: (0 until probes).map(i => col("b0").bitwiseXOR(shiftleft(lit(1L), i)))): _*)
-    val q = qb.select(col("query_id"), col("v_q"), explode(probeBuckets).as("bucket"))
-    val scored = c
-      .join(q, Seq("bucket"))
+      tables: Int = 4,
+      probes: Int = 2): DataFrame = {
+    def buckets(df: DataFrame, outId: String, probe: Boolean): DataFrame = {
+      val perTable = (0 until tables).map { t =>
+        val b0 = srpBucket(col(vecCol), nBits, seed = t * nBits)
+        val bs = if (probe) b0 +: (0 until probes).map(i => b0.bitwiseXOR(shiftleft(lit(1L), i)))
+                 else Seq(b0)
+        bs.map(b => struct(lit(t).as("table"), b.as("bucket")))
+      }
+      df.select(col(idCol).as(outId), explode(array(perTable.flatten: _*)).as("tb"))
+        .select(col(outId), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    }
+    val candidates = buckets(corpus, "neighbor_id", probe = false)
+      .join(buckets(queries, "query_id", probe = true), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct() // a pair can collide in several tables; score it once
+    val scored = candidates
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("v_q")), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v_c")), "neighbor_id")
       .withColumn("score", cosine(col("v_q"), col("v_c")))
     val w = Window.partitionBy(col("query_id")).orderBy(round(col("score"), 6).desc, col("neighbor_id").asc)
     scored

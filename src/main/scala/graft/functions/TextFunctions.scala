@@ -130,14 +130,15 @@ object TextFunctions {
       .select((orig :+ col("lang_pred")): _*)
   }
 
-  /** Rolling (polynomial) hash over tokens — a shingle-friendly document
-    * fingerprint: sum of xxhash64(token) * 31^position truncated to long.
-    * Order-sensitive, unlike a bag-of-words hash.
+  /** Rolling (chained) hash over tokens — an order-sensitive document
+    * fingerprint: acc' = xxhash64(acc, token). Unlike a polynomial *31
+    * rolling hash, the chained form can't overflow (ANSI mode turns long
+    * overflow into an error), and stays a single left-to-right pass.
     */
   def rollingHash(text: Column): Column =
     aggregate(
       tokens(text),
       lit(0L),
-      (acc, t) => acc * lit(31L) + xxhash64(t)
+      (acc, t) => xxhash64(acc, t)
     )
 }

@@ -42,16 +42,16 @@ object VectorFunctions {
 
   /** Sign-random-projection bucket for LSH ANN: `nBits` deterministic
     * pseudo-random hyperplanes; bit i is the sign of the projection onto
-    * plane i. Planes are derived from xxhash64(bit, dim) — deterministic
-    * across runs and engines, no stored model. Vectors whose buckets share
-    * all bits are near-neighbor candidates.
+    * plane i. Planes are derived from xxhash64(seed+bit, dim) —
+    * deterministic across runs, no stored model. `seed` offsets the plane
+    * family so independent hash tables (OR-amplification) can be built.
     */
-  def srpBucket(v: Column, nBits: Int): Column = {
+  def srpBucket(v: Column, nBits: Int, seed: Int = 0): Column = {
     val d = toDouble(v)
     val bits = (0 until nBits).map { i =>
-      // plane_i[j] = hash(i, j) mapped to [-1, 1]
+      // plane_i[j] = hash(seed+i, j) mapped to [-1, 1]
       val proj = aggregate(
-        zip_with(d, transform(d, (_, j) => planeCoef(i, j)), (x, c) => x * c),
+        zip_with(d, transform(d, (_, j) => planeCoef(seed + i, j)), (x, c) => x * c),
         lit(0.0),
         (acc, x) => acc + x
       )

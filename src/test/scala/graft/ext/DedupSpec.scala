@@ -1,0 +1,75 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the  quick brown fox jumps over the lazy dog"), // ws-normalized dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 1
+    (4L, "completely different words entirely here now today"),
+    (5L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG")   // case dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups ws/case-normalized duplicates, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out === Array((1L, 3L), (3L, 1L), (4L, 1L))) // {1,2,5} collapse to keep_id 1
+  }
+
+  test("shingles produce n-grams; short docs yield the whole text") {
+    val sh = docs.filter($"doc_id" === 1).select(Dedup.shingles($"text", 3)).as[Seq[String]].head()
+    assert(sh.contains("the quick brown") && sh.contains("over the lazy"))
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.shingles($"text", 3)).as[Seq[String]].head()
+    assert(short === Seq("two words"))
+  }
+
+  test("ngramJaccardPairs: exact jaccard for dup and near-dup pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(((1L, 2L))) === 1.0)       // identical after normalization
+    assert(pairs(((1L, 3L))) > 0.5)          // one token differs at the end
+    assert(!pairs.contains((1L, 4L)))        // unrelated
+  }
+
+  test("minhashLsh finds the exact-dup and near-dup pairs with high estimated jaccard") {
+    val got = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, bands = 16, rowsPerBand = 4,
+      threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got(((1L, 2L))) === 1.0)
+    assert(got.contains((1L, 3L)) && got(((1L, 3L))) > 0.5)
+    assert(!got.contains((1L, 4L)))
+  }
+
+  test("simhash: identical normalized text hashes equal; near-dup within small hamming") {
+    val hs = docs.select($"doc_id", Dedup.simhash(lower($"text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) === hs(2L) && hs(1L) === hs(5L))
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) < 16) // one-word change: few bits
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(4L)) > 10) // unrelated: many bits
+  }
+
+  test("simhashPairs buckets by 16-bit chunks and filters by hamming") {
+    val pairs = Dedup.simhashPairs(docs.withColumn("text", lower($"text")), "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("embeddingNearDup finds parallel vectors, skips orthogonal ones") {
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f)),  // parallel to 1
+      (3L, Seq(0.0f, 1.0f, 0.0f))   // orthogonal
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(embs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ext
+
+import graft.TestSpark
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def embs = Tables.load(spark, TestSpark.sfDir, "embeddings")
+
+  test("bruteTopK: k neighbors per query, rank 1 is the best score, no self-matches") {
+    val queries = embs.filter(col("vec_id") < 5)
+    val got = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", k = 3).collect()
+    assert(got.length === 15) // 5 queries × k=3
+    val byQuery = got.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
+      assert(sorted.map(_.getDouble(3)).toSeq === sorted.map(_.getDouble(3)).sortBy(-(_: Double)))
+      assert(!rows.exists(_.getLong(2) === q)) // self excluded
+    }
+  }
+
+  test("lshTopK achieves reasonable recall of the brute-force top-3") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(embs, queries, "vec_id", "embedding", k = 3,
+      nBits = 5, tables = 8, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall > 0.5, s"LSH recall $recall too low")
+  }
+
+  test("lshTopK scores match brute-force scores for overlapping results") {
+    val queries = embs.filter(col("vec_id") === 0)
+    val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    val approx = Similarity.lshTopK(embs, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    (brute.keySet & approx.keySet).foreach { n => assert(brute(n) === approx(n)) }
+  }
+}

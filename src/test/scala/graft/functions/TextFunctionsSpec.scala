@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+
+  test("tokenCount on normalized whitespace") {
+    val df = one("  the   quick\tbrown\n fox ")
+    assert(df.select(TextFunctions.tokenCount($"text")).as[Int].head() === 4)
+  }
+
+  test("subwordCount splits punctuation into its own tokens") {
+    val df = one("don't stop, now!")
+    // tokens: don | ' | t | stop | , | now | ! = 7
+    assert(df.select(TextFunctions.subwordCount($"text")).as[Int].head() === 7)
+  }
+
+  test("fingerprint is invariant to case and whitespace runs") {
+    val fps = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "hello worlds"))
+      .toDF("doc_id", "text")
+      .select(TextFunctions.fingerprint($"text")).as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("punctRatio and stopwordRatio") {
+    val df = one("the cat, the dog.")
+    val (p, s) = df.select(
+      TextFunctions.punctRatio($"text"),
+      TextFunctions.stopwordRatio($"text")).as[(Double, Double)].head()
+    assert(math.abs(p - 2.0 / 17) < 1e-12) // ',' and '.' of 17 chars
+    assert(s === 0.5) // 'the' twice of 4 tokens
+  }
+
+  test("langId picks the language whose markers dominate") {
+    val df = Seq(
+      (1L, "the cat and the dog is of note"),
+      (2L, "le chat et la mer et les vagues"),
+      (3L, "el mar y los cielos que brillan"),
+      (4L, "der Hund und die Katze und das Haus"),
+      (5L, "你好 world"),
+      (6L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.withLangId(df, "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "en", 2L -> "fr", 3L -> "es", 4L -> "de", 5L -> "zh", 6L -> "und"))
+  }
+
+  test("rollingHash is order-sensitive") {
+    val h = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+      .select(TextFunctions.rollingHash($"text")).as[Long].collect()
+    assert(h(0) !== h(1))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.sinks
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class UpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("lastWriteWins keeps highest version per id") {
+    val df = Seq(("a", 1, 1), ("a", 2, 2), ("b", 5, 1)).toDF("id", "v", "version")
+    val out = Upsert.lastWriteWins(df, "id", "version")
+      .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    assert(out === Array(("a", 2), ("b", 5)))
+  }
+
+  test("dedupKeepMin keeps the lowest id per key (deterministic survivor)") {
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "k")
+    val out = Upsert.dedupKeepMin(df, Seq("k"), "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._2)
+    assert(out === Array((1L, "x"), (2L, "y")))
+  }
+
+  test("upsertById is idempotent: writing the same batch twice yields the same state") {
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/idx"
+    val batch = Seq(("a", 1.0, 1L), ("b", 2.0, 1L)).toDF("id", "v", "version")
+    EsBulkSink.upsertById(batch, dir, "id", "version")
+    EsBulkSink.upsertById(batch, dir, "id", "version")
+    val state1 = spark.read.parquet(dir).collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    assert(state1 === Array(("a", 1.0), ("b", 2.0)))
+
+    // a newer version for 'a' replaces it; 'c' appends
+    val batch2 = Seq(("a", 9.0, 2L), ("c", 3.0, 2L)).toDF("id", "v", "version")
+    EsBulkSink.upsertById(batch2, dir, "id", "version")
+    val state2 = spark.read.parquet(dir).collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    assert(state2 === Array(("a", 9.0), ("b", 2.0), ("c", 3.0)))
+  }
+
+  test("toNdjson emits action line with _id plus doc line") {
+    val df = Seq((7L, "click")).toDF("event_id", "event_type")
+    val line = EsBulkSink.toNdjson(df, "idx", Some("event_id")).as[String].head()
+    val Array(action, doc) = line.split("\n")
+    assert(action === """{"index":{"_index":"idx","_id":"7"}}""")
+    assert(doc === """{"event_id":7,"event_type":"click"}""")
+  }
+
+  test("withRetry retries with linear backoff then succeeds") {
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val out = EsBulkSink.withRetry(maxRetries = 3, backoffMs = 10, sleep = sleeps.append(_)) { () =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(out === "ok" && calls === 3 && sleeps.toSeq === Seq(10L, 20L))
+  }
+
+  test("withRetry exhausts and rethrows") {
+    intercept[RuntimeException] {
+      EsBulkSink.withRetry(maxRetries = 2, backoffMs = 1, sleep = _ => ()) { () =>
+        throw new RuntimeException("permanent")
+      }
+    }
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** File-source streams need a directory; stage the single events.parquet
+    * file into one.
+    */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft_events_dir")
+    Files.copy(
+      java.nio.file.Paths.get(TestSpark.sfDir + "/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming daily counts over the events file source equal the batch result") {
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val stream = EventStream.readEvents(spark, eventsDir)
+    EventStream.runToMemory(EventStream.dailyCounts(stream), "daily_out", ckpt)
+
+    val streamed = spark.table("daily_out")
+      .select("day", "event_type", "cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = Tables.withDay(Tables.loadEvents(spark, TestSpark.sfDir))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed === batch)
+  }
+
+  test("syncToIndex is incremental: a second trigger with no new files appends nothing") {
+    val base = Files.createTempDirectory("graft_stream_sync").toString
+    val idx = s"$base/idx"
+    val ckpt = s"$base/ckpt"
+    val src = eventsDir
+
+    EventStream.syncToIndex(EventStream.readEvents(spark, src), idx, ckpt)
+    val n1 = spark.read.parquet(idx).count()
+    assert(n1 === 1000L)
+
+    // re-trigger with the same checkpoint: file source must skip processed files
+    EventStream.syncToIndex(EventStream.readEvents(spark, src), idx, ckpt)
+    val n2 = spark.read.parquet(idx).count()
+    assert(n2 === n1)
+  }
+}
