@@ -14,6 +14,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup pass: JIT, codegen compilation, FS cache — report steady state
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -60,14 +60,15 @@ object Similarity {
       tables: Int = 4,
       probes: Int = 2): DataFrame = {
     def buckets(df: DataFrame, outId: String, probe: Boolean): DataFrame = {
-      val perTable = (0 until tables).map { t =>
-        val b0 = srpBucket(col(vecCol), nBits, seed = t * nBits)
-        val bs = if (probe) b0 +: (0 until probes).map(i => b0.bitwiseXOR(shiftleft(lit(1L), i)))
-                 else Seq(b0)
-        bs.map(b => struct(lit(t).as("table"), b.as("bucket")))
-      }
-      df.select(col(idCol).as(outId), explode(array(perTable.flatten: _*)).as("tb"))
-        .select(col(outId), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      // all tables' buckets in one fused native pass (see SrpBuckets)
+      val base = df.select(
+        col(idCol).as(outId),
+        posexplode(graft.functions.SrpBuckets.srpBuckets(col(vecCol), nBits, tables))
+          .as(Seq("table", "b0")))
+      val bs =
+        if (probe) col("b0") +: (0 until probes).map(i => col("b0").bitwiseXOR(shiftleft(lit(1L), i)))
+        else Seq(col("b0"))
+      base.select(col(outId), col("table"), explode(array(bs: _*)).as("bucket"))
     }
     val candidates = buckets(corpus, "neighbor_id", probe = false)
       .join(buckets(queries, "query_id", probe = true), Seq("table", "bucket"))

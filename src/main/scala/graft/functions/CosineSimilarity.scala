@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused cosine similarity over two numeric arrays as a native Catalyst
+  * expression with whole-stage codegen.
+  *
+  * Decision record (SURVEY.md §7.3 "measure first"): the HOF formulation
+  * (`aggregate(zip_with(...))`) is evaluated by the interpreter — at bench
+  * scale (sf0.1) the embedding queries spent 3+ s/query in it. This fused
+  * loop runs one pass over both arrays inside generated Java, accumulating
+  * dot product and both norms — same sequential IEEE double accumulation
+  * order as the HOF form and the SQL oracle, so results are bit-identical.
+  *
+  * Zero-norm inputs yield 0.0 (not NaN), matching VectorFunctions.cosine.
+  */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(s"cosine_sim expects arrays, got $other")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires array<float|double> inputs, got ${left.dataType}, ${right.dataType}")
+  }
+
+  private def get(a: ArrayData, i: Int, et: DataType): Double = et match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = get(a, i, ta); val y = get(b, i, tb)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(et: DataType, arr: String, i: String): String = et match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ga = getter(elemType(left), a, "i")
+      val gb = getter(elemType(right), b, "i")
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double x = $ga; double y = $gb;
+         |  dot += x * y; na += x * x; nb += y * y;
+         |}
+         |${ev.value} = (na == 0.0 || nb == 0.0) ? 0.0
+         |  : dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  import org.apache.spark.sql.GraftExpressionBridge._
+  /** Column API: fused native cosine similarity. */
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+}

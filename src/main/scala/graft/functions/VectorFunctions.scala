@@ -29,8 +29,16 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; 0.0 when either vector has zero norm.
+    * Backed by the fused codegen [[CosineSimilarity]] expression — the HOF
+    * form ([[cosineHof]]) measured 3+ s/query interpreted at sf0.1.
+    */
+  def cosine(a: Column, b: Column): Column = CosineSimilarity.cosineSim(a, b)
+
+  /** Reference HOF formulation of [[cosine]] — kept as the executable
+    * specification the native expression is tested against.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val na = l2Norm(a)
     val nb = l2Norm(b)
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))

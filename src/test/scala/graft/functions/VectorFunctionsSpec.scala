@@ -27,6 +27,19 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(rows(2)._3 === 0.0)  // zero-norm guard, not NaN
   }
 
+  test("native cosine expression is bit-identical to the HOF specification") {
+    val embs = graft.sources.Tables.load(spark, graft.TestSpark.sfDir, "embeddings")
+    val a = embs.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = embs.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val diffs = a.join(b, $"ia" % 37 === $"ib" % 37) // a spread of pairs
+      .select(
+        VectorFunctions.cosine($"va", $"vb").as("native"),
+        VectorFunctions.cosineHof($"va", $"vb").as("hof"))
+      .where($"native" =!= $"hof")
+      .count()
+    assert(diffs === 0L)
+  }
+
   test("srpBucket is deterministic and bucket-stable for identical vectors") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f)),
