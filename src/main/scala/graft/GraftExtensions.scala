@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.{CosineSimilarity, SrpBuckets}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for graft's custom codegen expressions.
+  *
+  * Two registration paths:
+  *  - `spark.sql.extensions=graft.GraftExtensions` (spark-submit / conf) —
+  *    the [[SparkSessionExtensions]] injection point;
+  *  - [[GraftExtensions.register]] for an already-running session.
+  *
+  * SQL: `cosine_sim(vecA, vecB)`, `srp_buckets(vec, nBits, tables)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      "cosine_sim",
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "cosine_sim(vecA, vecB)")
+        CosineSimilarity(exprs(0), exprs(1))
+      }),
+    (
+      "srp_buckets",
+      new ExpressionInfo(classOf[SrpBuckets].getName, "srp_buckets"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "srp_buckets(vec, nBits, tables)")
+        SrpBuckets(exprs(0), intLit(exprs(1), "nBits"), intLit(exprs(2), "tables"))
+      })
+  )
+
+  /** Register the functions into a live session's registry. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

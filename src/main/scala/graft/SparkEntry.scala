@@ -54,10 +54,11 @@ object SparkEntry {
         .limit(100)),
 
     // S3+P2: partition-pruned scan — declarative push_down_predicate
-    // (data-s3-elastic-transfer.py:301-308)
+    // (data-s3-elastic-transfer.py:301-308). The day predicate is pushed as
+    // a raw ts range so the parquet scan prunes row groups (see
+    // Tables.loadEventsPrunedToDay).
     "s3_pruned_scan" -> ((s, dir) =>
-      events(s, dir)
-        .filter(col("day") === "2024-01-05")
+      Tables.withDay(Tables.loadEventsPrunedToDay(s, dir, "2024-01-05"))
         .select("event_id", "event_type", "value", "day")
         .orderBy("event_id")),
 

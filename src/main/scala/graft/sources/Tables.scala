@@ -26,13 +26,35 @@ object Tables {
     * (`spark.sql.legacy.parquet.nanosAsLong`, set by our sessions); `div`
     * keeps the nanos→micros conversion in exact integer arithmetic.
     */
-  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = load(spark, sfDir, "events")
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(load(spark, sfDir, "events"))
+
+  private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _ => df
     }
+
+  /** Day-pruned events scan: the predicate is applied to the RAW stored
+    * `ts` column (nanos-long) as a range, so it reaches the parquet reader
+    * as a pushed filter and prunes row groups / partitions by min-max
+    * stats — filtering on the derived `day` string evaluates AFTER the
+    * scan and prunes nothing. At 100 TB this is the difference between
+    * reading one day and reading everything.
+    */
+  def loadEventsPrunedToDay(spark: SparkSession, sfDir: String, day: String): DataFrame = {
+    val df = load(spark, sfDir, "events")
+    val start = java.time.LocalDate.parse(day).atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+    val pruned = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val lo = start.getEpochSecond * 1000000000L
+        df.filter(col("ts") >= lo && col("ts") < lo + 86400L * 1000000000L)
+      case _ =>
+        df.filter(col("ts") >= java.sql.Timestamp.from(start) &&
+          col("ts") < java.sql.Timestamp.from(start.plusSeconds(86400)))
+    }
+    normalizeTs(pruned)
   }
 
   /** S2: partitioned-dataset scan (Hive layout, e.g. `.../day=2024-01-05/`).

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("cosine_sim and srp_buckets are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+               srp_buckets(array(1.0D, 2.0D, 3.0D), 8, 4) AS b""").head()
+    assert(row.getDouble(0) === 1.0)
+    assert(row.getSeq[Long](1).length === 4)
+  }
+
+  test("SQL cosine_sim matches the Column API on real embeddings") {
+    GraftExtensions.register(spark)
+    graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings").limit(20)
+      .createOrReplaceTempView("emb_ext_test")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c
+         FROM emb_ext_test a JOIN emb_ext_test b ON b.vec_id = a.vec_id + 1
+         ORDER BY a.vec_id""").collect().map(_.getDouble(1))
+    import org.apache.spark.sql.functions._
+    val a = spark.table("emb_ext_test").select(col("vec_id"), col("embedding").as("ea"))
+    val b = spark.table("emb_ext_test").select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb"))
+    val viaCol = a.join(b, "vec_id").orderBy("vec_id")
+      .select(graft.functions.VectorFunctions.cosine(col("ea"), col("eb")))
+      .collect().map(_.getDouble(0))
+    assert(viaSql.toSeq === viaCol.toSeq)
+  }
+}
