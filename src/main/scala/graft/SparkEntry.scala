@@ -205,6 +205,12 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // gaps-and-islands sessionization (lag + cumulative-sum windows);
+    // streaming twin with custom state lives in graft.streaming
+    "x_sessionize" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionizeBatch(Tables.loadEvents(s, dir), gapMs = 3600000L)
+        .orderBy("user_id", "session_idx")),
+
     // ------------------------------------------------ bench headliners
     // TPC-H Q1-style pricing summary (exercises multi-agg + decimal sums)
     "q1_pricing_summary" -> ((s, dir) =>
@@ -235,7 +241,10 @@ object SparkEntry {
     // ------------------------------------------- LLM-pipeline extensions
     "x_token_count" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"))
+        .select(
+          col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          TF.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")),
 
     "x_quality_score" -> ((s, dir) =>
@@ -412,6 +421,17 @@ object SparkEntry {
             SELECT day, count(*) AS cnt FROM e
             WHERE EXISTS (SELECT 1 FROM missing WHERE missing.day = e.day)
             GROUP BY day ORDER BY day""",
+      "x_sessionize" ->
+        """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+             f AS (SELECT user_id, ts_ms,
+                     CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL THEN 1
+                          WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > 3600000 THEN 1
+                          ELSE 0 END AS new_session FROM e),
+             g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM f)
+           SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+                  min(ts_ms) AS first_ms, max(ts_ms) AS last_ms
+           FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -429,7 +449,10 @@ object SparkEntry {
            JOIN nation ON c_nationkey = n_nationkey
            GROUP BY n_name ORDER BY n_name""",
       "x_token_count" ->
-        s"SELECT doc_id, CAST(len($toksE) AS INTEGER) AS n_tokens FROM documents ORDER BY doc_id",
+        s"""SELECT doc_id, CAST(len($toksE) AS INTEGER) AS n_tokens,
+                   CAST(len(regexp_extract_all(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                     '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_subwords
+            FROM documents ORDER BY doc_id""",
       "x_quality_score" ->
         s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS len,
                    round(CASE WHEN length(text) = 0 THEN 0.0

@@ -50,6 +50,54 @@ object Similarity {
     * |corpus|·|queries|·L·(probes+1)/2^nBits — tune nBits up as the corpus
     * grows to hold the candidate set constant.
     */
+  /** IVF-style approximate top-k: partition the corpus into `nLists` cells
+    * around deterministically sampled centroids (coarse quantizer), then
+    * scan only the `nProbe` cells whose centroids are closest to each
+    * query. Unlike LSH this adapts to the data distribution; the centroid
+    * table is tiny and broadcast, so assignment is a map over the corpus
+    * scan, and the probed fraction is nProbe/nLists of the data.
+    *
+    * Centroid choice is deterministic (hash-ranked corpus sample), so
+    * results are reproducible without a stored model. A k-means refinement
+    * would improve cell balance; assignment/search cost is identical.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    // coarse quantizer: nLists hash-ranked corpus vectors as centroids
+    val centroids = corpus
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+      .orderBy(xxhash64(col("centroid_id")), col("centroid_id"))
+      .limit(nLists)
+    def assign(df: DataFrame, outId: String, vOut: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(outId)).orderBy(
+        round(col("__sim"), 6).desc, col("centroid_id").asc)
+      df.select(col(idCol).as(outId), col(vecCol).as(vOut))
+        .join(broadcast(centroids), lit(true))
+        .withColumn("__sim", cosine(col(vOut), col("cv")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= n)
+        .select(col(outId), col(vOut), col("centroid_id").as("cell"))
+    }
+    val corpusCells = assign(corpus, "neighbor_id", "v_c", 1) // each vector lives in 1 cell
+    val queryCells = assign(queries, "query_id", "v_q", nProbe) // probe nProbe cells
+    val scored = corpusCells
+      .join(queryCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("v_q"), col("v_c")))
+    val w = Window.partitionBy(col("query_id")).orderBy(round(col("score"), 6).desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
+    // no pair dedup needed: each corpus vector lives in exactly one cell
+  }
+
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,

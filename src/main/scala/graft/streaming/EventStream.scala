@@ -67,6 +67,73 @@ object EventStream {
     q
   }
 
+  /** Batch (gaps-and-islands) form of sessionization: lag + cumulative sum
+    * windows partitioned by user. Same session semantics as [[sessionize]]
+    * but closed-form over a bounded dataset — and SQL-expressible, so it is
+    * oracle-checkable (SparkEntry x_sessionize). Output: user_id,
+    * session_idx (1-based per user), n_events, first_ms, last_ms.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("new_session",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > gapMs, 1)
+          .otherwise(when(lag(col("ts_ms"), 1).over(byUser).isNull, 1).otherwise(0)))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts_ms")).as("first_ms"), max(col("ts_ms")).as("last_ms"))
+  }
+
+  /** One closed user session: ordered activity bounded by an inactivity gap. */
+  final case class UserSession(user_id: Long, n_events: Long, first_ts: Long, last_ts: Long)
+
+  private final case class SessionState(n: Long, first: Long, last: Long)
+
+  /** Custom streaming state: gap-based sessionization per user via
+    * `flatMapGroupsWithState` — the reference has no equivalent (its
+    * incrementality is whole-partition replay); this is the
+    * KeyValueGroupedDataset state API exercised end-to-end. A session
+    * closes when no event arrives within `gapMs` (event-time of the
+    * batch's data, enforced by processing-time timeout in streams).
+    * State per user is O(1) — counts and bounds, not buffered events —
+    * so state size scales with |users|, not |events|.
+    */
+  def sessionize(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .as[(Long, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) => {
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, Long.MinValue))
+          val closed = Seq.newBuilder[UserSession]
+          sorted.foreach { t =>
+            if (st.n > 0 && t - st.last > gapMs) {
+              closed += UserSession(user, st.n, st.first, st.last)
+              st = SessionState(0L, Long.MaxValue, Long.MinValue)
+            }
+            st = SessionState(st.n + 1, math.min(st.first, t), math.max(st.last, t))
+          }
+          if (state.hasTimedOut) {
+            if (st.n > 0) closed += UserSession(user, st.n, st.first, st.last)
+            state.remove()
+          } else {
+            state.update(st)
+            state.setTimeoutDuration(gapMs)
+          }
+          closed.result().iterator
+        })
+      .toDF()
+  }
+
   /** T3/T5 as a stream: incremental append of new files into the emulated
     * index directory with exactly-once file-source progress via checkpoint.
     */

@@ -34,6 +34,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.5, s"LSH recall $recall too low")
   }
 
+  test("ivfTopK achieves reasonable recall and exact scores vs brute force") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val ivf = Similarity.ivfTopK(embs, queries, "vec_id", "embedding", k = 3,
+      nLists = 16, nProbe = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val recall = (brute.keySet & ivf.keySet).size.toDouble / brute.size
+    assert(recall > 0.4, s"IVF recall $recall too low")
+    (brute.keySet & ivf.keySet).foreach(k => assert(brute(k) === ivf(k)))
+  }
+
   test("lshTopK scores match brute-force scores for overlapping results") {
     val queries = embs.filter(col("vec_id") === 0)
     val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", k = 5)
