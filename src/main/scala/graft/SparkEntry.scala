@@ -94,6 +94,25 @@ object SparkEntry {
     "a5_distinct_days" -> ((s, dir) =>
       events(s, dir).select("day").distinct().orderBy("day")),
 
+    // A6-ext: min/max/avg + exact distinct-count aggregate battery
+    "a6_stats_minmax" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          round(dsum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+          countDistinct(col("l_suppkey")).as("n_supp"))
+        .orderBy("l_returnflag")),
+
+    // approx_count_distinct (HLL sketch) — values are engine-specific, so
+    // rows-only check; exactness is covered by a6's countDistinct
+    "a7_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
     // ------------------------------------------------- §2.3 filters/predicates
     // P2: equality filter (Partition-script.py:22)
     "p2_filter_eq" -> ((s, dir) =>
@@ -269,6 +288,15 @@ object SparkEntry {
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("keep_id")),
 
+    // rollup composing the extension columns: per predicted language,
+    // document count and mean quality score
+    "x_lang_quality_agg" -> ((s, dir) =>
+      TF.withLangId(t(s, dir, "documents").select("doc_id", "text"), "text")
+        .select(col("lang_pred"), TF.qualityScore(col("text")).as("q"))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"), round(dsum(col("q")) / count(lit(1)), 4).as("avg_quality"))
+        .orderBy("lang_pred")),
+
     // exact 3-gram Jaccard on a deterministic 25% sample (the oracle path;
     // scale path is x_minhash_lsh). Threshold 0.01: the synthetic corpus
     // has no true near-dups (max pairwise Jaccard ≈ 0.02), so this keeps
@@ -350,6 +378,11 @@ object SparkEntry {
       "a3_topk_days" ->
         s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY cnt DESC, day LIMIT 20",
       "a4_global_count" -> "SELECT count(*) AS cnt FROM lineitem",
+      "a6_stats_minmax" ->
+        """SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+                  count(DISTINCT l_suppkey) AS n_supp
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       "a5_distinct_days" ->
         s"SELECT DISTINCT $dayE AS day FROM events ORDER BY day",
       "p2_filter_eq" ->
@@ -463,7 +496,13 @@ object SparkEntry {
                      ELSE CAST(len(list_filter($toksE, t -> list_contains($stopList, t))) AS DOUBLE) / len($toksE) END) * 0.5
                      + CAST(least(len($toksE), 200) AS DOUBLE) / 400.0, 4) AS quality
             FROM documents ORDER BY doc_id""",
-      "x_lang_id" -> langIdSql,
+      "x_lang_id" ->
+        s"SELECT doc_id, lang_pred FROM ($langPredCte) ORDER BY doc_id",
+      "x_lang_quality_agg" ->
+        s"""WITH lp AS ($langPredCte)
+            SELECT lang_pred, count(*) AS n_docs,
+                   round(CAST(sum(CAST($qualityE AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_quality
+            FROM lp GROUP BY lang_pred ORDER BY lang_pred""",
       "x_fingerprint" ->
         "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents ORDER BY doc_id",
       "x_dedup_exact" ->
@@ -512,11 +551,12 @@ object SparkEntry {
     )
   }
 
-  /** lang-ID oracle: replace-count marker hits, same formula as
-    * TextFunctions.langId (counts are computed with length-difference
-    * arithmetic in BOTH engines so the semantics are identical).
+  /** Per-document (doc_id, text, lang_pred) subquery — replace-count marker
+    * hits, the same length-difference formula as TextFunctions.langId, so
+    * semantics are identical in both engines. Embedded by the x_lang_id and
+    * x_lang_quality_agg oracles.
     */
-  private def langIdSql: String = {
+  private def langPredCte: String = {
     def hits(markers: Seq[String]): String =
       markers
         .map(m => s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}")
@@ -525,16 +565,27 @@ object SparkEntry {
     val fr = hits(TF.langMarkers.find(_._1 == "fr").get._2)
     val es = hits(TF.langMarkers.find(_._1 == "es").get._2)
     val de = hits(TF.langMarkers.find(_._1 == "de").get._2)
-    s"""WITH d AS (SELECT doc_id, text,
-            ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' ' AS p FROM documents),
-         h AS (SELECT doc_id, text, $en AS en_h, $fr AS fr_h, $es AS es_h, $de AS de_h FROM d)
-        SELECT doc_id,
+    s"""SELECT doc_id, text,
           CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
                WHEN en_h >= greatest(en_h, fr_h, es_h, de_h) AND en_h > 0 THEN 'en'
                WHEN fr_h >= greatest(en_h, fr_h, es_h, de_h) AND fr_h > 0 THEN 'fr'
                WHEN es_h >= greatest(en_h, fr_h, es_h, de_h) AND es_h > 0 THEN 'es'
                WHEN de_h >= greatest(en_h, fr_h, es_h, de_h) AND de_h > 0 THEN 'de'
                ELSE 'und' END AS lang_pred
-        FROM h ORDER BY doc_id"""
+        FROM (SELECT doc_id, text, $en AS en_h, $fr AS fr_h, $es AS es_h, $de AS de_h
+              FROM (SELECT doc_id, text,
+                      ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' ' AS p
+                    FROM documents) d) h"""
+  }
+
+  /** Per-row quality score over `text` — identical formula to
+    * TextFunctions.qualityScore (incl. the per-row round to 4 decimals).
+    */
+  private def qualityE: String = {
+    val toksE = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+    val stopList = TF.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""round((CASE WHEN len($toksE) = 0 THEN 0.0
+          ELSE CAST(len(list_filter($toksE, t -> list_contains($stopList, t))) AS DOUBLE) / len($toksE) END) * 0.5
+          + CAST(least(len($toksE), 200) AS DOUBLE) / 400.0, 4)"""
   }
 }
