@@ -341,6 +341,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // corpus-level character-trigram frequency profile, top 20
+    "x_char_ngrams" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(TF.normalizeWs(lower(col("text"))).as("tn"))
+        .select(explode(expr(
+          "transform(sequence(1, greatest(length(tn) - 2, 1)), i -> substring(tn, i, 3))")).as("gram"))
+        .filter(length(col("gram")) === 3)
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram")).limit(20)),
+
+    // per-vector L2 norm (vector-math surface with a scalar, oracle-able output)
+    "x_embed_norms" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4).as("norm"))
+        .orderBy("vec_id")),
+
     // multimodal metadata plumbing: payload bytes → shape/frames metadata
     // (decode itself is a stubbed mapPartitions — see graft.ext.Multimodal)
     "x_multimodal_meta" -> ((s, dir) =>
@@ -543,6 +560,17 @@ object SparkEntry {
                           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
                       FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
            SELECT id_a, id_b, cos FROM p WHERE cos >= 0.18 ORDER BY id_a, id_b""",
+      "x_char_ngrams" ->
+        """WITH n AS (SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS tn FROM documents),
+                g AS (SELECT unnest(list_transform(generate_series(1, greatest(length(tn) - 2, 1)),
+                        i -> tn[i:i+2])) AS gram FROM n)
+           SELECT gram, count(*) AS cnt FROM g WHERE length(gram) = 3
+           GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""",
+      "x_embed_norms" ->
+        """SELECT vec_id,
+                  round(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                              list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4) AS norm
+           FROM embeddings ORDER BY vec_id""",
       "x_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                   CAST(floor(octet_length(encode(text)) / 100.0) AS BIGINT) + 1 AS n_frames,

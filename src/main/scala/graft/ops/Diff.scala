@@ -31,6 +31,31 @@ object Diff {
       .distinct()
       .join(sinkState.select(idCol).distinct(), Seq(idCol), "left_anti")
 
+  /** T2 scale path: id-diff with a bloom-filter pre-split. The sink's id
+    * set is sketched once (driver-side aggregation, a few MB broadcast);
+    * source rows the filter definitely excludes ARE missing and skip the
+    * join entirely; only the "might contain" residue (≈ fpp of the missing
+    * side plus all true matches) pays the anti-join shuffle. At 100 TB this
+    * turns a full-source shuffle into a shuffle of ~|sink∩source| + ε.
+    * Exact — false positives are re-checked by the anti-join.
+    */
+  def idDiffBloom(
+      source: DataFrame,
+      sinkState: DataFrame,
+      idCol: String,
+      expectedSinkIds: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = source.sparkSession
+    val bf = sinkState.stat.bloomFilter(idCol, expectedSinkIds, fpp)
+    val bfBc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((id: Long) => bfBc.value.mightContainLong(id))
+    val src = source.select(idCol).distinct()
+    val definitelyMissing = src.filter(!mightContain(col(idCol)))
+    val suspects = src.filter(mightContain(col(idCol)))
+      .join(sinkState.select(idCol).distinct(), Seq(idCol), "left_anti")
+    definitelyMissing.unionByName(suspects)
+  }
+
   /** J3: per-partition count reconciliation — full-outer join of grouped
     * counts, nulls coalesced to 0, mismatches kept. This is the reference's
     * correctness check (`ID-based-transfer.py:90-109`) as one plan.

@@ -34,6 +34,15 @@ class DiffSpec extends AnyFunSuite {
     assert(rows === Array("b", "e"))
   }
 
+  test("idDiffBloom equals plain idDiff on the events table") {
+    val events = graft.sources.Tables.load(spark, graft.TestSpark.sfDir, "events")
+    val sink = events.filter($"event_id" % 10 =!= 0)
+    val plain = Diff.idDiff(events, sink, "event_id").as[Long].collect().sorted
+    val bloom = Diff.idDiffBloom(events, sink, "event_id", expectedSinkIds = 1000L, fpp = 0.03)
+      .as[Long].collect().sorted
+    assert(bloom.toSeq === plain.toSeq)
+  }
+
   test("fetchByKeys is a semi-join (no duplication, no key-side columns)") {
     val keys = Seq("a", "a", "e").toDF("id") // duplicate keys must not duplicate rows
     val got = Diff.fetchByKeys(src, keys, "id").select("id").as[String].collect().sorted
