@@ -75,6 +75,62 @@ object EsBulkSink {
       throw new java.io.IOException(s"failed to commit $tmp -> $indexDir")
   }
 
+  /** Outcome of a bulk delivery: batches/rows attempted, rows delivered,
+    * rows failed after retries, and a bounded sample of error messages —
+    * the reference's per-item error parsing and partial-success accounting
+    * (`data-s3-elastic-transfer.py:210-241`).
+    */
+  final case class BulkReport(batches: Long, rows: Long, delivered: Long, failed: Long,
+      errorSample: Seq[String])
+
+  /** K2+K5+A6: deliver NDJSON batches via `post` with bounded retry, and
+    * account partial failures across the cluster via accumulators (the only
+    * executor→driver channel that doesn't funnel data). A batch that still
+    * fails after retries is COUNTED and skipped, not rethrown — matching
+    * the reference's continue-on-partial-failure behavior; callers restore
+    * exactly-once via the idempotent upsert path.
+    */
+  def bulkIndexWithAccounting(
+      df: DataFrame,
+      batchSize: Int,
+      maxRetries: Int = 3,
+      backoffMs: Int = 0,
+      errorSampleSize: Int = 5)(post: Seq[String] => Unit): BulkReport = {
+    val sc = df.sparkSession.sparkContext
+    val batches = sc.longAccumulator("bulk.batches")
+    val rows = sc.longAccumulator("bulk.rows")
+    val delivered = sc.longAccumulator("bulk.delivered")
+    val failed = sc.longAccumulator("bulk.failed")
+    val errors = sc.collectionAccumulator[String]("bulk.errors")
+    val lines = toNdjsonLines(df)
+    lines.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      it.grouped(batchSize).foreach { chunk =>
+        val payload = chunk.map(_.getString(0))
+        batches.add(1)
+        rows.add(payload.size)
+        try {
+          withRetry(maxRetries, backoffMs)(() => post(payload))
+          delivered.add(payload.size)
+        } catch {
+          case e: Throwable =>
+            failed.add(payload.size)
+            errors.add(e.getMessage)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    BulkReport(batches.value, rows.value, delivered.value, failed.value,
+      errors.value.asScala.take(errorSampleSize).toSeq)
+  }
+
+  /** The single-column (`bulk_line`) frame [[bulkIndexWithAccounting]]
+    * posts: doc JSON only — callers needing action metadata use
+    * [[toNdjson]].
+    */
+  private def toNdjsonLines(df: DataFrame): DataFrame =
+    if (df.columns.sameElements(Array("bulk_line"))) df
+    else df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("bulk_line"))
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit

@@ -46,6 +46,20 @@ class UpsertSpec extends AnyFunSuite {
     assert(doc === """{"event_id":7,"event_type":"click"}""")
   }
 
+  test("bulkIndexWithAccounting counts delivered and failed batches across retries") {
+    val df = (1 to 100).toDF("n").repartition(4)
+    val report = EsBulkSink.bulkIndexWithAccounting(df, batchSize = 10, maxRetries = 2) { payload =>
+      // poison: any batch containing the row {"n":13} permanently fails
+      if (payload.exists(_.contains("\"n\":13"))) throw new RuntimeException("rejected by sink")
+    }
+    assert(report.rows === 100L)
+    assert(report.delivered + report.failed === 100L)
+    // exactly one batch (of at most 10 rows) contains the poison row
+    assert(report.failed >= 1L && report.failed <= 10L)
+    assert(report.batches >= 10L) // partition-local chunking may split batches
+    assert(report.errorSample.nonEmpty && report.errorSample.head.contains("rejected"))
+  }
+
   test("withRetry retries with linear backoff then succeeds") {
     var calls = 0
     val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
