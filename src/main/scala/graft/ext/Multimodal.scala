@@ -90,6 +90,22 @@ object Multimodal {
     }
   }
 
+  /** Resize plan: pure column math fitting (width, height) into a bounding
+    * box preserving aspect ratio — the metadata half of an image resize;
+    * the pixel half belongs to the (stubbed) decoder. Adds out_w, out_h,
+    * scale (rounded 4).
+    */
+  def resizePlan(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("width").cast("double"),
+      lit(maxH.toDouble) / col("height").cast("double"),
+      lit(1.0))
+    features
+      .withColumn("scale", round(scale, 4))
+      .withColumn("out_w", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_h", floor(col("height") * col("scale")).cast("int"))
+  }
+
   /** Deterministic frame sampling plan for video payloads: every
     * `stride`-th frame index, as rows. Pure column math (no decode) — the
     * decode of chosen frames happens in [[extractFeatures]].

@@ -70,6 +70,24 @@ object IncrementalSync {
     n
   }
 
+  /** The flagship pipeline (`data-s3-elastic-transfer.py main()`) end to
+    * end: discover sink state, plan missing partitions, move their rows
+    * into the emulated index as idempotent upserts, and report. The
+    * reference's version is ~120 lines of driver orchestration with
+    * per-batch re-scans; this is one plan + one write per run, and safely
+    * re-runnable (idempotent ids + partition skip).
+    */
+  def runPartitionSync(source: DataFrame, indexDir: String, partCol: String, idCol: String): SyncReport = {
+    val spark = source.sparkSession
+    val sinkState =
+      if (new java.io.File(indexDir).exists()) spark.read.parquet(indexDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.schema.add("__v", "long"))
+    syncMissingPartitions(source, sinkState, partCol,
+      rows => EsBulkSink.upsertById(
+        rows.withColumn("__v", lit(System.currentTimeMillis())), indexDir, idCol, "__v"))
+  }
+
   /** Post-sync acceptance check, ported from the reference's own invariant
     * (`ID-based-transfer.py:94-106`): per-partition counts must match and
     * the id sets must be equal. Returns (mismatchedPartitionCount,

@@ -27,6 +27,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq) // batch size must not affect results
   }
 
+  test("resizePlan fits into the bounding box preserving aspect ratio, never upscales") {
+    import spark.implicits._
+    val df = Seq((1L, 1000, 500), (2L, 100, 100), (3L, 200, 800)).toDF("id", "width", "height")
+    val out = Multimodal.resizePlan(df, maxW = 400, maxH = 400)
+      .select("id", "out_w", "out_h").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(out(0) === ((1L, 400, 200))) // landscape capped by width
+    assert(out(1) === ((2L, 100, 100))) // already fits: no upscale
+    assert(out(2) === ((3L, 100, 400))) // portrait capped by height
+  }
+
   test("sampleFrames emits every stride-th frame index") {
     import spark.implicits._
     val df = Seq((1L, 10), (2L, 1)).toDF("id", "n_frames")
