@@ -105,6 +105,26 @@ object SparkEntry {
           countDistinct(col("l_suppkey")).as("n_supp"))
         .orderBy("l_returnflag")),
 
+    // hierarchical rollup: (day, event_type) → day subtotals → grand total
+    "a8_rollup" -> ((s, dir) =>
+      events(s, dir)
+        .rollup("day", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("day"), lit("ALL")).as("day"),
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          col("cnt"))
+        .orderBy("day", "event_type")),
+
+    // pivot: one column per event type, counts per day
+    "a9_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")),
+
     // approx_count_distinct (HLL sketch) — values are engine-specific, so
     // rows-only check; exactness is covered by a6's countDistinct
     "a7_approx_distinct" -> ((s, dir) =>
@@ -424,6 +444,19 @@ object SparkEntry {
            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       "a5_distinct_days" ->
         s"SELECT DISTINCT $dayE AS day FROM events ORDER BY day",
+      "a8_rollup" ->
+        s"""SELECT coalesce($dayE, 'ALL') AS day, coalesce(event_type, 'ALL') AS event_type,
+                   count(*) AS cnt
+            FROM events GROUP BY ROLLUP ($dayE, event_type)
+            ORDER BY day, event_type""",
+      "a9_pivot" ->
+        s"""SELECT $dayE AS day,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'error') AS error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS "view"
+            FROM events GROUP BY 1 ORDER BY 1""",
       "p2_filter_eq" ->
         """SELECT c_custkey, c_name, c_acctbal FROM customer
            WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""",
