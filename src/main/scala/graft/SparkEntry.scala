@@ -207,6 +207,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), min("event_id").as("min_id"), max("event_id").as("max_id"))
         .orderBy("batch")),
 
+    // W-ext: moving aggregate with an explicit frame — 7-day trailing mean
+    // of daily event counts
+    "w2_moving_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir).groupBy("day").agg(count(lit(1)).as("cnt"))
+      val frame = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("ma7", round(avg(col("cnt")).over(frame), 4))
+        .orderBy("day")
+    }),
+
+    // W-ext: top-3 days per event type by count (rank over partition)
+    "w3_topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("cnt").desc, col("day"))
+      counts
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy("event_type", "rnk")
+    }),
+
     // ---------------------------------------------------- §2.2 sinks
     // K1: partitioned parquet write + re-read (Partition-script.py:34-49)
     "k1_write_roundtrip" -> ((s, dir) => {
@@ -505,6 +527,17 @@ object SparkEntry {
            SELECT CAST(floor((rn - 1) / 1000.0) AS BIGINT) + 1 AS batch, count(*) AS cnt,
                   min(event_id) AS min_id, max(event_id) AS max_id
            FROM t GROUP BY 1 ORDER BY 1""",
+      "w2_moving_avg" ->
+        s"""WITH daily AS (SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1)
+            SELECT day, cnt, round(avg(cnt) OVER (ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+            FROM daily ORDER BY day""",
+      "w3_topk_per_group" ->
+        s"""WITH c AS (SELECT event_type, $dayE AS day, count(*) AS cnt FROM events GROUP BY 1, 2),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                         ORDER BY cnt DESC, day) AS rnk FROM c)
+            SELECT event_type, day, cnt, CAST(rnk AS INTEGER) AS rnk
+            FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""",
       "k1_write_roundtrip" ->
         s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
       "k3_upsert_last_wins" ->
