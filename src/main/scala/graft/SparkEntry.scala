@@ -180,6 +180,19 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // as-of join (operator Spark lacks; composed union+window — graft.ops
+    // .AsOfJoin): each event matched to the user's most recent purchase
+    // at-or-before it, at millisecond precision
+    "j7_asof_join" -> ((s, dir) => {
+      val e = Tables.loadEvents(s, dir).withColumn("ts_ms", unix_millis(col("ts")))
+      val left = e.select("event_id", "user_id", "ts_ms")
+      val right = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_ms", "value", "event_id")
+      graft.ops.AsOfJoin.mostRecent(left, right, "user_id", "ts_ms", Seq("value"), tieBreak = "event_id")
+        .select(col("event_id"), coalesce(col("asof_value"), lit(-1.0)).as("last_purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // ------------------------------------------- §2.7 scalar transforms
     // F1+F2: lenient coercion — try_cast + defaults, the reference's
     // try/except-per-field (data-s3-elastic-transfer.py:126-184) as columns
@@ -516,6 +529,19 @@ object SparkEntry {
              UNION ALL
              SELECT * FROM events WHERE event_type = 'error') u
            GROUP BY event_type ORDER BY event_type""",
+      "j7_asof_join" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value, event_type FROM events),
+                u AS (
+                  SELECT event_id, user_id, ts_ms, 1 AS side,
+                         CAST(NULL AS BIGINT) AS tb, CAST(NULL AS DOUBLE) AS rv FROM e
+                  UNION ALL
+                  SELECT CAST(NULL AS BIGINT), user_id, ts_ms, 0 AS side, event_id AS tb, value AS rv
+                  FROM e WHERE event_type = 'purchase'),
+                wv AS (SELECT *, last_value(rv IGNORE NULLS) OVER (
+                         PARTITION BY user_id ORDER BY ts_ms, side, tb NULLS LAST
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av FROM u)
+           SELECT event_id, coalesce(av, -1.0) AS last_purchase_value
+           FROM wv WHERE side = 1 ORDER BY event_id""",
       "f1_coerce_defaults" ->
         """SELECT event_id,
                   coalesce(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER), 0) AS k,

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: pin the properties that make these
+  * queries scale (pushdown, broadcast, codegen) so a refactor that silently
+  * loses one fails CI, not the 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+
+  test("s3_pruned_scan pushes the ts range into the parquet scan") {
+    val p = plan("s3_pruned_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"ts range must reach the scan:\n$p")
+  }
+
+  test("q3 star join broadcasts the nation dim and scans minimal columns") {
+    val p = plan("q3_star_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+      s"lineitem scan must be pruned to 3 columns:\n$p")
+  }
+
+  test("a1 flagship aggregates with partial+final hash aggregation") {
+    val p = plan("a1_daily_counts")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
+  }
+
+  test("j2 anti-join stays a join, not a driver-side set difference") {
+    val p = plan("j2_id_anti")
+    assert(p.contains("LeftAnti"), s"expected anti-join:\n$p")
+  }
+
+  test("native cosine expression generates its fused loop inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(graft.functions.VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
+    val gen = org.apache.spark.sql.execution.debug.codegenStringSeq(df.queryExecution.executedPlan)
+    assert(gen.exists(_._2.contains("Math.sqrt(na)")),
+      "expected the fused dot/norm loop in generated code")
+  }
+}

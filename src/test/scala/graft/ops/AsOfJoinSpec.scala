@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("mostRecent matches each left row with the latest right row at-or-before it") {
+    val left = Seq(
+      (1L, "u1", 100L), (2L, "u1", 200L), (3L, "u1", 300L),
+      (4L, "u2", 150L), (5L, "u3", 500L)
+    ).toDF("event_id", "user_id", "ts_ms")
+    val right = Seq(
+      ("u1", 100L, 10.0, 90L),  // exactly at left ts 100 → inclusive match
+      ("u1", 250L, 20.0, 91L),
+      ("u2", 160L, 30.0, 92L)   // after u2's event → no match
+    ).toDF("user_id", "ts_ms", "value", "rid")
+
+    val out = AsOfJoin.mostRecent(left, right, "user_id", "ts_ms", Seq("value"), tieBreak = "rid")
+      .select(col("event_id"), col("asof_value"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1)
+
+    assert(out === Array(
+      (1L, Some(10.0)),  // ts 100 matches right at 100 (inclusive)
+      (2L, Some(10.0)),  // ts 200: latest right ≤ 200 is 100
+      (3L, Some(20.0)),  // ts 300: right at 250
+      (4L, None),        // u2's only right row is later
+      (5L, None)         // u3 has no right rows
+    ))
+  }
+
+  test("ties inside the right side at equal ts resolve to the highest tieBreak") {
+    val left = Seq((1L, "u", 100L)).toDF("event_id", "user_id", "ts_ms")
+    val right = Seq(("u", 100L, 1.0, 7L), ("u", 100L, 2.0, 9L), ("u", 100L, 1.5, 8L))
+      .toDF("user_id", "ts_ms", "value", "rid")
+    val v = AsOfJoin.mostRecent(left, right, "user_id", "ts_ms", Seq("value"), "rid")
+      .select("asof_value").as[Double].head()
+    assert(v === 2.0) // rid 9 sorts last among the ties → wins
+  }
+}
