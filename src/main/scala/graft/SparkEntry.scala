@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Similarity}
 import graft.functions.{TextFunctions => TF}
-import graft.ops.{Batching, Diff}
+import graft.ops.{Batching, Diff, RangeJoin}
 import graft.sinks.{EsBulkSink, Upsert}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -178,6 +178,19 @@ object SparkEntry {
         .unionByName(e.filter(col("event_type") === "error"))
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
         .orderBy("event_type")
+    }),
+
+    // band (range) join via bucket quantization — pairs of events by the
+    // same user within 6 h of each other, as an equi-join (graft.ops
+    // .RangeJoin), never a nested loop
+    "j8_range_join" -> ((s, dir) => {
+      val e = Tables.loadEvents(s, dir)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      RangeJoin.within(e, e, "user_id", "ts_ms", band = 21600000L)
+        .filter(col("l_event_id") < col("r_event_id"))
+        .groupBy(col("l_user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
     }),
 
     // as-of join (operator Spark lacks; composed union+window — graft.ops
@@ -529,6 +542,12 @@ object SparkEntry {
              UNION ALL
              SELECT * FROM events WHERE event_type = 'error') u
            GROUP BY event_type ORDER BY event_type""",
+      "j8_range_join" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events)
+           SELECT a.user_id, count(*) AS n_pairs
+           FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(a.ts_ms - b.ts_ms) <= 21600000
+           GROUP BY a.user_id ORDER BY a.user_id""",
       "j7_asof_join" ->
         """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value, event_type FROM events),
                 u AS (
