@@ -125,6 +125,17 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("day")),
 
+    // cube: all grouping-set combinations over (returnflag, linestatus)
+    "a10_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
     // approx_count_distinct (HLL sketch) — values are engine-specific, so
     // rows-only check; exactness is covered by a6's countDistinct
     "a7_approx_distinct" -> ((s, dir) =>
@@ -332,6 +343,32 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // TPC-H Q6-style forecast revenue: pure filter+agg — every predicate
+    // reaches the parquet scan (PushedFilters), zero shuffles before the
+    // single-row final agg. The plan to beat at 100 TB: scan-bound.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+        .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
+        .filter(col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("cnt"))),
+
+    // TPC-H Q18-style large orders: aggregate-then-join with a HAVING
+    // filter — the groupBy output is tiny, so the join side is pre-shrunk
+    // before touching orders/customer
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"), col("total_qty"))
+        .orderBy("o_orderkey")
+    }),
+
     // star-schema join: revenue per nation (broadcast dims, shuffle fact once)
     "q3_star_join_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -431,6 +468,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-bucketed ANN (data-adaptive scale path; centroid cells instead of
+    // hyperplane buckets); rows-only check (recall asserted in ScalaTest)
+    "x_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // corpus-level character-trigram frequency profile, top 20 (native
     // CharNgrams expression; the interpreted HOF form measured ~2 s at sf0.1)
     "x_char_ngrams" -> ((s, dir) =>
@@ -447,6 +492,24 @@ object SparkEntry {
         .select(col("vec_id"),
           round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4).as("norm"))
         .orderBy("vec_id")),
+
+    // per-source corpus profile: doc counts + char-length stats by origin
+    "x_source_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          round(dsum(col("n_chars")) / count(lit(1)), 4).as("avg_chars"))
+        .orderBy("source")),
+
+    // language-ID evaluation: confusion counts of predicted vs labeled lang
+    "x_lang_confusion" -> ((s, dir) =>
+      TF.withLangId(t(s, dir, "documents").select("doc_id", "lang", "text"), "text")
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "lang_pred")),
 
     // multimodal metadata plumbing: payload bytes → shape/frames metadata
     // (decode itself is a stubbed mapPartitions — see graft.ext.Multimodal)
@@ -497,6 +560,13 @@ object SparkEntry {
                    count(*) AS cnt
             FROM events GROUP BY ROLLUP ($dayE, event_type)
             ORDER BY day, event_type""",
+      "a10_cube" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                  count(*) AS cnt,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+           FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           ORDER BY l_returnflag, l_linestatus""",
       "a9_pivot" ->
         s"""SELECT $dayE AS day,
                    count(*) FILTER (WHERE event_type = 'click') AS click,
@@ -636,6 +706,21 @@ object SparkEntry {
              AND o_orderdate >= TIMESTAMP '1996-01-01'
              AND o_orderdate < TIMESTAMP '1998-01-01'
            GROUP BY n_name ORDER BY n_name""",
+      "q6_forecast_revenue" ->
+        """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                  count(*) AS cnt
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+      "q18_large_orders" ->
+        """WITH big AS (
+             SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150)
+           SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od, total_qty
+           FROM big JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           ORDER BY o_orderkey""",
       "q3_star_join_revenue" ->
         """SELECT n_name,
                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -718,6 +803,15 @@ object SparkEntry {
                   round(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                                               list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4) AS norm
            FROM embeddings ORDER BY vec_id""",
+      "x_source_stats" ->
+        """SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+                  round(CAST(sum(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_chars
+           FROM documents GROUP BY source ORDER BY source""",
+      "x_lang_confusion" ->
+        s"""WITH lp AS ($langPredCte)
+            SELECT d.lang, lp.lang_pred, count(*) AS cnt
+            FROM lp JOIN documents d ON lp.doc_id = d.doc_id
+            GROUP BY d.lang, lp.lang_pred ORDER BY d.lang, lp.lang_pred""",
       "x_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                   CAST(floor(octet_length(encode(text)) / 100.0) AS BIGINT) + 1 AS n_frames,
