@@ -17,11 +17,14 @@ object Bench {
     // warmup pass: JIT, codegen compilation, FS cache — report steady state
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
-    }
+      spark.catalog.clearCache() // some operators cache() internally; leaked
+    }                            // entries distort every later measurement
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t
     }
     // best of two timed passes: GC/scheduling noise on a shared box dwarfs
     // per-query time at this scale

@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *    the [[SparkSessionExtensions]] injection point;
   *  - [[GraftExtensions.register]] for an already-running session.
   *
-  * SQL: `cosine_sim(vecA, vecB)`, `srp_buckets(vec, nBits, tables)`.
+  * SQL: `cosine_sim(vecA, vecB)`, `srp_buckets(vec, nBits, tables)`,
+  * `simhash64(tokens)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -42,6 +43,13 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 3, "srp_buckets(vec, nBits, tables)")
         SrpBuckets(exprs(0), intLit(exprs(1), "nBits"), intLit(exprs(2), "tables"))
+      }),
+    (
+      "simhash64",
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash64(tokens)")
+        graft.functions.SimHash64(exprs(0))
       })
   )
 

@@ -479,7 +479,7 @@ object SparkEntry {
     // corpus-level character-trigram frequency profile, top 20 (native
     // CharNgrams expression; the interpreted HOF form measured ~2 s at sf0.1)
     "x_char_ngrams" -> ((s, dir) =>
-      t(s, dir, "documents")
+      Tables.spread(t(s, dir, "documents"))
         .select(TF.normalizeWs(lower(col("text"))).as("tn"))
         .select(explode(graft.functions.CharNgrams.charNgrams(col("tn"), 3)).as("gram"))
         .filter(length(col("gram")) === 3)

@@ -16,11 +16,10 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("oracle coverage: every query without SQL is an explicitly known exception") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // xxhash64-based signatures and JSON text formatting aren't SQL-portable
-    // xxhash64 signatures, JSON text formatting, and HLL sketch values
-    // aren't SQL-portable across engines
+    // xxhash64 signatures, JSON text formatting, HLL sketch values, and
+    // hash-derived ANN buckets/cells aren't SQL-portable across engines
     assert(rowsOnly === Set("f3_to_json", "x_minhash_lsh", "x_simhash_pairs", "x_ann_lsh",
-      "a7_approx_distinct"))
+      "x_ann_ivf", "a7_approx_distinct"))
   }
 
   test("all queries execute and are non-empty at sf0.001 (except known-sparse pair miners)") {

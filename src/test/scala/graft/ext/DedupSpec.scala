@@ -55,6 +55,14 @@ class DedupSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(hs(1L) ^ hs(4L)) > 10) // unrelated: many bits
   }
 
+  test("native simhash64 signatures equal the HOF simhash per doc") {
+    val hof = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === hof)
+  }
+
   test("simhashPairs buckets by 16-bit chunks and filters by hamming") {
     val pairs = Dedup.simhashPairs(docs.withColumn("text", lower($"text")), "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
