@@ -144,6 +144,17 @@ object SparkEntry {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")),
 
+    // skew mitigation (§4 scale notes): two-phase salted aggregation —
+    // partial counts per (key, salt), merged per key. Same result as a
+    // plain groupBy; the point is the partial shuffle spreads a hot key
+    // over `salts` tasks. Oracled against the plain GROUP BY.
+    "a11_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedAggregate(
+        events(s, dir), "event_type", salts = 8,
+        partialAggs = Seq(count(lit(1)).as("pc")),
+        mergeAggs = Seq(sum(col("pc")).as("cnt")))
+        .orderBy("event_type")),
+
     // ------------------------------------------------- §2.3 filters/predicates
     // P2: equality filter (Partition-script.py:22)
     "p2_filter_eq" -> ((s, dir) =>
@@ -188,6 +199,18 @@ object SparkEntry {
       e.filter(col("event_type") === "click")
         .unionByName(e.filter(col("event_type") === "error"))
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
+    // salted equi-join (skew path for when the build side can't broadcast):
+    // the skewed probe side is salted, the dim replicated per salt. Result
+    // set is salt-invariant, so it oracles against the plain join.
+    "j9_salted_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val dim = e.groupBy("event_type").agg(count(lit(1)).as("type_total"))
+      graft.ops.Skew.saltedJoin(e.select("event_id", "event_type"), dim, "event_type", salts = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), max(col("type_total")).as("type_total"))
         .orderBy("event_type")
     }),
 
@@ -301,6 +324,25 @@ object SparkEntry {
       e.join(Diff.partitionDiff(e, sinkState(s, dir), "day"), Seq("day"), "left_semi")
         .groupBy("day").agg(count(lit(1)).as("cnt"))
         .orderBy("day")
+    }),
+
+    // T1-T5 as an actual Structured Streaming run: file source →
+    // watermarked event-time daily window → memory sink, drained with
+    // Trigger.AvailableNow. Bounded input ⇒ the result equals the batch
+    // aggregation, so the stream itself is oracle-checkable. (total_value
+    // is omitted: streaming state sums doubles in arrival order, which is
+    // not hash-stable; counts are.)
+    "t6_stream_daily_counts" -> ((s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_t6").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events.parquet"))
+      val name = "t6_out_" + math.abs(stage.hashCode)
+      graft.streaming.EventStream.runToMemory(
+        graft.streaming.EventStream.dailyCounts(
+          graft.streaming.EventStream.readEvents(s, stage)),
+        name, s"$stage/ckpt")
+      s.table(name).select("day", "event_type", "cnt").orderBy("day", "event_type")
     }),
 
     // gaps-and-islands sessionization (lag + cumulative-sum windows);
@@ -575,6 +617,13 @@ object SparkEntry {
                    count(*) FILTER (WHERE event_type = 'signup') AS signup,
                    count(*) FILTER (WHERE event_type = 'view') AS "view"
             FROM events GROUP BY 1 ORDER BY 1""",
+      "a11_salted_agg" ->
+        "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+      "j9_salted_join" ->
+        """WITH dim AS (SELECT event_type, count(*) AS type_total FROM events GROUP BY 1)
+           SELECT e.event_type, count(*) AS cnt, max(type_total) AS type_total
+           FROM events e JOIN dim USING (event_type)
+           GROUP BY e.event_type ORDER BY e.event_type""",
       "p2_filter_eq" ->
         """SELECT c_custkey, c_name, c_acctbal FROM customer
            WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""",
@@ -674,6 +723,9 @@ object SparkEntry {
             SELECT day, count(*) AS cnt FROM e
             WHERE EXISTS (SELECT 1 FROM missing WHERE missing.day = e.day)
             GROUP BY day ORDER BY day""",
+      "t6_stream_daily_counts" ->
+        s"""SELECT $dayE AS day, event_type, count(*) AS cnt FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2""",
       "x_sessionize" ->
         """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
              f AS (SELECT user_id, ts_ms,
