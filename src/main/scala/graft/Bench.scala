@@ -26,10 +26,10 @@ object Bench {
       spark.catalog.clearCache()
       t
     }
-    // best of two timed passes: GC/scheduling noise on a shared box dwarfs
-    // per-query time at this scale
+    // best of three timed passes: GC/scheduling noise on a shared box dwarfs
+    // per-query time at this scale (co-tenant load spikes of 10×+ observed)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      name -> Seq.fill(3)(timeOnce(fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -553,6 +553,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "lang_pred")),
 
+    // multimodal decode pipeline end-to-end: binary payloads → batched
+    // mapPartitions (stub) decode → feature rows → resize plan. Rows-only
+    // check (stub decode values aren't SQL-expressible); the plumbing —
+    // typed Dataset, per-partition batching, no shuffle — is the product.
+    "x_multimodal_features" -> ((s, dir) => {
+      val media = graft.ext.Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "img")
+      graft.ext.Multimodal.resizePlan(
+        graft.ext.Multimodal.extractFeatures(media).toDF(), maxW = 256, maxH = 256)
+        .select("id", "n_bytes", "width", "height", "n_frames", "out_w", "out_h")
+        .orderBy("id")
+    }),
+
     // multimodal metadata plumbing: payload bytes → shape/frames metadata
     // (decode itself is a stubbed mapPartitions — see graft.ext.Multimodal)
     "x_multimodal_meta" -> ((s, dir) =>

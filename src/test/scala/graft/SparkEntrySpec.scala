@@ -19,7 +19,7 @@ class SparkEntrySpec extends AnyFunSuite {
     // xxhash64 signatures, JSON text formatting, HLL sketch values, and
     // hash-derived ANN buckets/cells aren't SQL-portable across engines
     assert(rowsOnly === Set("f3_to_json", "x_minhash_lsh", "x_simhash_pairs", "x_ann_lsh",
-      "x_ann_ivf", "a7_approx_distinct"))
+      "x_ann_ivf", "a7_approx_distinct", "x_multimodal_features"))
   }
 
   test("all queries execute and are non-empty at sf0.001 (except known-sparse pair miners)") {
