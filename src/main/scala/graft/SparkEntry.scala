@@ -326,6 +326,23 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // §3.1 + §3.2 composed, end to end: seed the emulated index with the
+    // partial sink state, run the partition-incremental sync (moves the
+    // wholly-missing days), then the id-level reconciliation (fills the
+    // row gaps in mismatched days). The final sink must equal the source —
+    // the reference's own acceptance invariant — so per-day counts oracle
+    // against the source table directly.
+    "sync_e2e_counts" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft_sync_e2e").toString + "/idx"
+      val src = events(s, dir)
+      EsBulkSink.upsertById(
+        sinkState(s, dir).withColumn("__v", lit(0L)), idx, "event_id", "__v")
+      graft.sync.IncrementalSync.runPartitionSync(src, idx, "day", "event_id")
+      graft.sync.IncrementalSync.reconcileByIds(
+        src, s.read.parquet(idx), "day", "event_id", idx, "__v")
+      s.read.parquet(idx).groupBy("day").agg(count(lit(1)).as("cnt")).orderBy("day")
+    }),
+
     // T1-T5 as an actual Structured Streaming run: file source →
     // watermarked event-time daily window → memory sink, drained with
     // Trigger.AvailableNow. Bounded input ⇒ the result equals the batch
@@ -735,6 +752,8 @@ object SparkEntry {
             SELECT day, count(*) AS cnt FROM e
             WHERE EXISTS (SELECT 1 FROM missing WHERE missing.day = e.day)
             GROUP BY day ORDER BY day""",
+      "sync_e2e_counts" ->
+        s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
       "t6_stream_daily_counts" ->
         s"""SELECT $dayE AS day, event_type, count(*) AS cnt FROM events
             GROUP BY 1, 2 ORDER BY 1, 2""",
