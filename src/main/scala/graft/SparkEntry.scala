@@ -125,6 +125,17 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("day")),
 
+    // exact percentiles (sort-based aggregate; linear interpolation —
+    // identical definition to DuckDB quantile_cont)
+    "a12_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+        .orderBy("l_returnflag")),
+
     // cube: all grouping-set combinations over (returnflag, linestatus)
     "a10_cube" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -278,6 +289,20 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // W-ext: per-user running total of event values — ordered cumulative
+    // frame, decimal per-row casts so the accumulation is exact and
+    // order-independent across engines
+    "w4_running_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.loadEvents(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // W-ext: top-3 days per event type by count (rank over partition)
     "w3_topk_per_group" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -412,6 +437,18 @@ object SparkEntry {
         .filter(col("l_quantity") < 24)
         .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
           count(lit(1)).as("cnt"))),
+
+    // TPC-H Q4-style correlated EXISTS: orders with at least one line item
+    // shipped after the order date — a left-semi join with a non-equi
+    // residual condition, never a per-row subquery
+    "q4_priority_exists" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(li, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
 
     // TPC-H Q18-style large orders: aggregate-then-join with a HAVING
     // filter — the groupBy output is tiny, so the join side is pre-shrunk
@@ -631,6 +668,12 @@ object SparkEntry {
                    count(*) AS cnt
             FROM events GROUP BY ROLLUP ($dayE, event_type)
             ORDER BY day, event_type""",
+      "a12_percentiles" ->
+        """SELECT l_returnflag,
+                  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+                  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+                  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       "a10_cube" ->
         """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -725,6 +768,12 @@ object SparkEntry {
             SELECT day, cnt, round(avg(cnt) OVER (ORDER BY day
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
             FROM daily ORDER BY day""",
+      "w4_running_total" ->
+        """SELECT user_id, event_id, value,
+                  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+                    PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+           FROM events ORDER BY user_id, event_id""",
       "w3_topk_per_group" ->
         s"""WITH c AS (SELECT event_type, $dayE AS day, count(*) AS cnt FROM events GROUP BY 1, 2),
                  r AS (SELECT *, row_number() OVER (PARTITION BY event_type
@@ -795,6 +844,11 @@ object SparkEntry {
            FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
              AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+      "q4_priority_exists" ->
+        """SELECT o_orderpriority, count(*) AS cnt FROM orders
+           WHERE EXISTS (SELECT 1 FROM lineitem
+                         WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
       "q18_large_orders" ->
         """WITH big AS (
              SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
