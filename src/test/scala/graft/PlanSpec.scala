@@ -35,6 +35,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"expected anti-join:\n$p")
   }
 
+  test("q6 pushes every predicate into the parquet scan") {
+    val p = SparkEntry.queries("q6_forecast_revenue")(spark, TestSpark.sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+      "LessThan(l_quantity,24.0)").foreach { f =>
+      assert(p.contains(f), s"predicate $f must reach the scan:\n$p")
+    }
+  }
+
+  test("q4 correlated EXISTS plans as a left-semi join") {
+    val p = plan("q4_priority_exists")
+    assert(p.contains("LeftSemi"), s"expected semi-join:\n$p")
+  }
+
+  test("simhash signatures are a pure projection: no explode, no aggregate") {
+    val sigs = graft.ext.Dedup.simhashSignatures(
+      graft.sources.Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
+    val p = sigs.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate") && !p.contains("HashAggregate"),
+      s"signature build must stay map-shaped:\n$p")
+  }
+
   test("native cosine expression generates its fused loop inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val df = graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings")
