@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - [[GraftExtensions.register]] for an already-running session.
   *
   * SQL: `cosine_sim(vecA, vecB)`, `srp_buckets(vec, nBits, tables)`,
-  * `simhash64(tokens)`.
+  * `simhash64(tokens)`, `minhash_sig(shingles, numHashes)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -50,6 +50,13 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "simhash64(tokens)")
         graft.functions.SimHash64(exprs(0))
+      }),
+    (
+      "minhash_sig",
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "minhash_sig(shingles, numHashes)")
+        graft.functions.MinHashSig(exprs(0), intLit(exprs(1), "numHashes"))
       })
   )
 

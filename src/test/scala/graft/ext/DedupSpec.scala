@@ -47,6 +47,15 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains((1L, 4L)))
   }
 
+  test("native MinHashSig equals the HOF minhashSignature per doc") {
+    val hof = docs.select($"doc_id", Dedup.minhashSignature($"text", 3, 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = docs.select($"doc_id",
+      graft.functions.MinHashSig.minhashSig(Dedup.shingles($"text", 3), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === hof)
+  }
+
   test("simhash: identical normalized text hashes equal; near-dup within small hamming") {
     val hs = docs.select($"doc_id", Dedup.simhash(lower($"text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
