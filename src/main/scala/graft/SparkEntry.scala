@@ -314,6 +314,25 @@ object SparkEntry {
         .orderBy("event_type", "rnk")
     }),
 
+    // W-ext: typed top-k per group via the bounded-buffer Aggregator —
+    // unlike w3's window (shuffle + full sort per group), the exchange
+    // carries at most k rows per group per map partition. Same output as
+    // the window form; oracled against it.
+    "w5_topk_aggregator" -> ((s, dir) => {
+      import s.implicits._
+      Tables.loadEvents(s, dir)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.Scored(t._2, t._3))
+        .agg(new graft.functions.TopKAggregator(5).toColumn)
+        .flatMap { case (et, items) =>
+          items.zipWithIndex.map { case (it, i) => (et, i + 1, it.id, it.score) }
+        }
+        .toDF("event_type", "rnk", "event_id", "value")
+        .orderBy("event_type", "rnk")
+    }),
+
     // ---------------------------------------------------- §2.2 sinks
     // K1: partitioned parquet write + re-read (Partition-script.py:34-49)
     "k1_write_roundtrip" -> ((s, dir) => {
@@ -780,6 +799,12 @@ object SparkEntry {
                          ORDER BY cnt DESC, day) AS rnk FROM c)
             SELECT event_type, day, cnt, CAST(rnk AS INTEGER) AS rnk
             FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""",
+      "w5_topk_aggregator" ->
+        """WITH r AS (SELECT event_type, event_id, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id) AS rnk FROM events)
+           SELECT event_type, CAST(rnk AS INTEGER) AS rnk, event_id, value
+           FROM r WHERE rnk <= 5 ORDER BY event_type, rnk""",
       "k1_write_roundtrip" ->
         s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
       "k3_upsert_last_wins" ->
