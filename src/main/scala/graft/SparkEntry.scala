@@ -251,6 +251,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // bucketed co-located join (scale pattern: both tables bucketed on the
+    // join key → SortMergeJoin with NO exchange; the shuffle is paid once
+    // at write time — plan pinned in BucketingSpec). Here the write+join
+    // run end-to-end and the result oracles against the plain join.
+    "j10_bucketed_join" -> ((s, dir) => {
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "orders"), "graft_o_bucketed", "o_custkey", 8)
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "customer"), "graft_c_bucketed", "c_custkey", 8)
+      graft.sources.Bucketing.bucketedJoin(
+        s, "graft_o_bucketed", "graft_c_bucketed", "o_custkey", "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ------------------------------------------- §2.7 scalar transforms
     // F1+F2: lenient coercion — try_cast + defaults, the reference's
     // try/except-per-field (data-s3-elastic-transfer.py:126-184) as columns
@@ -771,6 +787,11 @@ object SparkEntry {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av FROM u)
            SELECT event_id, coalesce(av, -1.0) AS last_purchase_value
            FROM wv WHERE side = 1 ORDER BY event_id""",
+      "j10_bucketed_join" ->
+        """SELECT c_mktsegment, count(*) AS cnt,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
       "f1_coerce_defaults" ->
         """SELECT event_id,
                   coalesce(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER), 0) AS k,
