@@ -55,6 +55,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("saltedAggregate equals the plain groupBy for any salt count") {
+    samples(rowsGen, 4).foreach { rows =>
+      val df = rows.toDF("id", "v", "version")
+      val plain = df.groupBy("id").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      Seq(1, 3, 8).foreach { salts =>
+        val salted = graft.ops.Skew.saltedAggregate(df, "id", salts,
+          partialAggs = Seq(count(lit(1)).as("pc"), sum("v").as("pv")),
+          mergeAggs = Seq(sum("pc").as("cnt"), sum("pv").as("sv")))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+        assert(salted === plain, s"salts=$salts")
+      }
+    }
+  }
+
+  test("saltedJoin equals the plain join for any salt count") {
+    samples(rowsGen, 4).foreach { rows =>
+      val big = rows.toDF("id", "v", "version")
+      val dim = rows.map(_._1).distinct.map(id => (id, s"dim_$id")).toDF("id", "label")
+      val plain = big.join(dim, "id").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(3))).sorted.toSeq
+      Seq(1, 4).foreach { salts =>
+        val salted = graft.ops.Skew.saltedJoin(big, dim, "id", salts).collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getString(3))).sorted.toSeq
+        assert(salted === plain, s"salts=$salts")
+      }
+    }
+  }
+
+  test("minhash estimated jaccard is 1.0 for identical docs, in [0,1] always") {
+    val textsGen = Gen.nonEmptyListOf(Gen.oneOf(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "completely different text with other words entirely",
+      "a b"))
+    samples(textsGen, 3).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = graft.ext.Dedup.minhashLsh(docs, "doc_id", "text", n = 2,
+        bands = 8, rowsPerBand = 4, threshold = 0.0).collect()
+      val byId = texts.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap
+      pairs.foreach { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        assert(j >= 0.0 && j <= 1.0)
+        if (byId(a) == byId(b)) assert(j === 1.0, s"identical docs $a,$b must estimate 1.0")
+      }
+    }
+  }
+
   test("exact dedup then dedup again is a fixpoint") {
     val textsGen = Gen.nonEmptyListOf(Gen.oneOf("a b c", "a  b c", "x y", "z"))
     samples(textsGen, 6).foreach { texts =>
