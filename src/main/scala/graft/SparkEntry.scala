@@ -485,6 +485,19 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // TPC-H Q14-style promo revenue share: fact-to-dim broadcast join,
+    // conditional aggregate, exact decimal sums feeding one double division
+    "q14_promo_revenue" -> ((s, dir) => {
+      val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            dsum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0.0))) /
+            dsum(revenue), 4).as("promo_pct"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // TPC-H Q18-style large orders: aggregate-then-join with a HAVING
     // filter — the groupBy output is tiny, so the join side is pre-shrunk
     // before touching orders/customer
@@ -895,6 +908,14 @@ object SparkEntry {
            WHERE EXISTS (SELECT 1 FROM lineitem
                          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      "q14_promo_revenue" ->
+        """SELECT round(100.0 *
+                    CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+                    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+                  4) AS promo_pct,
+                  count(*) AS cnt
+           FROM lineitem JOIN part ON l_partkey = p_partkey""",
       "q18_large_orders" ->
         """WITH big AS (
              SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
