@@ -14,6 +14,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[Long](1).length === 4)
   }
 
+  test("simhash64 and minhash_sig are callable from SQL and match the Column API") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val viaSql = spark.sql(
+      """SELECT simhash64(array('alpha', 'beta')) AS sh,
+                minhash_sig(array('alpha', 'beta'), 8) AS mh""").head()
+    val viaCol = spark.range(1).select(
+      graft.functions.SimHash64.simhash64(array(lit("alpha"), lit("beta"))).as("sh"),
+      graft.functions.MinHashSig.minhashSig(array(lit("alpha"), lit("beta")), 8).as("mh")).head()
+    assert(viaSql.getLong(0) === viaCol.getLong(0))
+    assert(viaSql.getSeq[Long](1) === viaCol.getSeq[Long](1))
+  }
+
   test("SQL cosine_sim matches the Column API on real embeddings") {
     GraftExtensions.register(spark)
     graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings").limit(20)
