@@ -422,6 +422,17 @@ object SparkEntry {
       s.table(name).select("day", "event_type", "cnt").orderBy("day", "event_type")
     }),
 
+    // the custom-state form (flatMapGroupsWithState) of sessionization,
+    // driven over the bounded events table: emits only gap-CLOSED sessions
+    // (each user's trailing session stays in state — in a stream it closes
+    // via timeout). Oracled as "all sessions minus each user's last".
+    "t7_sessionize_stateful" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionize(
+        Tables.loadEvents(s, dir).select("user_id", "ts"), gapMs = 3600000L)
+        .select(col("user_id"), col("n_events"),
+          col("first_ts").as("first_ms"), col("last_ts").as("last_ms"))
+        .orderBy("user_id", "first_ms")),
+
     // gaps-and-islands sessionization (lag + cumulative-sum windows);
     // streaming twin with custom state lives in graft.streaming
     "x_sessionize" -> ((s, dir) =>
@@ -865,6 +876,20 @@ object SparkEntry {
       "t6_stream_daily_counts" ->
         s"""SELECT $dayE AS day, event_type, count(*) AS cnt FROM events
             GROUP BY 1, 2 ORDER BY 1, 2""",
+      "t7_sessionize_stateful" ->
+        """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+             f AS (SELECT user_id, ts_ms,
+                     CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL THEN 1
+                          WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > 3600000 THEN 1
+                          ELSE 0 END AS new_session FROM e),
+             g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM f),
+             sess AS (SELECT user_id, session_idx, count(*) AS n_events,
+                        min(ts_ms) AS first_ms, max(ts_ms) AS last_ms
+                      FROM g GROUP BY user_id, session_idx),
+             m AS (SELECT *, max(session_idx) OVER (PARTITION BY user_id) AS mx FROM sess)
+           SELECT user_id, n_events, first_ms, last_ms
+           FROM m WHERE session_idx < mx ORDER BY user_id, first_ms""",
       "x_sessionize" ->
         """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
              f AS (SELECT user_id, ts_ms,
