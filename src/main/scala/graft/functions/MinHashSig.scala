@@ -60,19 +60,25 @@ object MinHashSig {
     seedCache.computeIfAbsent(numHashes,
       n => Array.tabulate(n)(i => XXH64.hashInt(i, 42L)))
 
-  /** Shared kernel for interpreted eval and codegen. */
+  /** Shared kernel for interpreted eval and codegen. Null elements are
+    * skipped, matching Spark's xxhash64 semantics over arrays with nulls —
+    * internal callers never emit them, but the function is SQL-registered
+    * so arbitrary `array('a', NULL)` input must not NPE.
+    */
   def sig(arr: ArrayData, numHashes: Int): GenericArrayData = {
     val sds = seeds(numHashes)
     val out = Array.fill(numHashes)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      var j = 0
-      while (j < numHashes) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, sds(j))
-        if (h < out(j)) out(j) = h
-        j += 1
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < numHashes) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, sds(j))
+          if (h < out(j)) out(j) = h
+          j += 1
+        }
       }
       i += 1
     }

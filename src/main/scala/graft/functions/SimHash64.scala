@@ -48,18 +48,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 object SimHash64 {
   import org.apache.spark.sql.GraftExpressionBridge._
 
-  /** Shared kernel for interpreted eval and codegen. */
+  /** Shared kernel for interpreted eval and codegen. Null elements are
+    * skipped, matching Spark's xxhash64 semantics over arrays with nulls —
+    * internal callers never emit them, but the function is SQL-registered
+    * so arbitrary `array('a', NULL)` input must not NPE.
+    */
   def simhash(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }

@@ -96,8 +96,25 @@ object Tables {
     * at cluster parallelism even when their input is small.
     */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Gate on the scan's file inventory (cheap: file listing, no physical
+    // planning — df.rdd here would force a full driver-side plan-to-RDD
+    // conversion per call). Split count is >= file count and, for large
+    // files, >= ceil(bytes / maxPartitionBytes); once either bound reaches
+    // the target this is a no-op, which is the production-scale case
+    // (thousands of splits per table).
+    val files = df.inputFiles
+    if (files.length >= target) df
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+      val totalBytes = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+      if (totalBytes / maxBytes >= target) df else df.repartition(target)
+    }
   }
 
   /** The reference's incremental unit is a month-valued string partition

@@ -27,6 +27,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getSeq[Long](1) === viaCol.getSeq[Long](1))
   }
 
+  test("simhash64 and minhash_sig skip null array elements (no NPE from SQL)") {
+    GraftExtensions.register(spark)
+    val withNull = spark.sql(
+      """SELECT simhash64(array('alpha', CAST(NULL AS STRING), 'beta')) AS sh,
+                minhash_sig(array('alpha', CAST(NULL AS STRING), 'beta'), 8) AS mh""").head()
+    val without = spark.sql(
+      """SELECT simhash64(array('alpha', 'beta')) AS sh,
+                minhash_sig(array('alpha', 'beta'), 8) AS mh""").head()
+    assert(withNull.getLong(0) === without.getLong(0))
+    assert(withNull.getSeq[Long](1) === without.getSeq[Long](1))
+  }
+
   test("SQL cosine_sim matches the Column API on real embeddings") {
     GraftExtensions.register(spark)
     graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings").limit(20)
