@@ -22,11 +22,15 @@ object Bench {
     "t4_event_time_window", "t5_incremental_plan", "t6_stream_daily_counts",
     "t7_sessionize_stateful", "sync_e2e_counts",
     "q1_pricing_summary", "q3_star_join_revenue", "q4_priority_exists",
-    "q5_local_supplier_revenue", "q6_forecast_revenue", "q14_promo_revenue", "q18_large_orders",
+    "q5_local_supplier_revenue", "q6_forecast_revenue", "q7_volume_shipping",
+    "q10_returned_items", "q13_order_distribution", "q14_promo_revenue",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_pred",
+    "a13_grouping_sets", "w6_lag_lead", "f6_json_extract",
     "x_token_count", "x_quality_score", "x_lang_id", "x_dedup_exact",
     "x_ngram_jaccard", "x_minhash_lsh", "x_simhash_pairs", "x_char_ngrams",
     "x_embed_cosine_topk", "x_embed_neardup", "x_ann_lsh", "x_ann_ivf",
-    "x_sessionize", "x_multimodal_features")
+    "x_sessionize", "x_multimodal_features",
+    "x_stratified_sample", "x_tfidf_top_terms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -473,6 +473,15 @@ object SparkEntry {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          // three-factor product in exact decimal arithmetic: the double
+          // product rounds differently across engines at .xxxx5 boundaries
+          // round the exact decimal sum to scale 4 BEFORE the double cast:
+          // scale-12 decimal→double conversion is 1-ulp engine-dependent,
+          // scale-4 (integer/1e4) converts identically everywhere
+          round(sum(col("l_extendedprice").cast("decimal(18,4)")
+            * (lit(1.0) - col("l_discount")).cast("decimal(9,4)")
+            * (lit(1.0) + col("l_tax")).cast("decimal(9,4)")), 4)
+            .cast("double").as("sum_charge"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -563,6 +572,233 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy("n_name")
     }),
+
+    // TPC-H Q7-style volume shipping: two nation roles on one dim table
+    // (aliased broadcast joins), symmetric pair filter, year bucketing
+    "q7_volume_shipping" -> ((s, dir) => {
+      val ns = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val nc = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(nc), col("c_nationkey") === col("c_nk"))
+        // parity split (even supplier nations → odd customer nations): a
+        // nation-pair predicate that stays non-empty even at sf0.001, where
+        // only 10 suppliers exist and their nationkeys are sparse
+        .filter(col("s_nk") % 2 === 0 && col("c_nk") % 2 === 1)
+        .withColumn("l_year", year(col("l_shipdate")))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q10-style returned items: top 20 customers by lost revenue in a
+    // window — fact filters first, dims joined after, TakeOrderedAndProject
+    "q10_returned_items" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-07-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)),
+
+    // TPC-H Q13-style customer order distribution: LEFT OUTER join preserved
+    // through two aggregation levels (count of counts)
+    "q13_order_distribution" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // TPC-H Q15-style top supplier: windowed revenue, then suppliers whose
+    // revenue equals the global max (scalar-subquery join, broadcast)
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+        .groupBy("l_suppkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+      rev.join(broadcast(rev.agg(max(col("total_revenue")).as("mx"))),
+          col("total_revenue") === col("mx"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17-style small-quantity revenue: correlated per-part average
+    // as a groupBy + equi-join, never a per-row subquery
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgq = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      li.join(broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#23")),
+          col("l_partkey") === col("p_partkey"))
+        .join(avgq, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(dsum(col("l_extendedprice")) / lit(7.0), 4).as("avg_yearly"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // TPC-H Q19-style disjunctive predicates: OR-of-ANDs across fact and
+    // dim columns — one scan, the whole disjunction evaluated post-join
+    "q19_disjunctive_pred" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30)))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // TPC-H Q22-style: customers above the positive-balance average with no
+    // RECENT orders — scalar aggregate broadcast + anti-join (nearly every
+    // customer has SOME order in this data, so the idle window keeps the
+    // predicate non-degenerate)
+    "q22_idle_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "2000-01-01").select("o_custkey")
+      c.crossJoin(broadcast(avgBal)).filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // TPC-H Q2-flavored argmin join: per part (p_size=10), the supplier with
+    // the lowest observed offer price — min-per-group then equality join back,
+    // ties broken by lowest suppkey. (Price is compared raw: it's an input
+    // double, bit-identical in both engines; a derived ratio would hit
+    // engine-dependent rounding at .xxxx5 boundaries.)
+    "q2_min_price_supplier" -> ((s, dir) => {
+      val offers = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_size") === 10).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice").as("unit_price"))
+      val minp = offers.groupBy(col("l_partkey").as("m_partkey"))
+        .agg(min(col("unit_price")).as("min_price"))
+      offers.join(minp, col("l_partkey") === col("m_partkey") && col("unit_price") === col("min_price"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(min(col("l_suppkey")).as("s_suppkey"), min(col("min_price")).as("min_price"))
+        .orderBy("p_partkey")
+    }),
+
+    // cross join (the one join type the reference never needs): all region
+    // pairs — tiny dims only; a guard rail example, not a scale pattern
+    "j11_cross_pairs" -> ((s, dir) =>
+      t(s, dir, "region").select(col("r_name").as("r_a"))
+        .crossJoin(t(s, dir, "region").select(col("r_name").as("r_b")))
+        .orderBy("r_a", "r_b")),
+
+    // offset pagination (the ORDER BY ... LIMIT ... OFFSET form of O2's
+    // keyset pagination — exercises Dataset.offset)
+    "o3_limit_offset" -> ((s, dir) =>
+      events(s, dir).select("event_id", "event_type", "day")
+        .orderBy("event_id").offset(500).limit(100)),
+
+    // INTERSECT (distinct set semantics): days that saw clicks AND errors
+    "o5_intersect_days" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.filter(col("event_type") === "click").select("day")
+        .intersect(e.filter(col("event_type") === "error").select("day"))
+        .orderBy("day")
+    }),
+
+    // EXCEPT (distinct set semantics): the J1 missing-partition diff as a
+    // set operation — source days the sink state lacks
+    "o6_except_days" -> ((s, dir) =>
+      events(s, dir).select("day")
+        .except(sinkState(s, dir).select("day"))
+        .orderBy("day")),
+
+    // explicit GROUPING SETS (the general form behind a8/a10): day totals
+    // and type totals in one pass plus the grand total
+    "a13_grouping_sets" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_with_day")
+      s.sql("""SELECT coalesce(day, 'ALL') AS day, coalesce(event_type, 'ALL') AS event_type,
+                      count(*) AS cnt
+               FROM events_with_day
+               GROUP BY GROUPING SETS ((day), (event_type), ())
+               ORDER BY day, event_type""")
+    }),
+
+    // fixed-width histogram of a measure (bucketed aggregation)
+    "a14_value_histogram" -> ((s, dir) =>
+      events(s, dir)
+        .select(floor(col("value") / lit(25.0)).cast("long").as("bucket"), col("value"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("bucket")),
+
+    // lag/lead analytics: per-user inter-event gap and next event type
+    "w6_lag_lead" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      Tables.loadEvents(s, dir)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+        .withColumn("gap_ms", coalesce(col("ts_ms") - lag(col("ts_ms"), 1).over(w), lit(-1L)))
+        .withColumn("next_type", coalesce(lead(col("event_type"), 1).over(w), lit("NONE")))
+        .select("event_id", "user_id", "gap_ms", "next_type")
+        .orderBy("event_id")
+    }),
+
+    // ntile bucketing: account-balance quartiles within each market segment
+    "w7_ntile_quartiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(count(lit(1)).as("cnt"),
+          round(min(col("c_acctbal")), 4).as("min_bal"),
+          round(max(col("c_acctbal")), 4).as("max_bal"))
+        .orderBy("c_mktsegment", "quartile")
+    }),
+
+    // calendar decomposition: orders per (year, quarter, month)
+    "f4_date_parts" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"), col("o_totalprice"))
+        .groupBy("y", "q", "m")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("y", "q", "m")),
+
+    // string-function battery: case, substring, pad, replace, concat
+    "f5_string_funcs" -> ((s, dir) =>
+      t(s, dir, "customer").filter(col("c_custkey") < 100)
+        .select(
+          col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_up"),
+          substring(col("c_name"), 10, 9).as("digits"),
+          concat_ws("-", col("c_mktsegment"), col("c_nationkey").cast("string")).as("tag"),
+          regexp_replace(col("c_name"), "Customer#", "C-").as("short_name"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          length(col("c_name")).as("name_len"))
+        .orderBy("c_custkey")),
+
+    // JSON extraction from the raw props payload (schema-on-read over a
+    // semi-structured column)
+    "f6_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          coalesce(get_json_object(col("props"), "$.k").try_cast("int"), lit(-1)).as("k_int"))
+        .orderBy("event_id")),
 
     // ------------------------------------------- LLM-pipeline extensions
     "x_token_count" -> ((s, dir) =>
@@ -701,6 +937,42 @@ object SparkEntry {
         graft.ext.Multimodal.extractFeatures(media).toDF(), maxW = 256, maxH = 256)
         .select("id", "n_bytes", "width", "height", "n_frames", "out_w", "out_h")
         .orderBy("id")
+    }),
+
+    // deterministic stratified sample: ≤100 rows per event type, selected
+    // by a per-row LCG hash so the sample is stable across engines and runs
+    // (the distributed replacement for driver-side random sampling; at
+    // scale the window is per-group and the hash keeps it skew-free)
+    "x_stratified_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = (col("event_id") * lit(1103515245L) + lit(12345L)) % lit(1000000007L)
+      val w = Window.partitionBy(col("event_type")).orderBy(h, col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 100)
+        .orderBy("event_type", "rnk")
+    }),
+
+    // TF-IDF top-3 terms per document over a bounded corpus slice: term
+    // frequencies and document frequencies as two aggregations, the corpus
+    // size broadcast as a scalar, per-doc ranking by score
+    "x_tfidf_top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+      val toks = docs.select(col("doc_id"),
+        explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "score")
+        .orderBy("doc_id", "rnk")
     }),
 
     // multimodal metadata plumbing: payload bytes → shape/frames metadata
@@ -931,8 +1203,173 @@ object SparkEntry {
                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                           * CAST(1.0 - l_discount AS DECIMAL(9,4))
+                           * CAST(1.0 + l_tax AS DECIMAL(9,4))), 4) AS DOUBLE) AS sum_charge,
                   count(*) AS cnt
            FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+      "q7_volume_shipping" ->
+        """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                  CAST(extract(year FROM l_shipdate) AS INTEGER) AS l_year,
+                  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                  count(*) AS cnt
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ns ON s_nationkey = ns.n_nationkey
+           JOIN nation nc ON c_nationkey = nc.n_nationkey
+           WHERE ns.n_nationkey % 2 = 0 AND nc.n_nationkey % 2 = 1
+           GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+      "q10_returned_items" ->
+        """SELECT c_custkey, c_name, c_acctbal, n_name,
+                  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+           GROUP BY c_custkey, c_name, c_acctbal, n_name
+           ORDER BY revenue DESC, c_custkey LIMIT 20""",
+      "q13_order_distribution" ->
+        """WITH per AS (
+             SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey)
+           SELECT c_count, count(*) AS custdist FROM per
+           GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+      "q15_top_supplier" ->
+        """WITH rev AS (
+             SELECT l_suppkey,
+                    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+             GROUP BY l_suppkey)
+           SELECT s_suppkey, s_name, total_revenue
+           FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+           ORDER BY s_suppkey""",
+      "q17_small_qty_revenue" ->
+        """WITH avgq AS (
+             SELECT l_partkey,
+                    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+             FROM lineitem GROUP BY l_partkey)
+           SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+                  count(*) AS cnt
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN avgq ON lineitem.l_partkey = avgq.l_partkey
+           WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty""",
+      "q19_disjunctive_pred" ->
+        """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                  count(*) AS cnt
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+              OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+              OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+      "q22_idle_customers" ->
+        """WITH avg_bal AS (
+             SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS ab
+             FROM customer WHERE c_acctbal > 0.0)
+           SELECT c_mktsegment, count(*) AS numcust,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+           FROM customer
+           WHERE c_acctbal > (SELECT ab FROM avg_bal)
+             AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01')
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      "q2_min_price_supplier" ->
+        """WITH offers AS (
+             SELECT l_partkey, l_suppkey, l_extendedprice AS unit_price
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE p_size = 10),
+           minp AS (SELECT l_partkey, min(unit_price) AS min_price FROM offers GROUP BY l_partkey)
+           SELECT o.l_partkey AS p_partkey, min(o.l_suppkey) AS s_suppkey, min(m.min_price) AS min_price
+           FROM offers o JOIN minp m ON o.l_partkey = m.l_partkey AND o.unit_price = m.min_price
+           GROUP BY o.l_partkey ORDER BY p_partkey""",
+      "j11_cross_pairs" ->
+        """SELECT a.r_name AS r_a, b.r_name AS r_b
+           FROM region a CROSS JOIN region b ORDER BY r_a, r_b""",
+      "o3_limit_offset" ->
+        s"""SELECT event_id, event_type, $dayE AS day FROM events
+            ORDER BY event_id LIMIT 100 OFFSET 500""",
+      "o5_intersect_days" ->
+        s"""SELECT $dayE AS day FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT $dayE AS day FROM events WHERE event_type = 'error'
+            ORDER BY day""",
+      "o6_except_days" ->
+        s"""SELECT $dayE AS day FROM events
+            EXCEPT
+            SELECT day FROM ($sinkSql)
+            ORDER BY day""",
+      "a13_grouping_sets" ->
+        s"""SELECT coalesce($dayE, 'ALL') AS day, coalesce(event_type, 'ALL') AS event_type,
+                   count(*) AS cnt
+            FROM events
+            GROUP BY GROUPING SETS (($dayE), (event_type), ())
+            ORDER BY day, event_type""",
+      "a14_value_histogram" ->
+        """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS cnt,
+                  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           FROM events GROUP BY 1 ORDER BY 1""",
+      "w6_lag_lead" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events)
+           SELECT event_id, user_id,
+                  coalesce(ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id), -1) AS gap_ms,
+                  coalesce(lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id), 'NONE') AS next_type
+           FROM e ORDER BY event_id""",
+      "w7_ntile_quartiles" ->
+        """WITH q AS (SELECT c_mktsegment, c_acctbal,
+                        ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+                      FROM customer)
+           SELECT c_mktsegment, CAST(quartile AS INTEGER) AS quartile, count(*) AS cnt,
+                  round(min(c_acctbal), 4) AS min_bal, round(max(c_acctbal), 4) AS max_bal
+           FROM q GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile""",
+      "f4_date_parts" ->
+        """SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS y,
+                  CAST(extract(quarter FROM o_orderdate) AS INTEGER) AS q,
+                  CAST(extract(month FROM o_orderdate) AS INTEGER) AS m,
+                  count(*) AS cnt,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+           FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+      "f5_string_funcs" ->
+        """SELECT c_custkey,
+                  upper(c_mktsegment) AS seg_up,
+                  substring(c_name, 10, 9) AS digits,
+                  concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS tag,
+                  regexp_replace(c_name, 'Customer#', 'C-', 'g') AS short_name,
+                  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+                  CAST(length(c_name) AS INTEGER) AS name_len
+           FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""",
+      "f6_json_extract" ->
+        """SELECT event_id,
+                  json_extract_string(props, '$.k') AS k_str,
+                  coalesce(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), -1) AS k_int
+           FROM events ORDER BY event_id""",
+      "x_stratified_sample" ->
+        """WITH r AS (SELECT event_id, event_type,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY (event_id * 1103515245 + 12345) % 1000000007, event_id) AS rnk
+                      FROM events)
+           SELECT event_id, event_type, CAST(rnk AS INTEGER) AS rnk
+           FROM r WHERE rnk <= 100 ORDER BY event_type, rnk""",
+      "x_tfidf_top_terms" ->
+        """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+             toks AS (SELECT doc_id,
+                        unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+                      FROM docs),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+             dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+             n AS (SELECT count(*) AS n_docs FROM docs),
+             scored AS (SELECT tf.doc_id, tf.term,
+                          round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+                        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+             r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+                   FROM scored)
+           SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, score
+           FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
       "q5_local_supplier_revenue" ->
         """SELECT n_name,
                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
