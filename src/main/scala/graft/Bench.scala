@@ -15,11 +15,11 @@ object Bench {
     "a9_pivot", "a10_cube", "a12_percentiles",
     "p2_filter_eq",
     "j1_partition_anti", "j2_id_anti", "j3_count_reconcile",
-    "j7_asof_join", "j8_range_join", "j9_salted_join", "j10_bucketed_join",
+    "j7_asof_join", "j8_range_join", "j9_salted_join", "j10_bucketed_join", "j12_bloom_anti",
     "f1_coerce_defaults",
     "w1_ordinal_batches", "w3_topk_per_group", "w4_running_total", "w5_topk_aggregator",
     "k1_write_roundtrip", "k3_upsert_last_wins",
-    "t4_event_time_window", "t5_incremental_plan", "t6_stream_daily_counts",
+    "t4_event_time_window", "t5_incremental_plan", "t6_stream_daily_counts", "t8_stream_dedup_counts",
     "t7_sessionize_stateful", "sync_e2e_counts",
     "q1_pricing_summary", "q3_star_join_revenue", "q4_priority_exists",
     "q5_local_supplier_revenue", "q6_forecast_revenue", "q7_volume_shipping",

@@ -221,6 +221,15 @@ object SparkEntry {
         .select("event_id", "day", "event_type", "value")
         .orderBy("event_id")),
 
+    // T2 scale path, gate-visible: id-diff with a bloom-filter pre-split —
+    // rows the sketch definitely excludes skip the anti-join shuffle; only
+    // the might-contain residue pays it. Exact (false positives re-checked),
+    // so it oracles against the plain anti-join.
+    "j12_bloom_anti" -> ((s, dir) =>
+      Diff.idDiffBloom(events(s, dir), sinkState(s, dir), "event_id",
+        expectedSinkIds = 1000000L, fpp = 0.01)
+        .orderBy("event_id")),
+
     // J5: union-all reassembly (ID-based-transfer.py:194)
     "j5_union_all" -> ((s, dir) => {
       val e = events(s, dir)
@@ -445,6 +454,31 @@ object SparkEntry {
           name, s"$stage/ckpt")
       } finally deleteRec(stageDir) // results live in the memory table, not on disk
       s.table(name).select("day", "event_type", "cnt").orderBy("day", "event_type")
+    }),
+
+    // T3 as a stream: the source staged TWICE (every row delivered twice —
+    // the reference's K2 retry-duplication failure mode), deduped in-flight
+    // by watermarked dropDuplicatesWithinWatermark, appended to a memory
+    // sink. Daily counts over the deduped stream must equal the source's —
+    // delivery is effectively-once despite the duplicate input.
+    "t8_stream_dedup_counts" -> ((s, dir) => {
+      val stageDir = scratchDir("t8", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events_a.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events_b.parquet"))
+      val name = "t8_dedup_rows"
+      try {
+        graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.dedupById(
+            graft.streaming.EventStream.readEvents(s, stage), "event_id"),
+          name, s"$stage/ckpt", outputMode = "append")
+      } finally deleteRec(stageDir)
+      Tables.withDay(s.table(name))
+        .groupBy("day").agg(count(lit(1)).as("cnt")).orderBy("day")
     }),
 
     // the custom-state form (flatMapGroupsWithState) of sessionization,
@@ -1083,6 +1117,13 @@ object SparkEntry {
             SELECT event_id, $dayE AS day, event_type, value FROM events
             WHERE EXISTS (SELECT 1 FROM missing WHERE missing.event_id = events.event_id)
             ORDER BY event_id""",
+      "j12_bloom_anti" ->
+        s"""WITH src AS (SELECT DISTINCT event_id FROM events),
+                 snk AS (SELECT DISTINCT event_id FROM ($sinkSql))
+            SELECT event_id FROM src WHERE NOT EXISTS (SELECT 1 FROM snk WHERE snk.event_id = src.event_id)
+            ORDER BY event_id""",
+      "t8_stream_dedup_counts" ->
+        s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
       "j5_union_all" ->
         """SELECT event_type, count(*) AS cnt FROM (
              SELECT * FROM events WHERE event_type = 'click'

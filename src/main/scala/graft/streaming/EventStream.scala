@@ -52,12 +52,23 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("cnt"), col("total_value"))
 
+  /** Streaming exact dedup by id: watermarked `dropDuplicatesWithinWatermark`
+    * — duplicate deliveries (the reference's K2 auto-id + retry failure
+    * mode, SURVEY.md §2.9 T3) are dropped in-flight, and the dedup state
+    * expires with the watermark, so state size is bounded by the watermark
+    * window's id count rather than growing with the whole stream.
+    */
+  def dedupById(events: DataFrame, idCol: String): DataFrame =
+    events.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(idCol)
+
   /** Run a (bounded) streaming query to a named in-memory table and block
     * until the file source is drained — the test/smoke harness.
+    * `outputMode` is "complete" for aggregations, "append" for row streams.
     */
-  def runToMemory(df: DataFrame, name: String, checkpointDir: String): StreamingQuery = {
+  def runToMemory(df: DataFrame, name: String, checkpointDir: String,
+      outputMode: String = "complete"): StreamingQuery = {
     val q = df.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .option("checkpointLocation", checkpointDir)

@@ -50,6 +50,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"expected semi-join:\n$p")
   }
 
+  test("q19 pushes the whole OR-of-ANDs disjunction into both scans") {
+    val p = SparkEntry.queries("q19_disjunctive_pred")(spark, TestSpark.sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"quantity bands must reach the lineitem scan:\n$p")
+    assert(p.contains("Or(Or(And(EqualTo(p_brand,Brand#12)"),
+      s"brand/size bands must reach the part scan:\n$p")
+  }
+
+  test("q10 top-20 plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("stratified sample limits rows per group before the shuffle (WindowGroupLimit)") {
+    val p = plan("x_stratified_sample")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected partial+final group-limit so only <=100 rows/group shuffle:\n$p")
+  }
+
   test("simhash signatures are a pure projection: no explode, no aggregate") {
     val sigs = graft.ext.Dedup.simhashSignatures(
       graft.sources.Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")

@@ -36,6 +36,23 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("dedupById drops duplicate deliveries: doubled input, single output") {
+    val base = Files.createTempDirectory("graft_stream_dedup")
+    Files.copy(
+      java.nio.file.Paths.get(TestSpark.sfDir + "/events.parquet"), base.resolve("a.parquet"))
+    Files.copy(
+      java.nio.file.Paths.get(TestSpark.sfDir + "/events.parquet"), base.resolve("b.parquet"))
+    val ckpt = Files.createTempDirectory("graft_dedup_ckpt").toString
+    EventStream.runToMemory(
+      EventStream.dedupById(EventStream.readEvents(spark, base.toString), "event_id"),
+      "dedup_out", ckpt, outputMode = "append")
+    val n = spark.table("dedup_out").count()
+    val distinctIds = spark.table("dedup_out").select("event_id").distinct().count()
+    val srcIds = Tables.loadEvents(spark, TestSpark.sfDir).select("event_id").distinct().count()
+    assert(n === distinctIds, "every id must appear exactly once after dedup")
+    assert(distinctIds === srcIds, "no id may be lost by dedup")
+  }
+
   test("syncToIndex is incremental: a second trigger with no new files appends nothing") {
     val base = Files.createTempDirectory("graft_stream_sync").toString
     val idx = s"$base/idx"
