@@ -10,16 +10,13 @@ object Bench {
     * BENCH_FULL.json in the repo root.
     */
   val headline: Seq[String] = Seq(
-    "s1_scan_project", "s3_pruned_scan",
-    "a1_daily_counts", "a3_topk_days", "a6_stats_minmax", "a8_rollup",
-    "a9_pivot", "a10_cube", "a12_percentiles",
-    "p2_filter_eq",
+    "s3_pruned_scan",
+    "a1_daily_counts", "a3_topk_days", "a10_cube", "a12_percentiles",
     "j1_partition_anti", "j2_id_anti", "j3_count_reconcile",
     "j7_asof_join", "j8_range_join", "j9_salted_join", "j10_bucketed_join", "j12_bloom_anti",
-    "f1_coerce_defaults",
-    "w1_ordinal_batches", "w3_topk_per_group", "w4_running_total", "w5_topk_aggregator",
-    "k1_write_roundtrip", "k3_upsert_last_wins",
-    "t4_event_time_window", "t5_incremental_plan", "t6_stream_daily_counts", "t8_stream_dedup_counts",
+    "w3_topk_per_group", "w5_topk_aggregator",
+    "k1_write_roundtrip", "k2_partition_pruned_read", "k3_upsert_last_wins",
+    "t5_incremental_plan", "t6_stream_daily_counts", "t8_stream_dedup_counts",
     "t7_sessionize_stateful", "sync_e2e_counts",
     "q1_pricing_summary", "q3_star_join_revenue", "q4_priority_exists",
     "q5_local_supplier_revenue", "q6_forecast_revenue", "q7_volume_shipping",
@@ -28,7 +25,7 @@ object Bench {
     "a13_grouping_sets", "w6_lag_lead", "f6_json_extract",
     "x_token_count", "x_quality_score", "x_lang_id", "x_dedup_exact",
     "x_ngram_jaccard", "x_minhash_lsh", "x_simhash_pairs", "x_char_ngrams",
-    "x_embed_cosine_topk", "x_embed_neardup", "x_ann_lsh", "x_ann_ivf",
+    "x_embed_cosine_topk", "x_ann_lsh", "x_ann_ivf",
     "x_sessionize", "x_multimodal_features",
     "x_stratified_sample", "x_tfidf_top_terms")
 

@@ -386,6 +386,19 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // K1+S2+S3 composed on a REAL Hive layout: write day-partitioned, read
+    // back with basePath, filter on the string partition column — Catalyst
+    // prunes to the one matching directory (the reference's
+    // push_down_predicate, S3) before any file I/O. The k1 roundtrip reads
+    // everything back; this one must read only day=2024-01-05/.
+    "k2_partition_pruned_read" -> ((s, dir) => {
+      val out = scratchDir("k2", dir).toString + "/hive"
+      events(s, dir).write.mode("overwrite").partitionBy("day").parquet(out)
+      Tables.loadPartition(s, out, "day", "2024-01-05")
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
     // K3: idempotent last-write-wins upsert by id (ID-based-transfer.py:198-223)
     "k3_upsert_last_wins" -> ((s, dir) => {
       val base = t(s, dir, "events").select(col("event_id"), col("value"), lit(1).as("version"))
@@ -1190,6 +1203,9 @@ object SparkEntry {
            FROM r WHERE rnk <= 5 ORDER BY event_type, rnk""",
       "k1_write_roundtrip" ->
         s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "k2_partition_pruned_read" ->
+        s"""SELECT event_type, count(*) AS cnt FROM events
+            WHERE $dayE = '2024-01-05' GROUP BY event_type ORDER BY event_type""",
       "k3_upsert_last_wins" ->
         """WITH allv AS (
              SELECT event_id, value, 1 AS version FROM events

@@ -70,6 +70,12 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final group-limit so only <=100 rows/group shuffle:\n$p")
   }
 
+  test("k2 hive-layout read prunes to the one matching partition directory") {
+    val p = plan("k2_partition_pruned_read")
+    assert(p.contains("PartitionFilters") && p.contains("2024-01-05"),
+      s"day predicate must prune partition directories, not filter rows:\n$p")
+  }
+
   test("simhash signatures are a pure projection: no explode, no aggregate") {
     val sigs = graft.ext.Dedup.simhashSignatures(
       graft.sources.Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
