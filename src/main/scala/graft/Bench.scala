@@ -13,7 +13,8 @@ object Bench {
     "s3_pruned_scan",
     "a1_daily_counts", "a3_topk_days", "a10_cube", "a12_percentiles",
     "j1_partition_anti", "j2_id_anti", "j3_count_reconcile",
-    "j7_asof_join", "j8_range_join", "j9_salted_join", "j10_bucketed_join", "j12_bloom_anti",
+    "j7_asof_join", "j8_range_join", "j9_salted_join", "j10_bucketed_join",
+    "j12_bloom_anti", "j13_asof_native",
     "w3_topk_per_group", "w5_topk_aggregator",
     "k1_write_roundtrip", "k2_partition_pruned_read", "k3_upsert_last_wins",
     "t5_incremental_plan", "t6_stream_daily_counts", "t8_stream_dedup_counts",

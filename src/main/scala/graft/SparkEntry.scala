@@ -277,6 +277,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // the native-operator form of j7 (custom LogicalPlan + Strategy +
+    // SparkPlan, graft.plans.AsOfJoinPlan): same oracle, but executed by a
+    // single forward-only merge per co-partitioned partition instead of the
+    // union + ignore-nulls-window composition
+    "j13_asof_native" -> ((s, dir) => {
+      val e = Tables.loadEvents(s, dir).withColumn("ts_ms", unix_millis(col("ts")))
+      val left = e.select("event_id", "user_id", "ts_ms")
+      val right = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_ms", "value", "event_id")
+      graft.ops.AsOfJoin.mostRecentNative(left, right, "user_id", "ts_ms", Seq("value"), tieBreak = "event_id")
+        .select(col("event_id"), coalesce(col("asof_value"), lit(-1.0)).as("last_purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // bucketed co-located join (scale pattern: both tables bucketed on the
     // join key → SortMergeJoin with NO exchange; the shuffle is paid once
     // at write time — plan pinned in BucketingSpec). Here the write+join
@@ -1149,6 +1163,19 @@ object SparkEntry {
            FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
              AND abs(a.ts_ms - b.ts_ms) <= 21600000
            GROUP BY a.user_id ORDER BY a.user_id""",
+      "j13_asof_native" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value, event_type FROM events),
+                u AS (
+                  SELECT event_id, user_id, ts_ms, 1 AS side,
+                         CAST(NULL AS BIGINT) AS tb, CAST(NULL AS DOUBLE) AS rv FROM e
+                  UNION ALL
+                  SELECT CAST(NULL AS BIGINT), user_id, ts_ms, 0 AS side, event_id AS tb, value AS rv
+                  FROM e WHERE event_type = 'purchase'),
+                wv AS (SELECT *, last_value(rv IGNORE NULLS) OVER (
+                         PARTITION BY user_id ORDER BY ts_ms, side, tb NULLS LAST
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av FROM u)
+           SELECT event_id, coalesce(av, -1.0) AS last_purchase_value
+           FROM wv WHERE side = 1 ORDER BY event_id""",
       "j7_asof_join" ->
         """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value, event_type FROM events),
                 u AS (

@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,5 +52,43 @@ object AsOfJoin {
       .select((leftCols.map(col) :+ col(side)) ++
         valueCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
     joined.filter(col(side) === 1).drop(side)
+  }
+
+  /** The same as-of semantics through the custom operator
+    * (graft.plans.AsOfJoinNode / AsOfJoinExec — SURVEY.md §2.10 route (c)):
+    * one co-partitioning exchange per side, one forward-only merge per
+    * partition, O(1) merge state. Output contract matches [[mostRecent]]:
+    * all left columns plus `asof_<valueCol>` payload columns (null when no
+    * right row qualifies).
+    */
+  def mostRecentNative(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      tieBreak: String): DataFrame = {
+    val spark = left.sparkSession
+    graft.plans.AsOfJoinStrategy.register(spark)
+    // alias the right side to fresh attribute ids: in the common self-join
+    // case both children would otherwise share ids, making references
+    // ambiguous inside the custom node
+    val r2 = right.select(right.columns.toSeq.map(c => col(c).as(s"__r_$c")): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r2.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    val payloadAttrs = valueCols.map(c => attr(rPlan, s"__r_$c"))
+    val payloadOut = valueCols.zip(payloadAttrs).map { case (c, a) =>
+      AttributeReference(s"asof_$c", a.dataType, nullable = true)()
+    }
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      graft.plans.AsOfJoinNode(
+        lPlan, rPlan,
+        attr(lPlan, keyCol), attr(rPlan, s"__r_$keyCol"),
+        attr(lPlan, tsCol), attr(rPlan, s"__r_$tsCol"),
+        attr(rPlan, s"__r_$tieBreak"),
+        payloadAttrs, payloadOut))
   }
 }

@@ -1,0 +1,159 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join (SURVEY.md §2.10, preference order (c): custom
+  * LogicalPlan + SparkStrategy + SparkPlan — the whole-operator route for
+  * semantics Spark lacks).
+  *
+  * Semantics (identical to the composed `graft.ops.AsOfJoin.mostRecent`):
+  * for every left row, carry the payload of the most recent right row with
+  * the same key and right.ts <= left.ts; right-side ties at equal ts are
+  * broken by `rightTie` ascending (the last wins); left rows with no match
+  * — or with a null key/ts — carry nulls.
+  *
+  * Why a custom operator: the composed form unions both sides and runs an
+  * ignore-nulls `last` window per carried column, paying the window
+  * machinery (frame evaluation, one pass per column) over |L|+|R| rows.
+  * This plan declares the SAME distribution+ordering requirements a
+  * sort-merge join would (cluster by key, sort by (key, ts)) — so
+  * EnsureRequirements inserts exactly one co-partitioning exchange per
+  * side — and then streams BOTH sorted sides through a single O(|L|+|R|)
+  * forward-only merge per partition, all payload columns at once, with
+  * O(1) state (the current candidate). At 100 TB: one shuffle each side,
+  * no window buffers, no per-column passes.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression,
+    rightTie: Expression,
+    payload: Seq[Expression],
+    payloadOut: Seq[Attribute])
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  // payloadOut attrs are born here, not consumed from children
+  override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: AsOfJoinNode → AsOfJoinExec. Registered either via
+  * `spark.experimental.extraStrategies` ([[register]]) or through
+  * `graft.GraftExtensions` (spark.sql.extensions).
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, tie, payload, payloadOut) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie, payload, payloadOut) :: Nil
+    case _ => Nil
+  }
+
+  /** Idempotently add the strategy to a live session's planner. */
+  def register(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression,
+    rightTie: Expression,
+    payload: Seq[Expression],
+    payloadOut: Seq[Attribute])
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  // the same contract a sort-merge join declares: hash-cluster both sides
+  // on the key (EnsureRequirements co-partitions them), sort within
+  // partitions by (key, ts[, tie]) — then the merge below is one forward
+  // pass, no buffering beyond the current candidate
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending), SortOrder(rightTie, Ascending)))
+
+  // left rows pass through in order, one output row per left row
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val nPayload = payloadOut.size
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lk = BindReferences.bindReference(leftKey, lOut)
+      val lt = BindReferences.bindReference(leftTs, lOut)
+      val rk = BindReferences.bindReference(rightKey, rOut)
+      val rt = BindReferences.bindReference(rightTs, rOut)
+      val pProj = UnsafeProjection.create(payload.map(BindReferences.bindReference(_, rOut)))
+      val resultProj = UnsafeProjection.create(output, lOut ++ payloadOut)
+      val nullPayload = new GenericInternalRow(nPayload)
+      val joined = new JoinedRow
+
+      // nulls-first child ordering: null-keyed/ts right rows lead each
+      // partition and are skipped; null-keyed/ts left rows emit nulls
+      @inline def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+      val rBuf = rIt.buffered
+      // current best right row for candKey: survives across left rows
+      // because left is (key, ts)-sorted too
+      var candKey: Any = null
+      var candPayload: InternalRow = null
+
+      lIt.map { lRow =>
+        val lKeyV = lk.eval(lRow)
+        val lTsV = lt.eval(lRow)
+        if (lKeyV == null || lTsV == null) resultProj(joined(lRow, nullPayload))
+        else {
+          var done = false
+          while (!done && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val rKeyV = rk.eval(rRow)
+            val rTsV = rt.eval(rRow)
+            if (rKeyV == null || rTsV == null) { rBuf.next(); () }
+            else {
+              val c = cmp(rKeyV, lKeyV)
+              if (c < 0) { rBuf.next(); () } // key exhausted; drop
+              else if (c == 0 && cmp(rTsV, lTsV) <= 0) {
+                // copy: the buffered row's memory is reused after next()
+                candKey = InternalRow.copyValue(rKeyV)
+                candPayload = pProj(rRow).copy()
+                rBuf.next(); ()
+              } else done = true // right is ahead of this left row
+            }
+          }
+          if (candPayload != null && cmp(candKey, lKeyV) == 0)
+            resultProj(joined(lRow, candPayload))
+          else resultProj(joined(lRow, nullPayload))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

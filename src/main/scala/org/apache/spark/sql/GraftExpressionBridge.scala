@@ -12,3 +12,11 @@ object GraftExpressionBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge to Dataset.ofRows (private[sql] in Spark 4) — needed to wrap a
+  * custom LogicalPlan (graft.plans.AsOfJoinNode) as a DataFrame.
+  */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -33,6 +33,59 @@ class AsOfJoinSpec extends AnyFunSuite {
     ))
   }
 
+  test("native as-of join equals the composed form on the events table") {
+    val e = graft.sources.Tables.loadEvents(spark, TestSpark.sfDir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+    val left = e.select("event_id", "user_id", "ts_ms")
+    val right = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts_ms", "value", "event_id")
+
+    def collectOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("asof_value"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+
+    val composed = collectOf(
+      AsOfJoin.mostRecent(left, right, "user_id", "ts_ms", Seq("value"), tieBreak = "event_id"))
+    val native = collectOf(
+      AsOfJoin.mostRecentNative(left, right, "user_id", "ts_ms", Seq("value"), tieBreak = "event_id"))
+    assert(native === composed)
+  }
+
+  test("native as-of join handles null keys/ts and empty right side") {
+    val left = Seq(
+      (1L, Option("u1"), Option(100L)),
+      (2L, None: Option[String], Option(100L)),
+      (3L, Option("u1"), None: Option[Long])
+    ).toDF("event_id", "user_id", "ts_ms")
+    val right = Seq(
+      (Option("u1"), Option(50L), 1.0, 1L),
+      (None: Option[String], Option(60L), 2.0, 2L),
+      (Option("u1"), None: Option[Long], 3.0, 3L)
+    ).toDF("user_id", "ts_ms", "value", "rid")
+    val out = AsOfJoin.mostRecentNative(left, right, "user_id", "ts_ms", Seq("value"), "rid")
+      .select(col("event_id"), col("asof_value"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    assert(out === Seq((1L, Some(1.0)), (2L, None), (3L, None)))
+
+    val emptyRight = right.filter(col("rid") < 0)
+    val out2 = AsOfJoin.mostRecentNative(left, emptyRight, "user_id", "ts_ms", Seq("value"), "rid")
+      .count()
+    assert(out2 === 3L)
+  }
+
+  test("native as-of join plans one exchange per side and the custom exec") {
+    val e = graft.sources.Tables.loadEvents(spark, TestSpark.sfDir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+    val left = e.select("event_id", "user_id", "ts_ms")
+    val right = e.select("user_id", "ts_ms", "value", "event_id")
+    val p = AsOfJoin.mostRecentNative(left, right, "user_id", "ts_ms", Seq("value"), "event_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoinExec") || p.contains("AsOfJoin"), s"custom exec must plan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"exactly one co-partitioning exchange per side:\n$p")
+    assert(!p.contains("Window"), s"no window machinery in the native plan:\n$p")
+  }
+
   test("ties inside the right side at equal ts resolve to the highest tieBreak") {
     val left = Seq((1L, "u", 100L)).toDF("event_id", "user_id", "ts_ms")
     val right = Seq(("u", 100L, 1.0, 7L), ("u", 100L, 2.0, 9L), ("u", 100L, 1.5, 8L))
