@@ -11,7 +11,7 @@ object Bench {
     */
   val headline: Seq[String] = Seq(
     "s3_pruned_scan",
-    "a1_daily_counts", "a3_topk_days", "a10_cube", "a12_percentiles",
+    "a1_daily_counts", "a3_topk_days", "a10_cube", "a12_percentiles", "a15_dispersion_exact",
     "j1_partition_anti", "j2_id_anti", "j3_count_reconcile",
     "j7_asof_join", "j8_range_join", "j9_salted_join", "j10_bucketed_join",
     "j12_bloom_anti", "j13_asof_native",
@@ -23,7 +23,7 @@ object Bench {
     "q5_local_supplier_revenue", "q6_forecast_revenue", "q7_volume_shipping",
     "q10_returned_items", "q13_order_distribution", "q14_promo_revenue",
     "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_pred",
-    "a13_grouping_sets", "w6_lag_lead", "f6_json_extract",
+    "a13_grouping_sets", "w6_lag_lead", "w8_percent_rank", "f6_json_extract",
     "x_token_count", "x_quality_score", "x_lang_id", "x_dedup_exact",
     "x_ngram_jaccard", "x_minhash_lsh", "x_simhash_pairs", "x_char_ngrams",
     "x_embed_cosine_topk", "x_ann_lsh", "x_ann_ivf",

@@ -183,6 +183,55 @@ object SparkEntry {
         mergeAggs = Seq(sum(col("pc")).as("cnt")))
         .orderBy("event_type")),
 
+    // dispersion statistics via exact decimal moments: stddev/variance from
+    // sum and sum-of-squares (per-row double square, exact decimal sums,
+    // closed-form finish) — order-independent and engine-portable where the
+    // built-in stddev's double accumulation is not hash-stable
+    "a15_dispersion_exact" -> ((s, dir) => {
+      val x = col("l_quantity")
+      val n = count(lit(1))
+      val sx = dsum(x)
+      val sxx = dsum(x * x)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          n.as("cnt"),
+          round((sxx - sx * sx / n) / (n - lit(1)), 4).as("var_qty"),
+          round(sqrt((sxx - sx * sx / n) / (n - lit(1))), 4).as("std_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ordered collect: per event type, the distinct active days as one
+    // deterministic comma-joined string (collect_set → sort_array → join)
+    "a16_collect_days" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(concat_ws(",", sort_array(collect_set(col("day")))).as("days"),
+          countDistinct(col("day")).as("n_days"))
+        .orderBy("event_type")),
+
+    // three-valued-logic battery: NULLIF, COALESCE chains, IS DISTINCT FROM
+    "f7_null_semantics" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        expr("nullif(event_type, 'click')").as("et_null"),
+        expr("coalesce(nullif(event_type, 'click'), 'was_click')").as("et_coal"),
+        expr("CASE WHEN event_type IS DISTINCT FROM 'click' THEN 1 ELSE 0 END").as("not_click"))
+        .orderBy("event_id")),
+
+    // distribution-position analytics: percent_rank and cume_dist of each
+    // event's value within its type (rank ratios — identical integer
+    // arithmetic in both engines regardless of tie order)
+    "w8_percent_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("pr", round(percent_rank().over(w), 4))
+        .withColumn("cd", round(cume_dist().over(w), 4))
+        .orderBy("event_id")
+    }),
+
     // ------------------------------------------------- §2.3 filters/predicates
     // P2: equality filter (Partition-script.py:22)
     "p2_filter_eq" -> ((s, dir) =>
@@ -1108,6 +1157,33 @@ object SparkEntry {
             FROM events GROUP BY 1 ORDER BY 1""",
       "a11_salted_agg" ->
         "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+      "a15_dispersion_exact" ->
+        """SELECT l_returnflag, count(*) AS cnt,
+                  round((CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                         - CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                           * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+                        / (count(*) - 1), 4) AS var_qty,
+                  round(sqrt((CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                         - CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                           * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+                        / (count(*) - 1)), 4) AS std_qty
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      "a16_collect_days" ->
+        s"""SELECT event_type,
+                   string_agg(DISTINCT $dayE, ',' ORDER BY $dayE) AS days,
+                   count(DISTINCT $dayE) AS n_days
+            FROM events GROUP BY event_type ORDER BY event_type""",
+      "f7_null_semantics" ->
+        """SELECT event_id,
+                  nullif(event_type, 'click') AS et_null,
+                  coalesce(nullif(event_type, 'click'), 'was_click') AS et_coal,
+                  CASE WHEN event_type IS DISTINCT FROM 'click' THEN 1 ELSE 0 END AS not_click
+           FROM events ORDER BY event_id""",
+      "w8_percent_rank" ->
+        """SELECT event_id, event_type, value,
+                  round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 4) AS pr,
+                  round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 4) AS cd
+           FROM events ORDER BY event_id""",
       "j9_salted_join" ->
         """WITH dim AS (SELECT event_type, count(*) AS type_total FROM events GROUP BY 1)
            SELECT e.event_type, count(*) AS cnt, max(type_total) AS type_total
