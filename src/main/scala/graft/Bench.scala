@@ -28,7 +28,8 @@ object Bench {
     "x_ngram_jaccard", "x_minhash_lsh", "x_simhash_pairs", "x_char_ngrams",
     "x_embed_cosine_topk", "x_ann_lsh", "x_ann_ivf",
     "x_sessionize", "x_multimodal_features",
-    "x_stratified_sample", "x_tfidf_top_terms")
+    "x_stratified_sample", "x_tfidf_top_terms",
+    "x_dedup_clusters", "x_clean_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -960,6 +960,38 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.01)
         .orderBy("doc_a", "doc_b")),
 
+    // near-dup cluster RESOLUTION: connected components over the exact
+    // n-gram Jaccard pairs (same pair set as x_ngram_jaccard) — every doc
+    // labeled with the min doc id of its transitive duplicate cluster via
+    // distributed min-label propagation (graft.ext.Dedup.connectedComponents)
+    "x_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", n = 3, threshold = 0.01),
+        "doc_a", "doc_b")
+        .orderBy("id")),
+
+    // the composed C4-style cleaning pipeline: quality filter → exact dedup
+    // (keep min id per fingerprint) → deterministic per-language sample.
+    // One declarative plan: two window functions and a projection — each
+    // stage shuffles once on its own key, nothing funnels through the driver
+    "x_clean_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TF.qualityScore(col("text")).as("quality"),
+          TF.fingerprint(col("text")).as("fp"))
+        .filter(col("quality") >= 0.15) // ≈ corpus median; range is 0.03–0.32
+      val dedupW = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val h = (col("doc_id") * lit(2654435761L) + lit(17L)) % lit(1000000007L)
+      val sampleW = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+      f.withColumn("rn", row_number().over(dedupW)).filter(col("rn") === 1).drop("rn")
+        .withColumn("rnk", row_number().over(sampleW)).filter(col("rnk") <= 50)
+        .select("doc_id", "lang", "quality", "rnk")
+        .orderBy("lang", "rnk")
+    }),
+
     // MinHash+LSH near-dup over ALL documents — banded candidate join, no
     // O(n²); rows-only check (xxhash64 signatures aren't SQL-portable)
     "x_minhash_lsh" -> ((s, dir) =>
@@ -1624,6 +1656,37 @@ object SparkEntry {
             FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
             WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.01
             ORDER BY doc_a, doc_b""",
+      "x_dedup_clusters" ->
+        s"""WITH RECURSIVE d AS (SELECT doc_id, $toksE AS toks FROM documents WHERE doc_id % 4 = 0),
+                 s AS (SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+                   FROM d),
+                 e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+                 sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+                 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                       FROM e a JOIN e b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+                 pairs AS (
+                   SELECT doc_a, doc_b FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+                   WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.01),
+                 und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                         UNION SELECT doc_b, doc_a FROM pairs),
+                 reach(a, b) AS (
+                   SELECT a, a FROM (SELECT DISTINCT a FROM und)
+                   UNION
+                   SELECT u.a, r.b FROM und u JOIN reach r ON u.b = r.a)
+            SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY id""",
+      "x_clean_pipeline" ->
+        s"""WITH f AS (SELECT doc_id, lang, $qualityE AS quality,
+                         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+                       FROM documents),
+                 flt AS (SELECT * FROM f WHERE quality >= 0.15),
+                 dd AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                                       FROM flt) WHERE rn = 1),
+                 sm AS (SELECT *, row_number() OVER (PARTITION BY lang
+                          ORDER BY (doc_id * 2654435761 + 17) % 1000000007, doc_id) AS rnk FROM dd)
+            SELECT doc_id, lang, quality, CAST(rnk AS INTEGER) AS rnk
+            FROM sm WHERE rnk <= 50 ORDER BY lang, rnk""",
       "x_embed_cosine_topk" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
                 q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),

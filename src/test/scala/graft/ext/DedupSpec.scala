@@ -79,6 +79,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("connectedComponents resolves transitive clusters to the min id") {
+    // chain 1-2-3-4 (one cluster, never directly paired end-to-end),
+    // pair 10-11, singleton edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("embeddingNearDup finds parallel vectors, skips orthogonal ones") {
     val embs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
