@@ -488,6 +488,22 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // T5 at the aggregate level: incremental materialized-view refresh —
+    // the daily-counts MV is seeded with pre-gap days, then ONE refresh
+    // aggregates only the missing partitions (partition-pruned scan +
+    // partitionBy append; no full recompute). Final MV = full daily counts.
+    "t9_incremental_agg" -> ((s, dir) => {
+      val aggDir = scratchDir("t9", dir).toString + "/daily_counts_mv"
+      val src = events(s, dir)
+      val agg: DataFrame => DataFrame = df => df.groupBy("day").agg(count(lit(1)).as("cnt"))
+      agg(src.filter(col("day") < "2024-01-20"))
+        .write.mode("overwrite").partitionBy("day").parquet(aggDir)
+      graft.sync.IncrementalSync.incrementalAggRefresh(src, aggDir, "day", agg)
+      s.read.parquet(aggDir)
+        .select(col("day").cast("string").as("day"), col("cnt"))
+        .orderBy("day")
+    }),
+
     // §3.1 + §3.2 composed, end to end: seed the emulated index with the
     // partial sink state, run the partition-incremental sync (moves the
     // wholly-missing days), then the id-level reconciliation (fills the
@@ -1361,6 +1377,8 @@ object SparkEntry {
             WHERE EXISTS (SELECT 1 FROM missing WHERE missing.day = e.day)
             GROUP BY day ORDER BY day""",
       "sync_e2e_counts" ->
+        s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "t9_incremental_agg" ->
         s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
       "t6_stream_daily_counts" ->
         s"""SELECT $dayE AS day, event_type, count(*) AS cnt FROM events

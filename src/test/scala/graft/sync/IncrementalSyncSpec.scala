@@ -59,6 +59,20 @@ class IncrementalSyncSpec extends AnyFunSuite {
     assert(moved2 === 0L)
   }
 
+  test("incrementalAggRefresh aggregates only missing partitions, then is a no-op") {
+    val aggDir = Files.createTempDirectory("graft_mv").toString + "/mv"
+    val agg: DataFrame => DataFrame = df => df.groupBy("month").agg(count(lit(1)).as("cnt"))
+    // seed with Jan only
+    agg(source.filter($"month" === "Jan")).write.partitionBy("month").parquet(aggDir)
+    val added = IncrementalSync.incrementalAggRefresh(source, aggDir, "month", agg)
+    assert(added === Seq("Feb", "Mar"))
+    val mv = spark.read.parquet(aggDir)
+      .select($"month".cast("string"), $"cnt").as[(String, Long)].collect().toMap
+    assert(mv === Map("Jan" -> 2L, "Feb" -> 2L, "Mar" -> 2L))
+    // second refresh: nothing missing, nothing written
+    assert(IncrementalSync.incrementalAggRefresh(source, aggDir, "month", agg) === Seq.empty)
+  }
+
   test("verifyInSync tolerates sink duplicates via dedup (auto-id append path)") {
     val dup = source.unionByName(source.limit(2)) // duplicated rows, as K2+retry can produce
     assert(IncrementalSync.verifyInSync(source, dup, "month", "id") === ((0L, 0L)))
