@@ -926,6 +926,22 @@ object SparkEntry {
           coalesce(get_json_object(col("props"), "$.k").try_cast("int"), lit(-1)).as("k_int"))
         .orderBy("event_id")),
 
+    // array-function battery over tokenized text: size, membership, slice,
+    // distinct+sort, negative indexing — the ArrayType surface the
+    // embeddings/documents extensions rest on
+    "f8_array_funcs" -> ((s, dir) => {
+      val toks = split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(
+          col("doc_id"),
+          size(toks).as("n"),
+          array_contains(toks, "the").as("has_the"),
+          concat_ws("|", slice(toks, 1, 5)).as("first5"),
+          concat_ws("|", sort_array(array_distinct(toks))).as("sorted_distinct"),
+          element_at(toks, -1).as("last_tok"))
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------------- LLM-pipeline extensions
     "x_token_count" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1674,6 +1690,14 @@ object SparkEntry {
             FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
             WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.01
             ORDER BY doc_a, doc_b""",
+      "f8_array_funcs" ->
+        s"""SELECT doc_id,
+                   CAST(len($toksE) AS INTEGER) AS n,
+                   list_contains($toksE, 'the') AS has_the,
+                   array_to_string(($toksE)[1:5], '|') AS first5,
+                   array_to_string(list_sort(list_distinct($toksE)), '|') AS sorted_distinct,
+                   ($toksE)[-1] AS last_tok
+            FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
       "x_dedup_clusters" ->
         s"""WITH RECURSIVE d AS (SELECT doc_id, $toksE AS toks FROM documents WHERE doc_id % 4 = 0),
                  s AS (SELECT doc_id,

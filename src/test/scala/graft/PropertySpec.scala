@@ -103,6 +103,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents matches a union-find reference on random graphs") {
+    val edgesGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 25L)
+      b <- Gen.choose(0L, 25L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    samples(edgesGen, 4).foreach { edges =>
+      // reference: plain union-find with min-id roots
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      edges.foreach { case (a, b) => union(a, b) }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+
+      val got = graft.ext.Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === expected)
+    }
+  }
+
   test("exact dedup then dedup again is a fixpoint") {
     val textsGen = Gen.nonEmptyListOf(Gen.oneOf("a b c", "a  b c", "x y", "z"))
     samples(textsGen, 6).foreach { texts =>
