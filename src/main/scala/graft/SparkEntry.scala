@@ -53,7 +53,9 @@ object SparkEntry {
   }
 
   private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    // null guard: listFiles returns null on I/O error or a TOCTOU race
+    // (e.g. the stream's checkpoint manager cleaning its own temp files)
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
     f.delete(): Unit
   }
 
@@ -1128,9 +1130,14 @@ object SparkEntry {
         .orderBy("event_type", "rnk")
     }),
 
-    // TF-IDF top-3 terms per document over a bounded corpus slice: term
-    // frequencies and document frequencies as two aggregations, the corpus
-    // size broadcast as a scalar, per-doc ranking by score
+    // TF-IDF-style top-3 terms per document over a bounded corpus slice:
+    // term frequencies and document frequencies as two aggregations, the
+    // corpus size broadcast as a scalar, per-doc ranking by score. The
+    // inverse-document-frequency factor is the RATIONAL (n+1)/(df+1), not
+    // ln(n/df): a single small-integer division is bit-identical across
+    // engines, where JVM Math.log and libm ln are only 1-ulp-accurate and
+    // can flip a rounded score or a rank at a boundary (NOTES.md parity
+    // lessons — same monotonicity in df, so the ranking semantics hold)
     "x_tfidf_top_terms" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
@@ -1142,7 +1149,7 @@ object SparkEntry {
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
         .withColumn("score",
-          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+          round(col("tf") * ((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1))), 4))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
       scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
         .select("doc_id", "rnk", "term", "score")
@@ -1590,7 +1597,7 @@ object SparkEntry {
              dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
              n AS (SELECT count(*) AS n_docs FROM docs),
              scored AS (SELECT tf.doc_id, tf.term,
-                          round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+                          round(tf * (CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 4) AS score
                         FROM tf JOIN dfreq USING (term) CROSS JOIN n),
              r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
                    FROM scored)

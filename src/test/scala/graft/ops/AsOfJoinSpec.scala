@@ -86,6 +86,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window machinery in the native plan:\n$p")
   }
 
+  test("native tie-breaking matches composed when the tiebreak is null (nulls last)") {
+    val left = Seq((1L, "u", 100L)).toDF("event_id", "user_id", "ts_ms")
+    val right = Seq(
+      ("u", 100L, 2.0, Some(5L)),
+      ("u", 100L, 1.0, Option.empty[Long])
+    ).toDF("user_id", "ts_ms", "value", "rid")
+    val composed = AsOfJoin.mostRecent(left, right, "user_id", "ts_ms", Seq("value"), "rid")
+      .select("asof_value").as[Double].head()
+    val native = AsOfJoin.mostRecentNative(left, right, "user_id", "ts_ms", Seq("value"), "rid")
+      .select("asof_value").as[Double].head()
+    assert(native === composed)
+    assert(native === 1.0) // the null-tie row sorts last among equal ts and wins
+  }
+
   test("ties inside the right side at equal ts resolve to the highest tieBreak") {
     val left = Seq((1L, "u", 100L)).toDF("event_id", "user_id", "ts_ms")
     val right = Seq(("u", 100L, 1.0, 7L), ("u", 100L, 2.0, 9L), ("u", 100L, 1.5, 8L))
