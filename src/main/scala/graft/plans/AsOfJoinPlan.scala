@@ -102,10 +102,18 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of left rows with an as-of match"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
     val nPayload = payloadOut.size
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lk = BindReferences.bindReference(leftKey, lOut)
       val lt = BindReferences.bindReference(leftTs, lOut)
@@ -127,6 +135,7 @@ case class AsOfJoinExec(
       var candPayload: InternalRow = null
 
       lIt.map { lRow =>
+        numOutputRows += 1
         val lKeyV = lk.eval(lRow)
         val lTsV = lt.eval(lRow)
         if (lKeyV == null || lTsV == null) resultProj(joined(lRow, nullPayload))
@@ -148,9 +157,10 @@ case class AsOfJoinExec(
               } else done = true // right is ahead of this left row
             }
           }
-          if (candPayload != null && cmp(candKey, lKeyV) == 0)
+          if (candPayload != null && cmp(candKey, lKeyV) == 0) {
+            numMatched += 1
             resultProj(joined(lRow, candPayload))
-          else resultProj(joined(lRow, nullPayload))
+          } else resultProj(joined(lRow, nullPayload))
         }
       }
     }
