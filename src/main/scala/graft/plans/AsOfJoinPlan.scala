@@ -114,53 +114,92 @@ case class AsOfJoinExec(
     val nPayload = payloadOut.size
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
+    // fast path when both key and ts are long-backed (the common shape:
+    // bigint keys, epoch-millis timestamps): codegen'd UnsafeProjection
+    // extraction + primitive comparisons, no per-row boxing
+    val longBacked = Seq(leftKey, rightKey).forall(_.dataType == org.apache.spark.sql.types.LongType) &&
+      Seq(leftTs, rightTs).forall(_.dataType == org.apache.spark.sql.types.LongType)
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
-      val lk = BindReferences.bindReference(leftKey, lOut)
-      val lt = BindReferences.bindReference(leftTs, lOut)
-      val rk = BindReferences.bindReference(rightKey, rOut)
-      val rt = BindReferences.bindReference(rightTs, rOut)
       val pProj = UnsafeProjection.create(payload.map(BindReferences.bindReference(_, rOut)))
       val resultProj = UnsafeProjection.create(output, lOut ++ payloadOut)
       val nullPayload = new GenericInternalRow(nPayload)
       val joined = new JoinedRow
-
-      // nulls-first child ordering: null-keyed/ts right rows lead each
-      // partition and are skipped; null-keyed/ts left rows emit nulls
-      @inline def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
-
       val rBuf = rIt.buffered
-      // current best right row for candKey: survives across left rows
-      // because left is (key, ts)-sorted too
-      var candKey: Any = null
+      // nulls-first child ordering: null-keyed/ts right rows lead each
+      // partition and are skipped; null-keyed/ts left rows emit nulls.
+      // The current best right payload survives across left rows because
+      // left is (key, ts)-sorted too.
       var candPayload: InternalRow = null
 
-      lIt.map { lRow =>
-        numOutputRows += 1
-        val lKeyV = lk.eval(lRow)
-        val lTsV = lt.eval(lRow)
-        if (lKeyV == null || lTsV == null) resultProj(joined(lRow, nullPayload))
-        else {
-          var done = false
-          while (!done && rBuf.hasNext) {
-            val rRow = rBuf.head
-            val rKeyV = rk.eval(rRow)
-            val rTsV = rt.eval(rRow)
-            if (rKeyV == null || rTsV == null) { rBuf.next(); () }
-            else {
-              val c = cmp(rKeyV, lKeyV)
-              if (c < 0) { rBuf.next(); () } // key exhausted; drop
-              else if (c == 0 && cmp(rTsV, lTsV) <= 0) {
-                // copy: the buffered row's memory is reused after next()
-                candKey = InternalRow.copyValue(rKeyV)
-                candPayload = pProj(rRow).copy()
-                rBuf.next(); ()
-              } else done = true // right is ahead of this left row
+      if (longBacked) {
+        val lProj = UnsafeProjection.create(Seq(leftKey, leftTs).map(BindReferences.bindReference(_, lOut)))
+        val rProj = UnsafeProjection.create(Seq(rightKey, rightTs).map(BindReferences.bindReference(_, rOut)))
+        var candKey = 0L
+        var hasCand = false
+        lIt.map { lRow =>
+          numOutputRows += 1
+          val lr = lProj(lRow)
+          if (lr.isNullAt(0) || lr.isNullAt(1)) resultProj(joined(lRow, nullPayload))
+          else {
+            val lKey = lr.getLong(0)
+            val lTs = lr.getLong(1)
+            var done = false
+            while (!done && rBuf.hasNext) {
+              val rRow = rBuf.head
+              val rr = rProj(rRow)
+              if (rr.isNullAt(0) || rr.isNullAt(1)) { rBuf.next(); () }
+              else {
+                val rKey = rr.getLong(0)
+                if (rKey < lKey) { rBuf.next(); () } // key exhausted; drop
+                else if (rKey == lKey && rr.getLong(1) <= lTs) {
+                  candKey = rKey
+                  hasCand = true
+                  candPayload = pProj(rRow).copy() // buffer reused after next()
+                  rBuf.next(); ()
+                } else done = true // right is ahead of this left row
+              }
             }
+            if (hasCand && candKey == lKey) {
+              numMatched += 1
+              resultProj(joined(lRow, candPayload))
+            } else resultProj(joined(lRow, nullPayload))
           }
-          if (candPayload != null && cmp(candKey, lKeyV) == 0) {
-            numMatched += 1
-            resultProj(joined(lRow, candPayload))
-          } else resultProj(joined(lRow, nullPayload))
+        }
+      } else {
+        val lk = BindReferences.bindReference(leftKey, lOut)
+        val lt = BindReferences.bindReference(leftTs, lOut)
+        val rk = BindReferences.bindReference(rightKey, rOut)
+        val rt = BindReferences.bindReference(rightTs, rOut)
+        @inline def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+        var candKey: Any = null
+        lIt.map { lRow =>
+          numOutputRows += 1
+          val lKeyV = lk.eval(lRow)
+          val lTsV = lt.eval(lRow)
+          if (lKeyV == null || lTsV == null) resultProj(joined(lRow, nullPayload))
+          else {
+            var done = false
+            while (!done && rBuf.hasNext) {
+              val rRow = rBuf.head
+              val rKeyV = rk.eval(rRow)
+              val rTsV = rt.eval(rRow)
+              if (rKeyV == null || rTsV == null) { rBuf.next(); () }
+              else {
+                val c = cmp(rKeyV, lKeyV)
+                if (c < 0) { rBuf.next(); () } // key exhausted; drop
+                else if (c == 0 && cmp(rTsV, lTsV) <= 0) {
+                  // copy: the buffered row's memory is reused after next()
+                  candKey = InternalRow.copyValue(rKeyV)
+                  candPayload = pProj(rRow).copy()
+                  rBuf.next(); ()
+                } else done = true // right is ahead of this left row
+              }
+            }
+            if (candPayload != null && cmp(candKey, lKeyV) == 0) {
+              numMatched += 1
+              resultProj(joined(lRow, candPayload))
+            } else resultProj(joined(lRow, nullPayload))
+          }
         }
       }
     }

@@ -73,6 +73,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out2 === 3L)
   }
 
+  test("native fast path (long keys) handles null keys and null ts") {
+    val left = Seq(
+      (1L, Option(5L), Option(100L)),
+      (2L, Option.empty[Long], Option(100L)),
+      (3L, Option(5L), Option.empty[Long])
+    ).toDF("event_id", "user_id", "ts_ms")
+    val right = Seq(
+      (Option(5L), Option(50L), 1.0, 1L),
+      (Option.empty[Long], Option(60L), 2.0, 2L),
+      (Option(5L), Option.empty[Long], 3.0, 3L)
+    ).toDF("user_id", "ts_ms", "value", "rid")
+    val out = AsOfJoin.mostRecentNative(left, right, "user_id", "ts_ms", Seq("value"), "rid")
+      .select(col("event_id"), col("asof_value"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    assert(out === Seq((1L, Some(1.0)), (2L, None), (3L, None)))
+  }
+
   test("native as-of join plans one exchange per side and the custom exec") {
     val e = graft.sources.Tables.loadEvents(spark, TestSpark.sfDir)
       .withColumn("ts_ms", unix_millis(col("ts")))
