@@ -18,7 +18,7 @@ object Bench {
     "w3_topk_per_group", "w5_topk_aggregator",
     "k1_write_roundtrip", "k2_partition_pruned_read", "k3_upsert_last_wins",
     "t5_incremental_plan", "t6_stream_daily_counts", "t8_stream_dedup_counts", "t9_incremental_agg",
-    "t7_sessionize_stateful", "sync_e2e_counts",
+    "t7_sessionize_stateful", "sync_e2e_counts", "w9_session_window",
     "q1_pricing_summary", "q3_star_join_revenue", "q4_priority_exists",
     "q5_local_supplier_revenue", "q6_forecast_revenue", "q7_volume_shipping",
     "q10_returned_items", "q13_order_distribution", "q14_promo_revenue",

@@ -586,6 +586,19 @@ object SparkEntry {
           col("first_ts").as("first_ms"), col("last_ts").as("last_ms"))
         .orderBy("user_id", "first_ms")),
 
+    // Spark's BUILT-IN session window (merging event-time sessions with a
+    // 1 h inactivity gap) — the native operator form of x_sessionize's
+    // manual gaps-and-islands. Boundary semantics: an event exactly gap
+    // after the previous one starts a NEW session (session windows are
+    // half-open [first, last+gap)), so the oracle's island rule is >= gap.
+    "w9_session_window" -> ((s, dir) =>
+      Tables.loadEvents(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"), max(unix_millis(col("ts"))).as("last_ms"))
+        .select(col("user_id"), unix_millis(col("session_window.start")).as("first_ms"),
+          col("last_ms"), col("n_events"))
+        .orderBy("user_id", "first_ms")),
+
     // gaps-and-islands sessionization (lag + cumulative-sum windows);
     // streaming twin with custom state lives in graft.streaming
     "x_sessionize" -> ((s, dir) =>
@@ -1420,6 +1433,16 @@ object SparkEntry {
              m AS (SELECT *, max(session_idx) OVER (PARTITION BY user_id) AS mx FROM sess)
            SELECT user_id, n_events, first_ms, last_ms
            FROM m WHERE session_idx < mx ORDER BY user_id, first_ms""",
+      "w9_session_window" ->
+        """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+             f AS (SELECT user_id, ts_ms,
+                     CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL THEN 1
+                          WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) >= 3600000 THEN 1
+                          ELSE 0 END AS new_session FROM e),
+             g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM f)
+           SELECT user_id, min(ts_ms) AS first_ms, max(ts_ms) AS last_ms, count(*) AS n_events
+           FROM g GROUP BY user_id, session_idx ORDER BY user_id, first_ms""",
       "x_sessionize" ->
         """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
              f AS (SELECT user_id, ts_ms,
