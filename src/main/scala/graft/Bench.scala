@@ -17,7 +17,7 @@ object Bench {
     "j12_bloom_anti", "j13_asof_native",
     "w3_topk_per_group", "w5_topk_aggregator",
     "k1_write_roundtrip", "k2_partition_pruned_read", "k3_upsert_last_wins",
-    "t5_incremental_plan", "t6_stream_daily_counts", "t8_stream_dedup_counts", "t9_incremental_agg",
+    "t5_incremental_plan", "t6_stream_daily_counts", "t8_stream_dedup_counts", "t9_incremental_agg", "t10_stream_interval_join",
     "t7_sessionize_stateful", "sync_e2e_counts", "w9_session_window",
     "q1_pricing_summary", "q3_star_join_revenue", "q4_priority_exists",
     "q5_local_supplier_revenue", "q6_forecast_revenue", "q7_volume_shipping",

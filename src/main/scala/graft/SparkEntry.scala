@@ -575,6 +575,33 @@ object SparkEntry {
         .groupBy("day").agg(count(lit(1)).as("cnt")).orderBy("day")
     }),
 
+    // stream-stream interval join end-to-end: clicks and purchases read as
+    // two file-source streams, watermarked, joined on user with a bounded
+    // time interval (purchase within 1 h after the click), matches appended
+    // to a memory sink. Bounded input drains fully, so per-day match counts
+    // oracle against the equivalent batch join.
+    "t10_stream_interval_join" -> ((s, dir) => {
+      val stageDir = scratchDir("t10", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events.parquet"))
+      val name = "t10_click_purchase"
+      try {
+        val ev = graft.streaming.EventStream.readEvents(s, stage)
+        graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.clickPurchaseJoin(
+            ev.filter(col("event_type") === "click"),
+            graft.streaming.EventStream.readEvents(s, stage)
+              .filter(col("event_type") === "purchase")),
+          name, s"$stage/ckpt", outputMode = "append")
+      } finally deleteRec(stageDir)
+      s.table(name)
+        .select(date_format(col("l_ts"), "yyyy-MM-dd").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("cnt"))
+        .orderBy("day")
+    }),
+
     // the custom-state form (flatMapGroupsWithState) of sessionization,
     // driven over the bounded events table: emits only gap-CLOSED sessions
     // (each user's trailing session stays in state — in a stream it closes
@@ -1419,6 +1446,13 @@ object SparkEntry {
       "t6_stream_daily_counts" ->
         s"""SELECT $dayE AS day, event_type, count(*) AS cnt FROM events
             GROUP BY 1, 2 ORDER BY 1, 2""",
+      "t10_stream_interval_join" ->
+        s"""WITH c AS (SELECT user_id, ts, epoch_ms(ts) AS tms FROM events WHERE event_type = 'click'),
+                 p AS (SELECT user_id, epoch_ms(ts) AS tms FROM events WHERE event_type = 'purchase')
+            SELECT strftime(c.ts, '%Y-%m-%d') AS day, count(*) AS cnt
+            FROM c JOIN p ON c.user_id = p.user_id
+              AND p.tms >= c.tms AND p.tms <= c.tms + 3600000
+            GROUP BY 1 ORDER BY 1""",
       "t7_sessionize_stateful" ->
         """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
              f AS (SELECT user_id, ts_ms,

@@ -61,6 +61,26 @@ object EventStream {
   def dedupById(events: DataFrame, idCol: String): DataFrame =
     events.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join: each click matched to the same user's
+    * purchases within the following hour. Both sides carry watermarks and
+    * the join condition bounds event time in BOTH directions, so Spark can
+    * evict join state once the watermark passes — state is bounded by the
+    * interval length × arrival rate, not by the stream's history. (The
+    * generous default watermark fits the bounded test corpus; production
+    * tightens it to its real lateness bound.)
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "10 days"): DataFrame = {
+    val l = clicks
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("click_id"))
+      .withWatermark("l_ts", watermark)
+    val r = purchases
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      "l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval 1 hour"))
+  }
+
   /** Run a (bounded) streaming query to a named in-memory table and block
     * until the file source is drained — the test/smoke harness.
     * `outputMode` is "complete" for aggregations, "append" for row streams.
