@@ -588,12 +588,15 @@ object SparkEntry {
         java.nio.file.Paths.get(s"$stage/events.parquet"))
       val name = "t10_click_purchase"
       try {
-        val ev = graft.streaming.EventStream.readEvents(s, stage)
+        // two INDEPENDENT file sources on purpose (each join leg keeps its
+        // own offsets/state in the checkpoint; reusing one stream would make
+        // this a self-join with different bookkeeping)
+        val clicks = graft.streaming.EventStream.readEvents(s, stage)
+          .filter(col("event_type") === "click")
+        val purchases = graft.streaming.EventStream.readEvents(s, stage)
+          .filter(col("event_type") === "purchase")
         graft.streaming.EventStream.runToMemory(
-          graft.streaming.EventStream.clickPurchaseJoin(
-            ev.filter(col("event_type") === "click"),
-            graft.streaming.EventStream.readEvents(s, stage)
-              .filter(col("event_type") === "purchase")),
+          graft.streaming.EventStream.clickPurchaseJoin(clicks, purchases),
           name, s"$stage/ckpt", outputMode = "append")
       } finally deleteRec(stageDir)
       s.table(name)
@@ -620,7 +623,11 @@ object SparkEntry {
     // half-open [first, last+gap)), so the oracle's island rule is >= gap.
     "w9_session_window" -> ((s, dir) =>
       Tables.loadEvents(s, dir)
-        .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+        // session over ms-truncated event time: the oracle's island rule
+        // works in epoch-ms, and raw micro precision would split/merge
+        // sessions differently when a gap is within 1 ms of exactly 1 h
+        .groupBy(col("user_id"),
+          session_window(timestamp_millis(unix_millis(col("ts"))), "1 hour"))
         .agg(count(lit(1)).as("n_events"), max(unix_millis(col("ts"))).as("last_ms"))
         .select(col("user_id"), unix_millis(col("session_window.start")).as("first_ms"),
           col("last_ms"), col("n_events"))

@@ -13,10 +13,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * semantics Spark lacks).
   *
   * Semantics (identical to the composed `graft.ops.AsOfJoin.mostRecent`):
-  * for every left row, carry the payload of the most recent right row with
-  * the same key and right.ts <= left.ts; right-side ties at equal ts are
-  * broken by `rightTie` ascending (the last wins); left rows with no match
-  * — or with a null key/ts — carry nulls.
+  * for every left row, each payload column independently carries the LAST
+  * non-null value among right rows with the same key and right.ts <=
+  * left.ts, in (ts, tie) order — exactly the composed form's
+  * `last(col, ignoreNulls = true)` window, so a null value in a later
+  * right row does not erase an earlier one. Right-side ties at equal ts
+  * are broken by `rightTie` ascending nulls-last (the last wins); left
+  * rows with no qualifying right row — or with a null key/ts — carry
+  * nulls.
   *
   * Why a custom operator: the composed form unions both sides and runs an
   * ignore-nulls `last` window per carried column, paying the window
@@ -125,11 +129,29 @@ case class AsOfJoinExec(
       val nullPayload = new GenericInternalRow(nPayload)
       val joined = new JoinedRow
       val rBuf = rIt.buffered
-      // nulls-first child ordering: null-keyed/ts right rows lead each
-      // partition and are skipped; null-keyed/ts left rows emit nulls.
-      // The current best right payload survives across left rows because
-      // left is (key, ts)-sorted too.
-      var candPayload: InternalRow = null
+      // Per-column ignore-nulls candidate, matching the composed form's
+      // last(col, ignoreNulls) window exactly: each payload column
+      // independently carries the LAST non-null value among the current
+      // key's consumed right rows (a null value in a later row does not
+      // erase an earlier one). The candidate survives across left rows
+      // because left is (key, ts)-sorted too; nulls-first child ordering
+      // means null-keyed/ts right rows lead each partition and are skipped,
+      // and null-keyed/ts left rows emit nulls.
+      val pTypes = payloadOut.map(_.dataType).toArray
+      val candVals = new Array[Any](nPayload)
+      val candRow = new GenericInternalRow(candVals)
+      def resetCand(): Unit = {
+        var c = 0
+        while (c < nPayload) { candVals(c) = null; c += 1 }
+      }
+      def absorb(rRow: InternalRow): Unit = {
+        val p = pProj(rRow)
+        var c = 0
+        while (c < nPayload) {
+          if (!p.isNullAt(c)) candVals(c) = InternalRow.copyValue(p.get(c, pTypes(c)))
+          c += 1
+        }
+      }
 
       if (longBacked) {
         val lProj = UnsafeProjection.create(Seq(leftKey, leftTs).map(BindReferences.bindReference(_, lOut)))
@@ -152,16 +174,17 @@ case class AsOfJoinExec(
                 val rKey = rr.getLong(0)
                 if (rKey < lKey) { rBuf.next(); () } // key exhausted; drop
                 else if (rKey == lKey && rr.getLong(1) <= lTs) {
+                  if (!hasCand || candKey != rKey) resetCand()
                   candKey = rKey
                   hasCand = true
-                  candPayload = pProj(rRow).copy() // buffer reused after next()
+                  absorb(rRow) // copies values; buffer reused after next()
                   rBuf.next(); ()
                 } else done = true // right is ahead of this left row
               }
             }
             if (hasCand && candKey == lKey) {
               numMatched += 1
-              resultProj(joined(lRow, candPayload))
+              resultProj(joined(lRow, candRow))
             } else resultProj(joined(lRow, nullPayload))
           }
         }
@@ -188,16 +211,16 @@ case class AsOfJoinExec(
                 val c = cmp(rKeyV, lKeyV)
                 if (c < 0) { rBuf.next(); () } // key exhausted; drop
                 else if (c == 0 && cmp(rTsV, lTsV) <= 0) {
-                  // copy: the buffered row's memory is reused after next()
+                  if (candKey == null || cmp(candKey, rKeyV) != 0) resetCand()
                   candKey = InternalRow.copyValue(rKeyV)
-                  candPayload = pProj(rRow).copy()
+                  absorb(rRow)
                   rBuf.next(); ()
                 } else done = true // right is ahead of this left row
               }
             }
-            if (candPayload != null && cmp(candKey, lKeyV) == 0) {
+            if (candKey != null && cmp(candKey, lKeyV) == 0) {
               numMatched += 1
-              resultProj(joined(lRow, candPayload))
+              resultProj(joined(lRow, candRow))
             } else resultProj(joined(lRow, nullPayload))
           }
         }

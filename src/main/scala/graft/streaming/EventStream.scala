@@ -71,11 +71,16 @@ object EventStream {
     */
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
       watermark: String = "10 days"): DataFrame = {
+    // event time truncated to MILLISECONDS before the join: the corpus
+    // carries sub-ms timestamp components, and the engine's parity contract
+    // (and its DuckDB oracle) works in epoch-ms — joining at raw micro
+    // precision would disagree with it on interval-boundary pairs
+    val msTs = timestamp_millis(unix_millis(col("ts")))
     val l = clicks
-      .select(col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("click_id"))
+      .select(col("user_id").as("l_user"), msTs.as("l_ts"), col("event_id").as("click_id"))
       .withWatermark("l_ts", watermark)
     val r = purchases
-      .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("purchase_id"))
+      .select(col("user_id").as("r_user"), msTs.as("r_ts"), col("event_id").as("purchase_id"))
       .withWatermark("r_ts", watermark)
     l.join(r, expr(
       "l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval 1 hour"))

@@ -103,6 +103,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window machinery in the native plan:\n$p")
   }
 
+  test("null payload values backfill per column like the composed ignore-nulls window") {
+    val left = Seq((1L, "u", 100L)).toDF("event_id", "user_id", "ts_ms")
+    val right = Seq(
+      ("u", 90L, Option(2.0), 5L),
+      ("u", 100L, Option.empty[Double], 9L) // later row, null value: must not erase 2.0
+    ).toDF("user_id", "ts_ms", "value", "rid")
+    val composed = AsOfJoin.mostRecent(left, right, "user_id", "ts_ms", Seq("value"), "rid")
+      .select("asof_value").as[Option[Double]].head()
+    val native = AsOfJoin.mostRecentNative(left, right, "user_id", "ts_ms", Seq("value"), "rid")
+      .select("asof_value").as[Option[Double]].head()
+    assert(native === composed)
+    assert(native === Some(2.0))
+  }
+
   test("native tie-breaking matches composed when the tiebreak is null (nulls last)") {
     val left = Seq((1L, "u", 100L)).toDF("event_id", "user_id", "ts_ms")
     val right = Seq(
