@@ -378,15 +378,20 @@ object SparkEntry {
 
     // ------------------------------------------------- §2.8 batching
     // W1: global ordinal batching (zipWithIndex pagination,
-    // data-s3-elastic-transfer.py:330-343) — batch stats per 1000-row batch
+    // data-s3-elastic-transfer.py:330-343) — batch stats per 1000-row
+    // batch, via the distributed prefix-rank (no single-task global window;
+    // numbering identical to the single-window parity form)
     "w1_ordinal_batches" -> ((s, dir) =>
-      Batching.withOrdinalBatch(events(s, dir), "event_id", 1000)
+      Batching.withOrdinalBatchDistributed(events(s, dir), "event_id", 1000)
         .groupBy("batch")
         .agg(count(lit(1)).as("cnt"), min("event_id").as("min_id"), max("event_id").as("max_id"))
         .orderBy("batch")),
 
     // W-ext: moving aggregate with an explicit frame — 7-day trailing mean
-    // of daily event counts
+    // of daily event counts. The window input is the DAILY AGGREGATE
+    // (bounded: one row per day regardless of data volume), so the
+    // single-partition frame is the intended plan at any scale — this is
+    // the ONE sanctioned global window (PlanSpec pins the whitelist).
     "w2_moving_avg" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val daily = events(s, dir).groupBy("day").agg(count(lit(1)).as("cnt"))

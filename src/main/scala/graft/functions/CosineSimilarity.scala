@@ -65,17 +65,23 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
       case _ => s"$arr.getDouble($i)"
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val ga = getter(elemType(left), a, "i")
-      val gb = getter(elemType(right), b, "i")
+      // every local through freshName: two cosine_sim calls can land in the
+      // SAME generated method, where fixed names collide (janino
+      // "Redefinition of local variable" → silent interpreted fallback)
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val ga = getter(elemType(left), a, i)
+      val gb = getter(elemType(right), b, i)
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = $ga; double y = $gb;
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $ga; double $y = $gb;
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = (na == 0.0 || nb == 0.0) ? 0.0
-         |  : dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   }

@@ -70,22 +70,29 @@ case class SrpBuckets(child: Expression, nBits: Int, tables: Int) extends UnaryE
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val get = if (elemType == FloatType) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, v => {
+      // every local through freshName: two srp_buckets calls can land in
+      // the SAME generated method, where fixed names collide (janino
+      // "Redefinition of local variable" → silent interpreted fallback)
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val bucket = ctx.freshName("bucket")
+      val i = ctx.freshName("i"); val p = ctx.freshName("p")
+      val proj = ctx.freshName("proj"); val j = ctx.freshName("j")
       s"""
-         |int n = $v.numElements();
-         |long[] out = new long[$tables];
-         |for (int t = 0; t < $tables; t++) {
-         |  long bucket = 0L;
-         |  for (int i = 0; i < $nBits; i++) {
-         |    int p = t * $nBits + i;
-         |    double proj = 0.0;
-         |    for (int j = 0; j < n; j++) {
-         |      proj += ((double) $v.$get(j)) * graft.functions.SrpBuckets.coef(p, j);
+         |int $n = $v.numElements();
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $i = 0; $i < $nBits; $i++) {
+         |    int $p = $t * $nBits + $i;
+         |    double $proj = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $proj += ((double) $v.$get($j)) * graft.functions.SrpBuckets.coef($p, $j);
          |    }
-         |    if (proj >= 0.0) bucket |= (1L << i);
+         |    if ($proj >= 0.0) $bucket |= (1L << $i);
          |  }
-         |  out[t] = bucket;
+         |  $out[$t] = $bucket;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }

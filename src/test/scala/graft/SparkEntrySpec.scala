@@ -24,8 +24,22 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("all queries execute and are non-empty at sf0.001 (except known-sparse pair miners)") {
     val maybeEmpty = Set("x_ngram_jaccard", "x_embed_neardup", "x_minhash_lsh", "x_simhash_pairs")
+    // Global (unpartitioned) windows move the whole input to ONE task — at
+    // 100 TB that plan is dead, so they are forbidden except where the
+    // window input is provably bounded regardless of data volume:
+    //   w2_moving_avg — frame over the daily AGGREGATE (<=1 row per day).
+    // Everything ordinal-shaped goes through Batching.globalOrdinal.
+    val boundedInputWhitelist = Set("w2_moving_avg")
+    import org.apache.spark.sql.catalyst.plans.logical
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, TestSpark.sfDir).count()
+      val df = fn(spark, TestSpark.sfDir)
+      val globalWindows = df.queryExecution.optimizedPlan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty => w
+        case g: logical.WindowGroupLimit if g.partitionSpec.isEmpty => g
+      }
+      assert(globalWindows.isEmpty || boundedInputWhitelist.contains(name),
+        s"$name has a global (unpartitioned) window over potentially unbounded input")
+      val n = df.count()
       if (!maybeEmpty.contains(name)) assert(n > 0, s"$name returned no rows")
     }
   }

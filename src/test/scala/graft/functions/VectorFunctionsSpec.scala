@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.TestSpark
+import org.apache.spark.sql.functions.reverse
 import org.scalatest.funsuite.AnyFunSuite
 
 class VectorFunctionsSpec extends AnyFunSuite {
@@ -38,6 +39,31 @@ class VectorFunctionsSpec extends AnyFunSuite {
       .where($"native" =!= $"hof")
       .count()
     assert(diffs === 0L)
+  }
+
+  test("two native expressions in one projection stay codegen-compilable") {
+    // regression: doGenCode used fixed Java local names ("i", "n", ...), so
+    // two instances fused into the SAME generated method collided (janino
+    // "Redefinition of local variable") and silently fell back to the
+    // interpreter. Compile the fused stage directly — a fallback would pass
+    // a value-only check.
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    // parquet-backed input: a local Seq relation is constant-folded to a
+    // LocalRelation at optimize time and never reaches codegen at all
+    val embs = graft.sources.Tables.load(spark, graft.TestSpark.sfDir, "embeddings")
+    // distinct child trees on purpose: identical instances are merged by
+    // subexpression elimination and would not reproduce the collision
+    val df = embs.select(
+      CosineSimilarity.cosineSim($"embedding", $"embedding").as("c1"),
+      CosineSimilarity.cosineSim(reverse($"embedding"), $"embedding").as("c2"),
+      SrpBuckets.srpBuckets($"embedding", 8, 2).as("s1"),
+      SrpBuckets.srpBuckets(reverse($"embedding"), 8, 2).as("s2"))
+    val stages = df.queryExecution.executedPlan.collect { case w: WholeStageCodegenExec => w }
+    assert(stages.nonEmpty, "projection did not fuse into whole-stage codegen")
+    stages.foreach { w => CodeGenerator.compile(w.doCodeGen()._2) } // throws on janino error
+    val r = df.collect()
+    assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-9)) // cos(v, v) = 1
   }
 
   test("srpBucket is deterministic and bucket-stable for identical vectors") {

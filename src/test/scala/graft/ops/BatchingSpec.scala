@@ -31,6 +31,28 @@ class BatchingSpec extends AnyFunSuite {
     assert(batches === Array((1L, 100L, 1, 100), (2L, 100L, 101, 200), (3L, 50L, 201, 250)))
   }
 
+  test("globalOrdinal ranks exactly like a single global window, without one") {
+    // unsorted, duplicated-free key; shuffled input partitions
+    val df = (1 to 5000).map(i => (i * 7919) % 15137).distinct.toDF("n").repartition(8)
+    val got = Batching.globalOrdinal(df, "n", "rn", buckets = 8)
+      .orderBy("n").select("n", "rn").as[(Int, Long)].collect()
+    val want = got.map(_._1).sorted.zipWithIndex.map { case (n, i) => (n, i + 1L) }
+    assert(got.toSeq === want.toSeq)
+    // plan property: no empty-partition-spec window anywhere (the failure
+    // mode this operator exists to avoid)
+    val plan = Batching.globalOrdinal(df, "n").queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(n"), "found a global (unpartitioned) window")
+  }
+
+  test("withOrdinalBatchDistributed numbers batches identically to the parity form") {
+    val df = (1 to 2500).toDF("n")
+    def stats(b: org.apache.spark.sql.DataFrame) =
+      b.groupBy("batch").agg(count(lit(1)).as("c"), min("n").as("lo"), max("n").as("hi"))
+        .orderBy("batch").collect().toSeq
+    assert(stats(Batching.withOrdinalBatchDistributed(df, "n", 100)) ===
+      stats(Batching.withOrdinalBatch(df, "n", 100)))
+  }
+
   test("keysetPage returns the page strictly after the cursor, in order") {
     val df = (1 to 50).toDF("n")
     val page = Batching.keysetPage(df, "n", Some(lit(20)), 10).as[Int].collect()
