@@ -23,6 +23,7 @@ object Bench {
     "q5_local_supplier_revenue", "q6_forecast_revenue", "q7_volume_shipping",
     "q10_returned_items", "q13_order_distribution", "q14_promo_revenue",
     "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_pred",
+    "q8_market_share", "q9_product_profit", "q16_supplier_cnt", "q21_sole_failing_supplier",
     "a13_grouping_sets", "w6_lag_lead", "w8_percent_rank", "f6_json_extract",
     "x_token_count", "x_quality_score", "x_lang_id", "x_dedup_exact",
     "x_ngram_jaccard", "x_minhash_lsh", "x_simhash_pairs", "x_char_ngrams",

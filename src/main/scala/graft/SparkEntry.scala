@@ -212,6 +212,20 @@ object SparkEntry {
           countDistinct(col("day")).as("n_days"))
         .orderBy("event_type")),
 
+    // argmax/argmin aggregates: per day, the event type carrying the
+    // highest / lowest value — max_by over a composite key (value is
+    // exactly 2-decimal, so round(value*100)*1e10 + event_id is one
+    // orderable long that makes ties deterministic in both engines)
+    "a17_argmax" -> ((s, dir) => {
+      val key = (round(col("value") * 100).cast("long") * lit(10000000000L) + col("event_id"))
+      events(s, dir)
+        .groupBy("day")
+        .agg(max_by(col("event_type"), key).as("top_type"),
+          min_by(col("event_type"), key).as("bot_type"),
+          round(max(col("value")), 4).as("max_value"))
+        .orderBy("day")
+    }),
+
     // three-valued-logic battery: NULLIF, COALESCE chains, IS DISTINCT FROM
     "f7_null_semantics" -> ((s, dir) =>
       t(s, dir, "events").select(
@@ -858,6 +872,136 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // TPC-H Q8-style national market share: seven-table join (broadcast
+    // every dim, shuffle the fact once), then a conditional revenue share
+    // per year — the q14 ratio pattern over a two-nation-role join tree
+    "q8_market_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+      val c = t(s, dir, "customer")
+      val cn = t(s, dir, "nation").select(col("n_nationkey").as("cn_nk"), col("n_regionkey"))
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val su = t(s, dir, "supplier")
+      val sn = t(s, dir, "nation").select(col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation"))
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      // broadcast() only the BOUNDED dims (nation=25, region=5): part,
+      // supplier, customer all scale with the corpus, so their join
+      // strategy is left to Catalyst/AQE stats (still broadcast at bench
+      // scale, shuffle at 100 TB — a forced hint would OOM the driver)
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_nk"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_nk"))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(
+          round(lit(100.0) *
+            dsum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0))) /
+            dsum(rev), 4).as("mkt_share_pct"),
+          count(lit(1)).as("cnt"))
+        .orderBy("yr")
+    }),
+
+    // TPC-H Q9-style profit by supplier nation and year (no partsupp table
+    // in this corpus, so supply cost is proxied as 60% of retail price —
+    // same operator shape: name-filtered part dim, two fact joins, signed
+    // two-term aggregate). All money math in exact decimal: the per-row
+    // difference of two products must round identically in both engines.
+    "q9_product_profit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+      val su = t(s, dir, "supplier")
+      val sn = t(s, dir, "nation").select(col("n_nationkey").as("sn_nk"), col("n_name").as("nation"))
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      val revDec = col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(9,4)")
+      val costDec = col("p_retailprice").cast("decimal(18,4)") *
+        col("l_quantity").cast("decimal(9,4)") * lit(0.6).cast("decimal(5,4)")
+      // nation broadcast (bounded); part/supplier strategy left to AQE
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_nk"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("yr"))
+        .agg(round(sum(revDec - costDec), 4).cast("double").as("profit"),
+          count(lit(1)).as("cnt"))
+        .orderBy("nation", "yr")
+    }),
+
+    // TPC-H Q11-style important values: per-part value with a HAVING
+    // threshold relative to the GLOBAL total (scalar-aggregate broadcast).
+    // The threshold compare is done in exact integer/decimal cross-products
+    // (val*n*2 > total*3) — a derived avg would be double division, which
+    // rounds engine-dependently.
+    "q11_important_values" -> ((s, dir) => {
+      val v = t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(dsum(col("l_extendedprice") * col("l_quantity")).as("val"))
+      val tot = v.agg(
+        sum(col("val").cast("decimal(18,4)")).cast("decimal(28,4)").as("total_val"),
+        count(lit(1)).as("n_parts"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("val").cast("decimal(18,4)") * col("n_parts") * lit(2) >
+          col("total_val") * lit(3)) // val > 1.5 * avg, exactly
+        .select("l_partkey", "val")
+        .orderBy("l_partkey")
+    }),
+
+    // TPC-H Q16-style supplier counts: distinct-count per part attribute
+    // triple, minus "complaint" suppliers (negative balance) via a
+    // broadcast anti-join ahead of the aggregate
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")
+      li.join(p, col("l_partkey") === col("p_partkey")) // AQE picks broadcast at this SF
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q20-style heavy shippers: (supplier, part) pairs whose one-year
+    // shipped quantity clears a threshold — pushed date filter, one
+    // two-key aggregate, then a broadcast name join; suppliers ranked by
+    // how many parts they ship heavily
+    "q20_heavy_shippers" -> ((s, dir) => {
+      val heavy = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 60)
+      heavy.groupBy("l_suppkey").agg(count(lit(1)).as("n_heavy_parts"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select("s_name", "n_heavy_parts")
+        .orderBy(desc("n_heavy_parts"), col("s_name"))
+    }),
+
+    // TPC-H Q21-style sole-failing-supplier: line items flagged R whose
+    // order has OTHER suppliers (semi join) but no OTHER failing supplier
+    // (anti join) — both joins carry a non-equi residual on suppkey
+    "q21_sole_failing_supplier" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+      val l1 = l.filter(col("l_returnflag") === "R")
+      val l2 = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      l1.join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"), "left_anti")
+        .groupBy("l_suppkey")
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(desc("numwait"), col("s_name"))
+    }),
+
     // TPC-H Q2-flavored argmin join: per part (p_size=10), the supplier with
     // the lowest observed offer price — min-per-group then equality join back,
     // ties broken by lowest suppkey. (Price is compared raw: it's an input
@@ -935,6 +1079,37 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // frame-positional window battery: first/last/nth value over an
+    // explicit unbounded frame (total order inside each partition — frame
+    // semantics, not ranking, which w3/w7/w8 already cover)
+    "w10_frame_battery" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.loadEvents(s, dir).filter(col("user_id") < 100)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .withColumn("fv", first(col("value")).over(w))
+        .withColumn("lv", last(col("value")).over(w))
+        .withColumn("nv", coalesce(nth_value(col("value"), 2).over(w), lit(-1.0)))
+        .select("event_id", "user_id", "fv", "lv", "nv")
+        .orderBy("event_id")
+    }),
+
+    // RANGE-frame window: per-user trailing 1-hour sum of value — a
+    // value-based (not row-count) frame over event-time millis, summed in
+    // exact decimal so the frame's accumulation order can't matter
+    "w11_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      Tables.loadEvents(s, dir).filter(col("user_id") < 100)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .withColumn("trail_1h",
+          sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+        .select("event_id", "user_id", "trail_1h")
+        .orderBy("event_id")
+    }),
+
     // ntile bucketing: account-balance quartiles within each market segment
     "w7_ntile_quartiles" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -983,6 +1158,20 @@ object SparkEntry {
     // array-function battery over tokenized text: size, membership, slice,
     // distinct+sort, negative indexing — the ArrayType surface the
     // embeddings/documents extensions rest on
+    // regex battery: anchored group extraction, character-class strip,
+    // boolean match, fixed-pattern occurrence count — all codegen'd
+    // string expressions over the documents table
+    "f9_regex_battery" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
+          length(regexp_replace(col("text"), "[^aeiou]", "")).as("n_vowels"),
+          col("text").rlike("data").as("mentions_data"),
+          ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))) / 3)
+            .cast("int").as("n_the"))
+        .orderBy("doc_id")),
+
     "f8_array_funcs" -> ((s, dir) => {
       val toks = split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
       t(s, dir, "documents").filter(col("doc_id") < 100)
@@ -1296,6 +1485,12 @@ object SparkEntry {
                    string_agg(DISTINCT $dayE, ',' ORDER BY $dayE) AS days,
                    count(DISTINCT $dayE) AS n_days
             FROM events GROUP BY event_type ORDER BY event_type""",
+      "a17_argmax" ->
+        s"""SELECT $dayE AS day,
+                   arg_max(event_type, CAST(round(value*100) AS BIGINT) * 10000000000 + event_id) AS top_type,
+                   arg_min(event_type, CAST(round(value*100) AS BIGINT) * 10000000000 + event_id) AS bot_type,
+                   round(max(value), 4) AS max_value
+            FROM events GROUP BY day ORDER BY day""",
       "f7_null_semantics" ->
         """SELECT event_id,
                   nullif(event_type, 'click') AS et_null,
@@ -1307,6 +1502,23 @@ object SparkEntry {
                   round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 4) AS pr,
                   round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 4) AS cd
            FROM events ORDER BY event_id""",
+      "w10_frame_battery" ->
+        """SELECT event_id, user_id,
+                  first_value(value) OVER w AS fv,
+                  last_value(value) OVER w AS lv,
+                  coalesce(nth_value(value, 2) OVER w, -1.0) AS nv
+           FROM events WHERE user_id < 100
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           ORDER BY event_id""",
+      "w11_range_frame" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value
+                      FROM events WHERE user_id < 100)
+           SELECT event_id, user_id,
+                  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+                    PARTITION BY user_id ORDER BY ts_ms
+                    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail_1h
+           FROM e ORDER BY event_id""",
       "j9_salted_join" ->
         """WITH dim AS (SELECT event_type, count(*) AS type_total FROM events GROUP BY 1)
            SELECT e.event_type, count(*) AS cnt, max(type_total) AS type_total
@@ -1581,6 +1793,79 @@ object SparkEntry {
              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                              AND o_orderdate >= TIMESTAMP '2000-01-01')
            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      "q8_market_share" ->
+        """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                  round(100.0 *
+                    CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+                    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+                  4) AS mkt_share_pct,
+                  count(*) AS cnt
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN region ON cn.n_regionkey = r_regionkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+             AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+           GROUP BY yr ORDER BY yr""",
+      "q9_product_profit" ->
+        """SELECT sn.n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS yr,
+                  CAST(round(sum(
+                    CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(9,4))
+                    - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(9,4))
+                      * CAST(0.6 AS DECIMAL(5,4))), 4) AS DOUBLE) AS profit,
+                  count(*) AS cnt
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           WHERE contains(p_name, 'widget')
+           GROUP BY nation, yr ORDER BY nation, yr""",
+      "q11_important_values" ->
+        """WITH v AS (
+             SELECT l_partkey,
+                    CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS val
+             FROM lineitem GROUP BY l_partkey),
+           tot AS (SELECT CAST(sum(CAST(val AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS total_val,
+                          count(*) AS n_parts FROM v)
+           SELECT l_partkey, val FROM v, tot
+           WHERE CAST(val AS DECIMAL(18,4)) * n_parts * 2 > total_val * 3
+           ORDER BY l_partkey""",
+      "q16_supplier_cnt" ->
+        """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+             AND NOT EXISTS (SELECT 1 FROM supplier
+                             WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+           GROUP BY p_brand, p_type, p_size
+           ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+      "q20_heavy_shippers" ->
+        """WITH heavy AS (
+             SELECT l_suppkey, l_partkey,
+                    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             GROUP BY l_suppkey, l_partkey
+             HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 60)
+           SELECT s_name, count(*) AS n_heavy_parts
+           FROM heavy JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY s_name ORDER BY n_heavy_parts DESC, s_name""",
+      "q21_sole_failing_supplier" ->
+        """WITH l AS (SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem)
+           SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+           FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+           WHERE l1.l_returnflag = 'R'
+             AND EXISTS (SELECT 1 FROM l l2
+                         WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM l l3
+                             WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                               AND l3.l_returnflag = 'R')
+           GROUP BY s_name ORDER BY numwait DESC, s_name""",
       "q2_min_price_supplier" ->
         """WITH offers AS (
              SELECT l_partkey, l_suppkey, l_extendedprice AS unit_price
@@ -1766,6 +2051,13 @@ object SparkEntry {
             FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
             WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.01
             ORDER BY doc_a, doc_b""",
+      "f9_regex_battery" ->
+        """SELECT doc_id,
+                  regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+                  CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS INTEGER) AS n_vowels,
+                  regexp_matches(text, 'data') AS mentions_data,
+                  CAST((length(text) - length(regexp_replace(text, 'the', '', 'g'))) / 3 AS INTEGER) AS n_the
+           FROM documents ORDER BY doc_id""",
       "f8_array_funcs" ->
         s"""SELECT doc_id,
                    CAST(len($toksE) AS INTEGER) AS n,
