@@ -564,7 +564,7 @@ object SparkEntry {
         graft.streaming.EventStream.runToMemory(
           graft.streaming.EventStream.dailyCounts(
             graft.streaming.EventStream.readEvents(s, stage)),
-          name, s"$stage/ckpt")
+          name, s"$stage/ckpt", statePartitions = Some(8))
       } finally deleteRec(stageDir) // results live in the memory table, not on disk
       s.table(name).select("day", "event_type", "cnt").orderBy("day", "event_type")
     }),
@@ -588,7 +588,7 @@ object SparkEntry {
         graft.streaming.EventStream.runToMemory(
           graft.streaming.EventStream.dedupById(
             graft.streaming.EventStream.readEvents(s, stage), "event_id"),
-          name, s"$stage/ckpt", outputMode = "append")
+          name, s"$stage/ckpt", outputMode = "append", statePartitions = Some(8))
       } finally deleteRec(stageDir)
       Tables.withDay(s.table(name))
         .groupBy("day").agg(count(lit(1)).as("cnt")).orderBy("day")
@@ -614,9 +614,14 @@ object SparkEntry {
           .filter(col("event_type") === "click")
         val purchases = graft.streaming.EventStream.readEvents(s, stage)
           .filter(col("event_type") === "purchase")
+        // 8 state partitions: a stream-stream join maintains FOUR state
+        // stores per partition per microbatch; sizing the state partition
+        // count to the bounded corpus (instead of inheriting the batch
+        // session's 32) cuts per-batch store maintenance 4x. Production
+        // sizes this to stream throughput — it is pinned at first start.
         graft.streaming.EventStream.runToMemory(
           graft.streaming.EventStream.clickPurchaseJoin(clicks, purchases),
-          name, s"$stage/ckpt", outputMode = "append")
+          name, s"$stage/ckpt", outputMode = "append", statePartitions = Some(8))
       } finally deleteRec(stageDir)
       s.table(name)
         .select(date_format(col("l_ts"), "yyyy-MM-dd").as("day"))

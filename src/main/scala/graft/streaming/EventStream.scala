@@ -89,16 +89,30 @@ object EventStream {
   /** Run a (bounded) streaming query to a named in-memory table and block
     * until the file source is drained — the test/smoke harness.
     * `outputMode` is "complete" for aggregations, "append" for row streams.
+    *
+    * `statePartitions`: number of shuffle (= state store) partitions the
+    * query is STARTED with. A stateful query pins this count in its
+    * checkpoint forever, so it must be sized to the stream's real
+    * throughput, not inherited from the batch session default — per-
+    * microbatch cost scales with it (every partition maintains and
+    * commits its state store files each batch, even when near-empty).
     */
   def runToMemory(df: DataFrame, name: String, checkpointDir: String,
-      outputMode: String = "complete"): StreamingQuery = {
-    val q = df.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+      outputMode: String = "complete", statePartitions: Option[Int] = None): StreamingQuery = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val q =
+      try {
+        statePartitions.foreach(n => spark.conf.set(key, n.toString))
+        df.writeStream
+          .outputMode(outputMode)
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", checkpointDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set(key, prev) // restore once captured by the query
     q.awaitTermination()
     q
   }
