@@ -733,8 +733,11 @@ object SparkEntry {
     // conditional aggregate, exact decimal sums feeding one double division
     "q14_promo_revenue" -> ((s, dir) => {
       val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      // part scales with the corpus: join strategy left to Catalyst/AQE
+      // stats (auto-broadcast at bench scale, shuffle once it outgrows an
+      // executor) — forced broadcast hints are reserved for bounded dims
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .agg(
           round(lit(100.0) *
             dsum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0.0))) /
@@ -838,7 +841,7 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       val avgq = li.groupBy(col("l_partkey").as("ap_partkey"))
         .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
-      li.join(broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#23")),
+      li.join(t(s, dir, "part").filter(col("p_brand") === "Brand#23"), // AQE picks the strategy
           col("l_partkey") === col("p_partkey"))
         .join(avgq, col("l_partkey") === col("ap_partkey"))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
@@ -851,7 +854,7 @@ object SparkEntry {
     "q19_disjunctive_pred" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val p = t(s, dir, "part")
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      li.join(p, col("l_partkey") === col("p_partkey")) // AQE picks the strategy
         .filter(
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
           (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
@@ -1014,7 +1017,7 @@ object SparkEntry {
     // engine-dependent rounding at .xxxx5 boundaries.)
     "q2_min_price_supplier" -> ((s, dir) => {
       val offers = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part").filter(col("p_size") === 10).select("p_partkey")),
+        .join(t(s, dir, "part").filter(col("p_size") === 10).select("p_partkey"), // AQE picks
           col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice").as("unit_price"))
       val minp = offers.groupBy(col("l_partkey").as("m_partkey"))
