@@ -86,6 +86,47 @@ object SparkEntry {
       Batching.keysetPage(
         events(s, dir).select("event_id", "event_type"), "event_id", Some(lit(500L)), 1000)),
 
+    // S2: catalog-table scan with out-of-band partition registration — the
+    // reference's Glue-crawler + `MSCK REPAIR TABLE` loop (README.md:57-83,
+    // data-s3-elastic-transfer.py:95-101): an EXTERNAL partitioned table is
+    // declared over a Hive-layout directory, partitions recovered from the
+    // filesystem, then queried through the catalog with a pruning predicate
+    "s2_catalog_scan" -> ((s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft_s2_" + math.abs(dir.hashCode)
+      events(s, dir).select(col("event_id"), col("event_type"), col("value"), col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      s.sql("DROP TABLE IF EXISTS graft_events_catalog")
+      s.sql(s"""CREATE TABLE graft_events_catalog
+                (event_id BIGINT, event_type STRING, value DOUBLE, day STRING)
+                USING parquet PARTITIONED BY (day) LOCATION '$out'""")
+      s.sql("MSCK REPAIR TABLE graft_events_catalog") // = catalog.recoverPartitions
+      s.table("graft_events_catalog")
+        .filter(col("day") >= "2024-01-10" && col("day") < "2024-01-15") // partition-pruned
+        .groupBy("day").agg(count(lit(1)).as("cnt"))
+        .orderBy("day")
+    }),
+
+    // §1.3 lenient schema-on-read: two writer generations with DRIFTED
+    // schemas (the later one adds event_type) land in one dataset;
+    // mergeSchema unions the footers and the missing column reads as null,
+    // normalized per-field to a default — the reference's
+    // row_to_document_safe presence-check semantics
+    // (data-s3-elastic-transfer.py:174-184) done at plan time, not per row
+    "f2_schema_drift" -> ((s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft_f2_" + math.abs(dir.hashCode)
+      val e = events(s, dir)
+      e.filter(col("event_id") % 2 === 0).select(col("event_id"), col("value"))
+        .write.mode("overwrite").parquet(out + "/gen=a")
+      e.filter(col("event_id") % 2 =!= 0).select(col("event_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").parquet(out + "/gen=b")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(col("event_id"), col("value"),
+          coalesce(col("event_type"), lit("unknown")).as("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    }),
+
     // --------------------------------------------------- §2.5 aggregations
     // A1: per-partition counts (data-s3-elastic-transfer.py:102) — flagship
     "a1_daily_counts" -> ((s, dir) =>
@@ -489,6 +530,35 @@ object SparkEntry {
       val updates = t(s, dir, "events").filter(col("event_id") % 7 === 0)
         .select(col("event_id"), (col("value") + 100).as("value"), lit(2).as("version"))
       Upsert.lastWriteWins(base.unionByName(updates), "event_id", "version").orderBy("event_id")
+    }),
+
+    // CSV sink + source roundtrip (the reference's Athena results arrive as
+    // CSV on S3, ID-based-transfer.py:42-48): headered write, schema'd
+    // read-back (no inference pass — one scan, not two), exact aggregate
+    "k4_csv_roundtrip" -> ((s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft_k4_" + math.abs(dir.hashCode)
+      events(s, dir).select(col("event_id"), col("day"), col("event_type"), col("value"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema("event_id BIGINT, day STRING, event_type STRING, value DOUBLE")
+        .option("header", "true").csv(out)
+        .groupBy("day")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy("day")
+    }),
+
+    // NDJSON sink + source roundtrip — the reference's bulk transfer body
+    // is newline-delimited JSON docs (data-s3-elastic-transfer.py:192-196);
+    // written via to_json as a text sink, read back with an explicit schema
+    // (schema'd json read = one scan) and re-aggregated exactly
+    "k5_ndjson_roundtrip" -> ((s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft_k5_" + math.abs(dir.hashCode)
+      events(s, dir)
+        .select(to_json(struct(col("event_id"), col("day"), col("event_type"), col("value"))).as("doc"))
+        .write.mode("overwrite").text(out)
+      s.read.schema("event_id BIGINT, day STRING, event_type STRING, value DOUBLE").json(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
     }),
 
     // ------------------------------------------- §2.9 incremental semantics
@@ -1649,6 +1719,23 @@ object SparkEntry {
            FROM r WHERE rnk <= 5 ORDER BY event_type, rnk""",
       "k1_write_roundtrip" ->
         s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "k4_csv_roundtrip" ->
+        s"""SELECT $dayE AS day, count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1 ORDER BY 1""",
+      "k5_ndjson_roundtrip" ->
+        """SELECT event_type, count(*) AS cnt,
+                  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           FROM events GROUP BY event_type ORDER BY event_type""",
+      "s2_catalog_scan" ->
+        s"""SELECT $dayE AS day, count(*) AS cnt FROM events
+            WHERE $dayE >= '2024-01-10' AND $dayE < '2024-01-15'
+            GROUP BY 1 ORDER BY 1""",
+      "f2_schema_drift" ->
+        """SELECT CASE WHEN event_id % 2 = 0 THEN 'unknown' ELSE event_type END AS event_type,
+                  count(*) AS cnt,
+                  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           FROM events GROUP BY 1 ORDER BY 1""",
       "k2_partition_pruned_read" ->
         s"""SELECT event_type, count(*) AS cnt FROM events
             WHERE $dayE = '2024-01-05' GROUP BY event_type ORDER BY event_type""",
