@@ -699,6 +699,60 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // stream-STATIC enrichment join: the event stream joined per microbatch
+    // to a static daily-totals dim (batch-computed, re-broadcast each
+    // batch, no watermark or join state needed) — the canonical "enrich
+    // facts with a dimension" streaming shape the reference's row-level
+    // backfill approximates with driver-side lookups
+    "t11_stream_static_join" -> ((s, dir) => {
+      val stageDir = scratchDir("t11", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events.parquet"))
+      val name = "t11_enriched"
+      try {
+        val static = events(s, dir).groupBy("day").agg(count(lit(1)).as("day_total"))
+        // one-week slice: bounds the APPEND memory-sink volume (the join
+        // itself is stateless and row-rate-bound either way)
+        val stream = Tables.withDay(
+          graft.streaming.EventStream.readEvents(s, stage))
+          .filter(col("day") < "2024-01-08")
+        graft.streaming.EventStream.runToMemory(
+          stream.join(static, "day") // stream-static inner join: stateless
+            .select("day", "event_type", "day_total"),
+          name, s"$stage/ckpt", outputMode = "append", statePartitions = Some(8))
+      } finally deleteRec(stageDir)
+      s.table(name)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("day_total")).as("sum_day_total"))
+        .orderBy("event_type")
+    }),
+
+    // foreachBatch + idempotent upsert: the reference's id-keyed bulk
+    // upsert (K3) as the SINK of a stream — the source is staged TWICE
+    // (duplicate delivery), every microbatch merges last-write-wins by id,
+    // and final state equals the distinct source exactly
+    "t12_foreach_batch_upsert" -> ((s, dir) => {
+      val stageDir = scratchDir("t12", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events_a.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events_b.parquet"))
+      val idx = s"$stage/../graft_t12_idx_" + math.abs(dir.hashCode) // outlives the stage wipe
+      try {
+        graft.streaming.EventStream.runForeachBatchUpsert(
+          graft.streaming.EventStream.readEvents(s, stage),
+          idx, s"$stage/ckpt", "event_id", statePartitions = Some(8))
+      } finally deleteRec(stageDir)
+      Tables.withDay(s.read.parquet(idx))
+        .groupBy("day").agg(count(lit(1)).as("cnt"))
+        .orderBy("day")
+    }),
+
     // the custom-state form (flatMapGroupsWithState) of sessionization,
     // driven over the bounded events table: emits only gap-CLOSED sessions
     // (each user's trailing session stays in state — in a stream it closes
@@ -1765,6 +1819,14 @@ object SparkEntry {
       "t6_stream_daily_counts" ->
         s"""SELECT $dayE AS day, event_type, count(*) AS cnt FROM events
             GROUP BY 1, 2 ORDER BY 1, 2""",
+      "t11_stream_static_join" ->
+        s"""WITH d AS (SELECT $dayE AS day, count(*) AS day_total FROM events GROUP BY 1),
+                e AS (SELECT $dayE AS day, event_type FROM events)
+            SELECT event_type, count(*) AS cnt, sum(day_total) AS sum_day_total
+            FROM e JOIN d USING (day) WHERE day < '2024-01-08'
+            GROUP BY event_type ORDER BY event_type""",
+      "t12_foreach_batch_upsert" ->
+        s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
       "t10_stream_interval_join" ->
         s"""WITH c AS (SELECT user_id, ts, epoch_ms(ts) AS tms FROM events WHERE event_type = 'click'),
                  p AS (SELECT user_id, epoch_ms(ts) AS tms FROM events WHERE event_type = 'purchase')

@@ -184,6 +184,35 @@ object EventStream {
       .toDF()
   }
 
+  /** Run a (bounded) stream through `foreachBatch` into the idempotent
+    * upsert sink and block until drained — the streaming form of the
+    * reference's id-keyed bulk upsert (K3): every microbatch is merged
+    * last-write-wins by `idCol`, so duplicate deliveries (source retries,
+    * batch replays after checkpoint recovery) cannot change final state.
+    * The batch id is the version: a replayed batch re-applies the SAME
+    * version and converges to the same rows.
+    */
+  def runForeachBatchUpsert(df: DataFrame, indexDir: String, checkpointDir: String,
+      idCol: String, statePartitions: Option[Int] = None): StreamingQuery = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val q =
+      try {
+        statePartitions.foreach(n => spark.conf.set(key, n.toString))
+        df.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.sinks.EsBulkSink.upsertById(
+              batch.withColumn("__v", lit(batchId)), indexDir, idCol, "__v")
+          }
+          .option("checkpointLocation", checkpointDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set(key, prev)
+    q.awaitTermination()
+    q
+  }
+
   /** T3/T5 as a stream: incremental append of new files into the emulated
     * index directory with exactly-once file-source progress via checkpoint.
     */

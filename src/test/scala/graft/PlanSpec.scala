@@ -89,7 +89,9 @@ class PlanSpec extends AnyFunSuite {
     val df = graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings")
       .select(graft.functions.VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
     val gen = org.apache.spark.sql.execution.debug.codegenStringSeq(df.queryExecution.executedPlan)
-    assert(gen.exists(_._2.contains("Math.sqrt(na)")),
+    // locals are freshName'd (<prefix>_na_N) so two instances can share a
+    // generated method — match the fused-loop shape, not a fixed name
+    assert(gen.exists(g => g._2.contains("Math.sqrt(") && g._2.contains("_na_") && g._2.contains("_nb_")),
       "expected the fused dot/norm loop in generated code")
   }
 }
