@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // whole-operator extension: plans graft.plans.AsOfJoinNode
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // algebraic rewrite: day-string filters → raw ts ranges (scan pushdown)
+    e.injectOptimizerRule(_ => graft.plans.TsRangePushdown)
   }
 }
 

@@ -86,6 +86,21 @@ object SparkEntry {
       Batching.keysetPage(
         events(s, dir).select("event_id", "event_type"), "event_id", Some(lit(500L)), 1000)),
 
+    // S3 as an OPTIMIZER RULE: the user writes the "wrong" query — a
+    // derived day-string filter that defeats pushdown — and
+    // graft.plans.TsRangePushdown rewrites it to a raw ts range at
+    // optimization time, so the parquet scan prunes row groups exactly as
+    // s3_pruned_scan's hand-built arithmetic does (plan-pinned in
+    // TsRangePushdownSpec). The declarative replacement for the
+    // reference's push_down_predicate string at the ENGINE level.
+    "s8_day_pushdown_rule" -> ((s, dir) => {
+      graft.plans.TsRangePushdown.register(s)
+      Tables.withDay(Tables.loadEvents(s, dir))
+        .filter(col("day") === "2024-01-05")
+        .select("event_id", "event_type", "value", "day")
+        .orderBy("event_id")
+    }),
+
     // S2: catalog-table scan with out-of-band partition registration — the
     // reference's Glue-crawler + `MSCK REPAIR TABLE` loop (README.md:57-83,
     // data-s3-elastic-transfer.py:95-101): an EXTERNAL partitioned table is
@@ -1554,6 +1569,9 @@ object SparkEntry {
         """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
            FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
       "s3_pruned_scan" ->
+        s"""SELECT event_id, event_type, value, $dayE AS day FROM events
+            WHERE $dayE = '2024-01-05' ORDER BY event_id""",
+      "s8_day_pushdown_rule" ->
         s"""SELECT event_id, event_type, value, $dayE AS day FROM events
             WHERE $dayE = '2024-01-05' ORDER BY event_id""",
       "o2_keyset_page" ->

@@ -1,0 +1,148 @@
+package graft.plans
+
+import java.time.{Instant, LocalDate, ZoneId, ZoneOffset}
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Optimizer rule: rewrite day-string predicates into raw timestamp ranges
+  * so they can reach the parquet scan as `PushedFilters`.
+  *
+  * The reference prunes partitions with a formatted-string predicate
+  * (`push_down_predicate=f"month='{month}'"`,
+  * data-s3-elastic-transfer.py:301-308). The declarative analog — users
+  * filtering `date_format(ts, 'yyyy-MM-dd') = '2024-01-05'` — defeats
+  * parquet row-group pruning: the scan sees a derived string, not a `ts`
+  * bound, and reads everything. `Tables.loadEventsPrunedToDay` does the
+  * range arithmetic by hand; this rule does it FOR any query, in the
+  * optimizer, via two algebraic rewrites that chain to fixpoint:
+  *
+  *  1. `date_format(T, 'yyyy-MM-dd') cmp 'day-literal'` →
+  *     `T cmp <day-boundary timestamps>` (sound because yyyy-MM-dd strings
+  *     order lexicographically exactly as their days order chronologically;
+  *     boundaries are computed in the session time zone for TIMESTAMP and
+  *     as wall-clock for TIMESTAMP_NTZ; unparseable literals bail out);
+  *  2. `timestamp_micros(x div 1000) cmp TIMESTAMP-literal` →
+  *     `x cmp <micros*1000>` (the nanos-long → timestamp conversion of
+  *     Tables.loadEvents, inverted; guarded to positive epochs where
+  *     `div`'s truncation and floor agree).
+  *
+  * Together: a day-string filter over converted nanos events becomes a raw
+  * `ts BIGINT` range in the Filter directly above the relation, which
+  * FileSourceStrategy then pushes to the reader — row groups outside the
+  * day are skipped on footer stats alone. Registered per-session via
+  * [[TsRangePushdown.register]] (experimental.extraOptimizations) or
+  * globally through `graft.GraftExtensions` (injectOptimizerRule).
+  */
+object TsRangePushdown extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val rewritten = cond.transform(rewrite)
+      if (rewritten.fastEquals(cond)) f else Filter(rewritten, child)
+  }
+
+  // ------------------------------------------------------------ pattern 1
+
+  private val dayFmt = UTF8String.fromString("yyyy-MM-dd")
+
+  /** [lo, hi) micros-since-epoch of a calendar day, in `zone` for zoned
+    * timestamps or as wall-clock (UTC-anchored micros) for NTZ.
+    */
+  private def dayBounds(day: String, dt: DataType): Option[(Long, Long)] =
+    try {
+      val d = LocalDate.parse(day)
+      val zone: ZoneId = dt match {
+        case TimestampType => ZoneId.of(conf.sessionLocalTimeZone)
+        case _ => ZoneOffset.UTC // NTZ: micros encode wall-clock as if UTC
+      }
+      def micros(x: LocalDate) =
+        ChronoUnit.MICROS.between(Instant.EPOCH, x.atStartOfDay(zone).toInstant)
+      Some((micros(d), micros(d.plusDays(1))))
+    } catch { case _: java.time.format.DateTimeParseException => None }
+
+  private def isTs(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
+
+  /** `date_format(T, 'yyyy-MM-dd')` with a timestamp-typed child. */
+  private object DayOf {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case DateFormatClass(t, Literal(f: UTF8String, StringType), _)
+          if f == dayFmt && isTs(t.dataType) => Some(t)
+      case _ => None
+    }
+  }
+
+  private def tsLit(micros: Long, dt: DataType): Literal = Literal(micros, dt)
+
+  /** T cmp day-string → range over T. `flip` when the literal was on the
+    * left (e.g. `'d' < date_format(ts)` ≡ `date_format(ts) > 'd'`).
+    */
+  private def dayRange(t: Expression, day: String, cmp: BinaryComparison, flip: Boolean): Option[Expression] =
+    dayBounds(day, t.dataType).map { case (lo, hi) =>
+      val dt = t.dataType
+      cmp match {
+        case _: EqualTo => And(GreaterThanOrEqual(t, tsLit(lo, dt)), LessThan(t, tsLit(hi, dt)))
+        case _: GreaterThanOrEqual => if (!flip) GreaterThanOrEqual(t, tsLit(lo, dt)) else LessThan(t, tsLit(hi, dt))
+        case _: GreaterThan => if (!flip) GreaterThanOrEqual(t, tsLit(hi, dt)) else LessThan(t, tsLit(lo, dt))
+        case _: LessThan => if (!flip) LessThan(t, tsLit(lo, dt)) else GreaterThanOrEqual(t, tsLit(hi, dt))
+        case _: LessThanOrEqual => if (!flip) LessThan(t, tsLit(hi, dt)) else GreaterThanOrEqual(t, tsLit(lo, dt))
+        case _ => cmp
+      }
+    }
+
+  // ------------------------------------------------------------ pattern 2
+
+  /** `timestamp_micros(x div 1000)` — the loadEvents nanos conversion. */
+  private object MicrosDivNanos {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case MicrosToTimestamp(d: IntegralDivide) => (d.right, d.left.dataType) match {
+        case (Literal(1000L, LongType), LongType) => Some(d.left)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** x div 1000 cmp m, for m >= 1 (positive epochs: `div` truncation and
+    * floor agree on every long that can satisfy either side).
+    */
+  private def nanosRange(x: Expression, m: Long, cmp: BinaryComparison, flip: Boolean): Option[Expression] = {
+    if (m < 1L || m >= Long.MaxValue / 1000 - 1) None
+    else {
+      val lo = m * 1000L
+      val hi = (m + 1L) * 1000L
+      Some(cmp match {
+        case _: EqualTo => And(GreaterThanOrEqual(x, Literal(lo)), LessThan(x, Literal(hi)))
+        case _: GreaterThanOrEqual => if (!flip) GreaterThanOrEqual(x, Literal(lo)) else LessThan(x, Literal(hi))
+        case _: GreaterThan => if (!flip) GreaterThanOrEqual(x, Literal(hi)) else LessThan(x, Literal(lo))
+        case _: LessThan => if (!flip) LessThan(x, Literal(lo)) else GreaterThanOrEqual(x, Literal(hi))
+        case _: LessThanOrEqual => if (!flip) LessThan(x, Literal(hi)) else GreaterThanOrEqual(x, Literal(lo))
+        case other => other
+      })
+    }
+  }
+
+  private val rewrite: PartialFunction[Expression, Expression] = {
+    case cmp @ BinaryComparison(DayOf(t), Literal(day: UTF8String, StringType)) =>
+      dayRange(t, day.toString, cmp, flip = false).getOrElse(cmp)
+    case cmp @ BinaryComparison(Literal(day: UTF8String, StringType), DayOf(t)) =>
+      dayRange(t, day.toString, cmp, flip = true).getOrElse(cmp)
+    case cmp @ BinaryComparison(MicrosDivNanos(x), Literal(m: Long, TimestampType)) =>
+      nanosRange(x, m, cmp, flip = false).getOrElse(cmp)
+    case cmp @ BinaryComparison(Literal(m: Long, TimestampType), MicrosDivNanos(x)) =>
+      nanosRange(x, m, cmp, flip = true).getOrElse(cmp)
+  }
+
+  /** Idempotently add the rule to a live session's optimizer. */
+  def register(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(TsRangePushdown))
+      exp.extraOptimizations = exp.extraOptimizations :+ TsRangePushdown
+  }
+}

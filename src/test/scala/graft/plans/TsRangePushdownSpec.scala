@@ -1,0 +1,62 @@
+package graft.plans
+
+import graft.TestSpark
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TsRangePushdownSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withRule[A](f: => A): A = {
+    TsRangePushdown.register(spark)
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == TsRangePushdown)
+  }
+
+  private def dayFiltered(day: String) =
+    Tables.withDay(Tables.loadEvents(spark, TestSpark.sfDir)).filter(col("day") === day)
+
+  test("a day-string equality filter reaches the parquet scan as a raw ts range") {
+    withRule {
+      val plan = dayFiltered("2024-01-05").queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+        s"expected the rewritten ts range in PushedFilters:\n$plan")
+    }
+    // without the rule, the same query pushes nothing on ts
+    val bare = dayFiltered("2024-01-05").queryExecution.executedPlan.toString
+    assert(!bare.contains("GreaterThanOrEqual(ts,"), "control: bare plan must not push a ts range")
+  }
+
+  test("every comparison direction matches the unrewritten result exactly") {
+    val day = "2024-01-10"
+    def run(build: => org.apache.spark.sql.DataFrame): Seq[Long] =
+      build.select("event_id").as[Long].collect().sorted.toSeq
+    val e = () => Tables.withDay(Tables.loadEvents(spark, TestSpark.sfDir))
+    for ((name, f) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        ("eq", _.filter(col("day") === day)),
+        ("lt", _.filter(col("day") < day)),
+        ("le", _.filter(col("day") <= day)),
+        ("gt", _.filter(col("day") > day)),
+        ("ge", _.filter(col("day") >= day)),
+        ("flip_lt", _.filter(lit(day) < col("day"))),
+        ("flip_ge", _.filter(lit(day) >= col("day"))))) {
+      val want = run(f(e()))
+      val got = withRule(run(f(e())))
+      assert(got == want, s"$name: rewritten result differs")
+    }
+  }
+
+  test("unparseable day literals and foreign formats are left alone") {
+    withRule {
+      // bad literal: filter must survive un-rewritten and return 0 rows
+      assert(dayFiltered("not-a-date").count() === 0L)
+      // non-day format: no rewrite, result identical to bare evaluation
+      val months = Tables.loadEvents(spark, TestSpark.sfDir)
+        .filter(date_format(col("ts"), "yyyy-MM") === "2024-01").count()
+      assert(months > 0L)
+    }
+  }
+}
