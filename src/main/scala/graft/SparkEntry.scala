@@ -1099,6 +1099,23 @@ object SparkEntry {
         .orderBy("l_partkey")
     }),
 
+    // TPC-H Q12-style priority-by-shipping-class: the corpus has no
+    // l_shipmode, so the class is derived from shipping DELAY (<=30 days
+    // from order to ship = FAST) — same operator shape: fact join with a
+    // pushed date-range filter and two conditional sums over a CASE bucket
+    "q12_ship_delay_priority" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30, "FAST")
+          .otherwise("SLOW").as("ship_class"))
+        .agg(
+          sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+          sum(when(hi, 0).otherwise(1)).as("low_line_count"))
+        .orderBy("ship_class")
+    }),
+
     // TPC-H Q16-style supplier counts: distinct-count per part attribute
     // triple, minus "complaint" suppliers (negative balance) via a
     // broadcast anti-join ahead of the aggregate
@@ -1840,7 +1857,8 @@ object SparkEntry {
       "t11_stream_static_join" ->
         s"""WITH d AS (SELECT $dayE AS day, count(*) AS day_total FROM events GROUP BY 1),
                 e AS (SELECT $dayE AS day, event_type FROM events)
-            SELECT event_type, count(*) AS cnt, sum(day_total) AS sum_day_total
+            SELECT event_type, count(*) AS cnt,
+                   CAST(sum(day_total) AS BIGINT) AS sum_day_total
             FROM e JOIN d USING (day) WHERE day < '2024-01-08'
             GROUP BY event_type ORDER BY event_type""",
       "t12_foreach_batch_upsert" ->
@@ -2011,6 +2029,14 @@ object SparkEntry {
            SELECT l_partkey, val FROM v, tot
            WHERE CAST(val AS DECIMAL(18,4)) * n_parts * 2 > total_val * 3
            ORDER BY l_partkey""",
+      "q12_ship_delay_priority" ->
+        """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                       THEN 'FAST' ELSE 'SLOW' END AS ship_class,
+                  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY ship_class ORDER BY ship_class""",
       "q16_supplier_cnt" ->
         """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
            FROM lineitem JOIN part ON l_partkey = p_partkey
