@@ -1322,6 +1322,19 @@ object SparkEntry {
     // array-function battery over tokenized text: size, membership, slice,
     // distinct+sort, negative indexing — the ArrayType surface the
     // embeddings/documents extensions rest on
+    // ANSI error-safety battery: Spark 4 runs ANSI mode, where /0, bad
+    // casts, and out-of-bounds element_at THROW — the try_* family is the
+    // lenient-per-row form (the reference's per-field try/except coercion,
+    // data-s3-elastic-transfer.py:174-184, done declaratively)
+    "f10_try_funcs" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        expr("try_divide(value, cast(event_id % 5 as double))").as("safe_div"),
+        expr("try_cast(CASE WHEN event_id % 3 = 0 THEN cast(event_id AS STRING) " +
+          "ELSE event_type END AS BIGINT)").as("parsed"),
+        expr("try_element_at(split(day, '-'), cast(event_id % 4 + 1 as int))").as("day_part"))
+        .orderBy("event_id")),
+
     // regex battery: anchored group extraction, character-class strip,
     // boolean match, fixed-pattern occurrence count — all codegen'd
     // string expressions over the documents table
@@ -2252,6 +2265,13 @@ object SparkEntry {
             FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
             WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.01
             ORDER BY doc_a, doc_b""",
+      "f10_try_funcs" ->
+        s"""SELECT event_id,
+                   value / nullif(CAST(event_id % 5 AS DOUBLE), 0.0) AS safe_div,
+                   TRY_CAST(CASE WHEN event_id % 3 = 0 THEN CAST(event_id AS VARCHAR)
+                            ELSE event_type END AS BIGINT) AS parsed,
+                   (string_split($dayE, '-'))[CAST(event_id % 4 + 1 AS INTEGER)] AS day_part
+            FROM events ORDER BY event_id""",
       "f9_regex_battery" ->
         """SELECT doc_id,
                   regexp_extract(text, '^([a-z]+)', 1) AS first_word,
