@@ -45,6 +45,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine extensions registered ONCE, before any query: no per-query
+    // session mutation, no run-order coupling (s8's own register is an
+    // idempotent no-op after this)
+    graft.plans.TsRangePushdown.register(spark)
     // warmup pass: JIT, codegen compilation, FS cache — report steady state
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }

@@ -24,6 +24,7 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TsRangePushdown.register(spark)
     spark
   }
 }

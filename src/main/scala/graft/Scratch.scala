@@ -19,6 +19,7 @@ object Scratch {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.TsRangePushdown.register(spark)
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       fn(spark, sfDir).count()

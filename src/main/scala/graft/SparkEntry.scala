@@ -52,6 +52,14 @@ object SparkEntry {
     f
   }
 
+  /** Deterministic per-(tag, dataset) path that PERSISTS between runs:
+    * sink/roundtrip queries leave ONE bounded copy (their returned plan
+    * reads it lazily, so it must outlive the call), overwritten or wiped by
+    * the NEXT run of the same query — bounded residue, never accumulation.
+    */
+  private def persistentPath(tag: String, dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_${tag}_" + math.abs(dir.hashCode)).toString
+
   private def deleteRec(f: java.io.File): Unit = {
     // null guard: listFiles returns null on I/O error or a TOCTOU race
     // (e.g. the stream's checkpoint manager cleaning its own temp files)
@@ -107,7 +115,7 @@ object SparkEntry {
     // declared over a Hive-layout directory, partitions recovered from the
     // filesystem, then queried through the catalog with a pruning predicate
     "s2_catalog_scan" -> ((s, dir) => {
-      val out = sys.props("java.io.tmpdir") + "/graft_s2_" + math.abs(dir.hashCode)
+      val out = persistentPath("s2", dir)
       events(s, dir).select(col("event_id"), col("event_type"), col("value"), col("day"))
         .write.mode("overwrite").partitionBy("day").parquet(out)
       s.sql("DROP TABLE IF EXISTS graft_events_catalog")
@@ -128,7 +136,7 @@ object SparkEntry {
     // row_to_document_safe presence-check semantics
     // (data-s3-elastic-transfer.py:174-184) done at plan time, not per row
     "f2_schema_drift" -> ((s, dir) => {
-      val out = sys.props("java.io.tmpdir") + "/graft_f2_" + math.abs(dir.hashCode)
+      val out = persistentPath("f2", dir)
       val e = events(s, dir)
       e.filter(col("event_id") % 2 === 0).select(col("event_id"), col("value"))
         .write.mode("overwrite").parquet(out + "/gen=a")
@@ -518,7 +526,7 @@ object SparkEntry {
     // ---------------------------------------------------- §2.2 sinks
     // K1: partitioned parquet write + re-read (Partition-script.py:34-49)
     "k1_write_roundtrip" -> ((s, dir) => {
-      val out = sys.props("java.io.tmpdir") + "/graft_k1_" + math.abs(dir.hashCode)
+      val out = persistentPath("k1", dir)
       events(s, dir).write.mode("overwrite").partitionBy("day").parquet(out)
       s.read.parquet(out)
         .groupBy(col("day").cast("string").as("day"))
@@ -551,7 +559,7 @@ object SparkEntry {
     // CSV on S3, ID-based-transfer.py:42-48): headered write, schema'd
     // read-back (no inference pass — one scan, not two), exact aggregate
     "k4_csv_roundtrip" -> ((s, dir) => {
-      val out = sys.props("java.io.tmpdir") + "/graft_k4_" + math.abs(dir.hashCode)
+      val out = persistentPath("k4", dir)
       events(s, dir).select(col("event_id"), col("day"), col("event_type"), col("value"))
         .write.mode("overwrite").option("header", "true").csv(out)
       s.read.schema("event_id BIGINT, day STRING, event_type STRING, value DOUBLE")
@@ -566,7 +574,7 @@ object SparkEntry {
     // written via to_json as a text sink, read back with an explicit schema
     // (schema'd json read = one scan) and re-aggregated exactly
     "k5_ndjson_roundtrip" -> ((s, dir) => {
-      val out = sys.props("java.io.tmpdir") + "/graft_k5_" + math.abs(dir.hashCode)
+      val out = persistentPath("k5", dir)
       events(s, dir)
         .select(to_json(struct(col("event_id"), col("day"), col("event_type"), col("value"))).as("doc"))
         .write.mode("overwrite").text(out)
@@ -757,8 +765,9 @@ object SparkEntry {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         java.nio.file.Paths.get(s"$stage/events_b.parquet"))
-      val idx = s"$stage/../graft_t12_idx_" + math.abs(dir.hashCode) // outlives the stage wipe
-      try {
+      val idx = persistentPath("t12_idx", dir) // outlives the stage wipe
+      deleteRec(new java.io.File(idx)) // fresh run: stale upsert state from a
+      try {                            // prior corpus must not merge in
         graft.streaming.EventStream.runForeachBatchUpsert(
           graft.streaming.EventStream.readEvents(s, stage),
           idx, s"$stage/ckpt", "event_id", statePartitions = Some(8))

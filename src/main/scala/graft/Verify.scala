@@ -18,6 +18,10 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine extensions registered ONCE, before any query: no per-query
+    // session mutation, no run-order coupling (s8's own register is an
+    // idempotent no-op after this)
+    graft.plans.TsRangePushdown.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -38,6 +38,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * day are skipped on footer stats alone. Registered per-session via
   * [[TsRangePushdown.register]] (experimental.extraOptimizations) or
   * globally through `graft.GraftExtensions` (injectOptimizerRule).
+  *
+  * ==Soundness domain==
+  * The EQUALITY rewrite is sound for every input: only a year-1000..9999
+  * timestamp can format to a canonical `yyyy-MM-dd` string, and the
+  * emitted [lo, hi) range contains exactly those timestamps. The
+  * INEQUALITY rewrites additionally assume column values stay within
+  * years 1000–9999: outside that era `date_format`'s `yyyy` emits
+  * sign-padded years (`+10000-01-01`, `-0500-01-01`) whose LEXICOGRAPHIC
+  * order diverges from chronological order, so a corrupt far-future row
+  * that the unrewritten string comparison would (surprisingly) admit is
+  * excluded by the range form. This matches the engine's event-time
+  * domain everywhere else (the nanos-long conversion itself assumes
+  * positive epochs); pipelines that need to SURFACE out-of-era garbage
+  * should filter on the raw column, not on a formatted string.
   */
 object TsRangePushdown extends Rule[LogicalPlan] {
 

@@ -99,22 +99,29 @@ object EventStream {
     */
   def runToMemory(df: DataFrame, name: String, checkpointDir: String,
       outputMode: String = "complete", statePartitions: Option[Int] = None): StreamingQuery = {
-    val spark = df.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    val q =
-      try {
-        statePartitions.foreach(n => spark.conf.set(key, n.toString))
-        df.writeStream
-          .outputMode(outputMode)
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", checkpointDir)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally spark.conf.set(key, prev) // restore once captured by the query
+    val q = withStatePartitions(df.sparkSession, statePartitions) {
+      df.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     q
+  }
+
+  /** Start a streaming query under an overridden shuffle/state partition
+    * count, restoring the session conf once the query has CAPTURED it
+    * (StreamExecution clones the session in its constructor, during
+    * start(), so restoring after start() is race-free for the query).
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Option[Int])(start: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    try { n.foreach(v => spark.conf.set(key, v.toString)); start }
+    finally spark.conf.set(key, prev)
   }
 
   /** Batch (gaps-and-islands) form of sessionization: lag + cumulative sum
@@ -194,21 +201,16 @@ object EventStream {
     */
   def runForeachBatchUpsert(df: DataFrame, indexDir: String, checkpointDir: String,
       idCol: String, statePartitions: Option[Int] = None): StreamingQuery = {
-    val spark = df.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    val q =
-      try {
-        statePartitions.foreach(n => spark.conf.set(key, n.toString))
-        df.writeStream
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            graft.sinks.EsBulkSink.upsertById(
-              batch.withColumn("__v", lit(batchId)), indexDir, idCol, "__v")
-          }
-          .option("checkpointLocation", checkpointDir)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally spark.conf.set(key, prev)
+    val q = withStatePartitions(df.sparkSession, statePartitions) {
+      df.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sinks.EsBulkSink.upsertById(
+            batch.withColumn("__v", lit(batchId)), indexDir, idCol, "__v")
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     q
   }

@@ -44,6 +44,19 @@ class BatchingSpec extends AnyFunSuite {
     assert(!plan.contains("windowspecdefinition(n"), "found a global (unpartitioned) window")
   }
 
+  test("globalOrdinal handles NaN like the single-window form (NaN sorts greatest)") {
+    // Spark's total order puts NaN above every double in BOTH comparisons
+    // and sorts; the bucket expression must agree with the window sort or
+    // NaN rows would be numbered into the wrong bucket
+    val df = (Seq(5.0, 1.0, Double.NaN, 3.0, Double.NaN, 2.0)).toDF("v").repartition(3)
+    val got = Batching.globalOrdinal(df, "v", "rn", buckets = 3)
+      .select("v", "rn").as[(Double, Long)].collect().sortBy(_._2)
+    // NaN must take the TOP ranks in the distributed form, as in the window
+    assert(got.takeRight(2).forall(p => p._1.isNaN), s"NaN not ranked greatest: ${got.toSeq}")
+    assert(got.map(_._2).toSeq == (1L to 6L), s"ranks not a permutation: ${got.toSeq}")
+    assert(got.dropRight(2).map(_._1).toSeq == Seq(1.0, 2.0, 3.0, 5.0))
+  }
+
   test("withOrdinalBatchDistributed numbers batches identically to the parity form") {
     val df = (1 to 2500).toDF("n")
     def stats(b: org.apache.spark.sql.DataFrame) =

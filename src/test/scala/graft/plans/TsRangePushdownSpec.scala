@@ -9,11 +9,18 @@ class TsRangePushdownSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // GraftSession registers the rule by default; each helper pins one state
+  // and restores whatever was there before
   private def withRule[A](f: => A): A = {
+    val saved = spark.experimental.extraOptimizations
     TsRangePushdown.register(spark)
-    try f
-    finally spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == TsRangePushdown)
+    try f finally spark.experimental.extraOptimizations = saved
+  }
+
+  private def withoutRule[A](f: => A): A = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved.filterNot(_ == TsRangePushdown)
+    try f finally spark.experimental.extraOptimizations = saved
   }
 
   private def dayFiltered(day: String) =
@@ -26,7 +33,7 @@ class TsRangePushdownSpec extends AnyFunSuite {
         s"expected the rewritten ts range in PushedFilters:\n$plan")
     }
     // without the rule, the same query pushes nothing on ts
-    val bare = dayFiltered("2024-01-05").queryExecution.executedPlan.toString
+    val bare = withoutRule(dayFiltered("2024-01-05").queryExecution.executedPlan.toString)
     assert(!bare.contains("GreaterThanOrEqual(ts,"), "control: bare plan must not push a ts range")
   }
 
@@ -43,7 +50,7 @@ class TsRangePushdownSpec extends AnyFunSuite {
         ("ge", _.filter(col("day") >= day)),
         ("flip_lt", _.filter(lit(day) < col("day"))),
         ("flip_ge", _.filter(lit(day) >= col("day"))))) {
-      val want = run(f(e()))
+      val want = withoutRule(run(f(e())))
       val got = withRule(run(f(e())))
       assert(got == want, s"$name: rewritten result differs")
     }
