@@ -1565,6 +1565,37 @@ object SparkEntry {
     // engines, where JVM Math.log and libm ln are only 1-ulp-accurate and
     // can flip a rounded score or a rank at a boundary (NOTES.md parity
     // lessons — same monotonicity in df, so the ranking semantics hold)
+    // BM25 (k1=1.2, b=0.75) top terms per document — TF-IDF's production
+    // sibling: length-normalized tf saturation plus a smoothed ln idf. The
+    // whole score is per-row IEEE double arithmetic written identically in
+    // both engines; dl/avgdl are exact (integer-valued doubles, sums below
+    // 2^53), so only ln's last-ulp could differ — the 4-decimal round
+    // absorbs it away from .00005 boundaries (exactness verified at all
+    // three SFs by the gate)
+    "x_bm25_top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+      val toksArr = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+      val toks = docs.select(col("doc_id"), toksArr.as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+          explode(col("toks")).as("term"))
+      val tf = toks.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = toks.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfn = (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(stats))
+        .withColumn("score", round(idf * tfn, 4))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "score")
+        .orderBy("doc_id", "rnk")
+    }),
+
     "x_tfidf_top_terms" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
@@ -2165,6 +2196,29 @@ object SparkEntry {
                       FROM events)
            SELECT event_id, event_type, CAST(rnk AS INTEGER) AS rnk
            FROM r WHERE rnk <= 100 ORDER BY event_type, rnk""",
+      "x_bm25_top_terms" ->
+        """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+             toks AS (SELECT doc_id,
+                        CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS DOUBLE) AS dl,
+                        unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+                      FROM docs),
+             tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM toks GROUP BY doc_id, term),
+             dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+             stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+                       FROM (SELECT DISTINCT doc_id, dl FROM toks)),
+             scored AS (SELECT tf.doc_id, tf.term,
+                          -- every constant forced to DOUBLE: bare literals are
+                          -- DECIMALs in DuckDB, whose exact arithmetic diverges
+                          -- from Spark's per-row IEEE doubles (2.2 is not
+                          -- binary-exact)
+                          round(ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
+                                ((tf * CAST(2.2 AS DOUBLE)) /
+                                 (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))), 4) AS score
+                        FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+             r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+                   FROM scored)
+           SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, score
+           FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
       "x_tfidf_top_terms" ->
         """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
              toks AS (SELECT doc_id,
