@@ -76,6 +76,12 @@ class PlanSpec extends AnyFunSuite {
       s"day predicate must prune partition directories, not filter rows:\n$p")
   }
 
+  test("s2 catalog-table read prunes partitions through the recovered catalog") {
+    val p = plan("s2_catalog_scan")
+    assert(p.contains("PartitionFilters") && p.contains("2024-01-10"),
+      s"catalog read must prune recovered partition directories, not filter rows:\n$p")
+  }
+
   test("simhash signatures are a pure projection: no explode, no aggregate") {
     val sigs = graft.ext.Dedup.simhashSignatures(
       graft.sources.Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
