@@ -1616,6 +1616,20 @@ object SparkEntry {
 
     // multimodal metadata plumbing: payload bytes → shape/frames metadata
     // (decode itself is a stubbed mapPartitions — see graft.ext.Multimodal)
+    // frame-sampling SCHEDULE: k=4 uniformly spaced frame indices per media
+    // item — the deterministic half of video frame-sampling (which frames
+    // to decode), fully oracled; the decode itself stays the documented
+    // stub. sequence→transform→posexplode: per-row, no shuffle, the
+    // schedule generation is scan-speed at any corpus size
+    "x_multimodal_framesample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (floor(expr("octet_length(text)") / lit(100.0)).cast("bigint") + 1).as("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            i => floor(i * col("n_frames") / lit(4.0)).cast("bigint"))).as(Seq("slot", "frame_idx")))
+        .orderBy("doc_id", "slot")),
+
     "x_multimodal_meta" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2420,6 +2434,14 @@ object SparkEntry {
             SELECT d.lang, lp.lang_pred, count(*) AS cnt
             FROM lp JOIN documents d ON lp.doc_id = d.doc_id
             GROUP BY d.lang, lp.lang_pred ORDER BY d.lang, lp.lang_pred""",
+      "x_multimodal_framesample" ->
+        """WITH m AS (SELECT doc_id,
+                        CAST(floor(octet_length(encode(text)) / 100.0) AS BIGINT) + 1 AS n_frames
+                      FROM documents),
+                s AS (SELECT doc_id, n_frames, unnest(range(4)) AS slot FROM m)
+           SELECT doc_id, n_frames, CAST(slot AS INTEGER) AS slot,
+                  CAST(floor(slot * n_frames / 4.0) AS BIGINT) AS frame_idx
+           FROM s ORDER BY doc_id, slot""",
       "x_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                   CAST(floor(octet_length(encode(text)) / 100.0) AS BIGINT) + 1 AS n_frames,
