@@ -53,6 +53,30 @@ class EventStreamSpec extends AnyFunSuite {
     assert(distinctIds === srcIds, "no id may be lost by dedup")
   }
 
+  test("runForeachBatchUpsert is idempotent: replaying the drained source changes nothing") {
+    val base = Files.createTempDirectory("graft_fbu")
+    Files.copy(
+      java.nio.file.Paths.get(TestSpark.sfDir + "/events.parquet"), base.resolve("a.parquet"))
+    Files.copy(
+      java.nio.file.Paths.get(TestSpark.sfDir + "/events.parquet"), base.resolve("b.parquet"))
+    val idx = s"$base/idx"
+
+    // doubled delivery drains to exactly the distinct source
+    EventStream.runForeachBatchUpsert(
+      EventStream.readEvents(spark, base.toString), idx, s"$base/ckpt1",
+      "event_id", statePartitions = Some(4))
+    val n1 = spark.read.parquet(idx).count()
+    val src = Tables.loadEvents(spark, TestSpark.sfDir).select("event_id").distinct().count()
+    assert(n1 === src, "doubled delivery must upsert to the distinct source")
+
+    // a FRESH checkpoint replays everything — the idempotent sink converges
+    // to the same state instead of doubling (the reference's retry story)
+    EventStream.runForeachBatchUpsert(
+      EventStream.readEvents(spark, base.toString), idx, s"$base/ckpt2",
+      "event_id", statePartitions = Some(4))
+    assert(spark.read.parquet(idx).count() === n1, "replay must be a no-op on final state")
+  }
+
   test("syncToIndex is incremental: a second trigger with no new files appends nothing") {
     val base = Files.createTempDirectory("graft_stream_sync").toString
     val idx = s"$base/idx"
