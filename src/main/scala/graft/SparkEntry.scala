@@ -1495,6 +1495,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN recall GATES: recall@10 of each approximate path against the
+    // exact brute-force baseline, per query-id decile, 100 queries — the
+    // correctness signal the rows-only x_ann_* entries lack. Params are
+    // tuned so every decile clears 90% on this corpus: the synthetic
+    // embeddings are near-isotropic (same-label cosine ≈ cross-label ≈ 0 —
+    // measured), the HARDEST case for space-partitioning ANN, which is why
+    // IVF must probe 14/16 cells here; clustered real-world embeddings
+    // reach the same recall at much lower probe fractions. The gate bool is
+    // pure integer arithmetic (Σhits·100 ≥ Σtruth·90) — exact in any engine.
+    "x_ann_lsh_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      Similarity.recallByDecile(
+        Similarity.bruteTopK(e, q, "vec_id", "embedding", 10),
+        Similarity.lshTopK(e, q, "vec_id", "embedding", 10, nBits = 4, tables = 8, probes = 3),
+        minRecallPct = 90)
+    }),
+
+    "x_ann_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      Similarity.recallByDecile(
+        Similarity.bruteTopK(e, q, "vec_id", "embedding", 10),
+        Similarity.ivfTopK(e, q, "vec_id", "embedding", 10, nLists = 16, nProbe = 14),
+        minRecallPct = 90)
+    }),
+
     // corpus-level character-trigram frequency profile, top 20 (native
     // CharNgrams expression; the interpreted HOF form measured ~2 s at sf0.1)
     "x_char_ngrams" -> ((s, dir) =>
@@ -2406,6 +2433,18 @@ object SparkEntry {
                       FROM s)
            SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 4) AS score
            FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+      // recall gates: the oracle pins the report shape (10 deciles × 10
+      // queries × 10 truth rows) and recall_ok = TRUE for every decile —
+      // if either ANN path's recall drops below 90% in any decile, the
+      // Spark side emits FALSE and the hash compare goes red
+      "x_ann_lsh_recall" ->
+        """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
+                  count(*) * 10 AS n_true, TRUE AS recall_ok
+           FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
+      "x_ann_ivf_recall" ->
+        """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
+                  count(*) * 10 AS n_true, TRUE AS recall_ok
+           FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
       "x_embed_neardup" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                       FROM embeddings WHERE vec_id % 5 = 0),

@@ -46,6 +46,39 @@ class SimilaritySpec extends AnyFunSuite {
     (brute.keySet & ivf.keySet).foreach(k => assert(brute(k) === ivf(k)))
   }
 
+  test("recallByDecile gates both ANN paths at >=90% in every decile (SparkEntry params)") {
+    for (name <- Seq("x_ann_lsh_recall", "x_ann_ivf_recall")) {
+      val rows = graft.SparkEntry.queries(name)(spark, TestSpark.sfDir).collect()
+      assert(rows.length === 10, s"$name: expected 10 deciles")
+      rows.foreach { r =>
+        assert(r.getLong(1) === 10L, s"$name decile ${r.getLong(0)}: expected 10 queries")
+        assert(r.getLong(2) === 100L, s"$name decile ${r.getLong(0)}: expected 100 truth rows")
+        assert(r.getBoolean(3), s"$name decile ${r.getLong(0)}: recall below gate")
+      }
+    }
+  }
+
+  test("recallByDecile reports a failing decile when the ANN result misses neighbors") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", k = 5)
+    // an 'ANN' result that returns only rank 1 has recall 20% — every gate must trip
+    val bad = brute.filter(col("rank") === 1)
+    val rows = Similarity.recallByDecile(brute, bad, minRecallPct = 90).collect()
+    assert(rows.nonEmpty && rows.forall(r => !r.getBoolean(3)))
+  }
+
+  test("ivfTopK cell assignment is a per-row map: no corpus shuffle, one Window total") {
+    val df = graft.SparkEntry.queries("x_ann_ivf")(spark, TestSpark.sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical
+    val windows = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.size === 1, "expected only the final per-query top-k window")
+    val p = df.queryExecution.executedPlan.toString
+    // the r3 plan ranked cells with a per-corpus-id window, shuffling
+    // |corpus|·nLists rows by neighbor_id — pin its absence
+    assert(!p.contains("hashpartitioning(neighbor_id"),
+      s"corpus must not shuffle by id before the candidate join:\n$p")
+  }
+
   test("lshTopK scores match brute-force scores for overlapping results") {
     val queries = embs.filter(col("vec_id") === 0)
     val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", k = 5)
