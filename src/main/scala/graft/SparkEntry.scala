@@ -277,11 +277,15 @@ object SparkEntry {
         .orderBy("event_type")),
 
     // argmax/argmin aggregates: per day, the event type carrying the
-    // highest / lowest value — max_by over a composite key (value is
-    // exactly 2-decimal, so round(value*100)*1e10 + event_id is one
-    // orderable long that makes ties deterministic in both engines)
+    // highest / lowest value — max_by over a STRUCT ordering key
+    // (value, event_id): lexicographic struct comparison makes ties
+    // deterministic with no domain bound (the earlier composite long
+    // round(value*100)*1e10 + event_id overflowed once round(value*100)
+    // ≥ ~9.2e8 — an ANSI ARITHMETIC_OVERFLOW at runtime, round-3 advice).
+    // DuckDB 1.0's arg_max can't order by a struct, so the oracle ranks
+    // with window functions instead — same (value, event_id) tie order.
     "a17_argmax" -> ((s, dir) => {
-      val key = (round(col("value") * 100).cast("long") * lit(10000000000L) + col("event_id"))
+      val key = struct(col("value"), col("event_id"))
       events(s, dir)
         .groupBy("day")
         .agg(max_by(col("event_type"), key).as("top_type"),
@@ -447,12 +451,28 @@ object SparkEntry {
         coalesce(col("value"), lit(0.0)).as("val_d")
       ).orderBy("event_id")),
 
-    // F3: row→JSON document (data-s3-elastic-transfer.py:154-186); no oracle
-    // (JSON text formatting is engine-specific) → rows-only check
-    "f3_to_json" -> ((s, dir) =>
-      EsBulkSink.toNdjson(
-        events(s, dir).select("event_id", "day", "event_type", "value").orderBy("event_id"),
-        "events_idx", Some("event_id"))),
+    // F3: row→JSON document (data-s3-elastic-transfer.py:154-186). The
+    // emitted NDJSON text itself is engine-specific, so the oracle checks
+    // the ROUND TRIP instead (round-3 verdict #6): build the bulk line,
+    // split it back into action + doc, json-extract a canonical typed
+    // projection, and compare that to the source row computed directly in
+    // DuckDB — proving the document is parseable and value-preserving,
+    // including the action metadata (_index, _id).
+    "f3_to_json" -> ((s, dir) => {
+      val nd = EsBulkSink.toNdjson(
+        events(s, dir).select("event_id", "day", "event_type", "value"),
+        "events_idx", Some("event_id"))
+      val action = substring_index(col("bulk_line"), "\n", 1)
+      val doc = substring_index(col("bulk_line"), "\n", -1)
+      nd.select(
+        get_json_object(action, "$.index._index").as("idx_name"),
+        get_json_object(action, "$.index._id").cast("long").as("doc_id"),
+        get_json_object(doc, "$.event_id").cast("long").as("event_id"),
+        get_json_object(doc, "$.day").as("day"),
+        get_json_object(doc, "$.event_type").as("event_type"),
+        get_json_object(doc, "$.value").cast("double").as("value"))
+        .orderBy("event_id")
+    }),
 
     // ------------------------------------------------- §2.8 batching
     // W1: global ordinal batching (zipWithIndex pagination,
@@ -1095,9 +1115,14 @@ object SparkEntry {
     // (val*n*2 > total*3) — a derived avg would be double division, which
     // rounds engine-dependently.
     "q11_important_values" -> ((s, dir) => {
+      // cache v: both the global total and the final filter derive from it,
+      // and Spark does not reuse non-identical subplans — uncached, the
+      // lineitem scan+aggregate runs twice (2x the dominant cost at scale).
+      // v is |parts|-sized, so the cache is small; Bench clears it per run.
       val v = t(s, dir, "lineitem")
         .groupBy("l_partkey")
         .agg(dsum(col("l_extendedprice") * col("l_quantity")).as("val"))
+        .cache()
       val tot = v.agg(
         sum(col("val").cast("decimal(18,4)")).cast("decimal(28,4)").as("total_val"),
         count(lit(1)).as("n_parts"))
@@ -1460,6 +1485,31 @@ object SparkEntry {
         bands = 16, rowsPerBand = 4, threshold = 0.3)
         .orderBy("doc_a", "doc_b")),
 
+    // LSH ⊇ exact AGREEMENT gate (round-3 verdict #3): the corpus has no
+    // natural near-dups (max pairwise J ≈ 0.02), so construct them
+    // deterministically — every sampled doc unioned with a copy truncated
+    // to its first 90% of characters (true Jaccard ≈ 0.8–0.97 between
+    // original and copy; identical construction in SQL). Every exact pair
+    // with Jaccard above the S-curve knee (0.8 — per-pair detection
+    // ≥ 99.98% at b=16, r=4, and deterministic given fixed hash seeds)
+    // must appear in the MinHash/LSH candidate set: the oracle pins
+    // n_missed = 0, and n_exact pins the exact path on the same corpus.
+    // This upgrades x_minhash_lsh from unchecked to superset-gated.
+    "x_lsh_exact_agreement" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+      val corp = base.unionByName(base.select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        expr("substr(text, 1, CAST(floor(length(text)*0.9) AS INT))").as("text")))
+      // cache: both the count and the anti-join read the exact pair set,
+      // and Spark won't reuse non-identical subplans
+      val exact = Dedup.ngramJaccardPairs(corp, "doc_id", "text", n = 3, threshold = 0.8).cache()
+      val cand = Dedup.minhashLsh(corp, "doc_id", "text", n = 3,
+        bands = 16, rowsPerBand = 4, threshold = 0.5)
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+        exact.join(cand.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+          .agg(count(lit(1)).as("n_missed")))
+    }),
+
     // SimHash near-dup pairs, chunk-bucketed candidates; rows-only check
     "x_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
@@ -1747,11 +1797,16 @@ object SparkEntry {
                    count(DISTINCT $dayE) AS n_days
             FROM events GROUP BY event_type ORDER BY event_type""",
       "a17_argmax" ->
-        s"""SELECT $dayE AS day,
-                   arg_max(event_type, CAST(round(value*100) AS BIGINT) * 10000000000 + event_id) AS top_type,
-                   arg_min(event_type, CAST(round(value*100) AS BIGINT) * 10000000000 + event_id) AS bot_type,
+        s"""WITH ranked AS (
+              SELECT $dayE AS day, event_type, value,
+                     row_number() OVER (PARTITION BY $dayE ORDER BY value DESC, event_id DESC) AS rmax,
+                     row_number() OVER (PARTITION BY $dayE ORDER BY value ASC, event_id ASC) AS rmin
+              FROM events)
+            SELECT day,
+                   max(CASE WHEN rmax = 1 THEN event_type END) AS top_type,
+                   max(CASE WHEN rmin = 1 THEN event_type END) AS bot_type,
                    round(max(value), 4) AS max_value
-            FROM events GROUP BY day ORDER BY day""",
+            FROM ranked GROUP BY day ORDER BY day""",
       "f7_null_semantics" ->
         """SELECT event_id,
                   nullif(event_type, 'click') AS et_null,
@@ -2369,12 +2424,33 @@ object SparkEntry {
             FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
             WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.01
             ORDER BY doc_a, doc_b""",
+      "x_lsh_exact_agreement" ->
+        s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+                 corp AS (SELECT doc_id, text FROM base
+                          UNION ALL
+                          SELECT doc_id + 1000000, substr(text, 1, CAST(floor(length(text)*0.9) AS INT)) FROM base),
+                 d AS (SELECT doc_id, $toksE AS toks FROM corp),
+                 s AS (SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+                   FROM d),
+                 e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+                 sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+                 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                       FROM e a JOIN e b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_missed
+            FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+            WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.8""",
       "f10_try_funcs" ->
         s"""SELECT event_id,
                    value / nullif(CAST(event_id % 5 AS DOUBLE), 0.0) AS safe_div,
                    TRY_CAST(CASE WHEN event_id % 3 = 0 THEN CAST(event_id AS VARCHAR)
                             ELSE event_type END AS BIGINT) AS parsed,
                    (string_split($dayE, '-'))[CAST(event_id % 4 + 1 AS INTEGER)] AS day_part
+            FROM events ORDER BY event_id""",
+      "f3_to_json" ->
+        s"""SELECT 'events_idx' AS idx_name, event_id AS doc_id,
+                   event_id, $dayE AS day, event_type, value
             FROM events ORDER BY event_id""",
       "f9_regex_battery" ->
         """SELECT doc_id,

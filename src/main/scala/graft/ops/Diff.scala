@@ -32,12 +32,19 @@ object Diff {
       .join(sinkState.select(idCol).distinct(), Seq(idCol), "left_anti")
 
   /** T2 scale path: id-diff with a bloom-filter pre-split. The sink's id
-    * set is sketched once (driver-side aggregation, a few MB broadcast);
-    * source rows the filter definitely excludes ARE missing and skip the
-    * join entirely; only the "might contain" residue (≈ fpp of the missing
-    * side plus all true matches) pays the anti-join shuffle. At 100 TB this
-    * turns a full-source shuffle into a shuffle of ~|sink∩source| + ε.
+    * set is sketched once (driver-side aggregation, a few MB); source rows
+    * the filter definitely excludes ARE missing and skip the join entirely;
+    * only the "might contain" residue (≈ fpp of the missing side plus all
+    * true matches) pays the anti-join shuffle. At 100 TB this turns a
+    * full-source shuffle into a shuffle of ~|sink∩source| + ε.
     * Exact — false positives are re-checked by the anti-join.
+    *
+    * The membership probe is Spark's native `BloomFilterMightContain`
+    * expression over the serialized sketch as a binary literal — the same
+    * mechanism Catalyst's injected runtime row-level filters use — so the
+    * pre-filter stays inside whole-stage codegen (the earlier Scala UDF
+    * broke codegen on this path; the sketch bytes ride the task binary
+    * once per stage and deserialize lazily per task).
     */
   def idDiffBloom(
       source: DataFrame,
@@ -45,13 +52,21 @@ object Diff {
       idCol: String,
       expectedSinkIds: Long,
       fpp: Double = 0.01): DataFrame = {
-    val spark = source.sparkSession
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
     val bf = sinkState.stat.bloomFilter(idCol, expectedSinkIds, fpp)
-    val bfBc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((id: Long) => bfBc.value.mightContainLong(id))
+    val bytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      os.toByteArray
+    }
+    val mightContain = column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bytes, org.apache.spark.sql.types.BinaryType),
+        expression(col(idCol).cast("long"))))
     val src = source.select(idCol).distinct()
-    val definitelyMissing = src.filter(!mightContain(col(idCol)))
-    val suspects = src.filter(mightContain(col(idCol)))
+    val definitelyMissing = src.filter(!mightContain)
+    val suspects = src.filter(mightContain)
       .join(sinkState.select(idCol).distinct(), Seq(idCol), "left_anti")
     definitelyMissing.unionByName(suspects)
   }

@@ -82,6 +82,18 @@ class PlanSpec extends AnyFunSuite {
       s"catalog read must prune recovered partition directories, not filter rows:\n$p")
   }
 
+  test("j12 bloom pre-filter is the native might_contain expression, not a Scala UDF") {
+    val p = plan("j12_bloom_anti")
+    assert(!p.contains("UDF"), s"bloom probe must not be a ScalaUDF (breaks codegen):\n$p")
+    assert(p.contains("might_contain"), s"expected native BloomFilterMightContain:\n$p")
+  }
+
+  test("q11 aggregates lineitem once: the per-part value table is cached and reused") {
+    val p = plan("q11_important_values")
+    assert(p.contains("InMemoryTableScan"),
+      s"v must be cached so the global-total pass reuses it:\n$p")
+  }
+
   test("simhash signatures are a pure projection: no explode, no aggregate") {
     val sigs = graft.ext.Dedup.simhashSignatures(
       graft.sources.Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")

@@ -16,9 +16,11 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("oracle coverage: every query without SQL is an explicitly known exception") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // xxhash64 signatures, JSON text formatting, HLL sketch values, and
-    // hash-derived ANN buckets/cells aren't SQL-portable across engines
-    assert(rowsOnly === Set("f3_to_json", "x_minhash_lsh", "x_simhash_pairs", "x_ann_lsh",
+    // xxhash64 signatures, HLL sketch values, and hash-derived ANN
+    // buckets/cells aren't SQL-portable across engines — but each now has
+    // a derived checked cousin: x_minhash_lsh ⊆-gated by x_lsh_exact_agreement,
+    // x_ann_* recall-gated by x_ann_*_recall, f3 round-trip oracled
+    assert(rowsOnly === Set("x_minhash_lsh", "x_simhash_pairs", "x_ann_lsh",
       "x_ann_ivf", "a7_approx_distinct", "x_multimodal_features"))
   }
 
