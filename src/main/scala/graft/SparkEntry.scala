@@ -1449,7 +1449,8 @@ object SparkEntry {
     // near-dup cluster RESOLUTION: connected components over the exact
     // n-gram Jaccard pairs (same pair set as x_ngram_jaccard) — every doc
     // labeled with the min doc id of its transitive duplicate cluster via
-    // distributed min-label propagation (graft.ext.Dedup.connectedComponents)
+    // alternating large-star/small-star contraction (diameter-independent;
+    // graft.ext.Dedup.connectedComponents)
     "x_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(

@@ -129,6 +129,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents handles adversarial long chains within the round budget") {
+    // a chain is the worst case for per-hop propagation: diameter = n.
+    // Star contraction must label a 300-hop chain in <= maxIter(=20) rounds.
+    val chainGen = for {
+      n <- Gen.choose(50, 300)
+      shift <- Gen.choose(0L, 1000L)
+    } yield (0L until n.toLong).map(i => (i + shift, i + shift + 1))
+    samples(chainGen, 3).foreach { chain =>
+      val lo = chain.head._1
+      val got = graft.ext.Dedup.connectedComponents(
+          chain.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === chain.length + 1)
+      assert(got.forall(_._2 == lo), s"every chain node must label to $lo")
+    }
+  }
+
   test("exact dedup then dedup again is a fixpoint") {
     val textsGen = Gen.nonEmptyListOf(Gen.oneOf("a b c", "a  b c", "x y", "z"))
     samples(textsGen, 6).foreach { texts =>
