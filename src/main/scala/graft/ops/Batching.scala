@@ -65,10 +65,17 @@ object Batching {
     * ordinal is exact for any monotone bucketing. Ties on `orderCol` get
     * arbitrary relative order, exactly like the single-task window (and
     * like the reference's `zipWithIndex`, data-s3-elastic-transfer.py:340).
-    * `orderCol` must be numeric and non-null. The two pre-passes touch one
-    * column each; when only bounded-size *batches* are needed (not a true
-    * global ordinal), `foreachBulk` above is the right tool — zero passes,
-    * zero shuffles.
+    * `orderCol` must be numeric and non-null, and `df` must be
+    * DETERMINISTIC across jobs: the quantile sketch, the per-bucket counts,
+    * and the final ranked pass are three independent jobs over `df`, so a
+    * non-deterministic source (fresh random columns, a table mutated
+    * between jobs) can make counts disagree with the final pass — silently
+    * gapped/duplicated ordinals, or under ANSI mode an `element_at`
+    * MAP_KEY_DOES_NOT_EXIST error for a bucket absent from the offset map.
+    * Persist or localCheckpoint such inputs first. The two pre-passes
+    * touch one column each; when only bounded-size *batches* are needed
+    * (not a true global ordinal), `foreachBulk` above is the right tool —
+    * zero passes, zero shuffles.
     */
   def globalOrdinal(df: DataFrame, orderCol: String, outCol: String = "rn", buckets: Int = 0): DataFrame = {
     val spark = df.sparkSession

@@ -51,7 +51,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * excluded by the range form. This matches the engine's event-time
   * domain everywhere else (the nanos-long conversion itself assumes
   * positive epochs); pipelines that need to SURFACE out-of-era garbage
-  * should filter on the raw column, not on a formatted string.
+  * should filter on the raw column, not on a formatted string — or set
+  * `spark.graft.tsRangePushdown.inequality=false` ([[InequalityConfKey]])
+  * to restore strict string-comparison semantics for the inequality forms
+  * while keeping the always-sound equality rewrite.
   */
 object TsRangePushdown extends Rule[LogicalPlan] {
 
@@ -65,40 +68,67 @@ object TsRangePushdown extends Rule[LogicalPlan] {
 
   private val dayFmt = UTF8String.fromString("yyyy-MM-dd")
 
-  /** [lo, hi) micros-since-epoch of a calendar day, in `zone` for zoned
-    * timestamps or as wall-clock (UTC-anchored micros) for NTZ.
+  /** [lo, hi) micros-since-epoch of a calendar day, in the expression's
+    * RESOLVED zone for zoned timestamps (the timeZoneId the analyzer bound
+    * into date_format — falling back to the session zone only when absent)
+    * or as wall-clock (UTC-anchored micros) for NTZ. Using the resolved
+    * zone matters when the session zone changed between analysis and
+    * optimization, or a view was resolved under another zone: the
+    * boundaries must match what date_format will actually emit.
     */
-  private def dayBounds(day: String, dt: DataType): Option[(Long, Long)] =
+  private def dayBounds(day: String, dt: DataType, tzId: Option[String]): Option[(Long, Long)] =
     try {
       val d = LocalDate.parse(day)
       val zone: ZoneId = dt match {
-        case TimestampType => ZoneId.of(conf.sessionLocalTimeZone)
+        case TimestampType => ZoneId.of(tzId.getOrElse(conf.sessionLocalTimeZone))
         case _ => ZoneOffset.UTC // NTZ: micros encode wall-clock as if UTC
       }
       def micros(x: LocalDate) =
         ChronoUnit.MICROS.between(Instant.EPOCH, x.atStartOfDay(zone).toInstant)
       Some((micros(d), micros(d.plusDays(1))))
-    } catch { case _: java.time.format.DateTimeParseException => None }
+    } catch {
+      case _: java.time.format.DateTimeParseException => None
+      case _: java.time.DateTimeException => None // unresolvable zone id: leave unrewritten
+    }
 
   private def isTs(dt: DataType): Boolean =
     dt == TimestampType || dt == TimestampNTZType
 
-  /** `date_format(T, 'yyyy-MM-dd')` with a timestamp-typed child. */
+  /** `date_format(T, 'yyyy-MM-dd')` with a timestamp-typed child; also
+    * captures the expression's resolved timeZoneId.
+    */
   private object DayOf {
-    def unapply(e: Expression): Option[Expression] = e match {
-      case DateFormatClass(t, Literal(f: UTF8String, StringType), _)
-          if f == dayFmt && isTs(t.dataType) => Some(t)
+    def unapply(e: Expression): Option[(Expression, Option[String])] = e match {
+      case DateFormatClass(t, Literal(f: UTF8String, StringType), tz)
+          if f == dayFmt && isTs(t.dataType) => Some((t, tz))
       case _ => None
     }
   }
 
   private def tsLit(micros: Long, dt: DataType): Literal = Literal(micros, dt)
 
+  /** Escape hatch for the inequality (non-equality) rewrites, whose
+    * soundness assumes the years-1000..9999 era (see Soundness domain):
+    * setting this false restores strict lexicographic-string semantics for
+    * `<`/`<=`/`>`/`>=` without deregistering the rule (equality stays
+    * rewritten — it is sound for every input).
+    */
+  val InequalityConfKey = "spark.graft.tsRangePushdown.inequality"
+
+  private def inequalityEnabled: Boolean =
+    conf.getConfString(InequalityConfKey, "true").toBoolean
+
   /** T cmp day-string → range over T. `flip` when the literal was on the
     * left (e.g. `'d' < date_format(ts)` ≡ `date_format(ts) > 'd'`).
     */
-  private def dayRange(t: Expression, day: String, cmp: BinaryComparison, flip: Boolean): Option[Expression] =
-    dayBounds(day, t.dataType).map { case (lo, hi) =>
+  private def dayRange(
+      t: Expression,
+      tzId: Option[String],
+      day: String,
+      cmp: BinaryComparison,
+      flip: Boolean): Option[Expression] =
+    if (!cmp.isInstanceOf[EqualTo] && !inequalityEnabled) None
+    else dayBounds(day, t.dataType, tzId).map { case (lo, hi) =>
       val dt = t.dataType
       cmp match {
         case _: EqualTo => And(GreaterThanOrEqual(t, tsLit(lo, dt)), LessThan(t, tsLit(hi, dt)))
@@ -143,10 +173,10 @@ object TsRangePushdown extends Rule[LogicalPlan] {
   }
 
   private val rewrite: PartialFunction[Expression, Expression] = {
-    case cmp @ BinaryComparison(DayOf(t), Literal(day: UTF8String, StringType)) =>
-      dayRange(t, day.toString, cmp, flip = false).getOrElse(cmp)
-    case cmp @ BinaryComparison(Literal(day: UTF8String, StringType), DayOf(t)) =>
-      dayRange(t, day.toString, cmp, flip = true).getOrElse(cmp)
+    case cmp @ BinaryComparison(DayOf(t, tz), Literal(day: UTF8String, StringType)) =>
+      dayRange(t, tz, day.toString, cmp, flip = false).getOrElse(cmp)
+    case cmp @ BinaryComparison(Literal(day: UTF8String, StringType), DayOf(t, tz)) =>
+      dayRange(t, tz, day.toString, cmp, flip = true).getOrElse(cmp)
     case cmp @ BinaryComparison(MicrosDivNanos(x), Literal(m: Long, TimestampType)) =>
       nanosRange(x, m, cmp, flip = false).getOrElse(cmp)
     case cmp @ BinaryComparison(Literal(m: Long, TimestampType), MicrosDivNanos(x)) =>

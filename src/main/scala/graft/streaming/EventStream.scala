@@ -32,6 +32,32 @@ object EventStream {
     StructField("props", StringType)
   ))
 
+  /** The 100×-state configuration: back streaming state with RocksDB
+    * instead of the default HDFS-backed in-heap provider.
+    *
+    * The default provider holds every state partition's full map in
+    * executor HEAP and snapshots it per commit — fine while aggregate
+    * state (open windows × keys for t6-shaped daily counts, watermark-span
+    * ids for t8 dedup, interval×rate join rows for t10) fits in memory,
+    * but at 100× the keys the executors OOM before the query slows down.
+    * RocksDB keeps state on local SSD with a block-cache in native (not
+    * JVM-heap) memory and ships incremental changelogs to the checkpoint,
+    * so per-executor state capacity scales with disk, commit cost with the
+    * CHANGE rate rather than total state size, and GC pressure stays flat.
+    *
+    * Opt-in, set on the session BEFORE the query first starts (the
+    * provider class is pinned in the checkpoint for the query's lifetime):
+    * `spark.conf.set(rocksDbStateStore._1, rocksDbStateStore._2)`. The
+    * bundled provider needs no extra dependency (rocksdbjni ships with
+    * Spark). Left OFF for this engine's bench entries: their test-scale
+    * state is a few thousand keys, where in-heap wins — the conf is the
+    * knob a 100 TB deployment flips. Exercised live by EventStreamSpec
+    * ("daily counts under the RocksDB state store...").
+    */
+  val rocksDbStateStore: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** File-source stream over a directory of events parquet. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
@@ -116,6 +142,14 @@ object EventStream {
     * count, restoring the session conf once the query has CAPTURED it
     * (StreamExecution clones the session in its constructor, during
     * start(), so restoring after start() is race-free for the query).
+    *
+    * SERIAL-USE ASSUMPTION: the override is visible on the shared session
+    * for the duration of start(), so any concurrent batch query planned on
+    * the same session in that window would silently inherit it. Fine in
+    * this engine's serial bench/verify harness; a concurrent caller must
+    * instead build the stream's whole lineage on `spark.newSession()` and
+    * set the conf there (the override can't be confined here because the
+    * passed DataFrame is already bound to its session).
     */
   private def withStatePartitions[A](spark: SparkSession, n: Option[Int])(start: => A): A = {
     val key = "spark.sql.shuffle.partitions"

@@ -36,6 +36,24 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("daily counts under the RocksDB state store equal the default-provider result") {
+    val (key, provider) = EventStream.rocksDbStateStore
+    val prev = spark.conf.getOption(key)
+    val ckpt = Files.createTempDirectory("graft_ckpt_rocks").toString
+    try {
+      spark.conf.set(key, provider)
+      EventStream.runToMemory(
+        EventStream.dailyCounts(EventStream.readEvents(spark, eventsDir)), "daily_rocks", ckpt)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    val rocks = spark.table("daily_rocks")
+      .select("day", "event_type", "cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables.withDay(Tables.loadEvents(spark, TestSpark.sfDir))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rocks === batch)
+  }
+
   test("dedupById drops duplicate deliveries: doubled input, single output") {
     val base = Files.createTempDirectory("graft_stream_dedup")
     Files.copy(
