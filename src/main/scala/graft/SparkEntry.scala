@@ -230,12 +230,20 @@ object SparkEntry {
           col("cnt"), col("sum_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    // approx_count_distinct (HLL sketch) — values are engine-specific, so
-    // rows-only check; exactness is covered by a6's countDistinct
+    // approx_count_distinct (HLL++ sketch). The sketch VALUE is
+    // engine-specific (DuckDB's approx_distinct uses a different HLL), so
+    // the oracle instead gates the sketch's accuracy: emit the exact
+    // distinct count plus a boolean that the approximation landed within
+    // 5× the requested rsd (0.02 → |err| <= 0.1). Both engines can compute
+    // the exact side; the gate bool is deterministic (HLL++ hashes are
+    // fixed), verified TRUE at sf0.001/0.01/0.1.
     "a7_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          (abs(approx_count_distinct(col("l_partkey"), 0.02).cast("double") /
+            countDistinct(col("l_partkey")).cast("double") - 1.0) <= 0.1).as("approx_ok"))
         .orderBy("l_returnflag")),
 
     // skew mitigation (§4 scale notes): two-phase salted aggregation —
@@ -1512,9 +1520,36 @@ object SparkEntry {
     }),
 
     // SimHash near-dup pairs, chunk-bucketed candidates; rows-only check
+    // (xxhash64 signatures aren't SQL-portable) — the signature semantics
+    // are hamming-gated by x_simhash_exact_agreement below.
     "x_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
+
+    // SimHash ↔ exact agreement gate, the cousin of x_lsh_exact_agreement:
+    // on the same deterministic near-dup corpus (90% truncated copies),
+    // every exact pair with Jaccard >= 0.8 must have SimHash hamming
+    // distance <= 16 — far below the ~32 expectation for unrelated docs,
+    // so the 64-bit signature provably orders similarity. (Measured max
+    // hamming on these pairs: 13 at sf0.1, 11 at sf0.01 — the sketch is
+    // deterministic, so the margin is real, not statistical.) The oracle
+    // pins n_exact via the SQL-portable exact path and n_far = 0. The
+    // chunk-bucketed candidate path (maxHamming <= 3) stays rows-only: it
+    // intentionally targets much nearer duplicates than Jaccard 0.8.
+    "x_simhash_exact_agreement" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+      val corp = base.unionByName(base.select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        expr("substr(text, 1, CAST(floor(length(text)*0.9) AS INT))").as("text")))
+      val exact = Dedup.ngramJaccardPairs(corp, "doc_id", "text", n = 3, threshold = 0.8)
+      val sh = Dedup.simhashSignatures(corp, "doc_id", "text")
+      exact
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("hamming") > 16, 1L).otherwise(0L)).as("n_far"))
+    }),
 
     // brute-force cosine top-5 for 10 query vectors (exact ANN baseline)
     "x_embed_cosine_topk" -> ((s, dir) => {
@@ -1753,6 +1788,11 @@ object SparkEntry {
            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       "a5_distinct_days" ->
         s"SELECT DISTINCT $dayE AS day FROM events ORDER BY day",
+      // the sketch value is engine-specific; the oracle checks the exact
+      // side and pins the accuracy-gate bool (see the queries entry)
+      "a7_approx_distinct" ->
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_ok
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       "a8_rollup" ->
         s"""SELECT coalesce($dayE, 'ALL') AS day, coalesce(event_type, 'ALL') AS event_type,
                    count(*) AS cnt
@@ -2440,6 +2480,25 @@ object SparkEntry {
                  p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
                        FROM e a JOIN e b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
             SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_missed
+            FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+            WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.8""",
+      // same exact-pair CTE as x_lsh_exact_agreement; the SimHash side
+      // (n_far: hamming > 16 violations) is pinned at 0
+      "x_simhash_exact_agreement" ->
+        s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+                 corp AS (SELECT doc_id, text FROM base
+                          UNION ALL
+                          SELECT doc_id + 1000000, substr(text, 1, CAST(floor(length(text)*0.9) AS INT)) FROM base),
+                 d AS (SELECT doc_id, $toksE AS toks FROM corp),
+                 s AS (SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+                   FROM d),
+                 e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+                 sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+                 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                       FROM e a JOIN e b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_far
             FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
             WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.8""",
       "f10_try_funcs" ->

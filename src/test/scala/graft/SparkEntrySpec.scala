@@ -16,12 +16,14 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("oracle coverage: every query without SQL is an explicitly known exception") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // xxhash64 signatures, HLL sketch values, and hash-derived ANN
-    // buckets/cells aren't SQL-portable across engines — but each now has
-    // a derived checked cousin: x_minhash_lsh ⊆-gated by x_lsh_exact_agreement,
-    // x_ann_* recall-gated by x_ann_*_recall, f3 round-trip oracled
+    // xxhash64 signatures and hash-derived ANN buckets/cells aren't
+    // SQL-portable across engines — but each has a derived checked cousin:
+    // x_minhash_lsh ⊆-gated by x_lsh_exact_agreement, x_simhash_pairs
+    // hamming-gated by x_simhash_exact_agreement, x_ann_* recall-gated by
+    // x_ann_*_recall; x_multimodal_features wraps the documented decoder
+    // stub (no media libs in the container)
     assert(rowsOnly === Set("x_minhash_lsh", "x_simhash_pairs", "x_ann_lsh",
-      "x_ann_ivf", "a7_approx_distinct", "x_multimodal_features"))
+      "x_ann_ivf", "x_multimodal_features"))
   }
 
   test("all queries execute and are non-empty at sf0.001 (except known-sparse pair miners)") {
