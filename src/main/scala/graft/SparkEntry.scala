@@ -367,8 +367,11 @@ object SparkEntry {
     // the might-contain residue pays it. Exact (false positives re-checked),
     // so it oracles against the plain anti-join.
     "j12_bloom_anti" -> ((s, dir) =>
+      // auto-sized sketch (expectedSinkIds <= 0): sizing for the actual
+      // sink cardinality keeps the plan-embedded literal small — a
+      // generously oversized sketch costs planning + shipping time
       Diff.idDiffBloom(events(s, dir), sinkState(s, dir), "event_id",
-        expectedSinkIds = 1000000L, fpp = 0.01)
+        expectedSinkIds = -1L, fpp = 0.01)
         .orderBy("event_id")),
 
     // J5: union-all reassembly (ID-based-transfer.py:194)
