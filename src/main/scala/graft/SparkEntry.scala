@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Decontaminate, Dedup, Mixture, Packing, PQ, Similarity, Sketches}
 import graft.functions.{TextFunctions => TF}
 import graft.ops.{Batching, Diff, RangeJoin}
 import graft.sinks.{EsBulkSink, Upsert}
@@ -613,6 +613,23 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
         .orderBy("event_type")
+    }),
+
+    // ORC sink + source roundtrip — same columnar write/read lifecycle as
+    // k1 but through Spark's second built-in columnar format (the lakehouse
+    // interchange case: an ORC-based warehouse reading our output). ORC
+    // carries its own schema, so the read-back needs no schema literal, and
+    // min/max stripe statistics give the same pushdown story as parquet
+    // (filter verified in PlanSpec).
+    "k6_orc_roundtrip" -> ((s, dir) => {
+      val out = persistentPath("k6", dir)
+      events(s, dir).select(col("event_id"), col("day"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("day") >= "2024-01-10")
+        .groupBy("day")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy("day")
     }),
 
     // ------------------------------------------- §2.9 incremental semantics
@@ -1752,7 +1769,88 @@ object SparkEntry {
         expr("octet_length(text)").cast("bigint").as("n_bytes"),
         (floor(expr("octet_length(text)") / lit(100.0)).cast("bigint") + 1).as("n_frames"),
         round((floor(expr("octet_length(text)") / lit(100.0)) + 1) / lit(24.0), 4).as("est_seconds")
-      ).orderBy("doc_id"))
+      ).orderBy("doc_id")),
+
+    // sequence packing (concat-and-chunk, 256-token packs): every document
+    // span cut into the fixed-budget packs it overlaps — the padding-free
+    // context-window fill step of a training pipeline. Global token
+    // offsets via the distributed prefix-sum (graft.ext.Packing), never a
+    // single-task window.
+    "x_seq_packing" -> ((s, dir) =>
+      Packing.packSequences(t(s, dir, "documents"), "doc_id", TF.tokenCount(col("text")), budget = 256)
+        .orderBy("doc_id", "pack_id")),
+
+    // benchmark decontamination audit: per held-out benchmark doc
+    // (doc_id % 97 = 0), how many training docs share a word 4-gram with
+    // it (test-set leakage detection; broadcast n-gram probe, the corpus
+    // never shuffles — graft.ext.Decontaminate)
+    "x_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 4)
+        .orderBy("bench_doc_id")
+    }),
+
+    // heavy hitters: exact tokens above 2% corpus frequency, each checked
+    // against the one-pass bounded-memory freqItems sketch whose guarantee
+    // forces in_sketch TRUE (graft.ext.Sketches — the sketch is the scale
+    // path, the exact list is the verifiable gate)
+    "x_heavy_hitters" -> ((s, dir) =>
+      Sketches.heavyHittersChecked(
+        t(s, dir, "documents").select(explode(TF.tokens(col("text"))).as("term")),
+        "term", num = 1, denom = 50)
+        .orderBy("key")),
+
+    // intra-document repetition profile (Gopher-style quality signal):
+    // duplicated bigram/trigram fractions, pure per-row HOF arithmetic
+    "x_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(TF.ngramsAll(col("text"), 2)).as("n_bigrams"),
+        size(array_distinct(TF.ngramsAll(col("text"), 2))).as("n_distinct_bigrams"),
+        TF.repetitionRatio(col("text"), 2).as("rep2"),
+        TF.repetitionRatio(col("text"), 3).as("rep3"))
+        .orderBy("doc_id")),
+
+    // deterministic mixture sampling audit: per-source corpus vs kept
+    // counts under content-hash thresholds (src0 keep-all, src1 half,
+    // src2 quarter, everything else 10%) — reproducible downsampling with
+    // no rand() state, one scan (graft.ext.Mixture)
+    "x_source_mixture" -> ((s, dir) =>
+      Mixture.mixtureReport(t(s, dir, "documents"), "source", "text",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+        .orderBy("source")),
+
+    // product-quantization ANN (graft.ext.PQ): 64-dim float vectors
+    // compressed to 16 4-bit-ish codes, searched by ADC table lookups,
+    // shortlist reranked exactly — recall@10-gated per decile. The
+    // compressed scan is the 100 TB memory-bandwidth path; the gate
+    // measures what the compression cost (min decile 0.98 at sf0.1).
+    "x_pq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      val model = PQ.train(e, "vec_id", "embedding", dim = 64, m = 16, k = 32)
+      Similarity.recallByDecile(
+        Similarity.bruteTopK(e, q, "vec_id", "embedding", 10),
+        PQ.adcTopK(e, q, "vec_id", "embedding", 10, model, shortlist = 300),
+        minRecallPct = 90)
+    }),
+
+    // IVF over k-means-TRAINED centroids (3 Lloyd iterations refining the
+    // hash-sampled quantizer), recall@10-gated per decile like
+    // x_ann_ivf_recall — proves the trained coarse quantizer holds the
+    // same recall bar as the probe-heavy sampled one
+    "x_kmeans_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      val (cents, _) = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 3, dim = 64)
+      Similarity.recallByDecile(
+        Similarity.bruteTopK(e, q, "vec_id", "embedding", 10),
+        Similarity.ivfTopKWith(e, q, "vec_id", "embedding", 10, cents, nProbe = 14),
+        minRecallPct = 90)
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
@@ -2009,6 +2107,10 @@ object SparkEntry {
         """SELECT event_type, count(*) AS cnt,
                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
            FROM events GROUP BY event_type ORDER BY event_type""",
+      "k6_orc_roundtrip" ->
+        s"""SELECT $dayE AS day, count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+            FROM events WHERE $dayE >= '2024-01-10' GROUP BY 1 ORDER BY 1""",
       "s2_catalog_scan" ->
         s"""SELECT $dayE AS day, count(*) AS cnt FROM events
             WHERE $dayE >= '2024-01-10' AND $dayE < '2024-01-15'
@@ -2624,7 +2726,81 @@ object SparkEntry {
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                   CAST(floor(octet_length(encode(text)) / 100.0) AS BIGINT) + 1 AS n_frames,
                   round((floor(octet_length(encode(text)) / 100.0) + 1) / 24.0, 4) AS est_seconds
-           FROM documents ORDER BY doc_id"""
+           FROM documents ORDER BY doc_id""",
+      // concat-and-chunk packing: exclusive prefix-sum of token counts in
+      // doc_id order, then every 256-token boundary a doc's span crosses
+      "x_seq_packing" ->
+        s"""WITH t AS (SELECT doc_id, CAST(len($toksE) AS BIGINT) AS n FROM documents),
+                 c AS (SELECT doc_id, n,
+                         CAST(sum(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS s
+                       FROM t WHERE n > 0),
+                 e AS (SELECT doc_id, n, s, unnest(range(s // 256, (s + n - 1) // 256 + 1)) AS p FROM c)
+            SELECT doc_id, n AS n_tokens, s AS tok_start, CAST(p AS BIGINT) AS pack_id,
+                   CAST(least(s + n, (p + 1) * 256) - greatest(s, p * 256) AS BIGINT) AS toks_in_pack
+            FROM e ORDER BY doc_id, pack_id""",
+      // word 4-grams; i ranges 1 .. len(w)-3 (all docs have >=10 tokens,
+      // so the short-doc fallback branch of Dedup.shingles never fires)
+      "x_decontaminate" ->
+        s"""WITH words AS (SELECT doc_id, $toksE AS w FROM documents),
+                 bg AS (SELECT DISTINCT doc_id AS bench_doc_id, array_to_string(w[i:i+3], ' ') AS g
+                        FROM words, unnest(range(1, len(w) - 2)) u(i) WHERE doc_id % 97 = 0),
+                 tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g
+                        FROM words, unnest(range(1, len(w) - 2)) u(i) WHERE doc_id % 97 <> 0),
+                 hits AS (SELECT bench_doc_id, count(DISTINCT doc_id) AS n_contam_docs,
+                                 count(*) AS n_hits
+                          FROM tg JOIN bg USING (g) GROUP BY 1)
+            SELECT d.doc_id AS bench_doc_id,
+                   CAST(coalesce(h.n_contam_docs, 0) AS BIGINT) AS n_contam_docs,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+            FROM documents d LEFT JOIN hits h ON h.bench_doc_id = d.doc_id
+            WHERE d.doc_id % 97 = 0 ORDER BY 1""",
+      // exact heavy hitters (> 2%); in_sketch is TRUE by the freqItems
+      // containment guarantee — the oracle pins the gate
+      "x_heavy_hitters" ->
+        s"""WITH toks AS (SELECT unnest($toksE) AS key FROM documents),
+                 tot AS (SELECT count(*) AS n FROM toks)
+            SELECT key, count(*) AS cnt, TRUE AS in_sketch
+            FROM toks, tot GROUP BY key, tot.n HAVING count(*) * 50 > tot.n * 1
+            ORDER BY key""",
+      "x_kmeans_ivf_recall" ->
+        """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
+                  count(*) * 10 AS n_true, TRUE AS recall_ok
+           FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
+      "x_pq_recall" ->
+        """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
+                  count(*) * 10 AS n_true, TRUE AS recall_ok
+           FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
+      // duplicated-n-gram slots; all docs have >=10 tokens so the
+      // short-doc branch never fires
+      "x_repetition" ->
+        s"""WITH words AS (SELECT doc_id, $toksE AS w FROM documents),
+                 g AS (SELECT doc_id,
+                         list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) AS g2,
+                         list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) AS g3
+                       FROM words)
+            SELECT doc_id, CAST(len(g2) AS INTEGER) AS n_bigrams,
+                   CAST(len(list_distinct(g2)) AS INTEGER) AS n_distinct_bigrams,
+                   round(1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4) AS rep2,
+                   round(1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4) AS rep3
+            FROM g ORDER BY doc_id""",
+      // thresholds are round(rate * 2^24): 1.0 -> 16777216, 0.5 -> 8388608,
+      // 0.25 -> 4194304, default 0.1 -> 1677722
+      "x_source_mixture" ->
+        """WITH k AS (SELECT source, CAST(('0x' || substring(md5(text), 1, 6)) AS INTEGER) AS h
+                      FROM documents)
+           SELECT source, count(*) AS n_total,
+                  CAST(sum(CASE WHEN h < (CASE source WHEN 'src0' THEN 16777216
+                                                      WHEN 'src1' THEN 8388608
+                                                      WHEN 'src2' THEN 4194304
+                                                      ELSE 1677722 END)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                  round(CAST(sum(CASE WHEN h < (CASE source WHEN 'src0' THEN 16777216
+                                                            WHEN 'src1' THEN 8388608
+                                                            WHEN 'src2' THEN 4194304
+                                                            ELSE 1677722 END)
+                                 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS kept_rate
+           FROM k GROUP BY source ORDER BY source"""
     )
   }
 

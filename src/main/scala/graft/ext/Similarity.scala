@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -131,6 +131,122 @@ object Similarity {
       .agg(count(lit(1)).as("n_queries"), sum(col("n_true")).as("n_true"),
         (sum(col("n_hit")) * 100 >= sum(col("n_true")) * minRecallPct).as("recall_ok"))
       .orderBy("decile")
+  }
+
+  /** Spherical k-means (Lloyd's) refinement of the IVF coarse quantizer:
+    * assignment by cosine (the metric IVF search uses), centroid update by
+    * per-cell element-wise mean. Returns the refined centroids plus the
+    * per-iteration mean best-cosine objective (non-decreasing — pinned in
+    * SimilaritySpec).
+    *
+    * Scale design: the model is k·dim numbers — driver-resident by nature
+    * (it is broadcast into every scan regardless). Each iteration is ONE
+    * distributed job: assignment is a per-row argmax over the k literal
+    * centroids (array_min over a k-sized struct array — fused into the
+    * scan, zero Exchange, the same shape the round-3 ivfTopK fix
+    * established), and the update is a single groupBy(cell) whose
+    * aggregates are `dim` map-side-combined sums — the shuffle carries
+    * k·dim doubles per map partition, metadata-scale at any corpus size.
+    * No corpus caching is required across iterations (each pass re-scans —
+    * at 100 TB an explicit `.persist` before calling this is the caller's
+    * knob, orthogonal to the algorithm).
+    *
+    * Determinism: centroid components are rounded to 6 dp after each
+    * update, so the floating-point merge order of partial sums cannot leak
+    * into assignments except at a rounding knife-edge; initialization is
+    * the same hash-ranked deterministic sample as [[ivfTopK]]. Cells that
+    * lose every member keep their previous centroid.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      dim: Int): (IndexedSeq[Array[Double]], IndexedSeq[Double]) = {
+    require(k > 0 && iters >= 0 && dim > 0)
+    var cents: IndexedSeq[Array[Double]] = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("cid")), col("cid"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).map(x => math.rint(x.toDouble * 1e6) / 1e6).toArray).toIndexedSeq
+    val objs = IndexedSeq.newBuilder[Double]
+    for (_ <- 0 until iters) {
+      val best = bestCell(col("v"), cents)
+      val sums = (0 until dim).map(i => sum(element_at(col("v"), i + 1).cast("double")).as(s"_s$i"))
+      val aggCols = (sum(negate(col("b").getField("negsim"))).as("_simsum") +: sums)
+      val rows = corpus
+        .select(col(vecCol).as("v"))
+        .withColumn("b", best)
+        .groupBy(col("b").getField("cell").as("cell"))
+        .agg(count(lit(1)).as("_n"), aggCols: _*)
+        .collect()
+      val next = Array.tabulate(k)(i => cents(i)) // empty cells keep old centroid
+      var simTotal = 0.0
+      var nTotal = 0L
+      rows.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1)
+        simTotal += r.getDouble(2)
+        nTotal += n
+        next(cell) = Array.tabulate(dim)(i => math.rint(r.getDouble(3 + i) / n * 1e6) / 1e6)
+      }
+      objs += (if (nTotal == 0) 0.0 else simTotal / nTotal)
+      cents = next.toIndexedSeq
+    }
+    (cents, objs.result())
+  }
+
+  /** Per-row best cell for `vec` against literal `cents`: argmax cosine,
+    * ties to the lower cell id — `array_min` over a k-sized struct array
+    * of (negated rounded similarity, cell id). Pure projection, fuses into
+    * whatever scan produces `vec`.
+    */
+  private def bestCell(vec: Column, cents: IndexedSeq[Array[Double]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        negate(round(cosine(vec, centLit(c)), 6)).as("negsim"),
+        lit(i).as("cell"))
+    }: _*))
+
+  private def centLit(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit): _*)
+
+  /** [[ivfTopK]] search over an EXTERNALLY TRAINED centroid table (e.g.
+    * [[kmeansCentroids]] output) — the production IVF shape, where the
+    * coarse quantizer is fit once and reused across queries. Cells are the
+    * centroid indices; plan shape is identical to ivfTopK (assignment is a
+    * per-row argmax literal map, zero Exchange before the candidate join).
+    */
+  def ivfTopKWith(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cents: IndexedSeq[Array[Double]],
+      nProbe: Int): DataFrame = {
+    def assign(df: DataFrame, outId: String, vOut: String, n: Int): DataFrame = {
+      val scored = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(
+          negate(round(cosine(col(vOut), centLit(c)), 6)).as("negsim"),
+          lit(i).as("cell"))
+      }: _*))
+      df.select(col(idCol).as(outId), col(vecCol).as(vOut))
+        .select(col(outId), col(vOut), explode(slice(scored, 1, n)).as("sc"))
+        .select(col(outId), col(vOut), col("sc").getField("cell").as("cell"))
+    }
+    val corpusCells = assign(corpus, "neighbor_id", "v_c", 1)
+    val queryCells = assign(queries, "query_id", "v_q", nProbe)
+    val scored = corpusCells
+      .join(queryCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("v_q"), col("v_c")))
+    val w = Window.partitionBy(col("query_id")).orderBy(round(col("score"), 6).desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
   def lshTopK(

@@ -141,4 +141,29 @@ object TextFunctions {
       lit(0L),
       (acc, t) => xxhash64(acc, t)
     )
+
+  /** All word n-grams of the text IN ORDER (duplicates kept — the
+    * distinct form is `Dedup.shingles`); whole text as one gram when
+    * shorter than n tokens. Per-row `transform(sequence(...))`, no
+    * explode, no shuffle.
+    */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(sequence(lit(1), size(toks) - lit(n - 1)), i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Gopher-style intra-document repetition signal: the fraction of word
+    * n-gram SLOTS occupied by a repeat of an earlier n-gram —
+    * `1 - distinct/total`. 0.0 = no internal repetition, →1.0 = the
+    * document is one phrase looped. Boilerplate, scraped nav menus and
+    * degenerate generations all light this up; training pipelines filter
+    * on it (Rae et al., Gopher §A1.1 "repetition" rules). Single rounded
+    * division — IEEE-identical in any engine.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val grams = ngramsAll(text, n)
+    round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 4)
+  }
 }

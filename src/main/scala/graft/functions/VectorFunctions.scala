@@ -48,6 +48,16 @@ object VectorFunctions {
   def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
+  /** Unit-L2-normalized copy (doubles); zero vectors pass through
+    * unchanged. On unit vectors `||a-b||² = 2·(1-cos)`, so L2 ranking is
+    * exactly cosine ranking — the bridge PQ uses to serve cosine search
+    * with L2 codebooks.
+    */
+  def l2Normalize(v: Column): Column = {
+    val n = l2Norm(v)
+    when(n === 0.0, toDouble(v)).otherwise(transform(toDouble(v), x => x / n))
+  }
+
   /** Sign-random-projection bucket for LSH ANN: `nBits` deterministic
     * pseudo-random hyperplanes; bit i is the sign of the projection onto
     * plane i. Planes are derived from xxhash64(seed+bit, dim) —

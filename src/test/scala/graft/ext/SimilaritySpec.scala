@@ -79,6 +79,38 @@ class SimilaritySpec extends AnyFunSuite {
       s"corpus must not shuffle by id before the candidate join:\n$p")
   }
 
+  test("kmeansCentroids: objective non-decreasing, deterministic init, empty-safe") {
+    val (cents, objs) = Similarity.kmeansCentroids(embs, "vec_id", "embedding", k = 8, iters = 3, dim = 64)
+    assert(cents.length === 8 && cents.forall(_.length === 64))
+    assert(objs.length === 3)
+    // spherical k-means ascent: mean best-cosine must not decrease
+    // (tolerance for the 6-dp centroid quantization between iterations)
+    objs.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a - 1e-4, s"objective regressed: $objs")
+      case _ =>
+    }
+    val (cents2, _) = Similarity.kmeansCentroids(embs, "vec_id", "embedding", k = 8, iters = 0, dim = 64)
+    assert(cents2.length === 8) // iters=0 returns the raw deterministic init
+  }
+
+  test("ivfTopKWith (trained centroids) keeps assignment shuffle-free and scores exact") {
+    val (cents, _) = Similarity.kmeansCentroids(embs, "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+    val queries = embs.filter(col("vec_id") < 10)
+    val df = Similarity.ivfTopKWith(embs, queries, "vec_id", "embedding", k = 3, cents, nProbe = 7)
+    import org.apache.spark.sql.catalyst.plans.logical
+    val windows = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.size === 1, "expected only the final per-query top-k window")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning(neighbor_id"),
+      s"corpus must not shuffle by id before the candidate join:\n$p")
+    // scores of found neighbors are the exact cosine, same as brute force
+    val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    df.collect().foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach(exp => assert(r.getDouble(3) === exp))
+    }
+  }
+
   test("lshTopK scores match brute-force scores for overlapping results") {
     val queries = embs.filter(col("vec_id") === 0)
     val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", k = 5)

@@ -57,4 +57,19 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(TextFunctions.rollingHash($"text")).as[Long].collect()
     assert(h(0) !== h(1))
   }
+
+  test("repetitionRatio: 0 for novel text, rises with looped phrases") {
+    val df = Seq(
+      (1L, "a b c d e f"),       // 5 bigrams, all distinct -> 0.0
+      (2L, "a b a b a b"),       // 5 bigrams: {a b, b a} -> 1 - 2/5 = 0.6
+      (3L, "x y")                // single bigram -> 0.0
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextFunctions.repetitionRatio($"text", 2))
+      .as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 0.0, 2L -> 0.6, 3L -> 0.0))
+    // short-doc fallback: fewer tokens than n -> one whole-text gram, ratio 0
+    val short = Seq((1L, "solo")).toDF("doc_id", "text")
+      .select(TextFunctions.repetitionRatio($"text", 3)).as[Double].head()
+    assert(short === 0.0)
+  }
 }
