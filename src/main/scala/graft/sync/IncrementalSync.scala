@@ -30,6 +30,15 @@ object IncrementalSync {
     * already-present ones (`data-s3-elastic-transfer.py:287-291`). One
     * semi-join selects all missing partitions' rows at once — per-partition
     * looping (reference `:296`) is left to Spark's task scheduler.
+    *
+    * Progress accounting (the reference's printed running totals,
+    * `data-s3-elastic-transfer.py:344-356`) rides on `observe()` metrics:
+    * the row count and per-partition spread are measured DURING the sink
+    * write, not by a separate `count()` job — one scan of the moved data
+    * instead of two, which at 100 TB is the whole cost of the sync again.
+    * `writeSink` must run at least one action over the rows it receives
+    * (every sink does — that's what makes it a sink); the observation is
+    * filled by that action.
     */
   def syncMissingPartitions(
       source: DataFrame,
@@ -41,10 +50,14 @@ object IncrementalSync {
       val parts = missing.collect().map(_.getString(0)).toSeq.sorted
       if (parts.isEmpty) SyncReport(Seq.empty, 0L)
       else {
+        val obs = org.apache.spark.sql.Observation("graft_sync")
         val rows = source.join(missing, Seq(partCol), "left_semi")
-        val n = rows.count()
+          .observe(obs, count(lit(1)).as("rows_moved"),
+            // CollectMetrics forbids DISTINCT aggregates; the HLL sketch
+            // is progress telemetry, exactness lives in `parts`
+            approx_count_distinct(col(partCol)).as("parts_seen"))
         writeSink(rows)
-        SyncReport(parts, n)
+        SyncReport(parts, obs.get("rows_moved").asInstanceOf[Long])
       }
     } finally { missing.unpersist(): Unit }
   }

@@ -102,6 +102,44 @@ class PlanSpec extends AnyFunSuite {
       s"signature build must stay map-shaped:\n$p")
   }
 
+  test("q1 aggregates with map-side partial aggregation before the one exchange") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"one semantic shuffle (the group-by) expected:\n$p")
+  }
+
+  test("q21 plans the exists/not-exists pair as semi + anti joins, never subquery re-scans per row") {
+    val p = plan("q21_sole_failing_supplier")
+    assert(p.contains("LeftSemi"), s"EXISTS must be a semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must be an anti-join:\n$p")
+  }
+
+  test("k6 ORC read-back pushes the day filter into the ORC scan") {
+    val p = plan("k6_orc_roundtrip")
+    assert(p.contains("Format: ORC") || p.contains("orc"), s"expected an ORC scan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(day), GreaterThanOrEqual(day,2024-01-10)]"),
+      s"day range must reach the ORC reader (stripe stats pruning):\n$p")
+  }
+
+  test("x_seq_packing never plans a single-partition window (distributed prefix-sum)") {
+    val df = SparkEntry.queries("x_seq_packing")(spark, TestSpark.sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical
+    val windows = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the token-offset cumsum must be partitioned by prefix bucket, not global")
+  }
+
+  test("x_decontaminate probes the benchmark grams with a broadcast join (corpus never shuffles)") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+    import org.apache.spark.sql.functions.col
+    val p = graft.ext.Decontaminate.contaminatedDocs(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 4).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"gram probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the corpus side must not sort-merge for candidates:\n$p")
+  }
+
   test("native cosine expression generates its fused loop inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val df = graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings")
