@@ -3,7 +3,7 @@ package graft
 import graft.ext.{Decontaminate, Dedup, Mixture, Packing, PQ, Similarity, Sketches}
 import graft.functions.{TextFunctions => TF}
 import graft.ops.{Batching, Diff, RangeJoin}
-import graft.sinks.{EsBulkSink, Upsert}
+import graft.sinks.{Compaction, EsBulkSink, Upsert}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -246,6 +246,30 @@ object SparkEntry {
             countDistinct(col("l_partkey")).cast("double") - 1.0) <= 0.1).as("approx_ok"))
         .orderBy("l_returnflag")),
 
+    // approximate-quantile sketch gated by its own rank guarantee: the
+    // KLL/GK-style percentile_approx(acc=10000) bounds RANK error by
+    // n/acc, so counting rows <= the sketch's p50/p90 answers must land
+    // within that band of 0.5n/0.9n (slack 2x + ties). The sketch value
+    // itself is merge-order-dependent and never crosses the oracle — only
+    // n and the integer-arithmetic gate booleans do (a7 pattern).
+    "x_approx_quantiles" -> ((s, dir) => {
+      val acc = 10000
+      val e = Tables.loadEvents(s, dir).select(col("event_type"), col("value"))
+      val ap = e.groupBy("event_type")
+        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(acc)).as("ap"))
+      e.join(broadcast(ap), "event_type")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") <= element_at(col("ap"), 1), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= element_at(col("ap"), 2), 1L).otherwise(0L)).as("r90"))
+        .select(
+          col("event_type"), col("n"),
+          (abs(col("r50") * 2 - col("n")) * acc <= col("n") * 4 + lit(4L) * acc).as("ok50"),
+          (abs(col("r90") * 10 - col("n") * 9) * acc <= col("n") * 20 + lit(20L) * acc).as("ok90"))
+        .orderBy("event_type")
+    }),
+
     // skew mitigation (§4 scale notes): two-phase salted aggregation —
     // partial counts per (key, salt), merged per key. Same result as a
     // plain groupBy; the point is the partial shuffle spreads a hot key
@@ -373,6 +397,23 @@ object SparkEntry {
       Diff.idDiffBloom(events(s, dir), sinkState(s, dir), "event_id",
         expectedSinkIds = -1L, fpp = 0.01)
         .orderBy("event_id")),
+
+    // J3 at content level: checksum reconciliation — a sink partition with
+    // EQUAL counts but drifted values (planted: +100 on every third event
+    // of 2024-01-07) is invisible to j3's count compare and caught here by
+    // the order-independent per-partition sum of 24-bit row-content hashes
+    // (md5-prefix — engine-portable, recomputable by any SQL sink)
+    "j14_content_reconcile" -> ((s, dir) => {
+      val src = events(s, dir)
+      val sink = src.withColumn("value",
+        when(col("day") === "2024-01-07" && col("event_id") % 3 === 0, col("value") + 100)
+          .otherwise(col("value")))
+      def canon(df: DataFrame): DataFrame = df.select(
+        col("day"), col("event_id"),
+        col("value").cast("decimal(18,4)").cast("string").as("v"))
+      Diff.contentReconcile(canon(src), canon(sink), "day", Seq("event_id", "v"))
+        .orderBy("day")
+    }),
 
     // J5: union-all reassembly (ID-based-transfer.py:194)
     "j5_union_all" -> ((s, dir) => {
@@ -615,6 +656,20 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // output-file sizing / compaction roundtrip — the reference's
+    // Partition-script.py repartition job with the 100 TB operational
+    // contract made explicit: files capped at maxRecords rows, hot
+    // partitions written by many tasks in parallel (graft.sinks.Compaction;
+    // file-size/parallelism invariants pinned in CompactionSpec)
+    "k7_compaction" -> ((s, dir) => {
+      val out = persistentPath("k7", dir)
+      Compaction.compactTo(events(s, dir), "day", "event_id", maxRecords = 2000, out)
+      s.read.parquet(out)
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy("day")
+    }),
+
     // ORC sink + source roundtrip — same columnar write/read lifecycle as
     // k1 but through Spark's second built-in columnar format (the lakehouse
     // interchange case: an ORC-based warehouse reading our output). ORC
@@ -835,6 +890,31 @@ object SparkEntry {
         .select(col("user_id"), col("n_events"),
           col("first_ts").as("first_ms"), col("last_ts").as("last_ms"))
         .orderBy("user_id", "first_ms")),
+
+    // Spark-4 transformWithState (StatefulProcessor + typed ValueState) —
+    // the successor of the t7 legacy state API: per-user running totals
+    // emitted per microbatch as an UPDATE stream under the RocksDB state
+    // store (which transformWithState requires). The LAST emission per
+    // user is the user's total event count — what the oracle checks.
+    // (Batch-mode transformWithState is not exercised: Spark 4.1 local
+    // mode lacks the StateStoreCoordinator endpoint outside a stream.)
+    "t13_transform_with_state" -> ((s, dir) => {
+      val stageDir = scratchDir("t13", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events.parquet"))
+      val name = "t13_running_counts"
+      try {
+        graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.runningCounts(
+            graft.streaming.EventStream.readEvents(s, stage)),
+          name, s"$stage/ckpt", outputMode = "update",
+          statePartitions = Some(8), rocksDb = true)
+      } finally deleteRec(stageDir)
+      s.table(name).groupBy("user_id").agg(max(col("seen")).as("n_events"))
+        .orderBy("user_id")
+    }),
 
     // Spark's BUILT-IN session window (merging event-time sessions with a
     // 1 h inactivity gap) — the native operator form of x_sessionize's
@@ -1894,6 +1974,9 @@ object SparkEntry {
       "a7_approx_distinct" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_ok
            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      "x_approx_quantiles" ->
+        """SELECT event_type, count(*) AS n, TRUE AS ok50, TRUE AS ok90
+           FROM events GROUP BY event_type ORDER BY event_type""",
       "a8_rollup" ->
         s"""SELECT coalesce($dayE, 'ALL') AS day, coalesce(event_type, 'ALL') AS event_type,
                    count(*) AS cnt
@@ -2020,6 +2103,22 @@ object SparkEntry {
             ORDER BY event_id""",
       "t8_stream_dedup_counts" ->
         s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "j14_content_reconcile" ->
+        s"""WITH src AS (SELECT $dayE AS day, event_id,
+                   CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR) AS v FROM events),
+                 snk AS (SELECT $dayE AS day, event_id,
+                   CAST(CAST(CASE WHEN $dayE = '2024-01-07' AND event_id % 3 = 0
+                                  THEN value + 100 ELSE value END AS DECIMAL(18,4)) AS VARCHAR) AS v
+                   FROM events),
+                 a AS (SELECT day, count(*) AS c,
+                         CAST(sum(CAST(('0x' || substring(md5(event_id || '|' || v), 1, 6)) AS INTEGER)) AS BIGINT) AS h
+                       FROM src GROUP BY 1),
+                 b AS (SELECT day, count(*) AS c,
+                         CAST(sum(CAST(('0x' || substring(md5(event_id || '|' || v), 1, 6)) AS INTEGER)) AS BIGINT) AS h
+                       FROM snk GROUP BY 1)
+            SELECT day, a.c AS src_cnt, b.c AS sink_cnt, a.h AS src_sum, b.h AS sink_sum
+            FROM a JOIN b USING (day)
+            WHERE a.c <> b.c OR a.h <> b.h ORDER BY day""",
       "j5_union_all" ->
         """SELECT event_type, count(*) AS cnt FROM (
              SELECT * FROM events WHERE event_type = 'click'
@@ -2111,6 +2210,10 @@ object SparkEntry {
         s"""SELECT $dayE AS day, count(*) AS cnt,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
             FROM events WHERE $dayE >= '2024-01-10' GROUP BY 1 ORDER BY 1""",
+      "k7_compaction" ->
+        s"""SELECT $dayE AS day, count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1 ORDER BY 1""",
       "s2_catalog_scan" ->
         s"""SELECT $dayE AS day, count(*) AS cnt FROM events
             WHERE $dayE >= '2024-01-10' AND $dayE < '2024-01-15'
@@ -2165,6 +2268,9 @@ object SparkEntry {
             FROM c JOIN p ON c.user_id = p.user_id
               AND p.tms >= c.tms AND p.tms <= c.tms + 3600000
             GROUP BY 1 ORDER BY 1""",
+      "t13_transform_with_state" ->
+        """SELECT user_id, count(*) AS n_events FROM events
+           GROUP BY user_id ORDER BY user_id""",
       "t7_sessionize_stateful" ->
         """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
              f AS (SELECT user_id, ts_ms,

@@ -98,6 +98,41 @@ object Diff {
       .filter(col("src_cnt") =!= col("sink_cnt"))
   }
 
+  /** J3 at CONTENT level: per-partition checksum reconciliation — catches
+    * partitions whose row COUNTS agree but whose values drifted (partial
+    * overwrite, column corruption, a sink-side default that diverged),
+    * which [[countReconcile]] is blind to. Each row contributes a 24-bit
+    * content hash (md5 prefix of the '|'-joined canonical column values —
+    * the same engine-portable uniformizer as graft.ext.Mixture, so an
+    * external system can recompute it in SQL); the per-partition SUM of
+    * row hashes is order-independent, and 2^24·rows stays far below Long
+    * overflow at any realistic partition size (ANSI-safe to ~2^39 rows).
+    * Collisions need two partitions with equal counts AND colliding hash
+    * sums — negligible against the corruption rates this guards.
+    * Output: partCol, src_cnt, sink_cnt, src_sum, sink_sum (mismatches
+    * only; equal-count value drift shows as src_sum != sink_sum).
+    */
+  def contentReconcile(
+      source: DataFrame,
+      sinkState: DataFrame,
+      partCol: String,
+      cols: Seq[String]): DataFrame = {
+    def sums(df: DataFrame, cntName: String, sumName: String): DataFrame = {
+      val rowHash = conv(substring(md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)), 1, 6), 16, 10)
+        .cast("long")
+      df.groupBy(partCol).agg(count(lit(1)).as(cntName), sum(rowHash).as(sumName))
+    }
+    sums(source, "src_cnt", "src_sum")
+      .join(sums(sinkState, "sink_cnt", "sink_sum"), Seq(partCol), "full_outer")
+      .select(
+        col(partCol),
+        coalesce(col("src_cnt"), lit(0L)).as("src_cnt"),
+        coalesce(col("sink_cnt"), lit(0L)).as("sink_cnt"),
+        coalesce(col("src_sum"), lit(0L)).as("src_sum"),
+        coalesce(col("sink_sum"), lit(0L)).as("sink_sum"))
+      .filter(col("src_cnt") =!= col("sink_cnt") || col("src_sum") =!= col("sink_sum"))
+  }
+
   /** J4: fetch the full rows for a set of keys — a left-semi join instead
     * of the reference's chunked 10 000-id SQL IN-lists
     * (`ID-based-transfer.py:177-187`). No chunking: the key set is a

@@ -1,0 +1,60 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Output-file sizing / small-file compaction (SURVEY.md §3.3 — the
+  * reference's `Partition-script.py` IS a repartition job: read, bucket by
+  * a partition column, rewrite). At 100 TB the sizing of output files is
+  * a first-order operational concern: too-large files break downstream
+  * range readers, too-small files melt the namenode/listing layer and
+  * schedule millions of tiny tasks.
+  *
+  * Plan shape: ONE metadata-scale pre-pass counts rows per partition
+  * value (bounded by |partitions|, collected to the driver like every
+  * other partition-list decision in this engine), from which a target
+  * file count per partition is derived; rows are then hash-routed to
+  * (partition, bucket) in ONE shuffle and written with
+  * `maxRecordsPerFile` as the hard per-file cap.
+  *
+  * Guarantees (pinned in CompactionSpec):
+  *  - no output file ever exceeds `maxRecords` rows (`maxRecordsPerFile`
+  *    is enforced by the writer regardless of routing);
+  *  - write parallelism scales with total file count, not |partitions| —
+  *    a hot partition is written by ~ceil(cnt/maxRecords) tasks, never 1;
+  *  - hash-collision bucket merges only ever REDUCE file count (a task
+  *    writes one file per partition dir), never violate the size cap.
+  */
+object Compaction {
+
+  /** Rewrite `df` under `outDir` partitioned by `partCol` with files of at
+    * most `maxRecords` rows, routed for parallel writes. `keyCol` is any
+    * well-distributed column (an id) used for intra-partition routing.
+    * Returns the total target file count (>= actual file count).
+    */
+  def compactTo(
+      df: DataFrame,
+      partCol: String,
+      keyCol: String,
+      maxRecords: Long,
+      outDir: String): Long = {
+    require(maxRecords > 0, "maxRecords must be positive")
+    // metadata-scale: one row per partition VALUE
+    val counts = df.groupBy(col(partCol).cast("string").as("_p"))
+      .agg(count(lit(1)).as("_c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val filesFor = counts.map { case (p, c) => p -> math.max(1L, (c + maxRecords - 1) / maxRecords) }
+    val total = filesFor.map(_._2).sum
+    val fMap = map(filesFor.flatMap { case (p, n) => Seq(lit(p), lit(n)) }.toIndexedSeq: _*)
+    val spark = df.sparkSession
+    val shuffleN = math.max(total, spark.sessionState.conf.numShufflePartitions.toLong).toInt
+    df.withColumn("_c_b", pmod(xxhash64(col(keyCol)), element_at(fMap, col(partCol).cast("string"))))
+      .repartition(shuffleN, col(partCol), col("_c_b"))
+      .drop("_c_b")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecords)
+      .partitionBy(partCol)
+      .parquet(outDir)
+    total
+  }
+}

@@ -124,19 +124,39 @@ object EventStream {
     * commits its state store files each batch, even when near-empty).
     */
   def runToMemory(df: DataFrame, name: String, checkpointDir: String,
-      outputMode: String = "complete", statePartitions: Option[Int] = None): StreamingQuery = {
+      outputMode: String = "complete", statePartitions: Option[Int] = None,
+      rocksDb: Boolean = false): StreamingQuery = {
     val q = withStatePartitions(df.sparkSession, statePartitions) {
-      df.writeStream
-        .outputMode(outputMode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpointDir)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      withRocksDb(df.sparkSession, rocksDb) {
+        df.writeStream
+          .outputMode(outputMode)
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", checkpointDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
     }
     q.awaitTermination()
     q
   }
+
+  /** Start a query under the RocksDB state store provider
+    * ([[rocksDbStateStore]]), restoring the session conf after start() has
+    * captured it — same serial-use contract as [[withStatePartitions]].
+    * transformWithState queries REQUIRE this provider.
+    */
+  private def withRocksDb[A](spark: SparkSession, enable: Boolean)(start: => A): A =
+    if (!enable) start
+    else {
+      val (key, value) = rocksDbStateStore
+      val prev = spark.conf.getOption(key)
+      try { spark.conf.set(key, value); start }
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
 
   /** Start a streaming query under an overridden shuffle/state partition
     * count, restoring the session conf once the query has CAPTURED it
@@ -222,6 +242,55 @@ object EventStream {
           }
           closed.result().iterator
         })
+      .toDF()
+  }
+
+  /** Output row of [[runningCounts]]: the per-user event total as of this
+    * emission (the LAST emission per user equals the user's batch count).
+    */
+  final case class UserRunning(user_id: Long, seen: Long)
+
+  /** Spark-4 arbitrary stateful processing: per-user running event totals
+    * via `transformWithState` + a typed `ValueState` — the successor API
+    * to [flat]mapGroupsWithState (t7 keeps the legacy API exercised; this
+    * entry exercises the new one). State per user is ONE long, updated
+    * per microbatch and emitted once per (user, batch) — at production
+    * state sizes the processor runs on the RocksDB provider
+    * ([[rocksDbStateStore]]), which transformWithState REQUIRES; the
+    * caller sets it before the query first starts.
+    */
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), UserRunning] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long](
+        "seen", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+      val total = (if (seen.exists()) seen.get() else 0L) + rows.size
+      seen.update(total)
+      Iterator.single(UserRunning(user, total))
+    }
+  }
+
+  /** T-ext: per-user running event totals as an UPDATE stream. The final
+    * emission per user equals the user's total event count — which is what
+    * the batch oracle checks (SparkEntry t13).
+    */
+  def runningCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
       .toDF()
   }
 

@@ -48,4 +48,22 @@ class DiffSpec extends AnyFunSuite {
     val got = Diff.fetchByKeys(src, keys, "id").select("id").as[String].collect().sorted
     assert(got === Array("a", "e"))
   }
+
+  test("contentReconcile catches count-equal value drift that countReconcile misses") {
+    val s2 = Seq(("a", "Jan", "10"), ("b", "Jan", "11"), ("c", "Feb", "12")).toDF("id", "month", "v")
+    // same ids, same counts, one drifted value in Jan
+    val k2 = Seq(("a", "Jan", "10"), ("b", "Jan", "99"), ("c", "Feb", "12")).toDF("id", "month", "v")
+    assert(Diff.countReconcile(s2, k2, "month").count() === 0L) // counts agree: blind
+    val drift = Diff.contentReconcile(s2, k2, "month", Seq("id", "v")).collect()
+    assert(drift.map(_.getString(0)).toSeq === Seq("Jan"))
+    val row = drift.head
+    assert(row.getLong(1) === row.getLong(2)) // counts equal...
+    assert(row.getLong(3) !== row.getLong(4)) // ...sums differ
+    // identical content reconciles to empty
+    assert(Diff.contentReconcile(s2, s2.toDF(), "month", Seq("id", "v")).count() === 0L)
+    // a missing partition still surfaces (count path)
+    val k3 = k2.filter($"month" =!= "Feb")
+    assert(Diff.contentReconcile(s2, k3, "month", Seq("id", "v"))
+      .collect().map(_.getString(0)).toSet === Set("Jan", "Feb"))
+  }
 }

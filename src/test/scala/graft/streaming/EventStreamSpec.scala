@@ -95,6 +95,24 @@ class EventStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() === n1, "replay must be a no-op on final state")
   }
 
+  test("transformWithState running counts: final emission per user equals the batch count") {
+    val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
+    EventStream.runToMemory(
+      EventStream.runningCounts(EventStream.readEvents(spark, eventsDir)),
+      "tws_out", ckpt, outputMode = "update", statePartitions = Some(4), rocksDb = true)
+
+    val streamed = spark.table("tws_out")
+      .groupBy("user_id").agg(max(col("seen")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Tables.loadEvents(spark, TestSpark.sfDir)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    // the provider override must not leak into the shared session
+    assert(spark.conf.getOption(EventStream.rocksDbStateStore._1)
+      .forall(_ != EventStream.rocksDbStateStore._2))
+  }
+
   test("syncToIndex is incremental: a second trigger with no new files appends nothing") {
     val base = Files.createTempDirectory("graft_stream_sync").toString
     val idx = s"$base/idx"
