@@ -1587,6 +1587,37 @@ object SparkEntry {
         .orderBy("lang", "rnk")
     }),
 
+    // the FULL training-data prep pipeline composed end-to-end, reported
+    // as a stage funnel: held-out split → deterministic mixture sampling →
+    // quality filter → exact dedup → benchmark decontamination → sequence
+    // packing. Every stage is the engine operator the standalone x_*
+    // entries gate individually; the funnel pins that they COMPOSE (each
+    // count is the downstream operator's actual input). Six aggregates
+    // over one lineage — at 100 TB you'd persist s2/s3 between stages; the
+    // report shape is unchanged.
+    "x_train_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val train0 = docs.filter(col("doc_id") % 97 =!= 0)
+      val s1 = Mixture.sampleMixture(train0, "source", "text",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+      val s2 = s1.filter(TF.qualityScore(col("text")) >= 0.15)
+      val dedupW = Window.partitionBy(TF.fingerprint(col("text"))).orderBy(col("doc_id"))
+      val s3 = s2.withColumn("_rn", row_number().over(dedupW)).filter(col("_rn") === 1).drop("_rn")
+      val s4 = Decontaminate.decontaminate(s3, bench, "doc_id", "text", n = 4)
+      val packs = Packing.packSequences(s4, "doc_id", TF.tokenCount(col("text")), budget = 256)
+      def stage(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+      stage("0_train", train0)
+        .unionByName(stage("1_mixture", s1))
+        .unionByName(stage("2_quality", s2))
+        .unionByName(stage("3_dedup", s3))
+        .unionByName(stage("4_decontam", s4))
+        .unionByName(stage("5_packs", packs.select("pack_id").distinct()))
+        .orderBy("stage")
+    }),
+
     // MinHash+LSH near-dup over ALL documents — banded candidate join, no
     // O(n²); rows-only check (xxhash64 signatures aren't SQL-portable)
     "x_minhash_lsh" -> ((s, dir) =>
@@ -2769,6 +2800,35 @@ object SparkEntry {
                           ORDER BY (doc_id * 2654435761 + 17) % 1000000007, doc_id) AS rnk FROM dd)
             SELECT doc_id, lang, quality, CAST(rnk AS INTEGER) AS rnk
             FROM sm WHERE rnk <= 50 ORDER BY lang, rnk""",
+      // the funnel mirrors each stage's standalone oracle formulation;
+      // packs = closed form (spans tile contiguously from 0)
+      "x_train_funnel" ->
+        s"""WITH base AS (SELECT doc_id, source, text, $toksE AS w FROM documents),
+                 train0 AS (SELECT * FROM base WHERE doc_id % 97 <> 0),
+                 s1 AS (SELECT * FROM train0
+                        WHERE CAST(('0x' || substring(md5(text), 1, 6)) AS INTEGER) <
+                          CASE source WHEN 'src0' THEN 16777216 WHEN 'src1' THEN 8388608
+                                      WHEN 'src2' THEN 4194304 ELSE 1677722 END),
+                 s2 AS (SELECT * FROM s1 WHERE $qualityE >= 0.15),
+                 s3 AS (SELECT * FROM (SELECT *, row_number() OVER (
+                          PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                          ORDER BY doc_id) AS rn FROM s2) WHERE rn = 1),
+                 bg AS (SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS g
+                        FROM base, unnest(range(1, len(w) - 2)) u(i) WHERE doc_id % 97 = 0),
+                 contam AS (SELECT DISTINCT t.doc_id
+                            FROM (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+                                  FROM s3, unnest(range(1, len(w) - 2)) u(i)) t
+                            JOIN bg USING (g)),
+                 s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+                 packs AS (SELECT (sum(CAST(len(w) AS BIGINT)) - 1) // 256 + 1 AS n FROM s4)
+            SELECT * FROM (
+              SELECT '0_train' AS stage, count(*) AS n FROM train0
+              UNION ALL SELECT '1_mixture', count(*) FROM s1
+              UNION ALL SELECT '2_quality', count(*) FROM s2
+              UNION ALL SELECT '3_dedup', count(*) FROM s3
+              UNION ALL SELECT '4_decontam', count(*) FROM s4
+              UNION ALL SELECT '5_packs', CAST(n AS BIGINT) FROM packs
+            ) ORDER BY stage""",
       "x_embed_cosine_topk" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
                 q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),

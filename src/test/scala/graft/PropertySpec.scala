@@ -146,6 +146,51 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences tiles any token distribution exactly") {
+    val docsGen = Gen.nonEmptyListOf(Gen.choose(0L, 40L)).map(_.zipWithIndex.map {
+      case (n, i) => (i.toLong, n)
+    })
+    samples(docsGen, 5).zipWithIndex.foreach { case (docs, gi) =>
+      val budget = 1 + gi * 7 // vary the budget too: 1, 8, 15, 22, 29
+      val df = docs.toDF("id", "ntok")
+      val packed = graft.ext.Packing.packSequences(df, "id", col("ntok"), budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val totalToks = docs.map(_._2).filter(_ > 0).sum
+      // conservation: every token lands in exactly one (doc, pack) slice
+      assert(packed.map(_._5).sum === totalToks)
+      // every contribution is within (0, budget]
+      assert(packed.forall(p => p._5 > 0 && p._5 <= budget))
+      // pack fill: every pack except the highest holds exactly `budget`
+      if (packed.nonEmpty) {
+        val byPack = packed.groupBy(_._4).view.mapValues(_.map(_._5).sum)
+        val last = byPack.keys.max
+        byPack.filter(_._1 < last).foreach { case (p, tot) =>
+          assert(tot === budget.toLong, s"pack $p under/overfilled: $tot of $budget")
+        }
+        assert(byPack.keys.toSeq.sorted === (0L to last)) // contiguous ids
+      }
+    }
+  }
+
+  test("contentReconcile flags exactly the partitions where content differs") {
+    val rowsGen = Gen.nonEmptyListOf(for {
+      part <- Gen.oneOf("p1", "p2", "p3")
+      id <- Gen.choose(0, 30)
+      v <- Gen.choose(-50, 50)
+    } yield (s"$part-$id", part, v.toString)).map(_.distinctBy(_._1))
+    samples(rowsGen, 5).foreach { rows =>
+      val src = rows.toDF("id", "part", "v")
+      // drift every p2 value; p1/p3 untouched
+      val sink = rows.map { case (id, p, v) =>
+        (id, p, if (p == "p2") (v.toInt + 1).toString else v)
+      }.toDF("id", "part", "v")
+      val flagged = graft.ops.Diff.contentReconcile(src, sink, "part", Seq("id", "v"))
+        .collect().map(_.getString(0)).toSet
+      val expected = if (rows.exists(_._2 == "p2")) Set("p2") else Set.empty[String]
+      assert(flagged === expected)
+    }
+  }
+
   test("exact dedup then dedup again is a fixpoint") {
     val textsGen = Gen.nonEmptyListOf(Gen.oneOf("a b c", "a  b c", "x y", "z"))
     samples(textsGen, 6).foreach { texts =>
