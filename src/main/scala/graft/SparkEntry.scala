@@ -891,6 +891,47 @@ object SparkEntry {
           col("first_ts").as("first_ms"), col("last_ts").as("last_ms"))
         .orderBy("user_id", "first_ms")),
 
+    // LEFT OUTER stream-stream interval join: unmatched clicks surface
+    // with null purchases once the watermark proves no match can arrive.
+    // The report is restricted to clicks at least (watermark + interval +
+    // 1h slack) below the corpus max event time, so every row is PROVABLY
+    // flushed and the batch LEFT JOIN oracle compares boundary-free.
+    "t14_stream_outer_join" -> ((s, dir) => {
+      val stageDir = scratchDir("t14", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events.parquet"))
+      val name = "t14_click_outer"
+      try {
+        val clicks = graft.streaming.EventStream.readEvents(s, stage)
+          .filter(col("event_type") === "click")
+        val purchases = graft.streaming.EventStream.readEvents(s, stage)
+          .filter(col("event_type") === "purchase")
+        // 4 state partitions: the outer join flushes its unmatched state
+        // through EXTRA no-data microbatches after the data batch (each
+        // advancing the watermark), so per-batch state-store maintenance
+        // is paid more times than in t10 — halve the partition count
+        graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.clickPurchaseLeftJoin(clicks, purchases),
+          name, s"$stage/ckpt", outputMode = "append", statePartitions = Some(4))
+      } finally deleteRec(stageDir)
+      // the global watermark is the MIN across inputs of each stream's own
+      // max event time minus the delay — the purchase stream's max, not
+      // the corpus max, can be the binding one
+      val maxMs = Tables.loadEvents(s, dir)
+        .agg(least(
+          max(when(col("event_type") === "click", unix_millis(col("ts")))),
+          max(when(col("event_type") === "purchase", unix_millis(col("ts"))))).as("m"))
+        .head().getLong(0)
+      val cutoff = maxMs - (26L * 3600 * 1000) // 1d watermark + 1h interval + 1h slack
+      s.table(name)
+        .filter(unix_millis(col("l_ts")) < cutoff)
+        .groupBy(date_format(col("l_ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_rows"), count(col("purchase_id")).as("n_matched"))
+        .orderBy("day")
+    }),
+
     // Spark-4 transformWithState (StatefulProcessor + typed ValueState) —
     // the successor of the t7 legacy state API: per-user running totals
     // emitted per microbatch as an UPDATE stream under the RocksDB state
@@ -2134,6 +2175,21 @@ object SparkEntry {
             ORDER BY event_id""",
       "t8_stream_dedup_counts" ->
         s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "t14_stream_outer_join" ->
+        """WITH c AS (SELECT user_id, epoch_ms(ts) AS tms, ts FROM events WHERE event_type = 'click'),
+                p AS (SELECT user_id, epoch_ms(ts) AS tms, event_id AS purchase_id
+                      FROM events WHERE event_type = 'purchase'),
+                mx AS (SELECT least(
+                         max(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END),
+                         max(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)) AS mt
+                       FROM events),
+                m AS (SELECT c.ts AS cts, c.tms AS ctms, p.purchase_id
+                      FROM c LEFT JOIN p ON c.user_id = p.user_id
+                        AND p.tms >= c.tms AND p.tms <= c.tms + 3600000)
+           SELECT strftime(cts, '%Y-%m-%d') AS day, count(*) AS n_rows,
+                  CAST(count(purchase_id) AS BIGINT) AS n_matched
+           FROM m, mx WHERE ctms < mt - 93600000
+           GROUP BY 1 ORDER BY 1""",
       "j14_content_reconcile" ->
         s"""WITH src AS (SELECT $dayE AS day, event_id,
                    CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR) AS v FROM events),

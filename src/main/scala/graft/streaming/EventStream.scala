@@ -112,6 +112,29 @@ object EventStream {
       "l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval 1 hour"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[clickPurchaseJoin]]
+    * but clicks with NO purchase in the following hour are also emitted
+    * (null purchase columns) — once the watermark proves no match can
+    * still arrive. State eviction and outer-row flush are driven by the
+    * watermark: an unmatched click emits when the watermark passes
+    * `l_ts + interval upper bound`; callers comparing against a batch
+    * LEFT JOIN must therefore restrict to rows safely below the final
+    * watermark (see SparkEntry t14 — the cutoff makes the comparison
+    * boundary-free).
+    */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "1 day"): DataFrame = {
+    val msTs = timestamp_millis(unix_millis(col("ts")))
+    val l = clicks
+      .select(col("user_id").as("l_user"), msTs.as("l_ts"), col("event_id").as("click_id"))
+      .withWatermark("l_ts", watermark)
+    val r = purchases
+      .select(col("user_id").as("r_user"), msTs.as("r_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      "l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval 1 hour"), "leftOuter")
+  }
+
   /** Run a (bounded) streaming query to a named in-memory table and block
     * until the file source is drained — the test/smoke harness.
     * `outputMode` is "complete" for aggregations, "append" for row streams.
