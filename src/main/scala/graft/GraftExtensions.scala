@@ -62,6 +62,36 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "minhash_sig(shingles, numHashes)")
         graft.functions.MinHashSig(exprs(0), intLit(exprs(1), "numHashes"))
+      }),
+    (
+      "char_ngrams",
+      new ExpressionInfo(classOf[graft.functions.CharNgrams].getName, "char_ngrams"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "char_ngrams(text, n)")
+        graft.functions.CharNgrams(exprs(0), intLit(exprs(1), "n"))
+      }),
+    (
+      "pq_encode",
+      new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "pq_encode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4, "pq_encode(vec, flatBooks, m, k)")
+        // the codebook must be a compile-time constant (it becomes a
+        // reference object in generated code); constant folding has not
+        // run yet at function-resolution time, so accept any FOLDABLE
+        // array<double> (array(1.0D, ...) is CreateArray, not Literal)
+        val books = exprs(1) match {
+          case e if e.foldable &&
+              e.dataType == org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, false) =>
+            e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+          case e if e.foldable &&
+              e.dataType == org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, true) =>
+            e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"flatBooks must be a foldable array<double>, got $other")
+        }
+        graft.functions.PqEncode(exprs(0), books, intLit(exprs(2), "m"), intLit(exprs(3), "k"))
       })
   )
 

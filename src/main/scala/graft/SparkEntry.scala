@@ -1955,6 +1955,17 @@ object SparkEntry {
         "term", num = 1, denom = 50)
         .orderBy("key")),
 
+    // overlapping token-window chunking (RAG/embedding prep): 64-token
+    // windows at stride 48 — chunk construction is scan-speed per-row
+    // HOF work (TextFunctions.chunkTokens), the explode happens only at
+    // the consumer
+    "x_doc_chunks" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TF.chunkTokens(col("text"), 64, 48)).as(Seq("chunk_idx", "chunk_text")))
+        .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")))
+        .orderBy("doc_id", "chunk_idx")),
+
     // intra-document repetition profile (Gopher-style quality signal):
     // duplicated bigram/trigram fractions, pure per-row HOF arithmetic
     "x_repetition" -> ((s, dir) =>
@@ -2993,6 +3004,17 @@ object SparkEntry {
         """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
                   count(*) * 10 AS n_true, TRUE AS recall_ok
            FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
+      "x_doc_chunks" ->
+        s"""WITH words AS (SELECT doc_id, $toksE AS w FROM documents),
+                 c AS (SELECT doc_id, w,
+                         CASE WHEN len(w) <= 64 THEN 1
+                              ELSE CAST((len(w) - 64 + 47) // 48 AS INTEGER) + 1 END AS nc
+                       FROM words),
+                 e AS (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c)
+            SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+                   array_to_string(w[i*48+1 : i*48+64], ' ') AS chunk_text,
+                   CAST(len(w[i*48+1 : i*48+64]) AS INTEGER) AS n_chunk_tokens
+            FROM e ORDER BY doc_id, chunk_idx""",
       // duplicated-n-gram slots; all docs have >=10 tokens so the
       // short-doc branch never fires
       "x_repetition" ->

@@ -154,6 +154,24 @@ object TextFunctions {
         transform(sequence(lit(1), size(toks) - lit(n - 1)), i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
+  /** Overlapping token-window chunks (RAG/embedding prep): windows of
+    * `chunkSize` tokens advancing by `stride` (< chunkSize ⇒ overlap of
+    * chunkSize−stride tokens), the last window truncated; a document
+    * shorter than one window yields one chunk. Pure per-row
+    * `transform(sequence(...))` — chunking a 100 TB corpus is a map over
+    * the scan, no explode until the caller flattens.
+    */
+  def chunkTokens(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val toks = tokens(text)
+    val n = size(toks)
+    val nChunks = when(n <= chunkSize, lit(1))
+      .otherwise(floor((n - lit(chunkSize) + lit(stride - 1)).cast("double") / lit(stride)).cast("int") + 1)
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))))
+  }
+
   /** Gopher-style intra-document repetition signal: the fraction of word
     * n-gram SLOTS occupied by a repeat of an earlier n-gram —
     * `1 - distinct/total`. 0.0 = no internal repetition, →1.0 = the

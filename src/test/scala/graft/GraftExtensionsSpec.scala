@@ -27,6 +27,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getSeq[Long](1) === viaCol.getSeq[Long](1))
   }
 
+  test("char_ngrams and pq_encode are callable from SQL and match the Column API") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    // 2 subvectors of 2 dims, 2 codewords each: flat layout [(s*k+j)*dsub+i]
+    val books = Array(1.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0)
+    val booksSql = books.map(b => s"${b}D").mkString("array(", ", ", ")")
+    val viaSql = spark.sql(
+      s"""SELECT char_ngrams('abcd', 3) AS g,
+                 pq_encode(array(1.0D, 0.0D, 0.0D, 1.0D), $booksSql, 2, 2) AS codes""").head()
+    val viaCol = spark.range(1).select(
+      graft.functions.CharNgrams.charNgrams(lit("abcd"), 3).as("g"),
+      graft.functions.PqEncode.pqEncode(
+        array(lit(1.0), lit(0.0), lit(0.0), lit(1.0)), books, 2, 2).as("codes")).head()
+    assert(viaSql.getSeq[String](0) === viaCol.getSeq[String](0))
+    assert(viaSql.getSeq[Int](1) === viaCol.getSeq[Int](1))
+    assert(viaSql.getSeq[Int](1) === Seq(0, 1)) // unit vector picks its codewords
+    // non-constant codebook is rejected with a clear message
+    val err = intercept[Exception] {
+      spark.sql("SELECT pq_encode(array(1.0D), array(rand()), 1, 1)").head()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable"))
+  }
+
   test("simhash64 and minhash_sig skip null array elements (no NPE from SQL)") {
     GraftExtensions.register(spark)
     val withNull = spark.sql(

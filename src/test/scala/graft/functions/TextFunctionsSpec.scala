@@ -58,6 +58,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(h(0) !== h(1))
   }
 
+  test("chunkTokens: overlap, truncation, short-doc and validation") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val chunks = df.select(TextFunctions.chunkTokens($"text", 4, 2)).head().getSeq[String](0)
+    // n=7, size=4, stride=2 -> nChunks = ceil(3/2)+1 = 3
+    assert(chunks === Seq("a b c d", "c d e f", "e f g"))
+    val short = Seq((1L, "x y")).toDF("doc_id", "text")
+      .select(TextFunctions.chunkTokens($"text", 4, 2)).head().getSeq[String](0)
+    assert(short === Seq("x y"))
+    intercept[IllegalArgumentException] { TextFunctions.chunkTokens($"text", 4, 5) }
+  }
+
   test("repetitionRatio: 0 for novel text, rises with looped phrases") {
     val df = Seq(
       (1L, "a b c d e f"),       // 5 bigrams, all distinct -> 0.0
