@@ -1628,6 +1628,26 @@ object SparkEntry {
         .orderBy("lang", "rnk")
     }),
 
+    // SRP near-dup agreement gate: on a corpus of sampled embeddings plus
+    // planted exact copies, the bucketed scale path must recover EVERY
+    // pair the quadratic exact path finds at cos >= 0.999 — duplicate-
+    // grade pairs land in the same bucket in every table structurally
+    // (identical vectors, identical signs), so n_missed = 0 is a hard
+    // invariant, not a probabilistic hope. Both pair sets are computed
+    // in-plan; the oracle recomputes the exact side and pins the zero.
+    "x_embed_lsh_agreement" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = base.unionByName(
+        base.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      val exact = Dedup.embeddingNearDup(corpus, "vec_id", "embedding", 0.999)
+      val lsh = Dedup.embeddingNearDupLsh(corpus, "vec_id", "embedding", 0.999)
+      val missed = exact.select("id_a", "id_b")
+        .join(lsh.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+    }),
+
     // the FULL training-data prep pipeline composed end-to-end, reported
     // as a stage funnel: held-out split → deterministic mixture sampling →
     // quality filter → exact dedup → benchmark decontamination → sequence
@@ -2867,6 +2887,16 @@ object SparkEntry {
                           ORDER BY (doc_id * 2654435761 + 17) % 1000000007, doc_id) AS rnk FROM dd)
             SELECT doc_id, lang, quality, CAST(rnk AS INTEGER) AS rnk
             FROM sm WHERE rnk <= 50 ORDER BY lang, rnk""",
+      "x_embed_lsh_agreement" ->
+        """WITH s0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings WHERE vec_id % 20 = 0),
+                c AS (SELECT vec_id, v FROM s0
+                      UNION ALL SELECT vec_id + 1000000, v FROM s0),
+                p AS (SELECT round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+                      FROM c a JOIN c b ON a.vec_id < b.vec_id)
+           SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_missed
+           FROM p WHERE cos >= 0.999""",
       // the funnel mirrors each stage's standalone oracle formulation;
       // packs = closed form (spans tile contiguously from 0)
       "x_train_funnel" ->

@@ -102,4 +102,26 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("embeddingNearDupLsh: subset of exact, recovers all duplicate-grade pairs, no cross join") {
+    import graft.sources.Tables
+    val base = Tables.load(spark, graft.TestSpark.sfDir, "embeddings")
+      .filter(col("vec_id") % 10 === 0).select("vec_id", "embedding")
+    val corpus = base.unionByName(
+      base.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val exact = Dedup.embeddingNearDup(corpus, "vec_id", "embedding", 0.18)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lshDf = Dedup.embeddingNearDupLsh(corpus, "vec_id", "embedding", 0.18)
+    // candidates come from the bucket equi-join, never a cross product
+    val plan = lshDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"scale path must not plan an all-pairs join:\n$plan")
+    val lsh = lshDf.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // subset with identical scores
+    lsh.foreach { case (k, cos) => assert(exact.get(k).contains(cos), s"pair $k not in exact set") }
+    // every duplicate-grade pair (the planted copies) is structurally found
+    val planted = exact.keys.filter { case (a, b) => b == a + 1000000 }
+    assert(planted.nonEmpty)
+    planted.foreach(p => assert(lsh.contains(p), s"planted duplicate $p missed"))
+  }
 }
