@@ -1665,7 +1665,10 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
       val s2 = s1.filter(TF.qualityScore(col("text")) >= 0.15)
       val dedupW = Window.partitionBy(TF.fingerprint(col("text"))).orderBy(col("doc_id"))
+      // s3 feeds three consumers (its own count, the decontamination probe,
+      // and packing) — cache it so the scan+filter+dedup chain runs once
       val s3 = s2.withColumn("_rn", row_number().over(dedupW)).filter(col("_rn") === 1).drop("_rn")
+        .cache()
       val s4 = Decontaminate.decontaminate(s3, bench, "doc_id", "text", n = 4)
       val packs = Packing.packSequences(s4, "doc_id", TF.tokenCount(col("text")), budget = 256)
       def stage(name: String, df: DataFrame): DataFrame =
