@@ -3,7 +3,7 @@ package graft
 import graft.ext.{Decontaminate, Dedup, Mixture, Packing, PQ, Similarity, Sketches}
 import graft.functions.{TextFunctions => TF}
 import graft.ops.{Batching, Diff, RangeJoin}
-import graft.sinks.{Compaction, EsBulkSink, Upsert}
+import graft.sinks.{Compaction, EsBulkSink, Retention, Upsert}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -667,6 +667,42 @@ object SparkEntry {
       s.read.parquet(out)
         .groupBy(col("day").cast("string").as("day"))
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy("day")
+    }),
+
+    // type-2 SCD merge: per-user value history — the first-seen value as
+    // the seed dimension row, the latest value as the update batch; users
+    // whose value changed get a closed interval + a new open row, single-
+    // value users pass through untouched (idempotent re-delivery)
+    "k8_scd2_merge" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.loadEvents(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"), col("value"))
+      val wAsc = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val wDesc = Window.partitionBy(col("user_id")).orderBy(col("ms").desc, col("event_id").desc)
+      val seed = ev.withColumn("rn", row_number().over(wAsc)).filter(col("rn") === 1)
+        .select(col("user_id"), col("value").as("val"), col("ms").as("valid_from"),
+          lit(null).cast("long").as("valid_to"))
+      val updates = ev.withColumn("rn", row_number().over(wDesc)).filter(col("rn") === 1)
+        .select(col("user_id"), col("value").as("val"), col("ms").as("ts"))
+      Upsert.scd2Merge(seed, updates, "user_id", "valid_from", "valid_to", "ts", Seq("val"))
+        .orderBy(col("user_id"), col("valid_from"), col("valid_to").asc_nulls_last)
+    }),
+
+    // partition-scoped targeted delete (compliance/retention): removing a
+    // bounded id list rewrites ONLY the partitions containing doomed rows
+    // (stage-then-swap per directory); untouched partitions stay
+    // byte-identical (RetentionSpec pins file mtimes)
+    "k9_targeted_delete" -> ((s, dir) => {
+      val out = persistentPath("k9", dir)
+      events(s, dir).write.mode("overwrite").partitionBy("day").parquet(out)
+      val doomed = events(s, dir)
+        .filter(col("day").isin("2024-01-05", "2024-01-06") && col("event_id") % 7 === 0)
+        .select("event_id")
+      Retention.deleteByIds(s, out, "day", "event_id", doomed)
+      s.read.parquet(out)
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("cnt"))
         .orderBy("day")
     }),
 
@@ -2335,6 +2371,26 @@ object SparkEntry {
         s"""SELECT $dayE AS day, count(*) AS cnt,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1 ORDER BY 1""",
+      "k8_scd2_merge" ->
+        """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, value FROM events),
+                f AS (SELECT user_id, value AS val, ms AS valid_from FROM
+                        (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS rn FROM e)
+                      WHERE rn = 1),
+                l AS (SELECT user_id, value AS val, ms AS ts FROM
+                        (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn FROM e)
+                      WHERE rn = 1)
+           SELECT * FROM (
+             SELECT f.user_id, f.val, f.valid_from,
+                    CASE WHEN l.val <> f.val THEN l.ts END AS valid_to
+             FROM f JOIN l USING (user_id)
+             UNION ALL
+             SELECT l.user_id, l.val, l.ts AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+             FROM f JOIN l USING (user_id) WHERE l.val <> f.val
+           ) ORDER BY user_id, valid_from, valid_to NULLS LAST""",
+      "k9_targeted_delete" ->
+        s"""SELECT $dayE AS day, count(*) AS cnt FROM events
+            WHERE NOT ($dayE IN ('2024-01-05', '2024-01-06') AND event_id % 7 = 0)
+            GROUP BY 1 ORDER BY 1""",
       "s2_catalog_scan" ->
         s"""SELECT $dayE AS day, count(*) AS cnt FROM events
             WHERE $dayE >= '2024-01-10' AND $dayE < '2024-01-15'

@@ -78,4 +78,37 @@ class UpsertSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("scd2Merge: change closes + reopens, no-op and insert paths, idempotent") {
+    import spark.implicits._
+    // history: id 1 open with v=a (plus an old closed row), id 2 open with v=x
+    val history = Seq(
+      (1L, "a0", 0L, Option(5L)),   // closed prior version
+      (1L, "a", 5L, None: Option[Long]),
+      (2L, "x", 3L, None: Option[Long])
+    ).toDF("id", "v", "valid_from", "valid_to")
+    // updates: id 1 changes to b at t=10; id 2 unchanged; id 3 brand new
+    val updates = Seq((1L, "b", 10L), (2L, "x", 11L), (3L, "n", 12L)).toDF("id", "v", "ts")
+    val merged = Upsert.scd2Merge(history, updates, "id", "valid_from", "valid_to", "ts", Seq("v"))
+    val got = merged.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, "a0", 0L, 5L),   // closed history untouched
+      (1L, "a", 5L, 10L),   // closed by the change
+      (1L, "b", 10L, -1L),  // new open row
+      (2L, "x", 3L, -1L),   // no-op: same value keeps the ORIGINAL valid_from
+      (3L, "n", 12L, -1L)   // insert
+    ))
+    // idempotence: re-applying the same update batch changes nothing
+    val again = Upsert.scd2Merge(merged, updates, "id", "valid_from", "valid_to", "ts", Seq("v"))
+    val got2 = again.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got2 === got)
+    // exactly one open row per id
+    val openPerId = merged.filter(col("valid_to").isNull).groupBy("id").count()
+      .collect().map(_.getLong(1))
+    assert(openPerId.forall(_ === 1L))
+  }
 }
