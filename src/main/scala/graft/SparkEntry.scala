@@ -670,6 +670,25 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // clustered (range-partitioned + sorted) write, then a selective range
+    // read: per-file value ranges are near-disjoint so the pushed
+    // predicate skips whole row groups at scale (file-stat disjointness
+    // pinned in CompactionSpec; pushdown pinned in PlanSpec)
+    "k10_clustered_write" -> ((s, dir) => {
+      val out = persistentPath("k10", dir)
+      // numFiles ~3x the day count: range boundaries must subdivide WITHIN
+      // days for per-file value ranges to narrow (fewer tasks than days
+      // degenerates to one whole-range file per day)
+      Compaction.clusteredWrite(
+        events(s, dir).select(col("event_id"), col("day"), col("value")),
+        "day", "value", out, numFiles = 96)
+      s.read.parquet(out)
+        .filter(col("value") >= 40.0 && col("value") < 60.0)
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy("day")
+    }),
+
     // type-2 SCD merge: per-user value history — the first-seen value as
     // the seed dimension row, the latest value as the update batch; users
     // whose value changed get a closed interval + a new open row, single-
@@ -2371,6 +2390,11 @@ object SparkEntry {
         s"""SELECT $dayE AS day, count(*) AS cnt,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1 ORDER BY 1""",
+      "k10_clustered_write" ->
+        s"""SELECT $dayE AS day, count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+            FROM events WHERE value >= 40.0 AND value < 60.0
+            GROUP BY 1 ORDER BY 1""",
       "k8_scd2_merge" ->
         """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, value FROM events),
                 f AS (SELECT user_id, value AS val, ms AS valid_from FROM

@@ -57,4 +57,32 @@ object Compaction {
       .parquet(outDir)
     total
   }
+
+  /** Clustered write: range-partition on (partition, cluster key) and sort
+    * within tasks, so each output file covers a NARROW, (near-)disjoint
+    * range of `clusterCol` and parquet column min/max statistics become
+    * selective — a pushed range predicate then skips whole row groups
+    * instead of scanning everything (Z-order-lite, single dimension). The
+    * difference is invisible at 60 k rows and decisive at 100 TB: an
+    * unclustered layout has every-file stats spanning the full value
+    * domain, so pushdown prunes nothing.
+    *
+    * Range boundaries come from Spark's range partitioner sample; a
+    * boundary row can land on either side, so ranges are disjoint up to
+    * boundary duplicates — the property CompactionSpec pins is bounded
+    * overlap vs the unclustered layout, not perfect disjointness.
+    */
+  def clusteredWrite(
+      df: DataFrame,
+      partCol: String,
+      clusterCol: String,
+      outDir: String,
+      numFiles: Int): Unit = {
+    require(numFiles > 0)
+    df.repartitionByRange(numFiles, col(partCol), col(clusterCol))
+      .sortWithinPartitions(col(partCol), col(clusterCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .parquet(outDir)
+  }
 }

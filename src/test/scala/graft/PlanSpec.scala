@@ -122,6 +122,12 @@ class PlanSpec extends AnyFunSuite {
       s"day range must reach the ORC reader (stripe stats pruning):\n$p")
   }
 
+  test("k10 clustered read pushes the value range into the parquet scan") {
+    val p = plan("k10_clustered_write")
+    assert(p.contains("GreaterThanOrEqual(value,40.0)") && p.contains("LessThan(value,60.0)"),
+      s"value range must reach the scan so file stats can skip row groups:\n$p")
+  }
+
   test("x_seq_packing never plans a single-partition window (distributed prefix-sum)") {
     val df = SparkEntry.queries("x_seq_packing")(spark, TestSpark.sfDir)
     import org.apache.spark.sql.catalyst.plans.logical

@@ -53,4 +53,38 @@ class CompactionSpec extends AnyFunSuite {
       Compaction.compactTo(events, "day", "event_id", 0, "/tmp/never")
     }
   }
+
+  test("clusteredWrite narrows per-file value ranges; naive layout spans the domain") {
+    import spark.implicits._
+    // 3 days x 400 rows, values interleaved so arrival order is unclustered
+    val rows = for (d <- 1 to 3; i <- 0 until 400)
+      yield (d.toLong * 1000 + i, s"2024-02-0$d", (i % 100).toDouble + d)
+    val df = rows.toDF("event_id", "day", "value")
+
+    def fileRanges(out: String): Seq[(String, Double, Double)] =
+      new java.io.File(out).listFiles().filter(_.isDirectory).toSeq.flatMap { dayDir =>
+        dayDir.listFiles().filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          val mm = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col("value")), max(col("value"))).head()
+          (dayDir.getName, mm.getDouble(0), mm.getDouble(1))
+        }
+      }
+    def avgSpan(rs: Seq[(String, Double, Double)]): Double =
+      rs.map(r => r._3 - r._2).sum / rs.length
+
+    val clustered = Files.createTempDirectory("graft_clustered").toString + "/out"
+    Compaction.clusteredWrite(df, "day", "value", clustered, numFiles = 12)
+    val naive = Files.createTempDirectory("graft_naive").toString + "/out"
+    df.repartition(12).write.partitionBy("day").parquet(naive)
+
+    val cr = fileRanges(clustered)
+    val nr = fileRanges(naive)
+    assert(cr.groupBy(_._1).values.forall(_.size > 1), "need several files per day to cluster")
+    // clustered files cover a small slice of the value domain; naive files
+    // cover nearly all of it — the property that lets stats skip row groups
+    assert(avgSpan(cr) < avgSpan(nr) / 2,
+      s"clustered avg span ${avgSpan(cr)} not well below naive ${avgSpan(nr)}")
+    // roundtrip intact
+    assert(spark.read.parquet(clustered).count() === df.count())
+  }
 }
