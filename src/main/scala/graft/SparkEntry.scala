@@ -1683,6 +1683,20 @@ object SparkEntry {
         .orderBy("lang", "rnk")
     }),
 
+    // incremental exact dedup: the "new batch vs existing corpus" shape —
+    // batch (doc_id >= 250) dedupes within itself then anti-joins the
+    // existing corpus's fingerprint column; the corpus text is never
+    // rescanned. Output: surviving new docs.
+    "x_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existing = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      Dedup.exactIncremental(batch, "doc_id", "text",
+        existing.select(TF.fingerprint(col("text")).as("fp")))
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    }),
+
     // SRP near-dup agreement gate: on a corpus of sampled embeddings plus
     // planted exact copies, the bucketed scale path must recover EVERY
     // pair the quadratic exact path finds at cos >= 0.999 — duplicate-
@@ -2970,6 +2984,16 @@ object SparkEntry {
                           ORDER BY (doc_id * 2654435761 + 17) % 1000000007, doc_id) AS rnk FROM dd)
             SELECT doc_id, lang, quality, CAST(rnk AS INTEGER) AS rnk
             FROM sm WHERE rnk <= 50 ORDER BY lang, rnk""",
+      "x_dedup_incremental" ->
+        """WITH fp AS (SELECT doc_id, source, lang,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+                FROM documents),
+                known AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250),
+                batch AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+                                         FROM fp WHERE doc_id >= 250) WHERE rn = 1)
+           SELECT doc_id, source, lang FROM batch
+           WHERE NOT EXISTS (SELECT 1 FROM known WHERE known.f = batch.f)
+           ORDER BY doc_id""",
       "x_embed_lsh_agreement" ->
         """WITH s0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                        FROM embeddings WHERE vec_id % 20 = 0),

@@ -92,6 +92,20 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("exactIncremental drops known fingerprints and within-batch dups, keeps novel docs") {
+    val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA   beta"),  // dup of corpus doc 1 (fingerprint is case/ws-invariant)
+      (11L, "epsilon zeta"),  // novel
+      (12L, "epsilon zeta"),  // within-batch dup of 11 -> min id survives
+      (13L, "eta theta")      // novel
+    ).toDF("doc_id", "text")
+    val known = existing.select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val got = Dedup.exactIncremental(batch, "doc_id", "text", known)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(11L, 13L))
+  }
+
   test("embeddingNearDup finds parallel vectors, skips orthogonal ones") {
     val embs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
