@@ -2093,6 +2093,23 @@ object SparkEntry {
         minRecallPct = 90)
     }),
 
+    // IVF-PQ composition (coarse cells route, PQ codes score, exact
+    // rerank) — both approximations compound, so the same per-decile
+    // recall gate is the contract; probe/shortlist sized for the
+    // compounded loss on this worst-case isotropic corpus
+    "x_ivfpq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      // iters=0 = the deterministic hash-ranked sample (the ivfTopK
+      // quantizer); the kmeans-refined variant is gated separately
+      val (cents, _) = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 0, dim = 64)
+      val model = PQ.train(e, "vec_id", "embedding", dim = 64, m = 16, k = 32)
+      Similarity.recallByDecile(
+        Similarity.bruteTopK(e, q, "vec_id", "embedding", 10),
+        PQ.ivfAdcTopK(e, q, "vec_id", "embedding", 10, cents, nProbe = 15, model, shortlist = 400),
+        minRecallPct = 90)
+    }),
+
     // IVF over k-means-TRAINED centroids (3 Lloyd iterations refining the
     // hash-sampled quantizer), recall@10-gated per decile like
     // x_ann_ivf_recall — proves the trained coarse quantizer holds the
@@ -3138,6 +3155,10 @@ object SparkEntry {
                   count(*) * 10 AS n_true, TRUE AS recall_ok
            FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
       "x_pq_recall" ->
+        """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
+                  count(*) * 10 AS n_true, TRUE AS recall_ok
+           FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
+      "x_ivfpq_recall" ->
         """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
                   count(*) * 10 AS n_true, TRUE AS recall_ok
            FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",

@@ -168,6 +168,69 @@ object PQ {
     * top-kNN. Determinism: adc scores round to 9 dp with id tie-breaks;
     * rerank uses the same rounded-cosine ordering as bruteTopK.
     */
+  /** IVF-PQ — the production composition (FAISS IVFPQ shape): a coarse
+    * quantizer routes every vector to one of `cents.length` cells (per-row
+    * argmax over the broadcast centroid array, fused into the scan), PQ
+    * codes compress the residual scan, and search touches only the
+    * `nProbe` cells nearest each query — ADC-scored, then exactly
+    * reranked. Versus [[adcTopK]]'s full-corpus ADC pass, the candidate
+    * join is a (cell) equi-join scoring ~nProbe/nLists of the corpus;
+    * versus [[Similarity.ivfTopKWith]]'s exact in-cell scoring, each
+    * candidate costs m table lookups instead of a dim-wide cosine and the
+    * scanned index is codes (4-16 B/row), not float vectors. Both
+    * approximations compound, so the recall gate (x_ivfpq_recall) is the
+    * contract that the composition still clears the bar.
+    */
+  def ivfAdcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kNN: Int,
+      cents: IndexedSeq[Array[Double]],
+      nProbe: Int,
+      model: Model,
+      shortlist: Int): DataFrame = {
+    // the persisted index shape: id, coarse cell, PQ codes — one projection
+    val corpusIdx = graft.sources.Tables.spread(corpus).select(
+      col(idCol).as("neighbor_id"),
+      Similarity.bestCell(col(vecCol), cents).getField("cell").as("cell"),
+      graft.functions.PqEncode.pqEncode(col(vecCol), model.flatBooks, model.m, model.k).as("codes"))
+    // queries: nProbe nearest cells each, ADC table + true vector along
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("v_q"),
+        VectorFunctions.l2Normalize(col(vecCol)).as("_nq"))
+      .select(col("query_id"), col("v_q"), adcTable(col("_nq"), model).as("adc"),
+        explode(slice(array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+          struct(
+            negate(round(VectorFunctions.cosine(col("v_q"), Similarity.centLit(c)), 6)).as("negsim"),
+            lit(i).as("cell"))
+        }: _*)), 1, nProbe)).as("sc"))
+      .select(col("query_id"), col("v_q"), col("adc"), col("sc").getField("cell").as("cell"))
+    val mK = model.k
+    val adcScore = (0 until model.m)
+      .map(s => element_at(col("adc"), lit(s * mK) + element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val wShort = Window.partitionBy(col("query_id")).orderBy(round(col("adc_d"), 9).asc, col("neighbor_id").asc)
+    val short = corpusIdx
+      .join(broadcast(probed.select("query_id", "adc", "cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_d", adcScore)
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val fetched = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v_c"))
+      .join(broadcast(short), Seq("neighbor_id"))
+    val rer = fetched
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("v_q"))), Seq("query_id"))
+      .withColumn("score", VectorFunctions.cosine(col("v_q"), col("v_c")))
+    val w = Window.partitionBy(col("query_id")).orderBy(round(col("score"), 6).desc, col("neighbor_id").asc)
+    rer
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
+  }
+
   def adcTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -203,14 +203,14 @@ object Similarity {
     * of (negated rounded similarity, cell id). Pure projection, fuses into
     * whatever scan produces `vec`.
     */
-  private def bestCell(vec: Column, cents: IndexedSeq[Array[Double]]): Column =
+  private[ext] def bestCell(vec: Column, cents: IndexedSeq[Array[Double]]): Column =
     array_min(array(cents.zipWithIndex.map { case (c, i) =>
       struct(
         negate(round(cosine(vec, centLit(c)), 6)).as("negsim"),
         lit(i).as("cell"))
     }: _*))
 
-  private def centLit(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit): _*)
+  private[ext] def centLit(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit): _*)
 
   /** [[ivfTopK]] search over an EXTERNALLY TRAINED centroid table (e.g.
     * [[kmeansCentroids]] output) — the production IVF shape, where the

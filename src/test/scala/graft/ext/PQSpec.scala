@@ -66,4 +66,23 @@ class PQSpec extends AnyFunSuite {
     assert(rows.length === 10)
     rows.foreach(r => assert(r.getBoolean(3), s"decile ${r.getLong(0)} below gate"))
   }
+
+  test("ivfAdcTopK: compound IVF+PQ recall clears the gate; scores are exact cosines") {
+    val (cents, _) = Similarity.kmeansCentroids(embs, "vec_id", "embedding", k = 8, iters = 0, dim = 64)
+    val q = embs.filter(col("vec_id") < 10)
+    val got = PQ.ivfAdcTopK(embs, q, "vec_id", "embedding", 5, cents, nProbe = 7, model, shortlist = 200)
+      .collect()
+    assert(got.length === 50) // 10 queries x k=5
+    val brute = Similarity.bruteTopK(embs, q, "vec_id", "embedding", 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    // rerank scores are true cosines wherever the sets overlap
+    got.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach(exp => assert(r.getDouble(3) === exp))
+    }
+    val recall = got.map(r => (r.getLong(0), r.getLong(2))).count(brute.contains) / brute.size.toDouble
+    assert(recall >= 0.8, s"compound recall $recall unexpectedly low at these parameters")
+    // the gate query itself
+    val rows = graft.SparkEntry.queries("x_ivfpq_recall")(spark, TestSpark.sfDir).collect()
+    assert(rows.length === 10 && rows.forall(_.getBoolean(3)))
+  }
 }
