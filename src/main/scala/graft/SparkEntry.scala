@@ -689,6 +689,23 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // Z-ORDERED (Morton-key) write: two-dimensional clustering, then a
+    // read filtering on BOTH dimensions — either predicate alone can skip
+    // files, where k10's single-column clustering leaves the second
+    // dimension spanning the full domain (CompactionSpec pins the
+    // bounding-box property)
+    "k11_zorder_write" -> ((s, dir) => {
+      val out = persistentPath("k11", dir)
+      Compaction.zorderWrite(
+        events(s, dir).select(col("event_id"), col("day"), col("value")),
+        "day", "value", "event_id", out, numFiles = 96)
+      s.read.parquet(out)
+        .filter(col("value") >= 40.0 && col("value") < 60.0 && col("event_id") < 500)
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("day")
+    }),
+
     // type-2 SCD merge: per-user value history — the first-seen value as
     // the seed dimension row, the latest value as the update batch; users
     // whose value changed get a closed interval + a new open row, single-
@@ -2425,6 +2442,10 @@ object SparkEntry {
         s"""SELECT $dayE AS day, count(*) AS cnt,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
             FROM events WHERE value >= 40.0 AND value < 60.0
+            GROUP BY 1 ORDER BY 1""",
+      "k11_zorder_write" ->
+        s"""SELECT $dayE AS day, count(*) AS cnt FROM events
+            WHERE value >= 40.0 AND value < 60.0 AND event_id < 500
             GROUP BY 1 ORDER BY 1""",
       "k8_scd2_merge" ->
         """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, value FROM events),

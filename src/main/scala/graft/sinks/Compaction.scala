@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Output-file sizing / small-file compaction (SURVEY.md §3.3 — the
@@ -81,6 +81,53 @@ object Compaction {
     require(numFiles > 0)
     df.repartitionByRange(numFiles, col(partCol), col(clusterCol))
       .sortWithinPartitions(col(partCol), col(clusterCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .parquet(outDir)
+  }
+
+  /** Morton (Z-order) key over two numeric columns: each value is
+    * quantized to its `bits`-bit quantile rank (one metadata-scale
+    * approxQuantile pre-pass per dimension — boundary accuracy affects
+    * balance, never correctness), then ranks are bit-interleaved. Rows
+    * close in Z-key are close in BOTH dimensions, so clustering by the
+    * key gives every output file a compact 2-D bounding box — predicates
+    * on EITHER column skip files, where single-column clustering leaves
+    * the other dimension spanning the full domain.
+    */
+  def zorderKey(df: DataFrame, dimA: String, dimB: String, bits: Int = 6): Column = {
+    require(bits > 0 && bits <= 15)
+    def rank(c: String): Column = {
+      val probes = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+      val bounds = df.select(col(c).cast("double").as("_v"))
+        .stat.approxQuantile("_v", probes, 0.005).distinct.sorted
+      bounds.map(bv => when(col(c).cast("double") >= lit(bv), 1L).otherwise(0L))
+        .reduceOption((a, x) => a + x).getOrElse(lit(0L))
+    }
+    val (ra, rb) = (rank(dimA), rank(dimB))
+    (0 until bits).map { i =>
+      (shiftright(ra, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(rb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** [[clusteredWrite]] in two dimensions: range-partition and sort by
+    * the Morton key within each partition value. Same numFiles caveat as
+    * clusteredWrite (boundaries must subdivide within partitions).
+    */
+  def zorderWrite(
+      df: DataFrame,
+      partCol: String,
+      dimA: String,
+      dimB: String,
+      outDir: String,
+      numFiles: Int,
+      bits: Int = 6): Unit = {
+    require(numFiles > 0)
+    df.withColumn("_zk", zorderKey(df, dimA, dimB, bits))
+      .repartitionByRange(numFiles, col(partCol), col("_zk"))
+      .sortWithinPartitions(col(partCol), col("_zk"))
+      .drop("_zk")
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partCol)
       .parquet(outDir)

@@ -87,4 +87,32 @@ class CompactionSpec extends AnyFunSuite {
     // roundtrip intact
     assert(spark.read.parquet(clustered).count() === df.count())
   }
+
+  test("zorderWrite narrows BOTH dimensions where single-column clustering leaves one wide") {
+    import spark.implicits._
+    // one partition, 2000 rows on a 50x50 grid with decorrelated dims
+    val rows = (0 until 2000).map(i => (i.toLong, "2024-03-01", (i % 50).toDouble, ((i * 7) % 50).toLong))
+    val df = rows.toDF("event_id", "day", "a", "b")
+
+    def spanB(out: String): Double = {
+      val fs = new java.io.File(s"$out/day=2024-03-01").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val spans = fs.toSeq.map { f =>
+        val mm = spark.read.parquet(f.getAbsolutePath).agg(min(col("b")), max(col("b"))).head()
+        (mm.getLong(1) - mm.getLong(0)).toDouble
+      }
+      spans.sum / spans.length
+    }
+
+    val z = Files.createTempDirectory("graft_z").toString + "/out"
+    Compaction.zorderWrite(df, "day", "a", "b", z, numFiles = 16)
+    val single = Files.createTempDirectory("graft_single").toString + "/out"
+    Compaction.clusteredWrite(df, "day", "a", single, numFiles = 16)
+
+    // clustering by `a` alone leaves every file spanning (almost) all of b;
+    // the Morton key bounds both dimensions
+    assert(spanB(z) < spanB(single) / 2,
+      s"z-order avg b-span ${spanB(z)} not well below single-dim ${spanB(single)}")
+    assert(spark.read.parquet(z).count() === 2000L)
+  }
 }
