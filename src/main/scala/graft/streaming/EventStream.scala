@@ -301,6 +301,113 @@ object EventStream {
     }
   }
 
+  /** Event-time-timer sessionization: the Spark-4 `transformWithState`
+    * successor to [[sessionize]]'s processing-time timeouts. Sessions are
+    * closed by EVENT-TIME TIMER CALLBACKS — a timer registered at
+    * (last buffered event + gap) fires once the watermark passes it, which
+    * is deterministic w.r.t. the data (processing-time timeouts depend on
+    * wall-clock batch spacing and are only testable via the drain-then-
+    * timeout trick t7 uses). Per user the state is the PENDING event
+    * timestamps (a typed `ListState[Long]`) — events stay buffered until
+    * the watermark proves their session can no longer grow, so
+    * out-of-order arrival ACROSS microbatches still sessionizes exactly:
+    * gaps-and-islands runs over the whole buffer at timer time and only
+    * sessions with `last + gap <= watermark` are finalized (any event that
+    * could extend such a session would carry ts <= watermark and has
+    * therefore already arrived). State is O(events in open window) per
+    * user, evicted on finalization; at production scale the query runs on
+    * the RocksDB provider (transformWithState requires it).
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), UserSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var pending: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      pending = getHandle.getListState[Long](
+        "pending", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[UserSession] = {
+      // ONE timer per distinct event time, at ts+gap: a session's close
+      // timer (last+gap) is then always registered the moment its last
+      // event arrives, so every island closable at the final watermark has
+      // a timer at-or-below that watermark — a per-batch-max timer can
+      // miss an early island when several islands share a batch and only
+      // the latest close time gets scheduled. Mid-session timers fire and
+      // finalize nothing: harmless. Timer count is O(pending events) —
+      // the same scale the event buffer already occupies.
+      val have = listTimerSet()
+      val fresh = scala.collection.mutable.Set.empty[Long]
+      rows.foreach { case (_, ts) =>
+        val ms = ts.getTime
+        pending.appendValue(ms)
+        val t = ms + gapMs
+        if (!have.contains(t) && fresh.add(t)) getHandle.registerTimer(t)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[UserSession] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val buf = pending.get().toArray.sorted
+      if (buf.isEmpty) return Iterator.empty
+      // gaps-and-islands over the whole buffer; finalize EVERY island the
+      // watermark has sealed (islands are time-ordered, so the first open
+      // one ends the scan). All closable work happens in this one firing —
+      // correctness cannot depend on a later firing existing, because the
+      // trailing no-data microbatch is the last chance to run.
+      val out = Seq.newBuilder[UserSession]
+      var i = 0
+      var kept: Array[Long] = Array.empty
+      while (i < buf.length && kept.isEmpty) {
+        var j = i
+        while (j + 1 < buf.length && buf(j + 1) - buf(j) <= gapMs) j += 1
+        if (buf(j) + gapMs <= wm) {
+          out += UserSession(user, j - i + 1, buf(i), buf(j))
+          i = j + 1
+        } else kept = buf.slice(i, buf.length) // open tail: keep, stop
+      }
+      pending.clear()
+      if (kept.nonEmpty) pending.put(kept) // close timers already registered
+      out.result().iterator
+    }
+
+    private def listTimerSet(): Set[Long] = {
+      val b = Set.newBuilder[Long]
+      val it = getHandle.listTimers()
+      while (it.hasNext) b += it.next().asInstanceOf[Long]
+      b.result()
+    }
+  }
+
+  /** Gap-based sessionization closed by event-time timers (see
+    * [[SessionTimerProcessor]]). `delay` is the watermark lateness bound;
+    * only sessions whose close timer lies below the stream's final
+    * watermark are emitted — callers comparing against the batch
+    * gaps-and-islands form restrict both sides to
+    * `last_ms + gap < maxEventMs - delay` (boundary-free, the t14
+    * pattern). Output: user_id, n_events, first_ts, last_ts.
+    */
+  def sessionizeTimers(events: DataFrame, gapMs: Long, delay: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), timestamp_millis(unix_millis(col("ts"))).as("ts"))
+      .withWatermark("ts", delay)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
   /** T-ext: per-user running event totals as an UPDATE stream. The final
     * emission per user equals the user's total event count — which is what
     * the batch oracle checks (SparkEntry t13).

@@ -113,6 +113,57 @@ class EventStreamSpec extends AnyFunSuite {
       .forall(_ != EventStream.rocksDbStateStore._2))
   }
 
+  test("event-time-timer sessionization: cross-batch merge, multi-island close, open tail held") {
+    import org.apache.spark.sql.Row
+    val base = Files.createTempDirectory("graft_tws_sess")
+    val ckpt = s"$base/ckpt"
+    val t0 = 1700000000000L // ms
+    def ns(offMin: Long): Long = (t0 + offMin * 60000L) * 1000000L // parquet ts is nanos
+    def write(name: String, mtimeOff: Long, rows: Seq[(Long, Long, Long)]): Unit = {
+      val data = rows.map { case (id, tsNs, user) => Row(id, tsNs, user, "click", 1.0, "{}") }
+      val tmp = s"$base/_tmp_$name"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), EventStream.eventsSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      // the file source doesn't recurse into plain subdirectories: surface
+      // the part file at the top level, like the testdata layout
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$base/$name.parquet")
+      Files.move(part.toPath, dst.toPath)
+      new java.io.File(tmp).listFiles().foreach(_.delete()); new java.io.File(tmp).delete()
+      // file source orders new files by modification time
+      dst.setLastModified(System.currentTimeMillis() + mtimeOff)
+    }
+    // batch 1 (file A): user 1 at 0 and 30 min — max A = 30 min, so after
+    // batch 1 the watermark (delay 30 min) sits at 0: batch 2's
+    // out-of-order 15-min event is NOT late and must merge into the island
+    write("a", -60000, Seq((1L, ns(0), 1L), (2L, ns(30), 1L)))
+    // batch 2 (file B): the merge event; user 2 with THREE one-event
+    // islands sharing one batch (early islands must still close — the
+    // per-event-timer guarantee); user 99 sentinel pushes the final
+    // watermark AND stays open itself
+    write("b", 0, Seq(
+      (3L, ns(15), 1L),
+      (4L, ns(0), 2L), (5L, ns(180), 2L), (6L, ns(360), 2L),
+      (7L, ns(6000), 99L)))
+    val stream = spark.readStream
+      .schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    EventStream.runToMemory(
+      EventStream.sessionizeTimers(stream, gapMs = 3600000L, delay = "30 minutes"),
+      "tws_sess", ckpt, outputMode = "append", statePartitions = Some(2), rocksDb = true)
+    val got = spark.table("tws_sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = Set(
+      (1L, 3L, t0, t0 + 30 * 60000L), // one merged session despite batch split
+      (2L, 1L, t0, t0),
+      (2L, 1L, t0 + 180 * 60000L, t0 + 180 * 60000L),
+      (2L, 1L, t0 + 360 * 60000L, t0 + 360 * 60000L))
+    assert(got === expected) // user 99's open session must NOT be emitted
+  }
+
   test("syncToIndex is incremental: a second trigger with no new files appends nothing") {
     val base = Files.createTempDirectory("graft_stream_sync").toString
     val idx = s"$base/idx"
