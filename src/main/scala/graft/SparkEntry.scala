@@ -694,6 +694,25 @@ object SparkEntry {
     // files, where k10's single-column clustering leaves the second
     // dimension spanning the full domain (CompactionSpec pins the
     // bounding-box property)
+    // manifest-pruned read: build a per-file min/max manifest over the
+    // clustered layout, keep only files intersecting the value range, read
+    // JUST those files, re-apply the exact predicate. File skipping
+    // upstream of any task — the coarse index that makes k10's clustering
+    // actionable (ManifestSpec pins kept-files < total and result parity
+    // with the unpruned read)
+    "k12_manifest_prune" -> ((s, dir) => {
+      val out = persistentPath("k12", dir)
+      Compaction.clusteredWrite(
+        events(s, dir).select(col("event_id"), col("day"), col("value")),
+        "day", "value", out, numFiles = 96)
+      val mf = graft.sources.Manifest.build(s, out, Seq("value"))
+      graft.sources.Manifest.prunedRead(s, out, mf, "value", 40.0, 60.0)
+        .filter(col("value") >= 40.0 && col("value") < 60.0)
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy("day")
+    }),
+
     "k11_zorder_write" -> ((s, dir) => {
       val out = persistentPath("k11", dir)
       Compaction.zorderWrite(
@@ -1002,6 +1021,37 @@ object SparkEntry {
         .groupBy(date_format(col("l_ts"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n_rows"), count(col("purchase_id")).as("n_matched"))
         .orderBy("day")
+    }),
+
+    // Event-time-TIMER sessionization (transformWithState + ListState +
+    // registerTimer): sessions close when the watermark passes last+gap —
+    // deterministic in the data, unlike t7's processing-time timeouts.
+    // Report restricted to sessions provably sealed below the final
+    // watermark (30 min delay + 1 h gap + 1 h slack under the corpus max),
+    // so the batch gaps-and-islands oracle compares boundary-free.
+    "t15_session_timers" -> ((s, dir) => {
+      val stageDir = scratchDir("t15", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events.parquet"))
+      val name = "t15_sessions"
+      try {
+        graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.sessionizeTimers(
+            graft.streaming.EventStream.readEvents(s, stage),
+            gapMs = 3600000L, delay = "30 minutes"),
+          name, s"$stage/ckpt", outputMode = "append",
+          statePartitions = Some(4), rocksDb = true)
+      } finally deleteRec(stageDir)
+      val maxMs = Tables.loadEvents(s, dir)
+        .agg(max(unix_millis(col("ts"))).as("m")).head().getLong(0)
+      val cutoff = maxMs - 9000000L // 30 min delay + 1 h gap + 1 h slack
+      s.table(name)
+        .filter(col("last_ts") < cutoff)
+        .select(col("user_id"), col("n_events"),
+          col("first_ts").as("first_ms"), col("last_ts").as("last_ms"))
+        .orderBy("user_id", "first_ms")
     }),
 
     // Spark-4 transformWithState (StatefulProcessor + typed ValueState) —
@@ -2327,6 +2377,21 @@ object SparkEntry {
                   CAST(count(purchase_id) AS BIGINT) AS n_matched
            FROM m, mx WHERE ctms < mt - 93600000
            GROUP BY 1 ORDER BY 1""",
+      "t15_session_timers" ->
+        """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+             f AS (SELECT user_id, ts_ms,
+                     CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL THEN 1
+                          WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > 3600000 THEN 1
+                          ELSE 0 END AS new_session FROM e),
+             g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM f),
+             sess AS (SELECT user_id, session_idx, count(*) AS n_events,
+                        min(ts_ms) AS first_ms, max(ts_ms) AS last_ms
+                      FROM g GROUP BY user_id, session_idx),
+             mx AS (SELECT max(ts_ms) AS mt FROM e)
+           SELECT user_id, n_events, first_ms, last_ms
+           FROM sess, mx WHERE last_ms < mt - 9000000
+           ORDER BY user_id, first_ms""",
       "j14_content_reconcile" ->
         s"""WITH src AS (SELECT $dayE AS day, event_id,
                    CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR) AS v FROM events),
@@ -2439,6 +2504,11 @@ object SparkEntry {
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1 ORDER BY 1""",
       "k10_clustered_write" ->
+        s"""SELECT $dayE AS day, count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+            FROM events WHERE value >= 40.0 AND value < 60.0
+            GROUP BY 1 ORDER BY 1""",
+      "k12_manifest_prune" ->
         s"""SELECT $dayE AS day, count(*) AS cnt,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
             FROM events WHERE value >= 40.0 AND value < 60.0

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file min/max manifest and manifest-driven file pruning — the
+  * Delta/Iceberg-style coarse index over a parquet layout. The reference's
+  * only scan-narrowing device is partition-directory listing
+  * (data-s3-elastic-transfer.py:281-291 walks S3 prefixes); a manifest
+  * generalizes that from DIRECTORY names to VALUE RANGES PER FILE, so a
+  * range predicate on any clustered column skips whole files before a
+  * single task is scheduled.
+  *
+  * [[build]] computes one row per data file: row count plus min/max of the
+  * requested columns. Here that is one aggregation over the data (grouped
+  * by `input_file_name()`); in a production writer the same rows fall out
+  * of the write itself (per-task aggregates at commit time, the
+  * Delta-transaction-log pattern) or straight from parquet footer
+  * statistics without touching data pages. Either way the manifest is
+  * METADATA-scale — one row per file — so consulting it costs a scan of
+  * file COUNT rows, never data bytes, and the result list is a bounded
+  * driver collect like every partition-list decision in this engine.
+  *
+  * [[prunedRead]] turns a range predicate into: (a) a manifest filter
+  * keeping files whose [min,max] interval intersects [lo,hi]; (b) a
+  * parquet read of ONLY those files; (c) the caller re-applies the exact
+  * predicate as the residual (file grain is coarse — kept files still get
+  * parquet row-group min/max skipping from the pushed filter). With a
+  * clustered layout ([[graft.sinks.Compaction]].clusteredWrite /
+  * zorderWrite) the kept fraction approaches the predicate's selectivity;
+  * unclustered, every file spans the domain and pruning keeps everything —
+  * the manifest is what makes clustering actionable at the file level.
+  */
+object Manifest {
+
+  /** One row per data file under `dir`: file URI, row_count, and
+    * (min_c, max_c) for each column in `statsCols`.
+    */
+  def build(spark: SparkSession, dir: String, statsCols: Seq[String]): DataFrame = {
+    val stats = statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("row_count"), stats: _*)
+  }
+
+  /** Files whose [min_c, max_c] intersects the CLOSED interval [lo, hi] —
+    * a conservative superset for any predicate contained in it (boundary
+    * files are kept; the residual filter discards their out-of-range
+    * rows). Bounded driver collect: one string per kept file.
+    */
+  def filesInRange(manifest: DataFrame, c: String, lo: Double, hi: Double): Seq[String] =
+    manifest
+      .filter(col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo))
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+
+  /** Read only the files [[filesInRange]] keeps. The caller applies its
+    * exact predicate on top (and Catalyst pushes it into the kept files'
+    * row groups). An empty kept list degenerates to an empty scan of the
+    * full layout's schema.
+    */
+  def prunedRead(
+      spark: SparkSession,
+      dir: String,
+      manifest: DataFrame,
+      c: String,
+      lo: Double,
+      hi: Double): DataFrame = {
+    val files = filesInRange(manifest, c, lo, hi)
+    if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
+    // basePath keeps hive-style partition columns (day=…/) resolvable when
+    // the scan is handed explicit file paths instead of the root dir
+    else spark.read.option("basePath", dir).parquet(files: _*)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.sinks.Compaction
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class ManifestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def events = Tables.withDay(Tables.loadEvents(spark, TestSpark.sfDir))
+    .select(col("event_id"), col("day"), col("value"))
+
+  test("manifest pruning: skips files on a clustered layout, result matches full read") {
+    val out = Files.createTempDirectory("graft_manifest").toString + "/out"
+    Compaction.clusteredWrite(events, "day", "value", out, numFiles = 96)
+
+    val mf = Manifest.build(spark, out, Seq("value"))
+    val totalFiles = mf.count()
+    assert(totalFiles > 10, "layout must actually split into many files")
+
+    // manifest row count totals the data
+    assert(mf.agg(sum("row_count")).head().getLong(0) === events.count())
+
+    // a narrow range keeps a minority of files on a value-clustered layout
+    val kept = Manifest.filesInRange(mf, "value", 40.0, 60.0)
+    assert(kept.nonEmpty)
+    assert(kept.length * 2 < totalFiles,
+      s"pruning kept ${kept.length}/$totalFiles files — clustering not actionable")
+
+    // pruned read + residual predicate == full read + same predicate
+    val residual = col("value") >= 40.0 && col("value") < 60.0
+    val pruned = Manifest.prunedRead(spark, out, mf, "value", 40.0, 60.0)
+      .filter(residual).select("event_id").collect().map(_.getLong(0)).toSet
+    val full = spark.read.parquet(out)
+      .filter(residual).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(pruned === full)
+  }
+
+  test("manifest pruning keeps everything on an unclustered layout, nothing out of range") {
+    val out = Files.createTempDirectory("graft_manifest_flat").toString + "/out"
+    // hash-shuffled layout, files big enough that each one virtually
+    // certainly spans the predicate range: pruning has nothing to skip
+    events.repartition(16, col("event_id"))
+      .write.mode("overwrite").parquet(out)
+    val mf = Manifest.build(spark, out, Seq("value"))
+    val total = mf.count()
+    val kept = Manifest.filesInRange(mf, "value", 40.0, 60.0)
+    assert(kept.length * 2 > total,
+      "unclustered files span the domain — pruning can't skip a majority")
+
+    // empty interval beyond the domain prunes to an empty (but readable) scan
+    val none = Manifest.prunedRead(spark, out, mf, "value", 1e9, 2e9)
+    assert(none.count() === 0L)
+    assert(none.columns.contains("event_id"))
+  }
+}
