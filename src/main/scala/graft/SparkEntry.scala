@@ -1882,6 +1882,47 @@ object SparkEntry {
           sum(when(col("hamming") > 16, 1L).otherwise(0L)).as("n_far"))
     }),
 
+    // SimHash S-curve characterization: co-shingled pairs banded by EXACT
+    // n-gram Jaccard (dup >= 0.8 > related >= 0.3 > background), with the
+    // per-band Hamming mass folded into one separation gate — mean Hamming
+    // of dup pairs + 8 bits <= mean Hamming of background pairs, compared
+    // as exact integer cross-products so no float crosses the oracle. The
+    // band pair counts are exactly oracled; the gate is the heavy-hitters
+    // pattern (a bool the hash-family guarantee forces TRUE). This is the
+    // tuning table for simhashPairs' maxHamming knob: it shows what
+    // Hamming radius separates which similarity grade on THIS corpus.
+    "x_simhash_scurve" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+      val corp = base.unionByName(base.select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        expr("substr(text, 1, CAST(floor(length(text)*0.9) AS INT))").as("text")))
+      val exact = Dedup.ngramJaccardPairs(corp, "doc_id", "text", n = 3, threshold = 0.0)
+      val sh = Dedup.simhashSignatures(corp, "doc_id", "text")
+      val banded = exact
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("jaccard"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .withColumn("band",
+          when(col("jaccard") >= 0.8, "1_dup")
+            .when(col("jaccard") >= 0.3, "2_related")
+            .otherwise("3_background"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("hamming")).as("hsum"))
+      val gate = banded.agg(
+        max(when(col("band") === "1_dup", col("hsum"))).as("hd"),
+        max(when(col("band") === "1_dup", col("n_pairs"))).as("nd"),
+        max(when(col("band") === "3_background", col("hsum"))).as("hb"),
+        max(when(col("band") === "3_background", col("n_pairs"))).as("nb"))
+        // coalesce: an empty extreme band (impossible on this corpus, but
+        // the gate must not turn NULL if the sample ever degenerates)
+        .select(coalesce(
+          (col("hd") + lit(8L) * col("nd")) * col("nb") <= col("hb") * col("nd"),
+          lit(true)).as("sep_ok"))
+      banded.select(col("band"), col("n_pairs"))
+        .crossJoin(broadcast(gate))
+        .orderBy("band")
+    }),
+
     // brute-force cosine top-5 for 10 query vectors (exact ANN baseline)
     "x_embed_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -3035,6 +3076,27 @@ object SparkEntry {
             SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_far
             FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
             WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.8""",
+      "x_simhash_scurve" ->
+        s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+                 corp AS (SELECT doc_id, text FROM base
+                          UNION ALL
+                          SELECT doc_id + 1000000, substr(text, 1, CAST(floor(length(text)*0.9) AS INT)) FROM base),
+                 d AS (SELECT doc_id, $toksE AS toks FROM corp),
+                 s AS (SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+                   FROM d),
+                 e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+                 sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+                 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                       FROM e a JOIN e b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+                 j AS (SELECT round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) AS jac
+                       FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id)
+            SELECT CASE WHEN jac >= 0.8 THEN '1_dup'
+                        WHEN jac >= 0.3 THEN '2_related'
+                        ELSE '3_background' END AS band,
+                   count(*) AS n_pairs, TRUE AS sep_ok
+            FROM j GROUP BY 1 ORDER BY 1""",
       "f10_try_funcs" ->
         s"""SELECT event_id,
                    value / nullif(CAST(event_id % 5 AS DOUBLE), 0.0) AS safe_div,
