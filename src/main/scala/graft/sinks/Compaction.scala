@@ -95,8 +95,22 @@ object Compaction {
     * on EITHER column skip files, where single-column clustering leaves
     * the other dimension spanning the full domain.
     */
-  def zorderKey(df: DataFrame, dimA: String, dimB: String, bits: Int = 6): Column = {
-    require(bits > 0 && bits <= 15)
+  def zorderKey(df: DataFrame, dimA: String, dimB: String, bits: Int = 6): Column =
+    zorderKeyN(df, Seq(dimA, dimB), bits)
+
+  /** [[zorderKey]] over ANY number of numeric dimensions: bit `i` of
+    * dimension `j`'s quantile rank lands at interleaved position
+    * `i * dims + j`, so the key cycles through the dimensions bit by bit
+    * and every file clustered on it gets a compact d-dimensional bounding
+    * box. `dims * bits` must fit a long; past ~3 dimensions the
+    * per-dimension resolution (and with it the skipping power) dilutes —
+    * the curse that caps Z-order fan-out in every lakehouse engine, worth
+    * stating rather than hiding.
+    */
+  def zorderKeyN(df: DataFrame, dims: Seq[String], bits: Int = 6): Column = {
+    val d = dims.length
+    require(d > 0, "at least one dimension")
+    require(bits > 0 && d * bits <= 62, s"$d dims x $bits bits overflows the key")
     def rank(c: String): Column = {
       val probes = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
       val bounds = df.select(col(c).cast("double").as("_v"))
@@ -104,11 +118,10 @@ object Compaction {
       bounds.map(bv => when(col(c).cast("double") >= lit(bv), 1L).otherwise(0L))
         .reduceOption((a, x) => a + x).getOrElse(lit(0L))
     }
-    val (ra, rb) = (rank(dimA), rank(dimB))
-    (0 until bits).map { i =>
-      (shiftright(ra, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
-        (shiftright(rb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
-    }.reduce(_ + _)
+    val ranks = dims.map(rank)
+    (for { i <- 0 until bits; j <- 0 until d } yield
+      shiftright(ranks(j), i).bitwiseAND(lit(1L)) * lit(1L << (i * d + j)))
+      .reduce(_ + _)
   }
 
   /** [[clusteredWrite]] in two dimensions: range-partition and sort by

@@ -115,4 +115,41 @@ class CompactionSpec extends AnyFunSuite {
       s"z-order avg b-span ${spanB(z)} not well below single-dim ${spanB(single)}")
     assert(spark.read.parquet(z).count() === 2000L)
   }
+
+  test("zorderKeyN interleaves three dimensions: every dim's span narrows vs 1-D clustering") {
+    import spark.implicits._
+    // 4096 rows on a decorrelated 16x16x16 grid
+    val rows = (0 until 4096).map(i =>
+      (i.toLong, "2024-03-01", (i % 16).toDouble, ((i / 16) % 16).toDouble, ((i / 256) % 16).toDouble))
+    val df = rows.toDF("event_id", "day", "a", "b", "c")
+
+    def avgSpan(out: String, dim: String): Double = {
+      val fs = new java.io.File(s"$out/day=2024-03-01").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val spans = fs.toSeq.map { f =>
+        val mm = spark.read.parquet(f.getAbsolutePath).agg(min(col(dim)), max(col(dim))).head()
+        mm.getDouble(1) - mm.getDouble(0)
+      }
+      spans.sum / spans.length
+    }
+
+    def write(key: org.apache.spark.sql.Column, out: String): Unit =
+      df.withColumn("_zk", key)
+        .repartitionByRange(16, col("day"), col("_zk"))
+        .sortWithinPartitions(col("day"), col("_zk"))
+        .drop("_zk")
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+
+    val z3 = Files.createTempDirectory("graft_z3").toString + "/out"
+    write(Compaction.zorderKeyN(df, Seq("a", "b", "c"), bits = 4), z3)
+    val flat = Files.createTempDirectory("graft_z3_flat").toString + "/out"
+    write(col("a"), flat) // 1-D clustering: b and c spans stay full-width
+
+    for (dim <- Seq("b", "c"))
+      assert(avgSpan(z3, dim) < avgSpan(flat, dim) / 2,
+        s"3-D z-order $dim-span ${avgSpan(z3, dim)} not well below 1-D ${avgSpan(flat, dim)}")
+    // the traded cost: `a` no longer perfectly contiguous, but still bounded
+    assert(avgSpan(z3, "a") < 16.0 * 0.8, "a-span must not degrade to full width")
+    assert(spark.read.parquet(z3).count() === 4096L)
+  }
 }
