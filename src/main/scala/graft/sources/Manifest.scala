@@ -71,4 +71,27 @@ object Manifest {
     // the scan is handed explicit file paths instead of the root dir
     else spark.read.option("basePath", dir).parquet(files: _*)
   }
+
+  /** File-level dynamic-partition-pruning analog for a fact-to-dim join:
+    * the DIMENSION side's key domain [min, max] is one metadata-scale
+    * aggregate; fact files whose `factKey` interval misses it cannot
+    * produce a join match and are never scanned. Spark's own DPP prunes
+    * PARTITION directories at runtime — this prunes at FILE grain, which a
+    * `factKey`-clustered layout makes far finer. Conservative: the range
+    * is a superset of the dim's key SET, so the join itself still filters;
+    * results are identical to the unpruned join (ManifestSpec pins it).
+    */
+  def prunedForJoin(
+      spark: SparkSession,
+      dir: String,
+      manifest: DataFrame,
+      factKey: String,
+      dim: DataFrame,
+      dimKey: String): DataFrame = {
+    val r = dim.agg(
+      min(col(dimKey).cast("double")).as("lo"),
+      max(col(dimKey).cast("double")).as("hi")).head()
+    if (r.isNullAt(0)) spark.read.parquet(dir).filter(lit(false))
+    else prunedRead(spark, dir, manifest, factKey, r.getDouble(0), r.getDouble(1))
+  }
 }

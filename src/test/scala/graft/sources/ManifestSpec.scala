@@ -38,6 +38,39 @@ class ManifestSpec extends AnyFunSuite {
     assert(pruned === full)
   }
 
+  test("join pruning: dim key domain skips fact files, join result unchanged") {
+    val out = Files.createTempDirectory("graft_manifest_join").toString + "/out"
+    // fact clustered by the join key
+    val fact = Tables.loadEvents(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    Compaction.clusteredWrite(
+      fact.withColumn("bucket", lit("all")), "bucket", "user_id", out, numFiles = 32)
+    val mf = Manifest.build(spark, out, Seq("user_id"))
+
+    // a dim covering a narrow slice of the user domain
+    val users = fact.select(col("user_id")).distinct()
+    val cut = users.agg(expr("percentile(user_id, 0.1)")).head().getDouble(0)
+    val dim = users.filter(col("user_id") <= cut)
+
+    val keptFiles = {
+      val r = dim.agg(min(col("user_id")), max(col("user_id"))).head()
+      Manifest.filesInRange(mf, "user_id", r.getLong(0).toDouble, r.getLong(1).toDouble)
+    }
+    assert(keptFiles.length * 2 < mf.count(),
+      s"join pruning kept ${keptFiles.length}/${mf.count()} files")
+
+    val pruned = Manifest.prunedForJoin(spark, out, mf, "user_id", dim, "user_id")
+      .join(dim, "user_id").select("event_id").collect().map(_.getLong(0)).toSet
+    val full = spark.read.parquet(out)
+      .join(dim, "user_id").select("event_id").collect().map(_.getLong(0)).toSet
+    assert(pruned === full)
+    assert(pruned.nonEmpty)
+
+    // an empty dim prunes to an empty scan without erroring
+    val emptyDim = users.filter(lit(false))
+    assert(Manifest.prunedForJoin(spark, out, mf, "user_id", emptyDim, "user_id").count() === 0L)
+  }
+
   test("manifest pruning keeps everything on an unclustered layout, nothing out of range") {
     val out = Files.createTempDirectory("graft_manifest_flat").toString + "/out"
     // hash-shuffled layout, files big enough that each one virtually
