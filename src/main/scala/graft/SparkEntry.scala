@@ -246,6 +246,28 @@ object SparkEntry {
             countDistinct(col("l_partkey")).cast("double") - 1.0) <= 0.1).as("approx_ok"))
         .orderBy("l_returnflag")),
 
+    // MERGEABLE distinct sketches — the incremental-MV form of a7: one
+    // tiny Datasketches-HLL sketch per day (persistable alongside t9's
+    // incremental aggregates), merged WITHOUT rescanning events. At 100 TB
+    // this is the only sane rolling-distinct plan: per-partition sketches
+    // are built once at ingest (each a few KB), and any window/total
+    // distinct is a union of sketches — metadata-scale work — where exact
+    // distinct would re-shuffle the whole history per refresh. Output is
+    // the a7 gate pattern: exact values cross the oracle, the sketch only
+    // feeds a deterministic error-bound bool (default lgK=12 → ~1.6% rse;
+    // gated at 5%, verified at sf0.001/0.01/0.1).
+    "x_hll_mergeable" -> ((s, dir) => {
+      val perDay = events(s, dir).groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = perDay.agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = events(s, dir).agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.crossJoin(exact).select(
+        col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) * 20 <= col("exact_users")).as("union_ok"))
+    }),
+
     // approximate-quantile sketch gated by its own rank guarantee: the
     // KLL/GK-style percentile_approx(acc=10000) bounds RANK error by
     // n/acc, so counting rows <= the sketch's p50/p90 answers must land
@@ -413,6 +435,29 @@ object SparkEntry {
         col("value").cast("decimal(18,4)").cast("string").as("v"))
       Diff.contentReconcile(canon(src), canon(sink), "day", Seq("event_id", "v"))
         .orderBy("day")
+    }),
+
+    // CDC changeset between two snapshot versions: per-user last-write
+    // state at day 10 vs day 20 (users whose latest event by day 20 is an
+    // 'error' are tombstoned), emitted as the I/U/D change feed a
+    // downstream consumer replays. One full-outer key-shuffle
+    // (Diff.changeSet); snapshots are window last-wins, the k8/SCD2
+    // convention
+    "x_cdc_changeset" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(
+        col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
+        col("event_type"), col("value"), col("day"))
+      def snap(cutDay: String): DataFrame = {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ms").desc, col("event_id").desc)
+        ev.filter(col("day") <= cutDay)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("value"), col("event_type"))
+      }
+      val v1 = snap("2024-01-10").select("user_id", "value")
+      val v2 = snap("2024-01-20").filter(col("event_type") =!= "error")
+        .select("user_id", "value")
+      Diff.changeSet(v1, v2, "user_id", Seq("value")).orderBy("user_id")
     }),
 
     // J5: union-all reassembly (ID-based-transfer.py:194)
@@ -2277,6 +2322,29 @@ object SparkEntry {
       "x_approx_quantiles" ->
         """SELECT event_type, count(*) AS n, TRUE AS ok50, TRUE AS ok90
            FROM events GROUP BY event_type ORDER BY event_type""",
+      "x_hll_mergeable" ->
+        s"""SELECT count(DISTINCT $dayE) AS n_days,
+                   count(DISTINCT user_id) AS exact_users, TRUE AS union_ok
+            FROM events""",
+      "x_cdc_changeset" ->
+        s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type, value,
+                              $dayE AS day FROM events),
+                 s1 AS (SELECT user_id, value FROM
+                          (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+                           FROM e WHERE day <= '2024-01-10') WHERE rn = 1),
+                 s2 AS (SELECT user_id, value FROM
+                          (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+                           FROM e WHERE day <= '2024-01-20') WHERE rn = 1 AND event_type <> 'error'),
+                 j AS (SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+                              s1.value AS old_value, s2.value AS new_value,
+                              s1.user_id IS NOT NULL AS in_old, s2.user_id IS NOT NULL AS in_new
+                       FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id),
+                 c AS (SELECT user_id, old_value, new_value,
+                         CASE WHEN NOT in_old THEN 'I' WHEN NOT in_new THEN 'D'
+                              WHEN old_value IS DISTINCT FROM new_value THEN 'U' END AS op
+                       FROM j)
+            SELECT user_id, old_value, new_value, op
+            FROM c WHERE op IS NOT NULL ORDER BY user_id""",
       "a8_rollup" ->
         s"""SELECT coalesce($dayE, 'ALL') AS day, coalesce(event_type, 'ALL') AS event_type,
                    count(*) AS cnt

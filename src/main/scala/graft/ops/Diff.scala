@@ -147,4 +147,32 @@ object Diff {
     */
   def missingRows(source: DataFrame, sinkState: DataFrame, idCol: String): DataFrame =
     source.join(sinkState.select(idCol).distinct(), Seq(idCol), "left_anti")
+
+  /** CDC changeset between two keyed snapshots: one FULL OUTER join on the
+    * key emitting `op` = 'I' (key only in `newSnap`), 'D' (only in
+    * `oldSnap`), or 'U' (in both with any `valueCols` differing —
+    * null-safe compare, the scd2Merge convention). Unchanged keys are
+    * dropped, so the output is exactly the change feed a downstream
+    * consumer replays — the generalization of the reference's "which ids
+    * are missing" reconcile (ID-based-transfer.py:241) to full
+    * insert/update/delete semantics. ONE key-shuffle; both value sets ride
+    * the join, no second lookup. Columns: key, op, then old_/new_ pairs.
+    */
+  def changeSet(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select(col(keyCol) +: valueCols.map(c => col(c).as(s"old_$c")): _*)
+    val n = newSnap.select(col(keyCol) +: valueCols.map(c => col(c).as(s"new_$c")): _*)
+    // presence flags survive the outer join where key-nullability can't
+    val j = o.withColumn("_in_old", lit(true))
+      .join(n.withColumn("_in_new", lit(true)), Seq(keyCol), "full_outer")
+    val changed = valueCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    j.withColumn("op",
+        when(col("_in_old").isNull, "I")
+          .when(col("_in_new").isNull, "D")
+          .when(changed, "U"))
+      .filter(col("op").isNotNull)
+      .drop("_in_old", "_in_new")
+  }
 }

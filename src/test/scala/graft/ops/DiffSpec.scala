@@ -66,4 +66,33 @@ class DiffSpec extends AnyFunSuite {
     assert(Diff.contentReconcile(s2, k3, "month", Seq("id", "v"))
       .collect().map(_.getString(0)).toSet === Set("Jan", "Feb"))
   }
+
+  test("changeSet emits exactly I/U/D, drops unchanged, null-safe on values") {
+    val oldSnap = Seq(
+      (1L, Some(10.0)), // unchanged → dropped
+      (2L, Some(20.0)), // value changes → U
+      (3L, Some(30.0)), // disappears → D
+      (4L, None),       // null → value → U (null-safe compare)
+      (5L, None)        // null → null → unchanged, dropped
+    ).toDF("user_id", "value")
+    val newSnap = Seq(
+      (1L, Some(10.0)),
+      (2L, Some(21.0)),
+      (4L, Some(40.0)),
+      (5L, None),
+      (6L, Some(60.0)) // appears → I
+    ).toDF("user_id", "value")
+    val got = Diff.changeSet(oldSnap, newSnap, "user_id", Seq("value"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getString(3)))
+      .toSet
+    assert(got === Set(
+      (2L, Some(20.0), Some(21.0), "U"),
+      (3L, Some(30.0), None, "D"),
+      (4L, None, Some(40.0), "U"),
+      (6L, None, Some(60.0), "I")))
+  }
 }
