@@ -437,6 +437,23 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // time travel over an append-only change log: reconstruct per-user
+    // state AS OF end of 2024-01-20 (version = ms*1e5 + event_id%1e5 — a
+    // per-key total order; 'error' events are delete markers). Any
+    // historical snapshot is the same one-shuffle query over the log
+    // (Upsert.snapshotAt); at a version-partitioned layout the version
+    // filter prunes files before the shuffle
+    "k13_time_travel" -> ((s, dir) => {
+      val log = events(s, dir).select(
+        col("user_id"),
+        (unix_millis(col("ts")) * 100000L + col("event_id") % 100000L).as("ver"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("value"))
+      val v = 1705795200000L * 100000L - 1L // end of 2024-01-20 UTC
+      Upsert.snapshotAt(log, "user_id", "ver", v, opCol = Some("op"))
+        .select(col("user_id"), col("value")).orderBy("user_id")
+    }),
+
     // CDC changeset between two snapshot versions: per-user last-write
     // state at day 10 vs day 20 (users whose latest event by day 20 is an
     // 'error' are tombstoned), emitted as the I/U/D change feed a
@@ -2326,6 +2343,13 @@ object SparkEntry {
         s"""SELECT count(DISTINCT $dayE) AS n_days,
                    count(DISTINCT user_id) AS exact_users, TRUE AS union_ok
             FROM events""",
+      "k13_time_travel" ->
+        """WITH l AS (SELECT user_id, epoch_ms(ts) * 100000 + event_id % 100000 AS ver,
+                             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
+                      FROM events),
+                r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ver DESC) AS rn
+                      FROM l WHERE ver <= 170579519999999999)
+           SELECT user_id, value FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""",
       "x_cdc_changeset" ->
         s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type, value,
                               $dayE AS day FROM events),

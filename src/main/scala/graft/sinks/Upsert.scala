@@ -24,6 +24,22 @@ object Upsert {
       .drop("__rn")
   }
 
+  /** Time travel over an append-only change log: reconstruct the keyed
+    * state AS OF version `v`. Filter `versionCol <= v` (at a versioned
+    * layout this prunes whole files/partitions before any shuffle), then
+    * [[lastWriteWins]] per key, then drop keys whose latest surviving
+    * entry is a delete marker (`opCol` = 'D'). ONE key-shuffle per
+    * reconstruct; any snapshot, past or present, is the same O(log)
+    * query — the lakehouse-style versioned read the reference's
+    * overwrite-in-place sync cannot answer at all. `opCol` may be null
+    * for upsert-only logs.
+    */
+  def snapshotAt(log: DataFrame, idCol: String, versionCol: String, v: Long,
+      opCol: Option[String] = None): DataFrame = {
+    val asOf = lastWriteWins(log.filter(col(versionCol) <= v), idCol, versionCol)
+    opCol.fold(asOf)(op => asOf.filter(col(op) =!= "D"))
+  }
+
   /** Exact-duplicate drop by a subset of columns, deterministic keeper:
     * lowest `idCol` wins (unlike `dropDuplicates`, whose survivor is
     * partition-order dependent).

@@ -111,4 +111,23 @@ class UpsertSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(openPerId.forall(_ === 1L))
   }
+
+  test("snapshotAt reconstructs any version: updates, deletes, revivals, future entries ignored") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, "U", "a1"), (1L, 3L, "U", "a3"), (1L, 9L, "U", "a9"), // updated after cutoff
+      (2L, 2L, "U", "b2"), (2L, 4L, "D", "dead"),                    // deleted before cutoff
+      (3L, 6L, "D", "dead"), (3L, 7L, "U", "c7"),                    // revived before cutoff
+      (4L, 8L, "U", "d8")                                            // born after cutoff
+    ).toDF("id", "ver", "op", "v")
+    def snap(v: Long): Map[Long, String] =
+      Upsert.snapshotAt(log, "id", "ver", v, opCol = Some("op"))
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(snap(7L) === Map(1L -> "a3", 3L -> "c7")) // id 2 deleted, id 4 not yet born
+    assert(snap(9L) === Map(1L -> "a9", 3L -> "c7", 4L -> "d8"))
+    assert(snap(1L) === Map(1L -> "a1"))
+    assert(snap(0L) === Map.empty[Long, String])
+    // upsert-only log (no opCol): delete markers are ordinary rows
+    assert(Upsert.snapshotAt(log, "id", "ver", 7L).count() === 3L)
+  }
 }
