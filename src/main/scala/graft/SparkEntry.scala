@@ -2194,6 +2194,14 @@ object SparkEntry {
       Packing.packSequences(t(s, dir, "documents"), "doc_id", TF.tokenCount(col("text")), budget = 256)
         .orderBy("doc_id", "pack_id")),
 
+    // length bucketing for pad-to-max batches (the packing alternative
+    // when examples can't concatenate): per-bucket token stats +
+    // padding_waste = n*max - sum, with the zz_all corpus row showing the
+    // waste bucketing avoids. One map-side-combined groupBy
+    "x_length_buckets" -> ((s, dir) =>
+      Packing.lengthBucketStats(
+        t(s, dir, "documents"), TF.tokenCount(col("text")), Seq(32, 48, 64, 80))),
+
     // benchmark decontamination audit: per held-out benchmark doc
     // (doc_id % 97 = 0), how many training docs share a word 4-gram with
     // it (test-set leakage detection; broadcast n-gram probe, the corpus
@@ -3371,6 +3379,21 @@ object SparkEntry {
             SELECT doc_id, n AS n_tokens, s AS tok_start, CAST(p AS BIGINT) AS pack_id,
                    CAST(least(s + n, (p + 1) * 256) - greatest(s, p * 256) AS BIGINT) AS toks_in_pack
             FROM e ORDER BY doc_id, pack_id""",
+      "x_length_buckets" ->
+        s"""WITH d AS (SELECT len($toksE) AS n FROM documents),
+                 lb AS (SELECT CASE WHEN n < 32 THEN 'b00_lt032'
+                                    WHEN n < 48 THEN 'b01_032_048'
+                                    WHEN n < 64 THEN 'b02_048_064'
+                                    WHEN n < 80 THEN 'b03_064_080'
+                                    ELSE 'b04_ge080' END AS bucket, n FROM d),
+                 g AS (SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens,
+                              max(n) AS max_tokens FROM lb GROUP BY 1),
+                 a AS (SELECT 'zz_all' AS bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens,
+                              max(n) AS max_tokens FROM lb),
+                 u AS (SELECT * FROM g UNION ALL SELECT * FROM a)
+            SELECT bucket, n_docs, sum_tokens, max_tokens,
+                   CAST(max_tokens * n_docs - sum_tokens AS BIGINT) AS padding_waste
+            FROM u ORDER BY bucket""",
       // word 4-grams; i ranges 1 .. len(w)-3 (all docs have >=10 tokens,
       // so the short-doc fallback branch of Dedup.shingles never fires)
       "x_decontaminate" ->

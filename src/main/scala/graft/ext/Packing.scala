@@ -95,4 +95,38 @@ object Packing {
     packed.groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks_in_pack")).as("n_tokens"))
       .orderBy("pack_id")
+
+  /** Length bucketing for pad-to-max training batches — the alternative to
+    * [[packSequences]] when examples can't be concatenated (supervised
+    * pairs, contrastive sets): group examples of similar length so each
+    * batch pads to ITS bucket's max, not the corpus max. Output: one row
+    * per bucket plus a `zz_all` corpus row, with `padding_waste` =
+    * n·max − Σlen — the tokens a pad-to-max batch burns. The bucketed
+    * waste is structurally ≤ the corpus row's (each bucket's max ≤ global
+    * max), and the delta is the measured value of bucketing on THIS
+    * corpus. Plain groupBy on a derived label: one map-side-combined
+    * shuffle of |buckets| rows per partition, any scale.
+    *
+    * `bounds` are the half-open bucket edges: (-inf,b0), [b0,b1), …,
+    * [bn,inf). Labels are zero-padded so lexicographic ORDER BY is length
+    * order in any engine.
+    */
+  def lengthBucketStats(df: DataFrame, lenCol: Column, bounds: Seq[Int]): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted && bounds.distinct == bounds,
+      "bounds must be distinct ascending")
+    val b = bounds
+    var label = when(lenCol < b.head, f"b00_lt${b.head}%03d")
+    for (((lo, hi), i) <- b.zip(b.tail).zipWithIndex)
+      label = label.when(lenCol < hi, f"b${i + 1}%02d_${lo}%03d_${hi}%03d")
+    val labeled = df.select(
+      label.otherwise(f"b${b.length}%02d_ge${b.last}%03d").as("bucket"),
+      lenCol.cast("long").as("_len"))
+    val stats = Seq(
+      count(lit(1)).as("n_docs"), sum(col("_len")).as("sum_tokens"),
+      max(col("_len")).as("max_tokens"),
+      (max(col("_len")) * count(lit(1)) - sum(col("_len"))).as("padding_waste"))
+    labeled.groupBy("bucket").agg(stats.head, stats.tail: _*)
+      .unionByName(labeled.groupBy(lit("zz_all").as("bucket")).agg(stats.head, stats.tail: _*))
+      .orderBy("bucket")
+  }
 }

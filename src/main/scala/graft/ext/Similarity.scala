@@ -83,7 +83,8 @@ object Similarity {
       .orderBy(xxhash64(col("centroid_id")), col("centroid_id"))
       .limit(nLists)
     // collect_list order is nondeterministic, but assignment sorts by
-    // (-sim, centroid_id) inside the array, so the result is not
+    // (-sim, centroid_id) inside the array, so the result does not
+    // depend on the collected order
     val centArr = centroids.agg(collect_list(struct(col("centroid_id"), col("cv"))).as("cents"))
     def assign(df: DataFrame, outId: String, vOut: String, n: Int): DataFrame =
       df.select(col(idCol).as(outId), col(vecCol).as(vOut))

@@ -78,4 +78,29 @@ class PackingSpec extends AnyFunSuite {
       Packing.packSequences(tiny, "id", col("ntok"), budget = 0)
     }
   }
+
+  test("lengthBucketStats: buckets partition the corpus, bucketed waste below corpus waste") {
+    import spark.implicits._
+    val df = Seq(5L, 10L, 31L, 32L, 40L, 47L, 48L, 90L, 200L).toDF("n")
+    val got = Packing.lengthBucketStats(df, col("n"), Seq(32, 48, 64, 80))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // boundary values land in the half-open upper bucket
+    assert(got("b00_lt032") === ((3L, 46L, 31L, 47L)))   // 5,10,31: 3*31-46
+    assert(got("b01_032_048") === ((3L, 119L, 47L, 22L)))// 32,40,47
+    assert(got("b02_048_064") === ((1L, 48L, 48L, 0L)))  // 48
+    assert(!got.contains("b03_064_080"))                 // empty bucket absent
+    assert(got("b04_ge080") === ((2L, 290L, 200L, 110L)))// 90,200
+    val all = got("zz_all")
+    assert(all._1 === 9L && all._3 === 200L)
+    // the operator's reason to exist: per-bucket padding strictly cheaper
+    val buckets = got - "zz_all"
+    assert(buckets.values.map(_._4).sum < all._4)
+    // counts partition the corpus
+    assert(buckets.values.map(_._1).sum === all._1)
+    intercept[IllegalArgumentException] {
+      Packing.lengthBucketStats(df, col("n"), Seq(48, 32))
+    }
+  }
 }
