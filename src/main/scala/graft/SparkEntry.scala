@@ -1085,6 +1085,45 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // streaming ingest with WRITE-TIME manifest maintenance: each
+    // microbatch lands under batch=<id>/ and its per-file min/max stats
+    // under _manifest/batch=<id>/ in the same foreachBatch (stats from
+    // rows already in memory — zero history rescan; overwrite-by-batch-id
+    // keeps replays idempotent, the t12 contract). The report is a
+    // manifest-PRUNED read of the layout — k12's pruning fed by
+    // incremental stats instead of an after-the-fact scan
+    "t16_stream_manifest_sink" -> ((s, dir) => {
+      // NB: scratchDir and persistentPath share the /tmp/graft_<tag>_<hash>
+      // namespace — the stage tag must differ from the layout tag below
+      val stageDir = scratchDir("t16src", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events.parquet"))
+      val out = persistentPath("t16", dir)
+      deleteRec(new java.io.File(out))
+      try {
+        val q = graft.streaming.EventStream.readEvents(s, stage)
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.sources.Manifest.appendBatch(
+              b.select(col("event_id"),
+                date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value")),
+              id, out, Seq("value"))
+          }
+          .option("checkpointLocation", s"$stage/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally deleteRec(stageDir)
+      val mf = s.read.parquet(s"$out/_manifest")
+      graft.sources.Manifest.prunedRead(s, out, mf, "value", 40.0, 60.0)
+        .filter(col("value") >= 40.0 && col("value") < 60.0)
+        .groupBy("day")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy("day")
+    }),
+
     // Event-time-TIMER sessionization (transformWithState + ListState +
     // registerTimer): sessions close when the watermark passes last+gap —
     // deterministic in the data, unlike t7's processing-time timeouts.
@@ -2518,6 +2557,11 @@ object SparkEntry {
                   CAST(count(purchase_id) AS BIGINT) AS n_matched
            FROM m, mx WHERE ctms < mt - 93600000
            GROUP BY 1 ORDER BY 1""",
+      "t16_stream_manifest_sink" ->
+        s"""SELECT $dayE AS day, count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+            FROM events WHERE value >= 40.0 AND value < 60.0
+            GROUP BY 1 ORDER BY 1""",
       "t15_session_timers" ->
         """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
              f AS (SELECT user_id, ts_ms,

@@ -72,6 +72,27 @@ object Manifest {
     else spark.read.option("basePath", dir).parquet(files: _*)
   }
 
+  /** Write-time manifest maintenance for a (micro)batch ingest — the
+    * production path [[build]]'s scaladoc promises: stats come from the
+    * just-written batch, never from rescanning the layout. The batch lands
+    * under `batch=<id>/` and its manifest rows under `_manifest/batch=<id>/`,
+    * both with OVERWRITE — a replayed foreachBatch (checkpoint recovery)
+    * rewrites the same directories and converges, the t12 idempotence
+    * contract. Readers see the layout as one table (`batch` is just a
+    * partition column; `_manifest` is underscore-hidden from scans) and
+    * [[prunedRead]] works unchanged over
+    * `spark.read.parquet(s"$dir/_manifest")`. Manifest upkeep cost per
+    * batch: one aggregate over rows already in memory — O(batch), zero
+    * history rescan, at any table size.
+    */
+  def appendBatch(batch: DataFrame, batchId: Long, dir: String, statsCols: Seq[String]): Unit = {
+    val bdir = s"$dir/batch=$batchId"
+    batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(bdir)
+    build(batch.sparkSession, bdir, statsCols)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/_manifest/batch=$batchId")
+  }
+
   /** File-level dynamic-partition-pruning analog for a fact-to-dim join:
     * the DIMENSION side's key domain [min, max] is one metadata-scale
     * aggregate; fact files whose `factKey` interval misses it cannot

@@ -71,6 +71,38 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.prunedForJoin(spark, out, mf, "user_id", emptyDim, "user_id").count() === 0L)
   }
 
+  test("appendBatch: write-time stats accumulate per batch, replay converges, pruning works") {
+    val dir = Files.createTempDirectory("graft_manifest_batch").toString + "/layout"
+    val ev = Tables.withDay(Tables.loadEvents(spark, TestSpark.sfDir))
+      .select(col("event_id"), col("day"), col("value"))
+    val b0 = ev.filter(col("event_id") % 2 === 0)
+    val b1 = ev.filter(col("event_id") % 2 === 1)
+    Manifest.appendBatch(b0, 0L, dir, Seq("value"))
+    Manifest.appendBatch(b1, 1L, dir, Seq("value"))
+
+    // the layout reads as ONE table (batch is a partition col, _manifest hidden)
+    assert(spark.read.parquet(dir).count() === ev.count())
+    val mf = spark.read.parquet(s"$dir/_manifest")
+    assert(mf.agg(sum("row_count")).head().getLong(0) === ev.count())
+    assert(mf.select("batch").distinct().count() === 2L)
+
+    // replaying a batch (checkpoint recovery) overwrites, never duplicates
+    Manifest.appendBatch(b0, 0L, dir, Seq("value"))
+    assert(spark.read.parquet(dir).count() === ev.count())
+    assert(spark.read.parquet(s"$dir/_manifest").agg(sum("row_count")).head().getLong(0) === ev.count())
+
+    // pruned read over the incrementally-built manifest matches the full
+    // scan (fresh read: the pre-replay `mf` plan's file listing is stale
+    // after the overwrite)
+    val mf2 = spark.read.parquet(s"$dir/_manifest")
+    val residual = col("value") >= 40.0 && col("value") < 60.0
+    val pruned = Manifest.prunedRead(spark, dir, mf2, "value", 40.0, 60.0)
+      .filter(residual).select("event_id").collect().map(_.getLong(0)).toSet
+    val full = spark.read.parquet(dir)
+      .filter(residual).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(pruned === full && pruned.nonEmpty)
+  }
+
   test("manifest pruning keeps everything on an unclustered layout, nothing out of range") {
     val out = Files.createTempDirectory("graft_manifest_flat").toString + "/out"
     // hash-shuffled layout, files big enough that each one virtually
