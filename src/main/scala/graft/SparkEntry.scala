@@ -246,6 +246,30 @@ object SparkEntry {
             countDistinct(col("l_partkey")).cast("double") - 1.0) <= 0.1).as("approx_ok"))
         .orderBy("l_returnflag")),
 
+    // z-score anomaly detection: per-day outliers at |v - mean| > 3 sigma.
+    // Mean/variance derive from EXACT decimal sums (S, Q) — the q11
+    // cross-product discipline — so both engines build sigma from
+    // identical inputs with the identical double expression tree;
+    // squared-deviation compare avoids sqrt. Stats table is |days| rows →
+    // broadcast; one extra bounded scan, no window
+    "a18_zscore_outliers" -> ((s, dir) => {
+      val e = events(s, dir).select(col("day"), col("event_id"),
+        col("value").cast("decimal(18,4)").as("vdec"))
+      val stats = e.groupBy("day").agg(
+        count(lit(1)).as("n"),
+        sum(col("vdec")).as("sdec"),
+        sum(col("vdec") * col("vdec")).as("qdec"))
+      e.join(broadcast(stats), "day")
+        .withColumn("v", col("vdec").cast("double"))
+        .withColumn("m", col("sdec").cast("double") / col("n"))
+        .withColumn("varr",
+          (col("qdec").cast("double") -
+            col("sdec").cast("double") * col("sdec").cast("double") / col("n")) / (col("n") - 1))
+        .filter((col("v") - col("m")) * (col("v") - col("m")) > lit(9.0) * col("varr"))
+        .select(col("day"), col("event_id"), col("v").as("value"))
+        .orderBy("day", "event_id")
+    }),
+
     // MERGEABLE distinct sketches — the incremental-MV form of a7: one
     // tiny Datasketches-HLL sketch per day (persistable alongside t9's
     // incremental aggregates), merged WITHOUT rescanning events. At 100 TB
@@ -2390,6 +2414,16 @@ object SparkEntry {
         s"""SELECT count(DISTINCT $dayE) AS n_days,
                    count(DISTINCT user_id) AS exact_users, TRUE AS union_ok
             FROM events""",
+      "a18_zscore_outliers" ->
+        s"""WITH e AS (SELECT $dayE AS day, event_id, CAST(value AS DECIMAL(18,4)) AS vdec FROM events),
+                 st AS (SELECT day, count(*) AS n, sum(vdec) AS sdec, sum(vdec*vdec) AS qdec
+                        FROM e GROUP BY 1),
+                 j AS (SELECT e.day, e.event_id, CAST(vdec AS DOUBLE) AS v,
+                         CAST(sdec AS DOUBLE) / n AS m,
+                         (CAST(qdec AS DOUBLE) - CAST(sdec AS DOUBLE) * CAST(sdec AS DOUBLE) / n) / (n - 1) AS varr
+                       FROM e JOIN st USING (day))
+            SELECT day, event_id, v AS value FROM j
+            WHERE (v - m) * (v - m) > 9.0 * varr ORDER BY day, event_id""",
       "k13_time_travel" ->
         """WITH l AS (SELECT user_id, epoch_ms(ts) * 100000 + event_id % 100000 AS ver,
                              CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
