@@ -2324,6 +2324,20 @@ object SparkEntry {
     // shortlist reranked exactly — recall@10-gated per decile. The
     // compressed scan is the 100 TB memory-bandwidth path; the gate
     // measures what the compression cost (min decile 0.98 at sf0.1).
+    // int8 scalar quantization (SQ8): 4x-compressed corpus scored
+    // asymmetrically (exact query vs dequantized codes), exact rerank of
+    // the shortlist — the storage-tier below PQ; same per-decile recall
+    // gate. SQ8 distortion is tiny (<0.4% of each dim's span), so the gate
+    // holds at a much smaller shortlist than PQ needs
+    "x_sq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      Similarity.recallByDecile(
+        Similarity.bruteTopK(e, q, "vec_id", "embedding", 10),
+        Similarity.sqTopK(e, q, "vec_id", "embedding", 10, dim = 64, shortlist = 50),
+        minRecallPct = 95)
+    }),
+
     "x_pq_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 100)
@@ -3501,6 +3515,10 @@ object SparkEntry {
                   count(*) * 10 AS n_true, TRUE AS recall_ok
            FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
       "x_pq_recall" ->
+        """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
+                  count(*) * 10 AS n_true, TRUE AS recall_ok
+           FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
+      "x_sq_recall" ->
         """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
                   count(*) * 10 AS n_true, TRUE AS recall_ok
            FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",

@@ -285,4 +285,71 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
   }
+
+  /** Per-dimension [lo, hi] for int8 scalar quantization: ONE aggregate of
+    * 2·dim numbers (broadcast scale at any corpus size), rounded 6 dp so
+    * the model is deterministic regardless of partial-agg merge order.
+    */
+  def sqBounds(corpus: DataFrame, vecCol: String, dim: Int): (IndexedSeq[Double], IndexedSeq[Double]) = {
+    require(dim > 0)
+    val aggs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col(vecCol), i + 1).cast("double")).as(s"_lo$i"),
+      max(element_at(col(vecCol), i + 1).cast("double")).as(s"_hi$i")))
+    val r = corpus.agg(aggs.head, aggs.tail: _*).head()
+    val lo = (0 until dim).map(i => math.rint(r.getDouble(2 * i) * 1e6) / 1e6)
+    val hi = (0 until dim).map(i => math.rint(r.getDouble(2 * i + 1) * 1e6) / 1e6)
+    (lo, hi)
+  }
+
+  /** Int8 scalar quantization (SQ8) approximate top-k — the lightweight
+    * embedding-compression path: each component maps to its 255-step code
+    * within the dimension's [lo, hi], a 4× storage cut at one multiply-add
+    * per component to decode (PQ buys ~16× but needs codebook training).
+    * Search is ASYMMETRIC: the exact query vector scores against
+    * DEQUANTIZED corpus codes for a shortlist, then the shortlist's true
+    * vectors are fetched for an exact-cosine rerank — the adcTopK shape
+    * (queries and shortlists broadcast; the corpus is scanned, filtered,
+    * never shuffled). Codes and dequantization are pure projections fused
+    * into the scan; bounds are literals in the plan.
+    */
+  def sqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      shortlist: Int): DataFrame = {
+    val (lo, hi) = sqBounds(corpus, vecCol, dim)
+    val loArr = array(lo.map(lit): _*)
+    val spanArr = array(lo.zip(hi).map { case (l, h) => lit(math.max(h - l, 1e-9)) }: _*)
+    // encode then decode in one projection: the plan carries array<int>
+    // codes (conceptually int8 — values in [0,255]) and scores on the
+    // dequantized doubles
+    val codes = transform(col(vecCol), (x, i) =>
+      round((x.cast("double") - element_at(loArr, i + 1)) / element_at(spanArr, i + 1) * 255)
+        .cast("int"))
+    val deq = transform(codes, (c, i) =>
+      element_at(loArr, i + 1) + c.cast("double") / 255.0 * element_at(spanArr, i + 1))
+    val c = corpus.select(col(idCol).as("neighbor_id"), deq.as("v_deq"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("v_q"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("approx"), 6).desc, col("neighbor_id").asc)
+    val short = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", cosine(col("v_q"), col("v_deq")))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val fetched = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v_c"))
+      .join(broadcast(short), Seq("neighbor_id"))
+    val scored = fetched
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("score", cosine(col("v_q"), col("v_c")))
+    val w = Window.partitionBy(col("query_id")).orderBy(round(col("score"), 6).desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
+  }
 }

@@ -119,4 +119,26 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
     (brute.keySet & approx.keySet).foreach { n => assert(brute(n) === approx(n)) }
   }
+
+  test("sqTopK: scores are exact-rerank cosines; SQ8 bounds cover the corpus within a half-step") {
+    val queries = embs.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val sq = Similarity.sqTopK(embs, queries, "vec_id", "embedding", k = 5, dim = 64, shortlist = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // overlapping (query, neighbor) pairs carry IDENTICAL scores: the
+    // final score is the exact cosine of the true vectors, quantization
+    // only shapes the shortlist
+    val overlap = brute.keySet & sq.keySet
+    assert(overlap.size >= 20, s"SQ8 shortlist missed most of the brute top-5: ${overlap.size}/25")
+    overlap.foreach { k => assert(brute(k) === sq(k)) }
+
+    // bounds cover every component (6-dp rounding can only widen by 5e-7)
+    val (lo, hi) = Similarity.sqBounds(embs, "embedding", 64)
+    val mm = embs.select(
+      min(array_min(col("embedding"))).cast("double"),
+      max(array_max(col("embedding"))).cast("double")).head()
+    assert(lo.min <= mm.getDouble(0) + 1e-6 && hi.max >= mm.getDouble(1) - 1e-6)
+    assert(lo.zip(hi).forall { case (l, h) => l <= h })
+  }
 }
