@@ -30,7 +30,8 @@ object Bench {
     "x_embed_cosine_topk", "x_ann_lsh", "x_ann_ivf",
     "x_sessionize", "x_multimodal_features",
     "x_stratified_sample", "x_tfidf_top_terms",
-    "x_dedup_clusters", "x_clean_pipeline")
+    "x_dedup_clusters", "x_clean_pipeline",
+    "k12_manifest_prune", "t15_session_timers", "x_cdc_changeset")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1855,6 +1855,28 @@ object SparkEntry {
         "doc_a", "doc_b")
         .orderBy("id")),
 
+    // cluster REPRESENTATIVE selection: near-dup clusters keep their
+    // best-QUALITY member (ties → min id), not the arbitrary min-id — the
+    // dedup policy a real corpus pipeline wants (drop the truncated copy,
+    // keep the original). Two bounded aggregations over the cluster table;
+    // rounded-4 quality compares exactly cross-engine
+    "x_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.01),
+        "doc_a", "doc_b")
+      val q = docs.select(col("doc_id").as("id"), TF.qualityScore(col("text")).as("quality"))
+      val cq = clusters.join(q, "id")
+      val best = cq.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"), max(col("quality")).as("best_quality"))
+      cq.join(best, "cluster_id")
+        .filter(col("quality") === col("best_quality"))
+        .groupBy("cluster_id", "n_docs", "best_quality")
+        .agg(min(col("id")).as("keep_id"))
+        .select("cluster_id", "n_docs", "keep_id", "best_quality")
+        .orderBy("cluster_id")
+    }),
+
     // the composed C4-style cleaning pipeline: quality filter → exact dedup
     // (keep min id per fingerprint) → deterministic per-language sample.
     // One declarative plan: two window functions and a projection — each
@@ -3335,6 +3357,37 @@ object SparkEntry {
                    UNION
                    SELECT u.a, r.b FROM und u JOIN reach r ON u.b = r.a)
             SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY id""",
+      "x_dedup_keep_best" ->
+        s"""WITH RECURSIVE d AS (SELECT doc_id, $toksE AS toks FROM documents WHERE doc_id % 4 = 0),
+                 s AS (SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+                   FROM d),
+                 e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+                 sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+                 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                       FROM e a JOIN e b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+                 pairs AS (
+                   SELECT doc_a, doc_b FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+                   WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.01),
+                 und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                         UNION SELECT doc_b, doc_a FROM pairs),
+                 reach(a, b) AS (
+                   SELECT a, a FROM (SELECT DISTINCT a FROM und)
+                   UNION
+                   SELECT u.a, r.b FROM und u JOIN reach r ON u.b = r.a),
+                 cl AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a),
+                 q AS (SELECT doc_id AS id,
+                         round((CASE WHEN len(toks) = 0 THEN 0.0
+                           ELSE CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / len(toks) END) * 0.5
+                           + CAST(least(len(toks), 200) AS DOUBLE) / 400.0, 4) AS quality
+                       FROM d),
+                 cq AS (SELECT cl.cluster_id, cl.id, q.quality FROM cl JOIN q USING (id)),
+                 b AS (SELECT cluster_id, count(*) AS n_docs, max(quality) AS best_quality
+                       FROM cq GROUP BY 1)
+            SELECT b.cluster_id AS cluster_id, n_docs, min(cq.id) AS keep_id, best_quality
+            FROM cq JOIN b ON cq.cluster_id = b.cluster_id AND cq.quality = b.best_quality
+            GROUP BY b.cluster_id, n_docs, best_quality ORDER BY b.cluster_id""",
       "x_clean_pipeline" ->
         s"""WITH f AS (SELECT doc_id, lang, $qualityE AS quality,
                          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
