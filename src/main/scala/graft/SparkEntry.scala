@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Decontaminate, Dedup, Mixture, Packing, PQ, Similarity, Sketches}
+import graft.ext.{Decontaminate, Dedup, LmScore, Mixture, Packing, PQ, Scrub, Similarity, Sketches}
 import graft.functions.{TextFunctions => TF}
 import graft.ops.{Batching, Diff, RangeJoin}
 import graft.sinks.{Compaction, EsBulkSink, Retention, Upsert}
@@ -2399,6 +2399,91 @@ object SparkEntry {
         Similarity.bruteTopK(e, q, "vec_id", "embedding", 10),
         Similarity.ivfTopKWith(e, q, "vec_id", "embedding", 10, cents, nProbe = 14),
         minRecallPct = 90)
+    }),
+
+    // PII redaction (graft.ext.Scrub): deterministic PII salted into the
+    // text ON BOTH SIDES (the synthetic corpus contains none), then
+    // counted and masked by RE2/Java-portable regexes in one scan-fused
+    // projection — redacting 100 TB is a map over the scan, zero shuffle
+    "x_pii_redact" -> ((s, dir) => {
+      val salted = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit(" server 10.0."), (col("doc_id") % 256).cast("string"),
+                lit("."), (col("doc_id") % 100).cast("string"), lit(" up")))
+            .otherwise(
+              concat(lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+                lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+                lit(" today")))).as("text"))
+      Scrub.redactPii(salted, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          col("text").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // cross-document boilerplate removal (RefinedWeb/C4-style repeated-line
+    // dedup over 4-token segments): segment doc-frequency is the one
+    // corpus exchange; the hot set joins back BROADCAST and each doc is
+    // rebuilt by a per-row array filter — corpus text never shuffles
+    "x_boilerplate" -> ((s, dir) =>
+      Scrub.removeBoilerplate(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", m = 4, minDf = 3)
+        .select(col("doc_id"), col("n_segs"), col("n_removed"),
+          col("text").as("clean_text"))
+        .orderBy("doc_id")),
+
+    // winnowing fingerprints (Schleimer et al. SIGMOD'03): window-min of
+    // 24-bit k-gram hashes — any shared 6-token run between two docs is
+    // guaranteed a shared fingerprint at ~2/(w+1) gram density; pure
+    // per-row HOF projection (TextFunctions.winnowFingerprints)
+    "x_winnow_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.winnowFingerprints(col("text"), 3, 4).as("__fps"))
+        .select(col("doc_id"), size(col("__fps")).as("n_fps"),
+          concat_ws(",", transform(col("__fps"), x => x.cast("string"))).as("fp_str"))
+        .orderBy("doc_id")),
+
+    // temperature-weighted mixture (alpha = 1/2): per-domain keep rates
+    // sqrt(n_min/n) computed FROM the data (skewed domain derived
+    // deterministically from doc_id since the synthetic sources are
+    // uniform); sqrt is IEEE-correctly-rounded so the integer threshold is
+    // bit-identical in both engines (graft.ext.Mixture)
+    "x_temperature_mix" -> ((s, dir) =>
+      Mixture.sqrtTemperatureReport(
+        t(s, dir, "documents").withColumn("domain",
+          when(col("doc_id") % 7 === 0, lit("rare"))
+            .when(col("doc_id") % 7 <= 2, lit("mid"))
+            .otherwise(lit("common"))),
+        "domain", "text")
+        .orderBy("source")),
+
+    // unigram-LM quality scoring (graft.ext.LmScore — the CCNet perplexity
+    // recipe at order 0): min-count vocab fit (one map-side-combined
+    // count; the threshold, not a top-K sort, caps it), broadcast probe,
+    // per-doc mean log-prob + OOV ratio; per-token log-probs rounded to 6
+    // and summed as DECIMAL so the aggregate is partitioning-independent.
+    // minCount=500 splits the corpus's one rare token from the rest at
+    // every SF; production would use a corpus-fraction threshold.
+    "x_unigram_lm" -> ((s, dir) =>
+      LmScore.scoreDocs(t(s, dir, "documents"), "doc_id", "text", minCount = 500)
+        .orderBy("doc_id")),
+
+    // character-entropy quality signal (gibberish/degeneracy detector):
+    // per-row HOF entropy with the Σc·ln(c) fold over the SORTED distinct
+    // chars so both engines sum in one order (TextFunctions.charEntropy)
+    "x_char_entropy" -> ((s, dir) => {
+      val chars = regexp_extract_all(lower(TF.normalizeWs(col("text"))), lit("[^ ]"), lit(0))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(chars).as("n_chars_nospace"),
+        size(array_distinct(chars)).as("n_distinct_chars"),
+        TF.charEntropy(col("text")).as("char_entropy"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3619,7 +3704,108 @@ object SparkEntry {
                                                             WHEN 'src2' THEN 4194304
                                                             ELSE 1677722 END)
                                  THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS kept_rate
-           FROM k GROUP BY source ORDER BY source"""
+           FROM k GROUP BY source ORDER BY source""",
+      // PII patterns are the Scrub.* constants verbatim (RE2-compatible);
+      // DuckDB regexp_replace needs the 'g' flag to match Java's
+      // replace-all
+      "x_pii_redact" ->
+        s"""WITH salted AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 3 = 0
+                                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                                  WHEN doc_id % 3 = 1
+                                  THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
+                                  ELSE ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+                             END AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '${Scrub.emailRe}')) AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '${Scrub.ipv4Re}')) AS INTEGER) AS n_ips,
+                   CAST(len(regexp_extract_all(text, '${Scrub.phoneRe}')) AS INTEGER) AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '${Scrub.emailRe}', '<EMAIL>', 'g'),
+                     '${Scrub.ipv4Re}', '<IP>', 'g'),
+                     '${Scrub.phoneRe}', '<PHONE>', 'g') AS redacted
+            FROM salted ORDER BY doc_id""",
+      "x_boilerplate" ->
+        s"""WITH words AS (SELECT doc_id, $toksE AS w FROM documents),
+                 segl AS (SELECT doc_id,
+                            list_transform(range(0, CAST(ceil(len(w) / 4.0) AS BIGINT)),
+                              i -> array_to_string(w[i*4+1 : i*4+4], ' ')) AS segs
+                          FROM words),
+                 e AS (SELECT doc_id, unnest(list_distinct(segs)) AS seg FROM segl),
+                 hot AS (SELECT seg FROM e GROUP BY seg HAVING count(*) >= 3),
+                 bad AS (SELECT doc_id, list(seg) AS bads FROM e JOIN hot USING (seg) GROUP BY doc_id)
+            SELECT s.doc_id, CAST(len(segs) AS INTEGER) AS n_segs,
+                   CAST(len(segs) - len(list_filter(segs, x -> NOT list_contains(coalesce(b.bads, []), x))) AS INTEGER) AS n_removed,
+                   coalesce(array_to_string(list_filter(segs, x -> NOT list_contains(coalesce(b.bads, []), x)), ' '), '') AS clean_text
+            FROM segl s LEFT JOIN bad b USING (doc_id) ORDER BY doc_id""",
+      // k=3, w=4: grams mirror ngramsAll (whole text when < k tokens),
+      // windows mirror sequence(1, nh-3)/slice(hs, i, 4)
+      "x_winnow_fingerprint" ->
+        s"""WITH words AS (SELECT doc_id, $toksE AS w FROM documents),
+                 g AS (SELECT doc_id,
+                         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                              ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS grams
+                       FROM words),
+                 h AS (SELECT doc_id,
+                         list_transform(grams, g2 -> CAST(('0x' || substring(md5(g2), 1, 6)) AS BIGINT)) AS hs
+                       FROM g),
+                 f AS (SELECT doc_id, list_sort(list_distinct(
+                         CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                              ELSE list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3])) END)) AS fps
+                       FROM h)
+            SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
+                   array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',') AS fp_str
+            FROM f ORDER BY doc_id""",
+      "x_temperature_mix" ->
+        """WITH doms AS (SELECT CASE WHEN doc_id % 7 = 0 THEN 'rare'
+                                     WHEN doc_id % 7 <= 2 THEN 'mid'
+                                     ELSE 'common' END AS source, text
+                         FROM documents),
+                c AS (SELECT source, count(*) AS n_total FROM doms GROUP BY source),
+                m AS (SELECT min(n_total) AS n_min FROM c),
+                r AS (SELECT source, n_total,
+                             round(sqrt(CAST(n_min AS DOUBLE) / n_total), 6) AS target_rate,
+                             CAST(round(sqrt(CAST(n_min AS DOUBLE) / n_total) * 16777216, 0) AS BIGINT) AS thresh
+                      FROM c, m)
+           SELECT source, r.n_total, r.target_rate,
+                  CAST(sum(CASE WHEN CAST(('0x' || substring(md5(d.text), 1, 6)) AS INTEGER) < r.thresh
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           FROM doms d JOIN r USING (source)
+           GROUP BY source, r.n_total, r.target_rate ORDER BY source""",
+      // add-one smoothing: p = (c+1)/(N+V+1), OOV is the same formula at
+      // c = 0; per-token ln rounded to 6 and summed as DECIMAL(18,6)
+      "x_unigram_lm" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($toksE) AS tok FROM documents),
+                 cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+                 voc AS (SELECT tok, c FROM cnt WHERE c >= 500),
+                 tot AS (SELECT (SELECT sum(c) FROM cnt) AS n, (SELECT count(*) FROM voc) AS v),
+                 sc AS (SELECT t.doc_id,
+                          CAST(round(ln((coalesce(vc.c, 0) + 1.0) / (tot.n + tot.v + 1)), 6) AS DECIMAL(18,6)) AS lp,
+                          CASE WHEN vc.tok IS NULL THEN 1 ELSE 0 END AS oov
+                        FROM toks t LEFT JOIN voc vc USING (tok), tot)
+            SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+                   round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS mean_logp,
+                   round(CAST(sum(oov) AS DOUBLE) / count(*), 4) AS oov_ratio
+            FROM sc GROUP BY doc_id ORDER BY doc_id""",
+      // Σc·ln(c) folded over the SORTED distinct char list in both engines
+      // (same order ⇒ same rounding), final entropy rounded to 4
+      "x_char_entropy" ->
+        """WITH c AS (SELECT doc_id,
+                        regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^ ]') AS chars
+                      FROM documents),
+                u AS (SELECT doc_id, chars, len(chars) AS n,
+                             list_sort(list_distinct(chars)) AS uq FROM c),
+                s AS (SELECT doc_id, n, len(uq) AS nd,
+                             list_sum(list_transform(uq,
+                               ch -> CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                                     * ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)))) AS sc
+                      FROM u)
+           SELECT doc_id, CAST(n AS INTEGER) AS n_chars_nospace,
+                  CAST(nd AS INTEGER) AS n_distinct_chars,
+                  round(ln(CAST(n AS DOUBLE)) - sc / CAST(n AS DOUBLE), 4) AS char_entropy
+           FROM s ORDER BY doc_id"""
     )
   }
 

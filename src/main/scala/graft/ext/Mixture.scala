@@ -52,6 +52,35 @@ object Mixture {
     docs.filter(hash24(col(textCol)) < thresh)
   }
 
+  /** Temperature-weighted mixture (multilingual-LM style, α = 1/2): keep
+    * rates computed FROM the data so that expected kept counts follow
+    * p_src^α instead of p_src — small sources are kept whole, large ones
+    * downsampled by sqrt(n_min/n_src). α is fixed at 1/2 because sqrt is
+    * the one power correctly rounded by IEEE-754 in every engine, keeping
+    * the integer keep-threshold `round(rate·2^24)` bit-identical between
+    * Spark and the SQL oracle (general pow() is not).
+    *
+    * Plan: one map-side-combined count per source (tiny), a broadcast of
+    * the |sources|-row rate table back onto the corpus, and the same
+    * zero-state content-hash keep decision as [[sampleMixture]] — mixing
+    * 100 TB costs one scan plus a metadata-size aggregate.
+    * Output: source, n_total, target_rate, n_kept.
+    */
+  def sqrtTemperatureReport(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val counts = graft.sources.Tables.spread(docs)
+      .groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_total"))
+    val minN = counts.agg(min("n_total").as("n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("__r", sqrt(col("n_min").cast("double") / col("n_total")))
+      .withColumn("target_rate", round(col("__r"), 6))
+      .withColumn("__thresh", round(col("__r") * lit(1 << 24), 0).cast("long"))
+      .select("source", "n_total", "target_rate", "__thresh")
+    docs.select(col(sourceCol).as("source"), col(textCol).as("__text"))
+      .join(broadcast(rates), "source")
+      .groupBy("source", "n_total", "target_rate")
+      .agg(sum(when(hash24(col("__text")) < col("__thresh"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Mixture audit: per source, corpus count vs kept count and the
     * realized keep rate. Output: source, n_total, n_kept, kept_rate.
     */

@@ -172,6 +172,53 @@ object TextFunctions {
       i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03): hash every word `k`-gram, slide a window of `w`
+    * consecutive hashes, keep each window's minimum — guaranteeing any
+    * shared run of `w + k - 1` tokens between two documents shares at
+    * least one fingerprint, at ~2/(w+1) the density of full k-gram
+    * hashing. The hash is the 24-bit md5 prefix ([[graft.ext.Mixture]]
+    * uniformizer) so the oracle reproduces it bit-for-bit.
+    *
+    * Pure per-row HOF projection — fingerprinting a 100 TB corpus is a
+    * map over the scan; matching is then an equi-join on (fp) at
+    * fingerprint density, not gram density. Output: sorted distinct
+    * fingerprints.
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+    require(k > 0 && w > 1, s"need k > 0 and w > 1, got k=$k w=$w")
+    val hashes = transform(ngramsAll(text, k),
+      g => conv(substring(md5(g), 1, 6), 16, 10).cast("long"))
+    val nh = size(hashes)
+    val mins = when(nh <= w, array(array_min(hashes)))
+      .otherwise(transform(sequence(lit(1), nh - lit(w - 1)),
+        i => array_min(slice(hashes, i, lit(w)))))
+    array_sort(array_distinct(mins))
+  }
+
+  /** Character-level Shannon entropy (nats) of the case-folded non-space
+    * text — a gibberish/degeneracy quality signal: natural prose sits in a
+    * band, while single-char spam (H→0) and uniform-random noise (H→ln
+    * alphabet) fall outside it. Computed per-row with HOFs — distinct
+    * chars, per-char counts via filter+size, and the Σc·ln(c) fold over
+    * the SORTED distinct list so both engines sum in the same order —
+    * H = ln(n) − Σc·ln(c)/n, rounded to 4. Zero shuffle; quality-scoring
+    * a 100 TB corpus is a map over the scan.
+    */
+  def charEntropy(text: Column): Column = {
+    val chars = regexp_extract_all(lower(normalizeWs(text)), lit("[^ ]"), lit(0))
+    val n = size(chars)
+    val sumClogc = aggregate(
+      array_sort(array_distinct(chars)),
+      lit(0.0),
+      (acc, c) => {
+        val cnt = size(filter(chars, x => x === c)).cast("double")
+        acc + cnt * log(cnt)
+      })
+    when(n === 0, lit(0.0))
+      .otherwise(round(log(n.cast("double")) - sumClogc / n.cast("double"), 4))
+  }
+
   /** Gopher-style intra-document repetition signal: the fraction of word
     * n-gram SLOTS occupied by a repeat of an earlier n-gram —
     * `1 - distinct/total`. 0.0 = no internal repetition, →1.0 = the

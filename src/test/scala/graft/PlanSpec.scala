@@ -156,4 +156,26 @@ class PlanSpec extends AnyFunSuite {
     assert(gen.exists(g => g._2.contains("Math.sqrt(") && g._2.contains("_na_") && g._2.contains("_nb_")),
       "expected the fused dot/norm loop in generated code")
   }
+
+  test("x_boilerplate probes the hot-segment set with a broadcast join (corpus never shuffles)") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text")
+    val p = graft.ext.Scrub.removeBoilerplate(docs, "doc_id", "text", m = 4, minDf = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"hot-set probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the corpus side must not sort-merge:\n$p")
+  }
+
+  test("pii redaction, winnowing and entropy are pure projections: no Exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+    val projections = Seq(
+      graft.ext.Scrub.redactPii(docs, "text"),
+      docs.select(graft.functions.TextFunctions.winnowFingerprints(col("text"), 3, 4)),
+      docs.select(graft.functions.TextFunctions.charEntropy(col("text"))))
+    projections.foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"expected a shuffle-free scan projection:\n$p")
+    }
+  }
 }
