@@ -2462,6 +2462,31 @@ object SparkEntry {
         "domain", "text")
         .orderBy("source")),
 
+    // k-NN majority-vote classification (embedding-space weak labeling):
+    // modal class among the 10 exact nearest neighbors, ties to the
+    // smallest class — bruteTopK's plan with the label riding the corpus
+    // side (Similarity.knnClassify); swap in IVF/LSH candidates at scale
+    "x_knn_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnClassify(
+        e.filter(col("vec_id") >= 100).withColumn("cls", col("vec_id") % 5),
+        e.filter(col("vec_id") < 100),
+        "vec_id", "embedding", "cls", k = 10)
+        .orderBy("query_id")
+    }),
+
+    // incremental IVF index maintenance: the quantizer freezes at base
+    // build; an append assigns ONLY the delta (no re-cluster, no base
+    // I/O). The report full-outer-compares the incrementally-maintained
+    // index against a from-scratch rebuild — match_full goes FALSE (and
+    // the oracle hash red) if assignment ever depends on batch context
+    "x_ivf_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfIncrementalReport(
+        e.filter(col("vec_id") % 4 =!= 0), e.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", nLists = 16)
+    }),
+
     // unigram-LM quality scoring (graft.ext.LmScore — the CCNet perplexity
     // recipe at order 0): min-count vocab fit (one map-side-combined
     // count; the threshold, not a top-K sort, caps it), broadcast probe,
@@ -3774,6 +3799,29 @@ object SparkEntry {
                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
            FROM doms d JOIN r USING (source)
            GROUP BY source, r.n_total, r.target_rate ORDER BY source""",
+      // mirrors the x_embed_cosine_topk cosine/rank formulation, then the
+      // vote layer; corpus and queries are disjoint so no self-pair guard
+      "x_knn_classify" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+                q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 100),
+                c AS (SELECT vec_id AS neighbor_id, vec_id % 5 AS cls, v FROM e WHERE vec_id >= 100),
+                s AS (SELECT q.query_id, c.neighbor_id, c.cls,
+                        list_dot_product(q.vq, c.v) /
+                          (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(c.v, c.v))) AS score
+                      FROM c CROSS JOIN q),
+                r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, neighbor_id) AS rank
+                      FROM s),
+                v AS (SELECT query_id, cls, count(*) AS votes FROM r WHERE rank <= 10 GROUP BY 1, 2),
+                p AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, cls) AS rn FROM v)
+           SELECT query_id, cls AS pred_class, votes FROM p WHERE rn = 1 ORDER BY query_id""",
+      // gate pattern: the oracle pins the report shape and expected
+      // totals; match_full=TRUE is forced by the frozen-quantizer
+      // invariant — an assignment that depends on batch context flips it
+      "x_ivf_incremental" ->
+        """SELECT CAST(16 AS BIGINT) AS n_cells, count(*) AS n_indexed,
+                  CAST(sum(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+                  TRUE AS match_full
+           FROM embeddings""",
       // add-one smoothing: p = (c+1)/(N+V+1), OOV is the same formula at
       // c = 0; per-token ln rounded to 6 and summed as DECIMAL(18,6)
       "x_unigram_lm" ->

@@ -109,6 +109,99 @@ object Similarity {
     // no pair dedup needed: each corpus vector lives in exactly one cell
   }
 
+  /** The IVF coarse-quantizer centroid table as ONE broadcastable row
+    * (array<struct<centroid_id, cv>>): `nLists` hash-ranked vectors of
+    * `corpus`. Deterministic — the same corpus always yields the same
+    * quantizer, which is what makes [[ivfIncrementalReport]] sound.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, nLists: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+      .orderBy(xxhash64(col("centroid_id")), col("centroid_id"))
+      .limit(nLists)
+      .agg(collect_list(struct(col("centroid_id"), col("cv"))).as("cents"))
+
+  /** Cell assignment against a fixed quantizer: per-row argmax over the
+    * broadcast centroid array, fused into the scan — zero Exchange.
+    * Output: id, cell.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, centArr: DataFrame): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(centArr))
+      .select(col("id"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct(
+            negate(round(cosine(col("__v"), c("cv")), 6)).as("negsim"),
+            c("centroid_id").as("cell")))), 1, 1)).as("sc"))
+      .select(col("id"), col("sc").getField("cell").as("cell"))
+
+  /** Incremental IVF index maintenance: at 100 TB an append must NOT
+    * re-cluster the corpus — the quantizer is FROZEN at base-build time
+    * and only the delta is assigned (a delta-sized map, zero base I/O).
+    * This report proves the invariant that makes that sound: because
+    * assignment is per-row against fixed centroids,
+    * assign(base) ∪ assign(delta) ≡ assign(base ∪ delta) — verified here
+    * by a full-outer compare of the incrementally-maintained index
+    * against a from-scratch rebuild. Every centroid is its own best cell,
+    * so all `nLists` cells are non-empty.
+    * Output: n_cells, n_indexed, n_delta, match_full.
+    */
+  def ivfIncrementalReport(
+      base: DataFrame, delta: DataFrame, idCol: String, vecCol: String, nLists: Int): DataFrame = {
+    val cents = ivfCentroids(base, idCol, vecCol, nLists)
+    val idxInc = ivfAssign(base, idCol, vecCol, cents)
+      .unionByName(ivfAssign(delta, idCol, vecCol, cents))
+    val idxFull = ivfAssign(base.unionByName(delta), idCol, vecCol, cents)
+    idxInc.withColumnRenamed("cell", "cell_inc")
+      .join(idxFull.withColumnRenamed("cell", "cell_full"), Seq("id"), "full_outer")
+      .agg(
+        count_distinct(col("cell_inc")).as("n_cells"),
+        count(lit(1)).as("n_indexed"),
+        sum(when(col("cell_inc").isNull || col("cell_full").isNull
+          || col("cell_inc") =!= col("cell_full"), 1L).otherwise(0L)).as("__mism"))
+      .crossJoin(broadcast(delta.agg(count(lit(1)).as("n_delta"))))
+      .select(col("n_cells"), col("n_indexed"), col("n_delta"),
+        (col("__mism") === 0).as("match_full"))
+  }
+
+  /** k-NN majority-vote classification (embedding-space weak labeling /
+    * label propagation): each query takes the modal class among its k
+    * exact nearest neighbors; vote ties break to the smallest class value
+    * so the prediction is fully deterministic.
+    *
+    * Plan shape = [[bruteTopK]] with the class column riding along the
+    * corpus side (no join back to fetch labels afterwards): broadcast
+    * query set, zero corpus shuffle, per-query top-k window, then a vote
+    * count over |queries|·k rows — the expensive part stays the scored
+    * scan, exactly like the search it reuses. Swap the scoring stage for
+    * [[ivfTopK]]/LSH candidates at corpus scales where brute force is off
+    * the table; the vote layer is unchanged.
+    * Output: query_id, pred_class, votes.
+    */
+  def knnClassify(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      classCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(classCol).as("cls"), col(vecCol).as("v_c"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("v_q"))
+    val w = Window.partitionBy(col("query_id")).orderBy(round(col("score"), 6).desc, col("neighbor_id").asc)
+    val votes = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("v_q"), col("v_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("cls"))
+      .agg(count(lit(1)).as("votes"))
+    val pick = Window.partitionBy(col("query_id")).orderBy(col("votes").desc, col("cls").asc)
+    votes
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("cls").as("pred_class"), col("votes"))
+  }
+
   /** Recall@k gate: how much of the exact [[bruteTopK]] neighbor set an
     * approximate result recovered, reported per query-id decile
     * (query_id % 10) so a recall collapse in one slice can't hide in the

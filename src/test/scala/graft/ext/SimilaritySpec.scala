@@ -141,4 +141,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lo.min <= mm.getDouble(0) + 1e-6 && hi.max >= mm.getDouble(1) - 1e-6)
     assert(lo.zip(hi).forall { case (l, h) => l <= h })
   }
+
+  test("knnClassify: majority vote wins, vote ties break to the smallest class") {
+    import spark.implicits._
+    // query [1,0]: neighbors by cosine are the three x-axis vectors
+    // (classes 1,1,2) -> majority class 1 with 2 votes.
+    val corpus = Seq(
+      (10L, 1L, Array(1.0f, 0.0f)),
+      (11L, 1L, Array(0.9f, 0.1f)),
+      (12L, 2L, Array(0.8f, 0.2f)),
+      (13L, 3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "cls", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.knnClassify(corpus, queries, "vec_id", "embedding", "cls", k = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(out === Array((1L, 1L, 2L)))
+    // 2-vs-2 tie at k=4 (classes 1,1,2,3 -> 1:2, 2:1, 3:1; at k=4 with
+    // the y vector included class 1 still wins) — force a genuine tie:
+    val tied = Seq(
+      (10L, 2L, Array(1.0f, 0.0f)),
+      (11L, 1L, Array(0.9f, 0.1f)),
+      (12L, 2L, Array(0.8f, 0.2f)),
+      (13L, 1L, Array(0.7f, 0.3f))
+    ).toDF("vec_id", "cls", "embedding")
+    val tiedOut = Similarity.knnClassify(tied, queries, "vec_id", "embedding", "cls", k = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(tiedOut === Array((1L, 1L, 2L)), "2-2 tie must resolve to the smaller class")
+  }
+
+  test("ivfIncrementalReport: delta-only assignment matches the full rebuild") {
+    val e = embs
+    val rep = Similarity.ivfIncrementalReport(
+      e.filter(col("vec_id") % 4 =!= 0), e.filter(col("vec_id") % 4 === 0),
+      "vec_id", "embedding", nLists = 16).head()
+    assert(rep.getBoolean(3), "incremental index must equal the rebuild")
+    assert(rep.getLong(0) === 16L, "every centroid must own its non-empty cell")
+    assert(rep.getLong(1) === e.count())
+  }
 }
