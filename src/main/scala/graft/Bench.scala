@@ -21,8 +21,8 @@ object Bench {
     "t7_sessionize_stateful", "sync_e2e_counts", "w9_session_window",
     "q1_pricing_summary", "q3_star_join_revenue", "q4_priority_exists",
     "q5_local_supplier_revenue", "q6_forecast_revenue", "q7_volume_shipping",
-    "q10_returned_items", "q13_order_distribution", "q14_promo_revenue",
-    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_pred",
+    "q10_returned_items", "q13_order_distribution",
+    "q18_large_orders", "q19_disjunctive_pred",
     "q8_market_share", "q9_product_profit", "q16_supplier_cnt", "q21_sole_failing_supplier",
     "a13_grouping_sets", "w6_lag_lead", "w8_percent_rank", "f6_json_extract",
     "x_token_count", "x_quality_score", "x_lang_id", "x_dedup_exact",
@@ -31,7 +31,8 @@ object Bench {
     "x_sessionize", "x_multimodal_features",
     "x_stratified_sample", "x_tfidf_top_terms",
     "x_dedup_clusters", "x_clean_pipeline",
-    "k12_manifest_prune", "t15_session_timers", "x_cdc_changeset")
+    "k12_manifest_prune", "t15_session_timers", "x_cdc_changeset",
+    "x_boilerplate", "x_unigram_lm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
