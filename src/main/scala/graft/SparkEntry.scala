@@ -2509,6 +2509,33 @@ object SparkEntry {
         size(array_distinct(chars)).as("n_distinct_chars"),
         TF.charEntropy(col("text")).as("char_entropy"))
         .orderBy("doc_id")
+    }),
+
+    // substring-level exact dedup (Lee et al. ExactSubstr, shingle-hash
+    // realization): every 16-token span repeated across >=2 docs is masked
+    // out of EVERY doc — removes boilerplate runs embedded in otherwise-
+    // unique documents, which document-level dedup can't touch. One df agg
+    // + broadcast probe; corpus text never shuffles (graft.ext.Dedup)
+    "x_repeated_spans" -> ((s, dir) =>
+      Dedup.maskRepeatedSpans(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", n = 16, minDocs = 2)
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          col("text").as("clean_text"))
+        .orderBy("doc_id")),
+
+    // exact edit-distance verification of near-dup candidates: Levenshtein
+    // is O(len^2) PER PAIR so it can only ever run on a bounded candidate
+    // set — here the oracled exact-Jaccard pairs (the LSH stand-in); the
+    // pair list broadcasts into both text lookups, corpus never shuffles
+    "x_edit_distance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      Dedup.editDistanceVerify(
+        docs, "doc_id", "text",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.5))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          col("len_a"), col("len_b"), col("lev"), col("lev_sim"))
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -3853,7 +3880,62 @@ object SparkEntry {
            SELECT doc_id, CAST(n AS INTEGER) AS n_chars_nospace,
                   CAST(nd AS INTEGER) AS n_distinct_chars,
                   round(ln(CAST(n AS DOUBLE)) - sc / CAST(n AS DOUBLE), 4) AS char_entropy
-           FROM s ORDER BY doc_id"""
+           FROM s ORDER BY doc_id""",
+      // 16-token span hashes (48-bit md5 prefix), df >= 2 distinct docs →
+      // hot; token i masked iff covered by a hot span start s in
+      // [i-15, i]. range(a, b) is end-EXCLUSIVE; w[i:i+15] is the 1-based
+      // INCLUSIVE 16-token slice
+      "x_repeated_spans" ->
+        s"""WITH words AS (SELECT doc_id, $toksE AS w FROM documents),
+                 h AS (SELECT doc_id, w,
+                         CASE WHEN len(w) < 16 THEN []
+                              ELSE list_transform(range(1, len(w) - 14),
+                                i -> CAST(('0x' || substring(md5(array_to_string(w[i:i+15], ' ')), 1, 12)) AS BIGINT)) END AS hs
+                       FROM words),
+                 e AS (SELECT doc_id, unnest(list_distinct(hs)) AS hv FROM h),
+                 hot AS (SELECT hv FROM e GROUP BY hv HAVING count(*) >= 2),
+                 bad AS (SELECT doc_id, list(hv) AS bads FROM e JOIN hot USING (hv) GROUP BY doc_id),
+                 st AS (SELECT h.doc_id, w, hs, coalesce(b.bads, []) AS bads,
+                          list_filter(range(1, len(hs) + 1),
+                            i -> list_contains(coalesce(b.bads, []), hs[i])) AS starts
+                        FROM h LEFT JOIN bad b USING (doc_id)),
+                 k AS (SELECT doc_id, len(w) AS n_tokens,
+                         list_filter(
+                           list_transform(range(1, len(w) + 1),
+                             i -> CASE WHEN len(list_filter(starts, s2 -> s2 <= i AND i <= s2 + 15)) > 0
+                                       THEN NULL ELSE w[i] END),
+                           x -> x IS NOT NULL) AS kept
+                       FROM st)
+            SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+                   CAST(n_tokens - len(kept) AS INTEGER) AS n_masked,
+                   coalesce(array_to_string(kept, ' '), '') AS clean_text
+            FROM k ORDER BY doc_id""",
+      // pair mining mirrors x_ngram_jaccard at n=5 / threshold 0.5 over the
+      // FULL corpus; DuckDB levenshtein is the same character-level DP as
+      // Spark's
+      "x_edit_distance" ->
+        s"""WITH d AS (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt,
+                              $toksE AS toks FROM documents),
+                 s AS (SELECT doc_id,
+                         list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                           ELSE list_transform(generate_series(1, len(toks) - 4), i -> array_to_string(toks[i:i+4], ' ')) END) AS sh
+                       FROM d),
+                 e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+                 sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+                 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                       FROM e a JOIN e b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+                 j AS (SELECT doc_a, doc_b,
+                         round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) AS jaccard
+                       FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+                       WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.5)
+            SELECT doc_a, doc_b, jaccard,
+                   CAST(length(ta.nt) AS INTEGER) AS len_a,
+                   CAST(length(tb.nt) AS INTEGER) AS len_b,
+                   CAST(levenshtein(ta.nt, tb.nt) AS INTEGER) AS lev,
+                   round(1.0 - CAST(levenshtein(ta.nt, tb.nt) AS DOUBLE) /
+                     greatest(length(ta.nt), length(tb.nt)), 4) AS lev_sim
+            FROM j JOIN d ta ON j.doc_a = ta.doc_id JOIN d tb ON j.doc_b = tb.doc_id
+            ORDER BY doc_a, doc_b"""
     )
   }
 

@@ -138,4 +138,49 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.nonEmpty)
     planted.foreach(p => assert(lsh.contains(p), s"planted duplicate $p missed"))
   }
+
+  test("maskRepeatedSpans masks exactly the tokens covered by cross-doc repeated spans") {
+    // docs 11/12 share the same 6-token run embedded in different contexts;
+    // doc 13 is unrelated. n=6 → only that run is hot; the unique prefix /
+    // suffix tokens survive.
+    val d = Seq(
+      (11L, "alpha beta one two three four five six tail11 end11"),
+      (12L, "head12 one two three four five six omega gamma"),
+      (13L, "nothing here repeats across documents at all ever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.maskRepeatedSpans(d, "doc_id", "text", n = 6, minDocs = 2)
+      .select("doc_id", "n_tokens", "n_masked", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(11L) === ((10, 6, "alpha beta tail11 end11")))
+    assert(out(12L) === ((9, 6, "head12 omega gamma")))
+    assert(out(13L) === ((8, 0, "nothing here repeats across documents at all ever")))
+  }
+
+  test("maskRepeatedSpans: overlapping hot spans merge their coverage; short docs untouched") {
+    // 21/22 are full duplicates of an 8-token text; with n=6 every one of
+    // the three span starts is hot, covering all 8 tokens in both docs
+    val d = Seq(
+      (21L, "a1 a2 a3 a4 a5 a6 a7 a8"),
+      (22L, "a1 a2 a3 a4 a5 a6 a7 a8"),
+      (23L, "tiny doc") // < n tokens: no spans, never masked
+    ).toDF("doc_id", "text")
+    val out = Dedup.maskRepeatedSpans(d, "doc_id", "text", n = 6, minDocs = 2)
+      .select("doc_id", "n_masked", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(out(21L) === ((8, "")))
+    assert(out(22L) === ((8, "")))
+    assert(out(23L) === ((0, "tiny doc")))
+  }
+
+  test("editDistanceVerify scores candidate pairs without shuffling the corpus") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val outDf = Dedup.editDistanceVerify(docs, "doc_id", "text", pairs)
+    val plan = outDf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"pair lookups must broadcast:\n$plan")
+    val out = outDf.select("doc_a", "doc_b", "lev")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 2L)) === 0) // ws-normalized duplicate
+    assert(out((1L, 3L)) === 3) // dog -> cat
+    assert(out((1L, 4L)) > 20)  // unrelated
+  }
 }
