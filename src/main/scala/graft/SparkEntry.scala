@@ -2524,6 +2524,14 @@ object SparkEntry {
           col("text").as("clean_text"))
         .orderBy("doc_id")),
 
+    // Gopher rule battery (Rae et al. §A1.1): per-rule flags + composite
+    // pass — the canonical pre-training quality filter as one codegen'd
+    // projection over the scan (TextFunctions.withGopherRules)
+    "x_gopher_rules" -> ((s, dir) =>
+      TF.withGopherRules(t(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text")
+        .orderBy("doc_id")),
+
     // exact edit-distance verification of near-dup candidates: Levenshtein
     // is O(len^2) PER PAIR so it can only ever run on a bounded candidate
     // set — here the oracled exact-Jaccard pairs (the LSH stand-in); the
@@ -3910,6 +3918,26 @@ object SparkEntry {
                    CAST(n_tokens - len(kept) AS INTEGER) AS n_masked,
                    coalesce(array_to_string(kept, ' '), '') AS clean_text
             FROM k ORDER BY doc_id""",
+      // the five Gopher flags; occurrence counts via the length-difference
+      // form, ratios rounded to 4 BEFORE the bound compares (both engines)
+      "x_gopher_rules" ->
+        s"""WITH m AS (SELECT doc_id,
+                         CAST(len($toksE) AS INTEGER) AS n_words,
+                         round(CAST(list_sum(list_transform($toksE, t -> length(t))) AS DOUBLE) / len($toksE), 4) AS mean_word_len,
+                         round(CAST((length(text) - length(replace(text, '#', '')))
+                               + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / len($toksE), 4) AS symbol_ratio,
+                         round(CAST(len(list_filter($toksE, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len($toksE), 4) AS alpha_frac,
+                         CAST(len(list_filter($toksE, t -> list_contains($stopList, t))) AS INTEGER) AS n_stop
+                       FROM documents)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
+                   n_words >= 50 AND n_words <= 100000 AS ok_words,
+                   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_len,
+                   symbol_ratio < 0.1 AS ok_symbols,
+                   alpha_frac > 0.8 AS ok_alpha,
+                   n_stop >= 2 AS ok_stops,
+                   (n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                     AND symbol_ratio < 0.1 AND alpha_frac > 0.8 AND n_stop >= 2 AS pass
+            FROM m ORDER BY doc_id""",
       // pair mining mirrors x_ngram_jaccard at n=5 / threshold 0.5 over the
       // FULL corpus; DuckDB levenshtein is the same character-level DP as
       // Spark's

@@ -219,6 +219,48 @@ object TextFunctions {
       .otherwise(round(log(n.cast("double")) - sumClogc / n.cast("double"), 4))
   }
 
+  /** Gopher rule battery (Rae et al. 2021, §A1.1 quality heuristics) —
+    * the canonical pre-training document filter, as per-row metrics plus
+    * per-rule flags so a pipeline can audit WHY a document fell:
+    *
+    *  - n_words in [50, 100000]           (ok_words)
+    *  - mean word length in [3, 10]       (ok_mean_len)
+    *  - symbol-to-word ratio ('#', '...') < 0.1   (ok_symbols)
+    *  - fraction of words with an alphabetic char > 0.8  (ok_alpha)
+    *  - >= 2 stopword occurrences          (ok_stops)
+    *
+    * (The line-level bullet/ellipsis rules need line structure this
+    * newline-free corpus lacks; [[repetitionRatio]] covers the repetition
+    * section.) Everything is a per-row codegen'd projection — filtering a
+    * 100 TB corpus is a map over the scan, zero shuffle. Occurrence counts
+    * use the length-difference form so the SQL oracle is bit-identical.
+    * Output: input columns + n_words, mean_word_len, symbol_ratio,
+    * alpha_frac, n_stop, the five flags, and `pass` (AND of all five).
+    */
+  def withGopherRules(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val nHash = length(col(textCol)) - length(replace(col(textCol), lit("#"), lit("")))
+    val nEll = (length(col(textCol)) - length(replace(col(textCol), lit("..."), lit("")))) / lit(3)
+    df.withColumn("n_words", size(toks))
+      .withColumn("mean_word_len",
+        round(aggregate(toks, lit(0), (a, t) => a + length(t)).cast("double") /
+          col("n_words").cast("double"), 4))
+      .withColumn("symbol_ratio",
+        round((nHash + nEll).cast("double") / col("n_words").cast("double"), 4))
+      .withColumn("alpha_frac",
+        round(size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+          col("n_words").cast("double"), 4))
+      .withColumn("n_stop", size(filter(toks, t => t.isin(stopwords.map(lit): _*))))
+      .withColumn("ok_words", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("ok_mean_len", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("ok_symbols", col("symbol_ratio") < 0.1)
+      .withColumn("ok_alpha", col("alpha_frac") > 0.8)
+      .withColumn("ok_stops", col("n_stop") >= 2)
+      .withColumn("pass",
+        col("ok_words") && col("ok_mean_len") && col("ok_symbols") &&
+          col("ok_alpha") && col("ok_stops"))
+  }
+
   /** Gopher-style intra-document repetition signal: the fraction of word
     * n-gram SLOTS occupied by a repeat of an earlier n-gram —
     * `1 - distinct/total`. 0.0 = no internal repetition, →1.0 = the

@@ -84,4 +84,22 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(TextFunctions.repetitionRatio($"text", 3)).as[Double].head()
     assert(short === 0.0)
   }
+
+  test("withGopherRules: each rule trips on its own pathology") {
+    val good = ("wow " * 30 + "the of and is " + "word " * 20).trim // 54 words, mean len >= 3
+    val d = Seq(
+      (1L, good),
+      (2L, "the of too short"),                              // < 50 words
+      (3L, ("the of " + "x " * 48 + "## ### ...".trim)),     // symbol-heavy tail
+      (4L, ("the of " + "1 2 3 4 5 6 7 8 9 0 " * 5).trim)    // numeric: alpha_frac low
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.withGopherRules(d, "text")
+      .select("doc_id", "ok_words", "ok_symbols", "ok_alpha", "ok_stops", "pass")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out(1L) === ((true, true, true, true, true)))
+    assert(out(2L)._1 === false && out(2L)._5 === false)     // word count
+    assert(out(3L)._2 === false)                             // symbols
+    assert(out(4L)._3 === false)                             // alpha fraction
+  }
 }
