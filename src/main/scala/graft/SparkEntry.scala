@@ -2360,6 +2360,19 @@ object SparkEntry {
         minRecallPct = 95)
     }),
 
+    // binary (1-bit) quantization — the 64x end of the compression ladder:
+    // one long per vector, Hamming (bit_count(xor)) shortlist, exact
+    // rerank; same per-decile recall gate. One-bit distortion on this
+    // isotropic corpus needs a deeper shortlist than SQ8's to hold 90%
+    "x_bq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      Similarity.recallByDecile(
+        Similarity.bruteTopK(e, q, "vec_id", "embedding", 10),
+        Similarity.bqTopK(e, q, "vec_id", "embedding", 10, dim = 64, shortlist = 400),
+        minRecallPct = 90)
+    }),
+
     "x_pq_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 100)
@@ -3717,6 +3730,10 @@ object SparkEntry {
                   count(*) * 10 AS n_true, TRUE AS recall_ok
            FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
       "x_sq_recall" ->
+        """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
+                  count(*) * 10 AS n_true, TRUE AS recall_ok
+           FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
+      "x_bq_recall" ->
         """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
                   count(*) * 10 AS n_true, TRUE AS recall_ok
            FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",

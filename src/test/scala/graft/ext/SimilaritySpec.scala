@@ -169,6 +169,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tiedOut === Array((1L, 1L, 2L)), "2-2 tie must resolve to the smaller class")
   }
 
+  test("bqTopK: exact-rerank scores match brute force; planted duplicate is rank 1") {
+    val queries = embs.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val bq = Similarity.bqTopK(embs, queries, "vec_id", "embedding", k = 3, dim = 64, shortlist = 100)
+      .collect()
+    // rerank is exact cosine: any overlapping (query, neighbor) has the
+    // identical score
+    bq.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach(s => assert(s === r.getDouble(3)))
+    }
+    // a planted exact copy shares the full bit pattern AND reranks to 1.0
+    val planted = embs.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label"))
+    val out = Similarity.bqTopK(embs.unionByName(planted), embs.filter(col("vec_id") === 7),
+      "vec_id", "embedding", k = 1, dim = 64, shortlist = 100).head()
+    assert(out.getLong(2) === 1000007L && out.getDouble(3) === 1.0)
+  }
+
   test("ivfIncrementalReport: delta-only assignment matches the full rebuild") {
     val e = embs
     val rep = Similarity.ivfIncrementalReport(
