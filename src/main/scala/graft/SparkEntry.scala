@@ -2310,6 +2310,17 @@ object SparkEntry {
         "term", num = 1, denom = 50)
         .orderBy("key")),
 
+    // count-min sketch point frequencies: exact top-20 token counts each
+    // carrying the CMS two-sided guarantee (never undercounts; over by at
+    // most ceil(eps*N)) — deterministic bits under the fixed seed. The
+    // sketch is the mergeable one-pass scale path for point-frequency
+    // queries; the exact top list is the verifiable gate (graft.ext.Sketches)
+    "x_count_min" -> ((s, dir) =>
+      Sketches.countMinChecked(
+        t(s, dir, "documents").select(explode(TF.tokens(col("text"))).as("term")),
+        "term", topK = 20, eps = 1e-4, confidence = 0.99, seed = 42)
+        .orderBy(col("cnt").desc, col("key"))),
+
     // overlapping token-window chunking (RAG/embedding prep): 64-token
     // windows at stride 48 — chunk construction is scan-speed per-row
     // HOF work (TextFunctions.chunkTokens), the explode happens only at
@@ -3721,6 +3732,14 @@ object SparkEntry {
             SELECT key, count(*) AS cnt, TRUE AS in_sketch
             FROM toks, tot GROUP BY key, tot.n HAVING count(*) * 50 > tot.n * 1
             ORDER BY key""",
+      // exact top-20 token counts (ties broken by key at the rank-20
+      // boundary); both CMS bounds are deterministic TRUE under the seed
+      "x_count_min" ->
+        s"""WITH toks AS (SELECT unnest($toksE) AS key FROM documents)
+            SELECT key, CAST(count(*) AS BIGINT) AS cnt,
+                   TRUE AS lower_ok, TRUE AS upper_ok
+            FROM toks GROUP BY key
+            ORDER BY cnt DESC, key LIMIT 20""",
       "x_kmeans_ivf_recall" ->
         """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
                   count(*) * 10 AS n_true, TRUE AS recall_ok

@@ -48,4 +48,45 @@ object Sketches {
       .crossJoin(broadcast(sketch))
       .select(col("key"), col("cnt"), array_contains(col("sketch_keys"), col("key")).as("in_sketch"))
   }
+
+  /** Count-min sketch point-frequency gate: the exact top-`topK` keys (the
+    * checkable side), each annotated with the CMS two-sided guarantee —
+    * `lower_ok` (estimate >= true count: structural, CMS never
+    * undercounts) and `upper_ok` (estimate <= true + ceil(eps·N): the
+    * width guarantee). With a FIXED seed the sketch is fully deterministic,
+    * so both flags are reproducible bits, not probabilistic outcomes.
+    *
+    * Scale story: `count_min_sketch` is a one-pass MERGEABLE aggregate —
+    * per-partition sketches of d·w counters union by cell-wise add, so
+    * counting key frequencies over 100 TB shuffles d·w longs per map
+    * partition instead of every distinct key (and unlike freqItems it
+    * answers ANY point query after the fact, not just the heavy set).
+    * Probing the sketch for the topK report rows is bounded driver work on
+    * one binary blob — the same metadata-scale exception as the bloom and
+    * partition-list paths. Output: key, cnt, lower_ok, upper_ok.
+    */
+  def countMinChecked(
+      df: DataFrame, keyCol: String, topK: Int,
+      eps: Double, confidence: Double, seed: Int): DataFrame = {
+    require(topK > 0 && eps > 0 && confidence > 0 && confidence < 1)
+    val spark = df.sparkSession
+    val keyed = df.select(col(keyCol).cast("string").as("key"))
+    val skRow = keyed
+      .agg(count_min_sketch(col("key"), lit(eps), lit(confidence), lit(seed)).as("sk"),
+        count(lit(1)).as("n"))
+      .head()
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
+    val bound = math.ceil(eps * skRow.getLong(1)).toLong
+    val top = keyed.groupBy("key").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("key")) // deterministic across the rank-K tie
+      .limit(topK)
+      .collect() // topK rows — bounded
+      .map { r =>
+        val est = sketch.estimateCount(r.getString(0))
+        (r.getString(0), r.getLong(1), est >= r.getLong(1), est <= r.getLong(1) + bound)
+      }
+    import spark.implicits._
+    top.toSeq.toDF("key", "cnt", "lower_ok", "upper_ok")
+  }
 }

@@ -33,4 +33,15 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.heavyHittersChecked(Seq("x").toDF("k"), "k", num = 3, denom = 2)
     }
   }
+
+  test("countMinChecked: exact counts, both CMS bounds hold, rank-K tie deterministic") {
+    val keys = (Seq.fill(30)("hot") ++ Seq.fill(20)("warm") ++
+      Seq.fill(5)("tie_a") ++ Seq.fill(5)("tie_b") ++ (1 to 10).map(i => s"cold$i")).toDF("k")
+    val got = Sketches.countMinChecked(keys, "k", topK = 3, eps = 0.01, confidence = 0.99, seed = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    // ties at the boundary break by key: tie_a wins over tie_b
+    assert(got.map(t => (t._1, t._2)).sortBy(-_._2).toSeq ===
+      Seq(("hot", 30L), ("warm", 20L), ("tie_a", 5L)))
+    assert(got.forall(t => t._3 && t._4), s"CMS bounds must hold: ${got.mkString(",")}")
+  }
 }
