@@ -2548,6 +2548,28 @@ object SparkEntry {
           col("text").as("clean_text"))
         .orderBy("doc_id")),
 
+    // Unicode NFC normalization (native NormalizeUnicode expression —
+    // Spark has no built-in; a UDF would break codegen on a by-definition
+    // full-corpus scan). Combining sequences are SALTED deterministically
+    // on both sides (the synthetic corpus is ASCII): %3=0/1 get base+
+    // combining-mark tails that compose under NFC, %3=2 stays ASCII so
+    // `changed` splits the corpus
+    "x_nfc_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" cafe\u0301 de\u0301ja\u0300 vu"))
+            .when(col("doc_id") % 3 === 1, lit(" u\u0308ber angstro\u0308m units"))
+            .otherwise(lit(" plain ascii tail"))).as("text"))
+        .withColumn("nfc_text", graft.functions.NormalizeUnicode.normalizeUnicode(col("text")))
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_raw_chars"),
+          length(col("nfc_text")).as("n_nfc_chars"),
+          (col("text") =!= col("nfc_text")).as("changed"),
+          col("nfc_text"))
+        .orderBy("doc_id")),
+
     // Gopher rule battery (Rae et al. §A1.1): per-rule flags + composite
     // pass — the canonical pre-training quality filter as one codegen'd
     // projection over the scan (TextFunctions.withGopherRules)
@@ -2580,6 +2602,9 @@ object SparkEntry {
     val sinkSql = s"SELECT *, $dayE AS day FROM events WHERE $dayE < '2024-01-20' AND event_id % 10 <> 0"
     val toksE = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
     val stopList = TF.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    // combining marks for the x_nfc_normalize salt (kept out of the
+    // triple-quoted SQL, which does not process \u escapes)
+    val cAcute = "\u0301"; val cGrave = "\u0300"; val cDiaer = "\u0308"
     Map(
       "s1_scan_project" ->
         """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -3954,6 +3979,23 @@ object SparkEntry {
                    CAST(n_tokens - len(kept) AS INTEGER) AS n_masked,
                    coalesce(array_to_string(kept, ' '), '') AS clean_text
             FROM k ORDER BY doc_id""",
+      // same decomposed salt (base + combining marks, interpolated from
+      // the cAcute/cGrave/cDiaer vals); DuckDB nfc_normalize implements
+      // the same UAX #15 NFC as java.text.Normalizer; length() counts
+      // codepoints in both engines
+      "x_nfc_normalize" ->
+        s"""WITH salted AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 3 = 0 THEN ' cafe$cAcute de${cAcute}ja$cGrave vu'
+                                  WHEN doc_id % 3 = 1 THEN ' u${cDiaer}ber angstro${cDiaer}m units'
+                                  ELSE ' plain ascii tail' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_raw_chars,
+                   CAST(length(nfc_normalize(text)) AS INTEGER) AS n_nfc_chars,
+                   text <> nfc_normalize(text) AS changed,
+                   nfc_normalize(text) AS nfc_text
+            FROM salted ORDER BY doc_id""",
       // the five Gopher flags; occurrence counts via the length-difference
       // form, ratios rounded to 4 BEFORE the bound compares (both engines)
       "x_gopher_rules" ->
