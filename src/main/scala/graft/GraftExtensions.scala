@@ -71,6 +71,13 @@ object GraftExtensions {
         graft.functions.CharNgrams(exprs(0), intLit(exprs(1), "n"))
       }),
     (
+      "word_ngrams",
+      new ExpressionInfo(classOf[graft.functions.WordNgrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "word_ngrams(tokens, n)")
+        graft.functions.WordNgrams(exprs(0), intLit(exprs(1), "n"))
+      }),
+    (
       "pq_encode",
       new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "pq_encode"),
       (exprs: Seq[Expression]) => {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Decontaminate, Dedup, LmScore, Mixture, Packing, PQ, Scrub, Similarity, Sketches}
+import graft.ext.{Decontaminate, Dedup, LinkRank, LmScore, Mixture, Packing, PQ, Scrub, Similarity, Sketches}
 import graft.functions.{TextFunctions => TF}
 import graft.ops.{Batching, Diff, RangeJoin}
 import graft.sinks.{Compaction, EsBulkSink, Retention, Upsert}
@@ -39,6 +39,12 @@ object SparkEntry {
 
   /** Exact, order-independent sum of a double expression (see conventions). */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Shared 16×64 Rademacher sign matrix (MD5-parity deterministic) for
+    * x_rp_project / x_rp_distortion — the same array backs the native
+    * expression AND is rendered into the DuckDB oracle as literals.
+    */
+  private lazy val rpSigns: Array[Double] = graft.functions.RpProject.signMatrix(16, 64)
 
   /** Deterministic per-dataset scratch dir, wiped on entry: repeated
     * invocations (Bench runs every query 4×) reuse ONE path instead of
@@ -1842,6 +1848,44 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.01)
         .orderBy("doc_a", "doc_b")),
 
+    // asymmetric CONTAINMENT near-dup (Broder): C(a→b) = |S(a)∩S(b)|/|S(a)|
+    // catches a short doc embedded verbatim in a long one, where Jaccard
+    // stays low because the union is dominated by the long side. The corpus
+    // has no natural containment pairs, so plant them deterministically:
+    // each sampled doc plus a copy truncated to its first 30% of chars —
+    // C(frag→orig) ≈ 1 while J ≈ 0.3, and the reverse direction falls
+    // below the 0.5 gate, demonstrating the asymmetry. Exactly oracled
+    // (same shingle algebra in DuckDB).
+    "x_containment" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+      val corp = base.unionByName(base.select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        expr("substr(text, 1, CAST(floor(length(text)*0.3) AS INT))").as("text")))
+      Dedup.ngramContainmentPairs(corp, "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // link-graph authority scoring (PageRank) — the crawl-quality signal a
+    // corpus pipeline feeds into mixture/frontier policies. The corpus has
+    // no link column, so the graph is derived deterministically: node =
+    // doc_id (contiguous 0..N-1 in the testdata), edges doc → (doc·m + m)
+    // mod N for m ∈ {2,3,5}, and every doc_id ≡ 9 (mod 10) is left with NO
+    // out-edges to exercise the dangling-mass redistribution. 8 damped
+    // iterations; per-edge contributions decimal-summed (LinkRank scaladoc)
+    // so ranks are partitioning-independent and exactly oracled.
+    "x_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"),
+          explode(array(Seq(2, 3, 5).map(m =>
+            (col("doc_id") * m + m) % col("n")): _*)).as("dst"))
+      LinkRank.pageRank(docs, "doc_id", edges, "src", "dst", iterations = 8)
+        .select(col("node").as("doc_id"), col("pr").as("pagerank"))
+        .orderBy("doc_id")
+    }),
+
     // near-dup cluster RESOLUTION: connected components over the exact
     // n-gram Jaccard pairs (same pair set as x_ngram_jaccard) — every doc
     // labeled with the min doc id of its transitive duplicate cluster via
@@ -2143,6 +2187,56 @@ object SparkEntry {
         .select(col("vec_id"),
           round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4).as("norm"))
         .orderBy("vec_id")),
+
+    // Rademacher random projection (Johnson–Lindenstrauss) 64→16: the
+    // cheap dimensionality reduction a pipeline runs before clustering /
+    // coarse ANN. Deterministic ±1 sign matrix (MD5 parity, RpProject
+    // .signMatrix) rendered into BOTH engines; projection is one fused
+    // codegen loop per row (native RpProject), oracle is 16
+    // list_dot_product columns over the same literal matrix — identical
+    // op order, exact match at round 6.
+    "x_rp_project" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(
+            graft.functions.RpProject.rpProject(col("embedding"), rpSigns, 16),
+            e => round(e, 6)).as("y"))
+        .orderBy("vec_id")),
+
+    // JL distance-preservation gate for x_rp_project: deterministic pair
+    // sample (v ↔ (7v+3) mod N — never a self-pair for the testdata Ns),
+    // pairwise L2 in original vs projected space, per-decile distortion
+    // report. k=16 gives sd(ratio) ≈ √(2/k) ≈ 0.35 per pair, so the GATE
+    // is on the per-decile MEAN (n≥50 ⇒ se ≤ 0.05): mean ∈ [0.8, 1.2].
+    // At corpus scale this report runs on exactly such a bounded sample —
+    // the projection itself stays a pure scan-speed map.
+    "x_rp_distortion" -> ((s, dir) => {
+      val VF = graft.functions.VectorFunctions
+      val base = t(s, dir, "embeddings")
+      val nRow = base.agg(count(lit(1)).as("n"))
+      val proj = base.crossJoin(broadcast(nRow)).select(
+        col("vec_id"), col("n"),
+        VF.toDouble(col("embedding")).as("emb"),
+        graft.functions.RpProject.rpProject(col("embedding"), rpSigns, 16).as("y"))
+      val a = proj.select(col("vec_id").as("id_a"),
+        ((col("vec_id") * 7 + 3) % col("n")).as("id_b"),
+        col("emb").as("e_a"), col("y").as("y_a"))
+      val b = proj.select(col("vec_id").as("id_b"), col("emb").as("e_b"), col("y").as("y_b"))
+      a.join(b, "id_b")
+        .withColumn("d_orig", sqrt(VF.sqDist(col("e_a"), col("e_b"))))
+        .withColumn("d_proj", sqrt(VF.sqDist(col("y_a"), col("y_b"))))
+        .filter(col("d_orig") > 0)
+        .withColumn("ratio", round(col("d_proj") / col("d_orig"), 4))
+        .groupBy((col("id_a") % 10).as("decile"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          round(sum(col("ratio").cast("decimal(18,4)")).cast("double") / count(lit(1)), 4)
+            .as("mean_ratio"),
+          min(col("ratio")).as("min_ratio"),
+          max(col("ratio")).as("max_ratio"))
+        .withColumn("jl_gate", col("mean_ratio").between(0.8, 1.2))
+        .orderBy("decile")
+    }),
 
     // per-source corpus profile: doc counts + char-length stats by origin
     "x_source_stats" -> ((s, dir) =>
@@ -2522,6 +2616,15 @@ object SparkEntry {
       LmScore.scoreDocs(t(s, dir, "documents"), "doc_id", "text", minCount = 500)
         .orderBy("doc_id")),
 
+    // bigram-LM quality scoring (CCNet at order 1): transition-level
+    // perplexity proxy + unseen-transition ratio — catches shuffled-word
+    // gibberish whose every TOKEN is in-vocab. Same broadcast-model /
+    // decimal-sum discipline as x_unigram_lm (graft.ext.LmScore)
+    "x_bigram_lm" -> ((s, dir) =>
+      LmScore.scoreBigrams(t(s, dir, "documents"), "doc_id", "text",
+        uniMinCount = 500, biMinCount = 5)
+        .orderBy("doc_id")),
+
     // character-entropy quality signal (gibberish/degeneracy detector):
     // per-row HOF entropy with the Σc·ln(c) fold over the SORTED distinct
     // chars so both engines sum in one order (TextFunctions.charEntropy)
@@ -2605,6 +2708,30 @@ object SparkEntry {
     // combining marks for the x_nfc_normalize salt (kept out of the
     // triple-quoted SQL, which does not process \u escapes)
     val cAcute = "\u0301"; val cGrave = "\u0300"; val cDiaer = "\u0308"
+    // x_pagerank: 8 unrolled damped-iteration CTE blocks (DuckDB forbids
+    // aggregates in a recursive CTE term). Same algebra as LinkRank:
+    // per-edge contributions rounded 12 \u2192 DECIMAL(28,12) sums; dangling
+    // mass decimal-summed; 1\u2212d computed (not a literal) so both engines
+    // produce the identical IEEE double.
+    val prIters = (1 to 8).map { i =>
+      val p = s"p${i - 1}"
+      s"""dm$i AS (SELECT coalesce(sum(CAST(p.pr AS DECIMAL(28,12))), 0) AS dm
+                   FROM $p p LEFT JOIN deg ON p.node = deg.src WHERE deg.src IS NULL),
+          c$i AS (SELECT e.dst AS node, sum(CAST(round(p.pr / deg.deg, 12) AS DECIMAL(28,12))) AS s
+                  FROM e JOIN $p p ON e.src = p.node JOIN deg ON e.src = deg.src GROUP BY e.dst),
+          p$i AS (SELECT nd.node,
+                    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * (coalesce(CAST(c.s AS DOUBLE), 0)
+                          + CAST(d.dm AS DOUBLE) / nn.n), 12) AS pr
+                  FROM nodes nd CROSS JOIN nn CROSS JOIN dm$i d LEFT JOIN c$i c ON nd.node = c.node)"""
+    }.mkString(",\n")
+    // x_rp_project / x_rp_distortion: the SAME sign matrix the native
+    // expression uses, rendered as 16 literal 64-element ±1 lists; each
+    // output dim is one in-order list_dot_product / sqrt(16) — the exact
+    // op sequence of the RpProject kernel.
+    val rpSignsLit = (0 until 16).map(j => (0 until 64).map(i =>
+      if (rpSigns(j * 64 + i) > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+    val rpYSql = (0 until 16).map(j => s"list_dot_product(emb, ${rpSignsLit(j)}) / sqrt(16.0)")
     Map(
       "s1_scan_project" ->
         """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -3448,6 +3575,39 @@ object SparkEntry {
             FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
             WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.01
             ORDER BY doc_a, doc_b""",
+      "x_pagerank" ->
+        s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+                 nn AS (SELECT count(*) AS n FROM nodes),
+                 e AS (SELECT node AS src, (node * m + m) % nn.n AS dst
+                       FROM nodes CROSS JOIN nn CROSS JOIN (VALUES (2), (3), (5)) AS mm(m)
+                       WHERE node % 10 <> 9),
+                 deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+                 p0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / nn.n, 12) AS pr
+                        FROM nodes CROSS JOIN nn),
+                 $prIters
+            SELECT node AS doc_id, pr AS pagerank FROM p8 ORDER BY doc_id""",
+      // same shingle CTEs as x_ngram_jaccard over the 30%-fragment corpus;
+      // ordered pairs (a <> b), score = shared / |S(a)|
+      "x_containment" ->
+        s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+                 corp AS (SELECT doc_id, text FROM base
+                          UNION ALL
+                          SELECT doc_id + 1000000, substr(text, 1, CAST(floor(length(text)*0.3) AS INT)) FROM base),
+                 d AS (SELECT doc_id, $toksE AS toks FROM corp),
+                 s AS (SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+                   FROM d),
+                 e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+                 sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+                 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                       FROM e a JOIN e b USING (shingle) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(CAST(shared AS DOUBLE) / x.nsh, 4) AS containment,
+                   round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) AS jaccard
+            FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+            WHERE round(CAST(shared AS DOUBLE) / x.nsh, 4) >= 0.5
+            ORDER BY doc_a, doc_b""",
       "x_lsh_exact_agreement" ->
         s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
                  corp AS (SELECT doc_id, text FROM base
@@ -3684,6 +3844,34 @@ object SparkEntry {
                   round(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                                               list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4) AS norm
            FROM embeddings ORDER BY vec_id""",
+      "x_rp_project" ->
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                       FROM embeddings)
+            SELECT vec_id, [${rpYSql.map(y => s"round($y, 6)").mkString(", ")}] AS y
+            FROM e ORDER BY vec_id""",
+      "x_rp_distortion" ->
+        s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+                 e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                       FROM embeddings),
+                 proj AS (SELECT vec_id, emb, [${rpYSql.mkString(", ")}] AS y FROM e),
+                 p AS (SELECT a.vec_id AS id_a, a.emb AS e_a, a.y AS y_a, b.emb AS e_b, b.y AS y_b
+                       FROM (SELECT proj.*, (vec_id * 7 + 3) % nn.n AS pid FROM proj CROSS JOIN nn) a
+                       JOIN proj b ON a.pid = b.vec_id),
+                 d AS (SELECT id_a,
+                         sqrt(list_dot_product(list_transform(range(1, 65), i -> e_a[i] - e_b[i]),
+                                               list_transform(range(1, 65), i -> e_a[i] - e_b[i]))) AS d_orig,
+                         sqrt(list_dot_product(list_transform(range(1, 17), i -> y_a[i] - y_b[i]),
+                                               list_transform(range(1, 17), i -> y_a[i] - y_b[i]))) AS d_proj
+                       FROM p),
+                 r AS (SELECT id_a % 10 AS decile, round(d_proj / d_orig, 4) AS ratio
+                       FROM d WHERE d_orig > 0),
+                 g AS (SELECT decile, count(*) AS n_pairs,
+                         round(CAST(sum(CAST(ratio AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS mean_ratio,
+                         min(ratio) AS min_ratio, max(ratio) AS max_ratio
+                       FROM r GROUP BY decile)
+            SELECT decile, n_pairs, mean_ratio, min_ratio, max_ratio,
+                   mean_ratio BETWEEN 0.8 AND 1.2 AS jl_gate
+            FROM g ORDER BY decile""",
       "x_source_stats" ->
         """SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
                   round(CAST(sum(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_chars
@@ -3932,6 +4120,27 @@ object SparkEntry {
             SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
                    round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS mean_logp,
                    round(CAST(sum(oov) AS DOUBLE) / count(*), 4) AS oov_ratio
+            FROM sc GROUP BY doc_id ORDER BY doc_id""",
+      // bigrams via range(1, len(w)) (end-exclusive → i, i+1 pairs); the
+      // same add-one formula and DECIMAL(18,6) transition-sum as the
+      // unigram oracle; c1 keys on the bigram's FIRST token
+      "x_bigram_lm" ->
+        s"""WITH words AS (SELECT doc_id, $toksE AS w FROM documents),
+                 bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i+1])) AS bg
+                        FROM words),
+                 c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg HAVING count(*) >= 5),
+                 toks AS (SELECT unnest(w) AS tok FROM words),
+                 c1 AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok HAVING count(*) >= 500),
+                 vv AS (SELECT count(*) AS v FROM c1),
+                 sc AS (SELECT b.doc_id,
+                          CAST(round(ln((coalesce(c2.c2, 0) + 1.0) / (coalesce(c1.c1, 0) + vv.v + 1)), 6) AS DECIMAL(18,6)) AS lp,
+                          CASE WHEN c2.bg IS NULL THEN 1 ELSE 0 END AS unseen
+                        FROM bg b LEFT JOIN c2 USING (bg)
+                          LEFT JOIN c1 ON string_split(b.bg, ' ')[1] = c1.tok, vv)
+            SELECT doc_id, count(*) AS n_bigrams, CAST(sum(unseen) AS BIGINT) AS n_unseen,
+                   round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS mean_logp2,
+                   round(CAST(sum(unseen) AS DOUBLE) / count(*), 4) AS unseen_ratio
             FROM sc GROUP BY doc_id ORDER BY doc_id""",
       // Σc·ln(c) folded over the SORTED distinct char list in both engines
       // (same order ⇒ same rounding), final entropy rounded to 4

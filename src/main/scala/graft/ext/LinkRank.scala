@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph authority scoring (PageRank) for crawl-corpus curation
+  * (north-star extension; SURVEY.md §2.10): a page/domain linked by many
+  * well-linked pages is likelier to be quality training text, and the rank
+  * is a standard input to crawl-frontier and quality-mixture policies.
+  *
+  * Scale design: the edge table — the corpus-scale input — is shuffled
+  * ONCE (hash-repartitioned by src and cached); every iteration after that
+  * moves only the rank vector (one row per node) to the edges' existing
+  * partitioning, aggregates contributions map-side-combined by dst, and
+  * broadcasts the dangling mass as a 1-row aggregate. Per iteration:
+  * one small-side shuffle + one aggregation shuffle, never a re-shuffle of
+  * the edges. Each iteration is eagerly localCheckpoint'ed so the logical
+  * plan stays one-iteration deep at any iteration count (the CC pattern,
+  * [[Dedup.connectedComponents]]).
+  *
+  * Cross-engine determinism (the repo's decimal-sum discipline): per-edge
+  * contributions are rounded to 12 decimals and summed as DECIMAL(28,12)
+  * (order-independent), the dangling mass is a DECIMAL sum, and each new
+  * rank is rounded to 12 decimals — so results are partitioning-independent
+  * and bit-equal to the DuckDB oracle running the same algebra.
+  */
+object LinkRank {
+
+  /** `iterations` rounds of damped PageRank over `edges`; every node in
+    * `nodes` is ranked (in-edge-less nodes get the base rank). Dangling
+    * nodes (no out-edges) redistribute their mass uniformly each round —
+    * total mass stays 1 up to the per-node rounding. Multi-edges count
+    * once each in both out-degree and contribution.
+    * Output: node, pr (rounded 12).
+    */
+  def pageRank(
+      nodes: DataFrame, nodeCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val ns = graft.sources.Tables.spread(nodes).select(col(nodeCol).as("node")).cache()
+    val n = ns.count() // one count job over the cached node column (bounded: one scalar)
+    val e = graft.sources.Tables.spread(edges)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).cache() // the ONLY corpus-scale shuffle, paid once
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).cache() // co-partitioned with e
+
+    // (1 - d) computed, not precomputed as a literal: the oracle runs the
+    // same subtraction, so both engines get the identical IEEE double
+    val base = (lit(1.0) - lit(damping)) / lit(n.toDouble)
+
+    var pr = ns.withColumn("pr", round(lit(1.0) / lit(n.toDouble), 12))
+    for (_ <- 1 to iterations) {
+      val dm = pr.join(deg, pr("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr").cast("decimal(28,12)")),
+          lit(0).cast("decimal(28,12)")).as("dm"))
+      val contrib = e.join(pr, e("src") === pr("node")) // rank vector shuffles TO the edges
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          round(col("pr") / col("deg"), 12).cast("decimal(28,12)").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      pr = ns
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dm))
+        .withColumn("pr",
+          round(base + lit(damping) *
+            (coalesce(col("s").cast("double"), lit(0.0)) +
+              col("dm").cast("double") / lit(n.toDouble)), 12))
+        .select("node", "pr")
+        .localCheckpoint(eager = true)
+    }
+    pr
+  }
+}

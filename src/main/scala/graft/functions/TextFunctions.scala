@@ -144,15 +144,11 @@ object TextFunctions {
 
   /** All word n-grams of the text IN ORDER (duplicates kept — the
     * distinct form is `Dedup.shingles`); whole text as one gram when
-    * shorter than n tokens. Per-row `transform(sequence(...))`, no
-    * explode, no shuffle.
+    * shorter than n tokens. Native codegen kernel ([[WordNgrams]]) — a
+    * pure per-row projection, no explode, no shuffle.
     */
-  def ngramsAll(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(
-        transform(sequence(lit(1), size(toks) - lit(n - 1)), i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  def ngramsAll(text: Column, n: Int): Column =
+    WordNgrams.wordNgrams(tokens(text), n)
 
   /** Overlapping token-window chunks (RAG/embedding prep): windows of
     * `chunkSize` tokens advancing by `stride` (< chunkSize ⇒ overlap of

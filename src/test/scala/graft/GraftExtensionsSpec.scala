@@ -35,13 +35,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val booksSql = books.map(b => s"${b}D").mkString("array(", ", ", ")")
     val viaSql = spark.sql(
       s"""SELECT char_ngrams('abcd', 3) AS g,
-                 pq_encode(array(1.0D, 0.0D, 0.0D, 1.0D), $booksSql, 2, 2) AS codes""").head()
+                 pq_encode(array(1.0D, 0.0D, 0.0D, 1.0D), $booksSql, 2, 2) AS codes,
+                 word_ngrams(array('a', 'b', 'c'), 2) AS wg""").head()
     val viaCol = spark.range(1).select(
       graft.functions.CharNgrams.charNgrams(lit("abcd"), 3).as("g"),
       graft.functions.PqEncode.pqEncode(
-        array(lit(1.0), lit(0.0), lit(0.0), lit(1.0)), books, 2, 2).as("codes")).head()
+        array(lit(1.0), lit(0.0), lit(0.0), lit(1.0)), books, 2, 2).as("codes"),
+      graft.functions.WordNgrams.wordNgrams(array(lit("a"), lit("b"), lit("c")), 2).as("wg")).head()
     assert(viaSql.getSeq[String](0) === viaCol.getSeq[String](0))
     assert(viaSql.getSeq[Int](1) === viaCol.getSeq[Int](1))
+    assert(viaSql.getSeq[String](2) === Seq("a b", "b c"))
+    assert(viaCol.getSeq[String](2) === Seq("a b", "b c"))
     assert(viaSql.getSeq[Int](1) === Seq(0, 1)) // unit vector picks its codewords
     // non-constant codebook is rejected with a clear message
     val err = intercept[Exception] {

@@ -38,6 +38,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)))        // unrelated
   }
 
+  test("ngramContainmentPairs: embedded doc scores C=1 where jaccard stays low; asymmetric") {
+    val embedded = Seq(
+      (1L, "the quick brown fox"), // 2 shingles, both inside doc 2
+      (2L, "the quick brown fox jumps over the lazy dog extra tail words here") // 11 shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(embedded, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    // 1 ⊆ 2: containment 2/2 = 1.0 but jaccard only 2/11 — the pair Jaccard misses
+    assert(out(((1L, 2L))) === ((1.0, 0.1818)))
+    // reverse direction 2 → 1 is 2/11 < 0.5: filtered — the score is asymmetric
+    assert(!out.contains((2L, 1L)))
+  }
+
   test("minhashLsh finds the exact-dup and near-dup pairs with high estimated jaccard") {
     val got = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, bands = 16, rowsPerBand = 4,
       threshold = 0.5)

@@ -1,0 +1,46 @@
+package graft.ext
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class LinkRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRank: two-node cycle plus dangling node matches the hand-run recurrence") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst") // 3 is dangling
+    val out = LinkRank.pageRank(nodes, "id", edges, "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // mirror of the engine arithmetic: round-12 contributions, dangling
+    // mass redistributed uniformly, round-12 new ranks
+    def rd(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = 3.0; val d = 0.85; val base = (1.0 - d) / n
+    var pr = Map(1L -> rd(1.0 / n), 2L -> rd(1.0 / n), 3L -> rd(1.0 / n))
+    for (_ <- 1 to 2) {
+      val dm = pr(3L)
+      def nxt(inflow: Double) = rd(base + d * (inflow + dm / n))
+      pr = Map(1L -> nxt(rd(pr(2L) / 1)), 2L -> nxt(rd(pr(1L) / 1)), 3L -> nxt(0.0))
+    }
+    assert(out === pr)
+    // total mass conserved up to per-node rounding; linked nodes outrank dangling
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    assert(out(1L) > out(3L))
+  }
+
+  test("pageRank: multi-edges count in both degree and contribution; in-edge-less node gets base") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    // 1 has out-degree 3 (two edges to 2, one to 3); nothing points at 1
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val out = LinkRank.pageRank(nodes, "id", edges, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def rd(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p0 = rd(1.0 / 3); val base = (1.0 - 0.85) / 3
+    // no dangling nodes here; node 1 receives nothing
+    assert(out(1L) === rd(base))
+    // node 2: two contributions of p0/3 from 1, one of p0/1 from 3
+    val exp2 = rd(base + 0.85 * (BigDecimal(rd(p0 / 3)) * 2 + BigDecimal(rd(p0 / 1))).toDouble)
+    assert(out(2L) === exp2)
+  }
+}

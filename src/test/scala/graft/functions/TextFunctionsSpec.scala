@@ -70,6 +70,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextFunctions.chunkTokens($"text", 4, 5) }
   }
 
+  test("ngramsAll (native WordNgrams) matches the HOF form on every edge case") {
+    val cases = Seq("the quick brown fox", "a b", "solo", "", "  x   y  z ", "a a a a")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val toks = TextFunctions.tokens($"text")
+      val hof = when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      val rows = df.select($"doc_id", TextFunctions.ngramsAll($"text", n).as("native"), hof.as("hof"))
+        .as[(Long, Seq[String], Seq[String])].collect()
+      rows.foreach { case (id, nat, h) => assert(nat === h, s"doc $id n=$n") }
+    }
+    // direct pins: order kept, duplicates kept, short/empty fall back to whole text
+    val g2 = df.filter($"doc_id" === 0).select(TextFunctions.ngramsAll($"text", 2)).as[Seq[String]].head()
+    assert(g2 === Seq("the quick", "quick brown", "brown fox"))
+    val dup = df.filter($"doc_id" === 5).select(TextFunctions.ngramsAll($"text", 2)).as[Seq[String]].head()
+    assert(dup === Seq("a a", "a a", "a a"))
+    val empty = df.filter($"doc_id" === 3).select(TextFunctions.ngramsAll($"text", 2)).as[Seq[String]].head()
+    assert(empty === Seq(""))
+  }
+
   test("repetitionRatio: 0 for novel text, rises with looped phrases") {
     val df = Seq(
       (1L, "a b c d e f"),       // 5 bigrams, all distinct -> 0.0
