@@ -541,6 +541,29 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // interval-OVERLAP join with NO equi-key (graft.ops.RangeJoin
+    // .intervalOverlap): click activity windows [ts, ts+value·1000 ms]
+    // overlapping purchase windows, as a time-axis grid equi-join with the
+    // first-shared-bin guard (each pair counted once, no distinct pass) —
+    // never the BroadcastNestedLoopJoin the naive form plans. floor() on
+    // the duration because DuckDB CAST(double AS BIGINT) rounds where
+    // Spark's cast truncates.
+    "j14_interval_overlap" -> ((s, dir) => {
+      val e = Tables.withDay(Tables.loadEvents(s, dir))
+        .withColumn("s_ms", unix_millis(col("ts")))
+        .withColumn("e_ms", col("s_ms") + floor(col("value") * 1000).cast("long"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "day", "s_ms", "e_ms")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "s_ms", "e_ms")
+      RangeJoin.intervalOverlap(clicks, purchases, "s_ms", "e_ms", binWidth = 600000L)
+        .groupBy(col("l_day").as("day"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("l_e_ms"), col("r_e_ms")) -
+            greatest(col("l_s_ms"), col("r_s_ms"))).as("overlap_ms"))
+        .orderBy("day")
+    }),
+
     // as-of join (operator Spark lacks; composed union+window — graft.ops
     // .AsOfJoin): each event matched to the user's most recent purchase
     // at-or-before it, at millisecond precision
@@ -2283,6 +2306,21 @@ object SparkEntry {
         .orderBy("event_type", "rnk")
     }),
 
+    // k-anonymity full-domain generalization ladder (graft.ext.Anonymize):
+    // quasi-identifiers (nation, segment, balance bucket) generalized
+    // most-identifying-first until each row's equivalence class reaches
+    // k=10 — per-level class sizes are domain-bounded aggregates broadcast
+    // back onto the scan, the data itself never shuffles
+    "x_k_anonymity" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("int"))
+      graft.ext.Anonymize
+        .fullDomainLadder(c, Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 10)
+        .select(col("c_custkey"), col("anon_level"),
+          col("gen_c_nationkey"), col("gen_c_mktsegment"), col("gen_bal_bucket"))
+        .orderBy("c_custkey")
+    }),
+
     // TF-IDF-style top-3 terms per document over a bounded corpus slice:
     // term frequencies and document frequencies as two aggregations, the
     // corpus size broadcast as a scalar, per-doc ranking by score. The
@@ -2996,6 +3034,16 @@ object SparkEntry {
            FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
              AND abs(a.ts_ms - b.ts_ms) <= 21600000
            GROUP BY a.user_id ORDER BY a.user_id""",
+      "j14_interval_overlap" ->
+        s"""WITH e AS (SELECT event_id, epoch_ms(ts) AS s_ms,
+                  epoch_ms(ts) + CAST(floor(value * 1000) AS BIGINT) AS e_ms,
+                  $dayE AS day, event_type FROM events),
+                c AS (SELECT * FROM e WHERE event_type = 'click'),
+                p AS (SELECT * FROM e WHERE event_type = 'purchase')
+           SELECT c.day, count(*) AS n_pairs,
+                  CAST(sum(least(c.e_ms, p.e_ms) - greatest(c.s_ms, p.s_ms)) AS BIGINT) AS overlap_ms
+           FROM c JOIN p ON c.s_ms <= p.e_ms AND p.s_ms <= c.e_ms
+           GROUP BY c.day ORDER BY c.day""",
       "j13_asof_native" ->
         """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value, event_type FROM events),
                 u AS (
@@ -3443,6 +3491,24 @@ object SparkEntry {
                       FROM events)
            SELECT event_id, event_type, CAST(rnk AS INTEGER) AS rnk
            FROM r WHERE rnk <= 100 ORDER BY event_type, rnk""",
+      "x_k_anonymity" ->
+        """WITH b AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                        CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_bucket
+                      FROM customer),
+                w AS (SELECT *,
+                        count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_bucket) AS cnt0,
+                        count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS cnt1,
+                        count(*) OVER (PARTITION BY c_nationkey) AS cnt2
+                      FROM b),
+                lv AS (SELECT *,
+                        CASE WHEN cnt0 >= 10 THEN 0 WHEN cnt1 >= 10 THEN 1
+                             WHEN cnt2 >= 10 THEN 2 ELSE 3 END AS anon_level
+                      FROM w)
+           SELECT c_custkey, CAST(anon_level AS INTEGER) AS anon_level,
+                  CASE WHEN anon_level <= 2 THEN CAST(c_nationkey AS VARCHAR) ELSE '*' END AS gen_c_nationkey,
+                  CASE WHEN anon_level <= 1 THEN c_mktsegment ELSE '*' END AS gen_c_mktsegment,
+                  CASE WHEN anon_level <= 0 THEN CAST(bal_bucket AS VARCHAR) ELSE '*' END AS gen_bal_bucket
+           FROM lv ORDER BY c_custkey""",
       "x_bm25_top_terms" ->
         """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
              toks AS (SELECT doc_id,
