@@ -771,6 +771,18 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // opaque-media ingest through the binaryFile source (graft.sources
+    // .BinaryIngest): a bounded doc sample materialized as one .bin file
+    // per payload (executor-side fixture write), read back as (path,
+    // length, content) rows — id from the file name, size from the file
+    // status, digest from the bytes. The on-ramp for the multimodal family.
+    "s9_binary_ingest" -> ((s, dir) => {
+      val out = persistentPath("s9bin", dir)
+      graft.sources.BinaryIngest.writeFixture(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text", out)
+      graft.sources.BinaryIngest.readDocs(s, out).orderBy("doc_id")
+    }),
+
     // output-file sizing / compaction roundtrip — the reference's
     // Partition-script.py repartition job with the 100 TB operational
     // contract made explicit: files capped at maxRecords rows, hot
@@ -1851,6 +1863,22 @@ object SparkEntry {
 
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("keep_id")),
+
+    // C4-style line-level global dedup (graft.ext.Dedup.lineDedup): every
+    // distinct line kept only at its first corpus-wide occurrence, docs
+    // reassembled from survivors. The testdata has no newlines, so "lines"
+    // are synthetic 10-token chunks (the operator takes any array<string>
+    // splitter); one hash shuffle on the line value, window partitioned BY
+    // LINE — never global
+    "x_line_dedup" -> ((s, dir) => {
+      val toks = TF.tokens(col("text"))
+      val nChunks = ceil(size(toks) / lit(10.0)).cast("int")
+      val lines = when(nChunks <= 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")))
+      Dedup.lineDedup(t(s, dir, "documents"), "doc_id", lines, joiner = " ")
+        .orderBy("doc_id")
+    }),
 
     // rollup composing the extension columns: per predicted language,
     // document count and mean quality score
@@ -3123,6 +3151,10 @@ object SparkEntry {
         s"""SELECT $dayE AS day, count(*) AS cnt,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
             FROM events WHERE $dayE >= '2024-01-10' GROUP BY 1 ORDER BY 1""",
+      "s9_binary_ingest" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                  md5(text) AS digest
+           FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
       "k7_compaction" ->
         s"""SELECT $dayE AS day, count(*) AS cnt,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
@@ -3626,6 +3658,20 @@ object SparkEntry {
         """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt,
                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
            FROM documents GROUP BY fp ORDER BY keep_id""",
+      "x_line_dedup" ->
+        s"""WITH d AS (SELECT doc_id, $toksE AS toks FROM documents),
+                c AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(toks)/10.0) AS INTEGER)),
+                        i -> array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')) AS lines FROM d),
+                e AS (SELECT doc_id, i AS pos, lines[i+1] AS line
+                      FROM c, unnest(range(0, len(lines))) AS t(i)),
+                w AS (SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM e),
+                k AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS kept_text,
+                             count(*) AS n_kept
+                      FROM w WHERE rn = 1 GROUP BY doc_id)
+           SELECT c.doc_id, coalesce(k.kept_text, '') AS kept_text,
+                  coalesce(k.n_kept, 0) AS n_kept,
+                  CAST(len(c.lines) AS INTEGER) AS n_total
+           FROM c LEFT JOIN k USING (doc_id) ORDER BY c.doc_id""",
       "x_ngram_jaccard" ->
         s"""WITH d AS (SELECT doc_id, $toksE AS toks FROM documents WHERE doc_id % 4 = 0),
                  s AS (SELECT doc_id,

@@ -185,6 +185,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out(23L) === ((0, "tiny doc")))
   }
 
+  test("lineDedup keeps each line at its first (doc, pos) only and reassembles in order") {
+    import org.apache.spark.sql.functions.{col, split}
+    val d = Seq(
+      (1L, "aa|bb|cc"),
+      (2L, "bb|dd"),   // bb already seen in doc 1
+      (3L, "cc|aa"),   // everything seen — survives empty
+      (4L, "ee|aa|ff") // middle line dropped, order of survivors kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, "doc_id", split(col("text"), "\\|"), joiner = "|")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) === (("aa|bb|cc", 3L, 3)))
+    assert(out(2L) === (("dd", 1L, 2)))
+    assert(out(3L) === (("", 0L, 2)))
+    assert(out(4L) === (("ee|ff", 2L, 3)))
+  }
+
+  test("lineDedup's ranking window is partitioned by line, never global") {
+    import org.apache.spark.sql.functions.{col, split}
+    val d = Seq((1L, "aa|bb")).toDF("doc_id", "text")
+    val plan = Dedup.lineDedup(d, "doc_id", split(col("text"), "\\|"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") || plan.contains("windowspecdefinition(line"),
+      s"window must partition by line:\n$plan")
+    assert(plan.contains("hashpartitioning(line"), s"expected a line-hash exchange:\n$plan")
+  }
+
   test("editDistanceVerify scores candidate pairs without shuffling the corpus") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
     val outDf = Dedup.editDistanceVerify(docs, "doc_id", "text", pairs)
