@@ -1842,6 +1842,18 @@ object SparkEntry {
           TF.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")),
 
+    // BPE merge discovery (graft.ext.Bpe): 8 greedy merges learned from
+    // the word-frequency table — corpus-scale cost is the ONE word count,
+    // every merge iteration is an aggregation over the bounded vocabulary.
+    // Oracle is 8 unrolled DuckDB stages folding each merge by separator-
+    // safe string replacement (chr(1)-wrapped tokens)
+    "x_bpe_merges" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      graft.ext.Bpe.learnMerges(words, "word", "freq", nMerges = 8).orderBy("rank")
+    }),
+
     "x_quality_score" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2169,6 +2181,17 @@ object SparkEntry {
     "x_embed_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // hard-negative mining (graft.ext.Similarity.hardNegativesTopK):
+    // per query, top-5 most similar vectors with a DIFFERENT label — the
+    // label inequality rides in the broadcast join condition, the corpus
+    // never shuffles
+    "x_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegativesTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", "label", k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -2768,6 +2791,30 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = {
     val dayE = "strftime(ts, '%Y-%m-%d')"
+    // x_bpe_merges: 8 unrolled merge stages. Tokens ride in a chr(1)-
+    // wrapped string ("\u0001tok\u0001" concatenated), so one merge is a
+    // plain left-to-right replace() of "\u0001l\u0001\u0001r\u0001" with
+    // "\u0001lr\u0001" — boundary-safe (tokens never contain chr(1)) and
+    // exactly the greedy non-overlapping fold the Spark side applies.
+    val bpeStage = (i: Int) =>
+      s"""p$i AS (SELECT t[i] AS l, t[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+              FROM (SELECT freq, string_split(trim(s, chr(1)), chr(1)||chr(1)) AS t FROM s$i) z,
+                   unnest(range(1, len(t))) AS u(i)
+              GROUP BY 1, 2),
+          m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+          s${i + 1} AS (SELECT freq, replace(s, chr(1)||l||chr(1)||chr(1)||r||chr(1),
+                               chr(1)||l||r||chr(1)) AS s FROM s$i, m$i)"""
+    val bpeSql = {
+      val toksE0 = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+      s"""WITH w AS (SELECT word, count(*) AS freq
+                     FROM (SELECT unnest($toksE0) AS word FROM documents) GROUP BY word),
+              s0 AS (SELECT freq, chr(1) || array_to_string(string_split(word, ''), chr(1)||chr(1)) || chr(1) AS s FROM w),
+              ${(0 until 8).map(bpeStage).mkString(",\n")}
+         ${(0 until 8).map(i =>
+           s"SELECT CAST(${i + 1} AS INTEGER) AS rank, l AS lhs, r AS rhs, l||r AS merged, cnt FROM m$i")
+           .mkString("\n UNION ALL ")}
+         ORDER BY rank"""
+    }
     val sinkSql = s"SELECT *, $dayE AS day FROM events WHERE $dayE < '2024-01-20' AND event_id % 10 <> 0"
     val toksE = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
     val stopList = TF.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -3652,6 +3699,7 @@ object SparkEntry {
             SELECT lang_pred, count(*) AS n_docs,
                    round(CAST(sum(CAST($qualityE AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_quality
             FROM lp GROUP BY lang_pred ORDER BY lang_pred""",
+      "x_bpe_merges" -> bpeSql,
       "x_fingerprint" ->
         "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents ORDER BY doc_id",
       "x_dedup_exact" ->
@@ -3924,6 +3972,17 @@ object SparkEntry {
                 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, neighbor_id) AS rank
                       FROM s)
            SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 4) AS score
+           FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+      "x_hard_negatives" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings),
+                q AS (SELECT vec_id AS query_id, v AS vq, label AS ql FROM e WHERE vec_id < 10),
+                s AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+                        list_dot_product(q.vq, e.v) /
+                          (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(e.v, e.v))) AS score
+                      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id AND e.label <> q.ql),
+                r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, neighbor_id) AS rank
+                      FROM s)
+           SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, neg_label, round(score, 4) AS score
            FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
       // recall gates: the oracle pins the report shape (10 deciles × 10
       // queries × 10 truth rows) and recall_ok = TRUE for every decile —

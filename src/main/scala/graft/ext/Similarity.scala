@@ -40,6 +40,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Hard-negative mining — contrastive-training's data prep: per query,
+    * the top-k most similar corpus vectors carrying a DIFFERENT label
+    * (near-misses are the informative negatives). Same plan shape as
+    * [[bruteTopK]]: broadcast query set, label inequality folded into the
+    * join condition so mismatched pairs never materialize, zero corpus
+    * shuffle; swap the candidate source to [[lshTopK]]'s buckets when the
+    * query set outgrows a broadcast.
+    * Output: query_id, rank, neighbor_id, neg_label, score.
+    */
+  def hardNegativesTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("v_c"), col(labelCol).as("neg_label"))
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("v_q"), col(labelCol).as("q_label"))
+    val scored = c
+      .join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("neg_label") =!= col("q_label"))
+      .withColumn("score", cosine(col("v_q"), col("v_c")))
+    val w = Window.partitionBy(col("query_id")).orderBy(round(col("score"), 6).desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neg_label"), round(col("score"), 4).as("score"))
+  }
+
   /** LSH-bucketed approximate top-k: only corpus vectors landing in the
     * same sign-random-projection bucket as the query — in ANY of `tables`
     * independent hash tables (OR-amplification), with `probes` extra

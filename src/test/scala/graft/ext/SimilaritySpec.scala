@@ -23,6 +23,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegativesTopK: every neighbor's label differs; equals bruteTopK filtered by label") {
+    val queries = embs.filter(col("vec_id") < 5)
+    val got = Similarity.hardNegativesTopK(embs, queries, "vec_id", "embedding", "label", k = 3)
+    val labels = embs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.collect()
+    assert(rows.length === 15)
+    rows.foreach { r =>
+      assert(r.getInt(3) === labels(r.getLong(2)), "neg_label must be the neighbor's label")
+      assert(r.getInt(3) !== labels(r.getLong(0)), "neighbor label must differ from query label")
+    }
+    // agreement with the unrestricted ranking: restricting bruteTopK(k=all)
+    // to differing labels and re-ranking gives the same neighbor sets
+    val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", k = 500)
+      .collect().filter(r => labels(r.getLong(2)) != labels(r.getLong(0)))
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).take(3).map(_.getLong(2)).toSeq
+      }
+    val gotSets = rows.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    }
+    assert(gotSets === brute)
+  }
+
+  test("hardNegativesTopK broadcasts the query set — the corpus never shuffles to score") {
+    val plan = Similarity.hardNegativesTopK(
+      embs, embs.filter(col("vec_id") < 5), "vec_id", "embedding", "label", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle to score:\n$plan")
+  }
+
   test("lshTopK achieves reasonable recall of the brute-force top-3") {
     val queries = embs.filter(col("vec_id") < 20)
     val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", k = 3)
