@@ -1854,6 +1854,29 @@ object SparkEntry {
       graft.ext.Bpe.learnMerges(words, "word", "freq", nMerges = 8).orderBy("rank")
     }),
 
+    // BPE applied (graft.ext.Bpe.encodeTokenCounts): per-doc word and BPE
+    // token counts after the 8 learned merges — the vocabulary is encoded
+    // ONCE and broadcast; the corpus pass is explode + equi-join + re-agg,
+    // the folds never run per corpus row
+    "x_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = docs.select(explode(TF.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val learned = graft.ext.Bpe.learn(words, "word", "freq", nMerges = 8)
+      graft.ext.Bpe.encodeTokenCounts(docs, "doc_id", TF.tokens(col("text")), learned)
+        .orderBy("doc_id")
+    }),
+
+    // T5-style span corruption (graft.ext.Denoise): ~15% of each doc's
+    // tokens chosen as length-3 spans via per-(doc, span) LCG offsets —
+    // pure projection, reproducible across engines/partitionings; spans
+    // collapse to sentinels in `corrupted`, removed text lands in `targets`
+    "x_span_corruption" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +:
+          graft.ext.Denoise.spanCorrupt(col("doc_id"), TF.tokens(col("text"))): _*)
+        .orderBy("doc_id")),
+
     "x_quality_score" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2802,19 +2825,27 @@ object SparkEntry {
                    unnest(range(1, len(t))) AS u(i)
               GROUP BY 1, 2),
           m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-          s${i + 1} AS (SELECT freq, replace(s, chr(1)||l||chr(1)||chr(1)||r||chr(1),
+          s${i + 1} AS (SELECT word, freq, replace(s, chr(1)||l||chr(1)||chr(1)||r||chr(1),
                                chr(1)||l||r||chr(1)) AS s FROM s$i, m$i)"""
-    val bpeSql = {
-      val toksE0 = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
-      s"""WITH w AS (SELECT word, count(*) AS freq
-                     FROM (SELECT unnest($toksE0) AS word FROM documents) GROUP BY word),
-              s0 AS (SELECT freq, chr(1) || array_to_string(string_split(word, ''), chr(1)||chr(1)) || chr(1) AS s FROM w),
-              ${(0 until 8).map(bpeStage).mkString(",\n")}
+    val bpeToksE = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+    // shared prefix: vocab + 8 unrolled merge stages (s8 = final token strings)
+    val bpePrefix =
+      s"""w AS (SELECT word, count(*) AS freq
+               FROM (SELECT unnest($bpeToksE) AS word FROM documents) GROUP BY word),
+          s0 AS (SELECT word, freq, chr(1) || array_to_string(string_split(word, ''), chr(1)||chr(1)) || chr(1) AS s FROM w),
+          ${(0 until 8).map(bpeStage).mkString(",\n")}"""
+    val bpeSql =
+      s"""WITH $bpePrefix
          ${(0 until 8).map(i =>
            s"SELECT CAST(${i + 1} AS INTEGER) AS rank, l AS lhs, r AS rhs, l||r AS merged, cnt FROM m$i")
            .mkString("\n UNION ALL ")}
          ORDER BY rank"""
-    }
+    val bpeEncodeSql =
+      s"""WITH $bpePrefix,
+          enc AS (SELECT word, CAST(len(string_split(trim(s, chr(1)), chr(1)||chr(1))) AS INTEGER) AS n_tok FROM s8),
+          dw AS (SELECT doc_id, unnest($bpeToksE) AS word FROM documents)
+         SELECT doc_id, count(*) AS n_words, CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+         FROM dw JOIN enc USING (word) GROUP BY doc_id ORDER BY doc_id"""
     val sinkSql = s"SELECT *, $dayE AS day FROM events WHERE $dayE < '2024-01-20' AND event_id % 10 <> 0"
     val toksE = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
     val stopList = TF.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -3700,6 +3731,34 @@ object SparkEntry {
                    round(CAST(sum(CAST($qualityE AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_quality
             FROM lp GROUP BY lang_pred ORDER BY lang_pred""",
       "x_bpe_merges" -> bpeSql,
+      "x_bpe_encode" -> bpeEncodeSql,
+      // span arithmetic mirrored operation-for-operation (double division +
+      // floor in both engines; LCG mod chain on positive operands)
+      "x_span_corruption" ->
+        s"""WITH d AS (SELECT doc_id, $toksE AS t FROM documents),
+                p AS (SELECT doc_id, t, len(t) AS n,
+                        CAST(floor(len(t) * 0.15 / 3) AS INTEGER) AS k FROM d),
+                q AS (SELECT *, CASE WHEN k > 0 THEN CAST(floor(n / k) AS BIGINT)
+                                     ELSE 9223372036854775807 END AS s FROM p)
+           SELECT doc_id, CAST(n AS INTEGER) AS n_tokens, k AS n_spans,
+                  array_to_string(list_filter(list_transform(range(0, n), p2 ->
+                    CASE WHEN NOT (CAST(floor(p2 / s) AS BIGINT) < k
+                               AND p2 >= CAST(floor(p2 / s) AS BIGINT) * s
+                                   + ((doc_id * 1103515245 + (CAST(floor(p2 / s) AS BIGINT) + 1) * 12345) % 1000000007) % (s - 3 + 1)
+                               AND p2 < CAST(floor(p2 / s) AS BIGINT) * s
+                                   + ((doc_id * 1103515245 + (CAST(floor(p2 / s) AS BIGINT) + 1) * 12345) % 1000000007) % (s - 3 + 1) + 3)
+                         THEN t[CAST(p2 AS INTEGER) + 1]
+                         WHEN p2 = CAST(floor(p2 / s) AS BIGINT) * s
+                                   + ((doc_id * 1103515245 + (CAST(floor(p2 / s) AS BIGINT) + 1) * 12345) % 1000000007) % (s - 3 + 1)
+                         THEN '<extra_id_' || CAST(CAST(floor(p2 / s) AS INTEGER) AS VARCHAR) || '>'
+                         ELSE '' END), x -> x <> ''), ' ') AS corrupted,
+                  CASE WHEN k > 0 THEN array_to_string(list_transform(range(0, CAST(k AS BIGINT)), j ->
+                    '<extra_id_' || CAST(CAST(j AS INTEGER) AS VARCHAR) || '> ' ||
+                    array_to_string(list_slice(t,
+                      CAST(j * s + ((doc_id * 1103515245 + (j + 1) * 12345) % 1000000007) % (s - 3 + 1) AS INTEGER) + 1,
+                      CAST(j * s + ((doc_id * 1103515245 + (j + 1) * 12345) % 1000000007) % (s - 3 + 1) AS INTEGER) + 3), ' ')), ' ')
+                       ELSE '' END AS targets
+           FROM q ORDER BY doc_id""",
       "x_fingerprint" ->
         "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents ORDER BY doc_id",
       "x_dedup_exact" ->

@@ -3,9 +3,9 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
-/** Byte-pair-encoding merge discovery — the tokenizer-training step of an
-  * LLM data pipeline (north-star extension; the token-counting side lives
-  * in [[graft.functions.TextFunctions.subwordCount]]).
+/** Byte-pair-encoding merge discovery and application — the tokenizer
+  * step of an LLM data pipeline (the token-counting side lives in
+  * [[graft.functions.TextFunctions.subwordCount]]).
   *
   * Classic BPE trains on the WORD-FREQUENCY table, not the corpus: the
   * corpus-scale work is one groupBy(word).count, after which every merge
@@ -14,20 +14,25 @@ import org.apache.spark.sql.functions._
   * iteration is one aggregation over that table (adjacent-pair counts
   * weighted by word frequency) plus a map applying the chosen merge; the
   * chosen pair itself is a single driver-side row per iteration, exactly
-  * like a broadcast threshold.
+  * like a broadcast threshold. ENCODING follows the same shape: encode
+  * the vocabulary once, broadcast the (word → token count) table, and
+  * the corpus pass is an equi-join — the folds never run per corpus row.
   */
 object Bpe {
 
-  /** Learn `nMerges` merges greedily: each round picks the most frequent
-    * adjacent token pair (ties broken lexicographically — deterministic)
-    * and rewrites every word's token array by greedy left-to-right
-    * non-overlapping replacement. Output: rank, lhs, rhs, merged, cnt
-    * (the pair's weighted frequency when it was chosen).
+  /** Learned state: the merge list (rank, lhs, rhs, merged, weighted pair
+    * count at selection time) and the vocabulary with final token arrays.
     */
-  def learnMerges(words: DataFrame, wordCol: String, freqCol: String, nMerges: Int): DataFrame = {
-    val spark = words.sparkSession
+  final case class Learned(merges: Seq[(Int, String, String, String, Long)], vocab: DataFrame)
+
+  /** Greedy training core: each round picks the most frequent adjacent
+    * token pair (ties broken lexicographically — deterministic) and
+    * rewrites every vocab word's token array by greedy left-to-right
+    * non-overlapping replacement. Stops early when no pairs remain.
+    */
+  def learn(words: DataFrame, wordCol: String, freqCol: String, nMerges: Int): Learned = {
     var toks = words.select(
-      split(col(wordCol), "").as("t"), col(freqCol).cast("long").as("f"))
+      col(wordCol).as("w"), split(col(wordCol), "").as("t"), col(freqCol).cast("long").as("f"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -47,6 +52,7 @@ object Bpe {
         // greedy left fold: merge (l, r) wherever the accumulator's last
         // token is l and the incoming token is r
         toks = toks.select(
+          col("w"),
           aggregate(
             slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
             slice(col("t"), lit(1), lit(1)),
@@ -57,7 +63,29 @@ object Bpe {
         rank += 1
       }
     }
+    Learned(merges.toSeq, toks)
+  }
+
+  /** The merge table as a DataFrame: rank, lhs, rhs, merged, cnt. */
+  def learnMerges(words: DataFrame, wordCol: String, freqCol: String, nMerges: Int): DataFrame = {
+    val spark = words.sparkSession
     import spark.implicits._
-    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "cnt")
+    learn(words, wordCol, freqCol, nMerges).merges.toDF("rank", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** Encode a corpus with a learned vocabulary: per doc, the word count
+    * and the BPE token count. The encoded vocab (word → token count) is
+    * broadcast; the corpus-side plan is explode + equi-join + re-agg —
+    * no fold runs per corpus row, and words outside the vocab (impossible
+    * when the vocab was counted from this corpus) would drop out rather
+    * than silently miscount.
+    */
+  def encodeTokenCounts(docs: DataFrame, idCol: String, toksCol: org.apache.spark.sql.Column,
+      learned: Learned): DataFrame = {
+    val enc = learned.vocab.select(col("w").as("word"), size(col("t")).as("n_tok"))
+    docs.select(col(idCol), explode(toksCol).as("word"))
+      .join(broadcast(enc), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tokens"))
   }
 }

@@ -24,6 +24,21 @@ class BpeSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("encodeTokenCounts: vocab encoded once, corpus counts follow the merges") {
+    import org.apache.spark.sql.functions.{col, split}
+    val w = Seq(("ab", 2L), ("abab", 1L)).toDF("word", "freq")
+    val docs = Seq((1L, "ab abab ab"), (2L, "abab")).toDF("doc_id", "text")
+    def counts(n: Int) = {
+      val learned = Bpe.learn(w, "word", "freq", nMerges = n)
+      Bpe.encodeTokenCounts(docs, "doc_id", split(col("text"), " "), learned)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    // after 1 merge (a,b): ab=[ab] (1 tok), abab=[ab,ab] (2 toks)
+    assert(counts(1) === Map(1L -> ((3L, 4L)), 2L -> ((1L, 2L))))
+    // after 2 merges (+ (ab,ab)): abab=[abab] (1 tok)
+    assert(counts(2) === Map(1L -> ((3L, 3L)), 2L -> ((1L, 1L))))
+  }
+
   test("ties break lexicographically and exhaustion stops early") {
     // (a,b) and (c,d) both count 1 → (a,b) first; after 2 merges both words
     // are single tokens, so merge 3 never materializes
