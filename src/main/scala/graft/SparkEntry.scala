@@ -276,6 +276,27 @@ object SparkEntry {
         .orderBy("day", "event_id")
     }),
 
+    // MAD robust outliers — a18's heavy-tail-safe sibling: modified
+    // z-score 0.6745·(v−med)/MAD with |rz| > 3.5, per event type. The two
+    // medians are exact interpolated percentiles (group sizes bounded by
+    // type cardinality × day volume; at 100 TB swap percentile for
+    // approx_percentile(ε) — same plan shape). Both stats tables are
+    // |types| rows → broadcast joins; the flag derives from the ROUNDED
+    // score so the threshold compare is engine-identical
+    "a19_mad_outliers" -> ((s, dir) => {
+      val e = events(s, dir).select("event_type", "event_id", "value")
+      val med = e.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+      val withMed = e.join(broadcast(med), "event_type")
+      val mad = withMed.groupBy("event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      withMed.join(broadcast(mad), "event_type")
+        .withColumn("robust_z",
+          round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4))
+        .filter(abs(col("robust_z")) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"), col("robust_z"))
+        .orderBy("event_id")
+    }),
+
     // MERGEABLE distinct sketches — the incremental-MV form of a7: one
     // tiny Datasketches-HLL sketch per day (persistable alongside t9's
     // incremental aggregates), merged WITHOUT rescanning events. At 100 TB
@@ -2207,6 +2228,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // per-dimension embedding standardization (z-score feature scaling —
+    // ANN/quantizer prep): dim stats from EXACT decimal (S, Q) sums (a18
+    // discipline, scale 8 to keep float precision); map-side combine means
+    // the shuffle carries only partitions×dims partial rows, and the
+    // |dims|-row stats table broadcasts back onto the scan
+    "x_embed_standardize" -> ((s, dir) => {
+      val dims = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .withColumn("x", col("xf").cast("double"))
+        .withColumn("xdec", col("x").cast("decimal(18,8)"))
+      val st = dims.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum(col("xdec")).cast("double").as("s"),
+        sum(col("xdec") * col("xdec")).cast("double").as("qq"))
+      dims.join(broadcast(st), "dim")
+        .withColumn("z", round((col("x") - col("s") / col("n")) /
+          sqrt((col("qq") - col("s") * col("s") / col("n")) / (col("n") - 1)), 4))
+        .select(col("vec_id"), col("dim"), col("z"))
+        .orderBy("vec_id", "dim")
+    }),
+
     // hard-negative mining (graft.ext.Similarity.hardNegativesTopK):
     // per query, top-5 most similar vectors with a DIFFERENT label — the
     // label inequality rides in the broadcast join condition, the corpus
@@ -2393,6 +2435,30 @@ object SparkEntry {
         .select(col("c_custkey"), col("anon_level"),
           col("gen_c_nationkey"), col("gen_c_mktsegment"), col("gen_bal_bucket"))
         .orderBy("c_custkey")
+    }),
+
+    // curriculum ordering: docs ranked easy→hard by quality score via the
+    // DISTRIBUTED global ordinal (graft.ops.Batching.globalOrdinal — no
+    // single-task window), split into 4 equal tiers by ceil-division of
+    // the ordinal; the total count rides a broadcast 1-row aggregate.
+    // The ordinal key packs (quality, doc_id) into one long so ties are
+    // deterministic; round() before the cast because Spark truncates
+    // double→long where DuckDB rounds
+    "x_curriculum" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("q"))
+        .withColumn("key",
+          round(col("q") * 1e4, 0).cast("long") * lit(10000000L) + col("doc_id"))
+      val ranked = Batching.globalOrdinal(d, "key", "rn")
+      val tot = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("tier", expr("(rn * 4 + n - 1) div n").cast("int"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("q")), 4).as("min_q"),
+          round(max(col("q")), 4).as("max_q"),
+          round(dsum(col("q")) / count(lit(1)), 4).as("avg_q"))
+        .orderBy("tier")
     }),
 
     // TF-IDF-style top-3 terms per document over a bounded corpus slice:
@@ -2915,6 +2981,16 @@ object SparkEntry {
         s"""SELECT count(DISTINCT $dayE) AS n_days,
                    count(DISTINCT user_id) AS exact_users, TRUE AS union_ok
             FROM events""",
+      "a19_mad_outliers" ->
+        """WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+                d AS (SELECT e.event_id, e.event_type, e.value, m.med
+                      FROM events e JOIN m USING (event_type)),
+                md AS (SELECT event_type, median(abs(value - med)) AS mad FROM d GROUP BY 1),
+                sc AS (SELECT d.event_id, d.event_type, d.value,
+                         round(0.6745 * (d.value - d.med) / md.mad, 4) AS robust_z
+                       FROM d JOIN md USING (event_type))
+           SELECT event_id, event_type, value, robust_z
+           FROM sc WHERE abs(robust_z) > 3.5 ORDER BY event_id""",
       "a18_zscore_outliers" ->
         s"""WITH e AS (SELECT $dayE AS day, event_id, CAST(value AS DECIMAL(18,4)) AS vdec FROM events),
                  st AS (SELECT day, count(*) AS n, sum(vdec) AS sdec, sum(vdec*vdec) AS qdec
@@ -3601,6 +3677,17 @@ object SparkEntry {
                       FROM events)
            SELECT event_id, event_type, CAST(rnk AS INTEGER) AS rnk
            FROM r WHERE rnk <= 100 ORDER BY event_type, rnk""",
+      "x_curriculum" ->
+        s"""WITH d AS (SELECT doc_id, $qualityE AS q FROM documents),
+                k AS (SELECT doc_id, q,
+                        CAST(round(q * 1e4, 0) AS BIGINT) * 10000000 + doc_id AS key FROM d),
+                r AS (SELECT q, row_number() OVER (ORDER BY key) AS rn,
+                             count(*) OVER () AS n FROM k),
+                ti AS (SELECT q, CAST((rn * 4 + n - 1) // n AS INTEGER) AS tier FROM r)
+           SELECT tier, count(*) AS n_docs,
+                  round(min(q), 4) AS min_q, round(max(q), 4) AS max_q,
+                  round(CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_q
+           FROM ti GROUP BY tier ORDER BY tier""",
       "x_k_anonymity" ->
         """WITH b AS (SELECT c_custkey, c_nationkey, c_mktsegment,
                         CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_bucket
@@ -4032,6 +4119,16 @@ object SparkEntry {
                       FROM s)
            SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 4) AS score
            FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+      "x_embed_standardize" ->
+        """WITH dims AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+                         FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+                st AS (SELECT dim, count(*) AS n,
+                         CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS s,
+                         CAST(sum(CAST(x AS DECIMAL(18,8)) * CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS qq
+                       FROM dims GROUP BY dim)
+           SELECT d.vec_id, d.dim,
+                  round((d.x - st.s / st.n) / sqrt((st.qq - st.s * st.s / st.n) / (st.n - 1)), 4) AS z
+           FROM dims d JOIN st USING (dim) ORDER BY d.vec_id, d.dim""",
       "x_hard_negatives" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings),
                 q AS (SELECT vec_id AS query_id, v AS vq, label AS ql FROM e WHERE vec_id < 10),
