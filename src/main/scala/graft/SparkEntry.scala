@@ -2437,6 +2437,45 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // class rebalancing: every class downsampled DETERMINISTICALLY to the
+    // minority class size (per-class LCG-hash ranking — the stratified-
+    // sample discipline; the min size is a broadcast 1-row aggregate).
+    // id_sum pins the exact kept SET, not just its size
+    "x_label_balance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = (col("event_id") * lit(1103515245L) + lit(12345L)) % lit(1000000007L)
+      val w = Window.partitionBy(col("event_type")).orderBy(h, col("event_id"))
+      val ranked = t(s, dir, "events").select(col("event_id"), col("event_type"))
+        .withColumn("rnk", row_number().over(w))
+      val mn = ranked.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("mn"))
+      ranked.crossJoin(broadcast(mn))
+        .filter(col("rnk") <= col("mn"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"), sum(col("event_id")).as("id_sum"))
+        .orderBy("event_type")
+    }),
+
+    // winsorized statistics: per-type clip at the exact [p01, p99]
+    // percentiles (|types|-row stats table broadcast back), DECIMAL-summed
+    // clipped mean + clip counts — the outlier-robust mean to a19's
+    // outlier REPORT
+    "x_winsorize" -> ((s, dir) => {
+      val e = events(s, dir).select("event_type", "value")
+      val p = e.groupBy("event_type").agg(
+        expr("percentile(value, 0.01)").as("p01"),
+        expr("percentile(value, 0.99)").as("p99"))
+      e.join(broadcast(p), "event_type")
+        .withColumn("clipped", least(greatest(col("value"), col("p01")), col("p99")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("clipped").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+            .as("wins_mean"),
+          sum(when(col("value") < col("p01") || col("value") > col("p99"), 1L)
+            .otherwise(0L)).as("n_clipped"))
+        .orderBy("event_type")
+    }),
+
     // curriculum ordering: docs ranked easy→hard by quality score via the
     // DISTRIBUTED global ordinal (graft.ops.Batching.globalOrdinal — no
     // single-task window), split into 4 equal tiers by ceil-division of
@@ -3677,6 +3716,22 @@ object SparkEntry {
                       FROM events)
            SELECT event_id, event_type, CAST(rnk AS INTEGER) AS rnk
            FROM r WHERE rnk <= 100 ORDER BY event_type, rnk""",
+      "x_label_balance" ->
+        """WITH r AS (SELECT event_id, event_type,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY (event_id * 1103515245 + 12345) % 1000000007, event_id) AS rnk
+                      FROM events),
+                m AS (SELECT min(n) AS mn FROM (SELECT count(*) AS n FROM events GROUP BY event_type))
+           SELECT event_type, count(*) AS n_kept, CAST(sum(event_id) AS BIGINT) AS id_sum
+           FROM r, m WHERE rnk <= mn GROUP BY event_type ORDER BY event_type""",
+      "x_winsorize" ->
+        """WITH p AS (SELECT event_type, quantile_cont(value, 0.01) AS p01,
+                             quantile_cont(value, 0.99) AS p99
+                      FROM events GROUP BY 1)
+           SELECT e.event_type, count(*) AS n,
+                  round(CAST(sum(CAST(least(greatest(e.value, p.p01), p.p99) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS wins_mean,
+                  CAST(sum(CASE WHEN e.value < p.p01 OR e.value > p.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+           FROM events e JOIN p USING (event_type) GROUP BY e.event_type ORDER BY e.event_type""",
       "x_curriculum" ->
         s"""WITH d AS (SELECT doc_id, $qualityE AS q FROM documents),
                 k AS (SELECT doc_id, q,
