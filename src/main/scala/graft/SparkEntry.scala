@@ -46,6 +46,11 @@ object SparkEntry {
     */
   private lazy val rpSigns: Array[Double] = graft.functions.RpProject.signMatrix(16, 64)
 
+  /** 2×64 sign matrix for the x_semantic_dedup projection grid (same
+    * render-into-oracle discipline as [[rpSigns]]).
+    */
+  private lazy val rp2Signs: Array[Double] = graft.functions.RpProject.signMatrix(2, 64)
+
   /** Deterministic per-dataset scratch dir, wiped on entry: repeated
     * invocations (Bench runs every query 4×) reuse ONE path instead of
     * leaking a fresh temp copy each call.
@@ -2028,6 +2033,30 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // SemDeDup-style semantic dedup, composed end-to-end: projection-grid
+    // candidate pairs (Dedup.semanticGridPairs — 9·|corpus| probe rows
+    // through ONE (cx,cy) equi-join, never all-pairs) → connected
+    // components → keep the best-quality member per cluster. The grid is
+    // a Rademacher projection (exact ±1 arithmetic), so unlike k-means
+    // cells the whole composition is engine-portable and exactly oracled
+    "x_semantic_dedup" -> ((s, dir) => {
+      val pairs = Dedup.semanticGridPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        rp2Signs, cellWidth = 8.0, threshold = 0.38)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val q = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), TF.qualityScore(col("text")).as("quality"))
+      val cq = clusters.join(q, "id")
+      val best = cq.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"), max(col("quality")).as("best_quality"))
+      cq.join(best, "cluster_id")
+        .filter(col("quality") === col("best_quality"))
+        .groupBy("cluster_id", "n_docs", "best_quality")
+        .agg(min(col("id")).as("keep_id"))
+        .select("cluster_id", "n_docs", "keep_id", "best_quality")
+        .orderBy("cluster_id")
+    }),
+
     // the composed C4-style cleaning pipeline: quality filter → exact dedup
     // (keep min id per fingerprint) → deterministic per-language sample.
     // One declarative plan: two window functions and a projection — each
@@ -2981,6 +3010,8 @@ object SparkEntry {
     val rpSignsLit = (0 until 16).map(j => (0 until 64).map(i =>
       if (rpSigns(j * 64 + i) > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
     val rpYSql = (0 until 16).map(j => s"list_dot_product(emb, ${rpSignsLit(j)}) / sqrt(16.0)")
+    val rp2Lit = (0 until 2).map(j => (0 until 64).map(i =>
+      if (rp2Signs(j * 64 + i) > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
     Map(
       "s1_scan_project" ->
         """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -4207,6 +4238,32 @@ object SparkEntry {
         """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
                   count(*) * 10 AS n_true, TRUE AS recall_ok
            FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
+      "x_semantic_dedup" ->
+        s"""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                      FROM embeddings),
+                pr AS (SELECT vec_id, v,
+                         CAST(floor((list_dot_product(v, ${rp2Lit(0)}) / sqrt(2.0)) / 8.0) AS BIGINT) AS cx,
+                         CAST(floor((list_dot_product(v, ${rp2Lit(1)}) / sqrt(2.0)) / 8.0) AS BIGINT) AS cy
+                       FROM e),
+                pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                            round(list_dot_product(a.v, b.v) /
+                              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+                          FROM pr a JOIN pr b
+                          ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.vec_id < b.vec_id),
+                sel AS (SELECT id_a, id_b FROM pairs WHERE cos >= 0.38),
+                und AS (SELECT id_a AS a, id_b AS b FROM sel UNION SELECT id_b, id_a FROM sel),
+                reach(a, b) AS (
+                  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+                  UNION
+                  SELECT u.a, r.b FROM und u JOIN reach r ON u.b = r.a),
+                cl AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a),
+                q AS (SELECT doc_id AS id, $qualityE AS quality FROM documents),
+                cq AS (SELECT cl.cluster_id, cl.id, q.quality FROM cl JOIN q USING (id)),
+                best AS (SELECT cluster_id, count(*) AS n_docs, max(quality) AS best_quality
+                         FROM cq GROUP BY 1)
+           SELECT b.cluster_id, b.n_docs, min(cq.id) AS keep_id, b.best_quality
+           FROM cq JOIN best b USING (cluster_id) WHERE cq.quality = b.best_quality
+           GROUP BY b.cluster_id, b.n_docs, b.best_quality ORDER BY b.cluster_id""",
       "x_embed_neardup" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                       FROM embeddings WHERE vec_id % 5 = 0),

@@ -211,6 +211,43 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(line"), s"expected a line-hash exchange:\n$plan")
   }
 
+  test("semanticGridPairs equals the naive neighborhood-restricted pair set, each pair once") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val embs = graft.sources.Tables.load(spark, graft.TestSpark.sfDir, "embeddings")
+      .filter(col("vec_id") < 120)
+    val signs2 = graft.functions.RpProject.signMatrix(2, 64)
+    val got = Dedup.semanticGridPairs(embs, "vec_id", "embedding", signs2, 8.0, 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size, "pairs must be emitted exactly once")
+    // naive mirror: project, grid, neighborhood + cosine filter
+    val proj = embs.select(col("vec_id").as("id"), col("embedding").as("v"),
+      graft.functions.RpProject.rpProject(col("embedding"), signs2, 2).as("y"))
+      .withColumn("cx", org.apache.spark.sql.functions.floor(col("y")(0) / 8.0))
+      .withColumn("cy", org.apache.spark.sql.functions.floor(col("y")(1) / 8.0))
+    val a = proj.select(col("id").as("id_a"), col("v").as("v_a"), col("cx").as("ax"), col("cy").as("ay"))
+    val b = proj.select(col("id").as("id_b"), col("v").as("v_b"), col("cx").as("bx"), col("cy").as("by"))
+    val naive = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b") &&
+        org.apache.spark.sql.functions.abs(col("ax") - col("bx")) <= 1 &&
+        org.apache.spark.sql.functions.abs(col("ay") - col("by")) <= 1)
+      .withColumn("cos", org.apache.spark.sql.functions.round(
+        graft.functions.VectorFunctions.cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("cos") >= 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet === naive)
+  }
+
+  test("semanticGridPairs is an equi-join on grid cells, never a nested loop") {
+    val embs = graft.sources.Tables.load(spark, graft.TestSpark.sfDir, "embeddings")
+    val signs2 = graft.functions.RpProject.signMatrix(2, 64)
+    val plan = Dedup.semanticGridPairs(embs, "vec_id", "embedding", signs2, 8.0, 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"grid pairs must stay an equi-join:\n$plan")
+  }
+
   test("editDistanceVerify scores candidate pairs without shuffling the corpus") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
     val outDf = Dedup.editDistanceVerify(docs, "doc_id", "text", pairs)
