@@ -24,8 +24,8 @@ object Bench {
     "q10_returned_items", "q13_order_distribution",
     "q18_large_orders", "q19_disjunctive_pred",
     "q8_market_share", "q9_product_profit", "q16_supplier_cnt", "q21_sole_failing_supplier",
-    "w6_lag_lead", "w8_percent_rank", "f6_json_extract",
-    "j14_interval_overlap", "x_line_dedup", "x_bpe_merges",
+    "w6_lag_lead", "f6_json_extract",
+    "j14_interval_overlap", "x_line_dedup", "x_bpe_merges", "x_semantic_dedup",
     "x_token_count", "x_quality_score", "x_lang_id", "x_dedup_exact",
     "x_ngram_jaccard", "x_minhash_lsh", "x_simhash_pairs", "x_char_ngrams",
     "x_embed_cosine_topk", "x_ann_lsh", "x_ann_ivf",

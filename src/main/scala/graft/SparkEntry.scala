@@ -1925,6 +1925,23 @@ object SparkEntry {
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("keep_id")),
 
+    // n-gram novelty: per doc, the fraction of its distinct 3-gram
+    // shingles whose FIRST corpus occurrence (min doc id) is this doc —
+    // the memorization-risk / freshness signal of an incremental corpus.
+    // One shuffle on the shingle value (min-over-window partitioned by
+    // shingle, never global)
+    "x_ngram_novelty" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+      sh.withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("shingle"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 4))
+        .orderBy("doc_id")
+    }),
+
     // C4-style line-level global dedup (graft.ext.Dedup.lineDedup): every
     // distinct line kept only at its first corpus-wide occurrence, docs
     // reassembled from survivors. The testdata has no newlines, so "lines"
@@ -3952,6 +3969,19 @@ object SparkEntry {
                   coalesce(k.n_kept, 0) AS n_kept,
                   CAST(len(c.lines) AS INTEGER) AS n_total
            FROM c LEFT JOIN k USING (doc_id) ORDER BY c.doc_id""",
+      "x_ngram_novelty" ->
+        s"""WITH d AS (SELECT doc_id, $toksE AS toks FROM documents),
+                s AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+                  FROM d),
+                e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+                f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY shingle) AS first_doc FROM e),
+                g AS (SELECT doc_id, count(*) AS n_shingles,
+                        CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                      FROM f GROUP BY doc_id)
+           SELECT doc_id, n_shingles, n_novel, round(n_novel / n_shingles, 4) AS novelty
+           FROM g ORDER BY doc_id""",
       "x_ngram_jaccard" ->
         s"""WITH d AS (SELECT doc_id, $toksE AS toks FROM documents WHERE doc_id % 4 = 0),
                  s AS (SELECT doc_id,
