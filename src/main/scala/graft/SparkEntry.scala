@@ -282,21 +282,36 @@ object SparkEntry {
     }),
 
     // MAD robust outliers — a18's heavy-tail-safe sibling: modified
-    // z-score 0.6745·(v−med)/MAD with |rz| > 3.5, per event type. The two
-    // medians are exact interpolated percentiles (group sizes bounded by
-    // type cardinality × day volume; at 100 TB swap percentile for
-    // approx_percentile(ε) — same plan shape). Both stats tables are
-    // |types| rows → broadcast joins; the flag derives from the ROUNDED
-    // score so the threshold compare is engine-identical
+    // z-score 0.6745·(v−med)/MAD with |rz| > 3.5, per event type. Medians
+    // come from EXPLICIT order statistics (avg of ranks (n+1)÷2 and
+    // (n+2)÷2 under a deterministic (value, id) order), NOT interpolated
+    // percentile(): Spark's and DuckDB's interpolation formulas diverge
+    // by 1 ulp on some inputs (observed at sf0.1 — a .xxxx5 rounding
+    // boundary flipped), where picking the two middle ELEMENTS and
+    // averaging is bit-identical by construction. Rank windows partition
+    // by type (never global); stats tables are |types| rows → broadcast
     "a19_mad_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def medianOf(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+        val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol), col("event_id"))
+        val cnt = df.groupBy("event_type").agg(count(lit(1)).as("n"))
+        df.withColumn("rnk", row_number().over(w))
+          .join(broadcast(cnt), "event_type")
+          .filter(col("rnk") === expr("(n + 1) div 2") || col("rnk") === expr("(n + 2) div 2"))
+          .groupBy("event_type").agg(avg(col(valueCol)).as(outCol))
+      }
       val e = events(s, dir).select("event_type", "event_id", "value")
-      val med = e.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
-      val withMed = e.join(broadcast(med), "event_type")
-      val mad = withMed.groupBy("event_type")
-        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      val withMed = e.join(broadcast(medianOf(e, "value", "med")), "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val mad = medianOf(withMed, "ad", "mad")
+      // explicit floor(x·1e4 + 0.5)/1e4 instead of round(): the engines'
+      // round() implementations disagree on doubles sitting exactly at a
+      // .xxxx5 boundary (Spark rounds the binary expansion via BigDecimal,
+      // DuckDB scales-and-rounds — observed on this query at sf0.1);
+      // floor/multiply/add are IEEE-identical everywhere
       withMed.join(broadcast(mad), "event_type")
         .withColumn("robust_z",
-          round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4))
+          floor(lit(0.6745) * (col("value") - col("med")) / col("mad") * 10000 + 0.5) / 10000)
         .filter(abs(col("robust_z")) > 3.5)
         .select(col("event_id"), col("event_type"), col("value"), col("robust_z"))
         .orderBy("event_id")
@@ -2502,15 +2517,24 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // winsorized statistics: per-type clip at the exact [p01, p99]
-    // percentiles (|types|-row stats table broadcast back), DECIMAL-summed
-    // clipped mean + clip counts — the outlier-robust mean to a19's
-    // outlier REPORT
+    // winsorized statistics: per-type clip at the [p01, p99] bounds taken
+    // as EXPLICIT order statistics — ranks ceil(n/100) and ceil(99n/100)
+    // in integer arithmetic under a deterministic (value, id) order (same
+    // interpolation-divergence rationale as a19) — with the |types|-row
+    // bounds table broadcast back; DECIMAL-summed clipped mean + clip
+    // counts — the outlier-robust mean to a19's outlier REPORT
     "x_winsorize" -> ((s, dir) => {
-      val e = events(s, dir).select("event_type", "value")
-      val p = e.groupBy("event_type").agg(
-        expr("percentile(value, 0.01)").as("p01"),
-        expr("percentile(value, 0.99)").as("p99"))
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select("event_type", "event_id", "value")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val cnt = e.groupBy("event_type").agg(count(lit(1)).as("nn"))
+      val p = e.withColumn("rnk", row_number().over(w))
+        .join(broadcast(cnt), "event_type")
+        .filter(col("rnk") === expr("(nn + 99) div 100") ||
+          col("rnk") === expr("(99 * nn + 99) div 100"))
+        .groupBy("event_type").agg(
+          max(when(col("rnk") === expr("(nn + 99) div 100"), col("value"))).as("p01"),
+          max(when(col("rnk") === expr("(99 * nn + 99) div 100"), col("value"))).as("p99"))
       e.join(broadcast(p), "event_type")
         .withColumn("clipped", least(greatest(col("value"), col("p01")), col("p99")))
         .groupBy("event_type")
@@ -3069,12 +3093,22 @@ object SparkEntry {
                    count(DISTINCT user_id) AS exact_users, TRUE AS union_ok
             FROM events""",
       "a19_mad_outliers" ->
-        """WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
-                d AS (SELECT e.event_id, e.event_type, e.value, m.med
+        """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+                r AS (SELECT e.event_id, e.event_type, e.value, c.n,
+                        row_number() OVER (PARTITION BY e.event_type ORDER BY e.value, e.event_id) AS rnk
+                      FROM events e JOIN c USING (event_type)),
+                m AS (SELECT event_type, avg(value) AS med FROM r
+                      WHERE rnk = (n + 1) // 2 OR rnk = (n + 2) // 2 GROUP BY 1),
+                d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+                        abs(e.value - m.med) AS ad
                       FROM events e JOIN m USING (event_type)),
-                md AS (SELECT event_type, median(abs(value - med)) AS mad FROM d GROUP BY 1),
+                r2 AS (SELECT d.event_id, d.event_type, d.ad, c.n,
+                        row_number() OVER (PARTITION BY d.event_type ORDER BY d.ad, d.event_id) AS rnk
+                       FROM d JOIN c USING (event_type)),
+                md AS (SELECT event_type, avg(ad) AS mad FROM r2
+                       WHERE rnk = (n + 1) // 2 OR rnk = (n + 2) // 2 GROUP BY 1),
                 sc AS (SELECT d.event_id, d.event_type, d.value,
-                         round(0.6745 * (d.value - d.med) / md.mad, 4) AS robust_z
+                         floor(0.6745 * (d.value - d.med) / md.mad * 10000 + 0.5) / 10000 AS robust_z
                        FROM d JOIN md USING (event_type))
            SELECT event_id, event_type, value, robust_z
            FROM sc WHERE abs(robust_z) > 3.5 ORDER BY event_id""",
@@ -3773,9 +3807,16 @@ object SparkEntry {
            SELECT event_type, count(*) AS n_kept, CAST(sum(event_id) AS BIGINT) AS id_sum
            FROM r, m WHERE rnk <= mn GROUP BY event_type ORDER BY event_type""",
       "x_winsorize" ->
-        """WITH p AS (SELECT event_type, quantile_cont(value, 0.01) AS p01,
-                             quantile_cont(value, 0.99) AS p99
-                      FROM events GROUP BY 1)
+        """WITH c AS (SELECT event_type, count(*) AS nn FROM events GROUP BY 1),
+                r AS (SELECT e.event_type, e.value, c.nn,
+                        row_number() OVER (PARTITION BY e.event_type ORDER BY e.value, e.event_id) AS rnk
+                      FROM events e JOIN c USING (event_type)),
+                p AS (SELECT event_type,
+                        max(CASE WHEN rnk = (nn + 99) // 100 THEN value END) AS p01,
+                        max(CASE WHEN rnk = (99 * nn + 99) // 100 THEN value END) AS p99
+                      FROM r
+                      WHERE rnk = (nn + 99) // 100 OR rnk = (99 * nn + 99) // 100
+                      GROUP BY 1)
            SELECT e.event_type, count(*) AS n,
                   round(CAST(sum(CAST(least(greatest(e.value, p.p01), p.p99) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS wins_mean,
                   CAST(sum(CASE WHEN e.value < p.p01 OR e.value > p.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
