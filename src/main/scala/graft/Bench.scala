@@ -43,7 +43,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // testdata events.ts is parquet TIMESTAMP(NANOS): read as nanos-long
+      // events.ts encoding drifts between corpus drops (TIMESTAMP(NANOS)
+      // nanos-long / TIMESTAMP_MICROS NTZ); nanosAsLong covers the legacy
+      // form and Tables.loadEvents normalizes whatever is stored
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()

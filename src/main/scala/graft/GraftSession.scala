@@ -20,7 +20,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // testdata events.ts is parquet TIMESTAMP(NANOS): read as nanos-long
+      // events.ts encoding drifts between corpus drops (TIMESTAMP(NANOS)
+      // nanos-long / TIMESTAMP_MICROS NTZ); nanosAsLong covers the legacy
+      // form and Tables.loadEvents normalizes whatever is stored
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2293,7 +2293,11 @@ object SparkEntry {
     // ANN/quantizer prep): dim stats from EXACT decimal (S, Q) sums (a18
     // discipline, scale 8 to keep float precision); map-side combine means
     // the shuffle carries only partitions×dims partial rows, and the
-    // |dims|-row stats table broadcasts back onto the scan
+    // |dims|-row stats table broadcasts back onto the scan. The `+ 0.0`
+    // after round normalizes NEGATIVE ZERO: a z in (-5e-5, 0) rounds to
+    // -0.0 in DuckDB but +0.0 through Spark's BigDecimal HALF_UP — one
+    // such row exists at sf0.01 and flipped the r4–r6 hash compare; +0.0
+    // is exact on every other value.
     "x_embed_standardize" -> ((s, dir) => {
       val dims = t(s, dir, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
@@ -2305,7 +2309,7 @@ object SparkEntry {
         sum(col("xdec") * col("xdec")).cast("double").as("qq"))
       dims.join(broadcast(st), "dim")
         .withColumn("z", round((col("x") - col("s") / col("n")) /
-          sqrt((col("qq") - col("s") * col("s") / col("n")) / (col("n") - 1)), 4))
+          sqrt((col("qq") - col("s") * col("s") / col("n")) / (col("n") - 1)), 4) + lit(0.0))
         .select(col("vec_id"), col("dim"), col("z"))
         .orderBy("vec_id", "dim")
     }),
@@ -2394,13 +2398,19 @@ object SparkEntry {
     // .signMatrix) rendered into BOTH engines; projection is one fused
     // codegen loop per row (native RpProject), oracle is 16
     // list_dot_product columns over the same literal matrix — identical
-    // op order, exact match at round 6.
+    // op order. Output dims are emitted as 16 SCALAR columns y00..y15
+    // (not one array column): the driver's pandas-side canonical sort
+    // can't order an ndarray cell (observed r4–r6 harness TypeError), and
+    // scalar columns hash identically anyway. Two-step select keeps the
+    // projection computed ONCE (CollapseProject won't inline a non-cheap
+    // expr referenced 16×).
     "x_rp_project" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"),
-          transform(
-            graft.functions.RpProject.rpProject(col("embedding"), rpSigns, 16),
-            e => round(e, 6)).as("y"))
+          graft.functions.RpProject.rpProject(col("embedding"), rpSigns, 16).as("yv"))
+        .select(col("vec_id") +: (0 until 16).map(j =>
+          // + 0.0 normalizes negative zero (see x_embed_standardize)
+          (round(element_at(col("yv"), j + 1), 6) + lit(0.0)).as(f"y$j%02d")): _*)
         .orderBy("vec_id")),
 
     // JL distance-preservation gate for x_rp_project: deterministic pair
@@ -4284,7 +4294,7 @@ object SparkEntry {
                          CAST(sum(CAST(x AS DECIMAL(18,8)) * CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS qq
                        FROM dims GROUP BY dim)
            SELECT d.vec_id, d.dim,
-                  round((d.x - st.s / st.n) / sqrt((st.qq - st.s * st.s / st.n) / (st.n - 1)), 4) AS z
+                  round((d.x - st.s / st.n) / sqrt((st.qq - st.s * st.s / st.n) / (st.n - 1)), 4) + 0.0 AS z
            FROM dims d JOIN st USING (dim) ORDER BY d.vec_id, d.dim""",
       "x_hard_negatives" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings),
@@ -4357,7 +4367,8 @@ object SparkEntry {
       "x_rp_project" ->
         s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                        FROM embeddings)
-            SELECT vec_id, [${rpYSql.map(y => s"round($y, 6)").mkString(", ")}] AS y
+            SELECT vec_id, ${rpYSql.zipWithIndex.map { case (y, j) =>
+              s"round($y, 6) + 0.0 AS y${"%02d".format(j)}" }.mkString(", ")}
             FROM e ORDER BY vec_id""",
       "x_rp_distortion" ->
         s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),

@@ -18,8 +18,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // testdata events.ts is parquet TIMESTAMP(NANOS): read as nanos-long
-      // (graft.sources.Tables.loadEvents converts to TimestampType)
+      // events.ts encoding drifts between corpus drops (TIMESTAMP(NANOS)
+      // nanos-long / TIMESTAMP_MICROS NTZ); nanosAsLong covers the legacy
+      // form and Tables.loadEvents normalizes whatever is stored
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()

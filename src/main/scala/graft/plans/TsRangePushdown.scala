@@ -30,7 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  2. `timestamp_micros(x div 1000) cmp TIMESTAMP-literal` →
   *     `x cmp <micros*1000>` (the nanos-long → timestamp conversion of
   *     Tables.loadEvents, inverted; guarded to positive epochs where
-  *     `div`'s truncation and floor agree).
+  *     `div`'s truncation and floor agree);
+  *  3. `cast(x_ntz AS TIMESTAMP) cmp TIMESTAMP-literal` →
+  *     `x_ntz cmp <NTZ-literal shifted by the cast's zone offset>` (the
+  *     TIMESTAMP_NTZ normalization of Tables.normalizeTs, inverted; only
+  *     for fixed-offset zones — UTC in every engine session — where the
+  *     wall-clock↔instant map is a bijection; DST zones bail out).
   *
   * Together: a day-string filter over converted nanos events becomes a raw
   * `ts BIGINT` range in the Filter directly above the relation, which
@@ -172,6 +177,46 @@ object TsRangePushdown extends Rule[LogicalPlan] {
     }
   }
 
+  // ------------------------------------------------------------ pattern 3
+
+  /** `cast(x AS TIMESTAMP)` over a TIMESTAMP_NTZ child — the NTZ
+    * normalization of Tables.normalizeTs; captures the cast's resolved
+    * timeZoneId.
+    */
+  private object NtzCast {
+    def unapply(e: Expression): Option[(Expression, Option[String])] = e match {
+      case Cast(child, TimestampType, tz, _) if child.dataType == TimestampNTZType =>
+        Some((child, tz))
+      case _ => None
+    }
+  }
+
+  /** Micros shift of the NTZ→TIMESTAMP cast when its zone is a FIXED
+    * offset: `cast(x) = x − offset`, a bijection, so any comparison moves
+    * through it exactly. Region zones with DST are not injective
+    * (fall-back overlaps) — bail and leave the cast in place.
+    */
+  private def ntzShiftMicros(tzId: Option[String]): Option[Long] =
+    try {
+      ZoneId.of(tzId.getOrElse(conf.sessionLocalTimeZone)).normalized() match {
+        case off: ZoneOffset => Some(off.getTotalSeconds * 1000000L)
+        case _ => None
+      }
+    } catch { case _: java.time.DateTimeException => None }
+
+  /** cast(x) cmp m  →  x cmp (m + offset), as an NTZ literal the parquet
+    * reader can push against the stored TIMESTAMP_NTZ column.
+    */
+  private def stripNtzCast(x: Expression, tz: Option[String], m: Long,
+      cmp: BinaryComparison, flip: Boolean): Option[Expression] =
+    ntzShiftMicros(tz).flatMap { off =>
+      try {
+        val lit2 = Literal(Math.addExact(m, off), TimestampNTZType)
+        Some(if (flip) cmp.withNewChildren(Seq(lit2, x))
+             else cmp.withNewChildren(Seq(x, lit2)))
+      } catch { case _: ArithmeticException => None }
+    }
+
   private val rewrite: PartialFunction[Expression, Expression] = {
     case cmp @ BinaryComparison(DayOf(t, tz), Literal(day: UTF8String, StringType)) =>
       dayRange(t, tz, day.toString, cmp, flip = false).getOrElse(cmp)
@@ -181,6 +226,10 @@ object TsRangePushdown extends Rule[LogicalPlan] {
       nanosRange(x, m, cmp, flip = false).getOrElse(cmp)
     case cmp @ BinaryComparison(Literal(m: Long, TimestampType), MicrosDivNanos(x)) =>
       nanosRange(x, m, cmp, flip = true).getOrElse(cmp)
+    case cmp @ BinaryComparison(NtzCast(x, tz), Literal(m: Long, TimestampType)) =>
+      stripNtzCast(x, tz, m, cmp, flip = false).getOrElse(cmp)
+    case cmp @ BinaryComparison(Literal(m: Long, TimestampType), NtzCast(x, tz)) =>
+      stripNtzCast(x, tz, m, cmp, flip = true).getOrElse(cmp)
   }
 
   /** Idempotently add the rule to a live session's optimizer. */

@@ -21,27 +21,43 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events scan with `ts` normalized to TimestampType. The testdata stores
-    * ts as parquet TIMESTAMP(NANOS), which Spark only reads as a nanos-long
-    * (`spark.sql.legacy.parquet.nanosAsLong`, set by our sessions); `div`
-    * keeps the nanos→micros conversion in exact integer arithmetic.
+  /** events scan with `ts` normalized to TimestampType, whatever the
+    * corpus's physical encoding. The driver testdata has shipped `ts` two
+    * ways so far — parquet TIMESTAMP(NANOS), which Spark only reads as a
+    * nanos-long (`spark.sql.legacy.parquet.nanosAsLong`, set by our
+    * sessions), and TIMESTAMP_MICROS with isAdjustedToUTC=false, which
+    * Spark reads as TIMESTAMP_NTZ. Upstream re-encodes are a fact of life
+    * a 100 TB pipeline must absorb without its consumers noticing, so the
+    * normalization is schema-driven here, in ONE place ([[normalizeTs]]),
+    * and every downstream consumer sees plain TimestampType.
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame =
     normalizeTs(load(spark, sfDir, "events"))
 
-  private def normalizeTs(df: DataFrame): DataFrame =
+  /** Normalize a raw `ts` column to TimestampType:
+    *  - nanos-long (TIMESTAMP(NANOS) under nanosAsLong): exact integer
+    *    `div 1000` to micros, then timestamp_micros;
+    *  - TIMESTAMP_NTZ (TIMESTAMP_MICROS, isAdjustedToUTC=false): cast —
+    *    sessions pin spark.sql.session.timeZone=UTC, so the wall-clock →
+    *    instant reinterpretation is the identity on the stored micros;
+    *  - TimestampType: already normalized.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 
   /** Day-pruned events scan: the predicate is applied to the RAW stored
-    * `ts` column (nanos-long) as a range, so it reaches the parquet reader
-    * as a pushed filter and prunes row groups / partitions by min-max
-    * stats — filtering on the derived `day` string evaluates AFTER the
-    * scan and prunes nothing. At 100 TB this is the difference between
-    * reading one day and reading everything.
+    * `ts` column (nanos-long or NTZ, per the corpus encoding) as a range
+    * in the STORED type, so it reaches the parquet reader as a pushed
+    * filter and prunes row groups / partitions by min-max stats —
+    * filtering on the derived `day` string (or through a type-normalizing
+    * cast) evaluates AFTER the scan and prunes nothing. At 100 TB this is
+    * the difference between reading one day and reading everything.
     */
   def loadEventsPrunedToDay(spark: SparkSession, sfDir: String, day: String): DataFrame = {
     val df = load(spark, sfDir, "events")
@@ -50,6 +66,12 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         val lo = start.getEpochSecond * 1000000000L
         df.filter(col("ts") >= lo && col("ts") < lo + 86400L * 1000000000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ column needs NTZ literals (LocalDateTime): a TimestampType
+        // literal would wrap the COLUMN in a cast and unpush the filter.
+        // NTZ wall-clock == UTC instant here (sessions pin UTC).
+        val lo = java.time.LocalDateTime.ofInstant(start, java.time.ZoneOffset.UTC)
+        df.filter(col("ts") >= lit(lo) && col("ts") < lit(lo.plusDays(1)))
       case _ =>
         df.filter(col("ts") >= java.sql.Timestamp.from(start) &&
           col("ts") < java.sql.Timestamp.from(start.plusSeconds(86400)))

@@ -20,12 +20,18 @@ import org.apache.spark.sql.types._
 object EventStream {
 
   /** Schema of the driver testdata `events` table (streams can't infer).
-    * `ts` is parquet TIMESTAMP(NANOS) → read as nanos-long (see
-    * Tables.loadEvents), converted to TimestampType in [[readEvents]].
+    * `ts` is whatever the corpus currently stores — TIMESTAMP_MICROS with
+    * isAdjustedToUTC=false (→ TIMESTAMP_NTZ) today, TIMESTAMP(NANOS)
+    * (→ nanos-long under nanosAsLong) in earlier drops — normalized to
+    * TimestampType in [[readEvents]]. This constant carries the CURRENT
+    * corpus's ts type; [[readEvents]] probes the directory's actual footer
+    * type at start so a re-encoded corpus never silently mis-reads (the
+    * round-6 failure mode: declaring long and dividing micros by 1000
+    * collapsed 30 days of events into 43 minutes of 1970).
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -58,12 +64,27 @@ object EventStream {
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** File-source stream over a directory of events parquet. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** File-source stream over a directory of events parquet, `ts`
+    * normalized to TimestampType. Streams can't infer schemas, so the
+    * stored `ts` type is probed from the directory's parquet footers via
+    * a one-off batch read (footer-only, no data scan) and the declared
+    * stream schema + normalization branch follow it — the same
+    * schema-driven normalization as `Tables.normalizeTs`, kept encoding-
+    * agnostic so corpus re-encodes can't skew event time.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val storedTs = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = storedTs) else f))
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    storedTs match {
+      case LongType => // TIMESTAMP(NANOS) read as nanos-long
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => // wall-clock == UTC instant (session TZ pinned)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   /** T4: event-time tumbling daily counts with a watermark — the streaming
     * form of the reference's month bucketing. Late data beyond 1 day is

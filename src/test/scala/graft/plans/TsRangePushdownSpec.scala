@@ -86,6 +86,33 @@ class TsRangePushdownSpec extends AnyFunSuite {
     assert(got > 0L)
   }
 
+  test("NTZ-stored ts: the cast-normalized day filter pushes an NTZ range (corpus-independent)") {
+    // a synthetic TIMESTAMP_NTZ fixture pins rewrite 3 (cast-strip) even if
+    // the driver corpus reverts to the nanos-long encoding: the day filter
+    // over Tables.normalizeTs's `cast(ts AS TIMESTAMP)` shape must reach
+    // the parquet reader as a raw NTZ range, not die at the cast
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz_push").toString
+    val rows = (0 until 48).map { h =>
+      Row(h.toLong, java.time.LocalDateTime.of(2024, 1, 5, 0, 0).plusHours(h))
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(dir)
+    def q = Tables.withDay(spark.read.parquet(dir)
+        .withColumn("ts", col("ts").cast(TimestampType)))
+      .filter(col("day") === "2024-01-05")
+    withRule {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+        s"expected a pushed NTZ ts range:\n$plan")
+      assert(q.count() === 24L)
+    }
+    assert(withoutRule(q.count()) === 24L, "control: unrewritten result must agree")
+  }
+
   test("unparseable day literals and foreign formats are left alone") {
     withRule {
       // bad literal: filter must survive un-rewritten and return 0 rows

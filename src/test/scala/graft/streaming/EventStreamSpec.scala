@@ -115,15 +115,21 @@ class EventStreamSpec extends AnyFunSuite {
 
   test("event-time-timer sessionization: cross-batch merge, multi-island close, open tail held") {
     import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructType}
     val base = Files.createTempDirectory("graft_tws_sess")
     val ckpt = s"$base/ckpt"
+    // this fixture deliberately uses the LEGACY nanos-long ts encoding (the
+    // stream below applies the div-1000 conversion itself), so it pins the
+    // long branch regardless of what the corpus currently ships
+    val longSchema = StructType(EventStream.eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
     val t0 = 1700000000000L // ms
     def ns(offMin: Long): Long = (t0 + offMin * 60000L) * 1000000L // parquet ts is nanos
     def write(name: String, mtimeOff: Long, rows: Seq[(Long, Long, Long)]): Unit = {
       val data = rows.map { case (id, tsNs, user) => Row(id, tsNs, user, "click", 1.0, "{}") }
       val tmp = s"$base/_tmp_$name"
       spark.createDataFrame(
-        spark.sparkContext.parallelize(data, 1), EventStream.eventsSchema)
+        spark.sparkContext.parallelize(data, 1), longSchema)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       // the file source doesn't recurse into plain subdirectories: surface
       // the part file at the top level, like the testdata layout
@@ -147,7 +153,7 @@ class EventStreamSpec extends AnyFunSuite {
       (4L, ns(0), 2L), (5L, ns(180), 2L), (6L, ns(360), 2L),
       (7L, ns(6000), 99L)))
     val stream = spark.readStream
-      .schema(EventStream.eventsSchema)
+      .schema(longSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(base.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
