@@ -2922,6 +2922,59 @@ object SparkEntry {
         uniMinCount = 500, biMinCount = 5)
         .orderBy("doc_id")),
 
+    // DSIR-style importance weights (graft.ext.Dsir — Xie et al. 2023):
+    // hashed-unigram target-vs-raw log-likelihood ratio per document,
+    // target = English slice. One B-bucket groupBy fits both LMs, the
+    // B-row log-ratio table broadcasts back onto the token stream; corpus
+    // text never shuffles. tlike decided on the exact decimal sum.
+    "x_dsir_weights" -> ((s, dir) =>
+      graft.ext.Dsir.importanceWeights(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id")),
+
+    // next-day retention matrix over events: distinct (day, user) pairs,
+    // self-joined on user at day+1 — the cross-day distinct-intersection
+    // a usage pipeline reports. Pair set is bounded by days×users; the
+    // join keys on user_id so both sides co-partition on one shuffle.
+    "x_day_retention" -> ((s, dir) => {
+      val du = events(s, dir).select(col("day"), col("user_id")).distinct()
+      val nxt = du.select(
+        date_format(date_add(to_date(col("day")), -1), "yyyy-MM-dd").as("day"),
+        col("user_id").as("uid2"))
+      du.join(nxt, du("day") === nxt("day") && du("user_id") === nxt("uid2"), "left")
+        .groupBy(du("day"))
+        .agg(
+          count(lit(1)).as("n_active"),
+          sum(when(col("uid2").isNotNull, 1L).otherwise(0L)).as("n_retained"),
+          round(sum(when(col("uid2").isNotNull, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 4).as("retention"))
+        .orderBy("day")
+    }),
+
+    // tokenizer fertility by source: BPE tokens per word and chars per BPE
+    // token — the bytes-per-token profile that drives tokenizer and
+    // mixture decisions. Same broadcast-vocab encode path as x_bpe_encode
+    // (corpus = explode + equi-join + re-agg; no per-row merge fold).
+    "x_token_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = docs.select(explode(TF.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val learned = graft.ext.Bpe.learn(words, "word", "freq", nMerges = 8)
+      val enc = learned.vocab.select(col("w").as("word"),
+        size(col("t")).as("n_tok"), length(col("w")).as("n_chr"))
+      docs.select(col("source"), explode(TF.tokens(col("text"))).as("word"))
+        .join(broadcast(enc), Seq("word"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("n_tok")).as("n_bpe_tokens"),
+          sum(col("n_chr")).as("n_chars"),
+          round(sum(col("n_tok")).cast("double") / count(lit(1)), 4).as("fertility"),
+          round(sum(col("n_chr")).cast("double") / sum(col("n_tok")).cast("double"), 4)
+            .as("chars_per_token"))
+        .orderBy("source")
+    }),
+
     // character-entropy quality signal (gibberish/degeneracy detector):
     // per-row HOF entropy with the Σc·ln(c) fold over the SORTED distinct
     // chars so both engines sum in one order (TextFunctions.charEntropy)
@@ -4663,6 +4716,51 @@ object SparkEntry {
                    round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS mean_logp2,
                    round(CAST(sum(unseen) AS DOUBLE) / count(*), 4) AS unseen_ratio
             FROM sc GROUP BY doc_id ORDER BY doc_id""",
+      // DSIR: same md5-prefix bucket hash, add-one bucket LMs, per-token
+      // ln rounded 6 → DECIMAL(18,6) difference, decimal doc sums; tlike
+      // compares the exact decimal sum with 0
+      "x_dsir_weights" ->
+        s"""WITH toks AS (SELECT doc_id, lang = 'en' AS is_t,
+                            CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 1024 AS b
+                          FROM (SELECT doc_id, lang, unnest($toksE) AS tok FROM documents)),
+                 lm AS (SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                               count(*) AS cr FROM toks GROUP BY b),
+                 tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM lm),
+                 lw AS (SELECT b,
+                          CAST(round(ln((ct + 1.0) / (nt + 1024)), 6) AS DECIMAL(18,6))
+                          - CAST(round(ln((cr + 1.0) / (nr + 1024)), 6) AS DECIMAL(18,6)) AS lw
+                        FROM lm, tot)
+           SELECT t.doc_id, count(*) AS n_tokens,
+                  round(CAST(sum(l.lw) AS DOUBLE), 4) AS logw,
+                  (sum(l.lw) > 0) AS tlike
+           FROM toks t JOIN lw l USING (b)
+           GROUP BY t.doc_id ORDER BY t.doc_id""",
+      // next-day retention: distinct (day, user) pairs left-joined to the
+      // same set shifted one day; join multiplicity is ≤ 1 by construction
+      "x_day_retention" ->
+        s"""WITH du AS (SELECT DISTINCT $dayE AS day, user_id FROM events),
+                 j AS (SELECT a.day, b.user_id AS uid2
+                       FROM du a LEFT JOIN du b
+                         ON a.user_id = b.user_id
+                        AND CAST(b.day AS DATE) = CAST(a.day AS DATE) + 1)
+           SELECT day, count(*) AS n_active,
+                  CAST(sum(CASE WHEN uid2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                  round(CAST(sum(CASE WHEN uid2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 4) AS retention
+           FROM j GROUP BY day ORDER BY day""",
+      // fertility: the bpe-encode oracle's vocab with per-word char
+      // lengths, re-aggregated by source
+      "x_token_fertility" ->
+        s"""WITH $bpePrefix,
+                 enc AS (SELECT word,
+                           CAST(len(string_split(trim(s, chr(1)), chr(1)||chr(1))) AS INTEGER) AS n_tok,
+                           length(word) AS n_chr FROM s8),
+                 dw AS (SELECT source, unnest($bpeToksE) AS word FROM documents)
+           SELECT source, count(*) AS n_words, CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+                  CAST(sum(n_chr) AS BIGINT) AS n_chars,
+                  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS fertility,
+                  round(CAST(sum(n_chr) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE), 4) AS chars_per_token
+           FROM dw JOIN enc USING (word) GROUP BY source ORDER BY source""",
       // Σc·ln(c) folded over the SORTED distinct char list in both engines
       // (same order ⇒ same rounding), final entropy rounded to 4
       "x_char_entropy" ->

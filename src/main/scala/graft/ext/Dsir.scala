@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** DSIR-style importance weighting for training-data selection (north-star
+  * extension; SURVEY.md §2.10): score every raw document by how much more
+  * it looks like a TARGET distribution than like the raw corpus, using
+  * hashed-unigram bag-of-words language models — the cheap, scan-speed
+  * core of "Data Selection via Importance Resampling" (Xie et al., 2023,
+  * arXiv:2302.03169). Documents with positive log-weight are
+  * more-target-like; the weights feed importance resampling (or a simple
+  * threshold) to pick pretraining data that matches a trusted domain.
+  *
+  * Model: token → md5-prefix hash bucket (engine-portable, vocabulary-free
+  * — the hash IS the feature map, so the model size is the BUCKET count,
+  * fixed at any corpus scale). Bucket distributions with add-one
+  * smoothing over B buckets:
+  *   p(b) = (c(b) + 1) / (N + B)
+  * fit once for the target slice and once for the whole corpus; per-doc
+  *   log w(x) = Σ_tok [ln p_target(b(tok)) − ln p_raw(b(tok))].
+  *
+  * Scale design: ONE map-side-combined groupBy over B buckets fits BOTH
+  * models (conditional sums share the shuffle); the B-row log-ratio table
+  * broadcasts back onto the exploded token stream, which re-aggregates per
+  * document with map-side partial sums — the corpus text itself never
+  * shuffles, and driver/broadcast state is O(B) regardless of corpus
+  * size. Per-token log-ratios are rounded to 6 decimals and summed as
+  * DECIMAL — exact and order-independent, so results are bit-identical
+  * under any partitioning (and in the SQL oracle).
+  */
+object Dsir {
+
+  /** Hash a token to one of `buckets` features — the md5-prefix idiom
+    * every engine (and the DuckDB oracle) computes identically.
+    */
+  def bucketOf(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok), 1, 6), 16, 10).cast("long") % buckets
+
+  /** Per-document importance weights.
+    *
+    * @param isTarget row predicate defining the target slice (e.g.
+    *                 `col("lang") === "en"` for an English-target fit);
+    *                 evaluated on the ORIGINAL row so any metadata column
+    *                 can define the target.
+    * Output: idCol, n_tokens, logw (round-4 double), tlike (logw > 0,
+    * decided on the EXACT decimal sum so the boundary can't wobble).
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val toks = graft.sources.Tables.spread(docs)
+      .select(col(idCol), isTarget.as("is_t"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("b", bucketOf(col("tok"), buckets))
+    // both LMs from one bucket-keyed aggregation (B rows out of the shuffle)
+    val lm = toks.groupBy("b").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = lm.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    // per-bucket log p_target − log p_raw, each ln rounded to 6 then
+    // differenced in decimal (exact); B rows → broadcast
+    val lw = lm.crossJoin(broadcast(tot)).select(col("b"),
+      (round(log((col("ct") + 1).cast("double") / (col("nt") + buckets)), 6)
+          .cast("decimal(18,6)")
+        - round(log((col("cr") + 1).cast("double") / (col("nr") + buckets)), 6)
+          .cast("decimal(18,6)")).as("lw"))
+    toks.join(broadcast(lw), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lw")).as("lwsum"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("lwsum").cast("double"), 4).as("logw"),
+        (col("lwsum") > 0).as("tlike"))
+  }
+}
