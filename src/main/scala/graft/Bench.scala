@@ -33,7 +33,8 @@ object Bench {
     "x_stratified_sample", "x_tfidf_top_terms",
     "x_dedup_clusters", "x_clean_pipeline",
     "k12_manifest_prune", "t15_session_timers", "x_cdc_changeset",
-    "x_boilerplate", "x_unigram_lm", "x_dsir_weights", "x_day_retention")
+    "x_boilerplate", "x_unigram_lm", "x_dsir_weights", "x_day_retention",
+    "t17_stream_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

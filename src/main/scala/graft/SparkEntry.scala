@@ -1286,6 +1286,38 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Streaming per-day top-3 event types via transformWithState +
+    // MapState (EventStream.DayTopKProcessor): running counts per
+    // (day, type) in map entries — only TOUCHED entries round-trip the
+    // store per batch — with the current top-3 emitted per microbatch.
+    // Counts are monotone, so max(cnt) per (day, type) over the update
+    // stream recovers the final counts and re-ranking them (cnt desc,
+    // type asc — the processor's own tiebreak) IS the final emission,
+    // batch-count-robust.
+    "t17_stream_topk" -> ((s, dir) => {
+      val stageDir = scratchDir("t17", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events.parquet"))
+      val name = "t17_topk"
+      try {
+        graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.topKTypesPerDay(
+            graft.streaming.EventStream.readEvents(s, stage), k = 3),
+          name, s"$stage/ckpt", outputMode = "update",
+          statePartitions = Some(8), rocksDb = true)
+      } finally deleteRec(stageDir)
+      val fin = s.table(name).groupBy("day", "event_type")
+        .agg(max(col("cnt")).as("cnt"))
+      fin.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("day")
+            .orderBy(col("cnt").desc, col("event_type"))))
+        .filter(col("rank") <= 3)
+        .select(col("day"), col("rank"), col("event_type"), col("cnt"))
+        .orderBy("day", "rank")
+    }),
+
     // Spark's BUILT-IN session window (merging event-time sessions with a
     // 1 h inactivity gap) — the native operator form of x_sessionize's
     // manual gaps-and-islands. Boundary semantics: an event exactly gap
@@ -3588,6 +3620,13 @@ object SparkEntry {
       "t13_transform_with_state" ->
         """SELECT user_id, count(*) AS n_events FROM events
            GROUP BY user_id ORDER BY user_id""",
+      "t17_stream_topk" ->
+        s"""WITH c AS (SELECT $dayE AS day, event_type, count(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY day
+                         ORDER BY cnt DESC, event_type) AS rank FROM c)
+           SELECT day, CAST(rank AS INTEGER) AS rank, event_type, cnt
+           FROM r WHERE rank <= 3 ORDER BY day, rank""",
       "t7_sessionize_stateful" ->
         """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
              f AS (SELECT user_id, ts_ms,

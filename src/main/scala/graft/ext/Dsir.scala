@@ -50,22 +50,38 @@ object Dsir {
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
     val toks = graft.sources.Tables.spread(docs)
       .select(col(idCol), isTarget.as("is_t"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .withColumn("b", bucketOf(col("tok"), buckets))
-    // both LMs from one bucket-keyed aggregation (B rows out of the shuffle)
-    val lm = toks.groupBy("b").agg(
+    // FIT pass: both LMs from one bucket-keyed, map-side-combined
+    // aggregation, collected to the driver — ≤ `buckets` rows of integer
+    // counts, bounded at ANY corpus size (the same discipline as the IVF
+    // centroid tables). Collecting once means the totals come from local
+    // arithmetic instead of a third corpus scan: fit-then-score runs in
+    // exactly TWO passes over the data.
+    val lmRows = toks.groupBy("b").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
-    val tot = lm.agg(sum("ct").as("nt"), sum("cr").as("nr"))
-    // per-bucket log p_target − log p_raw, each ln rounded to 6 then
+      count(lit(1)).as("cr")).collect()
+    val nt = lmRows.map(_.getLong(1)).sum
+    val nr = lmRows.map(_.getLong(2)).sum
+    // per-bucket log p_target − log p_raw: ln/round stay ENGINE
+    // expressions (not driver Math.log) so the arithmetic matches every
+    // other engine-side score bit-for-bit; each ln rounded to 6 then
     // differenced in decimal (exact); B rows → broadcast
-    val lw = lm.crossJoin(broadcast(tot)).select(col("b"),
-      (round(log((col("ct") + 1).cast("double") / (col("nt") + buckets)), 6)
+    import scala.jdk.CollectionConverters._
+    val lmLocal = spark.createDataFrame(lmRows.toList.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ct", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cr", org.apache.spark.sql.types.LongType))))
+    val lw = lmLocal.select(col("b"),
+      (round(log((col("ct") + 1).cast("double") / lit(nt + buckets).cast("double")), 6)
           .cast("decimal(18,6)")
-        - round(log((col("cr") + 1).cast("double") / (col("nr") + buckets)), 6)
+        - round(log((col("cr") + 1).cast("double") / lit(nr + buckets).cast("double")), 6)
           .cast("decimal(18,6)")).as("lw"))
+    // SCORE pass: broadcast probe + per-doc decimal re-agg
     toks.join(broadcast(lw), Seq("b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lw")).as("lwsum"))

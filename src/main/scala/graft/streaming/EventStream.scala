@@ -322,6 +322,69 @@ object EventStream {
     }
   }
 
+  /** Output row of [[topKTypesPerDay]]: a current top-k member for one
+    * day, with its running count and 1-based rank at emission time.
+    */
+  final case class DayTypeCount(day: String, rank: Int, event_type: String, cnt: Long)
+
+  /** Streaming per-key top-k via `transformWithState` + a typed
+    * `MapState[String, Long]`: per DAY, running counts of every event
+    * type with the current top-k (count desc, name asc — deterministic)
+    * emitted each microbatch. MapState is the right shape because only
+    * the TOUCHED map entries are read/written per batch — a ValueState
+    * holding the whole map would round-trip every entry through the store
+    * on every update, and a windowed agg can't emit ranked rows. State
+    * per day is O(distinct event types), independent of event volume;
+    * at production state sizes the query runs on the RocksDB provider
+    * (transformWithState requires it). Counts are monotone, so the final
+    * emission per day IS the day's exact top-k.
+    */
+  class DayTopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, String), DayTypeCount] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TTLConfig}
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        day: String,
+        rows: Iterator[(String, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[DayTypeCount] = {
+      // fold the batch locally first: one state read+write per TOUCHED
+      // type, not per row
+      val delta = scala.collection.mutable.Map.empty[String, Long]
+      rows.foreach { case (_, et) => delta(et) = delta.getOrElse(et, 0L) + 1L }
+      delta.foreach { case (et, d) =>
+        val cur = if (counts.containsKey(et)) counts.getValue(et) else 0L
+        counts.updateValue(et, cur + d)
+      }
+      counts.iterator().map { case (et, c) => (et, c) }.toArray
+        .sortBy { case (et, c) => (-c, et) }
+        .take(k).zipWithIndex
+        .map { case ((et, c), i) => DayTypeCount(day, i + 1, et, c) }
+        .iterator
+    }
+  }
+
+  /** Streaming top-k event types per day (UPDATE stream); the final
+    * emission per day equals the batch `groupBy(day, type) → top-k` —
+    * which is what the batch oracle checks (SparkEntry t17).
+    */
+  def topKTypesPerDay(events: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new DayTopKProcessor(k), TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** Event-time-timer sessionization: the Spark-4 `transformWithState`
     * successor to [[sessionize]]'s processing-time timeouts. Sessions are
     * closed by EVENT-TIME TIMER CALLBACKS — a timer registered at

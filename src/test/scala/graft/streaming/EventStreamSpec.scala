@@ -170,6 +170,29 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got === expected) // user 99's open session must NOT be emitted
   }
 
+  test("MapState streaming top-k: final emission per day equals the batch top-k") {
+    val ckpt = Files.createTempDirectory("graft_topk_ckpt").toString
+    EventStream.runToMemory(
+      EventStream.topKTypesPerDay(EventStream.readEvents(spark, eventsDir), k = 3),
+      "topk_out", ckpt, outputMode = "update", statePartitions = Some(4), rocksDb = true)
+    // counts are monotone: max(cnt) per (day, type) + re-rank = final top-k
+    val fin = spark.table("topk_out").groupBy("day", "event_type")
+      .agg(max(col("cnt")).as("cnt"))
+    val streamed = fin.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("day")
+          .orderBy(col("cnt").desc, col("event_type"))))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val batch = Tables.withDay(Tables.loadEvents(spark, TestSpark.sfDir))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("day")
+          .orderBy(col("cnt").desc, col("event_type"))))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(streamed === batch)
+  }
+
   test("syncToIndex is incremental: a second trigger with no new files appends nothing") {
     val base = Files.createTempDirectory("graft_stream_sync").toString
     val idx = s"$base/idx"
