@@ -2983,6 +2983,37 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // sketch-based retention (the 100 TB path for x_day_retention): per-day
+    // HLL sketches of the user set — mergeable, so day sketches build once
+    // and ANY cross-day intersection derives by inclusion-exclusion
+    // |A∩B| = |A|+|B|−|A∪B| without rescanning history or shuffling user
+    // ids across days. The estimate is gated against the EXACT join count
+    // (±15% + 10 absolute — I-E differences amplify HLL error); the oracle
+    // pins the exact counts and approx_ok = TRUE.
+    "x_sketch_retention" -> ((s, dir) => {
+      val du = events(s, dir).select(col("day"), col("user_id")).distinct()
+      val sk = du.groupBy("day").agg(
+        hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n_active"))
+      val nxt = sk.select(
+        date_format(date_add(to_date(col("day")), -1), "yyyy-MM-dd").as("day"),
+        col("sk").as("sk2"), col("n_active").as("n2"))
+      val nxtu = du.select(
+        date_format(date_add(to_date(col("day")), -1), "yyyy-MM-dd").as("day"),
+        col("user_id").as("uid2"))
+      val exact = du.join(nxtu,
+          du("day") === nxtu("day") && du("user_id") === nxtu("uid2"), "left")
+        .groupBy(du("day"))
+        .agg(sum(when(col("uid2").isNotNull, 1L).otherwise(0L)).as("n_retained"))
+      sk.join(nxt, Seq("day")).join(exact, Seq("day"))
+        .withColumn("approx",
+          col("n_active") + col("n2")
+            - hll_sketch_estimate(hll_union(col("sk"), col("sk2"))))
+        .select(col("day"), col("n_active"), col("n_retained"),
+          (abs(col("approx") - col("n_retained")) * 100
+            <= col("n_retained") * 15 + 1000).as("approx_ok"))
+        .orderBy("day")
+    }),
+
     // tokenizer fertility by source: BPE tokens per word and chars per BPE
     // token — the bytes-per-token profile that drives tokenizer and
     // mixture decisions. Same broadcast-vocab encode path as x_bpe_encode
@@ -4787,6 +4818,21 @@ object SparkEntry {
                   round(CAST(sum(CASE WHEN uid2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                     / count(*), 4) AS retention
            FROM j GROUP BY day ORDER BY day""",
+      // sketch retention: oracle pins the exact side and the accuracy-gate
+      // bool (the a7_approx_distinct pattern — sketch bytes are
+      // engine-specific, the gate is the portable claim)
+      "x_sketch_retention" ->
+        s"""WITH du AS (SELECT DISTINCT $dayE AS day, user_id FROM events),
+                 act AS (SELECT day, count(*) AS n_active FROM du GROUP BY day),
+                 j AS (SELECT a.day,
+                         CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+                       FROM du a LEFT JOIN du b
+                         ON a.user_id = b.user_id
+                        AND CAST(b.day AS DATE) = CAST(a.day AS DATE) + 1
+                       GROUP BY a.day),
+                 nx AS (SELECT strftime(CAST(day AS DATE) - 1, '%Y-%m-%d') AS day FROM act)
+           SELECT act.day, act.n_active, j.n_retained, TRUE AS approx_ok
+           FROM act JOIN j USING (day) JOIN nx USING (day) ORDER BY act.day""",
       // fertility: the bpe-encode oracle's vocab with per-word char
       // lengths, re-aggregated by source
       "x_token_fertility" ->
