@@ -1959,6 +1959,54 @@ object SparkEntry {
         TF.qualityScore(col("text")).as("quality")
       ).orderBy("doc_id")),
 
+    // encoding-damage battery (mojibake/controls/replacement-char
+    // detection — the ingest-time screen a web corpus runs before any
+    // text op): pure scan-fused projection of portable-regex counts.
+    // n_nonascii/ascii_ratio profile the multilingual mix; n_repl
+    // (U+FFFD), n_ctrl (C0/C1 minus tab/newline/CR) and n_moji (the
+    // Ã/Â-prefixed UTF-8-as-Latin-1 double-encoding bigram) pin the
+    // damage axes — zero on this clean corpus, and the ZERO is the claim
+    // the oracle checks.
+    "x_mojibake" -> ((s, dir) => {
+      def cnt(pat: String) =
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("len"),
+        cnt("[^\\x00-\\x7F]").as("n_nonascii"),
+        round(cnt("[^\\x00-\\x7F]").cast("double") / length(col("text")), 4)
+          .as("nonascii_ratio"),
+        cnt("�").as("n_repl"),
+        cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]").as("n_ctrl"),
+        cnt("[ÃÂ][\\x80-\\xBF]").as("n_moji"))
+        .orderBy("doc_id")
+    }),
+
+    // data-constrained epoch schedule (repetition planning for a token
+    // budget): sqrt-temperature weights over per-source token counts,
+    // budget T = 2× corpus tokens, epochs = min(4, T·w / n) — how many
+    // times each source repeats before the 4-epoch value cliff. Exact
+    // discipline: integer token counts; each sqrt rounded to 6 and
+    // DECIMAL-summed (order-independent); double chain mirrored in the
+    // oracle op-for-op.
+    "x_epoch_schedule" -> ((s, dir) => {
+      val src = t(s, dir, "documents")
+        .select(col("source"), size(TF.tokens(col("text"))).as("nt"))
+        .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+        .withColumn("rs", round(sqrt(col("n_tokens").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      val tot = src.agg(
+        sum(col("rs")).as("sum_rs"), sum(col("n_tokens")).as("sum_n"))
+      src.crossJoin(broadcast(tot))
+        .withColumn("w", col("rs").cast("double") / col("sum_rs").cast("double"))
+        .withColumn("epochs", round(least(
+          (lit(2.0) * col("sum_n").cast("double")) * col("w") / col("n_tokens").cast("double"),
+          lit(4.0)), 4))
+        .select(col("source"), col("n_tokens"), round(col("w"), 6).as("weight"),
+          col("epochs"), (col("epochs") > 1.0).as("repeated"))
+        .orderBy("source")
+    }),
+
     "x_lang_id" -> ((s, dir) =>
       TF.withLangId(t(s, dir, "documents").select("doc_id", "text"), "text")
         .select("doc_id", "lang_pred")
@@ -4818,6 +4866,38 @@ object SparkEntry {
                   round(CAST(sum(CASE WHEN uid2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                     / count(*), 4) AS retention
            FROM j GROUP BY day ORDER BY day""",
+      // mojibake battery: same portable regex classes (RE2 and Java agree
+      // on \xNN code-point classes); the clean-corpus ZEROs on
+      // repl/ctrl/moji are the pinned claim
+      "x_mojibake" ->
+        """SELECT doc_id, CAST(length(text) AS INTEGER) AS len,
+                  CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS INTEGER) AS n_nonascii,
+                  round(CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS DOUBLE)
+                    / length(text), 4) AS nonascii_ratio,
+                  CAST(len(regexp_extract_all(text, '�')) AS INTEGER) AS n_repl,
+                  CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS INTEGER) AS n_ctrl,
+                  CAST(len(regexp_extract_all(text, '[ÃÂ][\x80-\xBF]')) AS INTEGER) AS n_moji
+           FROM documents ORDER BY doc_id""",
+      // epoch schedule: sqrt rounded 6 → DECIMAL sum (order-independent);
+      // the epochs double chain mirrors the Spark op order exactly and
+      // uses the UNROUNDED weight
+      "x_epoch_schedule" ->
+        s"""WITH src AS (SELECT source, CAST(sum(len($toksE)) AS BIGINT) AS n_tokens
+                         FROM documents GROUP BY source),
+                 s2 AS (SELECT source, n_tokens,
+                          CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS rs
+                        FROM src),
+                 tot AS (SELECT CAST(sum(rs) AS DECIMAL(28,6)) AS sum_rs,
+                           CAST(sum(n_tokens) AS BIGINT) AS sum_n FROM s2)
+           SELECT source, n_tokens,
+                  round(CAST(rs AS DOUBLE) / CAST(sum_rs AS DOUBLE), 6) AS weight,
+                  round(least((2.0 * CAST(sum_n AS DOUBLE))
+                      * (CAST(rs AS DOUBLE) / CAST(sum_rs AS DOUBLE))
+                      / CAST(n_tokens AS DOUBLE), 4.0), 4) AS epochs,
+                  (round(least((2.0 * CAST(sum_n AS DOUBLE))
+                      * (CAST(rs AS DOUBLE) / CAST(sum_rs AS DOUBLE))
+                      / CAST(n_tokens AS DOUBLE), 4.0), 4) > 1.0) AS repeated
+           FROM s2, tot ORDER BY source""",
       // sketch retention: oracle pins the exact side and the accuracy-gate
       // bool (the a7_approx_distinct pattern — sketch bytes are
       // engine-specific, the gate is the portable claim)
