@@ -3031,6 +3031,36 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // daily conversion funnel view→click→purchase with 1 h step windows:
+    // per (day, user) the FIRST view anchors the funnel, the first click
+    // within 1 h of it, then the first purchase within 1 h of that click.
+    // Every stage is a (day, user)-keyed agg or equi-join — the three
+    // passes share one partitioning key, no row-level as-of machinery —
+    // and all arithmetic is integer epoch-ms, exact in any engine.
+    "x_event_funnel" -> ((s, dir) => {
+      val e = events(s, dir).select(col("day"), col("user_id"),
+        col("event_type"), unix_millis(col("ts")).as("ms"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("day", "user_id").agg(min(col("ms")).as("tv"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("day", "user_id"))
+        .filter(col("ms") > col("tv") && col("ms") - col("tv") <= 3600000L)
+        .groupBy("day", "user_id").agg(min(col("ms")).as("tc"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("day", "user_id"))
+        .filter(col("ms") > col("tc") && col("ms") - col("tc") <= 3600000L)
+        .groupBy("day", "user_id").agg(min(col("ms")).as("tp"))
+      v.join(c, Seq("day", "user_id"), "left")
+        .join(p, Seq("day", "user_id"), "left")
+        .groupBy("day").agg(
+          count(lit(1)).as("n_view_users"),
+          sum(when(col("tc").isNotNull, 1L).otherwise(0L)).as("n_clicked"),
+          sum(when(col("tp").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+          round(sum(when(col("tp").isNotNull, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 4).as("conversion"))
+        .orderBy("day")
+    }),
+
     // sketch-based retention (the 100 TB path for x_day_retention): per-day
     // HLL sketches of the user set — mergeable, so day sketches build once
     // and ANY cross-day intersection derives by inclusion-exclusion
@@ -4898,6 +4928,27 @@ object SparkEntry {
                       * (CAST(rs AS DOUBLE) / CAST(sum_rs AS DOUBLE))
                       / CAST(n_tokens AS DOUBLE), 4.0), 4) > 1.0) AS repeated
            FROM s2, tot ORDER BY source""",
+      // funnel: identical three-stage CTE chain on integer epoch-ms
+      "x_event_funnel" ->
+        s"""WITH e AS (SELECT $dayE AS day, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+                 v AS (SELECT day, user_id, min(ms) AS tv FROM e
+                       WHERE event_type = 'view' GROUP BY 1, 2),
+                 c AS (SELECT e.day, e.user_id, min(e.ms) AS tc
+                       FROM e JOIN v ON e.day = v.day AND e.user_id = v.user_id
+                       WHERE e.event_type = 'click' AND e.ms > v.tv AND e.ms - v.tv <= 3600000
+                       GROUP BY 1, 2),
+                 p AS (SELECT e.day, e.user_id, min(e.ms) AS tp
+                       FROM e JOIN c ON e.day = c.day AND e.user_id = c.user_id
+                       WHERE e.event_type = 'purchase' AND e.ms > c.tc AND e.ms - c.tc <= 3600000
+                       GROUP BY 1, 2)
+           SELECT v.day, count(*) AS n_view_users,
+                  CAST(sum(CASE WHEN c.tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+                  CAST(sum(CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                  round(CAST(sum(CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 4) AS conversion
+           FROM v LEFT JOIN c ON v.day = c.day AND v.user_id = c.user_id
+                  LEFT JOIN p ON v.day = p.day AND v.user_id = p.user_id
+           GROUP BY v.day ORDER BY v.day""",
       // sketch retention: oracle pins the exact side and the accuracy-gate
       // bool (the a7_approx_distinct pattern — sketch bytes are
       // engine-specific, the gate is the portable claim)
