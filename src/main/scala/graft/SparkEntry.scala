@@ -3034,24 +3034,28 @@ object SparkEntry {
     // daily conversion funnel view→click→purchase with 1 h step windows:
     // per (day, user) the FIRST view anchors the funnel, the first click
     // within 1 h of it, then the first purchase within 1 h of that click.
-    // Every stage is a (day, user)-keyed agg or equi-join — the three
-    // passes share one partitioning key, no row-level as-of machinery —
-    // and all arithmetic is integer epoch-ms, exact in any engine.
+    // SINGLE-PASS plan: events shuffle ONCE on (day, user) into
+    // conditional min/collects, and the dependent-step math (tc needs tv,
+    // tp needs tc) runs as per-group array HOFs — the equivalent
+    // stage-per-step join chain rescans events once per step (4 scans,
+    // 3 shuffles), which is the difference at 100 TB. Per-group arrays
+    // hold one user-day's clicks/purchases — bounded by human activity.
+    // All arithmetic is integer epoch-ms, exact in any engine; nulls
+    // propagate exactly like the oracle's left joins (no-click ⇒ tc null
+    // ⇒ every purchase fails the tc predicate ⇒ tp null).
     "x_event_funnel" -> ((s, dir) => {
       val e = events(s, dir).select(col("day"), col("user_id"),
         col("event_type"), unix_millis(col("ts")).as("ms"))
-      val v = e.filter(col("event_type") === "view")
-        .groupBy("day", "user_id").agg(min(col("ms")).as("tv"))
-      val c = e.filter(col("event_type") === "click")
-        .join(v, Seq("day", "user_id"))
-        .filter(col("ms") > col("tv") && col("ms") - col("tv") <= 3600000L)
-        .groupBy("day", "user_id").agg(min(col("ms")).as("tc"))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(c, Seq("day", "user_id"))
-        .filter(col("ms") > col("tc") && col("ms") - col("tc") <= 3600000L)
-        .groupBy("day", "user_id").agg(min(col("ms")).as("tp"))
-      v.join(c, Seq("day", "user_id"), "left")
-        .join(p, Seq("day", "user_id"), "left")
+      val hourMs = lit(3600000L)
+      e.groupBy("day", "user_id").agg(
+          min(when(col("event_type") === "view", col("ms"))).as("tv"),
+          collect_list(when(col("event_type") === "click", col("ms"))).as("cl"),
+          collect_list(when(col("event_type") === "purchase", col("ms"))).as("pl"))
+        .filter(col("tv").isNotNull)
+        .withColumn("tc", array_min(filter(col("cl"),
+          c => c > col("tv") && c - col("tv") <= hourMs)))
+        .withColumn("tp", array_min(filter(col("pl"),
+          p => p > col("tc") && p - col("tc") <= hourMs)))
         .groupBy("day").agg(
           count(lit(1)).as("n_view_users"),
           sum(when(col("tc").isNotNull, 1L).otherwise(0L)).as("n_clicked"),
