@@ -66,6 +66,38 @@ class ShuffleAuditSpec extends AnyFunSuite {
       s"expected the raw-text shuffle to grow with doc length: $txtShort -> $txtLong bytes")
   }
 
+  test("DSIR shuffle volume is document-length-independent (bucket LM + per-doc partials only)") {
+    // Stage both corpora as MULTI-FILE parquet so Tables.spread's
+    // small-input repartition self-disables (files >= parallelism — the
+    // production case) and the only exchanges left are the B-bucket LM
+    // partials and the per-doc score partials, neither of which carries
+    // text. Quadruple every document: the shuffle must stay flat.
+    val par = spark.sparkContext.defaultParallelism
+    def stage(d: DataFrame, tag: String): DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_dsir_$tag").toString
+      d.repartition(par).write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val short = stage(docs, "s")
+    val long4 = stage(docs.withColumn("text",
+      concat_ws(" ", col("text"), col("text"), col("text"), col("text"))), "l")
+    def dsir(d: DataFrame) =
+      graft.ext.Dsir.importanceWeights(d, "doc_id", "text", col("lang") === "en")
+    val (bShort, _) = shuffleBytes(dsir(short))
+    val (bLong, _) = shuffleBytes(dsir(long4))
+    assert(bShort > 0 && bLong > 0)
+    assert(bLong < bShort * 1.2,
+      s"DSIR shuffle grew with doc length: $bShort -> $bLong bytes — text is riding an exchange")
+  }
+
+  test("single-pass funnel plans at most three exchanges (group pass, day rollup, final sort)") {
+    val plan = SparkEntry.queries("x_event_funnel")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    val shuffles = "(?m)\\bExchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(shuffles <= 3,
+      s"expected one (day,user) exchange + day rollup + sort, got $shuffles:\n$plan")
+  }
+
   test("daily counts shuffle group-cardinality partials, not events") {
     val events = Tables.withDay(Tables.loadEvents(spark, TestSpark.sfDir))
     val rowBytes = 30L * events.rdd.getNumPartitions * 64 // days × partitions × row estimate
