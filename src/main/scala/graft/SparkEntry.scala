@@ -2932,6 +2932,27 @@ object SparkEntry {
           col("text").as("clean_text"))
         .orderBy("doc_id")),
 
+    // cross-source contamination matrix: 10-token segments shared between
+    // DIFFERENT sources — the provenance-leakage report run before
+    // train/eval splits are drawn by source. Distinct (segment, source)
+    // pairs self-join on the segment key (co-partitioned, multiplicity
+    // bounded by source count); document text never rides an exchange
+    // beyond its own distinct segments.
+    "x_source_contamination" -> ((s, dir) => {
+      val seg = Tables.spread(t(s, dir, "documents"))
+        .select(col("source"),
+          explode(array_distinct(Scrub.segments(col("text"), 10))).as("seg"))
+        // full segments only: the ceil-truncated 1-2 token tails are
+        // common phrases, not provenance evidence
+        .filter(size(split(col("seg"), " ")) === 10)
+        .distinct()
+      val a = seg.select(col("seg"), col("source").as("src_a"))
+      val b = seg.select(col("seg"), col("source").as("src_b"))
+      a.join(b, Seq("seg")).filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // winnowing fingerprints (Schleimer et al. SIGMOD'03): window-min of
     // 24-bit k-gram hashes — any shared 6-token run between two docs is
     // guaranteed a shared fingerprint at ~2/(w+1) gram density; pure
@@ -4932,6 +4953,21 @@ object SparkEntry {
                       * (CAST(rs AS DOUBLE) / CAST(sum_rs AS DOUBLE))
                       / CAST(n_tokens AS DOUBLE), 4.0), 4) > 1.0) AS repeated
            FROM s2, tot ORDER BY source""",
+      // contamination matrix: same ceil-truncated 10-token segmentation as
+      // the Spark side; distinct (segment, source) self-join
+      "x_source_contamination" ->
+        s"""WITH t AS (SELECT source, $toksE AS w FROM documents),
+                 segl AS (SELECT source,
+                            list_transform(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)),
+                              i -> array_to_string(w[i*10+1 : i*10+10], ' ')) AS segs
+                          FROM t),
+                 s AS (SELECT DISTINCT source, seg
+                       FROM (SELECT source, unnest(segs) AS seg FROM segl)
+                       WHERE len(string_split(seg, ' ')) = 10),
+                 p AS (SELECT a.source AS src_a, b.source AS src_b
+                       FROM s a JOIN s b ON a.seg = b.seg AND a.source < b.source)
+           SELECT src_a, src_b, count(*) AS n_shared
+           FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
       // funnel: identical three-stage CTE chain on integer epoch-ms
       "x_event_funnel" ->
         s"""WITH e AS (SELECT $dayE AS day, user_id, event_type, epoch_ms(ts) AS ms FROM events),
