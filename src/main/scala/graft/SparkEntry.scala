@@ -3086,6 +3086,37 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // day-over-day distribution drift (feed monitoring): add-one-smoothed
+    // event-type distributions per day on the (days × types) grid, then
+    // KL(P_d ‖ P_{d-1}) and total-variation distance per day. Everything
+    // after the one (day, type) count is grid-bounded (days × types
+    // rows); per-term logs rounded 6 → DECIMAL sums, the LM discipline.
+    "x_dist_drift" -> ((s, dir) => {
+      val c = events(s, dir).groupBy("day", "event_type")
+        .agg(count(lit(1)).as("c"))
+      val grid = c.select("day").distinct()
+        .crossJoin(c.select("event_type").distinct())
+      val full = grid.join(c, Seq("day", "event_type"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val n = full.groupBy("day").agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+      val p = full.join(n, Seq("day"))
+        .withColumn("p", (col("c") + 1).cast("double")
+          / (col("n") + col("k")).cast("double"))
+      val prev = p.select(
+        date_format(date_add(to_date(col("day")), 1), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("p").as("q"))
+      p.join(prev, Seq("day", "event_type"))
+        .withColumn("term", round(col("p") * log(col("p") / col("q")), 6)
+          .cast("decimal(18,6)"))
+        .withColumn("tvterm", round(abs(col("p") - col("q")) * 0.5, 6)
+          .cast("decimal(18,6)"))
+        .groupBy("day").agg(
+          round(sum(col("term")).cast("double"), 4).as("kl"),
+          round(sum(col("tvterm")).cast("double"), 4).as("tv"),
+          count(lit(1)).as("k"))
+        .orderBy("day")
+    }),
+
     // sketch-based retention (the 100 TB path for x_day_retention): per-day
     // HLL sketches of the user set — mergeable, so day sketches build once
     // and ANY cross-day intersection derives by inclusion-exclusion
@@ -4968,6 +4999,26 @@ object SparkEntry {
                        FROM s a JOIN s b ON a.seg = b.seg AND a.source < b.source)
            SELECT src_a, src_b, count(*) AS n_shared
            FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+      // drift: identical grid + smoothing + per-term round-6 decimal sums
+      "x_dist_drift" ->
+        s"""WITH c AS (SELECT $dayE AS day, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+                 g AS (SELECT d.day, t.event_type
+                       FROM (SELECT DISTINCT day FROM c) d
+                       CROSS JOIN (SELECT DISTINCT event_type FROM c) t),
+                 f AS (SELECT g.day, g.event_type, coalesce(c.c, 0) AS c
+                       FROM g LEFT JOIN c USING (day, event_type)),
+                 n AS (SELECT day, sum(c) AS n, count(*) AS k FROM f GROUP BY day),
+                 p AS (SELECT f.day, f.event_type, (f.c + 1.0) / (n.n + n.k) AS p
+                       FROM f JOIN n USING (day)),
+                 pq AS (SELECT p.day, p.event_type, p.p, q.p AS q
+                        FROM p JOIN (SELECT strftime(CAST(day AS DATE) + 1, '%Y-%m-%d') AS day,
+                                            event_type, p FROM p) q
+                          USING (day, event_type))
+           SELECT day,
+                  round(CAST(sum(CAST(round(p * ln(p / q), 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS kl,
+                  round(CAST(sum(CAST(round(abs(p - q) * 0.5, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS tv,
+                  count(*) AS k
+           FROM pq GROUP BY day ORDER BY day""",
       // funnel: identical three-stage CTE chain on integer epoch-ms
       "x_event_funnel" ->
         s"""WITH e AS (SELECT $dayE AS day, user_id, event_type, epoch_ms(ts) AS ms FROM events),
