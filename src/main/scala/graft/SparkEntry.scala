@@ -2982,6 +2982,25 @@ object SparkEntry {
     // modal class among the 10 exact nearest neighbors, ties to the
     // smallest class — bruteTopK's plan with the label riding the corpus
     // side (Similarity.knnClassify); swap in IVF/LSH candidates at scale
+    // label-noise audit (Confident-Learning-style kNN disagreement): each
+    // sampled vector is re-labeled by its 10 nearest neighbors' majority
+    // vote over the REAL label column; per label the disagreement count
+    // and rate flag suspect annotation slices. Same broadcast-query brute
+    // plan as x_knn_classify (corpus never shuffles); at scale the
+    // candidate set swaps to the IVF/LSH paths like every other kNN user.
+    "x_label_noise" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.knnClassify(e, e.filter(col("vec_id") < 100),
+          "vec_id", "embedding", "label", k = 10)
+        .join(e.select(col("vec_id").as("query_id"), col("label")), Seq("query_id"))
+        .groupBy("label").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("pred_class") =!= col("label"), 1L).otherwise(0L)).as("n_flagged"),
+          round(sum(when(col("pred_class") =!= col("label"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 4).as("noise_rate"))
+        .orderBy("label")
+    }),
+
     "x_knn_classify" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.knnClassify(
@@ -4863,6 +4882,27 @@ object SparkEntry {
            GROUP BY source, r.n_total, r.target_rate ORDER BY source""",
       // mirrors the x_embed_cosine_topk cosine/rank formulation, then the
       // vote layer; corpus and queries are disjoint so no self-pair guard
+      // label noise: the knn-classify oracle chain over the REAL label,
+      // joined back to the true label and aggregated per label
+      "x_label_noise" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings),
+                q AS (SELECT vec_id AS query_id, v AS vq, label AS true_label FROM e WHERE vec_id < 100),
+                s AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS cls,
+                        list_dot_product(q.vq, e.v) /
+                          (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(e.v, e.v))) AS score
+                      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+                r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, neighbor_id) AS rank
+                      FROM s),
+                votes AS (SELECT query_id, cls, count(*) AS votes FROM r WHERE rank <= 10 GROUP BY 1, 2),
+                pick AS (SELECT query_id, cls AS pred_class,
+                           row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, cls) AS rn FROM votes),
+                pr AS (SELECT p.query_id, p.pred_class, q.true_label
+                       FROM pick p JOIN q ON p.query_id = q.query_id WHERE p.rn = 1)
+           SELECT true_label AS label, count(*) AS n,
+                  CAST(sum(CASE WHEN pred_class <> true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+                  round(CAST(sum(CASE WHEN pred_class <> true_label THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 4) AS noise_rate
+           FROM pr GROUP BY 1 ORDER BY 1""",
       "x_knn_classify" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
                 q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 100),
