@@ -3052,6 +3052,22 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
         .orderBy("doc_id")),
 
+    // incremental DSIR (the x_dedup_incremental pattern applied to
+    // importance weights): fit the bucket LM on the BASE half of the
+    // corpus, freeze it, and score only the DELTA half — the nightly-batch
+    // shape where the persisted O(buckets) model makes scoring new data a
+    // pure broadcast pass. Buckets the base never saw take the add-one
+    // formula at c = 0 (complete-range log-ratio table), which the oracle
+    // mirrors with a range ⟕ counts join.
+    "x_dsir_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Dsir.scoreWithLm(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        graft.ext.Dsir.fitBucketLm(
+          docs.filter(col("doc_id") % 2 === 0), "text", col("lang") === "en"))
+        .orderBy("doc_id")
+    }),
+
     // next-day retention matrix over events: distinct (day, user) pairs,
     // self-joined on user at day+1 — the cross-day distinct-intersection
     // a usage pipeline reports. Pair set is bounded by days×users; the
@@ -4979,6 +4995,32 @@ object SparkEntry {
                   (sum(l.lw) > 0) AS tlike
            FROM toks t JOIN lw l USING (b)
            GROUP BY t.doc_id ORDER BY t.doc_id""",
+      // incremental DSIR: LM from the even half only, completed over all
+      // 1024 buckets, scoring the odd half
+      "x_dsir_incremental" ->
+        s"""WITH bt AS (SELECT lang = 'en' AS is_t,
+                            CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 1024 AS b
+                          FROM (SELECT lang, unnest($toksE) AS tok FROM documents
+                                WHERE doc_id % 2 = 0)),
+                 lm AS (SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                               count(*) AS cr FROM bt GROUP BY b),
+                 tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM lm),
+                 allb AS (SELECT i AS b FROM unnest(range(0, 1024)) AS u(i)),
+                 cc AS (SELECT allb.b, coalesce(lm.ct, 0) AS ct, coalesce(lm.cr, 0) AS cr
+                        FROM allb LEFT JOIN lm USING (b)),
+                 lw AS (SELECT b,
+                          CAST(round(ln((ct + 1.0) / (nt + 1024)), 6) AS DECIMAL(18,6))
+                          - CAST(round(ln((cr + 1.0) / (nr + 1024)), 6) AS DECIMAL(18,6)) AS lw
+                        FROM cc, tot),
+                 dt AS (SELECT doc_id,
+                            CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 1024 AS b
+                          FROM (SELECT doc_id, unnest($toksE) AS tok FROM documents
+                                WHERE doc_id % 2 = 1))
+           SELECT dt.doc_id, count(*) AS n_tokens,
+                  round(CAST(sum(l.lw) AS DOUBLE), 4) AS logw,
+                  (sum(l.lw) > 0) AS tlike
+           FROM dt JOIN lw l USING (b)
+           GROUP BY dt.doc_id ORDER BY dt.doc_id""",
       // next-day retention: distinct (day, user) pairs left-joined to the
       // same set shifted one day; join multiplicity is ≤ 1 by construction
       "x_day_retention" ->

@@ -48,45 +48,65 @@ object Dsir {
     * Output: idCol, n_tokens, logw (round-4 double), tlike (logw > 0,
     * decided on the EXACT decimal sum so the boundary can't wobble).
     */
-  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, buckets: Int = 1024): DataFrame = {
-    val spark = docs.sparkSession
-    val toks = graft.sources.Tables.spread(docs)
-      .select(col(idCol), isTarget.as("is_t"),
+  /** A fitted hashed-bucket LM pair: per-bucket (target, raw) counts plus
+    * totals. ≤ `buckets` rows of integers — bounded driver/broadcast
+    * state at ANY corpus size (the IVF-centroid-table discipline), and
+    * trivially persistable for INCREMENTAL scoring of later batches.
+    */
+  final case class BucketLm(counts: Array[(Long, Long, Long)], nt: Long, nr: Long, buckets: Int)
+
+  private def toks(docs: DataFrame, idCol: String, textCol: String, buckets: Int) =
+    graft.sources.Tables.spread(docs)
+      .select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .withColumn("b", bucketOf(col("tok"), buckets))
-    // FIT pass: both LMs from one bucket-keyed, map-side-combined
-    // aggregation, collected to the driver — ≤ `buckets` rows of integer
-    // counts, bounded at ANY corpus size (the same discipline as the IVF
-    // centroid tables). Collecting once means the totals come from local
-    // arithmetic instead of a third corpus scan: fit-then-score runs in
-    // exactly TWO passes over the data.
-    val lmRows = toks.groupBy("b").agg(
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr")).collect()
-    val nt = lmRows.map(_.getLong(1)).sum
-    val nr = lmRows.map(_.getLong(2)).sum
-    // per-bucket log p_target − log p_raw: ln/round stay ENGINE
-    // expressions (not driver Math.log) so the arithmetic matches every
-    // other engine-side score bit-for-bit; each ln rounded to 6 then
-    // differenced in decimal (exact); B rows → broadcast
-    import scala.jdk.CollectionConverters._
-    val lmLocal = spark.createDataFrame(lmRows.toList.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ct", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("cr", org.apache.spark.sql.types.LongType))))
-    val lw = lmLocal.select(col("b"),
-      (round(log((col("ct") + 1).cast("double") / lit(nt + buckets).cast("double")), 6)
-          .cast("decimal(18,6)")
-        - round(log((col("cr") + 1).cast("double") / lit(nr + buckets).cast("double")), 6)
-          .cast("decimal(18,6)")).as("lw"))
-    // SCORE pass: broadcast probe + per-doc decimal re-agg
-    toks.join(broadcast(lw), Seq("b"))
+
+  /** FIT pass: both LMs from one bucket-keyed, map-side-combined
+    * aggregation, collected to the driver. Collecting once means the
+    * totals come from local arithmetic instead of another corpus scan.
+    */
+  def fitBucketLm(docs: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int = 1024): BucketLm = {
+    val rows = graft.sources.Tables.spread(docs)
+      .select(isTarget.as("is_t"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("b", bucketOf(col("tok"), buckets))
+      .groupBy("b").agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    BucketLm(rows, rows.map(_._2).sum, rows.map(_._3).sum, buckets)
+  }
+
+  /** SCORE pass with a FROZEN model: broadcast probe + per-doc decimal
+    * re-agg. The log-ratio table is completed over ALL buckets (range ⟕
+    * counts, zeros filled) so buckets the fit corpus never saw — possible
+    * when scoring a DELTA batch against a persisted LM — take the same
+    * add-one formula at c = 0 instead of dropping tokens. ln/round stay
+    * ENGINE expressions (not driver Math.log) so the arithmetic matches
+    * every other engine-side score bit-for-bit; each ln rounded to 6 then
+    * differenced in decimal (exact).
+    */
+  def scoreWithLm(docs: DataFrame, idCol: String, textCol: String, lm: BucketLm): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cnt = lm.counts.toSeq.toDF("b", "ct", "cr")
+    val lw = spark.range(lm.buckets).toDF("b")
+      .join(cnt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct", "cr"))
+      .select(col("b"),
+        (round(log((col("ct") + 1).cast("double") / lit(lm.nt + lm.buckets).cast("double")), 6)
+            .cast("decimal(18,6)")
+          - round(log((col("cr") + 1).cast("double") / lit(lm.nr + lm.buckets).cast("double")), 6)
+            .cast("decimal(18,6)")).as("lw"))
+    toks(docs, idCol, textCol, lm.buckets).join(broadcast(lw), Seq("b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lw")).as("lwsum"))
       .select(col(idCol), col("n_tokens"),
         round(col("lwsum").cast("double"), 4).as("logw"),
         (col("lwsum") > 0).as("tlike"))
   }
+
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 1024): DataFrame =
+    scoreWithLm(docs, idCol, textCol, fitBucketLm(docs, textCol, isTarget, buckets))
 }
