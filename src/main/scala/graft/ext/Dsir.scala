@@ -101,8 +101,12 @@ object Dsir {
     toks(docs, idCol, textCol, lm.buckets).join(broadcast(lw), Seq("b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lw")).as("lwsum"))
+      // round the EXACT DECIMAL sum (half-up is exact there), THEN cast:
+      // rounding after the double cast diverges between engines when the
+      // sum of 6-dp terms lands exactly on a 4-dp half (observed: doc with
+      // lwsum = -5.06915 → Spark -5.0692 vs DuckDB-on-double -5.0691)
       .select(col(idCol), col("n_tokens"),
-        round(col("lwsum").cast("double"), 4).as("logw"),
+        round(col("lwsum"), 4).cast("double").as("logw"),
         (col("lwsum") > 0).as("tlike"))
   }
 

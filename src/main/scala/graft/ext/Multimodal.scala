@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   *
   * Images/audio/video are carried as opaque `binary` columns with typed
   * metadata. The Spark-side plumbing — schema, partition-sized batching,
-  * feature schema — is real and tested; the actual decoder is a clearly
-  * marked STUB (no image/audio libraries exist in this container): it
-  * produces deterministic fake features from the bytes, so tests are
-  * reproducible and the pipeline shape (batched mapPartitions, fixed-width
-  * feature vectors) is exactly what a real decoder would slot into.
+  * feature schema — is real and tested. CONTAINER decoding is real too:
+  * [[decodeHeader]] parses PNG/GIF/BMP headers (dimensions, channels)
+  * with pure-JVM byte arithmetic, oracled end-to-end by
+  * x_multimodal_decode. Only the PIXEL decode / embedding forward pass
+  * remains a clearly marked STUB (no image/audio codec libraries exist
+  * in this container): it produces deterministic fake features from the
+  * bytes, so tests are reproducible and the pipeline shape (batched
+  * mapPartitions, fixed-width feature vectors) is exactly what a real
+  * model would slot into.
   *
   * Scale design: decode runs per-partition with local batching (`grouped`),
   * so decoder state (a model, a codec context) is initialized once per
@@ -33,6 +37,58 @@ object Multimodal {
       features: Array[Float])
 
   val featureDim = 8
+
+  /** Decoded container metadata: format, pixel dimensions, channel count,
+    * payload size — what a real ingest pipeline indexes before any pixel
+    * decode happens.
+    */
+  final case class MediaMeta(
+      doc_id: Long, format: String, width: Int, height: Int, channels: Int, n_bytes: Long)
+
+  /** REAL pure-JVM image-container header decoder (no native codecs
+    * needed for metadata): PNG (8-byte signature + IHDR — width/height
+    * big-endian at offsets 16/20, color type at 25 mapping to channel
+    * count), GIF87a/89a (logical-screen width/height little-endian uint16
+    * at 6/8; palette RGB → 3 channels), and BMP (BITMAPINFOHEADER —
+    * width/height little-endian int32 at 18/22, height may be negative
+    * for top-down rows, bit count at 28 → channels). Unrecognized bytes
+    * return None and fall back to the documented stub path, so opaque
+    * payloads still flow.
+    */
+  def decodeHeader(p: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (p.length >= 26 && u8(0) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') {
+      val channels = u8(25) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4; case _ => 0
+      }
+      Some(("png", be32(16), be32(20), channels))
+    } else if (p.length >= 13 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') {
+      Some(("gif", le16(6), le16(8), 3))
+    } else if (p.length >= 30 && p(0) == 'B' && p(1) == 'M') {
+      Some(("bmp", le32(18), math.abs(le32(22)), u8(28) / 8))
+    } else None
+  }
+
+  /** Batched header decode over a media Dataset — the same per-partition
+    * `grouped` batch shape as [[extractFeatures]], producing the indexable
+    * metadata row per payload (format "unknown", zeros for unrecognized
+    * bytes). No shuffle: a map over the scan at any corpus size.
+    */
+  def decodeMeta(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (fmt, w, h, ch) = decodeHeader(r.media).getOrElse(("unknown", 0, 0, 0))
+          MediaMeta(r.id, fmt, w, h, ch, r.media.length.toLong)
+        }
+      }
+    }
+  }
 
   /** STUB decoder — stands in for an image/audio codec. Deterministic in
     * the payload bytes. A real implementation replaces ONLY this function.
@@ -81,9 +137,13 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // a real decoder would process `batch` as one vectorized call
+        // a real decoder would process `batch` as one vectorized call;
+        // recognized image containers take the REAL header decode
+        // (decodeHeader), opaque payloads the deterministic stub
         batch.iterator.map { r =>
-          val (w, h, f) = decodeStub(r.media)
+          val (w, h, f) = decodeHeader(r.media)
+            .map { case (_, dw, dh, _) => (dw, dh, 1) }
+            .getOrElse(decodeStub(r.media))
           MediaFeatures(r.id, r.media.length.toLong, w, h, f, featuresStub(r.media))
         }
       }

@@ -27,6 +27,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq) // batch size must not affect results
   }
 
+  test("decodeHeader parses PNG/GIF/BMP headers and rejects opaque bytes") {
+    // PNG: signature + IHDR with w=300, h=77, color type 6 (RGBA)
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0, 0, 0, 13, 'I', 'H', 'D', 'R', // IHDR chunk header
+      0, 0, 0x01, 0x2c, 0, 0, 0, 77, // width 300, height 77 (big-endian)
+      8, 6, 0, 0, 0, 0xde, 0xad, 0xbe, 0xef).map(_.toByte)
+    assert(Multimodal.decodeHeader(png) === Some(("png", 300, 77, 4)))
+    // GIF89a: w=300 (2c 01 little-endian), h=77
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x2c, 0x01, 77, 0, 0, 0, 0).map(_.toByte))
+    assert(Multimodal.decodeHeader(gif) === Some(("gif", 300, 77, 3)))
+    // BMP: BITMAPINFOHEADER, w=300, TOP-DOWN height -77 (abs'd), 24 bpp
+    val bmp = ("BM".getBytes("US-ASCII") ++
+      Array.fill[Byte](8)(0) ++
+      Array[Int](0x36, 0, 0, 0, 40, 0, 0, 0).map(_.toByte) ++
+      Array[Int](0x2c, 0x01, 0, 0).map(_.toByte) ++ // width 300 LE
+      Array[Int](0xb3, 0xff, 0xff, 0xff).map(_.toByte) ++ // height -77 LE
+      Array[Int](1, 0, 24, 0).map(_.toByte))
+    assert(Multimodal.decodeHeader(bmp) === Some(("bmp", 300, 77, 3)))
+    // opaque text bytes fall through to the stub path
+    assert(Multimodal.decodeHeader("just some text, long enough to pass every length gate"
+      .getBytes("UTF-8")) === None)
+    assert(Multimodal.decodeHeader(Array[Byte](1, 2, 3)) === None)
+  }
+
   test("resizePlan fits into the bounding box preserving aspect ratio, never upscales") {
     import spark.implicits._
     val df = Seq((1L, 1000, 500), (2L, 100, 100), (3L, 200, 800)).toDF("id", "width", "height")
