@@ -96,6 +96,25 @@ object SparkEntry {
       graft.ext.Bpe.learn(words, "word", "freq", nMerges = 8)
     })
 
+  /** Gate linkage for the deliberate `no_oracle` queries: each maps to
+    * the exact-oracled sibling(s) that pin its actual computation.
+    * Dumped by [[Verify]] as gated_by.json next to oracle_sql.json so a
+    * CORRECTNESS reader sees the coverage without opening NOTES.md.
+    */
+  def gatedBy: Map[String, String] = Map(
+    "x_ann_lsh" ->
+      "x_ann_lsh_recall: recall@10 >= 90% per query-id decile vs the exact bruteTopK",
+    "x_ann_ivf" ->
+      "x_ann_ivf_recall: recall@10 >= 90% per query-id decile vs the exact bruteTopK",
+    "x_minhash_lsh" ->
+      "x_lsh_exact_agreement: banded-candidate agreement vs exact n-gram Jaccard pairs",
+    "x_simhash_pairs" ->
+      "x_simhash_exact_agreement + x_simhash_scurve: Hamming-pair agreement and collision S-curve vs exact Jaccard",
+    "x_multimodal_features" ->
+      ("x_multimodal_decode: the header decoder exactly oracled on constructed PNG/BMP/GIF bytes; " +
+        "x_multimodal_meta/x_multimodal_framesample: metadata plumbing exactly oracled; " +
+        "pixel-feature stub is the documented container limitation"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("a1_daily_counts")(spark, "/root/testdata/sf0.001")
@@ -346,8 +365,10 @@ object SparkEntry {
     // feeds a deterministic error-bound bool (default lgK=12 → ~1.6% rse;
     // gated at 5%, verified at sf0.001/0.01/0.1).
     "x_hll_mergeable" -> ((s, dir) => {
+      // lgK pinned explicitly (not the provider default) so a Spark
+      // upgrade changing defaults can't move the estimate under the gate
       val perDay = events(s, dir).groupBy("day")
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
       val merged = perDay.agg(
         count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
@@ -1336,6 +1357,31 @@ object SparkEntry {
         .orderBy("day", "rank")
     }),
 
+    // Streaming distribution-drift monitor (EventStream.driftMonitor):
+    // watermarked 1-day windows count event types (the only event-volume
+    // operator), each sealed window flows as O(types) rows into a
+    // transformWithState ValueState processor scoring KL/TV against the
+    // previous sealed window — the continuous form of x_dist_drift,
+    // hash-gated against the same batch arithmetic. The last calendar day
+    // never seals (window end > any reachable watermark), so the oracle
+    // applies the identical cutoff.
+    "t18_stream_drift" -> ((s, dir) => {
+      val stageDir = scratchDir("t18", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events.parquet"))
+      val name = "t18_drift"
+      try {
+        graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.driftMonitor(
+            graft.streaming.EventStream.readEvents(s, stage)),
+          name, s"$stage/ckpt", outputMode = "append",
+          statePartitions = Some(4), rocksDb = true)
+      } finally deleteRec(stageDir)
+      s.table(name).select("day", "kl", "tv", "k").orderBy("day")
+    }),
+
     // Spark's BUILT-IN session window (merging event-time sessions with a
     // 1 h inactivity gap) — the native operator form of x_sessionize's
     // manual gaps-and-islands. Boundary semantics: an event exactly gap
@@ -1987,7 +2033,10 @@ object SparkEntry {
         col("doc_id"),
         length(col("text")).as("len"),
         cnt("[^\\x00-\\x7F]").as("n_nonascii"),
-        round(cnt("[^\\x00-\\x7F]").cast("double") / length(col("text")), 4)
+        // nullif guard: an empty doc yields NULL in BOTH engines (Spark's
+        // non-ANSI 0/0 is NULL, DuckDB float 0/0 would be NaN)
+        round(cnt("[^\\x00-\\x7F]").cast("double")
+            / nullif(length(col("text")), lit(0)), 4)
           .as("nonascii_ratio"),
         cnt("�").as("n_repl"),
         cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]").as("n_ctrl"),
@@ -2302,6 +2351,25 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_missed")))
     }),
 
+    // incremental LSH index maintenance (the x_ivf_incremental pattern
+    // for the dedup family): the banded signature table IS the
+    // persistable index — signatures depend only on the document, so an
+    // append computes ONLY the delta's signatures and joins them against
+    // the persisted bands (delta-sized work, zero base text I/O). Delta =
+    // 90%-truncated copies of every 4th doc (guaranteed near-dups → the
+    // gate can't pass vacuously); the report full-outer-compares the
+    // incremental pair set against a from-scratch rebuild restricted to
+    // delta-touching pairs — match_full flips FALSE (oracle hash red) if
+    // pair discovery ever depends on batch context.
+    "x_lsh_incremental" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val delta = base.filter(col("doc_id") % 4 === 0).select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        expr("substr(text, 1, CAST(floor(length(text)*0.9) AS INT))").as("text"))
+      Dedup.minhashLshIncrementalReport(base, delta, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    }),
+
     // SimHash near-dup pairs, chunk-bucketed candidates; rows-only check
     // (xxhash64 signatures aren't SQL-portable) — the signature semantics
     // are hamming-gated by x_simhash_exact_agreement below.
@@ -2416,6 +2484,21 @@ object SparkEntry {
       Similarity.hardNegativesTopK(
         e, e.filter(col("vec_id") < 10), "vec_id", "embedding", "label", k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // hard negatives over IVF candidates — the corpus-scale miner (an
+    // all-corpus query set can't broadcast): candidates from the coarse
+    // cell join instead of the brute cross product, recall@10-gated per
+    // decile against the exact miner (the x_ann_ivf_recall pattern; vote-
+    // agreement gating is the recorded round-7 negative result)
+    "x_hard_negatives_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      Similarity.recallByDecile(
+        Similarity.hardNegativesTopK(e, q, "vec_id", "embedding", "label", k = 10),
+        Similarity.hardNegativesIvfTopK(e, q, "vec_id", "embedding", "label", k = 10,
+          nLists = 16, nProbe = 14),
+        minRecallPct = 90)
     }),
 
     // embedding near-dup pairs on a deterministic 20% sample
@@ -3208,8 +3291,10 @@ object SparkEntry {
     // pins the exact counts and approx_ok = TRUE.
     "x_sketch_retention" -> ((s, dir) => {
       val du = events(s, dir).select(col("day"), col("user_id")).distinct()
+      // lgK pinned: the ±15%+10 accuracy gate is tuned to lgK=12 (~1.6%
+      // rse); an upgraded default would silently move the estimate
       val sk = du.groupBy("day").agg(
-        hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n_active"))
+        hll_sketch_agg(col("user_id"), 12).as("sk"), count(lit(1)).as("n_active"))
       val nxt = sk.select(
         date_format(date_add(to_date(col("day")), -1), "yyyy-MM-dd").as("day"),
         col("sk").as("sk2"), col("n_active").as("n2"))
@@ -4436,6 +4521,13 @@ object SparkEntry {
             SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_missed
             FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
             WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.8""",
+      // gate pattern (x_ivf_incremental style): n_delta is exact, the
+      // booleans are forced by the deterministic-signature invariant —
+      // batch-context-dependent pair discovery flips match_full
+      "x_lsh_incremental" ->
+        """SELECT CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+                  TRUE AS has_pairs, TRUE AS match_full
+           FROM documents""",
       // same exact-pair CTE as x_lsh_exact_agreement; the SimHash side
       // (n_far: hamming > 16 violations) is pinned at 0
       "x_simhash_exact_agreement" ->
@@ -4654,6 +4746,10 @@ object SparkEntry {
                   count(*) * 10 AS n_true, TRUE AS recall_ok
            FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
       "x_ann_ivf_recall" ->
+        """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
+                  count(*) * 10 AS n_true, TRUE AS recall_ok
+           FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
+      "x_hard_negatives_ivf" ->
         """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
                   count(*) * 10 AS n_true, TRUE AS recall_ok
            FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
@@ -5097,7 +5193,7 @@ object SparkEntry {
         """SELECT doc_id, CAST(length(text) AS INTEGER) AS len,
                   CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS INTEGER) AS n_nonascii,
                   round(CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS DOUBLE)
-                    / length(text), 4) AS nonascii_ratio,
+                    / nullif(length(text), 0), 4) AS nonascii_ratio,
                   CAST(len(regexp_extract_all(text, '�')) AS INTEGER) AS n_repl,
                   CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS INTEGER) AS n_ctrl,
                   CAST(len(regexp_extract_all(text, '[ÃÂ][\x80-\xBF]')) AS INTEGER) AS n_moji
@@ -5157,6 +5253,31 @@ object SparkEntry {
                   CAST(round(sum(CAST(round(abs(p - q) * 0.5, 6) AS DECIMAL(18,6))), 4) AS DOUBLE) AS tv,
                   count(*) AS k
            FROM pq GROUP BY day ORDER BY day""",
+      // streaming drift = the batch drift rows for every day whose window
+      // the watermark can seal: day end (+1 day midnight) at or below
+      // max event time minus the 1 h watermark delay
+      "t18_stream_drift" ->
+        s"""WITH c AS (SELECT $dayE AS day, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+                 g AS (SELECT d.day, t.event_type
+                       FROM (SELECT DISTINCT day FROM c) d
+                       CROSS JOIN (SELECT DISTINCT event_type FROM c) t),
+                 f AS (SELECT g.day, g.event_type, coalesce(c.c, 0) AS c
+                       FROM g LEFT JOIN c USING (day, event_type)),
+                 n AS (SELECT day, sum(c) AS n, count(*) AS k FROM f GROUP BY day),
+                 p AS (SELECT f.day, f.event_type, (f.c + 1.0) / (n.n + n.k) AS p
+                       FROM f JOIN n USING (day)),
+                 pq AS (SELECT p.day, p.event_type, p.p, q.p AS q
+                        FROM p JOIN (SELECT strftime(CAST(day AS DATE) + 1, '%Y-%m-%d') AS day,
+                                            event_type, p FROM p) q
+                          USING (day, event_type)),
+                 d AS (SELECT day,
+                         CAST(round(sum(CAST(round(p * ln(p / q), 6) AS DECIMAL(18,6))), 4) AS DOUBLE) AS kl,
+                         CAST(round(sum(CAST(round(abs(p - q) * 0.5, 6) AS DECIMAL(18,6))), 4) AS DOUBLE) AS tv,
+                         count(*) AS k
+                       FROM pq GROUP BY day)
+           SELECT day, kl, tv, k FROM d
+           WHERE CAST(day AS DATE) + 1 <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+           ORDER BY day""",
       // funnel: identical three-stage CTE chain on integer epoch-ms
       "x_event_funnel" ->
         s"""WITH e AS (SELECT $dayE AS day, user_id, event_type, epoch_ms(ts) AS ms FROM events),

@@ -52,6 +52,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(o => keep(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // gate linkage for the deliberate no_oracle entries: which exact-
+    // oracled queries pin each one's computation, visible to CORRECTNESS
+    // readers without opening NOTES.md
+    val gates = SparkEntry.gatedBy.filter(g => keep(g._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/gated_by.json"), gates)
     spark.stop()
   }
 }

@@ -192,6 +192,47 @@ object Similarity {
         (col("__mism") === 0).as("match_full"))
   }
 
+  /** Hard-negative mining over IVF candidates — the corpus-scale form of
+    * [[hardNegativesTopK]]: when the QUERY SET itself is corpus-sized (an
+    * all-corpus contrastive-pairs build), the brute broadcast plan stops
+    * being a plan, so candidates come from the IVF cell join instead —
+    * each query scores only the `nProbe`/`nLists` fraction of the corpus
+    * sharing its nearest coarse cells, with the label inequality folded
+    * into the candidate filter so mismatched pairs never rank. Gated on
+    * CANDIDATE RECALL against the exact miner (x_hard_negatives_ivf, the
+    * x_ann_ivf_recall pattern) — NOT on downstream vote agreement, which
+    * is unstable on label-uninformative embeddings (recorded negative
+    * result, round 7).
+    * Output: query_id, rank, neighbor_id, neg_label, score.
+    */
+  def hardNegativesIvfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centArr = ivfCentroids(corpus, idCol, vecCol, nLists)
+    def assign(df: DataFrame, outId: String, vOut: String, lOut: String, n: Int): DataFrame =
+      df.select(col(idCol).as(outId), col(vecCol).as(vOut), col(labelCol).as(lOut))
+        .crossJoin(broadcast(centArr))
+        .select(col(outId), col(vOut), col(lOut),
+          explode(slice(array_sort(transform(col("cents"), c =>
+            struct(
+              negate(round(cosine(col(vOut), c("cv")), 6)).as("negsim"),
+              c("centroid_id").as("cell")))), 1, n)).as("sc"))
+        .select(col(outId), col(vOut), col(lOut), col("sc").getField("cell").as("cell"))
+    val corpusCells = assign(corpus, "neighbor_id", "v_c", "neg_label", 1)
+    val queryCells = assign(queries, "query_id", "v_q", "q_label", nProbe)
+    val scored = corpusCells
+      .join(queryCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id") && col("neg_label") =!= col("q_label"))
+      .withColumn("score", cosine(col("v_q"), col("v_c")))
+    val w = Window.partitionBy(col("query_id")).orderBy(round(col("score"), 6).desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neg_label"), round(col("score"), 4).as("score"))
+  }
+
   /** k-NN majority-vote classification (embedding-space weak labeling /
     * label propagation): each query takes the modal class among its k
     * exact nearest neighbors; vote ties break to the smallest class value

@@ -71,9 +71,23 @@ object EventStream {
     * stream schema + normalization branch follow it — the same
     * schema-driven normalization as `Tables.normalizeTs`, kept encoding-
     * agnostic so corpus re-encodes can't skew event time.
+    *
+    * PROBE-AT-START CONTRACT: the encoding is read ONCE, at stream
+    * construction, and pinned for the query's lifetime — files arriving
+    * later MUST carry the same `ts` encoding (they do unless the corpus
+    * is re-encoded mid-stream, in which case the parquet reader fails
+    * loudly on the type mismatch rather than skewing event time; restart
+    * the stream to re-probe). An EMPTY source directory (stream started
+    * before any producer wrote files) falls back to the declared
+    * [[eventsSchema]] ts type — the current corpus encoding — instead of
+    * failing the 'unable to infer schema' batch probe.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val storedTs = spark.read.parquet(dir).schema("ts").dataType
+    val storedTs =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        eventsSchema("ts").dataType // empty dir: no footer to probe yet
+      }
     val schema = StructType(eventsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = storedTs) else f))
     val raw = spark.readStream.schema(schema).parquet(dir)
@@ -489,6 +503,125 @@ object EventStream {
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .transformWithState(new SessionTimerProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** One drift report row: a sealed day's KL divergence and total
+    * variation against the previous sealed day's event-type distribution
+    * (add-one smoothed over the type universe of `k` types).
+    */
+  final case class DriftRow(day: String, kl: Double, tv: Double, k: Long)
+
+  private final case class DayDist(day: String, types: Seq[String], counts: Seq[Long])
+  private final case class TypeUniverse(types: Seq[String])
+
+  /** Streaming distribution-drift monitor state: ValueState for the
+    * previous SEALED day's distribution plus the running event-type
+    * universe. Input rows are FINALIZED (day, event_type, cnt) triples
+    * from the upstream watermarked window aggregation — per day that is
+    * O(distinct types) rows, so the single reduce key is metadata-scale
+    * traffic no matter how large the event stream is (the heavy counting
+    * already happened in the distributed windowed agg).
+    *
+    * Arithmetic mirrors the batch x_dist_drift query EXACTLY — per-term
+    * round-to-6 half-up on the shortest-decimal form (what Spark's
+    * `round(double, 6)` does), exact decimal summation, round-to-4 on the
+    * decimal sum — so the final emissions hash-match the batch oracle.
+    *
+    * Universe semantics: smoothing uses every type seen UP TO this batch
+    * — the natural online definition. Under the drain harness all windows
+    * seal in the final watermark-flush microbatch, so the universe there
+    * equals the batch query's global type set.
+    */
+  class DriftProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, (String, String, Long), DriftRow] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var prev: ValueState[DayDist] = _
+    @transient private var universe: ValueState[TypeUniverse] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      prev = getHandle.getValueState[DayDist](
+        "prev", org.apache.spark.sql.Encoders.product[DayDist], TTLConfig.NONE)
+      universe = getHandle.getValueState[TypeUniverse](
+        "universe", org.apache.spark.sql.Encoders.product[TypeUniverse], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Int,
+        rows: Iterator[(String, String, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[DriftRow] = {
+      val batch = rows.toSeq
+      val byDay = batch.groupBy(_._1).map { case (d, rs) =>
+        d -> rs.map(r => r._2 -> r._3).toMap
+      }
+      val uni = (if (universe.exists()) universe.get().types.toSet
+                 else Set.empty[String]) ++ batch.map(_._2)
+      universe.update(TypeUniverse(uni.toSeq.sorted))
+      val out = Seq.newBuilder[DriftRow]
+      byDay.keys.toSeq.sorted.foreach { d =>
+        val cur = byDay(d)
+        if (prev.exists()) {
+          val pd = prev.get()
+          if (java.time.LocalDate.parse(pd.day).plusDays(1).toString == d)
+            out += klRow(d, cur, pd.types.zip(pd.counts).toMap, uni)
+        }
+        val ts = cur.keys.toSeq.sorted
+        prev.update(DayDist(d, ts, ts.map(cur)))
+      }
+      out.result().iterator
+    }
+
+    /** Exact mirror of one batch x_dist_drift output row (see scaladoc). */
+    private def klRow(
+        day: String, cur: Map[String, Long], prv: Map[String, Long],
+        uni: Set[String]): DriftRow = {
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      def round6(d: Double): JBD =
+        new JBD(java.lang.Double.toString(d)).setScale(6, RoundingMode.HALF_UP)
+      val k = uni.size
+      val n = cur.values.sum
+      val m = prv.values.sum
+      var kl = JBD.ZERO
+      var tv = JBD.ZERO
+      uni.toSeq.sorted.foreach { t =>
+        val p = (cur.getOrElse(t, 0L) + 1).toDouble / (n + k).toDouble
+        val q = (prv.getOrElse(t, 0L) + 1).toDouble / (m + k).toDouble
+        kl = kl.add(round6(p * math.log(p / q)))
+        tv = tv.add(round6(math.abs(p - q) * 0.5))
+      }
+      DriftRow(day,
+        kl.setScale(4, RoundingMode.HALF_UP).doubleValue(),
+        tv.setScale(4, RoundingMode.HALF_UP).doubleValue(),
+        k.toLong)
+    }
+  }
+
+  /** Continuous distribution-drift monitoring (the streaming form of the
+    * batch x_dist_drift): a watermarked 1-day tumbling window counts
+    * event types (distributed, map-side-combined — the only operator that
+    * touches event volume), and each window sealed by the watermark flows
+    * as O(types) finalized rows into [[DriftProcessor]], which scores it
+    * against the previous sealed window. A feed-health monitor runs
+    * continuously by nature; this plan's per-window cost is the windowed
+    * agg's, and the drift math runs on distribution summaries only.
+    * The LAST calendar day never seals (its window end exceeds every
+    * reachable watermark), so consumers see drift for days 2..last-1 —
+    * the oracle applies the same watermark cutoff.
+    */
+  def driftMonitor(events: DataFrame, delay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("cnt"))
+      .as[(String, String, Long)]
+      .groupByKey(_ => 0)
+      .transformWithState(new DriftProcessor, TimeMode.None(), OutputMode.Append())
       .toDF()
   }
 

@@ -90,6 +90,45 @@ class ShuffleAuditSpec extends AnyFunSuite {
       s"DSIR shuffle grew with doc length: $bShort -> $bLong bytes — text is riding an exchange")
   }
 
+  test("MinHash/LSH banded join shuffles signatures, not documents: volume is text-length-independent") {
+    // the banded exchange carries (band, bandhash, doc_id, sig) — fixed
+    // bands × fixed-width signature per document, NO text. Quadruple every
+    // document: shingle sets change but the signature width doesn't, so
+    // the candidate-join shuffle must stay flat. This is the highest-
+    // volume candidate generator in the dedup family; at 100 TB the flat
+    // line (docs × bands × sig bytes) IS the plan.
+    val longDocs = docs.withColumn("text",
+      concat_ws(" #", col("text"), col("text"), col("text"), col("text")))
+    val (short, _) = shuffleBytes(Dedup.minhashLsh(docs, "doc_id", "text"))
+    val (long4, _) = shuffleBytes(Dedup.minhashLsh(longDocs, "doc_id", "text"))
+    assert(short > 0 && long4 > 0)
+    assert(long4 < short * 1.2,
+      s"LSH banded-join shuffle grew with doc length: $short -> $long4 bytes — text is riding the exchange")
+  }
+
+  test("BPE encode's corpus side joins a broadcast vocab: shuffle volume is text-length-independent") {
+    // below the vocabJoinSide size gate the vocab broadcasts, so the only
+    // exchange in the encode is the per-doc partial-agg rollup — bounded
+    // by docs × partitions, independent of how much text each doc
+    // carries. Quadruple with a ' ' separator: the WORD SET (and thus the
+    // learned vocab) is identical, only the token stream quadruples.
+    import graft.functions.{TextFunctions => TF}
+    def words(d: DataFrame) = d
+      .select(explode(TF.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val longDocs = docs.withColumn("text",
+      concat_ws(" ", col("text"), col("text"), col("text"), col("text")))
+    val lS = graft.ext.Bpe.learn(words(docs), "word", "freq", nMerges = 4)
+    val lL = graft.ext.Bpe.learn(words(longDocs), "word", "freq", nMerges = 4)
+    val (bShort, _) = shuffleBytes(
+      graft.ext.Bpe.encodeTokenCounts(docs, "doc_id", TF.tokens(col("text")), lS))
+    val (bLong, _) = shuffleBytes(
+      graft.ext.Bpe.encodeTokenCounts(longDocs, "doc_id", TF.tokens(col("text")), lL))
+    assert(bShort > 0 && bLong > 0)
+    assert(bLong < bShort * 1.2,
+      s"BPE encode shuffle grew with doc length: $bShort -> $bLong bytes — the corpus side is shuffling")
+  }
+
   test("single-pass funnel plans at most three exchanges (group pass, day rollup, final sort)") {
     val plan = SparkEntry.queries("x_event_funnel")(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString

@@ -60,6 +60,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains((1L, 4L)))
   }
 
+  test("minhashLshIncrementalReport: delta-vs-index pairs equal the rebuild's delta-touching pairs") {
+    // base docs 1-5; delta 6 = dup of 1 (pairs with 1, 2, 3, 5), delta 7
+    // unrelated (pairs with nothing) — incremental must find exactly the
+    // rebuild's delta-touching pairs and nothing else
+    val delta = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "nothing shared with any of the base corpus rows at all")
+    ).toDF("doc_id", "text")
+    val r = Dedup.minhashLshIncrementalReport(docs, delta, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5).head()
+    assert(r.getLong(0) === 2L) // n_delta
+    assert(r.getBoolean(1), "expected delta near-dup pairs") // has_pairs
+    assert(r.getBoolean(2), "incremental pair set diverged from rebuild") // match_full
+  }
+
   test("native MinHashSig equals the HOF minhashSignature per doc") {
     val hof = docs.select($"doc_id", Dedup.minhashSignature($"text", 3, 16).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

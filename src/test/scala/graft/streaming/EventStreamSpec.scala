@@ -193,6 +193,42 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming drift monitor matches the batch day-over-day KL for every sealed window") {
+    val ckpt = Files.createTempDirectory("graft_drift_ckpt").toString
+    EventStream.runToMemory(
+      EventStream.driftMonitor(EventStream.readEvents(spark, eventsDir)),
+      "drift_out", ckpt, outputMode = "append", statePartitions = Some(4), rocksDb = true)
+    val streamed = spark.table("drift_out")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+    // batch mirror (the x_dist_drift plan), restricted to days the
+    // watermark can seal: window end <= max(ts) - 1 hour
+    val events = Tables.withDay(Tables.loadEvents(spark, TestSpark.sfDir))
+    val c = events.groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+    val grid = c.select("day").distinct().crossJoin(c.select("event_type").distinct())
+    val full = grid.join(c, Seq("day", "event_type"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val n = full.groupBy("day").agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+    val p = full.join(n, Seq("day"))
+      .withColumn("p", (col("c") + 1).cast("double") / (col("n") + col("k")).cast("double"))
+    val prev = p.select(
+      date_format(date_add(to_date(col("day")), 1), "yyyy-MM-dd").as("day"),
+      col("event_type"), col("p").as("q"))
+    val maxTs = Tables.loadEvents(spark, TestSpark.sfDir)
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val batch = p.join(prev, Seq("day", "event_type"))
+      .withColumn("term", round(col("p") * log(col("p") / col("q")), 6).cast("decimal(18,6)"))
+      .withColumn("tvterm", round(abs(col("p") - col("q")) * 0.5, 6).cast("decimal(18,6)"))
+      .groupBy("day").agg(
+        round(sum(col("term")), 4).cast("double").as("kl"),
+        round(sum(col("tvterm")), 4).cast("double").as("tv"),
+        count(lit(1)).as("k"))
+      .filter(unix_millis(date_add(to_date(col("day")), 1).cast("timestamp"))
+        <= maxTs - 3600000L)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("syncToIndex is incremental: a second trigger with no new files appends nothing") {
     val base = Files.createTempDirectory("graft_stream_sync").toString
     val idx = s"$base/idx"
