@@ -3092,6 +3092,25 @@ object SparkEntry {
           concat_ws(",", transform(col("__fps"), x => x.cast("string"))).as("fp_str"))
         .orderBy("doc_id")),
 
+    // MOSS-style plagiarism pairs (Schleimer et al. SIGMOD'03 §4) on the
+    // winnowing fingerprints: docs sharing >= 5 rare fingerprints. The
+    // candidate generator is a fingerprint equi-join — the LSH-band
+    // shape, never all-pairs — and ubiquitous fingerprints (df > 20,
+    // boilerplate phrases) are dropped first, which both removes the
+    // no-signal matches and bounds the join's df² skew at corpus scale.
+    "x_winnow_pairs" -> ((s, dir) => {
+      val fps = Tables.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(TF.winnowFingerprints(col("text"), 3, 4)).as("fp"))
+      val rare = fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 20), Seq("fp"))
+      val a = rare.select(col("fp"), col("doc_id").as("doc_a"))
+      val b = rare.select(col("fp"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // temperature-weighted mixture (alpha = 1/2): per-domain keep rates
     // sqrt(n_min/n) computed FROM the data (skewed domain derived
     // deterministically from doc_id since the synthetic sources are
@@ -5032,6 +5051,28 @@ object SparkEntry {
             SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
                    array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',') AS fp_str
             FROM f ORDER BY doc_id""",
+      // same winnow CTE, then: unnest → df filter → fp self-join → pair
+      // rollup — every step mirrored op-for-op
+      "x_winnow_pairs" ->
+        s"""WITH words AS (SELECT doc_id, $toksE AS w FROM documents),
+                 g AS (SELECT doc_id,
+                         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                              ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS grams
+                       FROM words),
+                 h AS (SELECT doc_id,
+                         list_transform(grams, g2 -> CAST(('0x' || substring(md5(g2), 1, 6)) AS BIGINT)) AS hs
+                       FROM g),
+                 f AS (SELECT doc_id, list_sort(list_distinct(
+                         CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                              ELSE list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3])) END)) AS fps
+                       FROM h),
+                 e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+                 dfc AS (SELECT fp, count(*) AS df FROM e GROUP BY fp),
+                 r AS (SELECT e.doc_id, e.fp FROM e JOIN dfc USING (fp) WHERE dfc.df <= 20),
+                 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+                       FROM r a JOIN r b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 5
+            ORDER BY doc_a, doc_b""",
       "x_temperature_mix" ->
         """WITH doms AS (SELECT CASE WHEN doc_id % 7 = 0 THEN 'rare'
                                      WHEN doc_id % 7 <= 2 THEN 'mid'
