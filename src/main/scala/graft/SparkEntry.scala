@@ -3199,6 +3199,29 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
         .orderBy("doc_id")),
 
+    // DSIR selection — the "R" (resampling) step downstream of the
+    // weights, in its deterministic greedy form: per source, keep the
+    // top quartile by importance weight. The rank window is PER-SOURCE
+    // (distributed — never a single-partition global sort) and ordered
+    // (logw desc, doc_id) so ties are deterministic; the report is the
+    // per-source selection profile a mixture designer reads.
+    "x_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = graft.ext.Dsir.importanceWeights(docs, "doc_id", "text", col("lang") === "en")
+      val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val joined = w.join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .withColumn("rnk", row_number().over(bySrc.orderBy(col("logw").desc, col("doc_id"))))
+        .withColumn("n_src", count(lit(1)).over(bySrc))
+      joined.filter(col("rnk") <= ceil(col("n_src") / lit(4.0)))
+        .groupBy("source")
+        .agg(
+          max(col("n_src")).as("n_docs"),
+          count(lit(1)).as("n_selected"),
+          round(dsum(col("logw")) / count(lit(1)), 4).as("sel_logw_mean"),
+          min(col("logw")).as("logw_cutoff"))
+        .orderBy("source")
+    }),
+
     // incremental DSIR (the x_dedup_incremental pattern applied to
     // importance weights): fit the bucket LM on the BASE half of the
     // corpus, freeze it, and score only the DELTA half — the nightly-batch
@@ -5188,6 +5211,30 @@ object SparkEntry {
                   (sum(l.lw) > 0) AS tlike
            FROM toks t JOIN lw l USING (b)
            GROUP BY t.doc_id ORDER BY t.doc_id""",
+      // DSIR selection: the weights CTE wrapped in a per-source rank
+      // window mirroring the Spark plan (logw desc, doc_id tiebreak;
+      // ceil(n/4) cutoff; mean over DECIMAL(18,4) sums)
+      "x_dsir_select" ->
+        s"""WITH toks AS (SELECT doc_id, lang = 'en' AS is_t,
+                            CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 1024 AS b
+                          FROM (SELECT doc_id, lang, unnest($toksE) AS tok FROM documents)),
+                 lm AS (SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                               count(*) AS cr FROM toks GROUP BY b),
+                 tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM lm),
+                 lw AS (SELECT b,
+                          CAST(round(ln((ct + 1.0) / (nt + 1024)), 6) AS DECIMAL(18,6))
+                          - CAST(round(ln((cr + 1.0) / (nr + 1024)), 6) AS DECIMAL(18,6)) AS lw
+                        FROM lm, tot),
+                 dw AS (SELECT t.doc_id, CAST(round(sum(l.lw), 4) AS DOUBLE) AS logw
+                        FROM toks t JOIN lw l USING (b) GROUP BY t.doc_id),
+                 j AS (SELECT dw.doc_id, dw.logw, d.source,
+                         row_number() OVER (PARTITION BY d.source ORDER BY dw.logw DESC, dw.doc_id) AS rnk,
+                         count(*) OVER (PARTITION BY d.source) AS n_src
+                       FROM dw JOIN documents d USING (doc_id))
+           SELECT source, CAST(max(n_src) AS BIGINT) AS n_docs, count(*) AS n_selected,
+                  round(CAST(sum(CAST(logw AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS sel_logw_mean,
+                  min(logw) AS logw_cutoff
+           FROM j WHERE rnk <= ceil(n_src / 4.0) GROUP BY source ORDER BY source""",
       // incremental DSIR: LM from the even half only, completed over all
       // 1024 buckets, scoring the odd half
       "x_dsir_incremental" ->

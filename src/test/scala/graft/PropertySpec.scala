@@ -191,6 +191,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("decodeHeader round-trips any PNG/GIF/BMP dimensions encoded into real header bytes") {
+    import graft.ext.Multimodal
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    val dims = for {
+      w <- Gen.choose(1, 65535)
+      h <- Gen.choose(1, 65535)
+      colorType <- Gen.oneOf(0, 2, 3, 4, 6)
+      topDown <- Gen.oneOf(true, false)
+    } yield (w, h, colorType, topDown)
+    samples(dims, 60).foreach { case (w, h, colorType, topDown) =>
+      val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+        0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
+        Array[Byte](8, colorType.toByte, 0, 0, 0, 1, 2, 3, 4)
+      val chans = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)(colorType)
+      assert(Multimodal.decodeHeader(png) === Some(("png", w, h, chans)))
+      val gif = "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
+      assert(Multimodal.decodeHeader(gif) === Some(("gif", w, h, 3)))
+      val bmp = "BM".getBytes("US-ASCII") ++ Array.fill[Byte](8)(0) ++
+        le32(54) ++ le32(40) ++ le32(w) ++ le32(if (topDown) -h else h) ++
+        Array[Byte](1, 0, 24, 0)
+      assert(Multimodal.decodeHeader(bmp) === Some(("bmp", w, h, 3)))
+    }
+  }
+
   test("exact dedup then dedup again is a fixpoint") {
     val textsGen = Gen.nonEmptyListOf(Gen.oneOf("a b c", "a  b c", "x y", "z"))
     samples(textsGen, 6).foreach { texts =>
