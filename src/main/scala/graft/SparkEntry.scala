@@ -2134,6 +2134,33 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.01)
         .orderBy("doc_a", "doc_b")),
 
+    // train/val/test SPLIT-LEAKAGE audit — the eval-hygiene step after
+    // splitting: near-duplicate pairs that STRADDLE a split boundary leak
+    // eval answers into training. Splits are assigned by portable md5
+    // hash (8/1/1), near-dups are planted 90%-truncated copies under
+    // fresh ids (so copies hash into random splits and leakage exists by
+    // construction), pairs come from the exact Jaccard path, and the
+    // report counts pairs per unordered split combo with a leaky flag.
+    "x_split_leakage" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+      val corp = base.unionByName(base.select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        expr("substr(text, 1, CAST(floor(length(text)*0.9) AS INT))").as("text")))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 10
+      val assigned = corp.select(col("doc_id"),
+        when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test").as("split"))
+      Dedup.ngramJaccardPairs(corp, "doc_id", "text", n = 3, threshold = 0.5)
+        .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("__sa")), Seq("doc_a"))
+        .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("__sb")), Seq("doc_b"))
+        .select(least(col("__sa"), col("__sb")).as("split_a"),
+          greatest(col("__sa"), col("__sb")).as("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaky", col("split_a") =!= col("split_b"))
+        .orderBy("split_a", "split_b")
+    }),
+
     // asymmetric CONTAINMENT near-dup (Broder): C(a→b) = |S(a)∩S(b)|/|S(a)|
     // catches a short doc embedded verbatim in a long one, where Jaccard
     // stays low because the union is dominated by the long side. The corpus
@@ -4524,6 +4551,36 @@ object SparkEntry {
                         FROM nodes CROSS JOIN nn),
                  $prIters
             SELECT node AS doc_id, pr AS pagerank FROM p8 ORDER BY doc_id""",
+      // split leakage: the truncated-copy corpus + exact-Jaccard pair
+      // CTEs, split via the portable md5-bucket idiom, unordered combos
+      // by least/greatest
+      "x_split_leakage" ->
+        s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+                 corp AS (SELECT doc_id, text FROM base
+                          UNION ALL
+                          SELECT doc_id + 1000000, substr(text, 1, CAST(floor(length(text)*0.9) AS INT)) FROM base),
+                 d AS (SELECT doc_id, $toksE AS toks FROM corp),
+                 s AS (SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+                   FROM d),
+                 e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+                 sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+                 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                       FROM e a JOIN e b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+                 pairs AS (SELECT doc_a, doc_b
+                           FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+                           WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.5),
+                 asg AS (SELECT doc_id,
+                           CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10 <= 7 THEN 'train'
+                                WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10 = 8 THEN 'val'
+                                ELSE 'test' END AS split
+                         FROM corp),
+                 lab AS (SELECT least(a.split, b.split) AS split_a, greatest(a.split, b.split) AS split_b
+                         FROM pairs JOIN asg a ON pairs.doc_a = a.doc_id
+                                    JOIN asg b ON pairs.doc_b = b.doc_id)
+           SELECT split_a, split_b, count(*) AS n_pairs, split_a <> split_b AS leaky
+           FROM lab GROUP BY split_a, split_b ORDER BY split_a, split_b""",
       // same shingle CTEs as x_ngram_jaccard over the 30%-fragment corpus;
       // ordered pairs (a <> b), score = shared / |S(a)|
       "x_containment" ->
