@@ -2502,6 +2502,37 @@ object SparkEntry {
         .orderBy("vec_id", "dim")
     }),
 
+    // nearest-class-mean (NCM) classification — the O(labels) companion
+    // to x_knn_classify for corpus-scale weak labeling: ONE aggregation
+    // fits the per-label centroids (labels × dims numbers — broadcast
+    // scale at any corpus size), and scoring is an equi-join on dim +
+    // per-(query,label) rollup instead of a per-query corpus scan.
+    // Decimal-summed dots/norms (order-independent), round-6 ordering
+    // with label tiebreak, round-4 of the RAW quotient crosses the
+    // oracle (never re-round a rounded value — the double-rounding trap).
+    "x_ncm_classify" -> ((s, dir) => {
+      val dims = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .withColumn("x", col("xf").cast("double"))
+      val cent = dims.groupBy("label", "dim").agg(
+        round(sum(col("x").cast("decimal(18,8)")).cast("double") / count(lit(1)), 6).as("m"))
+      val q = dims.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("dim"), col("x").as("qx"))
+      val sc = q.join(broadcast(cent), Seq("dim"))
+        .groupBy("query_id", "label")
+        .agg(
+          sum((col("qx") * col("m")).cast("decimal(28,12)")).cast("double").as("dot"),
+          sum((col("qx") * col("qx")).cast("decimal(28,12)")).cast("double").as("q2"),
+          sum((col("m") * col("m")).cast("decimal(28,12)")).cast("double").as("m2"))
+      val raw = col("dot") / (sqrt(col("q2")) * sqrt(col("m2")))
+      sc.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(round(raw, 6).desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("label").as("pred_class"), round(raw, 4).as("score"))
+        .orderBy("query_id")
+    }),
+
     // hard-negative mining (graft.ext.Similarity.hardNegativesTopK):
     // per query, top-5 most similar vectors with a DIFFERENT label — the
     // label inequality rides in the broadcast join condition, the corpus
@@ -3126,8 +3157,13 @@ object SparkEntry {
     // boilerplate phrases) are dropped first, which both removes the
     // no-signal matches and bounds the join's df² skew at corpus scale.
     "x_winnow_pairs" -> ((s, dir) => {
+      // cache: the df rollup and BOTH pair-join sides read the exploded
+      // fingerprint table, and Spark won't reuse non-identical subplans —
+      // uncached this replans 4 corpus scans (the x_lsh_exact_agreement
+      // precedent; Bench clears the cache between runs)
       val fps = Tables.spread(t(s, dir, "documents"))
         .select(col("doc_id"), explode(TF.winnowFingerprints(col("text"), 3, 4)).as("fp"))
+        .cache()
       val rare = fps.join(
         fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 20), Seq("fp"))
       val a = rare.select(col("fp"), col("doc_id").as("doc_a"))
@@ -4825,6 +4861,26 @@ object SparkEntry {
            SELECT d.vec_id, d.dim,
                   round((d.x - st.s / st.n) / sqrt((st.qq - st.s * st.s / st.n) / (st.n - 1)), 4) + 0.0 AS z
            FROM dims d JOIN st USING (dim) ORDER BY d.vec_id, d.dim""",
+      // NCM: same exploded-dims discipline as x_embed_standardize;
+      // centroid means round-6, decimal dots/norms, raw-quotient round-4
+      "x_ncm_classify" ->
+        """WITH dims AS (SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+                         FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+                cent AS (SELECT label, dim,
+                           round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS m
+                         FROM dims GROUP BY label, dim),
+                q AS (SELECT vec_id AS query_id, dim, x AS qx FROM dims WHERE vec_id < 100),
+                sc AS (SELECT q.query_id, c.label,
+                         CAST(sum(CAST(q.qx * c.m AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+                         CAST(sum(CAST(q.qx * q.qx AS DECIMAL(28,12))) AS DOUBLE) AS q2,
+                         CAST(sum(CAST(c.m * c.m AS DECIMAL(28,12))) AS DOUBLE) AS m2
+                       FROM q JOIN cent c USING (dim) GROUP BY 1, 2),
+                r AS (SELECT query_id, label,
+                        round(dot / (sqrt(q2) * sqrt(m2)), 4) AS score,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(dot / (sqrt(q2) * sqrt(m2)), 6) DESC, label) AS rn
+                      FROM sc)
+           SELECT query_id, label AS pred_class, score FROM r WHERE rn = 1 ORDER BY query_id""",
       "x_hard_negatives" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings),
                 q AS (SELECT vec_id AS query_id, v AS vq, label AS ql FROM e WHERE vec_id < 10),
