@@ -2161,6 +2161,38 @@ object SparkEntry {
         .orderBy("split_a", "split_b")
     }),
 
+    // leakage-FREE splitting — the repair for what x_split_leakage
+    // detects: near-dup clusters are resolved first (connected
+    // components over the exact pairs) and the WHOLE cluster is assigned
+    // by its representative's hash, so no duplicate pair can straddle a
+    // boundary BY CONSTRUCTION (n_leaky = 0 is structural: every pair is
+    // inside a cluster, every cluster inside one split — the oracle pins
+    // it). Per-split doc counts cross the oracle exactly.
+    "x_leakfree_split" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+      val corp = base.unionByName(base.select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        expr("substr(text, 1, CAST(floor(length(text)*0.9) AS INT))").as("text")))
+      val pairs = Dedup.ngramJaccardPairs(corp, "doc_id", "text", n = 3, threshold = 0.5)
+      val cc = Dedup.connectedComponents(pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+      val rep = corp.select(col("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+      val bucket = conv(substring(md5(col("rep").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 10
+      val assigned = rep.select(col("doc_id"),
+        when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test").as("split"))
+      val leaks = pairs
+        .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("__sa")), Seq("doc_a"))
+        .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("__sb")), Seq("doc_b"))
+        .agg(coalesce(sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L)), lit(0L))
+          .as("n_leaky"))
+      assigned.groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(leaks))
+        .withColumn("leakfree", col("n_leaky") === 0)
+        .orderBy("split")
+    }),
+
     // asymmetric CONTAINMENT near-dup (Broder): C(a→b) = |S(a)∩S(b)|/|S(a)|
     // catches a short doc embedded verbatim in a long one, where Jaccard
     // stays low because the union is dominated by the long side. The corpus
@@ -4587,6 +4619,42 @@ object SparkEntry {
                         FROM nodes CROSS JOIN nn),
                  $prIters
             SELECT node AS doc_id, pr AS pagerank FROM p8 ORDER BY doc_id""",
+      // leak-free split: the same corpus/pair CTEs + recursive CC, split
+      // by cluster-representative hash; n_leaky = 0 is structural and
+      // pinned, per-split counts exact
+      "x_leakfree_split" ->
+        s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+                 corp AS (SELECT doc_id, text FROM base
+                          UNION ALL
+                          SELECT doc_id + 1000000, substr(text, 1, CAST(floor(length(text)*0.9) AS INT)) FROM base),
+                 d AS (SELECT doc_id, $toksE AS toks FROM corp),
+                 s AS (SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+                   FROM d),
+                 e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+                 sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+                 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                       FROM e a JOIN e b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+                 pairs AS (SELECT doc_a, doc_b
+                           FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+                           WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.5),
+                 und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                         UNION SELECT doc_b, doc_a FROM pairs),
+                 reach(a, b) AS (
+                   SELECT a, a FROM (SELECT DISTINCT a FROM und)
+                   UNION
+                   SELECT u.a, r.b FROM und u JOIN reach r ON u.b = r.a),
+                 cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+                 rep AS (SELECT c.doc_id, coalesce(cc.cluster_id, c.doc_id) AS rep
+                         FROM corp c LEFT JOIN cc USING (doc_id)),
+                 asg AS (SELECT doc_id,
+                           CASE WHEN CAST(('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 6)) AS BIGINT) % 10 <= 7 THEN 'train'
+                                WHEN CAST(('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 6)) AS BIGINT) % 10 = 8 THEN 'val'
+                                ELSE 'test' END AS split
+                         FROM rep)
+           SELECT split, count(*) AS n_docs, CAST(0 AS BIGINT) AS n_leaky, TRUE AS leakfree
+           FROM asg GROUP BY split ORDER BY split""",
       // split leakage: the truncated-copy corpus + exact-Jaccard pair
       // CTEs, split via the portable md5-bucket idiom, unordered combos
       // by least/greatest
