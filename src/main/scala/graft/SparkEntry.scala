@@ -3275,6 +3275,26 @@ object SparkEntry {
       LmScore.scoreDocs(t(s, dir, "documents"), "doc_id", "text", minCount = 500)
         .orderBy("doc_id")),
 
+    // perplexity-band pruning (the CCNet/Gopher-style middle-band keep):
+    // per source, docs are deciled by unigram mean log-prob and the
+    // extreme deciles dropped — too-predictable (boilerplate) AND
+    // too-surprising (gibberish) both leave. Rank-based deciles over the
+    // round-4 score with doc_id tiebreak (the rank-quantile discipline),
+    // per-source window (distributed), exact per-source keep profile.
+    "x_perplexity_prune" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = LmScore.scoreDocs(docs, "doc_id", "text", minCount = 500)
+      val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      scored.join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .withColumn("decile",
+          ntile(10).over(bySrc.orderBy(col("mean_logp"), col("doc_id"))))
+        .filter(col("decile") >= 2 && col("decile") <= 9)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          round(dsum(col("mean_logp")) / count(lit(1)), 4).as("kept_logp_mean"))
+        .orderBy("source")
+    }),
+
     // bigram-LM quality scoring (CCNet at order 1): transition-level
     // perplexity proxy + unseen-transition ratio — catches shuffled-word
     // gibberish whose every TOKEN is in-vocab. Same broadcast-model /
@@ -5352,6 +5372,25 @@ object SparkEntry {
                    round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS mean_logp,
                    round(CAST(sum(oov) AS DOUBLE) / count(*), 4) AS oov_ratio
             FROM sc GROUP BY doc_id ORDER BY doc_id""",
+      // perplexity pruning: the unigram-LM CTE + per-source ntile(10)
+      // over (mean_logp, doc_id), middle-band keep, decimal-mean rollup
+      "x_perplexity_prune" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($toksE) AS tok FROM documents),
+                 cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+                 voc AS (SELECT tok, c FROM cnt WHERE c >= 500),
+                 tot AS (SELECT (SELECT sum(c) FROM cnt) AS n, (SELECT count(*) FROM voc) AS v),
+                 sc AS (SELECT t.doc_id,
+                          CAST(round(ln((coalesce(vc.c, 0) + 1.0) / (tot.n + tot.v + 1)), 6) AS DECIMAL(18,6)) AS lp
+                        FROM toks t LEFT JOIN voc vc USING (tok), tot),
+                 dscore AS (SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS mean_logp
+                            FROM sc GROUP BY doc_id),
+                 dec AS (SELECT ds.doc_id, ds.mean_logp, d.source,
+                           ntile(10) OVER (PARTITION BY d.source ORDER BY ds.mean_logp, ds.doc_id) AS decile
+                         FROM dscore ds JOIN documents d USING (doc_id))
+           SELECT source, count(*) AS n_kept,
+                  round(CAST(sum(CAST(mean_logp AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS kept_logp_mean
+           FROM dec WHERE decile BETWEEN 2 AND 9
+           GROUP BY source ORDER BY source""",
       // bigrams via range(1, len(w)) (end-exclusive → i, i+1 pairs); the
       // same add-one formula and DECIMAL(18,6) transition-sum as the
       // unigram oracle; c1 keys on the bigram's FIRST token
