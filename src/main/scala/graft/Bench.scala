@@ -35,7 +35,8 @@ object Bench {
     "k12_manifest_prune", "t15_session_timers", "x_cdc_changeset",
     "x_boilerplate", "x_unigram_lm", "x_dsir_weights", "x_day_retention",
     "t17_stream_topk", "t18_stream_drift",
-    "x_winnow_pairs", "x_ncm_classify", "x_lsh_incremental", "x_perplexity_prune")
+    "x_winnow_pairs", "x_ncm_classify", "x_lsh_incremental", "x_perplexity_prune",
+    "x_prefix_jaccard", "x_triangles", "x_maxip_topk", "t19_stream_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1382,6 +1382,32 @@ object SparkEntry {
       s.table(name).select("day", "kl", "tv", "k").orderBy("day")
     }),
 
+    // continuous conversion funnel — the streaming form of x_event_funnel
+    // (EventStream.funnelMonitor): watermarked 1-day windows aggregate
+    // per-(day, user) step times (the one event-volume shuffle), the
+    // dependent-step HOF math mirrors the batch projection verbatim, and
+    // a transformWithState reduce emits one row per sealed day. Last day
+    // never seals; the oracle applies the identical watermark cutoff
+    // (t18 discipline).
+    "t19_stream_funnel" -> ((s, dir) => {
+      val stageDir = scratchDir("t19", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events.parquet"))
+      val name = "t19_funnel"
+      try {
+        graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.funnelMonitor(
+            graft.streaming.EventStream.readEvents(s, stage)),
+          name, s"$stage/ckpt", outputMode = "append",
+          statePartitions = Some(4), rocksDb = true)
+      } finally deleteRec(stageDir)
+      s.table(name)
+        .select("day", "n_view_users", "n_clicked", "n_converted", "conversion")
+        .orderBy("day")
+    }),
+
     // Spark's BUILT-IN session window (merging event-time sessions with a
     // 1 h inactivity gap) — the native operator form of x_sessionize's
     // manual gaps-and-islands. Boundary semantics: an event exactly gap
@@ -3563,6 +3589,76 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("jaccard"),
           col("len_a"), col("len_b"), col("lev"), col("lev_sim"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // prefix-filtered EXACT similarity join (AllPairs/PPJoin candidate
+    // pruning; graft.ext.Dedup.prefixJaccardPairs): same pair set as the
+    // brute inverted-index join — the oracle IS the brute SQL — but
+    // candidates come only from each doc's rarest-token prefix, the
+    // equi-join fan-out that actually survives a 100 TB corpus at a high
+    // threshold. Corpus = the truncated-copy construction (x_split_leakage)
+    // so J >= 0.5 pairs exist by construction.
+    "x_prefix_jaccard" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+      val corp = base.unionByName(base.select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        expr("substr(text, 1, CAST(floor(length(text)*0.9) AS INT))").as("text")))
+      Dedup.prefixJaccardPairs(corp, "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // per-node triangle participation over the synthetic link graph (the
+    // x_pagerank generator): degree-ordered orientation bounds wedge
+    // enumeration by arboricity — the node-iterator plan that survives
+    // power-law hubs (graft.ext.LinkRank.triangleCounts). Integer-exact.
+    "x_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"),
+          explode(array(Seq(2, 3, 5).map(m =>
+            (col("doc_id") * m + m) % col("n")): _*)).as("dst"))
+      LinkRank.triangleCounts(edges, "src", "dst")
+        .select(col("node").as("doc_id"), col("n_triangles"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    // Spirakis A-ES; graft.ext.Mixture.weightedSampleWithoutReplacement):
+    // 5 length-weighted picks per source on the content-hash uniform —
+    // WindowGroupLimit ships at most k rows per source per map task.
+    "x_weighted_sample" -> ((s, dir) =>
+      graft.ext.Mixture.weightedSampleWithoutReplacement(
+        t(s, dir, "documents"), "source", "doc_id", col("n_chars"), k = 5)
+        .orderBy("source", "pick_rank")),
+
+    // distributed closed-form OLS + Pearson r per source (graft.ext.Stats
+    // .groupedLinReg): does char count predict whitespace token count?
+    // ONE map-side-combined groupBy carries five exact integer sufficient
+    // statistics; the solve is a projection — the same one-pass shape at
+    // any corpus scale.
+    "x_linreg_tokens" -> ((s, dir) =>
+      graft.ext.Stats.groupedLinReg(
+        t(s, dir, "documents"), Seq("source"),
+        col("n_chars"), size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")))
+        .orderBy("source")),
+
+    // EXACT maximum-inner-product top-k with Cauchy–Schwarz norm pruning
+    // (graft.ext.Similarity.maxInnerProductTopK): phase-1 bound from the
+    // 64 largest-norm vectors, phase-2 sweep scores only norm-qualified
+    // docs — result identical to the brute ranking (the oracle) with the
+    // corpus never shuffled. The stored embeddings are unit-normalized
+    // (norm pruning would be vacuous), so vectors are scaled by
+    // 2^(vec_id % 8) — the popularity-scaled-item shape MIPS exists for;
+    // powers of two multiply exactly, preserving cross-engine parity.
+    // MipsSpec measures the pruning (>60% of the corpus never scored).
+    "x_maxip_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * pow(lit(2.0), (col("vec_id") % 8).cast("double"))).as("embedding"))
+      Similarity.maxInnerProductTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -5607,6 +5703,29 @@ object SparkEntry {
            FROM v LEFT JOIN c ON v.day = c.day AND v.user_id = c.user_id
                   LEFT JOIN p ON v.day = p.day AND v.user_id = p.user_id
            GROUP BY v.day ORDER BY v.day""",
+      // streaming funnel = the batch funnel rows for every day the
+      // watermark can seal (t18 cutoff)
+      "t19_stream_funnel" ->
+        s"""WITH e AS (SELECT $dayE AS day, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+                 v AS (SELECT day, user_id, min(ms) AS tv FROM e
+                       WHERE event_type = 'view' GROUP BY 1, 2),
+                 c AS (SELECT e.day, e.user_id, min(e.ms) AS tc
+                       FROM e JOIN v ON e.day = v.day AND e.user_id = v.user_id
+                       WHERE e.event_type = 'click' AND e.ms > v.tv AND e.ms - v.tv <= 3600000
+                       GROUP BY 1, 2),
+                 p AS (SELECT e.day, e.user_id, min(e.ms) AS tp
+                       FROM e JOIN c ON e.day = c.day AND e.user_id = c.user_id
+                       WHERE e.event_type = 'purchase' AND e.ms > c.tc AND e.ms - c.tc <= 3600000
+                       GROUP BY 1, 2)
+           SELECT v.day, count(*) AS n_view_users,
+                  CAST(sum(CASE WHEN c.tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+                  CAST(sum(CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                  round(CAST(sum(CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 4) AS conversion
+           FROM v LEFT JOIN c ON v.day = c.day AND v.user_id = c.user_id
+                  LEFT JOIN p ON v.day = p.day AND v.user_id = p.user_id
+           WHERE CAST(v.day AS DATE) + 1 <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+           GROUP BY v.day ORDER BY v.day""",
       // sketch retention: oracle pins the exact side and the accuracy-gate
       // bool (the a7_approx_distinct pattern — sketch bytes are
       // engine-specific, the gate is the portable claim)
@@ -5743,7 +5862,89 @@ object SparkEntry {
                    round(1.0 - CAST(levenshtein(ta.nt, tb.nt) AS DOUBLE) /
                      greatest(length(ta.nt), length(tb.nt)), 4) AS lev_sim
             FROM j JOIN d ta ON j.doc_a = ta.doc_id JOIN d tb ON j.doc_b = tb.doc_id
-            ORDER BY doc_a, doc_b"""
+            ORDER BY doc_a, doc_b""",
+      // prefix-filtered join's oracle IS the brute inverted-index form
+      // (prefix filtering is exact — identical pair set) over the
+      // truncated-copy corpus at threshold 0.5
+      "x_prefix_jaccard" ->
+        s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+                 corp AS (SELECT doc_id, text FROM base
+                          UNION ALL
+                          SELECT doc_id + 1000000, substr(text, 1, CAST(floor(length(text)*0.9) AS INT)) FROM base),
+                 d AS (SELECT doc_id, $toksE AS toks FROM corp),
+                 s AS (SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+                   FROM d),
+                 e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+                 sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+                 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                       FROM e a JOIN e b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) AS jaccard
+            FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+            WHERE round(CAST(shared AS DOUBLE) / (x.nsh + y.nsh - shared), 4) >= 0.5
+            ORDER BY doc_a, doc_b""",
+      // triangles: same degree-ordered orientation — each triangle is one
+      // oriented path a→b, a→c, b→c with key(a)<key(b)<key(c)
+      "x_triangles" ->
+        """WITH nodes AS (SELECT doc_id AS node FROM documents),
+                nn AS (SELECT count(*) AS n FROM nodes),
+                e0 AS (SELECT node AS src, (node*m+m) % nn.n AS dst
+                       FROM nodes CROSS JOIN nn CROSS JOIN (VALUES (2), (3), (5)) AS mm(m)
+                       WHERE node % 10 <> 9),
+                und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                        FROM e0 WHERE src <> dst),
+                deg AS (SELECT node, count(*) AS deg
+                        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+                ork AS (SELECT u, v, du.deg*4294967296 + u AS ku, dv.deg*4294967296 + v AS kv
+                        FROM und JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node),
+                ore AS (SELECT CASE WHEN ku < kv THEN u ELSE v END AS a,
+                               CASE WHEN ku < kv THEN v ELSE u END AS b,
+                               CASE WHEN ku < kv THEN kv ELSE ku END AS kb FROM ork),
+                wedge AS (SELECT e1.a, e1.b, e2.b AS c
+                          FROM ore e1 JOIN ore e2 ON e1.a = e2.a AND e1.kb < e2.kb),
+                tri AS (SELECT w.a, w.b, w.c FROM wedge w JOIN ore e3 ON w.b = e3.a AND w.c = e3.b)
+           SELECT node AS doc_id, count(*) AS n_triangles
+           FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+           GROUP BY node ORDER BY doc_id""",
+      // A-ES: same content-hash uniform, ln-key via the floor round-6 idiom
+      "x_weighted_sample" ->
+        """WITH w AS (SELECT source, doc_id,
+                        greatest(CAST(n_chars AS DOUBLE), 1.0) AS weight,
+                        floor(ln((CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS DOUBLE) + 1.0) / 16777217.0)
+                              / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1e6 + 0.5) / 1e6 AS key
+                      FROM documents),
+                r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS pick_rank FROM w)
+           SELECT source, CAST(pick_rank AS INTEGER) AS pick_rank, doc_id, weight, key
+           FROM r WHERE pick_rank <= 5 ORDER BY source, pick_rank""",
+      // OLS/Pearson from exact integer sufficient statistics; every double
+      // op mirrored in sequence, floor round-6 idiom on the outputs
+      "x_linreg_tokens" ->
+        s"""WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+                              CAST(len($toksE) AS BIGINT) AS y FROM documents),
+                 st AS (SELECT source, count(*) AS n,
+                          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                          CAST(sum(x*y) AS BIGINT) AS sxy,
+                          CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+                        FROM d GROUP BY source)
+            SELECT source, n,
+                   floor(CAST(n*sxy - sx*sy AS DOUBLE) / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6 AS slope,
+                   floor((CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0)) * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS intercept,
+                   floor(CAST(n*sxy - sx*sy AS DOUBLE) / nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0) * 1e6 + 0.5) / 1e6 AS r
+            FROM st ORDER BY source""",
+      // norm-pruned MIPS oracle is the BRUTE ranking (pruning is exact);
+      // raw-ip order, floor round-4 on the reported ip
+      "x_maxip_topk" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) * pow(2.0, CAST(vec_id % 8 AS DOUBLE))) AS v FROM embeddings),
+                q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
+                s AS (SELECT q.query_id, e.vec_id AS neighbor_id, list_dot_product(q.vq, e.v) AS ip
+                      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+                r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rank FROM s)
+           SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+                  floor(ip * 1e4 + 0.5) / 1e4 AS ip
+           FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
     )
   }
 

@@ -102,4 +102,40 @@ object Mixture {
       .agg(count(lit(1)).as("n_total"), sum(keptFlag).as("n_kept"))
       .withColumn("kept_rate", round(col("n_kept").cast("double") / col("n_total").cast("double"), 4))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement, k per group —
+    * Efraimidis–Spirakis A-ES: each row draws a uniform u and competes on
+    * key = ln(u)/w (equivalent to u^(1/w); larger is better), so row i
+    * wins a slot with probability proportional to its weight, exactly the
+    * "sample k docs per source, length-weighted" step of corpus curation.
+    * The uniform is the CONTENT-HASH uniformizer (`hash24` of the id, +1
+    * so u>0, over 2^24+1 so u<1) — same verdict on every rerun, no seed
+    * coordination, oracle-recomputable.
+    *
+    * Scale: one per-row projection plus a top-k-per-group window —
+    * `row_number <= k` triggers WindowGroupLimit, so each map task ships
+    * at most k rows per group into the single exchange (the
+    * x_stratified_sample plan): sampling 100 TB moves k·tasks rows, not
+    * the corpus.
+    *
+    * Determinism across engines: key is rounded half-up at 6 dp via the
+    * floor idiom (ln may differ by 1 ulp between libm and java.lang.Math;
+    * a rounded key plus the id tie-break makes the selection stable
+    * everywhere except a key within 1 ulp of a 1e-6 boundary — measure
+    * zero, same exposure the ln-based drift scores carry).
+    * Output: groupCol, pick_rank, idCol, weight, key (rounded 6).
+    */
+  def weightedSampleWithoutReplacement(
+      df: DataFrame, groupCol: String, idCol: String, weight: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (hash24(col(idCol).cast("string")).cast("double") + lit(1.0)) /
+      lit((1 << 24).toDouble + 1.0)
+    val w = greatest(weight.cast("double"), lit(1.0))
+    val key = floor(log(u) / w * lit(1e6) + lit(0.5)) / lit(1e6)
+    val win = Window.partitionBy(col(groupCol)).orderBy(col("key").desc, col(idCol).asc)
+    df.select(col(groupCol), col(idCol), w.as("weight"), key.as("key"))
+      .withColumn("pick_rank", row_number().over(win))
+      .filter(col("pick_rank") <= k)
+      .select(col(groupCol), col("pick_rank"), col(idCol), col("weight"), col("key"))
+  }
 }

@@ -40,6 +40,65 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
+  /** EXACT maximum-inner-product top-k with Cauchy–Schwarz norm pruning —
+    * the retrieval scoring used by unnormalized-embedding rankers (and the
+    * exact cousin of MIPS-to-ANN reductions): ip(q,d) ≤ ‖q‖·‖d‖, so once a
+    * per-query lower bound on the k-th best ip is known, every document
+    * whose norm satisfies ‖d‖·‖q‖ < bound is provably outside the top-k
+    * and is never scored.
+    *
+    * Two phases, both shuffle-free on the corpus:
+    *  1. BOUND: the `normBand` largest-norm documents (TakeOrdered — a
+    *     per-partition partial top-B, no global sort) are broadcast and
+    *     scored against every query; the k-th best ip per query becomes
+    *     that query's pruning bound. High-norm docs are where big inner
+    *     products live, so the bound lands tight.
+    *  2. SWEEP: the full corpus passes the broadcast (query, bound) table
+    *     with the filter ‖d‖·‖q‖ ≥ bound − slack; only survivors compute a
+    *     dot product. The slack (1e-9 relative) absorbs the few-ulp gap
+    *     between the computed dot and the computed norm product, so no
+    *     true top-k member can be pruned by rounding — the result is
+    *     IDENTICAL to the brute-force ranking (MipsSpec pins equality and
+    *     that pruning actually skipped documents; the SQL oracle is the
+    *     brute form).
+    *
+    * At 100 TB: norms are a per-row projection (stored column in a real
+    * deployment), the bound table is O(queries), and the sweep reads the
+    * corpus once, scoring only the norm-qualified slice. Ranking compares
+    * RAW ips (sequential double accumulation, bit-equal across engines) —
+    * no rounding inside the order, ties by neighbor id.
+    * Output: query_id, rank, neighbor_id, ip (rounded 4).
+    */
+  def maxInnerProductTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, normBand: Int = 64): DataFrame = {
+    require(normBand >= k + 1, s"normBand ($normBand) must exceed k ($k) to bound every query")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v_c"),
+      l2Norm(col(vecCol)).as("n_c"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("v_q"),
+      l2Norm(col(vecCol)).as("n_q"))
+    val band = c.orderBy(col("n_c").desc, col("neighbor_id")).limit(normBand)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ip").desc, col("neighbor_id").asc)
+    val bounds = broadcast(band)
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ip", dot(col("v_q"), col("v_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === k)
+      .select(col("query_id"), col("ip").as("bound"))
+    val qb = q.join(bounds, "query_id")
+    val survivors = c.join(broadcast(qb),
+      col("query_id") =!= col("neighbor_id") &&
+        col("n_c") * col("n_q") >= col("bound") - abs(col("bound")) * lit(1e-9) - lit(1e-12))
+      .withColumn("ip", dot(col("v_q"), col("v_c")))
+    survivors
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      // floor idiom, not round(): ip is a raw double accumulation, where
+      // round() may disagree across engines on exact .xxxx5 halves
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (floor(col("ip") * lit(1e4) + lit(0.5)) / lit(1e4)).as("ip"))
+  }
+
   /** Hard-negative mining — contrastive-training's data prep: per query,
     * the top-k most similar corpus vectors carrying a DIFFERENT label
     * (near-misses are the informative negatives). Same plan shape as

@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed closed-form regression / correlation over grouped data
+  * (north-star extension; SURVEY.md §2.10) — the profiling step behind
+  * corpus heuristics like "does doc length predict token count per
+  * source?" and feature sanity checks before training a quality
+  * classifier.
+  *
+  * Scale design: everything reduces to the five classical sufficient
+  * statistics (n, Σx, Σy, Σxy, Σx², Σy²) computed in ONE
+  * map-side-combined groupBy — the shuffle carries partitions×groups
+  * partial rows, never data rows, and the closed-form solve is a per-group
+  * projection on the aggregate output (no driver round-trip, no iteration).
+  * This is the same one-pass shape at 5000 rows and at 100 TB.
+  *
+  * Cross-engine determinism: x and y are INTEGER expressions here, so the
+  * sufficient statistics are exact (LongType sums; caller guarantees no
+  * overflow — at 2^63 that holds through petabyte-scale groups for
+  * character/token counts). The closed forms then perform a fixed sequence
+  * of IEEE double ops on exact integers — identical in any engine — with
+  * one final round(…, 6).
+  */
+object Stats {
+
+  /** Per-group simple OLS y = slope·x + intercept plus Pearson r, from
+    * exact integer sufficient statistics. Groups where the x variance is
+    * zero yield NULL slope/intercept/r (division by zero → NULL in both
+    * Spark non-ANSI and DuckDB via nullif).
+    *
+    * Output: groupCols*, n, slope, intercept, r (each rounded 6).
+    */
+  def groupedLinReg(
+      df: DataFrame, groupCols: Seq[String], x: Column, y: Column): DataFrame = {
+    val stats = df
+      .select(groupCols.map(col) ++ Seq(
+        x.cast("long").as("__x"), y.cast("long").as("__y")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"),
+        sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+    // cov/var numerators are exact integers (fit in long for corpus-scale
+    // counts); the doubles below are each a single IEEE op on exact inputs
+    val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varXN = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varYN = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    // round-half-up via floor(x·1e6+0.5)/1e6, NOT round(): the values are
+    // outputs of double division chains, where round() may disagree across
+    // engines on exact .xxxxxx5 halves (NOTES.md round-4 parity lesson);
+    // the floor idiom is the same IEEE op sequence everywhere
+    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val slope = covN / nullif(varXN, lit(0.0))
+    stats.select(
+      groupCols.map(col) ++ Seq(
+        col("n"),
+        r6(slope).as("slope"),
+        r6((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"),
+        r6(covN / nullif(sqrt(varXN) * sqrt(varYN), lit(0.0))).as("r")): _*)
+  }
+}

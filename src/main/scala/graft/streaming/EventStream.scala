@@ -625,6 +625,72 @@ object EventStream {
       .toDF()
   }
 
+  final case class FunnelRow(
+      day: String, n_view_users: Long, n_clicked: Long, n_converted: Long, conversion: Double)
+
+  /** Streaming funnel reducer: input rows are FINALIZED per-(day, user)
+    * funnel verdicts from the upstream watermarked window aggregation —
+    * append semantics guarantee every row of a sealed day arrives in the
+    * same microbatch, so each key's batch is a complete day and no
+    * cross-batch state is needed (the processor is a per-day reduce, not
+    * a memory). Conversion mirrors Spark's `round(double, 4)` exactly
+    * (BigDecimal of the shortest-decimal form, HALF_UP).
+    */
+  class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Boolean, Boolean), FunnelRow] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {}
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Boolean, Boolean)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelRow] = {
+      var n = 0L; var c = 0L; var p = 0L
+      rows.foreach { r => n += 1; if (r._2) c += 1; if (r._3) p += 1 }
+      val conv = new java.math.BigDecimal(java.lang.Double.toString(p.toDouble / n))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      Iterator.single(FunnelRow(key, n, c, p, conv))
+    }
+  }
+
+  /** Continuous conversion funnel (the streaming form of the batch
+    * x_event_funnel): a watermarked 1-day tumbling window aggregates each
+    * (day, user)'s view/click/purchase times — the only event-volume
+    * operator, one distributed shuffle on (window, user) exactly like the
+    * batch plan's (day, user) exchange — then the dependent-step math
+    * (first click within 1 h of the first view, first purchase within 1 h
+    * of that click) runs as the SAME stateless array-HOF projection as the
+    * batch query, and [[FunnelProcessor]] reduces each sealed day's
+    * verdicts to one funnel row. The last calendar day never seals (its
+    * window end exceeds every reachable watermark) — the oracle applies
+    * the identical cutoff (t18 discipline).
+    */
+  def funnelMonitor(events: DataFrame, delay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourMs = lit(3600000L)
+    events
+      .withColumn("ms", unix_millis(col("ts")))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ms"))).as("tv"),
+        collect_list(when(col("event_type") === "click", col("ms"))).as("cl"),
+        collect_list(when(col("event_type") === "purchase", col("ms"))).as("pl"))
+      .filter(col("tv").isNotNull)
+      .withColumn("tc", array_min(filter(col("cl"),
+        c => c > col("tv") && c - col("tv") <= hourMs)))
+      .withColumn("tp", array_min(filter(col("pl"),
+        p => p > col("tc") && p - col("tc") <= hourMs)))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("tc").isNotNull.as("clicked"), col("tp").isNotNull.as("converted"))
+      .as[(String, Boolean, Boolean)]
+      .groupByKey(_._1)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** T-ext: per-user running event totals as an UPDATE stream. The final
     * emission per user equals the user's total event count — which is what
     * the batch oracle checks (SparkEntry t13).

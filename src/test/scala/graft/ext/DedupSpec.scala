@@ -274,4 +274,51 @@ class DedupSpec extends AnyFunSuite {
     assert(out((1L, 3L)) === 3) // dog -> cat
     assert(out((1L, 4L)) > 20)  // unrelated
   }
+
+  // ------------------------------------------ prefix-filtered exact join
+
+  /** Corpus with planted J >= 0.5 pairs: real docs plus 90%-truncated
+    * copies (the x_split_leakage construction).
+    */
+  private def truncCorpus = {
+    val base = graft.sources.Tables.load(spark, graft.TestSpark.sfDir, "documents")
+      .filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+    base.unionByName(base.select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      expr("substr(text, 1, CAST(floor(length(text)*0.9) AS INT))").as("text")))
+  }
+
+  test("prefixJaccardPairs equals the brute inverted-index join exactly") {
+    val corp = truncCorpus
+    val got = Dedup.prefixJaccardPairs(corp, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Dedup.ngramJaccardPairs(corp, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "planted truncated copies must produce J >= 0.5 pairs")
+  }
+
+  test("prefix filter generates strictly fewer candidate pairs than the full inverted index") {
+    val corp = truncCorpus
+    val withSh = corp.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val exploded = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // full inverted index: every pair sharing ANY shingle
+    val fullCands = exploded.select(col("shingle"), col("doc_id").as("a"))
+      .join(exploded.select(col("shingle"), col("doc_id").as("b")), "shingle")
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    // prefix index at tGen = 0.5 - 5e-5 (mirror of prefixJaccardPairs)
+    val tGen = 0.5 - 5e-5
+    val dfreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("df"), col("shingle"))))
+      .join(withSh.select(col("doc_id"), size(col("sh")).as("nsh")), "doc_id")
+      .filter(col("rk") <= col("nsh") - ceil(lit(tGen) * col("nsh")) + 1)
+    val prefixCands = ranked.select(col("shingle"), col("doc_id").as("a"))
+      .join(ranked.select(col("shingle"), col("doc_id").as("b")), "shingle")
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    assert(prefixCands < fullCands / 4,
+      s"prefix filtering should cut candidates hard: $prefixCands vs $fullCands full")
+  }
 }

@@ -43,4 +43,29 @@ class LinkRankSpec extends AnyFunSuite {
     val exp2 = rd(base + 0.85 * (BigDecimal(rd(p0 / 3)) * 2 + BigDecimal(rd(p0 / 1))).toDouble)
     assert(out(2L) === exp2)
   }
+
+  test("triangleCounts: K4 has four triangles, every node in three; direction/dup/self noise ignored") {
+    // K4 edges with deliberate noise: reversed duplicates, a self-loop, a
+    // pendant edge (5 hangs off 1 — no triangle through it)
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ++
+      Seq((2L, 1L), (3L, 1L), (4L, 4L), (1L, 5L))).toDF("src", "dst")
+    val got = LinkRank.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: triangle-free graphs (path, star) yield no rows") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(LinkRank.triangleCounts(path, "src", "dst").count() === 0L)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    assert(LinkRank.triangleCounts(star, "src", "dst").count() === 0L)
+  }
+
+  test("triangleCounts: two triangles sharing an edge — shared nodes count both") {
+    // {1,2,3} and {2,3,4} share edge (2,3)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val got = LinkRank.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
 }

@@ -230,4 +230,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rep.getLong(0) === 16L, "every centroid must own its non-empty cell")
     assert(rep.getLong(1) === e.count())
   }
+
+  // the stored embeddings are unit-normalized, so MIPS tests scale them by
+  // 2^(vec_id % 8) (exact multiplication) to give the norm bound teeth —
+  // same construction as the x_maxip_topk query
+  private def scaledEmbs = embs.select(col("vec_id"),
+    transform(col("embedding"),
+      x => x.cast("double") * pow(lit(2.0), (col("vec_id") % 8).cast("double"))).as("embedding"))
+
+  test("maxInnerProductTopK equals the brute inner-product ranking exactly") {
+    import graft.functions.VectorFunctions.dot
+    import org.apache.spark.sql.expressions.Window
+    val sc = scaledEmbs
+    val queries = sc.filter(col("vec_id") < 8)
+    val got = Similarity.maxInnerProductTopK(sc, queries, "vec_id", "embedding", k = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("neighbor_id").asc)
+    val brute = sc.select(col("vec_id").as("neighbor_id"), col("embedding").as("v_c"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("v_q"))),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("ip", dot(col("v_q"), col("v_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (floor(col("ip") * lit(1e4) + lit(0.5)) / lit(1e4)).as("ip"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sorted.toSeq === brute.sorted.toSeq)
+    assert(got.length === 8 * 7)
+  }
+
+  test("maxInnerProductTopK's norm bound actually prunes — survivors are a strict subset") {
+    import graft.functions.VectorFunctions.{dot, l2Norm}
+    import org.apache.spark.sql.expressions.Window
+    val k = 7; val normBand = 64
+    val sc = scaledEmbs
+    val queries = sc.filter(col("vec_id") < 8)
+    // replay phase 1 to get each query's bound, then count norm-qualified docs
+    val c = sc.select(col("vec_id").as("neighbor_id"), col("embedding").as("v_c"),
+      l2Norm(col("embedding")).as("n_c"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("v_q"),
+      l2Norm(col("embedding")).as("n_q"))
+    val band = c.orderBy(col("n_c").desc, col("neighbor_id")).limit(normBand)
+    val w = Window.partitionBy("query_id").orderBy(col("ip").desc, col("neighbor_id").asc)
+    val bounds = band.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ip", dot(col("v_q"), col("v_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === k)
+      .select(col("query_id"), col("ip").as("bound"))
+    val nSurvivors = c.join(broadcast(q.join(bounds, "query_id")),
+      col("query_id") =!= col("neighbor_id") &&
+        col("n_c") * col("n_q") >= col("bound") - abs(col("bound")) * lit(1e-9) - lit(1e-12))
+      .count()
+    val nAll = sc.count() * queries.count()
+    assert(nSurvivors < nAll / 2,
+      s"norm pruning should skip most of the corpus: $nSurvivors of $nAll scored")
+    assert(nSurvivors >= 8L * k, "every query must keep at least k candidates")
+  }
 }

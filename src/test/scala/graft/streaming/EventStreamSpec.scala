@@ -229,6 +229,43 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming funnel matches the batch conversion funnel for every sealed day") {
+    val ckpt = Files.createTempDirectory("graft_funnel_ckpt").toString
+    EventStream.runToMemory(
+      EventStream.funnelMonitor(EventStream.readEvents(spark, eventsDir)),
+      "funnel_out", ckpt, outputMode = "append", statePartitions = Some(4), rocksDb = true)
+    val streamed = spark.table("funnel_out")
+      .select("day", "n_view_users", "n_clicked", "n_converted", "conversion")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    // batch mirror (the x_event_funnel plan) with the watermark cutoff
+    val e = Tables.withDay(Tables.loadEvents(spark, TestSpark.sfDir))
+      .select(col("day"), col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val hourMs = lit(3600000L)
+    val maxTs = Tables.loadEvents(spark, TestSpark.sfDir)
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val batch = e.groupBy("day", "user_id").agg(
+        min(when(col("event_type") === "view", col("ms"))).as("tv"),
+        collect_list(when(col("event_type") === "click", col("ms"))).as("cl"),
+        collect_list(when(col("event_type") === "purchase", col("ms"))).as("pl"))
+      .filter(col("tv").isNotNull)
+      .withColumn("tc", array_min(filter(col("cl"), c => c > col("tv") && c - col("tv") <= hourMs)))
+      .withColumn("tp", array_min(filter(col("pl"), p => p > col("tc") && p - col("tc") <= hourMs)))
+      .groupBy("day").agg(
+        count(lit(1)).as("n_view_users"),
+        sum(when(col("tc").isNotNull, 1L).otherwise(0L)).as("n_clicked"),
+        sum(when(col("tp").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+        round(sum(when(col("tp").isNotNull, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 4).as("conversion"))
+      .filter(unix_millis(date_add(to_date(col("day")), 1).cast("timestamp")) <= maxTs - 3600000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("syncToIndex is incremental: a second trigger with no new files appends nothing") {
     val base = Files.createTempDirectory("graft_stream_sync").toString
     val idx = s"$base/idx"
