@@ -10,33 +10,33 @@ object Bench {
     * BENCH_FULL.json in the repo root.
     */
   val headline: Seq[String] = Seq(
+    // trimmed to ~60 entries: the r7 driver capture showed the printed
+    // line at 84 entries overran the 2000-char stdout tail and failed the
+    // driver's JSON parse — one representative per family + heavy hitters
+    // only; complete timings always land in BENCH_FULL.json
     "s3_pruned_scan",
-    "a1_daily_counts", "a3_topk_days", "a10_cube", "a12_percentiles", "a15_dispersion_exact",
-    "j1_partition_anti", "j2_id_anti", "j3_count_reconcile",
-    "j7_asof_join", "j8_range_join", "j9_salted_join", "j10_bucketed_join",
-    "j12_bloom_anti", "j13_asof_native",
-    "w3_topk_per_group", "w5_topk_aggregator",
-    "k1_write_roundtrip", "k2_partition_pruned_read", "k3_upsert_last_wins",
-    "t5_incremental_plan", "t6_stream_daily_counts", "t8_stream_dedup_counts", "t9_incremental_agg", "t10_stream_interval_join",
-    "t7_sessionize_stateful", "sync_e2e_counts", "w9_session_window",
-    "q1_pricing_summary", "q3_star_join_revenue", "q4_priority_exists",
-    "q5_local_supplier_revenue", "q6_forecast_revenue", "q7_volume_shipping",
-    "q10_returned_items", "q13_order_distribution",
-    "q18_large_orders", "q19_disjunctive_pred",
-    "q8_market_share", "q9_product_profit", "q16_supplier_cnt", "q21_sole_failing_supplier",
-    "w6_lag_lead", "f6_json_extract",
-    "j14_interval_overlap", "x_line_dedup", "x_bpe_merges", "x_semantic_dedup",
-    "x_token_count", "x_quality_score", "x_lang_id", "x_dedup_exact",
-    "x_ngram_jaccard", "x_minhash_lsh", "x_simhash_pairs", "x_char_ngrams",
+    "a1_daily_counts", "a3_topk_days", "a15_dispersion_exact",
+    "j1_partition_anti", "j2_id_anti",
+    "j7_asof_join", "j9_salted_join", "j12_bloom_anti", "j13_asof_native",
+    "w5_topk_aggregator", "w9_session_window",
+    "k1_write_roundtrip", "k3_upsert_last_wins", "k12_manifest_prune",
+    "t5_incremental_plan", "t6_stream_daily_counts", "t8_stream_dedup_counts",
+    "t10_stream_interval_join", "t7_sessionize_stateful", "sync_e2e_counts",
+    "t15_session_timers", "t17_stream_topk", "t18_stream_drift", "t19_stream_funnel",
+    "q1_pricing_summary", "q3_star_join_revenue", "q6_forecast_revenue",
+    "q10_returned_items", "q18_large_orders",
+    "q8_market_share", "q9_product_profit", "q21_sole_failing_supplier",
+    "f6_json_extract", "j14_interval_overlap",
+    "x_line_dedup", "x_bpe_merges", "x_semantic_dedup",
+    "x_lang_id", "x_dedup_exact",
+    "x_ngram_jaccard", "x_minhash_lsh", "x_simhash_pairs",
     "x_embed_cosine_topk", "x_ann_lsh", "x_ann_ivf",
     "x_sessionize", "x_multimodal_features",
-    "x_stratified_sample", "x_tfidf_top_terms",
-    "x_dedup_clusters", "x_clean_pipeline",
-    "k12_manifest_prune", "t15_session_timers", "x_cdc_changeset",
-    "x_boilerplate", "x_unigram_lm", "x_dsir_weights", "x_day_retention",
-    "t17_stream_topk", "t18_stream_drift",
+    "x_dedup_clusters", "x_clean_pipeline", "x_cdc_changeset",
+    "x_unigram_lm", "x_dsir_weights",
     "x_winnow_pairs", "x_ncm_classify", "x_lsh_incremental", "x_perplexity_prune",
-    "x_prefix_jaccard", "x_triangles", "x_maxip_topk", "t19_stream_funnel")
+    "x_prefix_jaccard", "x_triangles", "x_maxip_topk",
+    "x_bm25_search", "x_collocations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

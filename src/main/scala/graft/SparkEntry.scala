@@ -2911,6 +2911,88 @@ object SparkEntry {
         .orderBy("doc_id", "rnk")
     }),
 
+    // BM25 SEARCH (retrieval, not term profiling): rank the FULL corpus
+    // for 5 data-derived queries of 4 terms each (the 20 highest-df terms,
+    // round-robin assigned — deterministic and oracle-recomputable). The
+    // plan is the production IR shape: the query-term table (broadcast,
+    // metadata-scale) probes the (doc, term) posting lists in one
+    // equi-join — the corpus is scored only where a query term matches,
+    // never scanned per query. Per-term scores round-6 → DECIMAL sums
+    // (order-independent), ranking on the exact decimal, round-4 output
+    // AFTER the decimal sum (the r8 decimal-then-cast lesson).
+    "x_bm25_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val toksArr = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+      val toks = docs.select(col("doc_id"), toksArr.as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+          explode(col("toks")).as("term"))
+      val tf = toks.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = toks.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      // top-20 df terms via TakeOrdered (bounded), then rank the 20-row
+      // result (window partitioned by a constant — bounded input, no
+      // single-task scan of anything corpus-sized)
+      val qterms = dfreq.orderBy(col("df").desc, col("term")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("df").desc, col("term"))))
+        .select(((col("rnk") - 1) % 5).cast("int").as("query_id"), col("term"))
+      val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfn = (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+      val perTerm = tf.join(broadcast(qterms), "term")
+        .join(dfreq, "term").crossJoin(broadcast(stats))
+        .withColumn("ts", round(idf * tfn, 6).cast("decimal(18,6)"))
+      val perDoc = perTerm.groupBy("query_id", "doc_id")
+        .agg(sum(col("ts")).as("sdec"), count(lit(1)).as("n_terms_matched"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sdec").desc, col("doc_id"))
+      perDoc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("n_terms_matched"),
+          round(col("sdec"), 4).cast("double").as("score"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // PMI collocations (corpus linguistics' bigram-association score —
+    // the phrase-mining step behind tokenizer/vocab decisions): adjacent
+    // word pairs with count >= 5, pmi = ln((n_ab/B)/((n_a/T)(n_b/T))).
+    // Two counting aggregations (bigrams via the native WordNgrams
+    // kernel, cached — the count>=5 table and the B total share one
+    // pass); the hot-pair table joins the unigram counts PLAIN (vocab is
+    // 10^8+ at web scale — AQE picks broadcast only when it fits, the
+    // BPE size-gating lesson); top-50 via TakeOrdered, never a global
+    // window. Docs under 2 tokens are excluded from the bigram side on
+    // both engines (the kernel emits a whole-text pseudo-gram for those).
+    "x_collocations" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toksArr = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+      val uni = docs.select(explode(toksArr).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      val tot = uni.agg(sum(col("n")).as("t"))
+      val bgAll = docs.select(toksArr.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(graft.functions.WordNgrams.wordNgrams(col("toks"), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("n_ab"))
+        .cache() // hot-pair filter and the B total share this table
+      val btot = bgAll.agg(sum(col("n_ab")).as("bt"))
+      val bi = bgAll.filter(col("n_ab") >= 5)
+        .withColumn("a", split(col("bg"), " ").getItem(0))
+        .withColumn("b", split(col("bg"), " ").getItem(1))
+      val scored = bi
+        .join(uni.select(col("term").as("a"), col("n").as("n_a")), "a")
+        .join(uni.select(col("term").as("b"), col("n").as("n_b")), "b")
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(btot))
+        .withColumn("pmi", round(
+          log((col("n_ab").cast("double") / col("bt").cast("double")) /
+            ((col("n_a").cast("double") / col("t").cast("double")) *
+              (col("n_b").cast("double") / col("t").cast("double")))), 6))
+      scored.orderBy(col("pmi").desc, col("a"), col("b")).limit(50)
+        .select("a", "b", "n_ab", "n_a", "n_b", "pmi")
+    }),
+
     "x_tfidf_top_terms" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
@@ -5863,6 +5945,51 @@ object SparkEntry {
                      greatest(length(ta.nt), length(tb.nt)), 4) AS lev_sim
             FROM j JOIN d ta ON j.doc_a = ta.doc_id JOIN d tb ON j.doc_b = tb.doc_id
             ORDER BY doc_a, doc_b""",
+      // BM25 search: identical posting-list algebra; per-term round-6 →
+      // DECIMAL sums, rank on the exact decimal, round-4 after the sum
+      "x_bm25_search" ->
+        """WITH toks AS (SELECT doc_id,
+                        CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS DOUBLE) AS dl,
+                        unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+                      FROM documents),
+                tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM toks GROUP BY doc_id, term),
+                dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+                stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+                          FROM (SELECT DISTINCT doc_id, dl FROM toks)),
+                qt AS (SELECT CAST((rnk - 1) % 5 AS INTEGER) AS query_id, term
+                       FROM (SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rnk FROM dfreq)
+                       WHERE rnk <= 20),
+                pt AS (SELECT qt.query_id, tf.doc_id,
+                         CAST(round(ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
+                           ((tf * CAST(2.2 AS DOUBLE)) /
+                            (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS DECIMAL(18,6)) AS ts
+                       FROM tf JOIN qt USING (term) JOIN dfreq USING (term) CROSS JOIN stats),
+                pd AS (SELECT query_id, doc_id, sum(ts) AS sdec, count(*) AS n_terms_matched
+                       FROM pt GROUP BY 1, 2),
+                r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rnk FROM pd)
+           SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_matched,
+                  CAST(round(sdec, 4) AS DOUBLE) AS score
+           FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+      // collocations: same bigram/unigram counts, ln of the identical
+      // double quotient chain, round-6
+      "x_collocations" ->
+        """WITH tk AS (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk FROM documents),
+                un AS (SELECT term, count(*) AS n
+                       FROM (SELECT unnest(tk) AS term FROM tk) GROUP BY term),
+                tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM un),
+                bgr AS (SELECT array_to_string(tk[i:i+1], ' ') AS bg
+                        FROM tk, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+                        WHERE len(tk) >= 2),
+                bga AS (SELECT bg, count(*) AS n_ab FROM bgr GROUP BY bg),
+                btot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS bt FROM bga),
+                bi AS (SELECT n_ab, string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b
+                       FROM bga WHERE n_ab >= 5),
+                sc AS (SELECT a, b, n_ab, ua.n AS n_a, ub.n AS n_b,
+                         round(ln((CAST(n_ab AS DOUBLE) / bt) /
+                           ((CAST(ua.n AS DOUBLE) / t) * (CAST(ub.n AS DOUBLE) / t))), 6) AS pmi
+                       FROM bi JOIN un ua ON bi.a = ua.term JOIN un ub ON bi.b = ub.term
+                       CROSS JOIN tot CROSS JOIN btot)
+           SELECT a, b, n_ab, n_a, n_b, pmi FROM sc ORDER BY pmi DESC, a, b LIMIT 50""",
       // prefix-filtered join's oracle IS the brute inverted-index form
       // (prefix filtering is exact — identical pair set) over the
       // truncated-copy corpus at threshold 0.5

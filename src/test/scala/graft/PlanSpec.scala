@@ -178,4 +178,18 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), s"expected a shuffle-free scan projection:\n$p")
     }
   }
+
+  test("x_bm25_search probes posting lists via a broadcast of the query terms, no global window") {
+    val p = plan("x_bm25_search")
+    assert(p.contains("BroadcastHashJoin"), s"query-term probe must broadcast:\n$p")
+    // the only windows are the 20-row constant-partition rank and the
+    // per-query top-k — never an empty partition spec over corpus data
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      s"no unpartitioned window over corpus data:\n$p")
+  }
+
+  test("x_maxip_topk phase-1 band is a TakeOrdered, not a global sort") {
+    val p = plan("x_maxip_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"norm band must be a partial top-B:\n$p")
+  }
 }
