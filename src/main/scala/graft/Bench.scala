@@ -36,7 +36,7 @@ object Bench {
     "x_unigram_lm", "x_dsir_weights",
     "x_winnow_pairs", "x_ncm_classify", "x_lsh_incremental", "x_perplexity_prune",
     "x_prefix_jaccard", "x_triangles", "x_maxip_topk",
-    "x_bm25_search", "x_collocations")
+    "x_bm25_search", "x_collocations", "x_unigram_tok")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3741,6 +3741,31 @@ object SparkEntry {
           x => x.cast("double") * pow(lit(2.0), (col("vec_id") % 8).cast("double"))).as("embedding"))
       Similarity.maxInnerProductTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // unigram-LM subword tokenizer (SentencePiece/Kudo 2018 — BPE's
+    // global-argmax sibling; graft.ext.UnigramTok): vocabulary = substring
+    // pieces over minCount (data-derived: total_tokens/100) plus all
+    // single chars; every word Viterbi-segmented by ONE array fold over a
+    // per-word piece-score map; the corpus pass is a word equi-join —
+    // no DP per corpus row. DECIMAL path sums, deterministic tie-breaks,
+    // oracle = 20 unrolled DP stages ranked (s DESC, n, j).
+    "x_unigram_tok" -> ((s, dir) => {
+      import graft.ext.UnigramTok
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(UnigramTok.tokens(col("text"))).as("w"))
+      val words = toks.groupBy("w").agg(count(lit(1)).as("f")).cache()
+      // bounded scalar (distinct-word table aggregate) — the pageRank
+      // count pattern; integer division mirrored by the oracle's //
+      val minCount = words.agg(sum(col("f"))).head().getLong(0) / 100
+      val vocab = UnigramTok.fitVocab(words, "w", "f", maxPiece = 4, minCount)
+      val seg = UnigramTok.segmentWords(words.select("w"), "w", vocab, maxPiece = 4)
+      toks.join(seg, toks("w") === seg("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_unitok"),
+          round(sum(col("logp")), 4).cast("double").as("sum_logp"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3793,6 +3818,27 @@ object SparkEntry {
     // per-edge contributions rounded 12 \u2192 DECIMAL(28,12) sums; dangling
     // mass decimal-summed; 1\u2212d computed (not a literal) so both engines
     // produce the identical IEEE double.
+    // x_unigram_tok: 20 unrolled Viterbi stages (one per word position —
+    // the UnigramTok.maxWordLen bound). Stage i ranks, per word, every
+    // predecessor j in [i-4, i-1] whose piece substr(w, j+1, i-j) is in
+    // the vocabulary, by (path DECIMAL sum DESC, piece count, split
+    // point) — the exact struct-max ordering of the Spark fold.
+    val uniDp = (1 to 20).map { i =>
+      val branches = (math.max(0, i - 4) until i).map { j =>
+        s"SELECT w, s, n, $j AS j FROM udp$j WHERE length(w) >= $i"
+      }.mkString(" UNION ALL ")
+      s"""udp$i AS MATERIALIZED (SELECT w, s, n FROM (
+            SELECT w, s2 AS s, n2 AS n,
+                   row_number() OVER (PARTITION BY w ORDER BY s2 DESC, n2 ASC, j ASC) AS rn
+            FROM (SELECT u.w, CAST(u.s + v.score AS DECIMAL(18,6)) AS s2, u.n + 1 AS n2, u.j
+                  FROM ($branches) u
+                  JOIN uvocab v ON v.piece = substr(u.w, u.j + 1, $i - u.j)))
+          WHERE rn = 1)"""
+    }.mkString(",\n")
+    val uniWres = (1 to 20).map(l => s"SELECT w, s, n FROM udp$l WHERE length(w) = $l")
+      .mkString(" UNION ALL ")
+    val uniToks =
+      "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> length(t) >= 1 AND length(t) <= 20)"
     val prIters = (1 to 8).map { i =>
       val p = s"p${i - 1}"
       s"""dm$i AS (SELECT coalesce(sum(CAST(p.pr AS DECIMAL(28,12))), 0) AS dm
@@ -6071,7 +6117,31 @@ object SparkEntry {
                 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rank FROM s)
            SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
                   floor(ip * 1e4 + 0.5) / 1e4 AS ip
-           FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+           FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+      // unigram tokenizer: vocabulary fit + 20 unrolled Viterbi stages;
+      // minCount = total_tokens // 100 mirrors the Spark long division
+      "x_unigram_tok" ->
+        s"""WITH uwords AS MATERIALIZED (SELECT w, count(*) AS f
+                            FROM (SELECT unnest($uniToks) AS w FROM documents) GROUP BY w),
+                 usubs AS (SELECT substr(w, p, l) AS piece, f FROM uwords,
+                           unnest(generate_series(1, length(w))) AS a(p),
+                           unnest(generate_series(1, least(4, length(w) - p + 1))) AS b(l)),
+                 ucnt AS (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt FROM usubs GROUP BY piece),
+                 utt AS (SELECT CAST(sum(f) AS BIGINT) AS tt FROM uwords),
+                 uvocab0 AS (SELECT piece, cnt FROM ucnt CROSS JOIN utt
+                             WHERE length(piece) = 1 OR cnt >= tt // 100),
+                 utotal AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM uvocab0),
+                 uvocab AS MATERIALIZED (SELECT piece,
+                              CAST(round(ln(CAST(cnt AS DOUBLE) / t), 6) AS DECIMAL(18,6)) AS score
+                            FROM uvocab0 CROSS JOIN utotal),
+                 udp0 AS MATERIALIZED (SELECT w, CAST(0 AS DECIMAL(18,6)) AS s, 0 AS n FROM uwords),
+                 $uniDp,
+                 uwres AS ($uniWres),
+                 utoks AS (SELECT doc_id, unnest($uniToks) AS w FROM documents)
+            SELECT doc_id, count(*) AS n_words, CAST(sum(n) AS BIGINT) AS n_unitok,
+                   CAST(round(sum(s), 4) AS DOUBLE) AS sum_logp
+            FROM utoks JOIN uwres USING (w)
+            GROUP BY doc_id ORDER BY doc_id"""
     )
   }
 
