@@ -3743,6 +3743,98 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // first-order Markov transition matrix over per-user event sequences
+    // — the user-behavior model behind next-event prediction and
+    // anomaly scoring. lag window PARTITIONED BY USER (distributed; ties
+    // broken by event_id — total order), then one (from, to) count;
+    // row-normalized probabilities. Matrix is |types|² — metadata-scale
+    // output no matter the corpus.
+    "x_markov_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      val trans = e.withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = trans.groupBy("from_type").agg(sum(col("n")).as("row_n"))
+      trans.join(tot, "from_type")
+        .withColumn("p",
+          floor(col("n").cast("double") / col("row_n").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
+        .select("from_type", "to_type", "n", "p")
+        .orderBy("from_type", "to_type")
+    }),
+
+    // frequent event-type PAIRS per (user, day) basket — the A-priori
+    // first pass of market-basket mining. Baskets are distinct triples;
+    // within-basket pair join is bounded by |types|² per basket; support
+    // counts + fractions over the basket universe.
+    "x_frequent_pairs" -> ((s, dir) => {
+      val b = events(s, dir).select(col("user_id"), col("day"), col("event_type")).distinct()
+      val nb = b.select("user_id", "day").distinct().agg(count(lit(1)).as("n_baskets"))
+      val pairs = b.join(
+        b.select(col("user_id"), col("day"), col("event_type").as("type_b")),
+        Seq("user_id", "day"))
+        .filter(col("event_type") < col("type_b"))
+        .groupBy(col("event_type").as("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("support"))
+      pairs.crossJoin(broadcast(nb))
+        .withColumn("support_frac",
+          floor(col("support").cast("double") / col("n_baskets").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
+        .filter(col("support") >= 20)
+        .select("type_a", "type_b", "support", "support_frac")
+        .orderBy("type_a", "type_b")
+    }),
+
+    // Deequ-style data-quality expectation suite over lineitem: ONE pass
+    // computes every check metric (completeness, key uniqueness, domain
+    // bounds, cross-column compliance, volume), then a constant-size
+    // unpivot emits (check, metric, passed) rows — validating 100 TB
+    // costs one map-side-combined aggregate.
+    "x_expectations" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val agg = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_returnflag").isNotNull, 1L).otherwise(0L)).as("n_rf"),
+        count_distinct(col("l_orderkey")).as("n_orders"),
+        count_distinct(col("l_orderkey"), col("l_linenumber")).as("n_keys"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        max(col("l_discount")).as("max_disc"),
+        sum(when(col("l_extendedprice") > 0.0, 1L).otherwise(0L)).as("n_price_ok"),
+        max(year(col("l_shipdate"))).as("max_year"))
+      def frac(a: Column, b: Column): Column =
+        floor(a.cast("double") / b.cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)
+      agg.select(
+        struct(lit("completeness_returnflag").as("check"),
+          frac(col("n_rf"), col("n_rows")).as("metric"),
+          (col("n_rf") === col("n_rows")).as("passed")).as("c1"),
+        struct(lit("uniqueness_orderkey").as("check"),
+          frac(col("n_orders"), col("n_rows")).as("metric"),
+          (col("n_orders") === col("n_rows")).as("passed")).as("c2"),
+        struct(lit("uniqueness_orderkey_linenumber").as("check"),
+          frac(col("n_keys"), col("n_rows")).as("metric"),
+          (col("n_keys") === col("n_rows")).as("passed")).as("c3"),
+        struct(lit("quantity_in_1_50").as("check"),
+          col("max_qty").cast("double").as("metric"),
+          (col("min_qty") >= 1.0 && col("max_qty") <= 50.0).as("passed")).as("c4"),
+        struct(lit("discount_le_0_1").as("check"),
+          col("max_disc").cast("double").as("metric"),
+          (col("max_disc") <= 0.1).as("passed")).as("c5"),
+        struct(lit("price_positive").as("check"),
+          frac(col("n_price_ok"), col("n_rows")).as("metric"),
+          (col("n_price_ok") === col("n_rows")).as("passed")).as("c6"),
+        struct(lit("shipdate_year_le_1998").as("check"),
+          col("max_year").cast("double").as("metric"),
+          (col("max_year") <= 1998).as("passed")).as("c7"))
+        .select(explode(array(col("c1"), col("c2"), col("c3"), col("c4"),
+          col("c5"), col("c6"), col("c7"))).as("e"))
+        .select(col("e.check").as("check"), col("e.metric").as("metric"),
+          col("e.passed").as("passed"))
+        .orderBy("check")
+    }),
+
     // unigram-LM subword tokenizer (SentencePiece/Kudo 2018 — BPE's
     // global-argmax sibling; graft.ext.UnigramTok): vocabulary = substring
     // pieces over minCount (data-derived: total_tokens/100) plus all
@@ -6118,6 +6210,66 @@ object SparkEntry {
            SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
                   floor(ip * 1e4 + 0.5) / 1e4 AS ip
            FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+      // Markov transitions: identical lag ordering (ms, event_id), floor
+      // round-4 on the row-normalized probability
+      "x_markov_transitions" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+                l AS (SELECT user_id, event_type AS to_type,
+                        lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS from_type
+                      FROM e),
+                tr AS (SELECT from_type, to_type, count(*) AS n
+                       FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2),
+                tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n FROM tr GROUP BY 1)
+           SELECT tr.from_type, tr.to_type, tr.n,
+                  floor(CAST(tr.n AS DOUBLE) / row_n * 1e4 + 0.5) / 1e4 AS p
+           FROM tr JOIN tot USING (from_type) ORDER BY from_type, to_type""",
+      // frequent pairs: distinct (user, day, type) baskets, ordered
+      // within-basket pair join, support over the basket universe
+      "x_frequent_pairs" ->
+        s"""WITH b AS (SELECT DISTINCT user_id, $dayE AS day, event_type FROM events),
+                 nb AS (SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM b)),
+                 p AS (SELECT a.event_type AS type_a, c.event_type AS type_b, count(*) AS support
+                       FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+                         AND a.event_type < c.event_type
+                       GROUP BY 1, 2)
+            SELECT type_a, type_b, support,
+                   floor(CAST(support AS DOUBLE) / n_baskets * 1e4 + 0.5) / 1e4 AS support_frac
+            FROM p CROSS JOIN nb WHERE support >= 20 ORDER BY type_a, type_b""",
+      // expectation suite: one aggregate, constant-size report
+      "x_expectations" ->
+        """WITH a AS (SELECT count(*) AS n_rows,
+                        CAST(sum(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rf,
+                        count(DISTINCT l_orderkey) AS n_orders,
+                        count(DISTINCT (l_orderkey, l_linenumber)) AS n_keys,
+                        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                        max(l_discount) AS max_disc,
+                        CAST(sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_price_ok,
+                        max(year(l_shipdate)) AS max_year
+                      FROM lineitem)
+           SELECT * FROM (
+             SELECT 'completeness_returnflag' AS "check",
+                    floor(CAST(n_rf AS DOUBLE) / n_rows * 1e6 + 0.5) / 1e6 AS metric,
+                    n_rf = n_rows AS passed FROM a
+             UNION ALL
+             SELECT 'uniqueness_orderkey',
+                    floor(CAST(n_orders AS DOUBLE) / n_rows * 1e6 + 0.5) / 1e6,
+                    n_orders = n_rows FROM a
+             UNION ALL
+             SELECT 'uniqueness_orderkey_linenumber',
+                    floor(CAST(n_keys AS DOUBLE) / n_rows * 1e6 + 0.5) / 1e6,
+                    n_keys = n_rows FROM a
+             UNION ALL
+             SELECT 'quantity_in_1_50', CAST(max_qty AS DOUBLE),
+                    min_qty >= 1.0 AND max_qty <= 50.0 FROM a
+             UNION ALL
+             SELECT 'discount_le_0_1', CAST(max_disc AS DOUBLE), max_disc <= 0.1 FROM a
+             UNION ALL
+             SELECT 'price_positive',
+                    floor(CAST(n_price_ok AS DOUBLE) / n_rows * 1e6 + 0.5) / 1e6,
+                    n_price_ok = n_rows FROM a
+             UNION ALL
+             SELECT 'shipdate_year_le_1998', CAST(max_year AS DOUBLE), max_year <= 1998 FROM a)
+           ORDER BY "check"""",
       // unigram tokenizer: vocabulary fit + 20 unrolled Viterbi stages;
       // minCount = total_tokens // 100 mirrors the Spark long division
       "x_unigram_tok" ->
