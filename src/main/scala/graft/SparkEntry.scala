@@ -3835,6 +3835,96 @@ object SparkEntry {
         .orderBy("check")
     }),
 
+    // last-touch marketing attribution: each purchase is credited to the
+    // most recent view/click by the SAME USER within 24 h (else "none").
+    // One user-partitioned running struct-max carries the latest touch —
+    // lexicographic max over (ms, event_id, type) with (ms, event_id)
+    // unique gives the exact as-of predecessor without a self-join; the
+    // corpus shuffles ONCE on user_id, the per-day share re-agg is
+    // |days|·|types| metadata. At 100 TB this is the same plan: running
+    // window state is O(1) per user partition.
+    "x_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("day"), col("user_id"),
+        col("event_type"), unix_millis(col("ts")).as("ms"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val touched = e.withColumn("lt",
+        max(when(col("event_type").isin("view", "click"),
+          struct(col("ms").as("tms"), col("event_id").as("tid"),
+            col("event_type").as("ttype")))).over(w))
+      val p = touched.filter(col("event_type") === "purchase")
+        .withColumn("touch_type",
+          when(col("lt").isNull || (col("ms") - col("lt.tms")) > lit(86400000L),
+            lit("none")).otherwise(col("lt.ttype")))
+      val byDay = p.groupBy("day", "touch_type").agg(count(lit(1)).as("n"))
+      val tot = byDay.groupBy("day").agg(sum(col("n")).as("day_n"))
+      byDay.join(tot, "day")
+        .withColumn("share",
+          floor(col("n").cast("double") / col("day_n").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
+        .select("day", "touch_type", "n", "share")
+        .orderBy("day", "touch_type")
+    }),
+
+    // per-source lexical diversity: Shannon entropy over the token
+    // distribution, type-token ratio, and Simpson concentration. The
+    // (source, token) count is one map-side-combined shuffle; entropy
+    // terms c·ln c are floor-rounded to 6 dp and DECIMAL-summed so the
+    // distributed sum is order-independent (the x_unigram_lm discipline);
+    // Simpson's Σc(c−1)/(N(N−1)) is exact integer arithmetic end to end.
+    "x_diversity" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("w"))
+      val wc = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      wc.groupBy("source").agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum((floor(col("c").cast("double") * log(col("c").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .cast("decimal(28,6)")).as("sum_clogc"),
+          sum(col("c") * (col("c") - lit(1L))).as("sum_cc1"))
+        .select(
+          col("source"),
+          col("n_tokens"),
+          col("n_types"),
+          (floor((log(col("n_tokens").cast("double"))
+            - col("sum_clogc").cast("double") / col("n_tokens").cast("double")) * lit(1e4) + lit(0.5)) / lit(1e4))
+            .as("entropy"),
+          (floor(col("n_types").cast("double") / col("n_tokens").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
+            .as("ttr"),
+          (floor(col("sum_cc1").cast("double")
+            / (col("n_tokens").cast("double") * (col("n_tokens").cast("double") - lit(1.0))) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("simpson"))
+        .orderBy("source")
+    }),
+
+    // Wilson lower-bound conversion ranking: per-user click share
+    // clicks / (views + clicks) with the z=2 Wilson score interval lower
+    // bound — the small-sample-safe ranking statistic (a 1/1 user must
+    // NOT outrank a 40/50 one). The share form keeps p in [0,1] (raw
+    // clicks/views is unbounded on this corpus). z is pinned at 2.0
+    // (exactly representable; a 1.96 literal parses to DIFFERENT doubles
+    // in DuckDB-decimal vs Spark — the x_pagerank lesson), so every
+    // intermediate is pure IEEE double with an identical operation tree
+    // in both engines. One user-keyed aggregation; output is O(users).
+    "x_wilson_ctr" -> ((s, dir) => {
+      val agg = events(s, dir).groupBy("user_id").agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"))
+        .filter(col("n_view") + col("n_click") >= 5L)
+      val n = (col("n_view") + col("n_click")).cast("double")
+      val p = col("n_click").cast("double") / (col("n_view") + col("n_click")).cast("double")
+      val lb = (p + lit(2.0) / n -
+        lit(2.0) * sqrt(p * (lit(1.0) - p) / n + lit(1.0) / (n * n))) /
+        (lit(1.0) + lit(4.0) / n)
+      agg.select(
+          col("user_id"),
+          col("n_view"),
+          col("n_click"),
+          (floor(p * lit(1e4) + lit(0.5)) / lit(1e4)).as("ctr"),
+          (floor(lb * lit(1e4) + lit(0.5)) / lit(1e4)).as("wilson_lb"))
+        .orderBy("user_id")
+    }),
+
     // unigram-LM subword tokenizer (SentencePiece/Kudo 2018 — BPE's
     // global-argmax sibling; graft.ext.UnigramTok): vocabulary = substring
     // pieces over minCount (data-derived: total_tokens/100) plus all
@@ -6270,6 +6360,62 @@ object SparkEntry {
              UNION ALL
              SELECT 'shipdate_year_le_1998', CAST(max_year AS DOUBLE), max_year <= 1998 FROM a)
            ORDER BY "check"""",
+      // last-touch attribution: running struct-max over (ms, event_id,
+      // type) per user — lexicographic max ≡ latest touch; 24 h cutoff in
+      // integer epoch-ms
+      "x_attribution" ->
+        s"""WITH e AS (SELECT $dayE AS day, user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+                 t AS (SELECT day, user_id, event_type, ms, event_id,
+                         max(CASE WHEN event_type IN ('view', 'click')
+                             THEN struct_pack(tms := ms, tid := event_id, ttype := event_type) END)
+                           OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+                       FROM e),
+                 p AS (SELECT day,
+                         CASE WHEN lt IS NULL OR ms - lt.tms > 86400000 THEN 'none'
+                              ELSE lt.ttype END AS touch_type
+                       FROM t WHERE event_type = 'purchase'),
+                 bd AS (SELECT day, touch_type, count(*) AS n FROM p GROUP BY 1, 2),
+                 tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS day_n FROM bd GROUP BY 1)
+            SELECT bd.day, touch_type, n,
+                   floor(CAST(n AS DOUBLE) / day_n * 1e4 + 0.5) / 1e4 AS share
+            FROM bd JOIN tot USING (day) ORDER BY day, touch_type""",
+      // lexical diversity: entropy terms floor-rounded to 6 dp then
+      // DECIMAL-summed (order-independent); Simpson numerator is exact
+      // integer arithmetic
+      "x_diversity" ->
+        s"""WITH toks AS (SELECT source, unnest($toksE) AS w FROM documents),
+                 wc AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+                 ag AS (SELECT source,
+                          CAST(sum(c) AS BIGINT) AS n_tokens,
+                          count(*) AS n_types,
+                          sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                              AS DECIMAL(28,6))) AS sum_clogc,
+                          CAST(sum(c * (c - 1)) AS BIGINT) AS sum_cc1
+                        FROM wc GROUP BY 1)
+            SELECT source, n_tokens, n_types,
+                   floor((ln(CAST(n_tokens AS DOUBLE))
+                     - CAST(sum_clogc AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS entropy,
+                   floor(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4 AS ttr,
+                   floor(CAST(sum_cc1 AS DOUBLE)
+                     / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)) * 1e6 + 0.5) / 1e6 AS simpson
+            FROM ag ORDER BY source""",
+      // Wilson lower bound with z pinned at 2.0 (exactly representable;
+      // identical IEEE operation tree both sides)
+      "x_wilson_ctr" ->
+        """WITH a AS (SELECT user_id,
+                        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click
+                      FROM events GROUP BY 1 HAVING n_view + n_click >= 5),
+                c AS (SELECT user_id, n_view, n_click,
+                        CAST(n_view + n_click AS DOUBLE) AS n,
+                        CAST(n_click AS DOUBLE) / CAST(n_view + n_click AS DOUBLE) AS p
+                      FROM a)
+           SELECT user_id, n_view, n_click,
+                  floor(p * 1e4 + 0.5) / 1e4 AS ctr,
+                  floor((p + 2.0 / n - 2.0 * sqrt(p * (1.0 - p) / n + 1.0 / (n * n)))
+                    / (1.0 + 4.0 / n) * 1e4 + 0.5) / 1e4 AS wilson_lb
+           FROM c ORDER BY user_id""",
       // unigram tokenizer: vocabulary fit + 20 unrolled Viterbi stages;
       // minCount = total_tokens // 100 mirrors the Spark long division
       "x_unigram_tok" ->
