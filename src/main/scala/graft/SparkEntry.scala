@@ -3925,6 +3925,79 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // cohort retention matrix: users grouped by first-active day, tracked
+    // by day offset — the canonical product-analytics view (x_day_retention
+    // is its diagonal). Two user-keyed shuffles (distinct + first-day),
+    // output is |days|² metadata at any corpus scale.
+    "x_user_cohorts" -> ((s, dir) => {
+      val du = events(s, dir).select(col("day"), col("user_id")).distinct()
+      val first = du.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      val sz = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+      du.join(first, "user_id")
+        .withColumn("day_offset", datediff(to_date(col("day")), to_date(col("cohort"))))
+        .groupBy("cohort", "day_offset")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .join(sz, "cohort")
+        .withColumn("retention",
+          floor(col("n_users").cast("double") / col("cohort_size").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
+        .select("cohort", "day_offset", "n_users", "cohort_size", "retention")
+        .orderBy("cohort", "day_offset")
+    }),
+
+    // inter-arrival time profile: per-type exact median/p90 of the gap
+    // between consecutive same-type events BY THE SAME USER — the
+    // arrival-process fingerprint behind rate limiting and bot detection.
+    // The lag window is (user, type)-partitioned (distributed); exact
+    // percentiles ride the a12 percentile↔quantile_cont parity.
+    "x_interarrival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("ms"), col("event_id"))
+      e.withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap, 0.5)"), 4).as("p50_ms"),
+          round(expr("percentile(gap, 0.9)"), 4).as("p90_ms"),
+          max(col("gap")).as("max_ms"))
+        .orderBy("event_type")
+    }),
+
+    // cross-source quantile normalization: each document's quality score
+    // is replaced by the GLOBAL score at the same within-source quantile —
+    // removes per-source scoring bias before corpus-wide thresholding
+    // (the reason one source's "0.6" must not mean another's "0.4").
+    // Within-source percent_rank is a source-partitioned window
+    // (distributed); the global reference CDF lives on the ROUND-4 SCORE
+    // GRID (≤ 10⁴+1 rows at ANY corpus scale — its global window is
+    // bounded metadata, whitelisted in SparkEntrySpec), broadcast to a
+    // range-join + min-aggregate that realizes Q_global(p) = min{v :
+    // CDF(v) ≥ p} without moving the corpus.
+    "x_quantile_norm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TF.qualityScore(col("text")).as("score"))
+      val pr = d.withColumn("pr",
+        percent_rank().over(Window.partitionBy("source").orderBy("score")))
+      val grid = d.groupBy(col("score").as("gscore")).agg(count(lit(1)).as("cnt"))
+      val n = d.agg(count(lit(1)).as("n_total"))
+      val cume = grid
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy("gscore").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(n))
+        .select(col("gscore"),
+          (col("cum").cast("double") / col("n_total").cast("double")).as("cume_frac"))
+      pr.join(broadcast(cume), col("cume_frac") >= col("pr"))
+        .groupBy("doc_id", "source", "score", "pr")
+        .agg(min(col("gscore")).as("norm_score"))
+        .select(col("doc_id"), col("source"), col("score"),
+          (floor(col("pr") * lit(1e6) + lit(0.5)) / lit(1e6)).as("p_src"),
+          col("norm_score"))
+        .orderBy("doc_id")
+    }),
+
     // unigram-LM subword tokenizer (SentencePiece/Kudo 2018 — BPE's
     // global-argmax sibling; graft.ext.UnigramTok): vocabulary = substring
     // pieces over minCount (data-derived: total_tokens/100) plus all
@@ -6416,6 +6489,49 @@ object SparkEntry {
                   floor((p + 2.0 / n - 2.0 * sqrt(p * (1.0 - p) / n + 1.0 / (n * n)))
                     / (1.0 + 4.0 / n) * 1e4 + 0.5) / 1e4 AS wilson_lb
            FROM c ORDER BY user_id""",
+      // cohort matrix: first-active day per user, DATE difference as the
+      // integer day offset
+      "x_user_cohorts" ->
+        s"""WITH du AS (SELECT DISTINCT $dayE AS day, user_id FROM events),
+                 f AS (SELECT user_id, min(day) AS cohort FROM du GROUP BY 1),
+                 sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1),
+                 m AS (SELECT cohort, CAST(day AS DATE) - CAST(cohort AS DATE) AS day_offset,
+                              count(DISTINCT du.user_id) AS n_users
+                       FROM du JOIN f ON du.user_id = f.user_id GROUP BY 1, 2)
+            SELECT m.cohort, CAST(day_offset AS INTEGER) AS day_offset, n_users, cohort_size,
+                   floor(CAST(n_users AS DOUBLE) / cohort_size * 1e4 + 0.5) / 1e4 AS retention
+            FROM m JOIN sz ON m.cohort = sz.cohort ORDER BY m.cohort, day_offset""",
+      // inter-arrival gaps: (user, type)-partitioned lag, exact
+      // interpolated percentiles (a12 parity)
+      "x_interarrival" ->
+        """WITH g AS (SELECT event_type,
+                        epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                          (PARTITION BY user_id, event_type ORDER BY epoch_ms(ts), event_id) AS gap
+                      FROM events)
+           SELECT event_type, count(*) AS n_gaps,
+                  round(quantile_cont(gap, 0.5), 4) AS p50_ms,
+                  round(quantile_cont(gap, 0.9), 4) AS p90_ms,
+                  max(gap) AS max_ms
+           FROM g WHERE gap IS NOT NULL GROUP BY event_type ORDER BY event_type""",
+      // quantile normalization: within-source percent_rank mapped through
+      // the global round-4 score grid CDF; Q(p) = min{v : CDF(v) >= p}
+      "x_quantile_norm" ->
+        s"""WITH d AS (SELECT doc_id, source, $qualityE AS score FROM documents),
+                 r AS (SELECT doc_id, source, score,
+                         percent_rank() OVER (PARTITION BY source ORDER BY score) AS pr
+                       FROM d),
+                 g AS (SELECT score AS gscore, count(*) AS cnt FROM d GROUP BY 1),
+                 nt AS (SELECT count(*) AS n_total FROM d),
+                 c AS (SELECT gscore,
+                         CAST(sum(cnt) OVER (ORDER BY gscore
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                           / CAST(n_total AS DOUBLE) AS cume_frac
+                       FROM g CROSS JOIN nt)
+            SELECT doc_id, source, score,
+                   floor(pr * 1e6 + 0.5) / 1e6 AS p_src,
+                   min(gscore) AS norm_score
+            FROM r JOIN c ON c.cume_frac >= r.pr
+            GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
       // unigram tokenizer: vocabulary fit + 20 unrolled Viterbi stages;
       // minCount = total_tokens // 100 mirrors the Spark long division
       "x_unigram_tok" ->
