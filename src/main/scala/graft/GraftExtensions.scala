@@ -78,6 +78,13 @@ object GraftExtensions {
         graft.functions.WordNgrams(exprs(0), intLit(exprs(1), "n"))
       }),
     (
+      "jaro_winkler",
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "jaro_winkler(a, b)")
+        graft.functions.JaroWinkler(exprs(0), exprs(1))
+      }),
+    (
       "pq_encode",
       new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "pq_encode"),
       (exprs: Seq[Expression]) => {

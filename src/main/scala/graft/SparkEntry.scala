@@ -3998,6 +3998,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // fuzzy product-name matching (entity resolution): distinct part
+    // names, BLOCKED on the first token (equi-join — never all-pairs),
+    // scored by the native Jaro–Winkler kernel
+    // (graft.functions.JaroWinkler, bit-exact vs DuckDB's
+    // jaro_winkler_similarity). Blocking keys are data-bounded
+    // (|first tokens| ≤ |names|); candidate volume is Σ per-block n² over
+    // DISTINCT names — catalog-scale, not corpus-scale, at 100 TB.
+    "x_jaro_names" -> ((s, dir) => {
+      import graft.functions.JaroWinkler.jaroWinkler
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("blk", split(col("p_name"), " ").getItem(0))
+      val a = names.select(col("blk"), col("p_name").as("name_a"))
+      val b = names.select(col("blk"), col("p_name").as("name_b"))
+      a.join(b, "blk")
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("jw_raw", jaroWinkler(col("name_a"), col("name_b")))
+        .select(col("name_a"), col("name_b"),
+          (floor(col("jw_raw") * lit(1e6) + lit(0.5)) / lit(1e6)).as("jw"),
+          (col("jw_raw") >= lit(0.85)).as("is_match"))
+        .orderBy("name_a", "name_b")
+    }),
+
     // unigram-LM subword tokenizer (SentencePiece/Kudo 2018 — BPE's
     // global-argmax sibling; graft.ext.UnigramTok): vocabulary = substring
     // pieces over minCount (data-derived: total_tokens/100) plus all
@@ -6532,6 +6554,19 @@ object SparkEntry {
                    min(gscore) AS norm_score
             FROM r JOIN c ON c.cume_frac >= r.pr
             GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
+      // first-token-blocked name pairs scored by jaro_winkler_similarity
+      // (the native JaroWinkler kernel is verified bit-exact against it);
+      // threshold compare on the RAW double, round-6 on the report
+      "x_jaro_names" ->
+        """WITH p AS (SELECT DISTINCT p_name FROM part),
+                b AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM p),
+                c AS (SELECT a.p_name AS name_a, b2.p_name AS name_b,
+                             jaro_winkler_similarity(a.p_name, b2.p_name) AS s
+                      FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name)
+           SELECT name_a, name_b,
+                  floor(s * 1e6 + 0.5) / 1e6 AS jw,
+                  s >= 0.85 AS is_match
+           FROM c ORDER BY name_a, name_b""",
       // unigram tokenizer: vocabulary fit + 20 unrolled Viterbi stages;
       // minCount = total_tokens // 100 mirrors the Spark long division
       "x_unigram_tok" ->
