@@ -1408,6 +1408,37 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // continuous last-touch attribution (streaming form of
+    // x_attribution): watermarked day windows collect per-(day, user)
+    // events; a per-USER transformWithState walk carries the last
+    // view/click across sealed days (ValueState) and credits each
+    // purchase within 24 h; the sink rollup to (day, touch_type, share)
+    // is metadata-scale. Oracle = the batch attribution SQL with the
+    // sealed-day watermark cutoff (t18/t19 discipline).
+    "t20_stream_attribution" -> ((s, dir) => {
+      val stageDir = scratchDir("t20", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events.parquet"))
+      val name = "t20_attribution"
+      try {
+        graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.attributionMonitor(
+            graft.streaming.EventStream.readEvents(s, stage)),
+          name, s"$stage/ckpt", outputMode = "append",
+          statePartitions = Some(4), rocksDb = true)
+      } finally deleteRec(stageDir)
+      val byDay = s.table(name).groupBy("day", "touch_type").agg(sum(col("n")).as("n"))
+      val tot = byDay.select(col("day").as("day2"), col("n"))
+        .groupBy("day2").agg(sum(col("n")).as("day_n"))
+      byDay.join(tot, col("day") === col("day2"))
+        .withColumn("share",
+          floor(col("n").cast("double") / col("day_n").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
+        .select("day", "touch_type", "n", "share")
+        .orderBy("day", "touch_type")
+    }),
+
     // Spark's BUILT-IN session window (merging event-time sessions with a
     // 1 h inactivity gap) — the native operator form of x_sessionize's
     // manual gaps-and-islands. Boundary semantics: an event exactly gap
@@ -6470,6 +6501,28 @@ object SparkEntry {
                          CASE WHEN lt IS NULL OR ms - lt.tms > 86400000 THEN 'none'
                               ELSE lt.ttype END AS touch_type
                        FROM t WHERE event_type = 'purchase'),
+                 bd AS (SELECT day, touch_type, count(*) AS n FROM p GROUP BY 1, 2),
+                 tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS day_n FROM bd GROUP BY 1)
+            SELECT bd.day, touch_type, n,
+                   floor(CAST(n AS DOUBLE) / day_n * 1e4 + 0.5) / 1e4 AS share
+            FROM bd JOIN tot USING (day) ORDER BY day, touch_type""",
+      // streaming attribution: the batch attribution SQL restricted to
+      // SEALED days (window end <= max event time - watermark delay);
+      // shares are re-normalized within the sealed-day purchases only
+      // (the stream never sees the unsealed tail)
+      "t20_stream_attribution" ->
+        s"""WITH e AS (SELECT $dayE AS day, user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+                 t AS (SELECT day, user_id, event_type, ms, event_id,
+                         max(CASE WHEN event_type IN ('view', 'click')
+                             THEN struct_pack(tms := ms, tid := event_id, ttype := event_type) END)
+                           OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+                       FROM e),
+                 p AS (SELECT day,
+                         CASE WHEN lt IS NULL OR ms - lt.tms > 86400000 THEN 'none'
+                              ELSE lt.ttype END AS touch_type
+                       FROM t WHERE event_type = 'purchase'
+                         AND CAST(day AS DATE) + 1 <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR),
                  bd AS (SELECT day, touch_type, count(*) AS n FROM p GROUP BY 1, 2),
                  tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS day_n FROM bd GROUP BY 1)
             SELECT bd.day, touch_type, n,

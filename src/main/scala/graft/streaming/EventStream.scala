@@ -691,6 +691,91 @@ object EventStream {
       .toDF()
   }
 
+  /** One per-user partial attribution row: purchases of a SEALED day
+    * credited to `touch_type` ("view" / "click" / "none") for one user.
+    * Final (day, touch_type) totals are a metadata-scale rollup over
+    * these — the heavy per-user ordering already happened here.
+    */
+  final case class AttributionRow(day: String, touch_type: String, n: Long)
+
+  final case class TouchEv(ms: Long, id: Long, typ: String)
+  final case class DayEvents(day: String, user_id: Long, evs: Seq[TouchEv])
+  final case class TouchState(tms: Long, tid: Long, ttype: String)
+
+  /** Streaming last-touch attribution state: one ValueState per user
+    * carrying the latest view/click across SEALED days, so a purchase at
+    * 00:30 still credits yesterday's 23:59 click. Input rows are
+    * finalized (day, user, events[]) groups from the upstream watermarked
+    * window aggregation; sealed windows reach the processor in watermark
+    * order, and same-batch days are sorted here, so each user's walk
+    * replays event time exactly. The walk mirrors the batch
+    * x_attribution window (running max over (ms, event_id), 24 h cutoff)
+    * — sorted (ms, id) processing makes "latest touch at or before the
+    * purchase" identical to the batch running struct-max.
+    */
+  class AttributionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DayEvents, AttributionRow] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var last: ValueState[TouchState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[TouchState](
+        "last", org.apache.spark.sql.Encoders.product[TouchState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[DayEvents],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[AttributionRow] = {
+      var lt: TouchState = if (last.exists()) last.get() else null
+      val out = Seq.newBuilder[AttributionRow]
+      rows.toSeq.sortBy(_.day).foreach { de =>
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        de.evs.sortBy(e => (e.ms, e.id)).foreach { e =>
+          e.typ match {
+            case "view" | "click" => lt = TouchState(e.ms, e.id, e.typ)
+            case "purchase" =>
+              val tt =
+                if (lt != null && e.ms - lt.tms <= 86400000L) lt.ttype else "none"
+              counts.update(tt, counts.getOrElse(tt, 0L) + 1L)
+            case _ => ()
+          }
+        }
+        counts.toSeq.sortBy(_._1).foreach { case (tt, n) => out += AttributionRow(de.day, tt, n) }
+      }
+      if (lt != null) last.update(lt)
+      out.result().iterator
+    }
+  }
+
+  /** Continuous last-touch attribution (the streaming form of the batch
+    * x_attribution): a watermarked 1-day tumbling window collects each
+    * (day, user)'s events — the only event-volume operator, one
+    * distributed (window, user) shuffle; collect_list is order-blind, the
+    * processor sorts — and each sealed group flows into
+    * [[AttributionProcessor]] keyed BY USER, whose ValueState carries the
+    * last touch across days. The last calendar day never seals, so
+    * consumers see attributions for days 1..last-1 — the oracle applies
+    * the identical watermark cutoff (t18 discipline).
+    */
+  def attributionMonitor(events: DataFrame, delay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("ms", unix_millis(col("ts")))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(collect_list(struct(col("ms").as("ms"), col("event_id").as("id"),
+        col("event_type").as("typ"))).as("evs"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("user_id"), col("evs"))
+      .as[DayEvents]
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** T-ext: per-user running event totals as an UPDATE stream. The final
     * emission per user equals the user's total event count — which is what
     * the batch oracle checks (SparkEntry t13).

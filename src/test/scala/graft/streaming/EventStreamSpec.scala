@@ -229,6 +229,63 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming attribution carries the last touch across sealed days and batches") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val base = Files.createTempDirectory("graft_tws_attr")
+    val ckpt = s"$base/ckpt"
+    val longSchema = StructType(EventStream.eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    val d0 = 1704067200000L // 2024-01-01 00:00:00 UTC
+    def ns(dayOff: Long, hour: Long): Long = (d0 + dayOff * 86400000L + hour * 3600000L) * 1000000L
+    def write(name: String, mtimeOff: Long, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val data = rows.map { case (id, tsNs, user, typ) => Row(id, tsNs, user, typ, 1.0, "{}") }
+      val tmp = s"$base/_tmp_$name"
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), longSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$base/$name.parquet")
+      Files.move(part.toPath, dst.toPath)
+      new java.io.File(tmp).listFiles().foreach(_.delete()); new java.io.File(tmp).delete()
+      dst.setLastModified(System.currentTimeMillis() + mtimeOff)
+    }
+    // batch 1: day 1 — user 1 click 23:00 then purchase 23:30 (same-day
+    // credit); user 2 click 01:00 (the touch that will be >24 h stale);
+    // sentinel pushes the watermark past day-1's end so it seals in batch 2
+    write("a", -60000, Seq(
+      (1L, ns(0, 23), 1L, "click"),
+      (2L, ns(0, 23) + 1800000000000L, 1L, "purchase"),
+      (3L, ns(0, 1), 2L, "click"),
+      (4L, ns(1, 2), 99L, "error")))
+    // batch 2: day 2 — user 1 purchase 10:00 must credit YESTERDAY's
+    // 23:00 click via ValueState carried from the batch that sealed day 1;
+    // then view 11:00 / purchase 12:00 (fresh same-day credit); user 2
+    // purchase 02:00 is 25 h after their only touch -> none; sentinel
+    // seals day 2 in the flush batch
+    write("b", 0, Seq(
+      (5L, ns(1, 10), 1L, "purchase"),
+      (6L, ns(1, 11), 1L, "view"),
+      (7L, ns(1, 12), 1L, "purchase"),
+      (8L, ns(1, 2), 2L, "purchase"),
+      (9L, ns(2, 20), 99L, "error")))
+    val stream = spark.readStream
+      .schema(longSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    EventStream.runToMemory(
+      EventStream.attributionMonitor(stream, delay = "1 hour"),
+      "tws_attr", ckpt, outputMode = "append", statePartitions = Some(2), rocksDb = true)
+    val got = spark.table("tws_attr")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    val expected = Seq(
+      ("2024-01-01", "click", 1L),
+      ("2024-01-02", "click", 1L), // cross-batch, cross-day carry
+      ("2024-01-02", "none", 1L),  // stale touch past the 24 h cutoff
+      ("2024-01-02", "view", 1L)).sorted
+    assert(got === expected) // day 3 (sentinel) never seals -> absent
+  }
+
   test("streaming funnel matches the batch conversion funnel for every sealed day") {
     val ckpt = Files.createTempDirectory("graft_funnel_ckpt").toString
     EventStream.runToMemory(
