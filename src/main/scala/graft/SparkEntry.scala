@@ -4029,6 +4029,71 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // daily-volume anomaly detection: per event type, each day's count
+    // z-scored against the type's own day distribution. Variance comes
+    // from EXACT integer sufficient stats (Σc, Σc² as longs — the
+    // x_linreg_tokens discipline), so the distributed agg is
+    // order-independent and the double math is one deterministic
+    // expression tree. Per-type stats are |types| rows, broadcast back
+    // onto the |types|·|days| grid — metadata joins at any volume.
+    "x_anomaly_days" -> ((s, dir) => {
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val st = dc.groupBy("event_type").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("c")).as("sx"),
+        sum(col("c") * col("c")).as("sxx"))
+      val n = col("n_days").cast("double")
+      val mean = col("sx").cast("double") / col("n_days").cast("double")
+      val variance = (col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / n) / n
+      dc.join(broadcast(st), "event_type")
+        .filter(variance > lit(0.0))
+        .withColumn("z",
+          floor((col("c").cast("double") - mean) / sqrt(variance) * lit(1e4) + lit(0.5)) / lit(1e4))
+        .select(col("event_type"), col("day"), col("c"),
+          col("z"), (abs(col("z")) >= lit(2.0)).as("is_anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
+    // half-life decay engagement scoring: each event contributes
+    // value · 0.5^⌊age_days/7⌋ (weekly half-life, INTEGER exponent — a
+    // dyadic scale factor, so the product is EXACT in IEEE; fractional
+    // exponents would hit libm pow parity). Terms floor-round to 6 dp,
+    // DECIMAL-sum per user (order-independent); the reference day is a
+    // 1-row broadcast aggregate.
+    "x_decay_engagement" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("day"), col("value"))
+      val ref = e.agg(max(col("day")).as("ref_day"))
+      e.crossJoin(broadcast(ref))
+        .withColumn("age", datediff(to_date(col("ref_day")), to_date(col("day"))))
+        .withColumn("term",
+          floor(col("value") * pow(lit(0.5), floor(col("age") / lit(7)).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("term").cast("decimal(28,6)")), 4).cast("double").as("engagement"))
+        .orderBy("user_id")
+    }),
+
+    // user survival curve: S(k) = fraction of users still active k days
+    // after their first activity (lifetime = last − first active day) —
+    // the Kaplan–Meier view of churn (no censoring: the corpus window is
+    // closed). The lifetime histogram is ≤ |days| rows; the k-grid
+    // cumulation is a bounded grid×grid join, never a corpus-scale
+    // window.
+    "x_survival_curve" -> ((s, dir) => {
+      val lt = events(s, dir).groupBy("user_id")
+        .agg(datediff(to_date(max(col("day"))), to_date(min(col("day")))).as("lifetime"))
+      val hist = lt.groupBy("lifetime").agg(count(lit(1)).as("cnt"))
+      val nu = lt.agg(count(lit(1)).as("n_users"))
+      val ks = hist.select(col("lifetime").as("k")).distinct()
+      ks.join(hist, col("lifetime") >= col("k"))
+        .groupBy("k").agg(sum(col("cnt")).as("n_surviving"))
+        .crossJoin(broadcast(nu))
+        .withColumn("survival",
+          floor(col("n_surviving").cast("double") / col("n_users").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
+        .select("k", "n_surviving", "survival")
+        .orderBy("k")
+    }),
+
     // fuzzy product-name matching (entity resolution): distinct part
     // names, BLOCKED on the first token (equi-join — never all-pairs),
     // scored by the native Jaro–Winkler kernel
@@ -6607,6 +6672,51 @@ object SparkEntry {
                    min(gscore) AS norm_score
             FROM r JOIN c ON c.cume_frac >= r.pr
             GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
+      // anomaly days: variance from exact integer sufficient stats, one
+      // deterministic double tree; the anomaly flag reads the ROUNDED z
+      "x_anomaly_days" ->
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                 st AS (SELECT event_type, count(*) AS n_days,
+                          CAST(sum(c) AS BIGINT) AS sx, CAST(sum(c * c) AS BIGINT) AS sxx
+                        FROM dc GROUP BY 1),
+                 j AS (SELECT dc.event_type, dc.day, dc.c,
+                         CAST(n_days AS DOUBLE) AS n,
+                         CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+                         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+                           / CAST(n_days AS DOUBLE) AS variance
+                       FROM dc JOIN st USING (event_type)),
+                 z AS (SELECT event_type, day, c,
+                         floor((CAST(c AS DOUBLE) - mean) / sqrt(variance) * 1e4 + 0.5) / 1e4 AS z
+                       FROM j WHERE variance > 0.0)
+            SELECT event_type, day, c, z, abs(z) >= 2.0 AS is_anomaly
+            FROM z ORDER BY event_type, day""",
+      // decay engagement: dyadic 0.5^floor(age/7) scale (exact product),
+      // floor-round-6 terms, decimal sum, round the DECIMAL then cast
+      "x_decay_engagement" ->
+        s"""WITH r AS (SELECT max($dayE) AS ref_day FROM events),
+                 e AS (SELECT user_id,
+                         CAST(ref_day AS DATE) - CAST($dayE AS DATE) AS age,
+                         value
+                       FROM events CROSS JOIN r),
+                 t AS (SELECT user_id,
+                         floor(value * pow(0.5, floor(age / 7)) * 1e6 + 0.5) / 1e6 AS term
+                       FROM e)
+            SELECT user_id, count(*) AS n_events,
+                   CAST(round(sum(CAST(term AS DECIMAL(28,6))), 4) AS DOUBLE) AS engagement
+            FROM t GROUP BY user_id ORDER BY user_id""",
+      // survival curve: lifetime histogram (≤ |days| rows) cumulated over
+      // the k grid
+      "x_survival_curve" ->
+        s"""WITH lt AS (SELECT user_id,
+                          CAST(max($dayE) AS DATE) - CAST(min($dayE) AS DATE) AS lifetime
+                        FROM events GROUP BY 1),
+                 h AS (SELECT lifetime, count(*) AS cnt FROM lt GROUP BY 1),
+                 nu AS (SELECT count(*) AS n_users FROM lt),
+                 ks AS (SELECT DISTINCT lifetime AS k FROM h)
+            SELECT k, CAST(sum(cnt) AS BIGINT) AS n_surviving,
+                   floor(CAST(sum(cnt) AS DOUBLE) / n_users * 1e4 + 0.5) / 1e4 AS survival
+            FROM ks JOIN h ON h.lifetime >= ks.k CROSS JOIN nu
+            GROUP BY k, n_users ORDER BY k""",
       // first-token-blocked name pairs scored by jaro_winkler_similarity
       // (the native JaroWinkler kernel is verified bit-exact against it);
       // threshold compare on the RAW double, round-6 on the report
