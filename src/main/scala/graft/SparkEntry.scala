@@ -4029,6 +4029,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // exact distributed PCA (graft.ext.Pca): top principal component by
+    // power iteration — corpus contributes ONE decimal-exact d² stats
+    // shuffle; the 16×16 iteration is bounded driver state (the PQ/IVF
+    // shape); projection is a broadcast join + per-vector decimal sum.
+    // Oracle replays the iteration as 8 unrolled materialized CTE stages.
+    "x_pca_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fit = graft.ext.Pca.fitTop(emb, dim = 64)
+      graft.ext.Pca.projectTop(emb, fit).orderBy("vec_id")
+    }),
+
     // daily-volume anomaly detection: per event type, each day's count
     // z-scored against the type's own day distribution. Variance comes
     // from EXACT integer sufficient stats (Σc, Σc² as longs — the
@@ -6672,6 +6683,37 @@ object SparkEntry {
                    min(gscore) AS norm_score
             FROM r JOIN c ON c.cume_frac >= r.pr
             GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
+      // PCA: decimal-exact second moments, 16 unrolled power-iteration
+      // stages (MATERIALIZED — the x_unigram_tok CTE-inlining lesson),
+      // every mat-vec partial on the 1e-12 grid summed as decimal
+      "x_pca_project" -> {
+        val stages = (1 to 16).map { k =>
+          s"""w${k}r AS MATERIALIZED (
+                SELECT c.i, CAST(sum(CAST(floor(c.v * w.x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS x
+                FROM c JOIN w${k - 1} w ON c.j = w.i GROUP BY c.i),
+              w$k AS MATERIALIZED (
+                SELECT i, x / (SELECT sqrt(CAST(sum(CAST(floor(x * x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE)) FROM w${k}r) AS x
+                FROM w${k}r)"""
+        }.mkString(",\n")
+        s"""WITH dims AS MATERIALIZED (
+                  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+                  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+                p AS (SELECT a.dim AS i, b.dim AS j,
+                        sum(CAST(a.x AS DECIMAL(18,8)) * CAST(b.x AS DECIMAL(18,8))) AS s
+                      FROM dims a JOIN dims b USING (vec_id) GROUP BY 1, 2),
+                m AS MATERIALIZED (
+                  SELECT dim, count(*) AS n, CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS s1
+                  FROM dims GROUP BY 1),
+                c AS MATERIALIZED (
+                  SELECT p.i, p.j, (CAST(p.s AS DOUBLE) - ma.s1 * mb.s1 / ma.n) / ma.n AS v
+                  FROM p JOIN m ma ON p.i = ma.dim JOIN m mb ON p.j = mb.dim),
+                w0 AS (SELECT CAST(t.i AS INTEGER) AS i, 1.0 / sqrt(64.0) AS x FROM range(64) t(i)),
+                $stages,
+                proj AS (SELECT d.vec_id,
+                           CAST(sum(CAST(floor(w16.x * (d.x - m.s1 / m.n) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS pc
+                         FROM dims d JOIN w16 ON d.dim = w16.i JOIN m ON d.dim = m.dim GROUP BY 1)
+           SELECT vec_id, floor(pc * 1e6 + 0.5) / 1e6 AS pc1 FROM proj ORDER BY vec_id"""
+      },
       // anomaly days: variance from exact integer sufficient stats, one
       // deterministic double tree; the anomaly flag reads the ROUNDED z
       "x_anomaly_days" ->

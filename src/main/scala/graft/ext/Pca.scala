@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed PCA (top principal component) by power iteration.
+  *
+  * The corpus contributes ONLY bounded sufficient statistics — the d×d
+  * second-moment matrix and the d-vector of per-dimension sums, computed
+  * in one exploded-pair aggregation with exact DECIMAL(18,8) arithmetic
+  * (the x_embed_standardize discipline: float embeddings cast to decimal,
+  * products and sums exact, order-independent). At 100 TB that is one
+  * map-side-combined shuffle into d² = 256 groups; the iteration itself
+  * runs on the driver over the 16×16 covariance — the same bounded-driver
+  * -state shape as the PQ codebooks and IVF centroids.
+  *
+  * Oracle-exactness of the ITERATION (which DuckDB replays as unrolled
+  * CTE stages): every mat-vec partial product is floor-rounded to the
+  * 1e-12 grid and summed as DECIMAL(28,12) (the x_pagerank discipline),
+  * so the only floating-point ops are elementwise on bitwise-identical
+  * inputs — norms, divisions, sqrt — which every IEEE engine computes
+  * identically. Sign is whatever the deterministic iteration converges
+  * to from the uniform start vector: identical in any mirroring engine,
+  * so no canonical-sign fixup is needed for parity.
+  */
+object Pca {
+
+  final case class FittedPc(mean: Array[Double], component: Array[Double], n: Long)
+
+  private def dec12(x: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(java.lang.Double.toString(
+      math.floor(x * 1e12 + 0.5) / 1e12))
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  /** Exploded (vec_id, dim, x, xdec) view of an embedding table. */
+  private def dims(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+      .withColumn("xdec", col("x").cast("decimal(18,8)"))
+
+  /** Fit the top principal component: one stats pass + driver iteration. */
+  def fitTop(embeddings: DataFrame, dim: Int = 16, iters: Int = 16): FittedPc = {
+    val d = dims(embeddings)
+    val a = d.select(col("vec_id"), col("dim").as("i"), col("xdec").as("xa"))
+    val b = d.select(col("vec_id"), col("dim").as("j"), col("xdec").as("xb"))
+    // d(d+1)/2 second moments (upper triangle — S is symmetric, the
+    // mirror is filled on the driver), exact decimal; one shuffle into
+    // bounded groups
+    val pairRows = a.join(b, "vec_id")
+      .filter(col("i") <= col("j"))
+      .groupBy("i", "j").agg(sum(col("xa") * col("xb")).as("s"))
+      .collect()
+    val meanRows = d.groupBy("dim").agg(
+      count(lit(1)).as("n"),
+      sum(col("xdec")).cast("double").as("s1"))
+      .collect()
+    val n = meanRows.head.getLong(1)
+    val s1 = new Array[Double](dim)
+    meanRows.foreach(r => s1(r.getInt(0)) = r.getDouble(2))
+    val cov = Array.ofDim[Double](dim, dim)
+    pairRows.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val sij = r.getDecimal(2).doubleValue()
+      val c = (sij - s1(i) * s1(j) / n) / n
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+    // power iteration with decimal-summed mat-vec stages (oracle-exact)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var it = 0
+    while (it < iters) {
+      val raw = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < dim) { acc = acc.add(dec12(cov(i)(j) * v(j))); j += 1 }
+        raw(i) = acc.doubleValue()
+        i += 1
+      }
+      var nacc = java.math.BigDecimal.ZERO
+      var k = 0
+      while (k < dim) { nacc = nacc.add(dec12(raw(k) * raw(k))); k += 1 }
+      val nrm = math.sqrt(nacc.doubleValue())
+      v = raw.map(_ / nrm)
+      it += 1
+    }
+    FittedPc(s1.map(_ / n), v, n)
+  }
+
+  /** Project every vector onto the fitted component: pc1 = v·(x − mean),
+    * decimal-summed per vector (order-independent), floor-round-6.
+    */
+  def projectTop(embeddings: DataFrame, fit: FittedPc): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val comp = fit.component.zip(fit.mean).zipWithIndex
+      .map { case ((vi, mi), i) => (i, vi, mi) }.toSeq
+      .toDF("dim", "vi", "mi")
+    dims(embeddings)
+      .join(broadcast(comp), "dim")
+      .withColumn("term",
+        (floor(col("vi") * (col("x") - col("mi")) * lit(1e12) + lit(0.5)) / lit(1e12))
+          .cast("decimal(28,12)"))
+      .groupBy("vec_id")
+      .agg(sum(col("term")).cast("double").as("pc"))
+      .select(col("vec_id"),
+        (floor(col("pc") * lit(1e6) + lit(0.5)) / lit(1e6)).as("pc1"))
+  }
+}
