@@ -4029,6 +4029,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Zipf vocabulary coverage: per source, the fraction of token
+    // occurrences covered by the global top-{10,100,1000} words — the
+    // curve behind vocab-size and tokenizer-budget decisions. The top-K
+    // list rides TakeOrdered (distributed, deterministic (freq DESC,
+    // word) total order — no global window over the vocabulary), then a
+    // broadcast membership join; per-source sums are exact integers.
+    "x_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("w"))
+      val top = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(1000)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("w"))))
+        .select("w", "rnk")
+      val sw = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      def cov(k: Int) =
+        floor(sum(when(col("rnk") <= k, col("c")).otherwise(0L)).cast("double")
+          / sum(col("c")).cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)
+      sw.join(broadcast(top), Seq("w"), "left")
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"),
+          cov(10).as("cov10"), cov(100).as("cov100"), cov(1000).as("cov1000"))
+        .orderBy("source")
+    }),
+
     // exact distributed PCA (graft.ext.Pca): top principal component by
     // power iteration — corpus contributes ONE decimal-exact d² stats
     // shuffle; the 16×16 iteration is bounded driver state (the PQ/IVF
@@ -6683,6 +6709,23 @@ object SparkEntry {
                    min(gscore) AS norm_score
             FROM r JOIN c ON c.cume_frac >= r.pr
             GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
+      // vocab coverage: deterministic (cnt DESC, word) top-1000 ranks,
+      // integer sums, floor-round-6 fractions
+      "x_vocab_coverage" ->
+        s"""WITH toks AS (SELECT source, unnest($toksE) AS w FROM documents),
+                 v AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+                 t AS (SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rnk FROM v
+                       QUALIFY rnk <= 1000),
+                 sw AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2)
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   floor(CAST(sum(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(c) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cov10,
+                   floor(CAST(sum(CASE WHEN rnk <= 100 THEN c ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(c) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cov100,
+                   floor(CAST(sum(CASE WHEN rnk <= 1000 THEN c ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(c) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cov1000
+            FROM sw LEFT JOIN t USING (w)
+            GROUP BY source ORDER BY source""",
       // PCA: decimal-exact second moments, 16 unrolled power-iteration
       // stages (MATERIALIZED — the x_unigram_tok CTE-inlining lesson),
       // every mat-vec partial on the 1e-12 grid summed as decimal

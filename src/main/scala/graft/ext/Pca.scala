@@ -39,18 +39,25 @@ object Pca {
       .withColumn("x", col("xf").cast("double"))
       .withColumn("xdec", col("x").cast("decimal(18,8)"))
 
-  /** Fit the top principal component: one stats pass + driver iteration. */
-  def fitTop(embeddings: DataFrame, dim: Int = 16, iters: Int = 16): FittedPc = {
+  /** d(d+1)/2 exact-decimal second moments (upper triangle — S is
+    * symmetric, the mirror is filled on the driver). The pair explode is
+    * mapper-side; partial decimal aggregation means the exchange carries
+    * partitions × groups PARTIALS, not corpus × d² rows — pinned as a
+    * measured invariant in ShuffleAuditSpec.
+    */
+  private[graft] def secondMoments(embeddings: DataFrame): DataFrame = {
     val d = dims(embeddings)
     val a = d.select(col("vec_id"), col("dim").as("i"), col("xdec").as("xa"))
     val b = d.select(col("vec_id"), col("dim").as("j"), col("xdec").as("xb"))
-    // d(d+1)/2 second moments (upper triangle — S is symmetric, the
-    // mirror is filled on the driver), exact decimal; one shuffle into
-    // bounded groups
-    val pairRows = a.join(b, "vec_id")
+    a.join(b, "vec_id")
       .filter(col("i") <= col("j"))
       .groupBy("i", "j").agg(sum(col("xa") * col("xb")).as("s"))
-      .collect()
+  }
+
+  /** Fit the top principal component: one stats pass + driver iteration. */
+  def fitTop(embeddings: DataFrame, dim: Int = 16, iters: Int = 16): FittedPc = {
+    val d = dims(embeddings)
+    val pairRows = secondMoments(embeddings).collect()
     val meanRows = d.groupBy("dim").agg(
       count(lit(1)).as("n"),
       sum(col("xdec")).cast("double").as("s1"))

@@ -129,6 +129,37 @@ class ShuffleAuditSpec extends AnyFunSuite {
       s"BPE encode shuffle grew with doc length: $bShort -> $bLong bytes — the corpus side is shuffling")
   }
 
+  test("PCA second-moment exchange carries partition×group partials, not corpus×d² pair rows") {
+    // the per-vector d² pair explode happens MAPPER-side and partial
+    // decimal aggregation collapses it before the exchange, so doubling
+    // the corpus must leave the shuffle volume flat (the group count —
+    // d(d+1)/2 — and the partition count are what ride the wire). At
+    // 100 TB this flat exchange is what makes exact covariance viable.
+    // stage both corpora as equal-partition parquet so the partial count
+    // (partitions × groups) is held fixed and corpus size is the only
+    // variable
+    val par = spark.sparkContext.defaultParallelism
+    def stage(d: DataFrame, tag: String): DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_pca_$tag").toString
+      d.repartition(par).write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val base1 = stage(emb, "base")
+    val doubled = stage(
+      emb.union(emb.withColumn("vec_id", col("vec_id") + lit(1000000L))), "twice")
+    val (base, _) = shuffleBytes(graft.ext.Pca.secondMoments(base1))
+    val (twice, _) = shuffleBytes(graft.ext.Pca.secondMoments(doubled))
+    assert(base > 0 && twice > 0)
+    assert(twice < base * 1.3,
+      s"PCA stats shuffle grew with corpus size: $base -> $twice bytes — pair rows are riding the exchange")
+    // absolute sanity: the un-combined pair volume (vecs × d(d+1)/2 rows)
+    // would weigh megabytes even at a few bytes per row
+    val pairRows = emb.count() * (64 * 65 / 2)
+    assert(base < pairRows,
+      s"$base bytes for $pairRows pair rows — partial aggregation is not engaging")
+  }
+
   test("single-pass funnel plans at most three exchanges (group pass, day rollup, final sort)") {
     val plan = SparkEntry.queries("x_event_funnel")(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
