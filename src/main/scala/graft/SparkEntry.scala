@@ -4062,8 +4062,8 @@ object SparkEntry {
     // Oracle replays the iteration as 8 unrolled materialized CTE stages.
     "x_pca_project" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val fit = graft.ext.Pca.fitTop(emb, dim = 64)
-      graft.ext.Pca.projectTop(emb, fit).orderBy("vec_id")
+      val fit = graft.ext.Pca.fitTopK(emb, dim = 64, k = 2)
+      graft.ext.Pca.projectTopK(emb, fit).orderBy("vec_id")
     }),
 
     // daily-volume anomaly detection: per event type, each day's count
@@ -6730,13 +6730,15 @@ object SparkEntry {
       // stages (MATERIALIZED — the x_unigram_tok CTE-inlining lesson),
       // every mat-vec partial on the 1e-12 grid summed as decimal
       "x_pca_project" -> {
-        val stages = (1 to 16).map { k =>
-          s"""w${k}r AS MATERIALIZED (
-                SELECT c.i, CAST(sum(CAST(floor(c.v * w.x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS x
-                FROM c JOIN w${k - 1} w ON c.j = w.i GROUP BY c.i),
-              w$k AS MATERIALIZED (
-                SELECT i, x / (SELECT sqrt(CAST(sum(CAST(floor(x * x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE)) FROM w${k}r) AS x
-                FROM w${k}r)"""
+        // one power-iteration stage over matrix `cn`, vector prefix `p`
+        def stages(cn: String, p: String) = (1 to 16).map { k =>
+          val prev = if (k == 1) s"${p}0" else s"$p${k - 1}"
+          s"""$p${k}r AS MATERIALIZED (
+                SELECT $cn.i, CAST(sum(CAST(floor($cn.v * w.x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS x
+                FROM $cn JOIN $prev w ON $cn.j = w.i GROUP BY $cn.i),
+              $p$k AS MATERIALIZED (
+                SELECT i, x / (SELECT sqrt(CAST(sum(CAST(floor(x * x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE)) FROM $p${k}r) AS x
+                FROM $p${k}r)"""
         }.mkString(",\n")
         s"""WITH dims AS MATERIALIZED (
                   SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim, CAST(embedding[i] AS DOUBLE) AS x
@@ -6751,11 +6753,24 @@ object SparkEntry {
                   SELECT p.i, p.j, (CAST(p.s AS DOUBLE) - ma.s1 * mb.s1 / ma.n) / ma.n AS v
                   FROM p JOIN m ma ON p.i = ma.dim JOIN m mb ON p.j = mb.dim),
                 w0 AS (SELECT CAST(t.i AS INTEGER) AS i, 1.0 / sqrt(64.0) AS x FROM range(64) t(i)),
-                $stages,
+                ${stages("c", "w")},
+                l1r AS (SELECT c.i, CAST(sum(CAST(floor(c.v * w.x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS x
+                        FROM c JOIN w16 w ON c.j = w.i GROUP BY c.i),
+                l1 AS (SELECT CAST(sum(CAST(floor(w.x * r.x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS v
+                       FROM w16 w JOIN l1r r ON w.i = r.i),
+                c2 AS MATERIALIZED (
+                  SELECT c.i, c.j, c.v - l1.v * wa.x * wb.x AS v
+                  FROM c JOIN w16 wa ON c.i = wa.i JOIN w16 wb ON c.j = wb.i CROSS JOIN l1),
+                u0 AS (SELECT CAST(t.i AS INTEGER) AS i, 1.0 / sqrt(64.0) AS x FROM range(64) t(i)),
+                ${stages("c2", "u")},
                 proj AS (SELECT d.vec_id,
-                           CAST(sum(CAST(floor(w16.x * (d.x - m.s1 / m.n) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS pc
-                         FROM dims d JOIN w16 ON d.dim = w16.i JOIN m ON d.dim = m.dim GROUP BY 1)
-           SELECT vec_id, floor(pc * 1e6 + 0.5) / 1e6 AS pc1 FROM proj ORDER BY vec_id"""
+                           CAST(sum(CAST(floor(w16.x * (d.x - m.s1 / m.n) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS p1,
+                           CAST(sum(CAST(floor(u16.x * (d.x - m.s1 / m.n) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS p2
+                         FROM dims d JOIN w16 ON d.dim = w16.i JOIN u16 ON d.dim = u16.i JOIN m ON d.dim = m.dim
+                         GROUP BY 1)
+           SELECT vec_id, floor(p1 * 1e6 + 0.5) / 1e6 AS pc1,
+                  floor(p2 * 1e6 + 0.5) / 1e6 AS pc2
+           FROM proj ORDER BY vec_id"""
       },
       // anomaly days: variance from exact integer sufficient stats, one
       // deterministic double tree; the anomaly flag reads the ROUNDED z

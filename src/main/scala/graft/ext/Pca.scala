@@ -27,6 +27,15 @@ object Pca {
 
   final case class FittedPc(mean: Array[Double], component: Array[Double], n: Long)
 
+  /** Top-k fit: components in decreasing-eigenvalue order (Hotelling
+    * deflation C ← C − λ v vᵀ between components; every deflation factor
+    * is an elementwise double op on bitwise-identical inputs, so the
+    * mirror holds; λ itself is one decimal-grid mat-vec + dot).
+    */
+  final case class FittedPca(
+      mean: Array[Double], components: Array[Array[Double]],
+      lambdas: Array[Double], n: Long)
+
   private def dec12(x: Double): java.math.BigDecimal =
     new java.math.BigDecimal(java.lang.Double.toString(
       math.floor(x * 1e12 + 0.5) / 1e12))
@@ -54,11 +63,77 @@ object Pca {
       .groupBy("i", "j").agg(sum(col("xa") * col("xb")).as("s"))
   }
 
-  /** Fit the top principal component: one stats pass + driver iteration. */
-  def fitTop(embeddings: DataFrame, dim: Int = 16, iters: Int = 16): FittedPc = {
-    val d = dims(embeddings)
+  /** One decimal-grid power-iteration pass on a (possibly deflated)
+    * covariance; returns the unit component. Mirrors the oracle's
+    * unrolled stages exactly (see dec12).
+    */
+  private def powerIterate(cov: Array[Array[Double]], dim: Int, iters: Int): Array[Double] = {
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var it = 0
+    while (it < iters) {
+      val raw = matvecDec(cov, v, dim)
+      var nacc = java.math.BigDecimal.ZERO
+      var k = 0
+      while (k < dim) { nacc = nacc.add(dec12(raw(k) * raw(k))); k += 1 }
+      val nrm = math.sqrt(nacc.doubleValue())
+      v = raw.map(_ / nrm)
+      it += 1
+    }
+    v
+  }
+
+  private def matvecDec(cov: Array[Array[Double]], v: Array[Double], dim: Int): Array[Double] = {
+    val raw = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      var acc = java.math.BigDecimal.ZERO
+      var j = 0
+      while (j < dim) { acc = acc.add(dec12(cov(i)(j) * v(j))); j += 1 }
+      raw(i) = acc.doubleValue()
+      i += 1
+    }
+    raw
+  }
+
+  /** Rayleigh quotient on the decimal grid: λ = Σ round12(v_i (Cv)_i). */
+  private def rayleighDec(cov: Array[Array[Double]], v: Array[Double], dim: Int): Double = {
+    val raw = matvecDec(cov, v, dim)
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < dim) { acc = acc.add(dec12(v(i) * raw(i))); i += 1 }
+    acc.doubleValue()
+  }
+
+  /** Fit the top-k principal components: one stats pass + driver
+    * iterations with Hotelling deflation.
+    */
+  def fitTopK(embeddings: DataFrame, dim: Int, iters: Int = 16, k: Int = 2): FittedPca = {
+    val (cov, mean, n) = covariance(embeddings, dim)
+    val comps = new Array[Array[Double]](k)
+    val lambdas = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val v = powerIterate(cov, dim, iters)
+      val l = rayleighDec(cov, v, dim)
+      comps(c) = v
+      lambdas(c) = l
+      // deflate: C ← C − λ v vᵀ (elementwise, mirrored as
+      // c.v - l * wa.x * wb.x in the oracle)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { cov(i)(j) = cov(i)(j) - l * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      c += 1
+    }
+    FittedPca(mean, comps, lambdas, n)
+  }
+
+  /** Exact covariance + mean from the decimal stats pass. */
+  private def covariance(embeddings: DataFrame, dim: Int): (Array[Array[Double]], Array[Double], Long) = {
     val pairRows = secondMoments(embeddings).collect()
-    val meanRows = d.groupBy("dim").agg(
+    val meanRows = dims(embeddings).groupBy("dim").agg(
       count(lit(1)).as("n"),
       sum(col("xdec")).cast("double").as("s1"))
       .collect()
@@ -73,46 +148,41 @@ object Pca {
       cov(i)(j) = c
       cov(j)(i) = c
     }
-    // power iteration with decimal-summed mat-vec stages (oracle-exact)
-    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
-    var it = 0
-    while (it < iters) {
-      val raw = new Array[Double](dim)
-      var i = 0
-      while (i < dim) {
-        var acc = java.math.BigDecimal.ZERO
-        var j = 0
-        while (j < dim) { acc = acc.add(dec12(cov(i)(j) * v(j))); j += 1 }
-        raw(i) = acc.doubleValue()
-        i += 1
-      }
-      var nacc = java.math.BigDecimal.ZERO
-      var k = 0
-      while (k < dim) { nacc = nacc.add(dec12(raw(k) * raw(k))); k += 1 }
-      val nrm = math.sqrt(nacc.doubleValue())
-      v = raw.map(_ / nrm)
-      it += 1
-    }
-    FittedPc(s1.map(_ / n), v, n)
+    (cov, s1.map(_ / n), n)
+  }
+
+  /** Fit the top principal component: fitTopK with k = 1. */
+  def fitTop(embeddings: DataFrame, dim: Int = 16, iters: Int = 16): FittedPc = {
+    val f = fitTopK(embeddings, dim, iters, k = 1)
+    FittedPc(f.mean, f.components(0), f.n)
   }
 
   /** Project every vector onto the fitted component: pc1 = v·(x − mean),
     * decimal-summed per vector (order-independent), floor-round-6.
     */
-  def projectTop(embeddings: DataFrame, fit: FittedPc): DataFrame = {
+  def projectTop(embeddings: DataFrame, fit: FittedPc): DataFrame =
+    projectTopK(embeddings, FittedPca(fit.mean, Array(fit.component), Array(0.0), fit.n))
+      .select(col("vec_id"), col("pc1"))
+
+  /** Project every vector onto all fitted components: one broadcast join
+    * on dim, one per-vector decimal-summed rollup emitting pc1..pck.
+    */
+  def projectTopK(embeddings: DataFrame, fit: FittedPca): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val comp = fit.component.zip(fit.mean).zipWithIndex
-      .map { case ((vi, mi), i) => (i, vi, mi) }.toSeq
-      .toDF("dim", "vi", "mi")
-    dims(embeddings)
+    val comp = fit.components.zipWithIndex.flatMap { case (v, c) =>
+      v.zipWithIndex.map { case (vi, i) => (i, c, vi, fit.mean(i)) }
+    }.toSeq.toDF("dim", "c", "vi", "mi")
+    val terms = dims(embeddings)
       .join(broadcast(comp), "dim")
       .withColumn("term",
         (floor(col("vi") * (col("x") - col("mi")) * lit(1e12) + lit(0.5)) / lit(1e12))
           .cast("decimal(28,12)"))
-      .groupBy("vec_id")
+      .groupBy("vec_id", "c")
       .agg(sum(col("term")).cast("double").as("pc"))
-      .select(col("vec_id"),
-        (floor(col("pc") * lit(1e6) + lit(0.5)) / lit(1e6)).as("pc1"))
+      .withColumn("pcr", floor(col("pc") * lit(1e6) + lit(0.5)) / lit(1e6))
+    val cols = fit.components.indices.map(c =>
+      max(when(col("c") === c, col("pcr"))).as(s"pc${c + 1}"))
+    terms.groupBy("vec_id").agg(cols.head, cols.tail: _*)
   }
 }

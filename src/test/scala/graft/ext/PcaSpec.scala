@@ -72,6 +72,21 @@ class PcaSpec extends AnyFunSuite {
       s"pc1 var $pcVar vs max axis var ${axisVars.max}")
   }
 
+  test("deflated second component is near-orthogonal with a smaller eigenvalue") {
+    val f2 = Pca.fitTopK(emb, dim = 64, k = 2)
+    val v1 = f2.components(0); val v2 = f2.components(1)
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    // orthogonality up to power-iteration convergence on a near-flat
+    // spectrum (deflation annihilates v1 modulo the fixed-point residual)
+    assert(math.abs(dot) < 0.05, s"|v1.v2| = ${math.abs(dot)}")
+    // with a near-flat spectrum the eigenvalue ORDER is only approximate
+    // at finite iteration count — strict ordering would demand a
+    // convergence the spectrum can't give; near-equality is the claim
+    assert(f2.lambdas(1) <= f2.lambdas(0) * 1.05,
+      s"lambda order: ${f2.lambdas(0)} vs ${f2.lambdas(1)}")
+    assert(f2.lambdas(1) > 0.0)
+  }
+
   test("fitting is deterministic") {
     val fit2 = Pca.fitTop(emb, dim = 64)
     assert(fit.component.toSeq === fit2.component.toSeq)
