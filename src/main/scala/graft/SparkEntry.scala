@@ -4029,6 +4029,83 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // RFM customer segmentation: recency / frequency / monetary per user,
+    // quintile-scored against exact interpolated percentiles of the user
+    // population (a12 percentile↔quantile_cont parity; thresholds are
+    // intermediate doubles identical in both engines). Monetary rides the
+    // exact decimal dsum. Two aggregations — users, then a 1-row
+    // threshold broadcast — at any event volume.
+    "x_rfm_scores" -> ((s, dir) => {
+      val e = events(s, dir)
+      val ref = e.agg(max(col("day")).as("ref_day"))
+      val rfm = e.crossJoin(broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+          min(datediff(to_date(col("ref_day")), to_date(col("day")))).as("r"),
+          count(lit(1)).as("f"),
+          dsum(col("value")).as("m"))
+      val th = rfm.agg(
+        expr("percentile(r, 0.2)").as("r20"), expr("percentile(r, 0.4)").as("r40"),
+        expr("percentile(r, 0.6)").as("r60"), expr("percentile(r, 0.8)").as("r80"),
+        expr("percentile(f, 0.2)").as("f20"), expr("percentile(f, 0.4)").as("f40"),
+        expr("percentile(f, 0.6)").as("f60"), expr("percentile(f, 0.8)").as("f80"),
+        expr("percentile(m, 0.2)").as("m20"), expr("percentile(m, 0.4)").as("m40"),
+        expr("percentile(m, 0.6)").as("m60"), expr("percentile(m, 0.8)").as("m80"))
+      def up(v: Column, a: Column, b: Column, c: Column, d: Column) =
+        (lit(1) + when(v > a, 1).otherwise(0) + when(v > b, 1).otherwise(0)
+          + when(v > c, 1).otherwise(0) + when(v > d, 1).otherwise(0))
+      def down(v: Column, a: Column, b: Column, c: Column, d: Column) =
+        (lit(1) + when(v < a, 1).otherwise(0) + when(v < b, 1).otherwise(0)
+          + when(v < c, 1).otherwise(0) + when(v < d, 1).otherwise(0))
+      rfm.crossJoin(broadcast(th))
+        .select(col("user_id"), col("r"), col("f"), col("m"),
+          down(col("r").cast("double"), col("r20"), col("r40"), col("r60"), col("r80")).as("score_r"),
+          up(col("f").cast("double"), col("f20"), col("f40"), col("f60"), col("f80")).as("score_f"),
+          up(col("m"), col("m20"), col("m40"), col("m60"), col("m80")).as("score_m"))
+        .withColumn("segment",
+          concat(col("score_r").cast("string"), col("score_f").cast("string"),
+            col("score_m").cast("string")))
+        .orderBy("user_id")
+    }),
+
+    // top event-type PATHS (length-3 sequences of consecutive events per
+    // user): the Sankey/flow view one order of the Markov matrix can't
+    // give. Two lags on one user-partitioned window (one shuffle), path
+    // space bounded by |types|³.
+    "x_event_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      val p = e.withColumn("p1", lag(col("event_type"), 2).over(w))
+        .withColumn("p2", lag(col("event_type"), 1).over(w))
+        .filter(col("p1").isNotNull)
+        .groupBy(col("p1"), col("p2"), col("event_type").as("p3"))
+        .agg(count(lit(1)).as("n"))
+      val tot = p.agg(sum(col("n")).as("total"))
+      p.crossJoin(broadcast(tot))
+        .withColumn("frac",
+          floor(col("n").cast("double") / col("total").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+        .select("p1", "p2", "p3", "n", "frac")
+        .orderBy("p1", "p2", "p3")
+    }),
+
+    // word2vec-style negative-sampling table: per source, words drawn
+    // without replacement ∝ count^0.75 (Mikolov smoothing) via the A-ES
+    // key machinery (x_weighted_sample). count^0.75 is computed as
+    // sqrt(c·sqrt(c)) — two CORRECTLY-ROUNDED IEEE sqrts instead of libm
+    // pow(x, .75), whose last-ulp behavior differs across engines.
+    "x_neg_sampling" -> ((s, dir) => {
+      val wc = t(s, dir, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .withColumn("w075",
+          sqrt(col("c").cast("double") * sqrt(col("c").cast("double"))))
+      graft.ext.Mixture.weightedSampleWithoutReplacement(
+        wc, "source", "w", col("w075"), k = 10)
+        .orderBy("source", "pick_rank")
+    }),
+
     // Zipf vocabulary coverage: per source, the fraction of token
     // occurrences covered by the global top-{10,100,1000} words — the
     // curve behind vocab-size and tokenizer-budget decisions. The top-K
@@ -6709,6 +6786,60 @@ object SparkEntry {
                    min(gscore) AS norm_score
             FROM r JOIN c ON c.cume_frac >= r.pr
             GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
+      // RFM: exact interpolated percentile thresholds, strict-inequality
+      // quintile scores, decimal monetary sum
+      "x_rfm_scores" ->
+        s"""WITH ref AS (SELECT max($dayE) AS ref_day FROM events),
+                 rfm AS (SELECT user_id,
+                           min(CAST(ref_day AS DATE) - CAST($dayE AS DATE)) AS r,
+                           count(*) AS f,
+                           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS m
+                         FROM events CROSS JOIN ref GROUP BY 1),
+                 th AS (SELECT quantile_cont(r, 0.2) AS r20, quantile_cont(r, 0.4) AS r40,
+                               quantile_cont(r, 0.6) AS r60, quantile_cont(r, 0.8) AS r80,
+                               quantile_cont(f, 0.2) AS f20, quantile_cont(f, 0.4) AS f40,
+                               quantile_cont(f, 0.6) AS f60, quantile_cont(f, 0.8) AS f80,
+                               quantile_cont(m, 0.2) AS m20, quantile_cont(m, 0.4) AS m40,
+                               quantile_cont(m, 0.6) AS m60, quantile_cont(m, 0.8) AS m80
+                        FROM rfm),
+                 sc AS (SELECT user_id, r, f, m,
+                          1 + CASE WHEN r < r20 THEN 1 ELSE 0 END + CASE WHEN r < r40 THEN 1 ELSE 0 END
+                            + CASE WHEN r < r60 THEN 1 ELSE 0 END + CASE WHEN r < r80 THEN 1 ELSE 0 END AS score_r,
+                          1 + CASE WHEN f > f20 THEN 1 ELSE 0 END + CASE WHEN f > f40 THEN 1 ELSE 0 END
+                            + CASE WHEN f > f60 THEN 1 ELSE 0 END + CASE WHEN f > f80 THEN 1 ELSE 0 END AS score_f,
+                          1 + CASE WHEN m > m20 THEN 1 ELSE 0 END + CASE WHEN m > m40 THEN 1 ELSE 0 END
+                            + CASE WHEN m > m60 THEN 1 ELSE 0 END + CASE WHEN m > m80 THEN 1 ELSE 0 END AS score_m
+                        FROM rfm CROSS JOIN th)
+            SELECT user_id, CAST(r AS INTEGER) AS r, f, m,
+                   CAST(score_r AS INTEGER) AS score_r, CAST(score_f AS INTEGER) AS score_f,
+                   CAST(score_m AS INTEGER) AS score_m,
+                   CAST(score_r AS VARCHAR) || CAST(score_f AS VARCHAR) || CAST(score_m AS VARCHAR) AS segment
+            FROM sc ORDER BY user_id""",
+      // event paths: double lag on the same (user)-partitioned order
+      "x_event_paths" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+                l AS (SELECT user_id, event_type AS p3,
+                        lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS p1,
+                        lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS p2
+                      FROM e),
+                p AS (SELECT p1, p2, p3, count(*) AS n FROM l WHERE p1 IS NOT NULL GROUP BY 1, 2, 3),
+                t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM p)
+           SELECT p1, p2, p3, n,
+                  floor(CAST(n AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS frac
+           FROM p CROSS JOIN t ORDER BY p1, p2, p3""",
+      // negative sampling: A-ES keys with c^0.75 as sqrt(c*sqrt(c)) —
+      // correctly-rounded IEEE ops, never libm pow
+      "x_neg_sampling" ->
+        s"""WITH wc AS (SELECT source, w, count(*) AS c
+                        FROM (SELECT source, unnest($toksE) AS w FROM documents) GROUP BY 1, 2),
+                 wt AS (SELECT source, w,
+                          greatest(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE))), 1.0) AS weight,
+                          floor(ln((CAST(CAST(('0x' || substring(md5(w), 1, 6)) AS BIGINT) AS DOUBLE) + 1.0) / 16777217.0)
+                                / greatest(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE))), 1.0) * 1e6 + 0.5) / 1e6 AS key
+                        FROM wc),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY key DESC, w) AS pick_rank FROM wt)
+            SELECT source, CAST(pick_rank AS INTEGER) AS pick_rank, w, weight, key
+            FROM r WHERE pick_rank <= 10 ORDER BY source, pick_rank""",
       // vocab coverage: deterministic (cnt DESC, word) top-1000 ranks,
       // integer sums, floor-round-6 fractions
       "x_vocab_coverage" ->
