@@ -587,6 +587,33 @@ object SparkEntry {
       Diff.changeSet(v1, v2, "user_id", Seq("value")).orderBy("user_id")
     }),
 
+    // K-ext: CDC APPLY — the changeset's consumer side (ops/Diff
+    // .applyChangeSet): one full-outer merge replays I/U/D onto the old
+    // snapshot; matches_target pins row-for-row equality with the target
+    // snapshot (TRUE for every row, enforced by the oracle's recompute).
+    // Same two-snapshot fixture as x_cdc_changeset.
+    "k14_cdc_apply" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(
+        col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
+        col("event_type"), col("value"), col("day"))
+      def snap(cutDay: String): DataFrame = {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ms").desc, col("event_id").desc)
+        ev.filter(col("day") <= cutDay)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("value"), col("event_type"))
+      }
+      val v1 = snap("2024-01-10").select("user_id", "value")
+      val v2 = snap("2024-01-20").filter(col("event_type") =!= "error")
+        .select("user_id", "value")
+      val cs = Diff.changeSet(v1, v2, "user_id", Seq("value"))
+      val applied = Diff.applyChangeSet(v1, cs, "user_id", Seq("value"))
+      applied.join(v2.select(col("user_id"), col("value").as("tv")), Seq("user_id"), "full_outer")
+        .select(col("user_id"), col("value"),
+          (col("value") <=> col("tv")).as("matches_target"))
+        .orderBy("user_id")
+    }),
+
     // J5: union-all reassembly (ID-based-transfer.py:194)
     "j5_union_all" -> ((s, dir) => {
       val e = events(s, dir)
@@ -2831,6 +2858,20 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // l-diversity audit (k-anonymity's companion: a k-anonymous group
+    // whose members all share one sensitive value still leaks it): per
+    // quasi-identifier group, the count of DISTINCT sensitive values and
+    // the l >= 3 verdict. One group-by; output is quasi-domain-bounded.
+    "x_l_diversity" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("int"))
+      c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("group_size"),
+          count_distinct(col("bal_bucket")).as("n_sensitive"))
+        .withColumn("is_l_diverse", col("n_sensitive") >= 3)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     // class rebalancing: every class downsampled DETERMINISTICALLY to the
     // minority class size (per-class LCG-hash ranking — the stratified-
     // sample discipline; the min size is a broadcast 1-row aggregate).
@@ -4442,6 +4483,23 @@ object SparkEntry {
                        FROM j)
             SELECT user_id, old_value, new_value, op
             FROM c WHERE op IS NOT NULL ORDER BY user_id""",
+      // CDC apply: apply(v1, changeSet(v1, v2)) ≡ v2 by construction, so
+      // the oracle pins the target snapshot with matches_target TRUE on
+      // every row — a broken apply diverges in rows or in the flag
+      "k14_cdc_apply" ->
+        s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type, value,
+                              $dayE AS day FROM events),
+                 s2 AS (SELECT user_id, value FROM
+                          (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+                           FROM e WHERE day <= '2024-01-20') WHERE rn = 1 AND event_type <> 'error')
+            SELECT user_id, value, TRUE AS matches_target
+            FROM s2 ORDER BY user_id""",
+      // l-diversity: distinct sensitive values per quasi-identifier group
+      "x_l_diversity" ->
+        """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+                  count(DISTINCT CAST(floor(c_acctbal / 1000) AS INTEGER)) AS n_sensitive,
+                  count(DISTINCT CAST(floor(c_acctbal / 1000) AS INTEGER)) >= 3 AS is_l_diverse
+           FROM customer GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""",
       "a8_rollup" ->
         s"""SELECT coalesce($dayE, 'ALL') AS day, coalesce(event_type, 'ALL') AS event_type,
                    count(*) AS cnt

@@ -158,6 +158,22 @@ object Diff {
     * insert/update/delete semantics. ONE key-shuffle; both value sets ride
     * the join, no second lookup. Columns: key, op, then old_/new_ pairs.
     */
+  /** Apply an I/U/D changeset (the output shape of [[changeSet]]) back
+    * onto a snapshot: ONE full-outer merge on the key — inserts arrive
+    * from the change side, deletes drop the snapshot row, updates take
+    * the `new_*` value. By construction
+    * `applyChangeSet(a, changeSet(a, b)) == b` — pinned as a property in
+    * PropertySpec and as the `matches_target` gate in k14_cdc_apply.
+    */
+  def applyChangeSet(snap: DataFrame, changes: DataFrame, keyCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val c = changes.select(col(keyCol) +: (col("op") +: valueCols.map(v => col(s"new_$v"))): _*)
+    snap.join(c, Seq(keyCol), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col(keyCol) +: valueCols.map(v =>
+        when(col("op").isNotNull, col(s"new_$v")).otherwise(col(v)).as(v)): _*)
+  }
+
   def changeSet(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
       valueCols: Seq[String]): DataFrame = {
     val o = oldSnap.select(col(keyCol) +: valueCols.map(c => col(c).as(s"old_$c")): _*)

@@ -172,6 +172,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("applyChangeSet(a, changeSet(a, b)) reproduces b exactly on random snapshots") {
+    val snapGen = Gen.listOf(for {
+      id <- Gen.choose(0, 15)
+      v <- Gen.option(Gen.choose(-50, 50))
+    } yield (id, v))
+    samples(snapGen.flatMap(a => snapGen.map(b => (a, b))), 12).foreach { case (ra, rb) =>
+      // dedupe ids (snapshots are keyed)
+      val a = ra.toMap.toSeq
+      val b = rb.toMap.toSeq
+      val dfa = a.map { case (k, v) => (k.toLong, v.map(_.toLong)) }.toDF("id", "v")
+      val dfb = b.map { case (k, v) => (k.toLong, v.map(_.toLong)) }.toDF("id", "v")
+      val cs = graft.ops.Diff.changeSet(dfa, dfb, "id", Seq("v"))
+      val applied = graft.ops.Diff.applyChangeSet(dfa, cs, "id", Seq("v"))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      val want = b.map { case (k, v) => (k.toLong, v.map(_.toLong)) }.toSet
+      assert(applied === want)
+    }
+  }
+
   test("contentReconcile flags exactly the partitions where content differs") {
     val rowsGen = Gen.nonEmptyListOf(for {
       part <- Gen.oneOf("p1", "p2", "p3")
