@@ -4070,6 +4070,89 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // two-sample Kolmogorov–Smirnov distance, each source vs the global
+    // quality-score distribution: D = max |CDF_s − CDF_g| evaluated on
+    // the ROUND-4 SCORE GRID (every CDF jump happens at a grid point, so
+    // the grid max IS the sup). All CDF values are exact-integer ratios;
+    // the grid is ≤ 10⁴+1 rows at any corpus scale (x_quantile_norm's
+    // bounded-metadata argument), sources × grid is a metadata join.
+    "x_ks_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(col("source"),
+        TF.qualityScore(col("text")).as("score"))
+      val sg = d.groupBy("source", "score").agg(count(lit(1)).as("c"))
+      val grid = d.groupBy(col("score").as("gscore")).agg(count(lit(1)).as("gc"))
+        .withColumn("gcum", sum(col("gc")).over(
+          Window.orderBy("gscore").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val nTot = d.agg(count(lit(1)).as("n_total"))
+      val nSrc = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+      // a source has no row at grid points it never hits — fill by
+      // cross-producting sources × grid (both bounded), then a windowed
+      // cumsum per source
+      val allSrc = d.select("source").distinct()
+      val full = allSrc.crossJoin(grid.select("gscore", "gcum"))
+        .join(sg.select(col("source"), col("score").as("gscore"), col("c")),
+          Seq("source", "gscore"), "left")
+        .withColumn("scum", sum(coalesce(col("c"), lit(0L))).over(
+          Window.partitionBy("source").orderBy("gscore")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      full.join(broadcast(nSrc), "source").crossJoin(broadcast(nTot))
+        .withColumn("diff",
+          abs(col("scum").cast("double") / col("n_src").cast("double")
+            - col("gcum").cast("double") / col("n_total").cast("double")))
+        .groupBy("source")
+        .agg((floor(max(col("diff")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("ks_d"))
+        .orderBy("source")
+    }),
+
+    // mutual information between event type and weekday — the
+    // dependence audit behind "is traffic mix day-of-week stable?".
+    // I = Σ p·ln(p/(px·py)) over the |types|×7 grid; terms floor-round-6
+    // and DECIMAL-sum (order-independent); marginals are exact integers.
+    "x_mutual_info" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+        dayofweek(to_date(col("day"))).as("dow"))
+      val joint = e.groupBy("event_type", "dow").agg(count(lit(1)).as("c"))
+      val mx = joint.groupBy("event_type").agg(sum(col("c")).as("cx"))
+      val my = joint.groupBy("dow").agg(sum(col("c")).as("cy"))
+      val n = joint.agg(sum(col("c")).as("n"))
+      joint.join(broadcast(mx), "event_type").join(broadcast(my), "dow")
+        .crossJoin(broadcast(n))
+        .withColumn("term",
+          (floor((col("c").cast("double") / col("n").cast("double"))
+            * log((col("c").cast("double") * col("n").cast("double"))
+              / (col("cx").cast("double") * col("cy").cast("double"))) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .cast("decimal(28,6)"))
+        .agg(
+          count(lit(1)).as("n_cells"),
+          round(sum(col("term")), 4).cast("double").as("mi_nats"))
+    }),
+
+    // Benford first-digit audit over order totals — the classic
+    // fabricated-numbers screen: observed first-significant-digit
+    // frequencies vs log10(1 + 1/d) expectation. Counts are exact
+    // integers; the expectation is the same deterministic double
+    // expression in both engines.
+    "x_benford" -> ((s, dir) => {
+      // first significant digit via INTEGER cents — float-to-string
+      // formatting differs across engines, but floor(x·100 + 0.5) is the
+      // same double both sides and a BIGINT renders canonically
+      val o = t(s, dir, "orders")
+        .withColumn("d", substring(
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("bigint").cast("string"),
+          1, 1).cast("int"))
+        .filter(col("d").isNotNull)
+      val tot = o.agg(count(lit(1)).as("n"))
+      o.groupBy("d").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .withColumn("obs_frac",
+          floor(col("cnt").cast("double") / col("n").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+        .withColumn("benford_frac",
+          floor(log(lit(1.0) + lit(1.0) / col("d").cast("double")) / log(lit(10.0)) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .select("d", "cnt", "obs_frac", "benford_frac")
+        .orderBy("d")
+    }),
+
     // RFM customer segmentation: recency / frequency / monetary per user,
     // quintile-scored against exact interpolated percentiles of the user
     // population (a12 percentile↔quantile_cont parity; thresholds are
@@ -6844,6 +6927,51 @@ object SparkEntry {
                    min(gscore) AS norm_score
             FROM r JOIN c ON c.cume_frac >= r.pr
             GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
+      // KS: sup over the round-4 score grid of |CDF_s − CDF_g|, all
+      // ratios exact-integer-derived
+      "x_ks_test" ->
+        s"""WITH d AS (SELECT source, $qualityE AS score FROM documents),
+                 sg AS (SELECT source, score, count(*) AS c FROM d GROUP BY 1, 2),
+                 g AS (SELECT score AS gscore, count(*) AS gc FROM d GROUP BY 1),
+                 gc AS (SELECT gscore, sum(gc) OVER (ORDER BY gscore
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum FROM g),
+                 nt AS (SELECT count(*) AS n_total FROM d),
+                 ns AS (SELECT source, count(*) AS n_src FROM d GROUP BY 1),
+                 srcs AS (SELECT DISTINCT source FROM d),
+                 fl AS (SELECT srcs.source, gc.gscore, gc.gcum,
+                            sum(coalesce(sg.c, 0)) OVER (PARTITION BY srcs.source ORDER BY gc.gscore
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scum
+                          FROM srcs CROSS JOIN gc
+                          LEFT JOIN sg ON sg.source = srcs.source AND sg.score = gc.gscore)
+            SELECT f.source,
+                   floor(max(abs(CAST(scum AS DOUBLE) / n_src - CAST(gcum AS DOUBLE) / n_total)) * 1e6 + 0.5) / 1e6 AS ks_d
+            FROM fl f JOIN ns ON f.source = ns.source CROSS JOIN nt
+            GROUP BY f.source ORDER BY f.source""",
+      // MI: floor-6 terms over the bounded type×weekday grid, decimal
+      // sum; Spark dayofweek is 1=Sunday, DuckDB is 0=Sunday
+      "x_mutual_info" ->
+        s"""WITH e AS (SELECT event_type, dayofweek(CAST($dayE AS DATE)) + 1 AS dow FROM events),
+                 j AS (SELECT event_type, dow, count(*) AS c FROM e GROUP BY 1, 2),
+                 mx AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS cx FROM j GROUP BY 1),
+                 my AS (SELECT dow, CAST(sum(c) AS BIGINT) AS cy FROM j GROUP BY 1),
+                 n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+                 t AS (SELECT floor((CAST(c AS DOUBLE) / n)
+                         * ln((CAST(c AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+                         * 1e6 + 0.5) / 1e6 AS term
+                       FROM j JOIN mx USING (event_type) JOIN my USING (dow) CROSS JOIN n)
+            SELECT count(*) AS n_cells,
+                   CAST(round(sum(CAST(term AS DECIMAL(28,6))), 4) AS DOUBLE) AS mi_nats
+            FROM t""",
+      // Benford: integer-cents first digit, ln-ratio expectation
+      "x_benford" ->
+        """WITH o AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+                      FROM orders),
+                t AS (SELECT count(*) AS n FROM o WHERE d IS NOT NULL)
+           SELECT d, count(*) AS cnt,
+                  floor(CAST(count(*) AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS obs_frac,
+                  floor(ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) * 1e6 + 0.5) / 1e6 AS benford_frac
+           FROM o CROSS JOIN t WHERE d IS NOT NULL
+           GROUP BY d, n ORDER BY d""",
       // RFM: exact interpolated percentile thresholds, strict-inequality
       // quintile scores, decimal monetary sum
       "x_rfm_scores" ->

@@ -32,10 +32,10 @@ class SparkEntrySpec extends AnyFunSuite {
     // 100 TB that plan is dead, so they are forbidden except where the
     // window input is provably bounded regardless of data volume:
     //   w2_moving_avg — frame over the daily AGGREGATE (<=1 row per day);
-    //   x_quantile_norm — cumulative sum over the ROUND-4 SCORE GRID
-    //     (<= 10^4+1 rows at any corpus scale).
+    //   x_quantile_norm / x_ks_test — cumulative sum over the ROUND-4
+    //     SCORE GRID (<= 10^4+1 rows at any corpus scale).
     // Everything ordinal-shaped goes through Batching.globalOrdinal.
-    val boundedInputWhitelist = Set("w2_moving_avg", "x_quantile_norm")
+    val boundedInputWhitelist = Set("w2_moving_avg", "x_quantile_norm", "x_ks_test")
     import org.apache.spark.sql.catalyst.plans.logical
     // A global window whose child subtree contains a LIMIT is bounded by
     // construction (e.g. x_bm25_search round-robins the top-20 df terms
