@@ -4070,6 +4070,71 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // held-out next-event prediction: train the first-order Markov
+    // argmax predictor on EVEN users, score it on ODD users — the
+    // model-eval loop (train/test split, per-class accuracy) as one
+    // plan. The transition matrix is |types|² bounded metadata; its
+    // argmax window is partitioned by from_type; the test side joins the
+    // broadcast predictor.
+    "x_markov_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      val pairs = e.withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .withColumn("grp", pmod(col("user_id"), lit(2)))
+      val train = pairs.filter(col("grp") === 0)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val pred = train.withColumn("rk", row_number().over(
+          Window.partitionBy("from_type").orderBy(col("n").desc, col("to_type"))))
+        .filter(col("rk") === 1)
+        .select(col("from_type"), col("to_type").as("predicted"))
+      pairs.filter(col("grp") === 1)
+        .join(broadcast(pred), Seq("from_type"), "left")
+        .groupBy("from_type")
+        .agg(
+          count(lit(1)).as("n_test"),
+          sum(when(col("event_type") === col("predicted"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy",
+          floor(col("n_correct").cast("double") / col("n_test").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
+        .orderBy("from_type")
+    }),
+
+    // CUPED variance-reduced experiment readout: pre-period activity as
+    // the covariate, post-period as the metric, θ = cov(x,y)/var(x) and
+    // both group means derived ENTIRELY from exact integer sufficient
+    // stats (Σx, Σy, Σxy, Σx² as longs — no per-user float pass), so the
+    // whole readout is one deterministic double expression tree. The A/B
+    // assignment is user-id parity.
+    "x_cuped" -> ((s, dir) => {
+      val e = events(s, dir)
+      val per = e.groupBy("user_id").agg(
+          sum(when(col("day") <= "2024-01-15", 1L).otherwise(0L)).as("x"),
+          sum(when(col("day") > "2024-01-15", 1L).otherwise(0L)).as("y"))
+        .withColumn("grp", pmod(col("user_id"), lit(2)))
+      val g = per.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val nD = col("n").cast("double")
+      val theta = (col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / nD) /
+        (col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / nD)
+      val xbar = col("sx").cast("double") / nD
+      val gl = g.select(theta.as("theta"), xbar.as("xbar"))
+      per.groupBy("grp").agg(
+          count(lit(1)).as("n_users"),
+          sum(col("x")).as("gx"), sum(col("y")).as("gy"))
+        .crossJoin(broadcast(gl))
+        .select(col("grp"), col("n_users"),
+          (floor(col("gy").cast("double") / col("n_users").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean_y"),
+          (floor((col("gy").cast("double") - col("theta")
+            * (col("gx").cast("double") - col("n_users").cast("double") * col("xbar")))
+            / col("n_users").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean_y_adj"))
+        .orderBy("grp")
+    }),
+
     // two-sample Kolmogorov–Smirnov distance, each source vs the global
     // quality-score distribution: D = max |CDF_s − CDF_g| evaluated on
     // the ROUND-4 SCORE GRID (every CDF jump happens at a grid point, so
@@ -6927,6 +6992,50 @@ object SparkEntry {
                    min(gscore) AS norm_score
             FROM r JOIN c ON c.cume_frac >= r.pr
             GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
+      // Markov eval: even-user argmax predictor (ties -> lexicographic
+      // smallest to_type), odd-user per-class accuracy
+      "x_markov_eval" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+                p AS (SELECT user_id, event_type,
+                        lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS from_type,
+                        user_id % 2 AS grp
+                      FROM e),
+                pairs AS (SELECT * FROM p WHERE from_type IS NOT NULL),
+                tr AS (SELECT from_type, event_type AS to_type, count(*) AS n
+                       FROM pairs WHERE grp = 0 GROUP BY 1, 2),
+                pr AS (SELECT from_type, to_type AS predicted FROM
+                         (SELECT *, row_number() OVER (PARTITION BY from_type ORDER BY n DESC, to_type) AS rk FROM tr)
+                       WHERE rk = 1)
+           SELECT pairs.from_type, count(*) AS n_test,
+                  CAST(sum(CASE WHEN event_type = predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                  floor(CAST(sum(CASE WHEN event_type = predicted THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*) * 1e4 + 0.5) / 1e4 AS accuracy
+           FROM pairs LEFT JOIN pr ON pairs.from_type = pr.from_type
+           WHERE grp = 1 GROUP BY pairs.from_type ORDER BY pairs.from_type""",
+      // CUPED: θ and means from exact integer sufficient stats
+      "x_cuped" ->
+        s"""WITH per AS (SELECT user_id,
+                           CAST(sum(CASE WHEN $dayE <= '2024-01-15' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                           CAST(sum(CASE WHEN $dayE > '2024-01-15' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+                           user_id % 2 AS grp
+                         FROM events GROUP BY 1),
+                 g AS (SELECT count(*) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+                       FROM per),
+                 gl AS (SELECT
+                          (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS theta,
+                          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+                        FROM g),
+                 gg AS (SELECT grp, count(*) AS n_users,
+                          CAST(sum(x) AS BIGINT) AS gx, CAST(sum(y) AS BIGINT) AS gy
+                        FROM per GROUP BY 1)
+            SELECT grp, n_users,
+                   floor(CAST(gy AS DOUBLE) / CAST(n_users AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_y,
+                   floor((CAST(gy AS DOUBLE) - theta * (CAST(gx AS DOUBLE) - CAST(n_users AS DOUBLE) * xbar))
+                     / CAST(n_users AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_y_adj
+            FROM gg CROSS JOIN gl ORDER BY grp""",
       // KS: sup over the round-4 score grid of |CDF_s − CDF_g|, all
       // ratios exact-integer-derived
       "x_ks_test" ->
