@@ -96,6 +96,16 @@ object SparkEntry {
       graft.ext.Bpe.learn(words, "word", "freq", nMerges = 8)
     })
 
+  /** PCA fit shared by x_pca_project and x_pca_heatmap — same rationale
+    * as [[bpeCache]]: the fit is deterministic in the dataset, bounded
+    * driver state, and a production pipeline fits once.
+    */
+  private val pcaCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.ext.Pca.FittedPca]
+  private def pcaFitted(s: SparkSession, dir: String): graft.ext.Pca.FittedPca =
+    pcaCache.getOrElseUpdate((s, dir),
+      graft.ext.Pca.fitTopK(t(s, dir, "embeddings"), dim = 64, k = 2))
+
   /** Gate linkage for the deliberate `no_oracle` queries: each maps to
     * the exact-oracled sibling(s) that pin its actual computation.
     * Dumped by [[Verify]] as gated_by.json next to oracle_sql.json so a
@@ -4326,10 +4336,29 @@ object SparkEntry {
     // shuffle; the 16×16 iteration is bounded driver state (the PQ/IVF
     // shape); projection is a broadcast join + per-vector decimal sum.
     // Oracle replays the iteration as 8 unrolled materialized CTE stages.
-    "x_pca_project" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val fit = graft.ext.Pca.fitTopK(emb, dim = 64, k = 2)
-      graft.ext.Pca.projectTopK(emb, fit).orderBy("vec_id")
+    "x_pca_project" -> ((s, dir) =>
+      graft.ext.Pca.projectTopK(t(s, dir, "embeddings"), pcaFitted(s, dir))
+        .orderBy("vec_id")),
+
+    // PCA occupancy heatmap: the 8×8 density grid over (pc1, pc2) — the
+    // embedding-space overview plot as a query. Shares ONE fit with
+    // x_pca_project (pcaFitted memo — a production pipeline fits once);
+    // extent is a 1-row broadcast aggregate, bucketing is the identical
+    // double tree on the rounded projections in both engines.
+    "x_pca_heatmap" -> ((s, dir) => {
+      val proj = graft.ext.Pca.projectTopK(t(s, dir, "embeddings"), pcaFitted(s, dir))
+      val ext = proj.agg(
+        min(col("pc1")).as("min1"), max(col("pc1")).as("max1"),
+        min(col("pc2")).as("min2"), max(col("pc2")).as("max2"))
+      proj.crossJoin(broadcast(ext))
+        .withColumn("gx", least(
+          floor((col("pc1") - col("min1")) / (col("max1") - col("min1")) * lit(8.0)),
+          lit(7.0)).cast("int"))
+        .withColumn("gy", least(
+          floor((col("pc2") - col("min2")) / (col("max2") - col("min2")) * lit(8.0)),
+          lit(7.0)).cast("int"))
+        .groupBy("gx", "gy").agg(count(lit(1)).as("n"))
+        .orderBy("gx", "gy")
     }),
 
     // daily-volume anomaly detection: per event type, each day's count
@@ -4444,6 +4473,53 @@ object SparkEntry {
         .orderBy("doc_id")
     })
   )
+
+  /** The shared PCA oracle prelude: decimal-exact second moments, two
+    * 16-stage unrolled power iterations (w = first component, u = second
+    * after Hotelling deflation), per-vector decimal projections in
+    * `proj(vec_id, p1, p2)`. `tail` either starts with a SELECT (the
+    * final query) or with ", cte AS (...)" to extend the WITH chain.
+    */
+  private def pcaOracle(tail: String): String = {
+    def stages(cn: String, p: String) = (1 to 16).map { k =>
+      val prev = if (k == 1) s"${p}0" else s"$p${k - 1}"
+      s"""$p${k}r AS MATERIALIZED (
+            SELECT $cn.i, CAST(sum(CAST(floor($cn.v * w.x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS x
+            FROM $cn JOIN $prev w ON $cn.j = w.i GROUP BY $cn.i),
+          $p$k AS MATERIALIZED (
+            SELECT i, x / (SELECT sqrt(CAST(sum(CAST(floor(x * x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE)) FROM $p${k}r) AS x
+            FROM $p${k}r)"""
+    }.mkString(",\n")
+    s"""WITH dims AS MATERIALIZED (
+              SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+            p AS (SELECT a.dim AS i, b.dim AS j,
+                    sum(CAST(a.x AS DECIMAL(18,8)) * CAST(b.x AS DECIMAL(18,8))) AS s
+                  FROM dims a JOIN dims b USING (vec_id) GROUP BY 1, 2),
+            m AS MATERIALIZED (
+              SELECT dim, count(*) AS n, CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS s1
+              FROM dims GROUP BY 1),
+            c AS MATERIALIZED (
+              SELECT p.i, p.j, (CAST(p.s AS DOUBLE) - ma.s1 * mb.s1 / ma.n) / ma.n AS v
+              FROM p JOIN m ma ON p.i = ma.dim JOIN m mb ON p.j = mb.dim),
+            w0 AS (SELECT CAST(t.i AS INTEGER) AS i, 1.0 / sqrt(64.0) AS x FROM range(64) t(i)),
+            ${stages("c", "w")},
+            l1r AS (SELECT c.i, CAST(sum(CAST(floor(c.v * w.x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS x
+                    FROM c JOIN w16 w ON c.j = w.i GROUP BY c.i),
+            l1 AS (SELECT CAST(sum(CAST(floor(w.x * r.x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS v
+                   FROM w16 w JOIN l1r r ON w.i = r.i),
+            c2 AS MATERIALIZED (
+              SELECT c.i, c.j, c.v - l1.v * wa.x * wb.x AS v
+              FROM c JOIN w16 wa ON c.i = wa.i JOIN w16 wb ON c.j = wb.i CROSS JOIN l1),
+            u0 AS (SELECT CAST(t.i AS INTEGER) AS i, 1.0 / sqrt(64.0) AS x FROM range(64) t(i)),
+            ${stages("c2", "u")},
+            proj AS (SELECT d.vec_id,
+                       CAST(sum(CAST(floor(w16.x * (d.x - m.s1 / m.n) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS p1,
+                       CAST(sum(CAST(floor(u16.x * (d.x - m.s1 / m.n) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS p2
+                     FROM dims d JOIN w16 ON d.dim = w16.i JOIN u16 ON d.dim = u16.i JOIN m ON d.dim = m.dim
+                     GROUP BY 1)
+       $tail"""
+  }
 
   /** DuckDB-equivalent SQL per query (driver runs these on the same
     * parquet registered as bare table names). Formulations mirror the
@@ -7155,49 +7231,21 @@ object SparkEntry {
       // PCA: decimal-exact second moments, 16 unrolled power-iteration
       // stages (MATERIALIZED — the x_unigram_tok CTE-inlining lesson),
       // every mat-vec partial on the 1e-12 grid summed as decimal
-      "x_pca_project" -> {
-        // one power-iteration stage over matrix `cn`, vector prefix `p`
-        def stages(cn: String, p: String) = (1 to 16).map { k =>
-          val prev = if (k == 1) s"${p}0" else s"$p${k - 1}"
-          s"""$p${k}r AS MATERIALIZED (
-                SELECT $cn.i, CAST(sum(CAST(floor($cn.v * w.x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS x
-                FROM $cn JOIN $prev w ON $cn.j = w.i GROUP BY $cn.i),
-              $p$k AS MATERIALIZED (
-                SELECT i, x / (SELECT sqrt(CAST(sum(CAST(floor(x * x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE)) FROM $p${k}r) AS x
-                FROM $p${k}r)"""
-        }.mkString(",\n")
-        s"""WITH dims AS MATERIALIZED (
-                  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim, CAST(embedding[i] AS DOUBLE) AS x
-                  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
-                p AS (SELECT a.dim AS i, b.dim AS j,
-                        sum(CAST(a.x AS DECIMAL(18,8)) * CAST(b.x AS DECIMAL(18,8))) AS s
-                      FROM dims a JOIN dims b USING (vec_id) GROUP BY 1, 2),
-                m AS MATERIALIZED (
-                  SELECT dim, count(*) AS n, CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS s1
-                  FROM dims GROUP BY 1),
-                c AS MATERIALIZED (
-                  SELECT p.i, p.j, (CAST(p.s AS DOUBLE) - ma.s1 * mb.s1 / ma.n) / ma.n AS v
-                  FROM p JOIN m ma ON p.i = ma.dim JOIN m mb ON p.j = mb.dim),
-                w0 AS (SELECT CAST(t.i AS INTEGER) AS i, 1.0 / sqrt(64.0) AS x FROM range(64) t(i)),
-                ${stages("c", "w")},
-                l1r AS (SELECT c.i, CAST(sum(CAST(floor(c.v * w.x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS x
-                        FROM c JOIN w16 w ON c.j = w.i GROUP BY c.i),
-                l1 AS (SELECT CAST(sum(CAST(floor(w.x * r.x * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS v
-                       FROM w16 w JOIN l1r r ON w.i = r.i),
-                c2 AS MATERIALIZED (
-                  SELECT c.i, c.j, c.v - l1.v * wa.x * wb.x AS v
-                  FROM c JOIN w16 wa ON c.i = wa.i JOIN w16 wb ON c.j = wb.i CROSS JOIN l1),
-                u0 AS (SELECT CAST(t.i AS INTEGER) AS i, 1.0 / sqrt(64.0) AS x FROM range(64) t(i)),
-                ${stages("c2", "u")},
-                proj AS (SELECT d.vec_id,
-                           CAST(sum(CAST(floor(w16.x * (d.x - m.s1 / m.n) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS p1,
-                           CAST(sum(CAST(floor(u16.x * (d.x - m.s1 / m.n) * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS p2
-                         FROM dims d JOIN w16 ON d.dim = w16.i JOIN u16 ON d.dim = u16.i JOIN m ON d.dim = m.dim
-                         GROUP BY 1)
-           SELECT vec_id, floor(p1 * 1e6 + 0.5) / 1e6 AS pc1,
+      "x_pca_project" -> pcaOracle(
+        """SELECT vec_id, floor(p1 * 1e6 + 0.5) / 1e6 AS pc1,
                   floor(p2 * 1e6 + 0.5) / 1e6 AS pc2
-           FROM proj ORDER BY vec_id"""
-      },
+           FROM proj ORDER BY vec_id"""),
+      // PCA heatmap: 8x8 occupancy grid over the rounded projections;
+      // bucket math is the identical double tree on identical inputs
+      "x_pca_heatmap" -> pcaOracle(
+        """, rp AS (SELECT vec_id, floor(p1 * 1e6 + 0.5) / 1e6 AS pc1,
+                           floor(p2 * 1e6 + 0.5) / 1e6 AS pc2 FROM proj),
+              ext AS (SELECT min(pc1) AS min1, max(pc1) AS max1,
+                             min(pc2) AS min2, max(pc2) AS max2 FROM rp)
+           SELECT CAST(least(floor((pc1 - min1) / (max1 - min1) * 8.0), 7.0) AS INTEGER) AS gx,
+                  CAST(least(floor((pc2 - min2) / (max2 - min2) * 8.0), 7.0) AS INTEGER) AS gy,
+                  count(*) AS n
+           FROM rp CROSS JOIN ext GROUP BY 1, 2 ORDER BY gx, gy"""),
       // anomaly days: variance from exact integer sufficient stats, one
       // deterministic double tree; the anomaly flag reads the ROUNDED z
       "x_anomaly_days" ->
