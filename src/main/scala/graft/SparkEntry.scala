@@ -1476,6 +1476,31 @@ object SparkEntry {
         .orderBy("day", "touch_type")
     }),
 
+    // continuous volume-anomaly monitor (prequential form of
+    // x_anomaly_days): sealed day counts per type flow into a running
+    // Σc/Σc² ValueState; each day is z-scored against only the days
+    // BEFORE it — what an online monitor can know. Oracle replays the
+    // cumulative stats with type-partitioned windows + the sealed-day
+    // cutoff.
+    "t21_stream_anomaly" -> ((s, dir) => {
+      val stageDir = scratchDir("t21", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events.parquet"))
+      val name = "t21_anomaly"
+      try {
+        graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.anomalyMonitor(
+            graft.streaming.EventStream.readEvents(s, stage)),
+          name, s"$stage/ckpt", outputMode = "append",
+          statePartitions = Some(4), rocksDb = true)
+      } finally deleteRec(stageDir)
+      s.table(name)
+        .select("event_type", "day", "c", "z", "is_anomaly")
+        .orderBy("event_type", "day")
+    }),
+
     // Spark's BUILT-IN session window (merging event-time sessions with a
     // 1 h inactivity gap) — the native operator form of x_sessionize's
     // manual gaps-and-islands. Boundary semantics: an event exactly gap
@@ -7246,6 +7271,28 @@ object SparkEntry {
                   CAST(least(floor((pc2 - min2) / (max2 - min2) * 8.0), 7.0) AS INTEGER) AS gy,
                   count(*) AS n
            FROM rp CROSS JOIN ext GROUP BY 1, 2 ORDER BY gx, gy"""),
+      // streaming anomaly: prequential stats via a 1-PRECEDING-bounded
+      // type-partitioned cumulative window + the sealed-day cutoff
+      "t21_stream_anomaly" ->
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                 cum AS (SELECT event_type, day, c,
+                           count(*) OVER w AS pn,
+                           CAST(sum(c) OVER w AS BIGINT) AS psx,
+                           CAST(sum(c * c) OVER w AS BIGINT) AS psxx
+                         FROM dc
+                         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+                 v AS (SELECT event_type, day, c, pn,
+                         (CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE))
+                           / CAST(pn AS DOUBLE) AS variance,
+                         CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE) AS mean
+                       FROM cum),
+                 z AS (SELECT event_type, day, c,
+                         floor((CAST(c AS DOUBLE) - mean) / sqrt(variance) * 1e4 + 0.5) / 1e4 AS z
+                       FROM v WHERE pn >= 2 AND variance > 0.0
+                         AND CAST(day AS DATE) + 1 <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR)
+            SELECT event_type, day, c, z, abs(z) >= 2.0 AS is_anomaly
+            FROM z ORDER BY event_type, day""",
       // anomaly days: variance from exact integer sufficient stats, one
       // deterministic double tree; the anomaly flag reads the ROUNDED z
       "x_anomaly_days" ->

@@ -776,6 +776,77 @@ object EventStream {
       .toDF()
   }
 
+  /** One prequential anomaly row: a sealed day's count z-scored against
+    * the stats of all PRIOR sealed days for that event type (population
+    * variance from running Σc/Σc² — exact integers; emitted only once
+    * ≥ 2 prior days exist and variance > 0).
+    */
+  final case class AnomalyRow(event_type: String, day: String, c: Long, z: Double, is_anomaly: Boolean)
+
+  private final case class VolState(n: Long, sx: Long, sxx: Long)
+
+  /** Streaming volume-anomaly state: per event type, running integer
+    * sufficient stats over sealed days. Prequential semantics — each day
+    * is scored against only the days BEFORE it (what an online monitor
+    * can know), unlike the retrospective batch x_anomaly_days; the
+    * oracle replays the same cumulative stats with type-partitioned
+    * windows. z is the identical double tree on exact integers.
+    */
+  class AnomalyProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, String, Long), AnomalyRow] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[VolState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[VolState](
+        "vol", org.apache.spark.sql.Encoders.product[VolState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, String, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[AnomalyRow] = {
+      var s = if (st.exists()) st.get() else VolState(0L, 0L, 0L)
+      val out = Seq.newBuilder[AnomalyRow]
+      rows.toSeq.sortBy(_._2).foreach { case (typ, day, c) =>
+        if (s.n >= 2) {
+          val n = s.n.toDouble
+          val mean = s.sx.toDouble / s.n.toDouble
+          val variance = (s.sxx.toDouble - s.sx.toDouble * s.sx.toDouble / n) / n
+          if (variance > 0.0) {
+            val z = math.floor((c.toDouble - mean) / math.sqrt(variance) * 1e4 + 0.5) / 1e4
+            out += AnomalyRow(typ, day, c, z, math.abs(z) >= 2.0)
+          }
+        }
+        s = VolState(s.n + 1L, s.sx + c, s.sxx + c * c)
+      }
+      st.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** Continuous volume-anomaly monitoring (the prequential form of the
+    * batch x_anomaly_days): a watermarked 1-day window counts each
+    * type's events — the only event-volume operator — and each sealed
+    * (type, day, count) row updates [[AnomalyProcessor]]'s running
+    * stats, scoring the day against everything before it. Day windows
+    * reach the processor in watermark order; same-batch days are sorted.
+    */
+  def anomalyMonitor(events: DataFrame, delay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"), col("c"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new AnomalyProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** T-ext: per-user running event totals as an UPDATE stream. The final
     * emission per user equals the user's total event count — which is what
     * the batch oracle checks (SparkEntry t13).
