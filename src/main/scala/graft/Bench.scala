@@ -29,14 +29,15 @@ object Bench {
     "f6_json_extract", "j14_interval_overlap",
     "x_line_dedup", "x_bpe_merges", "x_semantic_dedup",
     "x_lang_id", "x_dedup_exact",
-    "x_ngram_jaccard", "x_minhash_lsh", "x_simhash_pairs",
-    "x_embed_cosine_topk", "x_ann_lsh", "x_ann_ivf",
+    "x_ngram_jaccard", "x_minhash_lsh",
+    "x_embed_cosine_topk", "x_ann_lsh",
     "x_sessionize", "x_multimodal_features",
     "x_dedup_clusters", "x_clean_pipeline", "x_cdc_changeset",
     "x_unigram_lm", "x_dsir_weights",
     "x_winnow_pairs", "x_ncm_classify", "x_lsh_incremental", "x_perplexity_prune",
     "x_prefix_jaccard", "x_triangles", "x_maxip_topk",
-    "x_bm25_search", "x_collocations", "x_unigram_tok")
+    "x_bm25_search", "x_collocations", "x_unigram_tok",
+    "x_pca_project", "t20_stream_attribution", "x_jaro_names", "x_quantile_norm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4105,6 +4105,65 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // join-key skew profiler: the audit that tells you WHICH keys need
+    // salting before a join ships — per key column: cardinality, top-key
+    // share, and the p99/median frequency ratio. Key-frequency tables are
+    // one map-side-combined count each; stats ride the a12 exact
+    // percentiles. At 100 TB the frequency table is key-cardinality-
+    // bounded, never row-bounded.
+    "x_skew_profile" -> ((s, dir) => {
+      def prof(df: DataFrame, keyCol: String, label: String): DataFrame = {
+        val freq = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("f"))
+        freq.agg(
+          lit(label).as("key_col"),
+          count(lit(1)).as("n_keys"),
+          sum(col("f")).as("n_rows"),
+          max(col("f")).as("max_freq"),
+          round(expr("percentile(f, 0.5)"), 4).as("p50_freq"),
+          round(expr("percentile(f, 0.99)"), 4).as("p99_freq"))
+      }
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val e = events(s, dir)
+      prof(li, "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(prof(li, "l_partkey", "lineitem.l_partkey"))
+        .unionByName(prof(o, "o_custkey", "orders.o_custkey"))
+        .unionByName(prof(e, "user_id", "events.user_id"))
+        .withColumn("top_share",
+          floor(col("max_freq").cast("double") / col("n_rows").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+        .withColumn("p99_over_p50",
+          floor(col("p99_freq") / col("p50_freq") * lit(1e4) + lit(0.5)) / lit(1e4))
+        .orderBy("key_col")
+    }),
+
+    // Poisson bootstrap 95% CI for mean event value — THE distributed
+    // resampling scheme (Chamandy et al., Google 2012): resample b gives
+    // each row weight ~ Poisson(1), derived from md5(id·B+b) against
+    // INTEGER thresholds (cumulative pmf · 2²⁴ — integer compares, no
+    // float-literal parse divergence). 32 resamples ride one explode →
+    // one 32-group decimal aggregation; the CI is an exact percentile
+    // over the 32 resample means. No global resample pass exists at any
+    // scale.
+    "x_bootstrap_ci" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("value"))
+      val b = e.withColumn("b", explode(sequence(lit(0), lit(31))))
+        .withColumn("h", graft.ext.Mixture.hash24(
+          (col("event_id") * lit(32L) + col("b")).cast("string")))
+        .withColumn("w",
+          when(col("h") < 6171993, 0L).when(col("h") < 12343986, 1L)
+            .when(col("h") < 15429982, 2L).when(col("h") < 16458648, 3L)
+            .when(col("h") < 16715814, 4L).when(col("h") < 16767247, 5L)
+            .when(col("h") < 16775819, 6L).otherwise(7L))
+      val means = b.groupBy("b").agg(
+          (sum(col("w").cast("decimal(18,4)") * col("value").cast("decimal(18,4)")).cast("double")
+            / sum(col("w")).cast("double")).as("mean_b"))
+      means.agg(
+        count(lit(1)).as("n_resamples"),
+        round(expr("percentile(mean_b, 0.5)"), 6).as("mean_med"),
+        round(expr("percentile(mean_b, 0.025)"), 6).as("ci_lo"),
+        round(expr("percentile(mean_b, 0.975)"), 6).as("ci_hi"))
+    }),
+
     // held-out next-event prediction: train the first-order Markov
     // argmax predictor on EVEN users, score it on ODD users — the
     // model-eval loop (train/test split, per-class accuracy) as one
@@ -7093,6 +7152,51 @@ object SparkEntry {
                    min(gscore) AS norm_score
             FROM r JOIN c ON c.cume_frac >= r.pr
             GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
+      // skew profile: per-key frequency tables, exact percentiles
+      "x_skew_profile" ->
+        s"""WITH f1 AS (SELECT l_orderkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+                 f2 AS (SELECT l_partkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+                 f3 AS (SELECT o_custkey AS k, count(*) AS f FROM orders GROUP BY 1),
+                 f4 AS (SELECT user_id AS k, count(*) AS f FROM events GROUP BY 1),
+                 u AS (
+                   SELECT 'lineitem.l_orderkey' AS key_col, count(*) AS n_keys,
+                          CAST(sum(f) AS BIGINT) AS n_rows, max(f) AS max_freq,
+                          round(quantile_cont(f, 0.5), 4) AS p50_freq,
+                          round(quantile_cont(f, 0.99), 4) AS p99_freq FROM f1
+                   UNION ALL
+                   SELECT 'lineitem.l_partkey', count(*), CAST(sum(f) AS BIGINT), max(f),
+                          round(quantile_cont(f, 0.5), 4), round(quantile_cont(f, 0.99), 4) FROM f2
+                   UNION ALL
+                   SELECT 'orders.o_custkey', count(*), CAST(sum(f) AS BIGINT), max(f),
+                          round(quantile_cont(f, 0.5), 4), round(quantile_cont(f, 0.99), 4) FROM f3
+                   UNION ALL
+                   SELECT 'events.user_id', count(*), CAST(sum(f) AS BIGINT), max(f),
+                          round(quantile_cont(f, 0.5), 4), round(quantile_cont(f, 0.99), 4) FROM f4)
+            SELECT key_col, n_keys, n_rows, max_freq, p50_freq, p99_freq,
+                   floor(CAST(max_freq AS DOUBLE) / n_rows * 1e6 + 0.5) / 1e6 AS top_share,
+                   floor(p99_freq / p50_freq * 1e4 + 0.5) / 1e4 AS p99_over_p50
+            FROM u ORDER BY key_col""",
+      // Poisson bootstrap: integer pmf thresholds on the 24-bit hash,
+      // decimal weighted sums, exact percentile CI over 32 means
+      "x_bootstrap_ci" ->
+        """WITH b AS (SELECT event_id, value, t.b AS b,
+                        CAST(CAST(('0x' || substring(md5(CAST(event_id * 32 + t.b AS VARCHAR)), 1, 6)) AS BIGINT) AS INTEGER) AS h
+                      FROM events, (SELECT unnest(range(0, 32)) AS b) t),
+                w AS (SELECT b, value,
+                        CASE WHEN h < 6171993 THEN 0 WHEN h < 12343986 THEN 1
+                             WHEN h < 15429982 THEN 2 WHEN h < 16458648 THEN 3
+                             WHEN h < 16715814 THEN 4 WHEN h < 16767247 THEN 5
+                             WHEN h < 16775819 THEN 6 ELSE 7 END AS w
+                      FROM b),
+                m AS (SELECT b,
+                        CAST(sum(CAST(w AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                          / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS mean_b
+                      FROM w GROUP BY 1)
+           SELECT count(*) AS n_resamples,
+                  round(quantile_cont(mean_b, 0.5), 6) AS mean_med,
+                  round(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
+                  round(quantile_cont(mean_b, 0.975), 6) AS ci_hi
+           FROM m""",
       // Markov eval: even-user argmax predictor (ties -> lexicographic
       // smallest to_type), odd-user per-class accuracy
       "x_markov_eval" ->
