@@ -4105,6 +4105,59 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // seasonal decomposition of daily volumes (STL-lite): trend = 7-day
+    // centered moving average, weekly seasonal = per-weekday mean of the
+    // detrended series, residual = the rest. The windows are
+    // type-partitioned over the bounded day grid; the moving SUM is over
+    // INTEGER counts (exact under Spark's sliding add/remove and
+    // DuckDB's segment trees alike — a double sum would diverge);
+    // seasonal means use floor-6 terms + decimal sums.
+    "x_seasonality" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+      val tr = dc
+        .withColumn("trend", sum(col("c")).over(w7).cast("double") / count(col("c")).over(w7).cast("double"))
+        .withColumn("det", col("c").cast("double") - col("trend"))
+        .withColumn("dow", dayofweek(to_date(col("day"))))
+      val seas = tr.groupBy("event_type", "dow").agg(
+        (floor(sum((floor(col("det") * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)")).cast("double")
+          / count(lit(1)).cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)).as("seasonal"))
+      tr.join(broadcast(seas), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("c"),
+          (floor(col("trend") * lit(1e6) + lit(0.5)) / lit(1e6)).as("trend"),
+          col("seasonal"),
+          (floor((col("det") - col("seasonal")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("residual"))
+        .orderBy("event_type", "day")
+    }),
+
+    // CUSUM changepoint detection on daily volumes: per type, the day
+    // where the cumulative deviation from the overall mean peaks. The
+    // cumulative statistic is kept INTEGER-EXACT (Σ(c·n − Σc) — scaled
+    // by n so no division touches the running sum; any summation tree
+    // gives the same integers), normalized only at the end.
+    "x_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val st = dc.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("c")).as("sx"), sum(col("c") * col("c")).as("sxx"))
+      val wrun = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cs = dc.join(broadcast(st), "event_type")
+        .withColumn("sdev", sum(col("c") * col("n") - col("sx")).over(wrun))
+      val variance = (col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+        / col("n").cast("double")) / col("n").cast("double")
+      val ranked = cs
+        .withColumn("stat",
+          abs(col("sdev").cast("double")) / (col("n").cast("double") * sqrt(variance)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(abs(col("sdev")).desc, col("day"))))
+      ranked.filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          (floor(col("stat") * lit(1e4) + lit(0.5)) / lit(1e4)).as("max_cusum"))
+        .orderBy("event_type")
+    }),
+
     // join-key skew profiler: the audit that tells you WHICH keys need
     // salting before a join ships — per key column: cardinality, top-key
     // share, and the p99/median frequency ratio. Key-frequency tables are
@@ -7152,6 +7205,46 @@ object SparkEntry {
                    min(gscore) AS norm_score
             FROM r JOIN c ON c.cume_frac >= r.pr
             GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
+      // seasonality: integer moving sums, floor-6 + decimal seasonal
+      // means, weekday via dayofweek+1 (DuckDB is 0=Sunday)
+      "x_seasonality" ->
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                 tr AS (SELECT event_type, day, c,
+                          CAST(sum(c) OVER w AS DOUBLE) / CAST(count(c) OVER w AS DOUBLE) AS trend,
+                          dayofweek(CAST(day AS DATE)) + 1 AS dow
+                        FROM dc
+                        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+                 det AS (SELECT *, CAST(c AS DOUBLE) - trend AS det FROM tr),
+                 seas AS (SELECT event_type, dow,
+                            floor(CAST(sum(CAST(floor(det * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS seasonal
+                          FROM det GROUP BY 1, 2)
+            SELECT d.event_type, d.day, d.c,
+                   floor(trend * 1e6 + 0.5) / 1e6 AS trend,
+                   seasonal,
+                   floor((det - seasonal) * 1e6 + 0.5) / 1e6 AS residual
+            FROM det d JOIN seas ON d.event_type = seas.event_type AND d.dow = seas.dow
+            ORDER BY d.event_type, d.day""",
+      // changepoint: integer-exact scaled cumulative deviations,
+      // normalized once at the end; ties -> earliest day
+      "x_changepoint" ->
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                 st AS (SELECT event_type, count(*) AS n,
+                          CAST(sum(c) AS BIGINT) AS sx, CAST(sum(c * c) AS BIGINT) AS sxx
+                        FROM dc GROUP BY 1),
+                 cs AS (SELECT dc.event_type, dc.day, n, sx, sxx,
+                          CAST(sum(dc.c * n - sx) OVER (PARTITION BY dc.event_type ORDER BY dc.day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sdev
+                        FROM dc JOIN st ON dc.event_type = st.event_type),
+                 r AS (SELECT event_type, day,
+                         abs(CAST(sdev AS DOUBLE)) / (CAST(n AS DOUBLE)
+                           * sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) AS stat,
+                         row_number() OVER (PARTITION BY event_type ORDER BY abs(sdev) DESC, day) AS rk
+                       FROM cs)
+            SELECT event_type, day AS cp_day,
+                   floor(stat * 1e4 + 0.5) / 1e4 AS max_cusum
+            FROM r WHERE rk = 1 ORDER BY event_type""",
       // skew profile: per-key frequency tables, exact percentiles
       "x_skew_profile" ->
         s"""WITH f1 AS (SELECT l_orderkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
