@@ -4105,6 +4105,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // degree assortativity of the link graph (same generator as
+    // x_pagerank): Pearson r over edges of (deg(src), deg(dst)) — do
+    // high-degree pages link to high-degree pages? Degrees are one
+    // count; the correlation rides groupedLinReg's exact integer
+    // sufficient stats. Completes the graph family (pagerank /
+    // triangles / CC) with the mixing-structure view.
+    "x_assortativity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"),
+          explode(array(Seq(2, 3, 5).map(m =>
+            (col("doc_id") * m + m) % col("n")): _*)).as("dst"))
+      val deg = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val pairs = edges
+        .join(deg.select(col("node").as("src"), col("deg").as("dsrc")), "src")
+        .join(deg.select(col("node").as("dst"), col("deg").as("ddst")), "dst")
+      graft.ext.Stats.groupedLinReg(pairs, Seq.empty, col("dsrc"), col("ddst"))
+    }),
+
     // seasonal decomposition of daily volumes (STL-lite): trend = 7-day
     // centered moving average, weekly seasonal = per-weekday mean of the
     // detrended series, residual = the rest. The windows are
@@ -7205,6 +7228,28 @@ object SparkEntry {
                    min(gscore) AS norm_score
             FROM r JOIN c ON c.cume_frac >= r.pr
             GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
+      // assortativity: same edge generator as x_pagerank, degree join,
+      // exact-integer Pearson (the x_linreg_tokens select shape)
+      "x_assortativity" ->
+        """WITH nn AS (SELECT count(*) AS n FROM documents),
+                e AS (SELECT doc_id AS src,
+                        unnest([(doc_id * 2 + 2) % n, (doc_id * 3 + 3) % n, (doc_id * 5 + 5) % n]) AS dst
+                      FROM documents CROSS JOIN nn WHERE doc_id % 10 <> 9),
+                d AS (SELECT node, count(*) AS deg
+                      FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) GROUP BY 1),
+                p AS (SELECT CAST(ds.deg AS BIGINT) AS x, CAST(dd.deg AS BIGINT) AS y
+                      FROM e JOIN d ds ON e.src = ds.node JOIN d dd ON e.dst = dd.node),
+                st AS (SELECT count(*) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x*y) AS BIGINT) AS sxy,
+                         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+                       FROM p)
+           SELECT n,
+                  floor(CAST(n*sxy - sx*sy AS DOUBLE) / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6 AS slope,
+                  floor((CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0)) * CAST(sx AS DOUBLE))
+                        / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS intercept,
+                  floor(CAST(n*sxy - sx*sy AS DOUBLE) / nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0) * 1e6 + 0.5) / 1e6 AS r
+           FROM st""",
       // seasonality: integer moving sums, floor-6 + decimal seasonal
       // means, weekday via dayofweek+1 (DuckDB is 0=Sunday)
       "x_seasonality" ->
