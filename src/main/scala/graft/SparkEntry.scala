@@ -4105,6 +4105,57 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // mean imputation with a measurable mask: 10% of values (hash-picked,
+    // deterministic) are treated as missing, imputed with the
+    // type-group mean of the SURVIVING values (decimal-exact), and
+    // scored against the held-back truth — the imputation-quality loop
+    // as one plan. Group means are a broadcast |types|-row aggregate.
+    "x_impute" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("masked", graft.ext.Mixture.hash24(col("event_id").cast("string")) % 10 === 0)
+      val means = e.filter(!col("masked"))
+        .groupBy("event_type")
+        .agg((sum(col("value").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)).cast("double")).as("grp_mean"))
+      e.filter(col("masked"))
+        .join(broadcast(means), "event_type")
+        .select(col("event_id"), col("event_type"), col("value").as("true_value"),
+          (floor(col("grp_mean") * lit(1e6) + lit(0.5)) / lit(1e6)).as("imputed"),
+          (floor(abs(col("value") - col("grp_mean")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("abs_err"))
+        .orderBy("event_id")
+    }),
+
+    // Mann–Whitney U / AUC between the parity A/B user groups on
+    // per-user event counts — the nonparametric "is B shifted vs A"
+    // test. U is computed from the two COUNT HISTOGRAMS (bounded grids,
+    // never a global rank over users): U = Σ_v fB(v)·(#A below v) +
+    // fB(v)·fA(v)/2 — exact integers + an exact half, summed as
+    // DECIMAL(28,1). AUC = U/(nA·nB).
+    "x_mannwhitney" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("x"))
+        .withColumn("grp", pmod(col("user_id"), lit(2)))
+      val ha = per.filter(col("grp") === 0).groupBy(col("x")).agg(count(lit(1)).as("fa"))
+      val hb = per.filter(col("grp") === 1).groupBy(col("x")).agg(count(lit(1)).as("fb"))
+      // cumulative #A strictly below each grid value — windows over the
+      // bounded count grid
+      val grid = ha.select(col("x")).unionByName(hb.select(col("x"))).distinct()
+      val j = grid.join(ha, Seq("x"), "left").join(hb, Seq("x"), "left")
+        .select(col("x"), coalesce(col("fa"), lit(0L)).as("fa"), coalesce(col("fb"), lit(0L)).as("fb"))
+      val wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+      val cum = j.withColumn("below_a", coalesce(sum(col("fa")).over(wcum), lit(0L)))
+      // 2U stays a pure integer (ties contribute halves); halve once in
+      // double — division by 2 is exact
+      val u = cum.agg(
+        sum(col("fa")).as("n_a"), sum(col("fb")).as("n_b"),
+        sum(lit(2L) * col("fb") * col("below_a") + col("fb") * col("fa")).as("u2"))
+      u.select(col("n_a"), col("n_b"),
+        (col("u2").cast("double") / lit(2.0)).as("u_stat"),
+        (floor(col("u2").cast("double")
+          / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double"))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("auc"))
+    }),
+
     // degree assortativity of the link graph (same generator as
     // x_pagerank): Pearson r over edges of (deg(src), deg(dst)) — do
     // high-degree pages link to high-degree pages? Degrees are one
@@ -7228,6 +7279,38 @@ object SparkEntry {
                    min(gscore) AS norm_score
             FROM r JOIN c ON c.cume_frac >= r.pr
             GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
+      // imputation: surviving-value group means (decimal), scored masks
+      "x_impute" ->
+        """WITH e AS (SELECT event_id, event_type, value,
+                        CAST(CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) AS INTEGER) % 10 = 0 AS masked
+                      FROM events),
+                m AS (SELECT event_type,
+                        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS grp_mean
+                      FROM e WHERE NOT masked GROUP BY 1)
+           SELECT event_id, e.event_type, value AS true_value,
+                  floor(grp_mean * 1e6 + 0.5) / 1e6 AS imputed,
+                  floor(abs(value - grp_mean) * 1e6 + 0.5) / 1e6 AS abs_err
+           FROM e JOIN m ON e.event_type = m.event_type
+           WHERE masked ORDER BY event_id""",
+      // Mann-Whitney: histogram-grid 2U (pure integers), halved once
+      "x_mannwhitney" ->
+        """WITH per AS (SELECT user_id, count(*) AS x, user_id % 2 AS grp FROM events GROUP BY 1),
+                ha AS (SELECT x, count(*) AS fa FROM per WHERE grp = 0 GROUP BY 1),
+                hb AS (SELECT x, count(*) AS fb FROM per WHERE grp = 1 GROUP BY 1),
+                g AS (SELECT DISTINCT x FROM (SELECT x FROM ha UNION ALL SELECT x FROM hb)),
+                j AS (SELECT g.x, coalesce(fa, 0) AS fa, coalesce(fb, 0) AS fb
+                      FROM g LEFT JOIN ha ON g.x = ha.x LEFT JOIN hb ON g.x = hb.x),
+                c AS (SELECT x, fa, fb,
+                        coalesce(CAST(sum(fa) OVER (ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below_a
+                      FROM j),
+                u AS (SELECT CAST(sum(fa) AS BIGINT) AS n_a, CAST(sum(fb) AS BIGINT) AS n_b,
+                        CAST(sum(2 * fb * below_a + fb * fa) AS BIGINT) AS u2
+                      FROM c)
+           SELECT n_a, n_b,
+                  CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+                  floor(CAST(u2 AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS auc
+           FROM u""",
       // assortativity: same edge generator as x_pagerank, degree join,
       // exact-integer Pearson (the x_linreg_tokens select shape)
       "x_assortativity" ->

@@ -35,7 +35,9 @@ class SparkEntrySpec extends AnyFunSuite {
     //   x_quantile_norm / x_ks_test — cumulative sum over the ROUND-4
     //     SCORE GRID (<= 10^4+1 rows at any corpus scale).
     // Everything ordinal-shaped goes through Batching.globalOrdinal.
-    val boundedInputWhitelist = Set("w2_moving_avg", "x_quantile_norm", "x_ks_test")
+    //   x_mannwhitney — cumulative over the per-user COUNT grid (values
+    //     bounded by max activity, not corpus rows).
+    val boundedInputWhitelist = Set("w2_moving_avg", "x_quantile_norm", "x_ks_test", "x_mannwhitney")
     import org.apache.spark.sql.catalyst.plans.logical
     // A global window whose child subtree contains a LIMIT is bounded by
     // construction (e.g. x_bm25_search round-robins the top-20 df terms
