@@ -4105,6 +4105,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // 3-core of the link graph (LinkRank.kCore): synchronized peeling —
+    // per round, one live-edge join + degree count, lineage cut per
+    // round; 8 rounds converge here (LinkRankSpec pins it). The dense
+    // subgraph extractor that pagerank/triangles don't give.
+    "x_kcore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"),
+          explode(array(Seq(2, 3, 5).map(m =>
+            (col("doc_id") * m + m) % col("n")): _*)).as("dst"))
+      graft.ext.LinkRank.kCore(edges, "src", "dst", k = 3, rounds = 8)
+        .select(col("node").as("doc_id"), col("core_deg"))
+        .orderBy("doc_id")
+    }),
+
     // mean imputation with a measurable mask: 10% of values (hash-picked,
     // deterministic) are treated as missing, imputed with the
     // type-group mean of the SURVIVING values (decimal-exact), and
@@ -7279,6 +7296,27 @@ object SparkEntry {
                    min(gscore) AS norm_score
             FROM r JOIN c ON c.cume_frac >= r.pr
             GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
+      // k-core: 8 unrolled synchronized peel rounds over the symmetrized
+      // distinct edge set (same generator as x_pagerank)
+      "x_kcore" -> {
+        val peel = (1 to 8).map { i =>
+          s"""d$i AS MATERIALIZED (
+                SELECT s.u AS node, count(*) AS core_deg
+                FROM sym s JOIN n${i - 1} a ON s.u = a.node JOIN n${i - 1} b ON s.v = b.node
+                GROUP BY 1),
+              n$i AS MATERIALIZED (SELECT node FROM d$i WHERE core_deg >= 3)"""
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+                 e AS (SELECT doc_id AS src,
+                         unnest([(doc_id * 2 + 2) % n, (doc_id * 3 + 3) % n, (doc_id * 5 + 5) % n]) AS dst
+                       FROM documents CROSS JOIN nn WHERE doc_id % 10 <> 9),
+                 und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                         FROM e WHERE src <> dst),
+                 sym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+                 n0 AS (SELECT DISTINCT u AS node FROM sym),
+                 $peel
+            SELECT node AS doc_id, core_deg FROM d8 WHERE core_deg >= 3 ORDER BY doc_id"""
+      },
       // imputation: surviving-value group means (decimal), scored masks
       "x_impute" ->
         """WITH e AS (SELECT event_id, event_type, value,

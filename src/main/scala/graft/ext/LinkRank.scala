@@ -91,6 +91,43 @@ object LinkRank {
     *
     * Output: node, n_triangles (nodes in ≥1 triangle), integer-exact.
     */
+  /** k-core decomposition by synchronized peeling: drop every node whose
+    * degree within the surviving subgraph is < k, rerun on the survivors,
+    * `rounds` times. Each round is one join + one count over the live
+    * edge set (lineage cut per round with localCheckpoint — the pageRank
+    * discipline); the peel is SYNCHRONOUS, so an engine replaying the
+    * same rounds (the oracle's unrolled CTEs) sees identical sets at
+    * every stage. Returns (node, core_deg) for nodes alive after the
+    * last round, with their degree inside the surviving subgraph. A
+    * fixed round budget makes the result well-defined even short of
+    * convergence; on this corpus 8 rounds converge (pinned in
+    * LinkRankSpec).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int, rounds: Int): DataFrame = {
+    val und = graft.sources.Tables.spread(edges)
+      .select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
+      .distinct()
+    // symmetrize once: deg(u) = #live neighbors over both directions
+    val sym = und.select(col("u"), col("v"))
+      .unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var alive = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    var r = 0
+    var lastDeg: DataFrame = null
+    while (r < rounds) {
+      val deg = sym
+        .join(alive.select(col("node").as("u")), "u")
+        .join(alive.select(col("node").as("v")), "v")
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+      lastDeg = deg.localCheckpoint()
+      alive = lastDeg.filter(col("core_deg") >= k).select("node").localCheckpoint()
+      r += 1
+    }
+    lastDeg.filter(col("core_deg") >= k)
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = graft.sources.Tables.spread(edges)
       .select(col(srcCol).as("s"), col(dstCol).as("d"))

@@ -54,6 +54,34 @@ class LinkRankSpec extends AnyFunSuite {
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("kCore: a K4 plus a pendant chain peels to exactly the K4 at k=3") {
+    // K4 on 1-4; chain 4-5-6 hangs off it; node 7 isolated edge to 5
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (5L, 7L)).toDF("src", "dst")
+    val core = LinkRank.kCore(edges, "src", "dst", k = 3, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: the corpus link graph converges within the 8-round budget") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents").select("doc_id")
+    import org.apache.spark.sql.functions._
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val edges = docs.crossJoin(broadcast(nRow))
+      .filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id").as("src"),
+        explode(array(Seq(2, 3, 5).map(m =>
+          (col("doc_id") * m + m) % col("n")): _*)).as("dst"))
+    val r8 = LinkRank.kCore(edges, "src", "dst", k = 3, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r9 = LinkRank.kCore(edges, "src", "dst", k = 3, rounds = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r8 === r9, "peeling had not converged by round 8")
+    assert(r8.nonEmpty)
+    assert(r8.forall(_._2 >= 3))
+  }
+
   test("triangleCounts: triangle-free graphs (path, star) yield no rows") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     assert(LinkRank.triangleCounts(path, "src", "dst").count() === 0L)
