@@ -106,6 +106,43 @@ object SparkEntry {
     pcaCache.getOrElseUpdate((s, dir),
       graft.ext.Pca.fitTopK(t(s, dir, "embeddings"), dim = 64, k = 2))
 
+  /** BM25 retrieval pipeline shared by x_bm25_search and x_ndcg:
+    * 5 data-derived 4-term queries (top-20 df terms round-robin),
+    * broadcast query-term probe of the posting lists, round-6 term
+    * scores DECIMAL-summed, deterministic (sdec DESC, doc_id) top-10.
+    * Returns (query_id, rnk, doc_id, n_terms_matched, sdec).
+    */
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val toksArr = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+    val toks = docs.select(col("doc_id"), toksArr.as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = toks.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // top-20 df terms via TakeOrdered (bounded), then rank the 20-row
+    // result (window partitioned by a constant — bounded input)
+    val qterms = dfreq.orderBy(col("df").desc, col("term")).limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("df").desc, col("term"))))
+      .select(((col("rnk") - 1) % 5).cast("int").as("query_id"), col("term"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    val perTerm = tf.join(broadcast(qterms), "term")
+      .join(dfreq, "term").crossJoin(broadcast(stats))
+      .withColumn("ts", round(idf * tfn, 6).cast("decimal(18,6)"))
+    val perDoc = perTerm.groupBy("query_id", "doc_id")
+      .agg(sum(col("ts")).as("sdec"), count(lit(1)).as("n_terms_matched"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sdec").desc, col("doc_id"))
+    perDoc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+  }
+
   /** Gate linkage for the deliberate `no_oracle` queries: each maps to
     * the exact-oracled sibling(s) that pin its actual computation.
     * Dumped by [[Verify]] as gated_by.json next to oracle_sql.json so a
@@ -3027,39 +3064,40 @@ object SparkEntry {
     // never scanned per query. Per-term scores round-6 → DECIMAL sums
     // (order-independent), ranking on the exact decimal, round-4 output
     // AFTER the decimal sum (the r8 decimal-then-cast lesson).
-    "x_bm25_search" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents")
-      val toksArr = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
-      val toks = docs.select(col("doc_id"), toksArr.as("toks"))
-        .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
-          explode(col("toks")).as("term"))
-      val tf = toks.groupBy("doc_id", "term")
-        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-      val dfreq = toks.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      val stats = toks.select("doc_id", "dl").distinct()
-        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      // top-20 df terms via TakeOrdered (bounded), then rank the 20-row
-      // result (window partitioned by a constant — bounded input, no
-      // single-task scan of anything corpus-sized)
-      val qterms = dfreq.orderBy(col("df").desc, col("term")).limit(20)
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(lit(0)).orderBy(col("df").desc, col("term"))))
-        .select(((col("rnk") - 1) % 5).cast("int").as("query_id"), col("term"))
-      val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-      val tfn = (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
-      val perTerm = tf.join(broadcast(qterms), "term")
-        .join(dfreq, "term").crossJoin(broadcast(stats))
-        .withColumn("ts", round(idf * tfn, 6).cast("decimal(18,6)"))
-      val perDoc = perTerm.groupBy("query_id", "doc_id")
-        .agg(sum(col("ts")).as("sdec"), count(lit(1)).as("n_terms_matched"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("sdec").desc, col("doc_id"))
-      perDoc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+    "x_bm25_search" -> ((s, dir) =>
+      bm25TopK(s, dir)
         .select(col("query_id"), col("rnk"), col("doc_id"), col("n_terms_matched"),
           round(col("sdec"), 4).cast("double").as("score"))
-        .orderBy("query_id", "rnk")
+        .orderBy("query_id", "rnk")),
+
+    // NDCG@10 of the BM25 ranking (graded relevance = #query terms
+    // matched) — the ranking-evaluation loop as one plan, sharing the
+    // bm25TopK pipeline. Gains 2^rel−1 come from an explicit integer
+    // CASE (libm pow never enters); discounts ln(r+1)/ln 2 are the
+    // identical double tree; per-query DCG/IDCG terms floor-6 +
+    // DECIMAL-summed; the ideal ordering re-ranks the SAME top-10 by
+    // (rel DESC, doc_id).
+    "x_ndcg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = bm25TopK(s, dir).select(col("query_id"), col("rnk"), col("doc_id"),
+        col("n_terms_matched").cast("int").as("rel"))
+      def gain(rel: Column) = when(rel === 1, 1.0).when(rel === 2, 3.0)
+        .when(rel === 3, 7.0).otherwise(15.0)
+      def term(pos: Column, rel: Column) =
+        (floor(gain(rel) / (log(pos.cast("double") + lit(1.0)) / log(lit(2.0)))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)")
+      val dcg = top.groupBy("query_id")
+        .agg(sum(term(col("rnk"), col("rel"))).as("dcg"))
+      val ideal = top.withColumn("irnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))))
+      val idcg = ideal.groupBy(col("query_id").as("qid2"))
+        .agg(sum(term(col("irnk"), col("rel"))).as("idcg"))
+      dcg.join(idcg, col("query_id") === col("qid2"))
+        .select(col("query_id"),
+          col("dcg").cast("double").as("dcg"),
+          col("idcg").cast("double").as("idcg"),
+          (floor(col("dcg").cast("double") / col("idcg").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)).as("ndcg"))
+        .orderBy("query_id")
     }),
 
     // PMI collocations (corpus linguistics' bigram-association score —
@@ -4701,6 +4739,33 @@ object SparkEntry {
         .orderBy("doc_id")
     })
   )
+
+  /** The shared BM25 oracle prelude: posting lists, df, the 5 probe
+    * queries, round-6 decimal term scores, ranked candidates in
+    * `r(query_id, doc_id, sdec, n_terms_matched, rnk)`. `tail` either
+    * starts with SELECT or extends the WITH chain with ", cte AS (...)".
+    */
+  private def bm25Oracle(tail: String): String =
+    s"""WITH toks AS (SELECT doc_id,
+                        CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS DOUBLE) AS dl,
+                        unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+                      FROM documents),
+                tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM toks GROUP BY doc_id, term),
+                dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+                stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+                          FROM (SELECT DISTINCT doc_id, dl FROM toks)),
+                qt AS (SELECT CAST((rnk - 1) % 5 AS INTEGER) AS query_id, term
+                       FROM (SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rnk FROM dfreq)
+                       WHERE rnk <= 20),
+                pt AS (SELECT qt.query_id, tf.doc_id,
+                         CAST(round(ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
+                           ((tf * CAST(2.2 AS DOUBLE)) /
+                            (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS DECIMAL(18,6)) AS ts
+                       FROM tf JOIN qt USING (term) JOIN dfreq USING (term) CROSS JOIN stats),
+                pd AS (SELECT query_id, doc_id, sum(ts) AS sdec, count(*) AS n_terms_matched
+                       FROM pt GROUP BY 1, 2),
+                r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rnk FROM pd)
+       $tail"""
 
   /** The shared PCA oracle prelude: decimal-exact second moments, two
     * 16-stage unrolled power iterations (w = first component, u = second
@@ -6990,29 +7055,32 @@ object SparkEntry {
             ORDER BY doc_a, doc_b""",
       // BM25 search: identical posting-list algebra; per-term round-6 →
       // DECIMAL sums, rank on the exact decimal, round-4 after the sum
-      "x_bm25_search" ->
-        """WITH toks AS (SELECT doc_id,
-                        CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS DOUBLE) AS dl,
-                        unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
-                      FROM documents),
-                tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM toks GROUP BY doc_id, term),
-                dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
-                stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
-                          FROM (SELECT DISTINCT doc_id, dl FROM toks)),
-                qt AS (SELECT CAST((rnk - 1) % 5 AS INTEGER) AS query_id, term
-                       FROM (SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rnk FROM dfreq)
-                       WHERE rnk <= 20),
-                pt AS (SELECT qt.query_id, tf.doc_id,
-                         CAST(round(ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
-                           ((tf * CAST(2.2 AS DOUBLE)) /
-                            (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS DECIMAL(18,6)) AS ts
-                       FROM tf JOIN qt USING (term) JOIN dfreq USING (term) CROSS JOIN stats),
-                pd AS (SELECT query_id, doc_id, sum(ts) AS sdec, count(*) AS n_terms_matched
-                       FROM pt GROUP BY 1, 2),
-                r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rnk FROM pd)
-           SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_matched,
+      "x_bm25_search" -> bm25Oracle(
+        """SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_matched,
                   CAST(round(sdec, 4) AS DOUBLE) AS score
-           FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+           FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""),
+      // NDCG@10: integer CASE gains, ln-ratio discounts, floor-6 +
+      // decimal DCG/IDCG, ideal = same top-10 re-ranked (rel DESC, doc)
+      "x_ndcg" -> bm25Oracle(
+        """, top AS (SELECT query_id, CAST(rnk AS INTEGER) AS pos, doc_id,
+                            n_terms_matched AS rel
+                     FROM r WHERE rnk <= 10),
+              ideal AS (SELECT query_id, rel,
+                          row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS pos
+                        FROM top),
+              dcg AS (SELECT query_id,
+                        sum(CAST(floor((CASE WHEN rel = 1 THEN 1.0 WHEN rel = 2 THEN 3.0
+                                             WHEN rel = 3 THEN 7.0 ELSE 15.0 END)
+                          / (ln(CAST(pos AS DOUBLE) + 1.0) / ln(2.0)) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS dcg
+                      FROM top GROUP BY 1),
+              idcg AS (SELECT query_id,
+                         sum(CAST(floor((CASE WHEN rel = 1 THEN 1.0 WHEN rel = 2 THEN 3.0
+                                              WHEN rel = 3 THEN 7.0 ELSE 15.0 END)
+                           / (ln(CAST(pos AS DOUBLE) + 1.0) / ln(2.0)) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS idcg
+                       FROM ideal GROUP BY 1)
+           SELECT dcg.query_id, CAST(dcg AS DOUBLE) AS dcg, CAST(idcg AS DOUBLE) AS idcg,
+                  floor(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ndcg
+           FROM dcg JOIN idcg ON dcg.query_id = idcg.query_id ORDER BY dcg.query_id"""),
       // collocations: same bigram/unigram counts, ln of the identical
       // double quotient chain, round-6
       "x_collocations" ->
