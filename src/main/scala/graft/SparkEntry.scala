@@ -4143,6 +4143,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // empirical-Bayes click-share shrinkage: a Beta prior fit by method
+    // of moments on the population of per-user shares, then every user's
+    // share shrunk toward it — the other small-sample fix beside
+    // x_wilson_ctr (shrinkage vs confidence bound). Population moments
+    // use floor-6 terms + DECIMAL sums (order-independent); α, β, and
+    // every shrunk estimate are then one deterministic double tree.
+    "x_shrunk_ctr" -> ((s, dir) => {
+      val agg = events(s, dir).groupBy("user_id").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"))
+        .filter(col("c") + col("v") >= 1L)
+        .withColumn("n", col("c") + col("v"))
+        .withColumn("p", col("c").cast("double") / (col("c") + col("v")).cast("double"))
+      val mom = agg.agg(
+        count(lit(1)).as("nu"),
+        sum((floor(col("p") * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)")).as("sp"),
+        sum((floor(col("p") * col("p") * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)")).as("spp"))
+      val m = col("sp").cast("double") / col("nu").cast("double")
+      val v2 = col("spp").cast("double") / col("nu").cast("double") - m * m
+      val k = m * (lit(1.0) - m) / v2 - lit(1.0)
+      val pri = mom.select((m * k).as("alpha"), ((lit(1.0) - m) * k).as("beta"))
+      agg.crossJoin(broadcast(pri))
+        .select(col("user_id"), col("c"), col("n"),
+          (floor(col("p") * lit(1e4) + lit(0.5)) / lit(1e4)).as("raw_share"),
+          (floor((col("c").cast("double") + col("alpha"))
+            / (col("n").cast("double") + col("alpha") + col("beta"))
+            * lit(1e4) + lit(0.5)) / lit(1e4)).as("shrunk_share"))
+        .orderBy("user_id")
+    }),
+
     // 3-core of the link graph (LinkRank.kCore): synchronized peeling —
     // per round, one live-edge join + degree count, lineage cut per
     // round; 8 rounds converge here (LinkRankSpec pins it). The dense
@@ -7364,6 +7394,33 @@ object SparkEntry {
                    min(gscore) AS norm_score
             FROM r JOIN c ON c.cume_frac >= r.pr
             GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
+      // shrinkage: floor-6 + decimal population moments, then the same
+      // double tree for alpha/beta and the posterior means
+      "x_shrunk_ctr" ->
+        """WITH a AS (SELECT user_id,
+                        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v
+                      FROM events GROUP BY 1 HAVING c + v >= 1),
+                b AS (SELECT user_id, c, c + v AS n,
+                        CAST(c AS DOUBLE) / CAST(c + v AS DOUBLE) AS p FROM a),
+                mom AS (SELECT count(*) AS nu,
+                          sum(CAST(floor(p * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS sp,
+                          sum(CAST(floor(p * p * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS spp
+                        FROM b),
+                pri AS (SELECT
+                          (CAST(sp AS DOUBLE) / CAST(nu AS DOUBLE))
+                            * ((CAST(sp AS DOUBLE) / CAST(nu AS DOUBLE)) * (1.0 - CAST(sp AS DOUBLE) / CAST(nu AS DOUBLE))
+                               / (CAST(spp AS DOUBLE) / CAST(nu AS DOUBLE)
+                                  - (CAST(sp AS DOUBLE) / CAST(nu AS DOUBLE)) * (CAST(sp AS DOUBLE) / CAST(nu AS DOUBLE))) - 1.0) AS alpha,
+                          (1.0 - CAST(sp AS DOUBLE) / CAST(nu AS DOUBLE))
+                            * ((CAST(sp AS DOUBLE) / CAST(nu AS DOUBLE)) * (1.0 - CAST(sp AS DOUBLE) / CAST(nu AS DOUBLE))
+                               / (CAST(spp AS DOUBLE) / CAST(nu AS DOUBLE)
+                                  - (CAST(sp AS DOUBLE) / CAST(nu AS DOUBLE)) * (CAST(sp AS DOUBLE) / CAST(nu AS DOUBLE))) - 1.0) AS beta
+                        FROM mom)
+           SELECT user_id, c, n,
+                  floor(p * 1e4 + 0.5) / 1e4 AS raw_share,
+                  floor((CAST(c AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + alpha + beta) * 1e4 + 0.5) / 1e4 AS shrunk_share
+           FROM b CROSS JOIN pri ORDER BY user_id""",
       // k-core: 8 unrolled synchronized peel rounds over the symmetrized
       // distinct edge set (same generator as x_pagerank)
       "x_kcore" -> {
