@@ -3659,6 +3659,65 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // funnel step-window sensitivity sweep: conversion at 30 min / 1 h /
+    // 2 h step windows from ONE (day, user) shuffle — the per-group
+    // event arrays are collected once and the three parameterizations
+    // are an explode over them, so a wider sweep never rescans the
+    // corpus (at 100 TB the scan+shuffle IS the cost; the sweep is
+    // per-group array math).
+    "x_funnel_sweep" -> ((s, dir) => {
+      val e = events(s, dir).select(col("day"), col("user_id"),
+        col("event_type"), unix_millis(col("ts")).as("ms"))
+      val base = e.groupBy("day", "user_id").agg(
+          min(when(col("event_type") === "view", col("ms"))).as("tv"),
+          collect_list(when(col("event_type") === "click", col("ms"))).as("cl"),
+          collect_list(when(col("event_type") === "purchase", col("ms"))).as("pl"))
+        .filter(col("tv").isNotNull)
+      base.withColumn("w", explode(array(lit(1800000L), lit(3600000L), lit(7200000L))))
+        .withColumn("tc", array_min(filter(col("cl"),
+          c => c > col("tv") && c - col("tv") <= col("w"))))
+        .withColumn("tp", array_min(filter(col("pl"),
+          p => p > col("tc") && p - col("tc") <= col("w"))))
+        .groupBy((col("w") / lit(60000L)).cast("int").as("w_min"), col("day"))
+        .agg(
+          count(lit(1)).as("n_view_users"),
+          sum(when(col("tc").isNotNull, 1L).otherwise(0L)).as("n_clicked"),
+          sum(when(col("tp").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+          round(sum(when(col("tp").isNotNull, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 4).as("conversion"))
+        .orderBy("w_min", "day")
+    }),
+
+    // Welch two-sample t-test on event value between the parity A/B
+    // groups — the parametric sibling of x_mannwhitney, entirely from
+    // exact decimal sufficient sums (value has 2 dp; squares have 4 —
+    // both exact in DECIMAL), then one deterministic double tree for
+    // t and the Welch–Satterthwaite df.
+    "x_welch_ttest" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("grp", pmod(col("user_id"), lit(2)))
+        .withColumn("vd", col("value").cast("decimal(18,4)"))
+      def side(g: Int, c: Column) = sum(when(col("grp") === g, c))
+      val a = e.agg(
+        side(0, lit(1L)).as("n0"), side(1, lit(1L)).as("n1"),
+        side(0, col("vd")).cast("double").as("sv0"), side(1, col("vd")).cast("double").as("sv1"),
+        side(0, col("vd") * col("vd")).cast("double").as("svv0"),
+        side(1, col("vd") * col("vd")).cast("double").as("svv1"))
+      val n0 = col("n0").cast("double"); val n1 = col("n1").cast("double")
+      val m0 = col("sv0") / n0; val m1 = col("sv1") / n1
+      val s20 = (col("svv0") - col("sv0") * col("sv0") / n0) / (n0 - lit(1.0))
+      val s21 = (col("svv1") - col("sv1") * col("sv1") / n1) / (n1 - lit(1.0))
+      val se2 = s20 / n0 + s21 / n1
+      val tstat = (m0 - m1) / sqrt(se2)
+      val dfW = se2 * se2 /
+        (s20 / n0 * (s20 / n0) / (n0 - lit(1.0)) + s21 / n1 * (s21 / n1) / (n1 - lit(1.0)))
+      a.select(col("n0"), col("n1"),
+        (floor(m0 * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean0"),
+        (floor(m1 * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean1"),
+        (floor(tstat * lit(1e4) + lit(0.5)) / lit(1e4)).as("t_stat"),
+        (floor(dfW * lit(1e2) + lit(0.5)) / lit(1e2)).as("df_welch"))
+    }),
+
     // day-over-day distribution drift (feed monitoring): add-one-smoothed
     // event-type distributions per day on the (days × types) grid, then
     // KL(P_d ‖ P_{d-1}) and total-variation distance per day. Everything
@@ -6923,6 +6982,56 @@ object SparkEntry {
            FROM v LEFT JOIN c ON v.day = c.day AND v.user_id = c.user_id
                   LEFT JOIN p ON v.day = p.day AND v.user_id = p.user_id
            GROUP BY v.day ORDER BY v.day""",
+      // funnel sweep: three copies of the funnel SQL, one per window
+      "x_funnel_sweep" -> (Seq(30 -> 1800000L, 60 -> 3600000L, 120 -> 7200000L).map { case (wm, w) =>
+        s"""SELECT * FROM (
+              WITH e AS (SELECT $dayE AS day, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+                   v AS (SELECT day, user_id, min(ms) AS tv FROM e
+                         WHERE event_type = 'view' GROUP BY 1, 2),
+                   c AS (SELECT e.day, e.user_id, min(e.ms) AS tc
+                         FROM e JOIN v ON e.day = v.day AND e.user_id = v.user_id
+                         WHERE e.event_type = 'click' AND e.ms > v.tv AND e.ms - v.tv <= $w
+                         GROUP BY 1, 2),
+                   p AS (SELECT e.day, e.user_id, min(e.ms) AS tp
+                         FROM e JOIN c ON e.day = c.day AND e.user_id = c.user_id
+                         WHERE e.event_type = 'purchase' AND e.ms > c.tc AND e.ms - c.tc <= $w
+                         GROUP BY 1, 2)
+              SELECT CAST($wm AS INTEGER) AS w_min, v.day, count(*) AS n_view_users,
+                     CAST(sum(CASE WHEN c.tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+                     CAST(sum(CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                     round(CAST(sum(CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*), 4) AS conversion
+              FROM v LEFT JOIN c ON v.day = c.day AND v.user_id = c.user_id
+                     LEFT JOIN p ON v.day = p.day AND v.user_id = p.user_id
+              GROUP BY v.day)"""
+      }.mkString(" UNION ALL ") + " ORDER BY w_min, day"),
+      // Welch t: exact decimal sufficient sums, one double tree
+      "x_welch_ttest" ->
+        """WITH e AS (SELECT user_id % 2 AS grp, CAST(value AS DECIMAL(18,4)) AS vd FROM events),
+                a AS (SELECT
+                        CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                        CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                        CAST(sum(CASE WHEN grp = 0 THEN vd END) AS DOUBLE) AS sv0,
+                        CAST(sum(CASE WHEN grp = 1 THEN vd END) AS DOUBLE) AS sv1,
+                        CAST(sum(CASE WHEN grp = 0 THEN vd * vd END) AS DOUBLE) AS svv0,
+                        CAST(sum(CASE WHEN grp = 1 THEN vd * vd END) AS DOUBLE) AS svv1
+                      FROM e),
+                d AS (SELECT n0, n1,
+                        sv0 / CAST(n0 AS DOUBLE) AS m0, sv1 / CAST(n1 AS DOUBLE) AS m1,
+                        (svv0 - sv0 * sv0 / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0) AS s20,
+                        (svv1 - sv1 * sv1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS s21
+                      FROM a),
+                f AS (SELECT n0, n1, m0, m1, s20, s21,
+                        s20 / CAST(n0 AS DOUBLE) + s21 / CAST(n1 AS DOUBLE) AS se2
+                      FROM d)
+           SELECT n0, n1,
+                  floor(m0 * 1e6 + 0.5) / 1e6 AS mean0,
+                  floor(m1 * 1e6 + 0.5) / 1e6 AS mean1,
+                  floor((m0 - m1) / sqrt(se2) * 1e4 + 0.5) / 1e4 AS t_stat,
+                  floor(se2 * se2 /
+                    (s20 / CAST(n0 AS DOUBLE) * (s20 / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)
+                     + s21 / CAST(n1 AS DOUBLE) * (s21 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) * 1e2 + 0.5) / 1e2 AS df_welch
+           FROM f""",
       // streaming funnel = the batch funnel rows for every day the
       // watermark can seal (t18 cutoff)
       "t19_stream_funnel" ->
