@@ -4202,6 +4202,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // multinomial naive Bayes source classifier, trained on EVEN docs,
+    // scored on ODD: add-one token likelihoods + log priors, per-class
+    // accuracy. Model is (classes × vocab) bounded metadata; test-side
+    // cost is tokens × classes (the NB shape). Log terms round-6 into
+    // DECIMAL(18,6); scores are cnt·loglik decimal products summed
+    // exactly, so the argmax (score DESC, source) is engine-independent.
+    "x_naive_bayes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TF.tokens(col("text")).as("toks"))
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val test = docs.filter(col("doc_id") % 2 === 1)
+      val nTrain = train.agg(count(lit(1)).as("nn"))
+      val priors = train.groupBy(col("source").as("cls")).agg(count(lit(1)).as("nd"))
+        .crossJoin(broadcast(nTrain))
+        .select(col("cls"),
+          round(log(col("nd").cast("double") / col("nn").cast("double")), 6)
+            .cast("decimal(18,6)").as("logprior"))
+      val tw = train.select(col("source").as("cls"), explode(col("toks")).as("w"))
+      val cw = tw.groupBy("cls", "w").agg(count(lit(1)).as("c"))
+      val tot = tw.groupBy("cls").agg(count(lit(1)).as("tc"))
+      val vocabN = tw.select("w").distinct().agg(count(lit(1)).as("vn"))
+      // class constants (tc, vn) ride every grid row; model completed
+      // over vocab × classes via the unseen default at c = 0
+      val testW = test.select(col("doc_id"), col("source"), explode(col("toks")).as("w"))
+        .groupBy("doc_id", "source", "w").agg(count(lit(1)).as("cnt"))
+      val grid = testW.crossJoin(broadcast(priors.select(col("cls"))))
+        .join(broadcast(tot), "cls").crossJoin(broadcast(vocabN))
+        .join(cw, Seq("cls", "w"), "left")
+        .withColumn("loglik",
+          round(log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0))
+            / (col("tc").cast("double") + col("vn").cast("double"))), 6)
+            .cast("decimal(18,6)"))
+      val scores = grid.groupBy("doc_id", "source", "cls")
+        .agg(sum(col("cnt") * col("loglik")).as("toksum"))
+        .join(broadcast(priors), "cls")
+        .withColumn("score", col("toksum") + col("logprior"))
+      val pred = scores.withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("cls"))))
+        .filter(col("rk") === 1)
+      pred.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("cls") === col("source"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy",
+          floor(col("n_correct").cast("double") / col("n_test").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
+        .orderBy("source")
+    }),
+
     // empirical-Bayes click-share shrinkage: a Beta prior fit by method
     // of moments on the population of per-user shares, then every user's
     // share shrunk toward it — the other small-sample fix beside
@@ -7503,6 +7551,39 @@ object SparkEntry {
                    min(gscore) AS norm_score
             FROM r JOIN c ON c.cume_frac >= r.pr
             GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
+      // naive Bayes: round-6 decimal log terms, exact decimal score
+      // sums, (score DESC, cls) argmax
+      "x_naive_bayes" ->
+        s"""WITH d AS (SELECT doc_id, source, $toksE AS toks FROM documents),
+                 tr AS (SELECT doc_id, source, toks FROM d WHERE doc_id % 2 = 0),
+                 te AS (SELECT doc_id, source, toks FROM d WHERE doc_id % 2 = 1),
+                 nt AS (SELECT count(*) AS nn FROM tr),
+                 pri AS (SELECT source AS cls,
+                           CAST(round(ln(CAST(count(*) AS DOUBLE) / nn), 6) AS DECIMAL(18,6)) AS logprior
+                         FROM tr CROSS JOIN nt GROUP BY source, nn),
+                 tw AS (SELECT source AS cls, unnest(toks) AS w FROM tr),
+                 cw AS (SELECT cls, w, count(*) AS c FROM tw GROUP BY 1, 2),
+                 tot AS (SELECT cls, count(*) AS tc FROM tw GROUP BY 1),
+                 vn AS (SELECT count(DISTINCT w) AS vn FROM tw),
+                 tstw AS (SELECT doc_id, source, w, count(*) AS cnt
+                          FROM (SELECT doc_id, source, unnest(toks) AS w FROM te) GROUP BY 1, 2, 3),
+                 g AS (SELECT t.doc_id, t.source, t.cnt, p.cls,
+                         CAST(round(ln((CAST(coalesce(cw.c, 0) AS DOUBLE) + 1.0)
+                           / (CAST(tot.tc AS DOUBLE) + CAST(vn.vn AS DOUBLE))), 6) AS DECIMAL(18,6)) AS loglik
+                       FROM tstw t CROSS JOIN (SELECT cls FROM pri) p
+                       JOIN tot ON p.cls = tot.cls CROSS JOIN vn
+                       LEFT JOIN cw ON cw.cls = p.cls AND cw.w = t.w),
+                 sc AS (SELECT doc_id, source, cls, sum(cnt * loglik) AS toksum FROM g GROUP BY 1, 2, 3),
+                 sc2 AS (SELECT sc.doc_id, sc.source, sc.cls, toksum + logprior AS score
+                         FROM sc JOIN pri ON sc.cls = pri.cls),
+                 pr AS (SELECT doc_id, source, cls,
+                          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rk
+                        FROM sc2)
+            SELECT source, count(*) AS n_test,
+                   CAST(sum(CASE WHEN cls = source THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                   floor(CAST(sum(CASE WHEN cls = source THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) * 1e4 + 0.5) / 1e4 AS accuracy
+            FROM pr WHERE rk = 1 GROUP BY source ORDER BY source""",
       // shrinkage: floor-6 + decimal population moments, then the same
       // double tree for alpha/beta and the posterior means
       "x_shrunk_ctr" ->
