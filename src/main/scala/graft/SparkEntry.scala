@@ -4515,6 +4515,39 @@ object SparkEntry {
         .orderBy("from_type")
     }),
 
+    // coarsened exact matching ATT (Iacus–King–Porro): users stratified
+    // by their EXACT pre-period activity level, treated (odd) vs control
+    // (even) outcomes compared only within strata containing both, ATT =
+    // treated-weighted mean of stratum gaps. Everything is a stratum-keyed
+    // aggregation — strata are value-bounded, so the match never pairs
+    // individuals (the scale-safe form of matching). Outcome sums are
+    // exact integers; the weighted combine is floor-6 + decimal.
+    "x_cem_att" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id").agg(
+          sum(when(col("day") <= "2024-01-15", 1L).otherwise(0L)).as("x"),
+          sum(when(col("day") > "2024-01-15", 1L).otherwise(0L)).as("y"))
+        .withColumn("treated", pmod(col("user_id"), lit(2)) === 1)
+      val strata = per.groupBy("x").agg(
+          sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
+          sum(when(col("treated"), col("y")).otherwise(0L)).as("syt"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("nc"),
+          sum(when(!col("treated"), col("y")).otherwise(0L)).as("syc"))
+        .filter(col("nt") > 0 && col("nc") > 0)
+      val totT = strata.agg(sum(col("nt")).as("tt"))
+      val att = strata.crossJoin(broadcast(totT))
+        .withColumn("gap",
+          col("syt").cast("double") / col("nt").cast("double")
+            - col("syc").cast("double") / col("nc").cast("double"))
+        .withColumn("wgap",
+          (floor(col("gap") * (col("nt").cast("double") / col("tt").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .cast("decimal(28,6)"))
+      att.agg(
+        count(lit(1)).as("n_strata"),
+        sum(col("nt")).as("n_treated_matched"),
+        sum(col("nc")).as("n_control_matched"),
+        round(sum(col("wgap")), 4).cast("double").as("att"))
+    }),
+
     // CUPED variance-reduced experiment readout: pre-period activity as
     // the covariate, post-period as the metric, θ = cov(x,y)/var(x) and
     // both group means derived ENTIRELY from exact integer sufficient
@@ -7791,6 +7824,31 @@ object SparkEntry {
                     / count(*) * 1e4 + 0.5) / 1e4 AS accuracy
            FROM pairs LEFT JOIN pr ON pairs.from_type = pr.from_type
            WHERE grp = 1 GROUP BY pairs.from_type ORDER BY pairs.from_type""",
+      // CEM ATT: integer stratum sums, floor-6 weighted gaps, decimal sum
+      "x_cem_att" ->
+        s"""WITH per AS (SELECT user_id,
+                           CAST(sum(CASE WHEN $dayE <= '2024-01-15' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                           CAST(sum(CASE WHEN $dayE > '2024-01-15' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+                           user_id % 2 = 1 AS treated
+                         FROM events GROUP BY 1),
+                 s AS (SELECT x,
+                         CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                         CAST(sum(CASE WHEN treated THEN y ELSE 0 END) AS BIGINT) AS syt,
+                         CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                         CAST(sum(CASE WHEN NOT treated THEN y ELSE 0 END) AS BIGINT) AS syc
+                       FROM per GROUP BY 1
+                       HAVING nt > 0 AND nc > 0),
+                 tt AS (SELECT CAST(sum(nt) AS BIGINT) AS tt FROM s),
+                 w AS (SELECT nt, nc,
+                         CAST(floor((CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+                           - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE))
+                           * (CAST(nt AS DOUBLE) / CAST(tt AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS wgap
+                       FROM s CROSS JOIN tt)
+            SELECT count(*) AS n_strata,
+                   CAST(sum(nt) AS BIGINT) AS n_treated_matched,
+                   CAST(sum(nc) AS BIGINT) AS n_control_matched,
+                   CAST(round(sum(wgap), 4) AS DOUBLE) AS att
+            FROM w""",
       // CUPED: θ and means from exact integer sufficient stats
       "x_cuped" ->
         s"""WITH per AS (SELECT user_id,
