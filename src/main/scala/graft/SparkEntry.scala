@@ -4202,6 +4202,55 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // referential-integrity audit across the star schema: orphan
+    // foreign keys per relation via LEFT ANTI joins (lineitem→orders,
+    // lineitem→part, orders→customer, customer→nation, supplier→nation).
+    // Each check is one anti-join on its key — the parent side is
+    // dimension-scale and broadcastable for all but orders, where the
+    // shuffle is key-bounded.
+    "x_ref_integrity" -> ((s, dir) => {
+      def check(child: DataFrame, fk: String, parent: DataFrame, pk: String,
+          label: String): DataFrame = {
+        val orphans = child.select(col(fk).as("k"))
+          .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+        val n = child.agg(count(lit(1)).as("n_child"))
+        orphans.agg(count(lit(1)).as("n_orphans")).crossJoin(n)
+          .select(lit(label).as("relation"), col("n_child"), col("n_orphans"),
+            (col("n_orphans") === 0L).as("ri_ok"))
+      }
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val p = t(s, dir, "part")
+      check(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(check(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .unionByName(check(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionByName(check(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
+        .unionByName(check(su, "s_nationkey", n, "n_nationkey", "supplier->nation"))
+        .orderBy("relation")
+    }),
+
+    // calendar-coverage audit: per event type, days present vs the full
+    // min..max calendar — the "did the feed skip a day" check. The
+    // expected grid is |types| × |days| metadata (sequence over a 1-row
+    // min/max aggregate); presence is one distinct + count.
+    "x_coverage_gaps" -> ((s, dir) => {
+      val e = events(s, dir)
+      val span = e.agg(min(to_date(col("day"))).as("d0"), max(to_date(col("day"))).as("d1"))
+      val cal = span.select(explode(sequence(col("d0"), col("d1"))).as("cal_day"))
+      val types = e.select("event_type").distinct()
+      val present = e.select(col("event_type"), col("day")).distinct()
+      types.crossJoin(cal)
+        .join(present,
+          col("day") === date_format(col("cal_day"), "yyyy-MM-dd")
+            && present("event_type") === types("event_type"), "left")
+        .groupBy(types("event_type"))
+        .agg(count(lit(1)).as("n_expected"),
+          sum(when(col("day").isNotNull, 1L).otherwise(0L)).as("n_present"))
+        .withColumn("n_missing", col("n_expected") - col("n_present"))
+        .withColumn("complete", col("n_missing") === 0L)
+        .orderBy("event_type")
+    }),
+
     // multinomial naive Bayes source classifier, trained on EVEN docs,
     // scored on ODD: add-one token likelihoods + log priors, per-class
     // accuracy. Model is (classes × vocab) bounded metadata; test-side
@@ -7584,6 +7633,44 @@ object SparkEntry {
                    min(gscore) AS norm_score
             FROM r JOIN c ON c.cume_frac >= r.pr
             GROUP BY doc_id, source, score, pr ORDER BY doc_id""",
+      // referential integrity: orphan counts per FK relation
+      "x_ref_integrity" ->
+        """WITH u AS (
+             SELECT 'lineitem->orders' AS relation,
+                    (SELECT count(*) FROM lineitem) AS n_child,
+                    (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+             UNION ALL
+             SELECT 'lineitem->part',
+                    (SELECT count(*) FROM lineitem),
+                    (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+             UNION ALL
+             SELECT 'orders->customer',
+                    (SELECT count(*) FROM orders),
+                    (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+             UNION ALL
+             SELECT 'customer->nation',
+                    (SELECT count(*) FROM customer),
+                    (SELECT count(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+             UNION ALL
+             SELECT 'supplier->nation',
+                    (SELECT count(*) FROM supplier),
+                    (SELECT count(*) FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)))
+           SELECT relation, n_child, n_orphans, n_orphans = 0 AS ri_ok
+           FROM u ORDER BY relation""",
+      // calendar coverage: generate_series over the min..max day span
+      "x_coverage_gaps" ->
+        s"""WITH sp AS (SELECT min(CAST($dayE AS DATE)) AS d0, max(CAST($dayE AS DATE)) AS d1 FROM events),
+                 cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS cal_day FROM sp),
+                 ty AS (SELECT DISTINCT event_type FROM events),
+                 pr AS (SELECT DISTINCT event_type, $dayE AS day FROM events)
+            SELECT ty.event_type, count(*) AS n_expected,
+                   CAST(sum(CASE WHEN pr.day IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+                   CAST(count(*) - sum(CASE WHEN pr.day IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+                   count(*) = sum(CASE WHEN pr.day IS NOT NULL THEN 1 ELSE 0 END) AS complete
+            FROM ty CROSS JOIN cal
+            LEFT JOIN pr ON pr.event_type = ty.event_type
+              AND pr.day = strftime(cal_day, '%Y-%m-%d')
+            GROUP BY ty.event_type ORDER BY ty.event_type""",
       // naive Bayes: round-6 decimal log terms, exact decimal score
       // sums, (score DESC, cls) argmax
       "x_naive_bayes" ->
