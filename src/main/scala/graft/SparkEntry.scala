@@ -4564,6 +4564,23 @@ object SparkEntry {
         .orderBy("from_type")
     }),
 
+    // sample-ratio-mismatch guard: is the A/B assignment actually 50/50?
+    // One-df chi-square (n0−n1)²/(n0+n1) against the z=2 convention
+    // threshold 4.0 (exactly representable — the 3.84-literal parse trap
+    // avoided by design, x_wilson_ctr discipline). The first check any
+    // experiment readout must pass; one integer aggregation.
+    "x_srm" -> ((s, dir) => {
+      val g = events(s, dir).select(col("user_id")).distinct()
+        .agg(
+          sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n1"))
+      val d = (col("n0") - col("n1")).cast("double")
+      val chi2 = d * d / (col("n0") + col("n1")).cast("double")
+      g.select(col("n0"), col("n1"),
+        (floor(chi2 * lit(1e6) + lit(0.5)) / lit(1e6)).as("chi2"),
+        (chi2 >= lit(4.0)).as("srm_detected"))
+    }),
+
     // coarsened exact matching ATT (Iacus–King–Porro): users stratified
     // by their EXACT pre-period activity level, treated (odd) vs control
     // (even) outcomes compared only within strata containing both, ATT =
@@ -7911,6 +7928,17 @@ object SparkEntry {
                     / count(*) * 1e4 + 0.5) / 1e4 AS accuracy
            FROM pairs LEFT JOIN pr ON pairs.from_type = pr.from_type
            WHERE grp = 1 GROUP BY pairs.from_type ORDER BY pairs.from_type""",
+      // SRM: integer counts, one double tree, threshold 4.0 exact
+      "x_srm" ->
+        """WITH u AS (SELECT DISTINCT user_id FROM events),
+                g AS (SELECT
+                        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                        CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+                      FROM u)
+           SELECT n0, n1,
+                  floor(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2,
+                  CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) >= 4.0 AS srm_detected
+           FROM g""",
       // CEM ATT: integer stratum sums, floor-6 weighted gaps, decimal sum
       "x_cem_att" ->
         s"""WITH per AS (SELECT user_id,
