@@ -4564,6 +4564,28 @@ object SparkEntry {
         .orderBy("from_type")
     }),
 
+    // revenue concentration (Gini) over per-user monetary totals,
+    // DOLLAR-BINNED so the statistic is computed on a value grid that is
+    // range-bounded at any corpus scale (the x_mannwhitney discipline —
+    // a user-ranked Lorenz sum would need a global sort over users):
+    // G = Σᵢⱼ fᵢfⱼ|mᵢ−mⱼ| / (2n²μ) with every numerator term an exact
+    // integer product; grid² stays metadata.
+    "x_gini" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id")
+        .agg(floor(sum(col("value").cast("decimal(18,4)")).cast("double")).cast("long").as("m"))
+      val h = per.groupBy("m").agg(count(lit(1)).as("f"))
+      val a = h.select(col("m").as("ma"), col("f").as("fa"))
+      val b = h.select(col("m").as("mb"), col("f").as("fb"))
+      val sums = a.crossJoin(b).agg(
+        sum(col("fa") * col("fb") * abs(col("ma") - col("mb"))).as("num"))
+      val tot = per.agg(count(lit(1)).as("n"), sum(col("m")).as("sm"))
+      sums.crossJoin(broadcast(tot))
+        .select(col("n"), col("sm").as("total_dollars"),
+          (floor(col("num").cast("double")
+            / (lit(2.0) * col("n").cast("double") * col("sm").cast("double"))
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("gini"))
+    }),
+
     // sample-ratio-mismatch guard: is the A/B assignment actually 50/50?
     // One-df chi-square (n0−n1)²/(n0+n1) against the z=2 convention
     // threshold 4.0 (exactly representable — the 3.84-literal parse trap
@@ -7928,6 +7950,18 @@ object SparkEntry {
                     / count(*) * 1e4 + 0.5) / 1e4 AS accuracy
            FROM pairs LEFT JOIN pr ON pairs.from_type = pr.from_type
            WHERE grp = 1 GROUP BY pairs.from_type ORDER BY pairs.from_type""",
+      // Gini: dollar-binned grid, exact integer pairwise numerator
+      "x_gini" ->
+        """WITH per AS (SELECT user_id,
+                          CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)) AS BIGINT) AS m
+                        FROM events GROUP BY 1),
+                h AS (SELECT m, count(*) AS f FROM per GROUP BY 1),
+                s AS (SELECT CAST(sum(a.f * b.f * abs(a.m - b.m)) AS BIGINT) AS num
+                      FROM h a CROSS JOIN h b),
+                t AS (SELECT count(*) AS n, CAST(sum(m) AS BIGINT) AS sm FROM per)
+           SELECT n, sm AS total_dollars,
+                  floor(CAST(num AS DOUBLE) / (2.0 * CAST(n AS DOUBLE) * CAST(sm AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS gini
+           FROM s CROSS JOIN t""",
       // SRM: integer counts, one double tree, threshold 4.0 exact
       "x_srm" ->
         """WITH u AS (SELECT DISTINCT user_id FROM events),
