@@ -4564,6 +4564,28 @@ object SparkEntry {
         .orderBy("from_type")
     }),
 
+    // TextRank keyword extraction (Mihalcea–Tarau 2004): PageRank over
+    // the word co-occurrence graph — adjacency bigrams with count ≥ 2,
+    // symmetrized; vocabulary nodes. Reuses the LinkRank.pageRank
+    // decimal-exact iteration (edges hashed once, only the rank vector
+    // moves per round); the model is vocabulary-scale, never
+    // corpus-scale. Top-20 by (pr DESC, word) via TakeOrdered.
+    "x_textrank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tkAll = docs.select(TF.tokens(col("text")).as("tk"))
+      val nodes = tkAll.select(explode(col("tk")).as("node")).distinct()
+      val bg = tkAll.filter(size(col("tk")) >= 2)
+        .select(explode(graft.functions.WordNgrams.wordNgrams(col("tk"), 2)).as("g"))
+        .select(split(col("g"), " ").getItem(0).as("a"),
+          split(col("g"), " ").getItem(1).as("b"))
+      val ec = bg.groupBy("a", "b").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      val edges = ec.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(ec.select(col("b").as("src"), col("a").as("dst")))
+      graft.ext.LinkRank.pageRank(nodes, "node", edges, "src", "dst", iterations = 8)
+        .orderBy(col("pr").desc, col("node")).limit(20)
+        .select(col("node").as("word"), col("pr").as("rank_score"))
+    }),
+
     // revenue concentration (Gini) over per-user monetary totals,
     // DOLLAR-BINNED so the statistic is computed on a value grid that is
     // range-bounded at any corpus scale (the x_mannwhitney discipline —
@@ -6183,6 +6205,23 @@ object SparkEntry {
                         FROM nodes CROSS JOIN nn),
                  $prIters
             SELECT node AS doc_id, pr AS pagerank FROM p8 ORDER BY doc_id""",
+      // TextRank: word co-occurrence graph + the SAME unrolled pagerank
+      // stages (prIters references only nodes/nn/e/deg/p0)
+      "x_textrank" ->
+        s"""WITH tk AS (SELECT $toksE AS tk FROM documents),
+                 nodes AS (SELECT DISTINCT w AS node FROM (SELECT unnest(tk) AS w FROM tk)),
+                 nn AS (SELECT count(*) AS n FROM nodes),
+                 bg AS (SELECT tk[i] AS a, tk[i + 1] AS b
+                        FROM tk, unnest(range(1, len(tk))) AS u(i)
+                        WHERE len(tk) >= 2),
+                 ec AS (SELECT a, b, count(*) AS c FROM bg GROUP BY 1, 2 HAVING count(*) >= 2),
+                 e AS (SELECT a AS src, b AS dst FROM ec UNION ALL SELECT b, a FROM ec),
+                 deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+                 p0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / nn.n, 12) AS pr
+                        FROM nodes CROSS JOIN nn),
+                 $prIters
+            SELECT node AS word, pr AS rank_score FROM p8
+            ORDER BY pr DESC, node LIMIT 20""",
       // leak-free split: the same corpus/pair CTEs + recursive CC, split
       // by cluster-representative hash; n_leaky = 0 is structural and
       // pinned, per-split counts exact
