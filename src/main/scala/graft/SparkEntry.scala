@@ -4564,6 +4564,37 @@ object SparkEntry {
         .orderBy("from_type")
     }),
 
+    // Zipf-law fit: regress ln(freq) on ln(rank) over the top-1000 word
+    // grid (TakeOrdered — bounded at any corpus scale) — the corpus
+    // health check that the frequency curve has the natural-language
+    // slope (~−1). Log terms floor-6, products re-rounded, DECIMAL-
+    // summed; the OLS solve is one double tree.
+    "x_zipf_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = t(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(1000)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("w"))))
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val xy = top
+        .withColumn("x", f6(log(col("rnk").cast("double"))))
+        .withColumn("y", f6(log(col("cnt").cast("double"))))
+      val st = xy.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,6)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,6)")).cast("double").as("sy"),
+        sum(f6(col("x") * col("y")).cast("decimal(28,6)")).cast("double").as("sxy"),
+        sum(f6(col("x") * col("x")).cast("decimal(28,6)")).cast("double").as("sxx"))
+      val nD = col("n").cast("double")
+      val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+        (nD * col("sxx") - col("sx") * col("sx"))
+      st.select(col("n").as("n_ranks"),
+        (floor(-slope * lit(1e4) + lit(0.5)) / lit(1e4)).as("zipf_s"),
+        (floor((col("sy") - slope * col("sx")) / nD * lit(1e4) + lit(0.5)) / lit(1e4)).as("intercept"))
+    }),
+
     // TextRank keyword extraction (Mihalcea–Tarau 2004): PageRank over
     // the word co-occurrence graph — adjacency bigrams with count ≥ 2,
     // symmetrized; vocabulary nodes. Reuses the LinkRank.pageRank
@@ -6205,6 +6236,26 @@ object SparkEntry {
                         FROM nodes CROSS JOIN nn),
                  $prIters
             SELECT node AS doc_id, pr AS pagerank FROM p8 ORDER BY doc_id""",
+      // Zipf fit: floor-6 log terms over the deterministic rank grid
+      "x_zipf_fit" ->
+        s"""WITH v AS (SELECT w, count(*) AS cnt
+                       FROM (SELECT unnest($toksE) AS w FROM documents) GROUP BY 1),
+                 top AS (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk
+                         FROM v QUALIFY rnk <= 1000),
+                 xy AS (SELECT floor(ln(CAST(rnk AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS x,
+                               floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS y
+                        FROM top),
+                 st AS (SELECT count(*) AS n,
+                          CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                          CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+                          CAST(sum(CAST(floor(x * y * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+                          CAST(sum(CAST(floor(x * x * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+                        FROM xy)
+            SELECT n AS n_ranks,
+                   floor(-((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * 1e4 + 0.5) / 1e4 AS zipf_s,
+                   floor((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                     / CAST(n AS DOUBLE) * 1e4 + 0.5) / 1e4 AS intercept
+            FROM st""",
       // TextRank: word co-occurrence graph + the SAME unrolled pagerank
       // stages (prIters references only nodes/nn/e/deg/p0)
       "x_textrank" ->
