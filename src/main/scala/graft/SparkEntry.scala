@@ -3070,6 +3070,27 @@ object SparkEntry {
           round(col("sdec"), 4).cast("double").as("score"))
         .orderBy("query_id", "rnk")),
 
+    // reciprocal-rank fusion (Cormack 2009, k=60): the standard hybrid
+    // retrieval combiner — here fusing the BM25 score ranking with the
+    // coverage ranking (terms matched) over the same top-10, re-ranked
+    // by RRF = Σ 1/(60+rank). Shares bm25TopK; both divisions are the
+    // identical IEEE tree, and the two-term sum has a fixed order.
+    "x_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = bm25TopK(s, dir).select(col("query_id"), col("rnk"), col("doc_id"),
+        col("n_terms_matched"), col("sdec"))
+      val r2 = top.withColumn("rnk2", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("n_terms_matched").desc, col("doc_id"))))
+      val scored = r2.withColumn("rrf",
+        lit(1.0) / (lit(60.0) + col("rnk").cast("double"))
+          + lit(1.0) / (lit(60.0) + col("rnk2").cast("double")))
+      scored.withColumn("rrf_rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))))
+        .select(col("query_id"), col("rrf_rank"), col("doc_id"),
+          (floor(col("rrf") * lit(1e6) + lit(0.5)) / lit(1e6)).as("rrf_score"))
+        .orderBy("query_id", "rrf_rank")
+    }),
+
     // NDCG@10 of the BM25 ranking (graded relevance = #query terms
     // matched) — the ranking-evaluation loop as one plan, sharing the
     // bm25TopK pipeline. Gains 2^rel−1 come from an explicit integer
@@ -7457,6 +7478,22 @@ object SparkEntry {
         """SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_matched,
                   CAST(round(sdec, 4) AS DOUBLE) AS score
            FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""),
+      // RRF: same top-10, coverage re-rank, 1/(60+r) fixed-order sum
+      "x_rrf" -> bm25Oracle(
+        """, top AS (SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_matched
+                     FROM r WHERE rnk <= 10),
+              r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY n_terms_matched DESC, doc_id) AS INTEGER) AS rnk2
+                     FROM top),
+              sc AS (SELECT query_id, doc_id,
+                       1.0 / (60.0 + CAST(rnk AS DOUBLE)) + 1.0 / (60.0 + CAST(rnk2 AS DOUBLE)) AS rrf
+                     FROM r2),
+              rr AS (SELECT query_id, doc_id, rrf,
+                       row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rrf_rank
+                     FROM sc)
+           SELECT query_id, CAST(rrf_rank AS INTEGER) AS rrf_rank, doc_id,
+                  floor(rrf * 1e6 + 0.5) / 1e6 AS rrf_score
+           FROM rr ORDER BY query_id, rrf_rank"""),
       // NDCG@10: integer CASE gains, ln-ratio discounts, floor-6 +
       // decimal DCG/IDCG, ideal = same top-10 re-ranked (rel DESC, doc)
       "x_ndcg" -> bm25Oracle(
