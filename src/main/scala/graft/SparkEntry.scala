@@ -4350,6 +4350,24 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // HITS hubs & authorities over the link graph (LinkRank.hits):
+    // L1-normalized mutual reinforcement, 6 decimal-exact iterations —
+    // the query-dependent-authority side of link analysis that PageRank's
+    // global prestige doesn't give. Same bounded per-iteration traffic.
+    "x_hits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"),
+          explode(array(Seq(2, 3, 5).map(m =>
+            (col("doc_id") * m + m) % col("n")): _*)).as("dst"))
+      graft.ext.LinkRank.hits(docs.select(col("doc_id")), "doc_id",
+          edges, "src", "dst", iterations = 6)
+        .select(col("node").as("doc_id"), col("hub"), col("authority"))
+        .orderBy("doc_id")
+    }),
+
     // 3-core of the link graph (LinkRank.kCore): synchronized peeling —
     // per round, one live-edge join + degree count, lineage cut per
     // round; 8 rounds converge here (LinkRankSpec pins it). The dense
@@ -7897,6 +7915,37 @@ object SparkEntry {
                   floor(p * 1e4 + 0.5) / 1e4 AS raw_share,
                   floor((CAST(c AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + alpha + beta) * 1e4 + 0.5) / 1e4 AS shrunk_share
            FROM b CROSS JOIN pri ORDER BY user_id""",
+      // HITS: 6 unrolled (authority, hub) stage pairs, decimal in-sums,
+      // round-12 L1 renormalization each step
+      "x_hits" -> {
+        val stages = (1 to 6).map { i =>
+          s"""ar$i AS MATERIALIZED (
+                SELECT e.dst AS node, sum(CAST(h${i - 1}.s AS DECIMAL(28,12))) AS raw
+                FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY 1),
+              at$i AS (SELECT sum(raw) AS t FROM ar$i),
+              a$i AS MATERIALIZED (
+                SELECT nd.node, round(coalesce(CAST(ar.raw AS DOUBLE), 0.0) / CAST(t AS DOUBLE), 12) AS s
+                FROM nodes nd LEFT JOIN ar$i ar ON nd.node = ar.node CROSS JOIN at$i),
+              hr$i AS MATERIALIZED (
+                SELECT e.src AS node, sum(CAST(a$i.s AS DECIMAL(28,12))) AS raw
+                FROM e JOIN a$i ON e.dst = a$i.node GROUP BY 1),
+              ht$i AS (SELECT sum(raw) AS t FROM hr$i),
+              h$i AS MATERIALIZED (
+                SELECT nd.node, round(coalesce(CAST(hr.raw AS DOUBLE), 0.0) / CAST(t AS DOUBLE), 12) AS s
+                FROM nodes nd LEFT JOIN hr$i hr ON nd.node = hr.node CROSS JOIN ht$i)"""
+        }.mkString(",\n")
+        s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+                 nn AS (SELECT count(*) AS n FROM nodes),
+                 e AS (SELECT node AS src, (node * m + m) % nn.n AS dst
+                       FROM nodes CROSS JOIN nn CROSS JOIN (VALUES (2), (3), (5)) AS mm(m)
+                       WHERE node % 10 <> 9),
+                 h0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / nn.n, 12) AS s
+                        FROM nodes CROSS JOIN nn),
+                 $stages
+            SELECT n1.node AS doc_id, h6.s AS hub, a6.s AS authority
+            FROM nodes n1 JOIN h6 ON n1.node = h6.node JOIN a6 ON n1.node = a6.node
+            ORDER BY doc_id"""
+      },
       // k-core: 8 unrolled synchronized peel rounds over the symmetrized
       // distinct edge set (same generator as x_pagerank)
       "x_kcore" -> {

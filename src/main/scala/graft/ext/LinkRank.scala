@@ -91,6 +91,48 @@ object LinkRank {
     *
     * Output: node, n_triangles (nodes in ≥1 triangle), integer-exact.
     */
+  /** HITS hubs & authorities (Kleinberg 1999), L1-normalized (sum-to-1 —
+    * keeps every step inside the decimal-sum discipline; L2 would put a
+    * sqrt inside the iteration). Per iteration: authority = in-sum of
+    * hub scores, hub = out-sum of authority scores, each round-12 and
+    * renormalized by the exact decimal total. Edges are hashed once and
+    * cached; per-iteration traffic is the two score vectors — the
+    * pageRank plan shape. Mirrored by unrolled CTE stages in the oracle.
+    */
+  def hits(
+      nodes: DataFrame, nodeCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1)
+    val ns = graft.sources.Tables.spread(nodes).select(col(nodeCol).as("node")).cache()
+    val n = ns.count()
+    val e = graft.sources.Tables.spread(edges)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).cache()
+    def normalize(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("t"))
+      ns.join(raw, Seq("node"), "left").crossJoin(broadcast(tot))
+        .select(col("node"),
+          round(coalesce(col("raw").cast("double"), lit(0.0)) / col("t").cast("double"), 12).as("s"))
+        .localCheckpoint()
+    }
+    var h = ns.select(col("node"), round(lit(1.0) / lit(n.toDouble), 12).as("s"))
+      .localCheckpoint()
+    var a: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      a = normalize(e
+        .join(h.select(col("node").as("src"), col("s").as("hs")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hs").cast("decimal(28,12)")).as("raw")))
+      h = normalize(e
+        .join(a.select(col("node").as("dst"), col("s").as("asc")), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("asc").cast("decimal(28,12)")).as("raw")))
+      i += 1
+    }
+    ns.join(h.select(col("node"), col("s").as("hub")), "node")
+      .join(a.select(col("node"), col("s").as("authority")), "node")
+  }
+
   /** k-core decomposition by synchronized peeling: drop every node whose
     * degree within the surviving subgraph is < k, rerun on the survivors,
     * `rounds` times. Each round is one join + one count over the live
