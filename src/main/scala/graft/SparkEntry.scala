@@ -4350,6 +4350,24 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // label-propagation communities (LinkRank.labelPropagation): 4
+    // synchronous rounds of neighbor-modal adoption with the
+    // deterministic (cnt DESC, label) tie-break; community-size report.
+    // The soft-clustering sibling of the exact connected components.
+    "x_lpa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"),
+          explode(array(Seq(2, 3, 5).map(m =>
+            (col("doc_id") * m + m) % col("n")): _*)).as("dst"))
+      graft.ext.LinkRank.labelPropagation(edges, "src", "dst", rounds = 4)
+        .groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("community")
+    }),
+
     // HITS hubs & authorities over the link graph (LinkRank.hits):
     // L1-normalized mutual reinforcement, 6 decimal-exact iterations —
     // the query-dependent-authority side of link analysis that PageRank's
@@ -7915,6 +7933,29 @@ object SparkEntry {
                   floor(p * 1e4 + 0.5) / 1e4 AS raw_share,
                   floor((CAST(c AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + alpha + beta) * 1e4 + 0.5) / 1e4 AS shrunk_share
            FROM b CROSS JOIN pri ORDER BY user_id""",
+      // LPA: 4 unrolled neighbor-mode rounds over the symmetrized edges
+      "x_lpa" -> {
+        val stages = (1 to 4).map { i =>
+          s"""c$i AS MATERIALIZED (
+                SELECT s.u, l.lab, count(*) AS cnt
+                FROM sym s JOIN l${i - 1} l ON s.v = l.node GROUP BY 1, 2),
+              l$i AS MATERIALIZED (
+                SELECT u AS node, lab FROM
+                  (SELECT u, lab, row_number() OVER (PARTITION BY u ORDER BY cnt DESC, lab) AS rk FROM c$i)
+                WHERE rk = 1)"""
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+                 e AS (SELECT doc_id AS src,
+                         unnest([(doc_id * 2 + 2) % n, (doc_id * 3 + 3) % n, (doc_id * 5 + 5) % n]) AS dst
+                       FROM documents CROSS JOIN nn WHERE doc_id % 10 <> 9),
+                 und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                         FROM e WHERE src <> dst),
+                 sym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+                 l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
+                 $stages
+            SELECT lab AS community, count(*) AS n_members
+            FROM l4 GROUP BY 1 ORDER BY community"""
+      },
       // HITS: 6 unrolled (authority, hub) stage pairs, decimal in-sums,
       // round-12 L1 renormalization each step
       "x_hits" -> {

@@ -133,6 +133,40 @@ object LinkRank {
       .join(a.select(col("node"), col("s").as("authority")), "node")
   }
 
+  /** Synchronous label propagation (Raghavan 2007) for community
+    * detection: every node adopts its neighbors' modal label each round
+    * (ties → smallest label — fully deterministic, so a fixed round
+    * budget is well-defined and the oracle can replay it as unrolled
+    * stages). One neighbor-join + one count + one per-node argmax per
+    * round over the symmetrized edge set; lineage cut per round.
+    * Returns (node, label) after `rounds` rounds.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String, rounds: Int): DataFrame = {
+    val und = graft.sources.Tables.spread(edges)
+      .select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
+      .distinct()
+    val sym = und.select(col("u"), col("v"))
+      .unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    import org.apache.spark.sql.expressions.Window
+    var lab = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lab")).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val cnt = sym.join(lab.select(col("node").as("v"), col("lab")), "v")
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
+      lab = cnt.withColumn("rk", row_number().over(
+          Window.partitionBy("u").orderBy(col("cnt").desc, col("lab"))))
+        .filter(col("rk") === 1)
+        .select(col("u").as("node"), col("lab"))
+        .localCheckpoint()
+      r += 1
+    }
+    lab
+  }
+
   /** k-core decomposition by synchronized peeling: drop every node whose
     * degree within the surviving subgraph is < k, rerun on the survivors,
     * `rounds` times. Each round is one join + one count over the live
