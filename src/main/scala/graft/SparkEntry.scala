@@ -4368,6 +4368,45 @@ object SparkEntry {
         .orderBy("community")
     }),
 
+    // modularity of the LPA partition: Q = Σ_c (e_c/m − (d_c/2m)²) —
+    // the quality score that says whether the communities are real.
+    // Intra-edge and degree sums are exact integers per community
+    // (bounded set); Q terms floor-6 + DECIMAL-summed.
+    "x_modularity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"),
+          explode(array(Seq(2, 3, 5).map(m =>
+            (col("doc_id") * m + m) % col("n")): _*)).as("dst"))
+      val lab = graft.ext.LinkRank.labelPropagation(edges, "src", "dst", rounds = 4)
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val m = und.agg(count(lit(1)).as("m"))
+      val intra = und
+        .join(lab.select(col("node").as("u"), col("lab").as("lu")), "u")
+        .join(lab.select(col("node").as("v"), col("lab").as("lv")), "v")
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("community")).agg(count(lit(1)).as("ec"))
+      val deg = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val dc = lab.join(deg, "node")
+        .groupBy(col("lab").as("community")).agg(sum(col("deg")).as("dc"))
+      val terms = dc.join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(m))
+        .withColumn("term",
+          (floor((coalesce(col("ec"), lit(0L)).cast("double") / col("m").cast("double")
+            - (col("dc").cast("double") / (lit(2.0) * col("m").cast("double")))
+              * (col("dc").cast("double") / (lit(2.0) * col("m").cast("double"))))
+            * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)"))
+      terms.agg(
+        count(lit(1)).as("n_communities"),
+        max(col("m")).as("m_edges"),
+        round(sum(col("term")), 4).cast("double").as("modularity"))
+    }),
+
     // HITS hubs & authorities over the link graph (LinkRank.hits):
     // L1-normalized mutual reinforcement, 6 decimal-exact iterations —
     // the query-dependent-authority side of link analysis that PageRank's
@@ -7933,6 +7972,45 @@ object SparkEntry {
                   floor(p * 1e4 + 0.5) / 1e4 AS raw_share,
                   floor((CAST(c AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + alpha + beta) * 1e4 + 0.5) / 1e4 AS shrunk_share
            FROM b CROSS JOIN pri ORDER BY user_id""",
+      // modularity: LPA stages + exact integer e_c/d_c per community,
+      // floor-6 Q terms, decimal sum
+      "x_modularity" -> {
+        val stages = (1 to 4).map { i =>
+          s"""c$i AS MATERIALIZED (
+                SELECT s.u, l.lab, count(*) AS cnt
+                FROM sym s JOIN l${i - 1} l ON s.v = l.node GROUP BY 1, 2),
+              l$i AS MATERIALIZED (
+                SELECT u AS node, lab FROM
+                  (SELECT u, lab, row_number() OVER (PARTITION BY u ORDER BY cnt DESC, lab) AS rk FROM c$i)
+                WHERE rk = 1)"""
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+                 e AS (SELECT doc_id AS src,
+                         unnest([(doc_id * 2 + 2) % n, (doc_id * 3 + 3) % n, (doc_id * 5 + 5) % n]) AS dst
+                       FROM documents CROSS JOIN nn WHERE doc_id % 10 <> 9),
+                 und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                         FROM e WHERE src <> dst),
+                 sym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+                 l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
+                 $stages,
+                 mm AS (SELECT count(*) AS m FROM und),
+                 intra AS (SELECT lu.lab AS community, count(*) AS ec
+                           FROM und JOIN l4 lu ON und.u = lu.node JOIN l4 lv ON und.v = lv.node
+                           WHERE lu.lab = lv.lab GROUP BY 1),
+                 deg AS (SELECT node, count(*) AS deg
+                         FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+                 dc AS (SELECT l4.lab AS community, CAST(sum(deg) AS BIGINT) AS dc
+                        FROM l4 JOIN deg ON l4.node = deg.node GROUP BY 1),
+                 tm AS (SELECT CAST(floor((CAST(coalesce(ec, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+                          - (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                            * (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))
+                          * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS term, m
+                        FROM dc LEFT JOIN intra ON dc.community = intra.community CROSS JOIN mm)
+            SELECT count(*) AS n_communities,
+                   max(m) AS m_edges,
+                   CAST(round(sum(term), 4) AS DOUBLE) AS modularity
+            FROM tm"""
+      },
       // LPA: 4 unrolled neighbor-mode rounds over the symmetrized edges
       "x_lpa" -> {
         val stages = (1 to 4).map { i =>
