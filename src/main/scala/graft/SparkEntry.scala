@@ -4150,6 +4150,40 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // DAU / WAU stickiness: rolling 7-day distinct actives per day via a
+    // range join of the day grid against the distinct (day, user) pairs
+    // — activity-bounded volume (|du| × 7), never a corpus-scale window;
+    // stickiness = DAU/WAU, the canonical engagement ratio.
+    "x_stickiness" -> ((s, dir) => {
+      val du = events(s, dir).select(to_date(col("day")).as("d"), col("user_id")).distinct()
+      val days = du.select(col("d").as("day")).distinct()
+      val dau = du.groupBy(col("d").as("day")).agg(count_distinct(col("user_id")).as("dau"))
+      val wau = days.join(du,
+          col("d") >= date_add(col("day"), -6) && col("d") <= col("day"))
+        .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"), col("wau"),
+          (floor(col("dau").cast("double") / col("wau").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as("stickiness"))
+        .orderBy("day")
+    }),
+
+    // Pareto concentration of activity: what share of events comes from
+    // the top-quintile users (by the exact interpolated 80th-percentile
+    // activity threshold)? One user aggregation + a 1-row threshold
+    // broadcast — the 80/20 check without a global user sort.
+    "x_pareto_users" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("c"))
+      val th = per.agg(expr("percentile(c, 0.8)").as("p80"))
+      per.crossJoin(broadcast(th))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("c").cast("double") > col("p80"), 1L).otherwise(0L)).as("n_top"),
+          sum(col("c")).as("total_events"),
+          sum(when(col("c").cast("double") > col("p80"), col("c")).otherwise(0L)).as("top_events"))
+        .select(col("n_users"), col("n_top"), col("total_events"),
+          (floor(col("top_events").cast("double") / col("total_events").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as("top_share"))
+    }),
+
     // cohort retention matrix: users grouped by first-active day, tracked
     // by day offset — the canonical product-analytics view (x_day_retention
     // is its diagonal). Two user-keyed shuffles (distinct + first-day),
@@ -7831,6 +7865,27 @@ object SparkEntry {
                   floor((p + 2.0 / n - 2.0 * sqrt(p * (1.0 - p) / n + 1.0 / (n * n)))
                     / (1.0 + 4.0 / n) * 1e4 + 0.5) / 1e4 AS wilson_lb
            FROM c ORDER BY user_id""",
+      // stickiness: 7-day range join on the (day, user) distinct pairs
+      "x_stickiness" ->
+        s"""WITH du AS (SELECT DISTINCT CAST($dayE AS DATE) AS d, user_id FROM events),
+                 days AS (SELECT DISTINCT d AS day FROM du),
+                 dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+                 wau AS (SELECT days.day, count(DISTINCT du.user_id) AS wau
+                         FROM days JOIN du ON du.d >= days.day - 6 AND du.d <= days.day
+                         GROUP BY 1)
+            SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau,
+                   floor(CAST(dau AS DOUBLE) / wau * 1e4 + 0.5) / 1e4 AS stickiness
+            FROM dau JOIN wau ON dau.day = wau.day ORDER BY day""",
+      // Pareto: exact interpolated p80 threshold, integer shares
+      "x_pareto_users" ->
+        """WITH per AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+                th AS (SELECT quantile_cont(c, 0.8) AS p80 FROM per)
+           SELECT count(*) AS n_users,
+                  CAST(sum(CASE WHEN CAST(c AS DOUBLE) > p80 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+                  CAST(sum(c) AS BIGINT) AS total_events,
+                  floor(CAST(sum(CASE WHEN CAST(c AS DOUBLE) > p80 THEN c ELSE 0 END) AS DOUBLE)
+                    / CAST(sum(c) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS top_share
+           FROM per CROSS JOIN th""",
       // cohort matrix: first-active day per user, DATE difference as the
       // integer day offset
       "x_user_cohorts" ->
