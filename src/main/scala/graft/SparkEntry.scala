@@ -3680,6 +3680,56 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // conversion latency: for converting (day, user) funnels, exact
+    // percentiles of view→click and click→purchase gaps per day —
+    // integer epoch-ms differences through the a12 percentile parity.
+    "x_time_to_convert" -> ((s, dir) => {
+      val e = events(s, dir).select(col("day"), col("user_id"),
+        col("event_type"), unix_millis(col("ts")).as("ms"))
+      val hourMs = lit(3600000L)
+      e.groupBy("day", "user_id").agg(
+          min(when(col("event_type") === "view", col("ms"))).as("tv"),
+          collect_list(when(col("event_type") === "click", col("ms"))).as("cl"),
+          collect_list(when(col("event_type") === "purchase", col("ms"))).as("pl"))
+        .filter(col("tv").isNotNull)
+        .withColumn("tc", array_min(filter(col("cl"),
+          c => c > col("tv") && c - col("tv") <= hourMs)))
+        .withColumn("tp", array_min(filter(col("pl"),
+          p => p > col("tc") && p - col("tc") <= hourMs)))
+        .filter(col("tp").isNotNull)
+        .groupBy("day").agg(
+          count(lit(1)).as("n_converted"),
+          round(expr("percentile(tc - tv, 0.5)"), 4).as("p50_view_to_click_ms"),
+          round(expr("percentile(tp - tc, 0.5)"), 4).as("p50_click_to_buy_ms"),
+          round(expr("percentile(tp - tv, 0.9)"), 4).as("p90_total_ms"))
+        .orderBy("day")
+    }),
+
+    // entropy rate of the first-order event process: H = −Σ π(s)·Σ
+    // p(t|s)·ln p(t|s) over the |types|² transition matrix (x_markov
+    // machinery) — how predictable is the next event? Terms floor-6 +
+    // DECIMAL-summed on the bounded matrix.
+    "x_entropy_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      val trans = e.withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val rowTot = trans.groupBy("from_type").agg(sum(col("n")).as("rn"))
+      val tot = trans.agg(sum(col("n")).as("tn"))
+      trans.join(broadcast(rowTot), "from_type").crossJoin(broadcast(tot))
+        .withColumn("term",
+          (floor(-(col("rn").cast("double") / col("tn").cast("double"))
+            * (col("n").cast("double") / col("rn").cast("double"))
+            * log(col("n").cast("double") / col("rn").cast("double"))
+            * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(col("term")), 4).cast("double").as("entropy_rate_nats"))
+    }),
+
     // funnel step-window sensitivity sweep: conversion at 30 min / 1 h /
     // 2 h step windows from ONE (day, user) shuffle — the per-group
     // event arrays are collected once and the three parameterizations
@@ -7371,6 +7421,46 @@ object SparkEntry {
            FROM v LEFT JOIN c ON v.day = c.day AND v.user_id = c.user_id
                   LEFT JOIN p ON v.day = p.day AND v.user_id = p.user_id
            GROUP BY v.day ORDER BY v.day""",
+      // conversion latency: the funnel chain restricted to converters,
+      // exact interpolated gap percentiles
+      "x_time_to_convert" ->
+        s"""WITH e AS (SELECT $dayE AS day, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+                 v AS (SELECT day, user_id, min(ms) AS tv FROM e
+                       WHERE event_type = 'view' GROUP BY 1, 2),
+                 c AS (SELECT e.day, e.user_id, min(e.ms) AS tc
+                       FROM e JOIN v ON e.day = v.day AND e.user_id = v.user_id
+                       WHERE e.event_type = 'click' AND e.ms > v.tv AND e.ms - v.tv <= 3600000
+                       GROUP BY 1, 2),
+                 p AS (SELECT e.day, e.user_id, min(e.ms) AS tp
+                       FROM e JOIN c ON e.day = c.day AND e.user_id = c.user_id
+                       WHERE e.event_type = 'purchase' AND e.ms > c.tc AND e.ms - c.tc <= 3600000
+                       GROUP BY 1, 2),
+                 f AS (SELECT v.day, v.tv, c.tc, p.tp
+                       FROM v JOIN c ON v.day = c.day AND v.user_id = c.user_id
+                              JOIN p ON v.day = p.day AND v.user_id = p.user_id)
+            SELECT day, count(*) AS n_converted,
+                   round(quantile_cont(tc - tv, 0.5), 4) AS p50_view_to_click_ms,
+                   round(quantile_cont(tp - tc, 0.5), 4) AS p50_click_to_buy_ms,
+                   round(quantile_cont(tp - tv, 0.9), 4) AS p90_total_ms
+            FROM f GROUP BY day ORDER BY day""",
+      // entropy rate: floor-6 terms over the transition matrix
+      "x_entropy_rate" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+                l AS (SELECT user_id, event_type AS to_type,
+                        lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS from_type
+                      FROM e),
+                tr AS (SELECT from_type, to_type, count(*) AS n
+                       FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2),
+                rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS rn FROM tr GROUP BY 1),
+                tt AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM tr),
+                t2 AS (SELECT floor(-(CAST(rn AS DOUBLE) / tn)
+                         * (CAST(n AS DOUBLE) / rn)
+                         * ln(CAST(n AS DOUBLE) / rn)
+                         * 1e6 + 0.5) / 1e6 AS term
+                       FROM tr JOIN rt USING (from_type) CROSS JOIN tt)
+           SELECT count(*) AS n_cells,
+                  CAST(round(sum(CAST(term AS DECIMAL(28,6))), 4) AS DOUBLE) AS entropy_rate_nats
+           FROM t2""",
       // funnel sweep: three copies of the funnel SQL, one per window
       "x_funnel_sweep" -> (Seq(30 -> 1800000L, 60 -> 3600000L, 120 -> 7200000L).map { case (wm, w) =>
         s"""SELECT * FROM (
