@@ -4600,6 +4600,39 @@ object SparkEntry {
       graft.ext.Stats.groupedLinReg(pairs, Seq.empty, col("dsrc"), col("ddst"))
     }),
 
+    // exponential-smoothing forecast (SES, α=1/2): the recurrence
+    // s_t = αx_t + (1−α)s_{t−1} unrolled to its closed form over the
+    // per-type day grid — every weight 0.5^k is DYADIC so each term
+    // x_k·0.5^k is an EXACT double product (the x_decay_engagement
+    // principle applied to a recurrence); grid² join is |days|² metadata
+    // per type. Scored by next-day mean absolute error.
+    "x_forecast_ses" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .withColumn("idx", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")) - 1)
+      val a = dc.select(col("event_type"), col("idx").as("t"), col("day"))
+      val b = dc.select(col("event_type"), col("idx").as("k"), col("c").as("xk"))
+      val terms = a.join(b, "event_type").filter(col("k") <= col("t"))
+        .withColumn("coef",
+          when(col("k") === 0, pow(lit(0.5), col("t").cast("double")))
+            .otherwise(pow(lit(0.5), (col("t") - col("k") + lit(1)).cast("double"))))
+        .withColumn("term",
+          (floor(col("xk").cast("double") * col("coef") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .cast("decimal(28,6)"))
+      val sm = terms.groupBy("event_type", "t", "day")
+        .agg(sum(col("term")).cast("double").as("s"))
+      val nxt = dc.select(col("event_type"), (col("idx") - 1).as("t"), col("c").as("x_next"))
+      sm.join(nxt, Seq("event_type", "t"))
+        .withColumn("abs_err",
+          floor(abs(col("x_next").cast("double") - col("s")) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_forecasts"),
+          (floor(sum(col("abs_err").cast("decimal(28,6)")).cast("double")
+            / count(lit(1)).cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mae"))
+        .orderBy("event_type")
+    }),
+
     // seasonal decomposition of daily volumes (STL-lite): trend = 7-day
     // centered moving average, weekly seasonal = per-weekday mean of the
     // detrended series, residual = the rest. The windows are
@@ -8285,6 +8318,31 @@ object SparkEntry {
                         / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS intercept,
                   floor(CAST(n*sxy - sx*sy AS DOUBLE) / nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0) * 1e6 + 0.5) / 1e6 AS r
            FROM st""",
+      // SES forecast: dyadic-weight closed form, floor-6 terms + decimal
+      // sums, next-day MAE
+      "x_forecast_ses" ->
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                 ix AS (SELECT event_type, day, c,
+                          row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS idx
+                        FROM dc),
+                 t AS (SELECT a.event_type, a.idx AS t, a.day, b.idx AS k, b.c AS xk
+                       FROM ix a JOIN ix b ON a.event_type = b.event_type AND b.idx <= a.idx),
+                 tm AS (SELECT event_type, t, day,
+                          CAST(floor(CAST(xk AS DOUBLE)
+                            * (CASE WHEN k = 0 THEN pow(0.5, CAST(t AS DOUBLE))
+                                    ELSE pow(0.5, CAST(t - k + 1 AS DOUBLE)) END)
+                            * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS term
+                        FROM t),
+                 sm AS (SELECT event_type, t, day, CAST(sum(term) AS DOUBLE) AS s
+                        FROM tm GROUP BY 1, 2, 3),
+                 er AS (SELECT sm.event_type,
+                          floor(abs(CAST(nx.c AS DOUBLE) - sm.s) * 1e6 + 0.5) / 1e6 AS abs_err
+                        FROM sm JOIN ix nx
+                          ON sm.event_type = nx.event_type AND nx.idx = sm.t + 1)
+            SELECT event_type, count(*) AS n_forecasts,
+                   floor(CAST(sum(CAST(abs_err AS DECIMAL(28,6))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS mae
+            FROM er GROUP BY event_type ORDER BY event_type""",
       // seasonality: integer moving sums, floor-6 + decimal seasonal
       // means, weekday via dayofweek+1 (DuckDB is 0=Sunday)
       "x_seasonality" ->
