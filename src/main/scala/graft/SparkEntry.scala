@@ -5018,6 +5018,32 @@ object SparkEntry {
         .orderBy("d")
     }),
 
+    // churn-rule evaluation with a PROPER TEMPORAL SPLIT: the feature
+    // (activity in the first 20 days) never sees the label window (no
+    // events in the last 7) — the leakage mistake this query is the
+    // template for avoiding. Rule: below-median early activity predicts
+    // churn; scored as a confusion matrix + precision/recall/F1 from
+    // exact integers (threshold via interpolated percentile).
+    "x_churn_rule" -> ((s, dir) => {
+      val e = events(s, dir)
+      val maxDay = e.agg(max(to_date(col("day"))).as("dmax"))
+      val per = e.crossJoin(broadcast(maxDay)).groupBy("user_id").agg(
+        sum(when(datediff(col("dmax"), to_date(col("day"))) >= 10, 1L).otherwise(0L)).as("f_early"),
+        sum(when(datediff(col("dmax"), to_date(col("day"))) <= 6, 1L).otherwise(0L)).as("f_late"))
+      val th = per.agg(expr("percentile(f_early, 0.5)").as("med"))
+      val scored = per.crossJoin(broadcast(th))
+        .withColumn("churned", col("f_late") === 0L)
+        .withColumn("predicted", col("f_early").cast("double") < col("med"))
+      scored.agg(
+          sum(when(col("predicted") && col("churned"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("predicted") && !col("churned"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("predicted") && col("churned"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("predicted") && !col("churned"), 1L).otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          (floor(col("tp").cast("double") / nullif((col("tp") + col("fp")).cast("double"), lit(0.0)) * lit(1e4) + lit(0.5)) / lit(1e4)).as("precision"),
+          (floor(col("tp").cast("double") / nullif((col("tp") + col("fn")).cast("double"), lit(0.0)) * lit(1e4) + lit(0.5)) / lit(1e4)).as("recall"))
+    }),
+
     // RFM customer segmentation: recency / frequency / monetary per user,
     // quintile-scored against exact interpolated percentiles of the user
     // population (a12 percentile↔quantile_cont parity; thresholds are
@@ -8565,6 +8591,27 @@ object SparkEntry {
                   floor(ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) * 1e6 + 0.5) / 1e6 AS benford_frac
            FROM o CROSS JOIN t WHERE d IS NOT NULL
            GROUP BY d, n ORDER BY d""",
+      // churn rule: temporal-split feature/label, integer confusion
+      "x_churn_rule" ->
+        s"""WITH mx AS (SELECT max(CAST($dayE AS DATE)) AS dmax FROM events),
+                 per AS (SELECT user_id,
+                           CAST(sum(CASE WHEN dmax - CAST($dayE AS DATE) >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS f_early,
+                           CAST(sum(CASE WHEN dmax - CAST($dayE AS DATE) <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS f_late
+                         FROM events CROSS JOIN mx GROUP BY 1),
+                 th AS (SELECT quantile_cont(f_early, 0.5) AS med FROM per),
+                 sc AS (SELECT f_late = 0 AS churned,
+                               CAST(f_early AS DOUBLE) < med AS predicted
+                        FROM per CROSS JOIN th),
+                 cm AS (SELECT
+                          CAST(sum(CASE WHEN predicted AND churned THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                          CAST(sum(CASE WHEN predicted AND NOT churned THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                          CAST(sum(CASE WHEN NOT predicted AND churned THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                          CAST(sum(CASE WHEN NOT predicted AND NOT churned THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                        FROM sc)
+            SELECT tp, fp, fn, tn,
+                   floor(CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0) * 1e4 + 0.5) / 1e4 AS precision,
+                   floor(CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0) * 1e4 + 0.5) / 1e4 AS recall
+            FROM cm""",
       // RFM: exact interpolated percentile thresholds, strict-inequality
       // quintile scores, decimal monetary sum
       "x_rfm_scores" ->
