@@ -4659,6 +4659,34 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // Wald–Wolfowitz runs test on daily volume moves: is the up/down
+    // sequence random, or trending/oscillating? Runs and sign counts are
+    // exact integers off one type-partitioned lag; E[R] and σ are a
+    // single double tree (z floor-4). Ties (equal consecutive counts)
+    // count as "down" — fixed deterministic convention on both sides.
+    "x_runs_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val mv = dc.withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("up", (col("c") > col("prev")).cast("long"))
+      val runs = mv.withColumn("pu", lag(col("up"), 1).over(w))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("up")).as("n1"),
+          (sum(when(col("pu").isNull || col("pu") =!= col("up"), 1L).otherwise(0L))).as("r"))
+      val n = col("n").cast("double")
+      val n1 = col("n1").cast("double")
+      val n2 = (col("n") - col("n1")).cast("double")
+      val er = lit(2.0) * n1 * n2 / n + lit(1.0)
+      val s2 = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n) / (n * n * (n - lit(1.0)))
+      runs.filter(col("n1") > 0 && col("n") - col("n1") > 0)
+        .select(col("event_type"), col("n"), col("n1"), col("r"),
+          (floor((col("r").cast("double") - er) / sqrt(s2) * lit(1e4) + lit(0.5)) / lit(1e4)).as("z"))
+        .orderBy("event_type")
+    }),
+
     // CUSUM changepoint detection on daily volumes: per type, the day
     // where the cumulative deviation from the overall mean peaks. The
     // cumulative statistic is kept INTEGER-EXACT (Σ(c·n − Σc) — scaled
@@ -8390,6 +8418,30 @@ object SparkEntry {
                    floor((det - seasonal) * 1e6 + 0.5) / 1e6 AS residual
             FROM det d JOIN seas ON d.event_type = seas.event_type AND d.dow = seas.dow
             ORDER BY d.event_type, d.day""",
+      // runs test: integer runs off a double lag, one double tree for z
+      "x_runs_test" ->
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                 mv AS (SELECT event_type, day, c,
+                          lag(c) OVER (PARTITION BY event_type ORDER BY day) AS prev
+                        FROM dc),
+                 up AS (SELECT event_type, day,
+                          CAST(c > prev AS BIGINT) AS up
+                        FROM mv WHERE prev IS NOT NULL),
+                 rr AS (SELECT event_type, day, up,
+                          lag(up) OVER (PARTITION BY event_type ORDER BY day) AS pu
+                        FROM up),
+                 st AS (SELECT event_type, count(*) AS n,
+                          CAST(sum(up) AS BIGINT) AS n1,
+                          CAST(sum(CASE WHEN pu IS NULL OR pu <> up THEN 1 ELSE 0 END) AS BIGINT) AS r
+                        FROM rr GROUP BY 1)
+            SELECT event_type, n, n1, r,
+                   floor((CAST(r AS DOUBLE)
+                     - (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE) + 1.0))
+                     / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+                         * (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) - CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                     * 1e4 + 0.5) / 1e4 AS z
+            FROM st WHERE n1 > 0 AND n - n1 > 0 ORDER BY event_type""",
       // changepoint: integer-exact scaled cumulative deviations,
       // normalized once at the end; ties -> earliest day
       "x_changepoint" ->
