@@ -3517,6 +3517,24 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // the corpus-scale label-noise candidate path: the audit's kNN
+    // neighbors come from the IVF cell join (Similarity.knnNeighborsIvf —
+    // an all-corpus-vs-corpus audit can't broadcast its query side), and
+    // this query IS the recall gate: candidate recall@10 per query-id
+    // decile against the exact knnNeighbors set, >= 90% or recall_ok goes
+    // FALSE and the oracle hash goes red (the x_hard_negatives_ivf
+    // pattern). knnClassifyIvf at nProbe = nLists ≡ knnClassify exactly
+    // (pinned in SimilaritySpec).
+    "x_label_noise_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      Similarity.recallByDecile(
+        Similarity.knnNeighbors(e, q, "vec_id", "embedding", "label", k = 10),
+        Similarity.knnNeighborsIvf(e, q, "vec_id", "embedding", "label", k = 10,
+          nLists = 16, nProbe = 14),
+        minRecallPct = 90)
+    }),
+
     "x_knn_classify" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.knnClassify(
@@ -4200,16 +4218,18 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
-    // DAU / WAU stickiness: rolling 7-day distinct actives per day via a
-    // range join of the day grid against the distinct (day, user) pairs
-    // — activity-bounded volume (|du| × 7), never a corpus-scale window;
-    // stickiness = DAU/WAU, the canonical engagement ratio.
+    // DAU / WAU stickiness: rolling 7-day distinct actives per day. Each
+    // distinct (day, user) pair is EXPLODED into the 7 WAU windows it
+    // covers and equi-joined — flat 7× fan-out, shuffle on day, instead
+    // of a days×(day,user) theta-join (which plans as a broadcast
+    // nested-loop testing every pair against the whole calendar grid).
+    // The inner join with DAU restricts output to days that actually
+    // occur. Stickiness = DAU/WAU, the canonical engagement ratio.
     "x_stickiness" -> ((s, dir) => {
       val du = events(s, dir).select(to_date(col("day")).as("d"), col("user_id")).distinct()
-      val days = du.select(col("d").as("day")).distinct()
       val dau = du.groupBy(col("d").as("day")).agg(count_distinct(col("user_id")).as("dau"))
-      val wau = days.join(du,
-          col("d") >= date_add(col("day"), -6) && col("d") <= col("day"))
+      val wau = du
+        .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("day"), col("user_id"))
         .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
       dau.join(wau, "day")
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"), col("wau"),
@@ -4861,17 +4881,23 @@ object SparkEntry {
     // revenue concentration (Gini) over per-user monetary totals,
     // DOLLAR-BINNED so the statistic is computed on a value grid that is
     // range-bounded at any corpus scale (the x_mannwhitney discipline —
-    // a user-ranked Lorenz sum would need a global sort over users):
-    // G = Σᵢⱼ fᵢfⱼ|mᵢ−mⱼ| / (2n²μ) with every numerator term an exact
-    // integer product; grid² stays metadata.
+    // a user-ranked Lorenz sum would need a global sort over users).
+    // Lorenz prefix-sum form over the SORTED dollar histogram:
+    //   Σᵢⱼ fᵢfⱼ|mᵢ−mⱼ| = 2·Σᵢ fᵢ·(mᵢ·F₍<ᵢ₎ − S₍<ᵢ₎)
+    // with F/S the running count/dollar prefix sums — O(|h| log |h|)
+    // instead of the |h|² pair grid, every term still an exact integer.
+    // The ORACLE keeps the pairwise Σfᵢfⱼ|mᵢ−mⱼ| form, so two
+    // independently-derived formulas must agree to the integer.
     "x_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val per = events(s, dir).groupBy("user_id")
         .agg(floor(sum(col("value").cast("decimal(18,4)")).cast("double")).cast("long").as("m"))
       val h = per.groupBy("m").agg(count(lit(1)).as("f"))
-      val a = h.select(col("m").as("ma"), col("f").as("fa"))
-      val b = h.select(col("m").as("mb"), col("f").as("fb"))
-      val sums = a.crossJoin(b).agg(
-        sum(col("fa") * col("fb") * abs(col("ma") - col("mb"))).as("num"))
+      val w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+      val sums = h
+        .withColumn("fprev", coalesce(sum(col("f")).over(w), lit(0L)))
+        .withColumn("sprev", coalesce(sum(col("f") * col("m")).over(w), lit(0L)))
+        .agg((lit(2L) * sum(col("f") * (col("m") * col("fprev") - col("sprev")))).as("num"))
       val tot = per.agg(count(lit(1)).as("n"), sum(col("m")).as("sm"))
       sums.crossJoin(broadcast(tot))
         .select(col("n"), col("sm").as("total_dollars"),
@@ -6897,6 +6923,10 @@ object SparkEntry {
         """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
                   count(*) * 10 AS n_true, TRUE AS recall_ok
            FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
+      "x_label_noise_ivf" ->
+        """SELECT vec_id % 10 AS decile, count(*) AS n_queries,
+                  count(*) * 10 AS n_true, TRUE AS recall_ok
+           FROM embeddings WHERE vec_id < 100 GROUP BY 1 ORDER BY 1""",
       "x_semantic_dedup" ->
         s"""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                       FROM embeddings),
@@ -7878,14 +7908,16 @@ object SparkEntry {
            SELECT source, CAST(pick_rank AS INTEGER) AS pick_rank, doc_id, weight, key
            FROM r WHERE pick_rank <= 5 ORDER BY source, pick_rank""",
       // OLS/Pearson from exact integer sufficient statistics; every double
-      // op mirrored in sequence, floor round-6 idiom on the outputs
+      // op mirrored in sequence, floor round-6 idiom on the outputs. The
+      // n·Σxy − Σx·Σy numerators form in HUGEINT (int128), mirroring the
+      // Spark side's DECIMAL(38,0) — exact whenever the sums fit in long.
       "x_linreg_tokens" ->
         s"""WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
                               CAST(len($toksE) AS BIGINT) AS y FROM documents),
                  st AS (SELECT source, count(*) AS n,
-                          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                          CAST(sum(x*y) AS BIGINT) AS sxy,
-                          CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+                          CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+                          CAST(sum(x*y) AS HUGEINT) AS sxy,
+                          CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(y*y) AS HUGEINT) AS syy
                         FROM d GROUP BY source)
             SELECT source, n,
                    floor(CAST(n*sxy - sx*sy AS DOUBLE) / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6 AS slope,
@@ -8362,9 +8394,9 @@ object SparkEntry {
                 p AS (SELECT CAST(ds.deg AS BIGINT) AS x, CAST(dd.deg AS BIGINT) AS y
                       FROM e JOIN d ds ON e.src = ds.node JOIN d dd ON e.dst = dd.node),
                 st AS (SELECT count(*) AS n,
-                         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                         CAST(sum(x*y) AS BIGINT) AS sxy,
-                         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+                         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+                         CAST(sum(x*y) AS HUGEINT) AS sxy,
+                         CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(y*y) AS HUGEINT) AS syy
                        FROM p)
            SELECT n,
                   floor(CAST(n*sxy - sx*sy AS DOUBLE) / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6 AS slope,

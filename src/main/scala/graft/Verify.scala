@@ -36,6 +36,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // some operators cache() internally; without this the CacheManager
+      // holds every query's blocks for the whole 280+-query dump (the
+      // Bench per-query discipline)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

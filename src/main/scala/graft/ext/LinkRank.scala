@@ -38,12 +38,12 @@ object LinkRank {
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val ns = graft.sources.Tables.spread(nodes).select(col(nodeCol).as("node")).cache()
+    val ns = graft.sources.Tables.spread(nodes).select(col(nodeCol).as("node")).localCheckpoint()
     val n = ns.count() // one count job over the cached node column (bounded: one scalar)
     val e = graft.sources.Tables.spread(edges)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .repartition(col("src")).cache() // the ONLY corpus-scale shuffle, paid once
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).cache() // co-partitioned with e
+      .repartition(col("src")).localCheckpoint() // the ONLY corpus-scale shuffle, paid once
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint() // co-partitioned with e
 
     // (1 - d) computed, not precomputed as a literal: the oracle runs the
     // same subtraction, so both engines get the identical IEEE double
@@ -104,33 +104,49 @@ object LinkRank {
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame = {
     require(iterations >= 1)
-    val ns = graft.sources.Tables.spread(nodes).select(col(nodeCol).as("node")).cache()
+    val ns = graft.sources.Tables.spread(nodes).select(col(nodeCol).as("node")).localCheckpoint()
     val n = ns.count()
-    val e = graft.sources.Tables.spread(edges)
+    // BOTH edge orientations are materialized once: the authority update
+    // joins on src, the hub update on dst — with a single src-hashed copy
+    // the hub join would re-shuffle the whole edge table every iteration
+    // (caught by ShuffleAuditSpec's edge-multiplicity invariant). Two
+    // one-time corpus-scale shuffles; after that only score vectors move.
+    val eSrc = graft.sources.Tables.spread(edges)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .repartition(col("src")).cache()
+      .repartition(col("src")).localCheckpoint()
+    val eDst = eSrc.repartition(col("dst")).localCheckpoint()
+    // One normalize = round-12 of raw/total with absent nodes at 0. The
+    // total rides a broadcast subquery INSIDE the consuming plan (no
+    // standalone scalar job), so a full HITS iteration — authority
+    // normalize fused lazily into the hub update — materializes ONCE:
+    // only the hub vector is localCheckpoint'ed to cut lineage, and
+    // exchange reuse lets the raw-score shuffle compute a single time.
+    // The arithmetic (round-12 per normalize, decimal raw sums) is
+    // unchanged, so the unrolled-CTE oracle still matches bit-for-bit.
     def normalize(raw: DataFrame): DataFrame = {
       val tot = raw.agg(sum(col("raw")).as("t"))
       ns.join(raw, Seq("node"), "left").crossJoin(broadcast(tot))
         .select(col("node"),
           round(coalesce(col("raw").cast("double"), lit(0.0)) / col("t").cast("double"), 12).as("s"))
-        .localCheckpoint()
     }
     var h = ns.select(col("node"), round(lit(1.0) / lit(n.toDouble), 12).as("s"))
       .localCheckpoint()
     var a: DataFrame = null
     var i = 0
     while (i < iterations) {
-      a = normalize(e
+      a = normalize(eSrc
         .join(h.select(col("node").as("src"), col("s").as("hs")), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("hs").cast("decimal(28,12)")).as("raw")))
-      h = normalize(e
+      h = normalize(eDst
         .join(a.select(col("node").as("dst"), col("s").as("asc")), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("asc").cast("decimal(28,12)")).as("raw")))
+        .localCheckpoint() // the ONE lineage cut per iteration
       i += 1
     }
+    // the final authority vector is one normalize deep off the previous
+    // hub checkpoint — cut it once so the output join reads stored rows
     ns.join(h.select(col("node"), col("s").as("hub")), "node")
-      .join(a.select(col("node"), col("s").as("authority")), "node")
+      .join(a.localCheckpoint().select(col("node"), col("s").as("authority")), "node")
   }
 
   /** Synchronous label propagation (Raghavan 2007) for community
@@ -174,9 +190,12 @@ object LinkRank {
     * discipline); the peel is SYNCHRONOUS, so an engine replaying the
     * same rounds (the oracle's unrolled CTEs) sees identical sets at
     * every stage. Returns (node, core_deg) for nodes alive after the
-    * last round, with their degree inside the surviving subgraph. A
-    * fixed round budget makes the result well-defined even short of
-    * convergence; on this corpus 8 rounds converge (pinned in
+    * last round, where core_deg is the node's degree measured in the
+    * subgraph entering the FINAL peel (the quantity the oracle's last
+    * unrolled stage computes). At convergence — the alive set stops
+    * changing — that equals the degree inside the surviving subgraph;
+    * short of convergence it may still count edges to just-peeled
+    * neighbors. On this corpus 8 rounds converge (pinned in
     * LinkRankSpec).
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int, rounds: Int): DataFrame = {
@@ -210,12 +229,14 @@ object LinkRank {
       .filter(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
       .distinct()
-      .cache() // degree pass + orientation both read it
+      .localCheckpoint() // degree pass + orientation both read it
     val deg = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // total-order key: (deg, node) packed into one long (deg <= |E| << 2^31)
-    val ku = col("du") * lit(4294967296L) + col("u")
-    val kv = col("dv") * lit(4294967296L) + col("v")
+    // total-order key: a (deg, node) STRUCT compared lexicographically —
+    // overflow-proof for any node id / degree (a packed deg*2^32+node
+    // long would silently collide once ids reach 2^32 or degrees 2^31)
+    val ku = struct(col("du").as("d"), col("u").as("n"))
+    val kv = struct(col("dv").as("d"), col("v").as("n"))
     val oriented = und
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
@@ -223,7 +244,7 @@ object LinkRank {
         when(ku < kv, col("u")).otherwise(col("v")).as("a"),
         when(ku < kv, col("v")).otherwise(col("u")).as("b"),
         when(ku < kv, kv).otherwise(ku).as("kb"))
-      .cache() // read three times (two wedge sides + closing-edge probe)
+      .localCheckpoint() // read three times (two wedge sides + closing-edge probe)
     val wedges = oriented.select(col("a"), col("b").as("w_b"), col("kb").as("kb1"))
       .join(oriented.select(col("a"), col("b").as("w_c"), col("kb").as("kb2")), "a")
       .filter(col("kb1") < col("kb2"))

@@ -312,17 +312,90 @@ object Similarity {
       idCol: String,
       vecCol: String,
       classCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    voteLayer(knnNeighbors(corpus, queries, idCol, vecCol, classCol, k))
+
+  /** The exact ranked k-nearest-neighbor stage of [[knnClassify]], with
+    * the class column riding the corpus side — exposed so the IVF twin
+    * ([[knnNeighborsIvf]]) can be candidate-recall-gated against it (the
+    * x_ann_ivf_recall / x_hard_negatives_ivf pattern).
+    * Output: query_id, rank, neighbor_id, cls, score (rounded 4).
+    */
+  def knnNeighbors(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, classCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(classCol).as("cls"), col(vecCol).as("v_c"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("v_q"))
     val w = Window.partitionBy(col("query_id")).orderBy(round(col("score"), 6).desc, col("neighbor_id").asc)
-    val votes = c
-      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("v_q"), col("v_c")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .groupBy(col("query_id"), col("cls"))
-      .agg(count(lit(1)).as("votes"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cls"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** kNN candidates over IVF cells — the corpus-scale candidate stage for
+    * [[knnClassifyIvf]]: when the query set is itself corpus-sized (an
+    * all-corpus label-noise audit), the brute broadcast plan stops being
+    * a plan; each query scores only the nProbe/nLists fraction of the
+    * corpus sharing its nearest coarse cells. Same plan shape as
+    * [[hardNegativesIvfTopK]] minus the label-inequality filter (the vote
+    * needs ALL classes represented among the neighbors).
+    * Output: query_id, rank, neighbor_id, cls, score (rounded 4).
+    */
+  def knnNeighborsIvf(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, classCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centArr = ivfCentroids(corpus, idCol, vecCol, nLists)
+    val corpusCells = corpus
+      .select(col(idCol).as("neighbor_id"), col(classCol).as("cls"), col(vecCol).as("v_c"))
+      .crossJoin(broadcast(centArr))
+      .select(col("neighbor_id"), col("cls"), col("v_c"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct(
+            negate(round(cosine(col("v_c"), c("cv")), 6)).as("negsim"),
+            c("centroid_id").as("cell")))), 1, 1)).as("sc"))
+      .select(col("neighbor_id"), col("cls"), col("v_c"), col("sc").getField("cell").as("cell"))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("v_q"))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("v_q"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct(
+            negate(round(cosine(col("v_q"), c("cv")), 6)).as("negsim"),
+            c("centroid_id").as("cell")))), 1, nProbe)).as("sc"))
+      .select(col("query_id"), col("v_q"), col("sc").getField("cell").as("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(round(col("score"), 6).desc, col("neighbor_id").asc)
+    corpusCells
+      .join(queryCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("v_q"), col("v_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cls"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** kNN majority-vote classification over IVF candidates — the
+    * corpus-scale form of [[knnClassify]] (same vote layer, candidates
+    * from [[knnNeighborsIvf]]). With nProbe = nLists every cell is probed
+    * and the result is EXACTLY [[knnClassify]] (pinned in SimilaritySpec);
+    * lower nProbe trades recall for the probed fraction, gated per decile
+    * by x_label_noise_ivf.
+    */
+  def knnClassifyIvf(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, classCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame =
+    voteLayer(knnNeighborsIvf(corpus, queries, idCol, vecCol, classCol, k, nLists, nProbe))
+
+  /** Majority vote with deterministic ties (smallest class) over a ranked
+    * neighbor table — shared by the exact and IVF classify forms.
+    */
+  private def voteLayer(nbrs: DataFrame): DataFrame = {
+    val votes = nbrs.groupBy(col("query_id"), col("cls")).agg(count(lit(1)).as("votes"))
     val pick = Window.partitionBy(col("query_id")).orderBy(col("votes").desc, col("cls").asc)
     votes
       .withColumn("__rn", row_number().over(pick))

@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   * This is the same one-pass shape at 5000 rows and at 100 TB.
   *
   * Cross-engine determinism: x and y are INTEGER expressions here, so the
-  * sufficient statistics are exact (LongType sums; caller guarantees no
-  * overflow — at 2^63 that holds through petabyte-scale groups for
-  * character/token counts). The closed forms then perform a fixed sequence
-  * of IEEE double ops on exact integers — identical in any engine — with
-  * one final round(…, 6).
+  * sufficient statistics are exact (LongType sums; caller guarantees the
+  * SUMS fit in 2^63 — true through petabyte-scale groups for
+  * character/token counts). The n·Σxy − Σx·Σy style numerators are then
+  * formed in DECIMAL(38,0), exact whenever the sums themselves fit in
+  * long. The closed forms after that are a fixed sequence of IEEE double
+  * ops on exact inputs — identical in any engine — with one final
+  * floor-round to 6 decimals.
   */
 object Stats {
 
@@ -45,11 +47,16 @@ object Stats {
         sum(col("__x") * col("__y")).as("sxy"),
         sum(col("__x") * col("__x")).as("sxx"),
         sum(col("__y") * col("__y")).as("syy"))
-    // cov/var numerators are exact integers (fit in long for corpus-scale
-    // counts); the doubles below are each a single IEEE op on exact inputs
-    val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-    val varXN = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val varYN = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    // cov/var numerators are formed in DECIMAL(38,0): each is a product of
+    // two long-bounded sums, so the exact value stays under 10^38 whenever
+    // the inputs fit in long — whereas a 64-bit n·sxy product wraps
+    // silently (Spark non-ANSI) long before the individual sums overflow,
+    // and DuckDB would raise where Spark wrapped. The oracle mirrors this
+    // with HUGEINT products. One cast to double AFTER the exact subtract.
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val covN = (d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy"))).cast("double")
+    val varXN = (d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx"))).cast("double")
+    val varYN = (d38(col("n")) * d38(col("syy")) - d38(col("sy")) * d38(col("sy"))).cast("double")
     // round-half-up via floor(x·1e6+0.5)/1e6, NOT round(): the values are
     // outputs of double division chains, where round() may disagree across
     // engines on exact .xxxxxx5 halves (NOTES.md round-4 parity lesson);

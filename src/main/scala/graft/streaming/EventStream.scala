@@ -259,7 +259,7 @@ object EventStream {
   /** One closed user session: ordered activity bounded by an inactivity gap. */
   final case class UserSession(user_id: Long, n_events: Long, first_ts: Long, last_ts: Long)
 
-  private final case class SessionState(n: Long, first: Long, last: Long)
+  final case class SessionState(n: Long, first: Long, last: Long)
 
   /** Custom streaming state: gap-based sessionization per user via
     * `flatMapGroupsWithState` — the reference has no equivalent (its
@@ -512,8 +512,8 @@ object EventStream {
     */
   final case class DriftRow(day: String, kl: Double, tv: Double, k: Long)
 
-  private final case class DayDist(day: String, types: Seq[String], counts: Seq[Long])
-  private final case class TypeUniverse(types: Seq[String])
+  final case class DayDist(day: String, types: Seq[String], counts: Seq[Long])
+  final case class TypeUniverse(types: Seq[String])
 
   /** Streaming distribution-drift monitor state: ValueState for the
     * previous SEALED day's distribution plus the running event-type
@@ -783,7 +783,7 @@ object EventStream {
     */
   final case class AnomalyRow(event_type: String, day: String, c: Long, z: Double, is_anomaly: Boolean)
 
-  private final case class VolState(n: Long, sx: Long, sxx: Long)
+  final case class VolState(n: Long, sx: Long, sxx: Long)
 
   /** Streaming volume-anomaly state: per event type, running integer
     * sufficient stats over sealed days. Prequential semantics — each day

@@ -19,8 +19,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class ShuffleAuditSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  /** Total shuffle bytes written while `df` runs (count() action). */
-  private def shuffleBytes(df: DataFrame): (Long, Long) = {
+  /** Total shuffle bytes written while `df` builds AND runs (count()
+    * action). BY-NAME on purpose: iterative operators (pageRank, HITS,
+    * CC) execute eagerly at construction via localCheckpoint, so the
+    * listener must be attached before the expression is evaluated or the
+    * loop's shuffles happen unobserved.
+    */
+  private def shuffleBytes(df: => DataFrame): (Long, Long) = {
     val written = new AtomicLong(0L)
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
@@ -166,6 +171,41 @@ class ShuffleAuditSpec extends AnyFunSuite {
     val shuffles = "(?m)\\bExchange (hash|range)partitioning".r.findAllIn(plan).size
     assert(shuffles <= 3,
       s"expected one (day,user) exchange + day rollup + sort, got $shuffles:\n$plan")
+  }
+
+  test("pageRank/HITS per-iteration exchanges carry score vectors, not edges: double edge multiplicity, per-iteration shuffle stays flat") {
+    // the edge table is shuffled ONCE (repartition by src at build);
+    // after that each iteration exchanges only (node, partial) rows —
+    // map-side combine collapses the per-edge contributions before the
+    // wire. Pin it by DIFFERENCING: total(k iters) − total(j iters) ≈
+    // (k−j)·perIter, measured at 1× and 2× edge multiplicity (same node
+    // set, same partition count). Multiplicity rides only the one-time
+    // build shuffle, which the difference cancels; a per-edge exchange
+    // in the loop would double perIter.
+    val n = 400L
+    val nodes = spark.range(n).toDF("node")
+    val edges = spark.range(n).toDF("src")
+      .select(col("src"), explode(array(
+        (col("src") * 7 + 1) % n, (col("src") * 11 + 3) % n, (col("src") * 13 + 5) % n)).as("dst"))
+    val edges2 = edges.unionAll(edges) // 2× multiplicity, same nodes/partitions
+    def prBytes(e: DataFrame, iters: Int): Long =
+      shuffleBytes(graft.ext.LinkRank.pageRank(nodes, "node", e, "src", "dst", iters))._1
+    def hitsBytes(e: DataFrame, iters: Int): Long =
+      shuffleBytes(graft.ext.LinkRank.hits(nodes, "node", e, "src", "dst", iters))._1
+    val prPerIter1 = (prBytes(edges, 6) - prBytes(edges, 2)) / 4.0
+    val prPerIter2 = (prBytes(edges2, 6) - prBytes(edges2, 2)) / 4.0
+    assert(prPerIter1 > 0)
+    assert(prPerIter2 < prPerIter1 * 1.3,
+      s"pageRank per-iteration shuffle grew with edge multiplicity: $prPerIter1 -> $prPerIter2 bytes/iter — edges are riding the loop exchange")
+    // difference from it=2, not it=1: the first iteration's plan differs
+    // (AQE sizes the first joins off fresh stats) and would skew the
+    // slope; it=2..6 is the steady state, measured slope 15075 bytes/iter
+    // at BOTH multiplicities on this graph
+    val hPerIter1 = (hitsBytes(edges, 6) - hitsBytes(edges, 2)) / 4.0
+    val hPerIter2 = (hitsBytes(edges2, 6) - hitsBytes(edges2, 2)) / 4.0
+    assert(hPerIter1 > 0)
+    assert(hPerIter2 < hPerIter1 * 1.3,
+      s"HITS per-iteration shuffle grew with edge multiplicity: $hPerIter1 -> $hPerIter2 bytes/iter — edges are riding the loop exchange")
   }
 
   test("daily counts shuffle group-cardinality partials, not events") {

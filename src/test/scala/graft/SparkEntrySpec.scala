@@ -40,15 +40,22 @@ class SparkEntrySpec extends AnyFunSuite {
     // Everything ordinal-shaped goes through Batching.globalOrdinal.
     //   x_mannwhitney — cumulative over the per-user COUNT grid (values
     //     bounded by max activity, not corpus rows).
-    val boundedInputWhitelist = Set("w2_moving_avg", "x_quantile_norm", "x_ks_test", "x_mannwhitney")
+    //   x_gini — Lorenz prefix sums over the DOLLAR-BINNED histogram
+    //     (value grid, not users).
+    val boundedInputWhitelist =
+      Set("w2_moving_avg", "x_quantile_norm", "x_ks_test", "x_mannwhitney", "x_gini")
     import org.apache.spark.sql.catalyst.plans.logical
-    // A global window whose child subtree contains a LIMIT is bounded by
+    // A global window whose input is DOMINATED by a LIMIT is bounded by
     // construction (e.g. x_bm25_search round-robins the top-20 df terms
     // into probe queries) — the single task sees <= limit rows at any
-    // corpus scale.
-    def limitBounded(p: logical.LogicalPlan): Boolean = p.collectFirst {
-      case _: logical.GlobalLimit => ()
-    }.isDefined
+    // corpus scale. Only the direct unary child chain counts: a limit
+    // buried under one branch of a join does NOT bound the window input.
+    @annotation.tailrec
+    def limitBounded(p: logical.LogicalPlan): Boolean = p match {
+      case _: logical.GlobalLimit => true
+      case u: logical.UnaryNode   => limitBounded(u.child)
+      case _                      => false
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, TestSpark.sfDir)
       val globalWindows = df.queryExecution.optimizedPlan.collect {

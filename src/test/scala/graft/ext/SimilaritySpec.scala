@@ -202,6 +202,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tiedOut === Array((1L, 1L, 2L)), "2-2 tie must resolve to the smaller class")
   }
 
+  test("knnClassifyIvf at nProbe = nLists equals knnClassify exactly") {
+    // probing every cell makes the IVF candidate set the whole corpus
+    // (minus self), so the vote must be IDENTICAL to the exact form —
+    // the invariant that makes the nProbe < nLists recall trade a tuning
+    // knob rather than a correctness question
+    val corpus = embs.filter(col("vec_id") < 200)
+    val queries = embs.filter(col("vec_id") < 30)
+    val exact = Similarity.knnClassify(corpus, queries, "vec_id", "embedding", "label", k = 10)
+    val ivf = Similarity.knnClassifyIvf(corpus, queries, "vec_id", "embedding", "label", k = 10,
+      nLists = 8, nProbe = 8)
+    assert(exact.exceptAll(ivf).isEmpty && ivf.exceptAll(exact).isEmpty)
+    // gate shape sanity: one row per decile, truth counts complete. The
+    // per-decile >= 90% recall bar itself is enforced by the sf0.01
+    // CORRECTNESS oracle (x_label_noise_ivf: recall_ok must be TRUE) —
+    // at this sf0.001 slice the cells are too sparse for the production
+    // bar to be a stable unit-test invariant.
+    val gate = Similarity.recallByDecile(
+      Similarity.knnNeighbors(embs, queries, "vec_id", "embedding", "label", k = 10),
+      Similarity.knnNeighborsIvf(embs, queries, "vec_id", "embedding", "label", k = 10,
+        nLists = 16, nProbe = 14),
+      minRecallPct = 90).collect()
+    assert(gate.length === 10)
+    assert(gate.map(_.getLong(2)).sum === 300L, "10 true neighbors per query reach the gate")
+  }
+
   test("bqTopK: exact-rerank scores match brute force; planted duplicate is rank 1") {
     val queries = embs.filter(col("vec_id") < 5)
     val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", k = 3)
