@@ -5047,6 +5047,209 @@ object SparkEntry {
           round(sum(col("term")), 4).cast("double").as("mi_nats"))
     }),
 
+    // Population Stability Index — the industry-standard two-window drift
+    // score (complements x_dist_drift's day-over-day KL/TV): event-type
+    // mix of the first half-month vs the second, Laplace-smoothed exactly
+    // like x_dist_drift, PSI = Σ (q−p)·ln(q/p) with floor-6 terms and a
+    // DECIMAL sum. Two grid aggregations; the 0.2 alert threshold is the
+    // conventional "significant shift" bar (same parsed double in both
+    // engines, compared against a round-4 value).
+    "x_psi" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("half",
+        when(col("day") <= "2024-01-15", lit("base")).otherwise(lit("tgt")))
+      val c = e.groupBy("half", "event_type").agg(count(lit(1)).as("c"))
+      val grid = c.select("event_type").distinct().crossJoin(c.select("half").distinct())
+      val full = grid.join(c, Seq("half", "event_type"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val n = full.groupBy("half").agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+      val p = full.join(n, Seq("half"))
+        .withColumn("p", (col("c") + 1).cast("double") / (col("n") + col("k")).cast("double"))
+      val base = p.filter(col("half") === "base").select(col("event_type"), col("p").as("pb"))
+      val tgt = p.filter(col("half") === "tgt").select(col("event_type"), col("p").as("pt"))
+      base.join(tgt, "event_type")
+        .withColumn("term",
+          (floor((col("pt") - col("pb")) * log(col("pt") / col("pb")) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .cast("decimal(28,6)"))
+        .agg(count(lit(1)).as("n_types"), round(sum(col("term")), 4).cast("double").as("psi"))
+        .withColumn("drifted", col("psi") >= lit(0.2))
+    }),
+
+    // chi-square test of independence, event_type × weekday — the classic
+    // "is the traffic mix weekday-dependent?" screen next to
+    // x_mutual_info's effect size. Grid COMPLETED with zero cells (a
+    // missing cell contributes its full expectation); χ² terms floor-6 +
+    // DECIMAL-sum; expectations are single double ops on exact integers.
+    "x_chi2_independence" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+        dayofweek(to_date(col("day"))).as("dow"))
+      val joint = e.groupBy("event_type", "dow").agg(count(lit(1)).as("c"))
+      val grid = joint.select("event_type").distinct().crossJoin(joint.select("dow").distinct())
+      val full = grid.join(joint, Seq("event_type", "dow"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val mx = full.groupBy("event_type").agg(sum(col("c")).as("rt"))
+      val my = full.groupBy("dow").agg(sum(col("c")).as("ct"))
+      val n = full.agg(sum(col("c")).as("n"),
+        count_distinct(col("event_type")).as("r"), count_distinct(col("dow")).as("cc"))
+      val ex = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+      full.join(broadcast(mx), "event_type").join(broadcast(my), "dow").crossJoin(broadcast(n))
+        .withColumn("term",
+          (floor((col("c").cast("double") - ex) * (col("c").cast("double") - ex) / ex
+            * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)"))
+        .groupBy(col("r"), col("cc"))
+        .agg(count(lit(1)).as("n_cells"), round(sum(col("term")), 4).cast("double").as("chi2"))
+        .select(col("n_cells"), col("chi2"), ((col("r") - 1) * (col("cc") - 1)).as("dof"))
+    }),
+
+    // ROUGE-1/ROUGE-2 overlap — the text-generation eval metric plumbed
+    // as an engine operator (the ranking metrics x_ndcg/x_rrf's sibling):
+    // candidate = the doc's first 60% of tokens (deterministic
+    // self-summarization proxy), clipped n-gram overlap per doc, P/R/F1
+    // floor-4. Two (doc, gram) count shuffles per n — the multiset
+    // intersection never materializes pairwise grams.
+    "x_rouge" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), TF.tokens(col("text")).as("ref"))
+        .withColumn("cand",
+          slice(col("ref"), lit(1), ceil(size(col("ref")).cast("double") * lit(0.6)).cast("int")))
+      def rougeN(n: Int): DataFrame = {
+        def grams(c: Column): Column =
+          if (n == 1) c else graft.functions.WordNgrams.wordNgrams(c, n)
+        val r = d.select(col("doc_id"), explode(grams(col("ref"))).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("cr"))
+        val c = d.select(col("doc_id"), explode(grams(col("cand"))).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("cc"))
+        val ov = r.join(c, Seq("doc_id", "g"), "left")
+          .groupBy("doc_id").agg(
+            sum(least(col("cr"), coalesce(col("cc"), lit(0L)))).as("ov"),
+            sum(col("cr")).as("nr"))
+        ov.join(c.groupBy("doc_id").agg(sum(col("cc")).as("nc")), Seq("doc_id"))
+      }
+      def f4(c: Column): Column = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+      def metrics(df: DataFrame, tag: String): DataFrame = {
+        val p = col("ov").cast("double") / col("nc").cast("double")
+        val rr = col("ov").cast("double") / col("nr").cast("double")
+        df.select(col("doc_id"), f4(p).as(s"${tag}_p"), f4(rr).as(s"${tag}_r"),
+          f4(when(col("ov") > 0, lit(2.0) * p * rr / (p + rr)).otherwise(lit(0.0))).as(s"${tag}_f"))
+      }
+      metrics(rougeN(1), "r1").join(metrics(rougeN(2), "r2"), Seq("doc_id")).orderBy("doc_id")
+    }),
+
+    // t-closeness — the third rung of the privacy ladder (x_k_anonymity,
+    // x_l_diversity): per equivalence class, ordered earth-mover distance
+    // between the class's sensitive-value (balance-bucket) distribution
+    // and the global one. EMD over ordinal categories = Σ|prefix sums of
+    // the per-bucket probability gaps|, kept EXACT by scaling to the
+    // integer lattice (cv·n − gv·nc, DECIMAL(38,0) — n² would overflow a
+    // long at corpus scale) with one double division at the end. Window
+    // partitioned BY CLASS over the bounded bucket grid.
+    "x_tclose" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, dir, "customer")
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("int"))
+      val cls = c.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(count(lit(1)).as("cv"))
+      val glob = c.groupBy("bal_bucket").agg(count(lit(1)).as("gv"))
+      val nTot = c.agg(count(lit(1)).as("n"), count_distinct(col("bal_bucket")).as("m"))
+      val nCls = cls.groupBy("c_nationkey", "c_mktsegment").agg(sum(col("cv")).as("nc"))
+      val grid = nCls.crossJoin(broadcast(glob))
+      val w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("bal_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(cls, Seq("c_nationkey", "c_mktsegment", "bal_bucket"), "left")
+        .withColumn("cv", coalesce(col("cv"), lit(0L)))
+        .crossJoin(broadcast(nTot))
+        .withColumn("diff",
+          col("cv").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")
+            - col("gv").cast("decimal(38,0)") * col("nc").cast("decimal(38,0)"))
+        .withColumn("cum", sum(col("diff")).over(w))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("nc").as("group_size"),
+          col("n"), col("m"))
+        .agg(sum(abs(col("cum"))).as("absCum"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("group_size"),
+          (floor(col("absCum").cast("double")
+            / (col("group_size").cast("double") * col("n").cast("double")
+              * (col("m") - 1).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("t_emd"))
+        .withColumn("is_t_close", col("t_emd") <= lit(0.25))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // autocorrelation of the daily volume series at lags 1/2/3/7, per
+    // event type — the seasonality fingerprint next to x_seasonality's
+    // STL decomposition (a weekly cycle shows as a lag-7 peak). Series
+    // completed over the type×day grid with zeros; deviations are single
+    // double ops on exact integers; numerator/denominator terms floor-6 +
+    // DECIMAL-sum; the lag join is a grid equi-join on (type, day+lag).
+    "x_acf" -> ((s, dir) => {
+      val d = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = d.select("event_type").distinct().crossJoin(d.select("day").distinct())
+      val full = grid.join(d, Seq("event_type", "day"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val mu = full.groupBy("event_type").agg(sum(col("c")).as("sc"), count(lit(1)).as("nd"))
+        .select(col("event_type"),
+          (col("sc").cast("double") / col("nd").cast("double")).as("mu"))
+      val x = full.join(broadcast(mu), "event_type")
+        .select(col("event_type"), to_date(col("day")).as("d"),
+          (col("c").cast("double") - col("mu")).as("dev"))
+      def f6d(c: Column): Column =
+        ((floor(c * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)"))
+      val den = x.groupBy("event_type").agg(sum(f6d(col("dev") * col("dev"))).as("den"))
+      val lagged = x.select(col("event_type").as("et2"), col("d").as("d2"), col("dev").as("dev2"))
+      val num = x.withColumn("lag", explode(array(Seq(1, 2, 3, 7).map(lit): _*)))
+        // (type, day+lag) is an equi-key: hash join, never a filtered grid
+        .join(lagged,
+          col("event_type") === col("et2") && col("d2") === date_add(col("d"), col("lag")))
+        .groupBy("event_type", "lag").agg(sum(f6d(col("dev") * col("dev2"))).as("num"))
+      num.join(broadcast(den), "event_type")
+        .select(col("event_type"), col("lag"),
+          (floor(col("num").cast("double") / col("den").cast("double") * lit(1e4) + lit(0.5))
+            / lit(1e4)).as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+
+    // personalized PageRank (random walk with restart to a seed set —
+    // TrustRank-style crawl curation): the x_pagerank graph with every
+    // 50th doc as a trusted seed; rank mass localizes around the seeds.
+    // graft.ext.LinkRank.personalizedPageRank; oracle = 8 unrolled CTE
+    // stages of the identical recurrence.
+    "x_ppr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"),
+          explode(array(Seq(2, 3, 5).map(m =>
+            (col("doc_id") * m + m) % col("n")): _*)).as("dst"))
+      val seeds = docs.filter(col("doc_id") % 50 === 0)
+      LinkRank.personalizedPageRank(docs, "doc_id", edges, "src", "dst",
+          seeds, "doc_id", iterations = 8)
+        .select(col("node").as("doc_id"), col("pr").as("ppr"))
+        .orderBy("doc_id")
+    }),
+
+    // Theil–Sen robust trend of daily volume — the outlier-proof slope
+    // next to x_linreg_tokens' OLS: the (lower) median of all pairwise
+    // day-slopes. The pair enumeration is the CALENDAR grid squared
+    // (metadata at any corpus scale — the x_forecast_ses bound), the
+    // median is a deterministic rank pick at (m+1)/2 with (slope, t1,
+    // t2) tie order.
+    "x_theilsen" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = events(s, dir).groupBy("day").agg(count(lit(1)).as("c"))
+      val minD = v.agg(min(to_date(col("day"))).as("d0"))
+      val idx = v.crossJoin(broadcast(minD))
+        .select(datediff(to_date(col("day")), col("d0")).as("t"), col("c"))
+      val pairs = idx.select(col("t").as("t1"), col("c").as("c1"))
+        .join(idx.select(col("t").as("t2"), col("c").as("c2")), col("t1") < col("t2"))
+        .withColumn("slope",
+          (col("c2") - col("c1")).cast("double") / (col("t2") - col("t1")).cast("double"))
+      val m = pairs.agg(count(lit(1)).as("n_pairs"))
+      pairs
+        .withColumn("rk", row_number().over(Window.orderBy(col("slope"), col("t1"), col("t2"))))
+        .crossJoin(broadcast(m))
+        .filter(col("rk").cast("long") === ((col("n_pairs") + 1) / lit(2)).cast("long"))
+        .select(col("n_pairs"),
+          (floor(col("slope") * lit(1e6) + lit(0.5)) / lit(1e6)).as("slope_per_day"),
+          (col("slope") > lit(0.0)).as("rising"))
+    }),
+
     // Benford first-digit audit over order totals — the classic
     // fabricated-numbers screen: observed first-significant-digit
     // frequencies vs log10(1 + 1/d) expectation. Counts are exact
@@ -5499,6 +5702,20 @@ object SparkEntry {
                       + CAST(0.85 AS DOUBLE) * (coalesce(CAST(c.s AS DOUBLE), 0)
                           + CAST(d.dm AS DOUBLE) / nn.n), 12) AS pr
                   FROM nodes nd CROSS JOIN nn CROSS JOIN dm$i d LEFT JOIN c$i c ON nd.node = c.node)"""
+    }.mkString(",\n")
+    // x_ppr: the personalized recurrence — restart vector r instead of
+    // the uniform base, dangling mass redistributed to r
+    val pprIters = (1 to 8).map { i =>
+      val p = s"p${i - 1}"
+      s"""dm$i AS (SELECT coalesce(sum(CAST(p.pr AS DECIMAL(28,12))), 0) AS dm
+                   FROM $p p LEFT JOIN deg ON p.node = deg.src WHERE deg.src IS NULL),
+          c$i AS (SELECT e.dst AS node, sum(CAST(round(p.pr / deg.deg, 12) AS DECIMAL(28,12))) AS s
+                  FROM e JOIN $p p ON e.src = p.node JOIN deg ON e.src = deg.src GROUP BY e.dst),
+          p$i AS (SELECT nd.node,
+                    round(nd.r * ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                          + CAST(0.85 AS DOUBLE) * CAST(d.dm AS DOUBLE))
+                      + CAST(0.85 AS DOUBLE) * coalesce(CAST(c.s AS DOUBLE), 0), 12) AS pr
+                  FROM nodesr nd CROSS JOIN dm$i d LEFT JOIN c$i c ON nd.node = c.node)"""
     }.mkString(",\n")
     // x_rp_project / x_rp_distortion: the SAME sign matrix the native
     // expression uses, rendered as 16 literal 64-element ±1 lists; each
@@ -8665,6 +8882,176 @@ object SparkEntry {
             SELECT count(*) AS n_cells,
                    CAST(round(sum(CAST(term AS DECIMAL(28,6))), 4) AS DOUBLE) AS mi_nats
             FROM t""",
+      // PSI: Laplace-smoothed half-month mixes, floor-6 terms, decimal sum
+      "x_psi" ->
+        s"""WITH e AS (SELECT CASE WHEN $dayE <= '2024-01-15' THEN 'base' ELSE 'tgt' END AS half,
+                              event_type FROM events),
+                 c AS (SELECT half, event_type, count(*) AS c FROM e GROUP BY 1, 2),
+                 g AS (SELECT DISTINCT event_type FROM c),
+                 h AS (SELECT DISTINCT half FROM c),
+                 f AS (SELECT h.half, g.event_type, coalesce(c.c, 0) AS c
+                       FROM g CROSS JOIN h LEFT JOIN c ON c.half = h.half AND c.event_type = g.event_type),
+                 n AS (SELECT half, CAST(sum(c) AS BIGINT) AS n, count(*) AS k FROM f GROUP BY 1),
+                 p AS (SELECT f.half, f.event_type,
+                         CAST(c + 1 AS DOUBLE) / CAST(n.n + n.k AS DOUBLE) AS p
+                       FROM f JOIN n ON f.half = n.half),
+                 b AS (SELECT event_type, p AS pb FROM p WHERE half = 'base'),
+                 t2 AS (SELECT event_type, p AS pt FROM p WHERE half = 'tgt'),
+                 t AS (SELECT floor((pt - pb) * ln(pt / pb) * 1e6 + 0.5) / 1e6 AS term
+                       FROM b JOIN t2 USING (event_type)),
+                 s AS (SELECT count(*) AS n_types,
+                         CAST(round(sum(CAST(term AS DECIMAL(28,6))), 4) AS DOUBLE) AS psi
+                       FROM t)
+            SELECT n_types, psi, psi >= 0.2 AS drifted FROM s""",
+      // chi-square independence: zero-completed grid, floor-6 terms
+      "x_chi2_independence" ->
+        s"""WITH e AS (SELECT event_type, dayofweek(CAST($dayE AS DATE)) + 1 AS dow FROM events),
+                 j AS (SELECT event_type, dow, count(*) AS c FROM e GROUP BY 1, 2),
+                 gt AS (SELECT DISTINCT event_type FROM j),
+                 gd AS (SELECT DISTINCT dow FROM j),
+                 f AS (SELECT gt.event_type, gd.dow, coalesce(j.c, 0) AS c
+                       FROM gt CROSS JOIN gd LEFT JOIN j ON j.event_type = gt.event_type AND j.dow = gd.dow),
+                 mx AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS rt FROM f GROUP BY 1),
+                 my AS (SELECT dow, CAST(sum(c) AS BIGINT) AS ct FROM f GROUP BY 1),
+                 n AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                         count(DISTINCT event_type) AS r, count(DISTINCT dow) AS cc FROM f),
+                 t AS (SELECT floor((CAST(c AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * (CAST(c AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * 1e6 + 0.5) / 1e6 AS term, r, cc
+                       FROM f JOIN mx USING (event_type) JOIN my USING (dow) CROSS JOIN n)
+            SELECT count(*) AS n_cells,
+                   CAST(round(sum(CAST(term AS DECIMAL(28,6))), 4) AS DOUBLE) AS chi2,
+                   (r - 1) * (cc - 1) AS dof
+            FROM t GROUP BY r, cc""",
+      // ROUGE: clipped n-gram overlap vs the 60%-prefix candidate,
+      // bigrams built exactly like the WordNgrams kernel (short docs
+      // yield the whole text as one gram)
+      "x_rouge" ->
+        s"""WITH d AS (SELECT doc_id, $toksE AS ref FROM documents WHERE doc_id % 10 = 0),
+                 dc AS (SELECT doc_id, ref,
+                          ref[1:CAST(ceil(len(ref) * 0.6) AS INT)] AS cand FROM d),
+                 r1 AS (SELECT doc_id, unnest(ref) AS g FROM dc),
+                 c1 AS (SELECT doc_id, unnest(cand) AS g FROM dc),
+                 r1c AS (SELECT doc_id, g, count(*) AS cr FROM r1 GROUP BY 1, 2),
+                 c1c AS (SELECT doc_id, g, count(*) AS cc FROM c1 GROUP BY 1, 2),
+                 o1 AS (SELECT r.doc_id,
+                          CAST(sum(least(cr, coalesce(cc, 0))) AS BIGINT) AS ov,
+                          CAST(sum(cr) AS BIGINT) AS nr
+                        FROM r1c r LEFT JOIN c1c c ON r.doc_id = c.doc_id AND r.g = c.g GROUP BY 1),
+                 n1 AS (SELECT doc_id, CAST(sum(cc) AS BIGINT) AS nc FROM c1c GROUP BY 1),
+                 m1 AS (SELECT o1.doc_id,
+                          floor(CAST(ov AS DOUBLE) / CAST(nc AS DOUBLE) * 1e4 + 0.5) / 1e4 AS r1_p,
+                          floor(CAST(ov AS DOUBLE) / CAST(nr AS DOUBLE) * 1e4 + 0.5) / 1e4 AS r1_r,
+                          floor(CASE WHEN ov > 0
+                            THEN 2.0 * (CAST(ov AS DOUBLE) / CAST(nc AS DOUBLE)) * (CAST(ov AS DOUBLE) / CAST(nr AS DOUBLE))
+                                 / (CAST(ov AS DOUBLE) / CAST(nc AS DOUBLE) + CAST(ov AS DOUBLE) / CAST(nr AS DOUBLE))
+                            ELSE 0.0 END * 1e4 + 0.5) / 1e4 AS r1_f
+                        FROM o1 JOIN n1 USING (doc_id)),
+                 r2 AS (SELECT doc_id, unnest(CASE WHEN len(ref) < 2 THEN [array_to_string(ref, ' ')]
+                          ELSE list_transform(generate_series(1, len(ref) - 1), i -> array_to_string(ref[i:i+1], ' ')) END) AS g FROM dc),
+                 c2 AS (SELECT doc_id, unnest(CASE WHEN len(cand) < 2 THEN [array_to_string(cand, ' ')]
+                          ELSE list_transform(generate_series(1, len(cand) - 1), i -> array_to_string(cand[i:i+1], ' ')) END) AS g FROM dc),
+                 r2c AS (SELECT doc_id, g, count(*) AS cr FROM r2 GROUP BY 1, 2),
+                 c2c AS (SELECT doc_id, g, count(*) AS cc FROM c2 GROUP BY 1, 2),
+                 o2 AS (SELECT r.doc_id,
+                          CAST(sum(least(cr, coalesce(cc, 0))) AS BIGINT) AS ov,
+                          CAST(sum(cr) AS BIGINT) AS nr
+                        FROM r2c r LEFT JOIN c2c c ON r.doc_id = c.doc_id AND r.g = c.g GROUP BY 1),
+                 n2 AS (SELECT doc_id, CAST(sum(cc) AS BIGINT) AS nc FROM c2c GROUP BY 1),
+                 m2 AS (SELECT o2.doc_id,
+                          floor(CAST(ov AS DOUBLE) / CAST(nc AS DOUBLE) * 1e4 + 0.5) / 1e4 AS r2_p,
+                          floor(CAST(ov AS DOUBLE) / CAST(nr AS DOUBLE) * 1e4 + 0.5) / 1e4 AS r2_r,
+                          floor(CASE WHEN ov > 0
+                            THEN 2.0 * (CAST(ov AS DOUBLE) / CAST(nc AS DOUBLE)) * (CAST(ov AS DOUBLE) / CAST(nr AS DOUBLE))
+                                 / (CAST(ov AS DOUBLE) / CAST(nc AS DOUBLE) + CAST(ov AS DOUBLE) / CAST(nr AS DOUBLE))
+                            ELSE 0.0 END * 1e4 + 0.5) / 1e4 AS r2_f
+                        FROM o2 JOIN n2 USING (doc_id))
+            SELECT m1.doc_id, r1_p, r1_r, r1_f, r2_p, r2_r, r2_f
+            FROM m1 JOIN m2 USING (doc_id) ORDER BY m1.doc_id""",
+      // t-closeness: integer-lattice EMD (HUGEINT, mirroring the Spark
+      // DECIMAL(38,0)), one double division per class
+      "x_tclose" ->
+        """WITH c AS (SELECT c_nationkey, c_mktsegment,
+                        CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_bucket FROM customer),
+                cls AS (SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS cv FROM c GROUP BY 1, 2, 3),
+                gl AS (SELECT bal_bucket, count(*) AS gv FROM c GROUP BY 1),
+                nt AS (SELECT count(*) AS n, count(DISTINCT bal_bucket) AS m FROM c),
+                ncls AS (SELECT c_nationkey, c_mktsegment, CAST(sum(cv) AS BIGINT) AS nc FROM cls GROUP BY 1, 2),
+                f AS (SELECT gr.c_nationkey, gr.c_mktsegment, gr.nc, gr.bal_bucket, gr.gv,
+                        coalesce(cl.cv, 0) AS cv
+                      FROM (SELECT x.c_nationkey, x.c_mktsegment, x.nc, g.bal_bucket, g.gv
+                            FROM ncls x CROSS JOIN gl g) gr
+                      LEFT JOIN cls cl ON gr.c_nationkey = cl.c_nationkey
+                        AND gr.c_mktsegment = cl.c_mktsegment AND gr.bal_bucket = cl.bal_bucket),
+                cum AS (SELECT c_nationkey, c_mktsegment, nc,
+                          sum(CAST(cv AS HUGEINT) * n - CAST(gv AS HUGEINT) * nc)
+                            OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY bal_bucket
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                        FROM f CROSS JOIN nt),
+                agg AS (SELECT c_nationkey, c_mktsegment, nc AS group_size,
+                          sum(abs(cum)) AS abscum
+                        FROM cum GROUP BY 1, 2, 3),
+                emd AS (SELECT c_nationkey, c_mktsegment, group_size,
+                          floor(CAST(abscum AS DOUBLE)
+                            / (CAST(group_size AS DOUBLE) * CAST(n AS DOUBLE) * CAST(m - 1 AS DOUBLE))
+                            * 1e6 + 0.5) / 1e6 AS t_emd
+                        FROM agg CROSS JOIN nt)
+           SELECT c_nationkey, c_mktsegment, group_size, t_emd, t_emd <= 0.25 AS is_t_close
+           FROM emd ORDER BY c_nationkey, c_mktsegment""",
+      // ACF: zero-completed type×day grid, floor-6 deviation products,
+      // decimal sums, lag join on (type, day + lag)
+      "x_acf" ->
+        s"""WITH d AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                 days AS (SELECT DISTINCT day FROM d),
+                 types AS (SELECT DISTINCT event_type FROM d),
+                 f AS (SELECT t.event_type, dy.day, coalesce(d.c, 0) AS c
+                       FROM types t CROSS JOIN days dy
+                       LEFT JOIN d ON d.event_type = t.event_type AND d.day = dy.day),
+                 mu AS (SELECT event_type, CAST(sum(c) AS DOUBLE) / count(*) AS mu FROM f GROUP BY 1),
+                 x AS (SELECT f.event_type, CAST(f.day AS DATE) AS d, CAST(c AS DOUBLE) - mu AS dev
+                       FROM f JOIN mu USING (event_type)),
+                 den AS (SELECT event_type,
+                           sum(CAST(floor(dev * dev * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS den
+                         FROM x GROUP BY 1),
+                 num AS (SELECT a.event_type, l.lag,
+                           sum(CAST(floor(a.dev * b.dev * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS num
+                         FROM x a CROSS JOIN (VALUES (1), (2), (3), (7)) AS l(lag)
+                         JOIN x b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+                         GROUP BY 1, 2)
+            SELECT n.event_type, n.lag,
+                   floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e4 + 0.5) / 1e4 AS acf
+            FROM num n JOIN den USING (event_type) ORDER BY event_type, lag""",
+      // personalized PageRank: 8 unrolled stages of the restart recurrence
+      "x_ppr" ->
+        s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+                 nn AS (SELECT count(*) AS n FROM nodes),
+                 e AS (SELECT node AS src, (node * m + m) % nn.n AS dst
+                       FROM nodes CROSS JOIN nn CROSS JOIN (VALUES (2), (3), (5)) AS mm(m)
+                       WHERE node % 10 <> 9),
+                 deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+                 sn AS (SELECT count(*) AS s FROM nodes WHERE node % 50 = 0),
+                 nodesr AS (SELECT node,
+                              CASE WHEN node % 50 = 0
+                                THEN CAST(1.0 AS DOUBLE) / CAST(s AS DOUBLE)
+                                ELSE CAST(0.0 AS DOUBLE) END AS r
+                            FROM nodes CROSS JOIN sn),
+                 p0 AS (SELECT node, round(r, 12) AS pr FROM nodesr),
+                 $pprIters
+            SELECT node AS doc_id, pr AS ppr FROM p8 ORDER BY doc_id""",
+      // Theil-Sen: day-pair slope grid, lower-median rank pick
+      "x_theilsen" ->
+        s"""WITH v AS (SELECT $dayE AS day, count(*) AS c FROM events GROUP BY 1),
+                 d0 AS (SELECT min(CAST(day AS DATE)) AS d0 FROM v),
+                 idx AS (SELECT datediff('day', d0.d0, CAST(day AS DATE)) AS t, c
+                         FROM v CROSS JOIN d0),
+                 p AS (SELECT a.t AS t1, b.t AS t2,
+                         CAST(b.c - a.c AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+                       FROM idx a JOIN idx b ON a.t < b.t),
+                 m AS (SELECT count(*) AS n_pairs FROM p),
+                 r AS (SELECT slope, row_number() OVER (ORDER BY slope, t1, t2) AS rk FROM p)
+            SELECT n_pairs, floor(slope * 1e6 + 0.5) / 1e6 AS slope_per_day, slope > 0.0 AS rising
+            FROM r CROSS JOIN m WHERE rk = (n_pairs + 1) // 2""",
       // Benford: integer-cents first digit, ln-ratio expectation
       "x_benford" ->
         """WITH o AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d

@@ -72,6 +72,59 @@ object LinkRank {
     pr
   }
 
+  /** Personalized PageRank — random walk with restart to a SEED set (the
+    * crawl-curation form: "rank pages by proximity to a trusted seed
+    * list", TrustRank-style). Same loop shape, lineage discipline, and
+    * decimal-sum determinism as [[pageRank]]; the only changes are the
+    * restart vector r (1/|seeds| on seeds, 0 elsewhere, riding the node
+    * table as a column) and the dangling mass redistributing to the
+    * RESTART distribution instead of uniformly:
+    *   pr'(i) = round(r(i)·((1−d) + d·dm) + d·Σ_in pr/deg, 12).
+    * Per iteration: one rank-vector shuffle to the edges' partitioning +
+    * one aggregation shuffle — edges never re-shuffle.
+    * Output: node, pr (rounded 12).
+    */
+  def personalizedPageRank(
+      nodes: DataFrame, nodeCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val sd = seeds.select(col(seedCol).as("node")).distinct().localCheckpoint()
+    val nSeeds = sd.count()
+    require(nSeeds >= 1, "seed set must be non-empty")
+    val e = graft.sources.Tables.spread(edges)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    // restart weight rides the node table: 1/|S| on seeds, 0 elsewhere
+    val ns = graft.sources.Tables.spread(nodes).select(col(nodeCol).as("node"))
+      .join(sd.withColumn("__seed", lit(1)), Seq("node"), "left")
+      .withColumn("r",
+        when(col("__seed").isNotNull, lit(1.0) / lit(nSeeds.toDouble)).otherwise(lit(0.0)))
+      .select("node", "r").localCheckpoint()
+    var pr = ns.withColumn("pr", round(col("r"), 12)).select("node", "pr")
+    for (_ <- 1 to iterations) {
+      val dm = pr.join(deg, pr("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr").cast("decimal(28,12)")),
+          lit(0).cast("decimal(28,12)")).as("dm"))
+      val contrib = e.join(pr, e("src") === pr("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          round(col("pr") / col("deg"), 12).cast("decimal(28,12)").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      pr = ns
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dm))
+        .withColumn("pr",
+          round(col("r") * ((lit(1.0) - lit(damping)) + lit(damping) * col("dm").cast("double"))
+            + lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12))
+        .select("node", "pr")
+        .localCheckpoint(eager = true)
+    }
+    pr
+  }
+
   /** Per-node triangle participation counts over an undirected view of
     * `edges` — the link-graph cohesion metric behind spam-farm and
     * boilerplate-ring detection in crawl curation (a page whose neighbors
@@ -115,19 +168,23 @@ object LinkRank {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src")).localCheckpoint()
     val eDst = eSrc.repartition(col("dst")).localCheckpoint()
-    // One normalize = round-12 of raw/total with absent nodes at 0. The
-    // total rides a broadcast subquery INSIDE the consuming plan (no
-    // standalone scalar job), so a full HITS iteration — authority
-    // normalize fused lazily into the hub update — materializes ONCE:
-    // only the hub vector is localCheckpoint'ed to cut lineage, and
-    // exchange reuse lets the raw-score shuffle compute a single time.
-    // The arithmetic (round-12 per normalize, decimal raw sums) is
-    // unchanged, so the unrolled-CTE oracle still matches bit-for-bit.
+    // One normalize = round-12 of raw/total. The total rides a broadcast
+    // subquery INSIDE the consuming plan (no standalone scalar job), so a
+    // full HITS iteration — authority normalize fused lazily into the hub
+    // update — materializes ONCE: only the hub vector is
+    // localCheckpoint'ed to cut lineage, and exchange reuse lets the
+    // raw-score shuffle compute a single time. The loop runs on SPARSE
+    // score vectors (a zero-score node contributes nothing to any in/out
+    // sum or total, so dropping it is arithmetically identical to
+    // carrying its 0.0 — the dense completion happens once, at the end),
+    // which removes two node-table joins per iteration. Round-12 per
+    // normalize and decimal raw sums are unchanged, so the unrolled-CTE
+    // oracle still matches bit-for-bit.
     def normalize(raw: DataFrame): DataFrame = {
       val tot = raw.agg(sum(col("raw")).as("t"))
-      ns.join(raw, Seq("node"), "left").crossJoin(broadcast(tot))
+      raw.crossJoin(broadcast(tot))
         .select(col("node"),
-          round(coalesce(col("raw").cast("double"), lit(0.0)) / col("t").cast("double"), 12).as("s"))
+          round(col("raw").cast("double") / col("t").cast("double"), 12).as("s"))
     }
     var h = ns.select(col("node"), round(lit(1.0) / lit(n.toDouble), 12).as("s"))
       .localCheckpoint()
@@ -143,10 +200,13 @@ object LinkRank {
         .localCheckpoint() // the ONE lineage cut per iteration
       i += 1
     }
-    // the final authority vector is one normalize deep off the previous
-    // hub checkpoint — cut it once so the output join reads stored rows
-    ns.join(h.select(col("node"), col("s").as("hub")), "node")
-      .join(a.localCheckpoint().select(col("node"), col("s").as("authority")), "node")
+    // dense completion, once: every node appears with 0.0 where it never
+    // earned hub/authority mass — the value the dense loop would carry
+    ns.join(h.select(col("node"), col("s").as("hub")), Seq("node"), "left")
+      .join(a.localCheckpoint().select(col("node"), col("s").as("authority")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("authority"), lit(0.0)).as("authority"))
   }
 
   /** Synchronous label propagation (Raghavan 2007) for community

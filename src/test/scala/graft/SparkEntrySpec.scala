@@ -42,8 +42,10 @@ class SparkEntrySpec extends AnyFunSuite {
     //     bounded by max activity, not corpus rows).
     //   x_gini — Lorenz prefix sums over the DOLLAR-BINNED histogram
     //     (value grid, not users).
+    //   x_theilsen — median rank over the day-PAIR grid (calendar², not
+    //     corpus rows).
     val boundedInputWhitelist =
-      Set("w2_moving_avg", "x_quantile_norm", "x_ks_test", "x_mannwhitney", "x_gini")
+      Set("w2_moving_avg", "x_quantile_norm", "x_ks_test", "x_mannwhitney", "x_gini", "x_theilsen")
     import org.apache.spark.sql.catalyst.plans.logical
     // A global window whose input is DOMINATED by a LIMIT is bounded by
     // construction (e.g. x_bm25_search round-robins the top-20 df terms
