@@ -5134,6 +5134,231 @@ object SparkEntry {
       metrics(rougeN(1), "r1").join(metrics(rougeN(2), "r2"), Seq("doc_id")).orderBy("doc_id")
     }),
 
+    // MMR diversified reranking (Carbonell–Goldstein maximal marginal
+    // relevance) — the retrieval post-processor between search and a RAG
+    // context window: greedily pick 5 of the cosine top-20, each step
+    // maximizing λ·rel − (1−λ)·max-sim-to-already-picked (λ=0.7, the 0.3
+    // complement a LITERAL in both engines — 1.0−0.7 is a different
+    // double than 0.3). Candidate sets are k-bounded, so the 4 unrolled
+    // greedy stages are metadata-sized joins, all partitioned by query;
+    // the oracle replays the identical stages as unrolled CTEs.
+    "x_mmr_rerank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val cand = Similarity.bruteTopK(e, q, "vec_id", "embedding", 20)
+      val cv = cand.join(
+        e.select(col("vec_id").as("neighbor_id"), col("embedding").as("v")), "neighbor_id")
+      val sims = cv.select(col("query_id"), col("neighbor_id").as("ca"), col("v").as("va"))
+        .join(cv.select(col("query_id").as("q2"), col("neighbor_id").as("cb"), col("v").as("vb")),
+          col("query_id") === col("q2") && col("ca") =!= col("cb"))
+        .select(col("query_id"), col("ca"), col("cb"),
+          graft.functions.VectorFunctions.cosine(col("va"), col("vb")).as("sim"))
+        .localCheckpoint() // 4 greedy stages reuse it; |q|·20·19 rows
+      var sel = cand.filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("sel_id"), lit(1).as("pick"))
+      var rem = cand.filter(col("rank") =!= 1)
+        .select(col("query_id"), col("neighbor_id"), col("score").as("rel"))
+      for (t <- 2 to 5) {
+        // name-based joins throughout (the sims frame re-enters through
+        // sel's lineage; qualified df("col") refs trip the ambiguous-
+        // self-join check). Picks are ≤|q| rows — localCheckpoint each so
+        // sel/rem never carry sims lineage into the next stage.
+        val simsToSel = sims
+          .join(sel.select(col("query_id"), col("sel_id").as("cb")), Seq("query_id", "cb"))
+          .groupBy(col("query_id"), col("ca").as("neighbor_id"))
+          .agg(max(col("sim")).as("msim"))
+        val scored = rem.join(simsToSel, Seq("query_id", "neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (floor((lit(0.7) * col("rel") - lit(0.3) * col("msim")) * lit(1e6) + lit(0.5))
+              / lit(1e6)).as("mmr"))
+        val pick = scored.withColumn("rk", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("mmr").desc, col("neighbor_id"))))
+          .filter(col("rk") === 1)
+          .select(col("query_id"), col("neighbor_id").as("sel_id"), lit(t).as("pick"))
+          .localCheckpoint()
+        sel = sel.unionByName(pick)
+        rem = rem.join(pick.select(col("query_id"), col("sel_id").as("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+      }
+      sel.select(col("query_id"), col("pick"), col("sel_id").as("doc_id"))
+        .orderBy("query_id", "pick")
+    }),
+
+    // Corpus-level BLEU-2 (x_rouge's generation-eval sibling, precision
+    // side): candidate = 60%-prefix, reference = full doc; modified n-gram
+    // precision = Σ min(cand_count, ref_count) / Σ cand_count over the
+    // corpus, brevity penalty exp(1 − r/c). Each precision is a ratio of
+    // two exact integer sums (two (doc, gram) count shuffles per n — never
+    // pairwise grams); sqrt is IEEE-exact, exp is the single libm term
+    // (same discipline as x_psi/x_mutual_info's ln).
+    "x_bleu" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), TF.tokens(col("text")).as("ref"))
+        .withColumn("cand",
+          slice(col("ref"), lit(1), ceil(size(col("ref")).cast("double") * lit(0.6)).cast("int")))
+      def prec(n: Int): DataFrame = {
+        def grams(c: Column): Column =
+          if (n == 1) c else graft.functions.WordNgrams.wordNgrams(c, n)
+        val r = d.select(col("doc_id"), explode(grams(col("ref"))).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("cr"))
+        val c = d.select(col("doc_id"), explode(grams(col("cand"))).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("cc"))
+        c.join(r, Seq("doc_id", "g"), "left")
+          .agg(sum(least(col("cc"), coalesce(col("cr"), lit(0L)))).as(s"ov$n"),
+            sum(col("cc")).as(s"tot$n"))
+      }
+      def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val lens = d.agg(sum(size(col("cand"))).as("c_len"), sum(size(col("ref"))).as("r_len"))
+      val p1 = col("ov1").cast("double") / col("tot1").cast("double")
+      val p2 = col("ov2").cast("double") / col("tot2").cast("double")
+      val bp = when(col("c_len") >= col("r_len"), lit(1.0))
+        .otherwise(exp(lit(1.0) - col("r_len").cast("double") / col("c_len").cast("double")))
+      prec(1).crossJoin(prec(2)).crossJoin(lens)
+        .select(col("c_len"), col("r_len"), f6(p1).as("p1"), f6(p2).as("p2"),
+          f6(bp).as("bp"), f6(bp * sqrt(p1 * p2)).as("bleu2"))
+    }),
+
+    // Cohen's kappa — inter-annotator agreement, the labeling-QA metric
+    // of any human/model annotation pipeline: two deterministic rule
+    // "annotators" bucket each doc into short/mid/long (A by chars, B by
+    // tokens), kappa = (p_o − p_e)/(1 − p_e) from the 3×3 confusion
+    // table. One grid-sized shuffle; every probability is a ratio of
+    // exact integer sums.
+    "x_cohen_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        when(col("n_chars") < 220, "short").when(col("n_chars") < 380, "mid")
+          .otherwise("long").as("a"),
+        when(size(TF.tokens(col("text"))) < 40, "short")
+          .when(size(TF.tokens(col("text"))) < 70, "mid").otherwise("long").as("b"))
+      val cell = d.groupBy("a", "b").agg(count(lit(1)).as("c"))
+      val n = cell.agg(sum(col("c")).as("n"))
+      val diag = cell.filter(col("a") === col("b")).agg(sum(col("c")).as("agree"))
+      val ra = cell.groupBy("a").agg(sum(col("c")).as("ca"))
+      val cb = cell.groupBy("b").agg(sum(col("c")).as("cb"))
+      val cross = ra.join(cb, col("a") === col("b"))
+        .agg(sum(col("ca") * col("cb")).as("cross"))
+      def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val po = col("agree").cast("double") / col("n").cast("double")
+      val pe = col("cross").cast("double") / (col("n") * col("n")).cast("double")
+      n.crossJoin(diag).crossJoin(cross)
+        .select(col("n"), f6(po).as("po"), f6(pe).as("pe"),
+          f6((po - pe) / (lit(1.0) - pe)).as("kappa"))
+    }),
+
+    // Calibration / reliability diagram — the model-eval companion to
+    // x_shrunk_ctr: train per-(nation, segment) urgent-order rates on
+    // even order keys, score odd keys, bin predicted probability into
+    // deciles, per-bin confidence vs accuracy and |gap|. Train/test are
+    // each one groupBy; the 125-cell rate table is broadcast. conf_b
+    // follows the floor-6-term + decimal-sum discipline (a double mean
+    // over rationals would be partition-order-dependent).
+    "x_calibration" -> ((s, dir) => {
+      val o = t(s, dir, "orders").join(
+        t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey"), col("c_mktsegment")), "o_custkey")
+        .select(col("o_orderkey"), col("c_nationkey"), col("c_mktsegment"),
+          (col("o_orderpriority") === "1-URGENT").cast("long").as("y"))
+      val rates = o.filter(col("o_orderkey") % 2 === 0)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum(col("y")).as("u"), count(lit(1)).as("tot"))
+      def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val p = col("u").cast("double") / col("tot").cast("double")
+      val test = o.filter(col("o_orderkey") % 2 === 1)
+        .join(broadcast(rates), Seq("c_nationkey", "c_mktsegment"))
+        .select(col("y"), f6(p).as("p"),
+          least(floor(p * lit(10.0)), lit(9.0)).cast("int").as("bin"))
+      test.groupBy("bin").agg(
+          count(lit(1)).as("n_b"),
+          (sum(col("p").cast("decimal(28,6)")).cast("double") / count(lit(1))).as("conf_raw"),
+          sum(col("y")).as("hits"))
+        .select(col("bin"), col("n_b"), f6(col("conf_raw")).as("conf"),
+          f6(col("hits").cast("double") / col("n_b").cast("double")).as("acc"),
+          f6(abs(col("conf_raw") - col("hits").cast("double") / col("n_b").cast("double"))).as("gap"))
+        .orderBy("bin")
+    }),
+
+    // Split-conformal prediction interval — distribution-free coverage
+    // for a per-type mean-value predictor (Vovk; the eval harness any
+    // score-thresholding pipeline needs): calibration half (even users)
+    // yields q̂ = the ⌈0.9(n+1)⌉-th smallest |value − pred|; test half
+    // coverage is the fraction within q̂. The order statistic is one
+    // per-type ranked window (k-bounded pick, never a global sort);
+    // predictions are exact-decimal means cast to double once.
+    "x_conformal" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("event_type"), col("user_id"),
+        col("event_id"), col("value"))
+      val cal = ev.filter(col("user_id") % 2 === 0)
+      val pred = cal.groupBy("event_type")
+        .agg((dsum(col("value")) / count(lit(1))).as("pred"), count(lit(1)).as("n_cal"))
+      val diffs = cal.join(broadcast(pred), "event_type")
+        .select(col("event_type"), col("event_id"), col("n_cal"),
+          abs(col("value") - col("pred")).as("d"))
+      val k = least(ceil(lit(0.9) * (col("n_cal") + 1).cast("double")).cast("long"), col("n_cal"))
+      val qhat = diffs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("d"), col("event_id"))))
+        .filter(col("rk") === k)
+        .select(col("event_type"), col("n_cal"), col("d").as("qhat"))
+      def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      ev.filter(col("user_id") % 2 === 1).join(broadcast(qhat), "event_type")
+        .join(broadcast(pred.select(col("event_type"), col("pred"))), "event_type")
+        .groupBy(col("event_type"), col("n_cal"), col("qhat"))
+        .agg(count(lit(1)).as("n_test"),
+          sum((abs(col("value") - col("pred")) <= col("qhat")).cast("long")).as("covered"))
+        .select(col("event_type"), col("n_cal"), f6(col("qhat")).as("qhat"),
+          col("n_test"), col("covered"),
+          f6(col("covered").cast("double") / col("n_test").cast("double")).as("coverage"))
+        .orderBy("event_type")
+    }),
+
+    // Bradley–Terry pairwise-preference strengths (Hunter 2004 MM) — the
+    // model behind preference-pair ranking (chat arenas, RLHF reward-data
+    // QA): event types "compete" daily (higher count wins), 6 MM rounds of
+    //   p_i ← W_i / Σ_j n_ij/(p_i+p_j),  then ‖p‖₁-normalize.
+    // The item domain is bounded, so the wins matrix is one
+    // (day, type)-grid shuffle and every MM round is metadata-sized;
+    // per-term round-12 + DECIMAL sums keep both engines bit-identical
+    // (the pagerank discipline). Oracle = 6 unrolled CTE stages.
+    "x_bradley_terry" -> ((s, dir) => {
+      val dc = events(s, dir).groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val wdf = dc.select(col("day"), col("event_type").as("i"), col("c").as("ci"))
+        .join(dc.select(col("day"), col("event_type").as("j"), col("c").as("cj")), Seq("day"))
+        .filter(col("i") =!= col("j"))
+        .groupBy("i", "j").agg(sum((col("ci") > col("cj")).cast("long")).as("w"))
+      val nm = wdf
+        .join(wdf.select(col("j").as("i"), col("i").as("j"), col("w").as("wt")),
+          Seq("i", "j"), "left")
+        .select(col("i"), col("j"), col("w"),
+          (col("w") + coalesce(col("wt"), lit(0L))).as("n"))
+        .localCheckpoint()
+      val bigw = nm.groupBy("i").agg(sum(col("w")).as("tw"))
+      val kdf = dc.agg(count_distinct(col("event_type")).as("k"))
+      var p = dc.select(col("event_type").as("i")).distinct().crossJoin(broadcast(kdf))
+        .select(col("i"), round(lit(1.0) / col("k").cast("double"), 12).as("pr"))
+        .localCheckpoint()
+      for (_ <- 1 to 6) {
+        val denom = nm
+          .join(p.select(col("i"), col("pr").as("pi")), Seq("i"))
+          .join(p.select(col("i").as("j"), col("pr").as("pj")), Seq("j"))
+          .groupBy("i")
+          .agg(sum(round(col("n").cast("double") / (col("pi") + col("pj")), 12)
+            .cast("decimal(28,12)")).as("den"))
+        val praw = bigw.join(denom, Seq("i"))
+          .select(col("i"),
+            round(col("tw").cast("double") / col("den").cast("double"), 12).as("praw"))
+        val ssum = praw.agg(sum(col("praw").cast("decimal(28,12)")).as("s"))
+        p = praw.crossJoin(broadcast(ssum))
+          .select(col("i"), round(col("praw") / col("s").cast("double"), 12).as("pr"))
+          .localCheckpoint()
+      }
+      p.join(bigw, Seq("i"))
+        .select(col("i").as("event_type"), col("tw").as("wins"), col("pr").as("strength"))
+        .orderBy("event_type")
+    }),
+
     // t-closeness — the third rung of the privacy ladder (x_k_anonymity,
     // x_l_diversity): per equivalence class, ordered earth-mover distance
     // between the class's sensitive-value (balance-bucket) distribution
@@ -5716,6 +5941,38 @@ object SparkEntry {
                           + CAST(0.85 AS DOUBLE) * CAST(d.dm AS DOUBLE))
                       + CAST(0.85 AS DOUBLE) * coalesce(CAST(c.s AS DOUBLE), 0), 12) AS pr
                   FROM nodesr nd CROSS JOIN dm$i d LEFT JOIN c$i c ON nd.node = c.node)"""
+    }.mkString(",\n")
+    // x_mmr_rerank: greedy stages 2..5 — max-sim-to-selected, the floor-6
+    // MMR rank pick, selection/remainder carry-forward
+    val mmrStages = (2 to 5).map { i =>
+      val p = i - 1
+      s"""ms$i AS (SELECT r.query_id, r.neighbor_id, r.rel, max(s.sim) AS msim
+                   FROM rem$p r JOIN sel$p x ON r.query_id = x.query_id
+                   JOIN msims s ON s.query_id = r.query_id AND s.ca = r.neighbor_id AND s.cb = x.sel_id
+                   GROUP BY 1, 2, 3),
+          pk$i AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY floor((0.7 * rel - 0.3 * msim) * 1e6 + 0.5) / 1e6 DESC, neighbor_id) AS rk
+                   FROM ms$i),
+          sel$i AS (SELECT * FROM sel$p UNION ALL
+                    SELECT query_id, neighbor_id AS sel_id, $i AS pick FROM pk$i WHERE rk = 1),
+          rem$i AS (SELECT r.* FROM rem$p r
+                    LEFT JOIN (SELECT query_id, neighbor_id FROM pk$i WHERE rk = 1) x
+                      ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id
+                    WHERE x.query_id IS NULL)"""
+    }.mkString(",\n")
+    // x_bradley_terry: 6 unrolled MM stages — per-term round-12 n/(p_i+p_j)
+    // DECIMAL-summed, W/den round-12, then the L1 normalize
+    val btIters = (1 to 6).map { i =>
+      val p = s"bp${i - 1}"
+      s"""den$i AS MATERIALIZED (SELECT nm.i,
+                      sum(CAST(round(CAST(nm.n AS DOUBLE) / (pi.pr + pj.pr), 12) AS DECIMAL(28,12))) AS den
+                    FROM nm JOIN $p pi ON nm.i = pi.i JOIN $p pj ON nm.j = pj.i
+                    GROUP BY nm.i),
+          praw$i AS MATERIALIZED (SELECT bw.i, round(CAST(bw.tw AS DOUBLE) / CAST(d.den AS DOUBLE), 12) AS praw
+                     FROM bigw bw JOIN den$i d ON bw.i = d.i),
+          ssum$i AS (SELECT CAST(sum(CAST(praw AS DECIMAL(28,12))) AS DOUBLE) AS s FROM praw$i),
+          bp$i AS MATERIALIZED (SELECT i, round(praw / s, 12) AS pr FROM praw$i CROSS JOIN ssum$i)"""
     }.mkString(",\n")
     // x_rp_project / x_rp_distortion: the SAME sign matrix the native
     // expression uses, rendered as 16 literal 64-element ±1 lists; each
@@ -8969,6 +9226,157 @@ object SparkEntry {
                         FROM o2 JOIN n2 USING (doc_id))
             SELECT m1.doc_id, r1_p, r1_r, r1_f, r2_p, r2_r, r2_f
             FROM m1 JOIN m2 USING (doc_id) ORDER BY m1.doc_id""",
+      // MMR: cosine top-20 candidates (the x_embed_cosine_topk ranking),
+      // then 4 unrolled greedy stages replaying the engine's picks
+      "x_mmr_rerank" ->
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+                 q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
+                 s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_dot_product(q.vq, e.v) /
+                           (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(e.v, e.v))) AS score
+                       FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, neighbor_id) AS rank
+                       FROM s),
+                 cand AS (SELECT query_id, rank, neighbor_id, round(score, 4) AS rel FROM r WHERE rank <= 20),
+                 cv AS (SELECT c.query_id, c.neighbor_id, e.v FROM cand c JOIN e ON c.neighbor_id = e.vec_id),
+                 msims AS (SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+                             list_dot_product(a.v, b.v) /
+                               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+                           FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+                 sel1 AS (SELECT query_id, neighbor_id AS sel_id, 1 AS pick FROM cand WHERE rank = 1),
+                 rem1 AS (SELECT query_id, neighbor_id, rel FROM cand WHERE rank <> 1),
+                 $mmrStages
+            SELECT query_id, pick, sel_id AS doc_id FROM sel5 ORDER BY query_id, pick""",
+      // BLEU-2: corpus-level clipped precisions (candidate-side counts
+      // joined against reference counts), brevity penalty from the exact
+      // token-length sums
+      "x_bleu" ->
+        s"""WITH d AS (SELECT doc_id, $toksE AS ref FROM documents WHERE doc_id % 10 = 0),
+                 dc AS (SELECT doc_id, ref,
+                          ref[1:CAST(ceil(len(ref) * 0.6) AS INT)] AS cand FROM d),
+                 r1c AS (SELECT doc_id, g, count(*) AS cr
+                         FROM (SELECT doc_id, unnest(ref) AS g FROM dc) GROUP BY 1, 2),
+                 c1c AS (SELECT doc_id, g, count(*) AS cc
+                         FROM (SELECT doc_id, unnest(cand) AS g FROM dc) GROUP BY 1, 2),
+                 p1 AS (SELECT CAST(sum(least(cc, coalesce(cr, 0))) AS BIGINT) AS ov1,
+                               CAST(sum(cc) AS BIGINT) AS tot1
+                        FROM c1c c LEFT JOIN r1c r ON c.doc_id = r.doc_id AND c.g = r.g),
+                 r2c AS (SELECT doc_id, g, count(*) AS cr
+                         FROM (SELECT doc_id, unnest(CASE WHEN len(ref) < 2 THEN [array_to_string(ref, ' ')]
+                                 ELSE list_transform(generate_series(1, len(ref) - 1), i -> array_to_string(ref[i:i+1], ' ')) END) AS g FROM dc)
+                         GROUP BY 1, 2),
+                 c2c AS (SELECT doc_id, g, count(*) AS cc
+                         FROM (SELECT doc_id, unnest(CASE WHEN len(cand) < 2 THEN [array_to_string(cand, ' ')]
+                                 ELSE list_transform(generate_series(1, len(cand) - 1), i -> array_to_string(cand[i:i+1], ' ')) END) AS g FROM dc)
+                         GROUP BY 1, 2),
+                 p2 AS (SELECT CAST(sum(least(cc, coalesce(cr, 0))) AS BIGINT) AS ov2,
+                               CAST(sum(cc) AS BIGINT) AS tot2
+                        FROM c2c c LEFT JOIN r2c r ON c.doc_id = r.doc_id AND c.g = r.g),
+                 lens AS (SELECT CAST(sum(len(cand)) AS BIGINT) AS c_len,
+                                 CAST(sum(len(ref)) AS BIGINT) AS r_len FROM dc),
+                 z AS (SELECT c_len, r_len,
+                         CAST(ov1 AS DOUBLE) / CAST(tot1 AS DOUBLE) AS rp1,
+                         CAST(ov2 AS DOUBLE) / CAST(tot2 AS DOUBLE) AS rp2,
+                         CASE WHEN c_len >= r_len THEN 1.0
+                              ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END AS rbp
+                       FROM p1 CROSS JOIN p2 CROSS JOIN lens)
+            SELECT c_len, r_len,
+                   floor(rp1 * 1e6 + 0.5) / 1e6 AS p1,
+                   floor(rp2 * 1e6 + 0.5) / 1e6 AS p2,
+                   floor(rbp * 1e6 + 0.5) / 1e6 AS bp,
+                   floor(rbp * sqrt(rp1 * rp2) * 1e6 + 0.5) / 1e6 AS bleu2
+            FROM z""",
+      // Cohen's kappa: 3×3 rule-annotator confusion table, all ratios of
+      // integer sums
+      "x_cohen_kappa" ->
+        s"""WITH d AS (SELECT CASE WHEN n_chars < 220 THEN 'short'
+                                   WHEN n_chars < 380 THEN 'mid' ELSE 'long' END AS a,
+                              CASE WHEN len($toksE) < 40 THEN 'short'
+                                   WHEN len($toksE) < 70 THEN 'mid' ELSE 'long' END AS b
+                       FROM documents),
+                 cell AS (SELECT a, b, count(*) AS c FROM d GROUP BY 1, 2),
+                 n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+                 diag AS (SELECT CAST(sum(c) AS BIGINT) AS agree FROM cell WHERE a = b),
+                 ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cell GROUP BY 1),
+                 cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cell GROUP BY 1),
+                 cr AS (SELECT CAST(sum(ca * cb.cb) AS BIGINT) AS crs
+                        FROM ra JOIN cb ON ra.a = cb.b),
+                 z AS (SELECT n, agree,
+                         CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+                         CAST(crs AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe
+                       FROM n CROSS JOIN diag CROSS JOIN cr)
+            SELECT n, floor(po * 1e6 + 0.5) / 1e6 AS po,
+                   floor(pe * 1e6 + 0.5) / 1e6 AS pe,
+                   floor((po - pe) / (1.0 - pe) * 1e6 + 0.5) / 1e6 AS kappa
+            FROM z""",
+      // Calibration: per-(nation, segment) urgent rates trained on even
+      // order keys, decile reliability diagram on odd keys; conf is the
+      // floor-6-term decimal-sum mean
+      "x_calibration" ->
+        """WITH o AS (SELECT o_orderkey, c_nationkey, c_mktsegment,
+                             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+                      FROM orders JOIN customer ON o_custkey = c_custkey),
+                rates AS (SELECT c_nationkey, c_mktsegment,
+                                 CAST(sum(y) AS BIGINT) AS u, count(*) AS tot
+                          FROM o WHERE o_orderkey % 2 = 0 GROUP BY 1, 2),
+                test AS (SELECT y,
+                           floor(CAST(u AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p,
+                           CAST(least(floor(CAST(u AS DOUBLE) / CAST(tot AS DOUBLE) * 10.0), 9.0) AS INT) AS bin
+                         FROM o JOIN rates USING (c_nationkey, c_mktsegment)
+                         WHERE o_orderkey % 2 = 1),
+                b AS (SELECT bin, count(*) AS n_b,
+                        CAST(sum(CAST(p AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS conf_raw,
+                        CAST(sum(y) AS BIGINT) AS hits
+                      FROM test GROUP BY 1)
+           SELECT bin, n_b,
+                  floor(conf_raw * 1e6 + 0.5) / 1e6 AS conf,
+                  floor(CAST(hits AS DOUBLE) / CAST(n_b AS DOUBLE) * 1e6 + 0.5) / 1e6 AS acc,
+                  floor(abs(conf_raw - CAST(hits AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS gap
+           FROM b ORDER BY bin""",
+      // Split conformal: q̂ = ⌈0.9(n+1)⌉-th order statistic of calibration
+      // |value − pred|, coverage on the held-out half; comparisons use the
+      // UNROUNDED q̂ exactly as the engine does
+      "x_conformal" ->
+        """WITH ev AS (SELECT event_type, user_id, event_id, value FROM events),
+                pred AS (SELECT event_type,
+                           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS pred,
+                           count(*) AS n_cal
+                         FROM ev WHERE user_id % 2 = 0 GROUP BY 1),
+                diffs AS (SELECT e.event_type, e.event_id, p.n_cal,
+                            abs(e.value - p.pred) AS d,
+                            row_number() OVER (PARTITION BY e.event_type ORDER BY abs(e.value - p.pred), e.event_id) AS rk
+                          FROM ev e JOIN pred p USING (event_type)
+                          WHERE e.user_id % 2 = 0),
+                qh AS (SELECT event_type, n_cal, d AS qhat FROM diffs
+                       WHERE rk = least(CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT), n_cal)),
+                tst AS (SELECT q.event_type, q.n_cal, q.qhat,
+                          count(*) AS n_test,
+                          CAST(sum(CASE WHEN abs(e.value - p.pred) <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS covered
+                        FROM ev e JOIN qh q USING (event_type) JOIN pred p USING (event_type)
+                        WHERE e.user_id % 2 = 1
+                        GROUP BY 1, 2, 3)
+           SELECT event_type, n_cal,
+                  floor(qhat * 1e6 + 0.5) / 1e6 AS qhat,
+                  n_test, covered,
+                  floor(CAST(covered AS DOUBLE) / CAST(n_test AS DOUBLE) * 1e6 + 0.5) / 1e6 AS coverage
+           FROM tst ORDER BY event_type""",
+      // Bradley–Terry: daily-count duels, then the 6 unrolled MM stages
+      "x_bradley_terry" ->
+        s"""WITH dc AS (SELECT $dayE AS day, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+                 wm AS MATERIALIZED (SELECT a.event_type AS i, b.event_type AS j,
+                          CAST(sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT) AS w
+                        FROM dc a JOIN dc b ON a.day = b.day AND a.event_type <> b.event_type
+                        GROUP BY 1, 2),
+                 nm AS MATERIALIZED (SELECT wm.i, wm.j, wm.w, wm.w + coalesce(wt.w, 0) AS n
+                        FROM wm LEFT JOIN wm wt ON wm.i = wt.j AND wm.j = wt.i),
+                 bigw AS (SELECT i, CAST(sum(w) AS BIGINT) AS tw FROM nm GROUP BY 1),
+                 kk AS (SELECT count(DISTINCT event_type) AS k FROM dc),
+                 bp0 AS MATERIALIZED (SELECT DISTINCT event_type AS i,
+                           round(1.0 / CAST(k AS DOUBLE), 12) AS pr
+                         FROM dc CROSS JOIN kk),
+                 $btIters
+            SELECT p.i AS event_type, bw.tw AS wins, p.pr AS strength
+            FROM bp6 p JOIN bigw bw ON p.i = bw.i ORDER BY p.i""",
       // t-closeness: integer-lattice EMD (HUGEINT, mirroring the Spark
       // DECIMAL(38,0)), one double division per class
       "x_tclose" ->
