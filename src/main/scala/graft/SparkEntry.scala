@@ -5359,6 +5359,28 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Exact Lloyd k-means over the embedding corpus (k=8, 3 update
+    // rounds) — the clustering rung under the IVF/PQ quantizers, fully
+    // engine-replayable: assignment is a shuffle-free projection over
+    // driver-held centroid literals (argmin of round-6 d² via struct
+    // array_min), updates are (cid, dim) partial-aggregated decimal
+    // means. Output: per-cluster size, floor-6-term inertia, and the
+    // first centroid coordinate. Oracle = 3 unrolled assign/update CTE
+    // stage pairs replaying the identical algebra.
+    "x_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val (asg, cents) = Similarity.lloydKMeans(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3)
+      val c0 = cents.map { case (cid, cv) => (cid, cv.head) }.toDF("cid", "c0")
+      asg.groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          round(sum((floor(col("d2") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .cast("decimal(28,6)")).cast("double"), 4).as("inertia"))
+        .join(broadcast(c0), "cid")
+        .select(col("cid"), col("n"), col("inertia"), col("c0"))
+        .orderBy("cid")
+    }),
+
     // t-closeness — the third rung of the privacy ladder (x_k_anonymity,
     // x_l_diversity): per equivalence class, ordered earth-mover distance
     // between the class's sensitive-value (balance-bucket) distribution
@@ -5973,6 +5995,24 @@ object SparkEntry {
                      FROM bigw bw JOIN den$i d ON bw.i = d.i),
           ssum$i AS (SELECT CAST(sum(CAST(praw AS DECIMAL(28,12))) AS DOUBLE) AS s FROM praw$i),
           bp$i AS MATERIALIZED (SELECT i, round(praw / s, 12) AS pr FROM praw$i CROSS JOIN ssum$i)"""
+    }.mkString(",\n")
+    // x_kmeans: 3 unrolled Lloyd assign/update stage pairs + the final
+    // assignment — argmin by (round-6 d², cid), per-(cid, dim) floor-6
+    // decimal means rebuilt into centroid lists in dim order
+    val kmD2 = (c: String) =>
+      s"list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, $c.cv) + list_dot_product($c.cv, $c.cv)"
+    val kmStages = (1 to 3).map { i =>
+      val p = i - 1
+      s"""asg$i AS MATERIALIZED (SELECT vec_id, v, cid, d2 FROM (
+            SELECT e.vec_id, e.v, c.cid, ${kmD2("c")} AS d2,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(${kmD2("c")}, 6), c.cid) AS rn
+            FROM kev e CROSS JOIN kc$p c) WHERE rn = 1),
+          upd$i AS MATERIALIZED (SELECT a.cid, d.dim,
+              round(CAST(sum(CAST(floor(a.v[d.dim] * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE)
+                / count(*), 12) AS m
+            FROM asg$i a CROSS JOIN kdims d GROUP BY 1, 2),
+          kc$i AS MATERIALIZED (SELECT cid, list(m ORDER BY dim) AS cv FROM upd$i GROUP BY 1)"""
     }.mkString(",\n")
     // x_rp_project / x_rp_distortion: the SAME sign matrix the native
     // expression uses, rendered as 16 literal 64-element ±1 lists; each
@@ -9377,6 +9417,25 @@ object SparkEntry {
                  $btIters
             SELECT p.i AS event_type, bw.tw AS wins, p.pr AS strength
             FROM bp6 p JOIN bigw bw ON p.i = bw.i ORDER BY p.i""",
+      // Lloyd k-means: init = 8 lowest-id vectors, 3 unrolled
+      // assign/update pairs, stats from the 4th assignment
+      "x_kmeans" ->
+        s"""WITH kev AS MATERIALIZED (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+                 kdims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+                 kc0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+                        FROM kev ORDER BY vec_id LIMIT 8),
+                 $kmStages,
+                 asg4 AS (SELECT vec_id, cid, d2 FROM (
+                     SELECT e.vec_id, c.cid, ${kmD2("c")} AS d2,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(${kmD2("c")}, 6), c.cid) AS rn
+                     FROM kev e CROSS JOIN kc3 c) WHERE rn = 1)
+            SELECT a.cid, count(*) AS n,
+                   round(CAST(sum(CAST(floor(a.d2 * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE), 4) AS inertia,
+                   any_value(c.cv[1]) AS c0
+            FROM asg4 a JOIN kc3 c ON a.cid = c.cid
+            GROUP BY a.cid ORDER BY a.cid""",
       // t-closeness: integer-lattice EMD (HUGEINT, mirroring the Spark
       // DECIMAL(38,0)), one double division per class
       "x_tclose" ->

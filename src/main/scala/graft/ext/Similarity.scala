@@ -717,4 +717,52 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
   }
+
+  /** Exact, engine-replayable Lloyd k-means (the clustering primitive the
+    * IVF quantizer approximates with hash-sampled centroids).
+    *
+    * Centroids live at the driver (k·d doubles — the PQ/IVF codebook
+    * pattern), so ASSIGNMENT is a pure projection: per centroid literal,
+    * d² = ⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩, argmin via `array_min` over
+    * (round-6 d², cid) structs — zero shuffle, whole-stage codegen, no
+    * corpus×k row blow-up. The UPDATE is one (cid, dim) aggregation
+    * (k·d keys, map-side partial combine) with floor-6-term DECIMAL sums
+    * so each new coordinate is a 12-dp double any engine reproduces
+    * bit-for-bit. Init = the k lowest-id vectors (deterministic).
+    *
+    * Returns the final assignment (vec_id, cid, d2, v) AFTER `iters`
+    * update rounds, plus the final centroids (cid ascending).
+    */
+  def lloydKMeans(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ev = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    var cents: Seq[(Int, Seq[Double])] = ev.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Double](1)).zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    def assign(cs: Seq[(Int, Seq[Double])]): DataFrame = {
+      val scored = cs.map { case (cid, cv) =>
+        // ⟨c,c⟩ folded at the driver in element order — the same
+        // left-to-right IEEE sum list_dot_product produces
+        val c2 = cv.foldLeft(0.0)((s, x) => s + x * x)
+        val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), typedLit(cv)) + lit(c2)
+        struct(round(d2, 6).as("key"), lit(cid).as("cid"), d2.as("d2"))
+      }
+      ev.withColumn("best", array_min(array(scored: _*)))
+        .select(col("vec_id"), col("v"), col("best.cid").as("cid"), col("best.d2").as("d2"))
+    }
+    for (_ <- 1 to iters) {
+      val upd = assign(cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(round(sum((floor(col("x") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .cast("decimal(28,6)")).cast("double") / count(lit(1)), 12).as("m"))
+        .collect()
+      cents = upd.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq
+        .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
+        .sortBy(_._1)
+    }
+    (assign(cents), cents)
+  }
 }

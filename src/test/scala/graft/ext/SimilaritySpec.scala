@@ -311,4 +311,27 @@ class SimilaritySpec extends AnyFunSuite {
       s"norm pruning should skip most of the corpus: $nSurvivors of $nAll scored")
     assert(nSurvivors >= 8L * k, "every query must keep at least k candidates")
   }
+
+  test("lloydKMeans: separated blobs recover exactly, centroids are blob means, no exchange in assignment") {
+    import spark.implicits._
+    // two tight blobs far apart in 4-d; ids chosen so the k=2 lowest-id
+    // init starts with one seed per blob
+    val pts = Seq(
+      (0L, Seq(10.0f, 10f, 10f, 10f)), (2L, Seq(10.5f, 10f, 10f, 10f)),
+      (4L, Seq(10f, 10.5f, 10f, 10f)),
+      (1L, Seq(-10f, -10f, -10f, -10f)), (3L, Seq(-10.5f, -10f, -10f, -10f)),
+      (5L, Seq(-10f, -10f, -10.5f, -10f))).toDF("vec_id", "embedding")
+    val (asg, cents) = Similarity.lloydKMeans(pts, "vec_id", "embedding", k = 2, iters = 2)
+    val got = asg.select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(0L) === got(2L) && got(0L) === got(4L), "positive blob stays together")
+    assert(got(1L) === got(3L) && got(1L) === got(5L), "negative blob stays together")
+    assert(got(0L) !== got(1L), "blobs are separated")
+    // converged centroid = the blob's per-dim mean (12-dp rounded)
+    val posCent = cents.find(_._1 === got(0L)).get._2
+    assert(math.abs(posCent.head - (10.0 + 10.5 + 10.0) / 3) < 1e-9)
+    // the zero-shuffle claim: assignment is a pure projection — no
+    // Exchange anywhere in its plan
+    val plan = asg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
 }
