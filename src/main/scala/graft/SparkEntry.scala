@@ -106,6 +106,17 @@ object SparkEntry {
     pcaCache.getOrElseUpdate((s, dir),
       graft.ext.Pca.fitTopK(t(s, dir, "embeddings"), dim = 64, k = 2))
 
+  /** Lloyd k-means centroids (k=8, 3 rounds) shared by x_kmeans and
+    * x_silhouette — same rationale as [[pcaCache]]: deterministic in the
+    * dataset, k·d driver doubles, fit once.
+    */
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Int, Seq[Double])]]
+  private def kmeansCents(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    kmeansCache.getOrElseUpdate((s, dir),
+      Similarity.lloydKMeans(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 3)._2)
+
   /** BM25 retrieval pipeline shared by x_bm25_search and x_ndcg:
     * 5 data-derived 4-term queries (top-20 df terms round-robin),
     * broadcast query-term probe of the posting lists, round-6 term
@@ -5246,6 +5257,37 @@ object SparkEntry {
           f6((po - pe) / (lit(1.0) - pe)).as("kappa"))
     }),
 
+    // Fleiss' kappa — multi-rater agreement (the m>2 generalization of
+    // x_cohen_kappa, the labeling-QA metric for 3+ annotator pools):
+    // three deterministic rule raters (chars / tokens / distinct tokens)
+    // bucket each doc; κ = (P̄ − P̄e)/(1 − P̄e) where every moment is a
+    // ratio of exact integer sums (Σ n_ik², category column sums) — one
+    // (doc, cat) grid shuffle, three scalar aggregates.
+    "x_fleiss_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          when(col("n_chars") < 220, "short").when(col("n_chars") < 380, "mid")
+            .otherwise("long").as("ra"),
+          when(size(col("toks")) < 40, "short").when(size(col("toks")) < 70, "mid")
+            .otherwise("long").as("rb"),
+          when(size(array_distinct(col("toks"))) < 22, "short")
+            .when(size(array_distinct(col("toks"))) < 27, "mid").otherwise("long").as("rc"))
+      val nik = d.select(col("doc_id"), explode(array(col("ra"), col("rb"), col("rc"))).as("cat"))
+        .groupBy("doc_id", "cat").agg(count(lit(1)).as("c"))
+      val nd = d.agg(count(lit(1)).as("nd"))
+      val s2 = nik.agg(sum(col("c") * col("c")).as("s2"))
+      val sc = nik.groupBy("cat").agg(sum(col("c")).as("ck"))
+        .agg(sum(col("ck") * col("ck")).as("sc"))
+      def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val ndd = col("nd").cast("double")
+      val pbar = (col("s2").cast("double") - lit(3.0) * ndd) / (lit(6.0) * ndd)
+      val pe = col("sc").cast("double") / (lit(9.0) * ndd * ndd)
+      nd.crossJoin(s2).crossJoin(sc)
+        .select(col("nd"), f6(pbar).as("pbar"), f6(pe).as("pe"),
+          f6((pbar - pe) / (lit(1.0) - pe)).as("kappa"))
+    }),
+
     // Calibration / reliability diagram — the model-eval companion to
     // x_shrunk_ctr: train per-(nation, segment) urgent-order rates on
     // even order keys, score odd keys, bin predicted probability into
@@ -5313,6 +5355,26 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ε-differentially-private count release — the fourth rung of the
+    // privacy ladder (x_k_anonymity, x_l_diversity, x_tclose): per-(day,
+    // type) event counts + Laplace(1/ε) noise, ε=1, via the inverse CDF
+    // over a portable md5-derived uniform (the x_bootstrap_ci technique —
+    // u = (hash24+½)/2²⁴ is strictly inside (0,1), so ln never sees 0).
+    // Deterministic seeding makes the release replayable by any engine;
+    // one grid-sized aggregate, noise is a scan-fused projection.
+    "x_dp_counts" -> ((s, dir) => {
+      val c = events(s, dir).groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+      val u = (graft.ext.Mixture.hash24(concat_ws("|", col("day"), col("event_type")))
+        .cast("double") + lit(0.5)) / lit(16777216.0)
+      val cu = u - lit(0.5)
+      val noise = -signum(cu) * log(lit(1.0) - lit(2.0) * abs(cu))
+      def f6(x: Column): Column = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+      c.select(col("day"), col("event_type"), col("c"),
+          f6(noise).as("noise"),
+          f6(greatest(col("c") + noise, lit(0.0))).as("released"))
+        .orderBy("day", "event_type")
+    }),
+
     // Bradley–Terry pairwise-preference strengths (Hunter 2004 MM) — the
     // model behind preference-pair ranking (chat arenas, RLHF reward-data
     // QA): event types "compete" daily (higher count wins), 6 MM rounds of
@@ -5369,8 +5431,8 @@ object SparkEntry {
     // stage pairs replaying the identical algebra.
     "x_kmeans" -> ((s, dir) => {
       import s.implicits._
-      val (asg, cents) = Similarity.lloydKMeans(
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3)
+      val cents = kmeansCents(s, dir)
+      val asg = Similarity.lloydAssign(t(s, dir, "embeddings"), "vec_id", "embedding", cents)
       val c0 = cents.map { case (cid, cv) => (cid, cv.head) }.toDF("cid", "c0")
       asg.groupBy("cid")
         .agg(count(lit(1)).as("n"),
@@ -5378,6 +5440,37 @@ object SparkEntry {
             .cast("decimal(28,6)")).cast("double"), 4).as("inertia"))
         .join(broadcast(c0), "cid")
         .select(col("cid"), col("n"), col("inertia"), col("c0"))
+        .orderBy("cid")
+    }),
+
+    // Centroid silhouette — cluster-quality audit over the shared k-means
+    // fit: per vector, a = dist to own centroid, b = dist to the nearest
+    // OTHER centroid (both picked by the assignment's (round-6 d², cid)
+    // criterion), s = (b−a)/max(a,b). Still a pure projection (the whole
+    // centroid table is literals); one k-row aggregation of floor-6
+    // decimal terms. Oracle rides the shared kc3 prelude: a = rank-1,
+    // b = rank-2 of the identical ordering.
+    "x_silhouette" -> ((s, dir) => {
+      val cents = kmeansCents(s, dir)
+      val ev = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val scored = cents.map { case (cid, cv) =>
+        val c2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+        val d2 = graft.functions.VectorFunctions.dot(col("v"), col("v")) -
+          lit(2.0) * graft.functions.VectorFunctions.dot(col("v"), typedLit(cv)) + lit(c2)
+        struct(round(d2, 6).as("key"), lit(cid).as("cid"), d2.as("d2"))
+      }
+      def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val a = sqrt(greatest(col("own.d2"), lit(0.0)))
+      val b = sqrt(greatest(col("nxt.d2"), lit(0.0)))
+      val sil = when(greatest(a, b) === 0.0, lit(0.0)).otherwise((b - a) / greatest(a, b))
+      ev.withColumn("st", array(scored: _*))
+        .withColumn("own", array_min(col("st")))
+        .withColumn("nxt", array_min(filter(col("st"), x => x("cid") =!= col("own.cid"))))
+        .select(col("own.cid").as("cid"), f6(sil).as("sil"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("sil").cast("decimal(28,6)")).cast("double") / count(lit(1)), 6).as("mean_sil"))
         .orderBy("cid")
     }),
 
@@ -6014,6 +6107,15 @@ object SparkEntry {
             FROM asg$i a CROSS JOIN kdims d GROUP BY 1, 2),
           kc$i AS MATERIALIZED (SELECT cid, list(m ORDER BY dim) AS cv FROM upd$i GROUP BY 1)"""
     }.mkString(",\n")
+    // shared k-means oracle prelude (x_kmeans, x_silhouette): the fit
+    // replayed once — init + 3 unrolled Lloyd rounds ending at kc3
+    val kmPrelude =
+      s"""kev AS MATERIALIZED (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          kdims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+          kc0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+                 FROM kev ORDER BY vec_id LIMIT 8),
+          $kmStages"""
     // x_rp_project / x_rp_distortion: the SAME sign matrix the native
     // expression uses, rendered as 16 literal 64-element ±1 lists; each
     // output dim is one in-order list_dot_product / sqrt(16) — the exact
@@ -9400,6 +9502,42 @@ object SparkEntry {
                   n_test, covered,
                   floor(CAST(covered AS DOUBLE) / CAST(n_test AS DOUBLE) * 1e6 + 0.5) / 1e6 AS coverage
            FROM tst ORDER BY event_type""",
+      // Fleiss' kappa: three rule raters, κ from exact integer moments
+      "x_fleiss_kappa" ->
+        s"""WITH d AS (SELECT doc_id,
+                         CASE WHEN n_chars < 220 THEN 'short'
+                              WHEN n_chars < 380 THEN 'mid' ELSE 'long' END AS ra,
+                         CASE WHEN len($toksE) < 40 THEN 'short'
+                              WHEN len($toksE) < 70 THEN 'mid' ELSE 'long' END AS rb,
+                         CASE WHEN len(list_distinct($toksE)) < 22 THEN 'short'
+                              WHEN len(list_distinct($toksE)) < 27 THEN 'mid' ELSE 'long' END AS rc
+                       FROM documents),
+                 r AS (SELECT doc_id, unnest([ra, rb, rc]) AS cat FROM d),
+                 nik AS (SELECT doc_id, cat, count(*) AS c FROM r GROUP BY 1, 2),
+                 nd AS (SELECT count(*) AS nd FROM d),
+                 s2 AS (SELECT CAST(sum(c * c) AS BIGINT) AS s2 FROM nik),
+                 sc AS (SELECT CAST(sum(ck * ck) AS BIGINT) AS sc FROM
+                          (SELECT cat, CAST(sum(c) AS BIGINT) AS ck FROM nik GROUP BY 1)),
+                 z AS (SELECT nd,
+                         (CAST(s2 AS DOUBLE) - 3.0 * CAST(nd AS DOUBLE)) / (6.0 * CAST(nd AS DOUBLE)) AS pbar,
+                         CAST(sc AS DOUBLE) / (9.0 * CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)) AS pe
+                       FROM nd CROSS JOIN s2 CROSS JOIN sc)
+            SELECT nd, floor(pbar * 1e6 + 0.5) / 1e6 AS pbar,
+                   floor(pe * 1e6 + 0.5) / 1e6 AS pe,
+                   floor((pbar - pe) / (1.0 - pe) * 1e6 + 0.5) / 1e6 AS kappa
+            FROM z""",
+      // DP counts: md5-seeded Laplace inverse CDF, raw noise in the
+      // released clamp, floor-6 display
+      "x_dp_counts" ->
+        s"""WITH c AS (SELECT $dayE AS day, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+                 u AS (SELECT day, event_type, c,
+                         (CAST(('0x' || substring(md5(day || '|' || event_type), 1, 6)) AS INTEGER) + 0.5)
+                           / 16777216.0 AS u
+                       FROM c)
+            SELECT day, event_type, c,
+                   floor((-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) * 1e6 + 0.5) / 1e6 AS noise,
+                   floor(greatest(c + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 0.0) * 1e6 + 0.5) / 1e6 AS released
+            FROM u ORDER BY day, event_type""",
       // Bradley–Terry: daily-count duels, then the 6 unrolled MM stages
       "x_bradley_terry" ->
         s"""WITH dc AS (SELECT $dayE AS day, event_type, count(*) AS c FROM events GROUP BY 1, 2),
@@ -9420,12 +9558,7 @@ object SparkEntry {
       // Lloyd k-means: init = 8 lowest-id vectors, 3 unrolled
       // assign/update pairs, stats from the 4th assignment
       "x_kmeans" ->
-        s"""WITH kev AS MATERIALIZED (SELECT vec_id,
-                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-                 kdims AS (SELECT unnest(generate_series(1, 64)) AS dim),
-                 kc0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-                        FROM kev ORDER BY vec_id LIMIT 8),
-                 $kmStages,
+        s"""WITH $kmPrelude,
                  asg4 AS (SELECT vec_id, cid, d2 FROM (
                      SELECT e.vec_id, c.cid, ${kmD2("c")} AS d2,
                             row_number() OVER (PARTITION BY e.vec_id
@@ -9436,6 +9569,25 @@ object SparkEntry {
                    any_value(c.cv[1]) AS c0
             FROM asg4 a JOIN kc3 c ON a.cid = c.cid
             GROUP BY a.cid ORDER BY a.cid""",
+      // Centroid silhouette over the same fit: rank-1 = own cluster,
+      // rank-2 = nearest other, identical (round-6 d2, cid) ordering
+      "x_silhouette" ->
+        s"""WITH $kmPrelude,
+                 rk AS MATERIALIZED (SELECT vec_id, cid, d2,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY round(d2, 6), cid) AS rn
+                      FROM (SELECT e.vec_id, c.cid, ${kmD2("c")} AS d2
+                            FROM kev e CROSS JOIN kc3 c)),
+                 ab AS (SELECT o.vec_id, o.cid,
+                          sqrt(greatest(o.d2, 0.0)) AS a, sqrt(greatest(x.d2, 0.0)) AS b
+                        FROM rk o JOIN rk x ON o.vec_id = x.vec_id AND o.rn = 1 AND x.rn = 2),
+                 sil AS (SELECT cid,
+                           floor(CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+                                      ELSE (b - a) / greatest(a, b) END * 1e6 + 0.5) / 1e6 AS sil
+                         FROM ab)
+            SELECT cid, count(*) AS n,
+                   round(CAST(sum(CAST(sil AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_sil
+            FROM sil GROUP BY cid ORDER BY cid""",
       // t-closeness: integer-lattice EMD (HUGEINT, mirroring the Spark
       // DECIMAL(38,0)), one double division per class
       "x_tclose" ->

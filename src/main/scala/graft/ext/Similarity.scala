@@ -733,6 +733,27 @@ object Similarity {
     * Returns the final assignment (vec_id, cid, d2, v) AFTER `iters`
     * update rounds, plus the final centroids (cid ascending).
     */
+  /** One Lloyd assignment pass against given (driver-held) centroids —
+    * the shuffle-free projection [[lloydKMeans]] iterates, exposed so
+    * downstream consumers (cluster-quality metrics, cell routing) reuse a
+    * fitted model without re-running the loop. Output columns:
+    * vec_id, v (double-cast vector), cid, d2 (squared distance to own
+    * centroid).
+    */
+  def lloydAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val ev = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val scored = cents.map { case (cid, cv) =>
+      // ⟨c,c⟩ folded at the driver in element order — the same
+      // left-to-right IEEE sum list_dot_product produces
+      val c2 = cv.foldLeft(0.0)((s, x) => s + x * x)
+      val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), typedLit(cv)) + lit(c2)
+      struct(round(d2, 6).as("key"), lit(cid).as("cid"), d2.as("d2"))
+    }
+    ev.withColumn("best", array_min(array(scored: _*)))
+      .select(col("vec_id"), col("v"), col("best.cid").as("cid"), col("best.d2").as("d2"))
+  }
+
   def lloydKMeans(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): (DataFrame, Seq[(Int, Seq[Double])]) = {
     val spark = corpus.sparkSession
@@ -740,17 +761,8 @@ object Similarity {
     val ev = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
     var cents: Seq[(Int, Seq[Double])] = ev.orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Double](1)).zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-    def assign(cs: Seq[(Int, Seq[Double])]): DataFrame = {
-      val scored = cs.map { case (cid, cv) =>
-        // ⟨c,c⟩ folded at the driver in element order — the same
-        // left-to-right IEEE sum list_dot_product produces
-        val c2 = cv.foldLeft(0.0)((s, x) => s + x * x)
-        val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), typedLit(cv)) + lit(c2)
-        struct(round(d2, 6).as("key"), lit(cid).as("cid"), d2.as("d2"))
-      }
-      ev.withColumn("best", array_min(array(scored: _*)))
-        .select(col("vec_id"), col("v"), col("best.cid").as("cid"), col("best.d2").as("d2"))
-    }
+    def assign(cs: Seq[(Int, Seq[Double])]): DataFrame =
+      lloydAssign(corpus, idCol, vecCol, cs)
     for (_ <- 1 to iters) {
       val upd = assign(cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))

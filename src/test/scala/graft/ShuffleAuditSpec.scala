@@ -217,4 +217,40 @@ class ShuffleAuditSpec extends AnyFunSuite {
     assert(shuffled < math.max(rowBytes * 4, 64 * 1024),
       s"daily counts shuffled $shuffled bytes — partial aggregation is not engaging")
   }
+
+  test("lloydKMeans: assignment shuffles nothing; the update exchange carries k·d partials, corpus-size-independent") {
+    import graft.ext.Similarity
+    val embs = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val cents = Similarity.lloydKMeans(embs, "vec_id", "embedding", k = 8, iters = 1)._2
+    // assignment: a pure projection — zero exchange
+    val (asgBytes, nAsg) = shuffleBytes(
+      Similarity.lloydAssign(embs, "vec_id", "embedding", cents))
+    assert(nAsg > 0)
+    // count() itself exchanges one partial-count row per partition (~59
+    // bytes); the assignment contributes nothing beyond that
+    assert(asgBytes < 1024L, s"assignment shuffled $asgBytes bytes — must be projection-only")
+    // update: double the corpus, the (cid, dim) exchange stays flat
+    // (partial combine reduces it to k·d·partitions rows)
+    def update(d: DataFrame) = Similarity.lloydAssign(d, "vec_id", "embedding", cents)
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim").agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    // the exchange is partitions × k·d partial rows, so stage BOTH
+    // corpora at the same multi-file partition count (the DSIR staging
+    // trick) — otherwise union's concatenated partitioning doubles the
+    // partial count (and a 1-partition input plans no exchange at all)
+    val par = spark.sparkContext.defaultParallelism
+    def stage(d: DataFrame, tag: String): DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_km_$tag").toString
+      d.repartition(par).write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val base = stage(embs, "b")
+    val doubled = stage(
+      embs.union(embs.withColumn("vec_id", col("vec_id") + lit(1000000L))), "d")
+    val (updBytes, _) = shuffleBytes(update(base))
+    val (updBytes2, _) = shuffleBytes(update(doubled))
+    assert(updBytes > 0 && updBytes2 > 0)
+    assert(updBytes2 < updBytes * 1.5,
+      s"k-means update shuffle grew with the corpus: $updBytes -> $updBytes2 bytes")
+  }
 }
