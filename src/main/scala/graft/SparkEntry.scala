@@ -1549,6 +1549,27 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // Streaming DP count release — x_dp_counts as a continuous emission:
+    // watermark-sealed daily windows + the stateless md5-seeded Laplace
+    // projection, so each sealed (day, type) release is emitted once,
+    // already noised, and hash-equals the batch release (same oracle).
+    "t22_stream_dp" -> ((s, dir) => {
+      val stageDir = scratchDir("t22", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events.parquet"))
+      val name = "t22_dp"
+      try {
+        graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.dpRelease(
+            graft.streaming.EventStream.readEvents(s, stage)),
+          name, s"$stage/ckpt", statePartitions = Some(8))
+      } finally deleteRec(stageDir)
+      s.table(name).select("day", "event_type", "c", "noise", "released")
+        .orderBy("day", "event_type")
+    }),
+
     // Spark's BUILT-IN session window (merging event-time sessions with a
     // 1 h inactivity gap) — the native operator form of x_sessionize's
     // manual gaps-and-islands. Boundary semantics: an event exactly gap
@@ -5355,6 +5376,41 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Rank-biased overlap (Webber 2010) between the cosine and raw
+    // inner-product top-10 rankings — the rank-similarity eval that
+    // quantifies how much vector normalization reorders retrieval.
+    // p = ½ makes every weight (1−p)p^{d−1} = 2⁻ᵈ an exact dyadic, so
+    // term d = 1/(d·2ᵈ) is one exact-rounded division in both engines —
+    // no pow/float-literal anywhere. A common neighbor with ranks
+    // (ra, rb) contributes to every depth d ≥ max(ra,rb), so RBO is one
+    // k-bounded join + a 10-row depth grid — metadata-sized after the
+    // two top-k scans.
+    "x_rbo" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val a = Similarity.bruteTopK(e, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("ra"))
+      val b = Similarity.maxInnerProductTopK(e, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rb"))
+      val m = a.join(b, Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), greatest(col("ra"), col("rb")).as("m"))
+      val depths = m.sparkSession.range(1, 11).select(col("id").cast("int").as("d"))
+      def f6(x: Column): Column = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+      val terms = m.join(broadcast(depths), col("d") >= col("m"))
+        .select(col("query_id"),
+          f6(lit(1.0) / (col("d") * expr("shiftleft(cast(1 as bigint), d)")).cast("double")).as("term"))
+      val qids = q.select(col("vec_id").as("query_id"))
+      qids.join(
+          terms.groupBy("query_id").agg(
+            round(sum(col("term").cast("decimal(28,6)")).cast("double"), 6).as("rbo")),
+          Seq("query_id"), "left")
+        .join(m.groupBy("query_id").agg(count(lit(1)).as("n_common")),
+          Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_common"), lit(0L)).as("n_common"),
+          coalesce(col("rbo"), lit(0.0)).as("rbo"))
+        .orderBy("query_id")
+    }),
+
     // ε-differentially-private count release — the fourth rung of the
     // privacy ladder (x_k_anonymity, x_l_diversity, x_tclose): per-(day,
     // type) event counts + Laplace(1/ε) noise, ε=1, via the inverse CDF
@@ -6076,6 +6132,17 @@ object SparkEntry {
                       ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id
                     WHERE x.query_id IS NULL)"""
     }.mkString(",\n")
+    // x_dp_counts / t22_stream_dp: the identical deterministic release
+    val dpCountsSql =
+      s"""WITH c AS (SELECT $dayE AS day, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+               u AS (SELECT day, event_type, c,
+                       (CAST(('0x' || substring(md5(day || '|' || event_type), 1, 6)) AS INTEGER) + 0.5)
+                         / 16777216.0 AS u
+                     FROM c)
+          SELECT day, event_type, c,
+                 floor((-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) * 1e6 + 0.5) / 1e6 AS noise,
+                 floor(greatest(c + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 0.0) * 1e6 + 0.5) / 1e6 AS released
+          FROM u ORDER BY day, event_type"""
     // x_bradley_terry: 6 unrolled MM stages — per-term round-12 n/(p_i+p_j)
     // DECIMAL-summed, W/den round-12, then the L1 normalize
     val btIters = (1 to 6).map { i =>
@@ -9526,18 +9593,42 @@ object SparkEntry {
                    floor(pe * 1e6 + 0.5) / 1e6 AS pe,
                    floor((pbar - pe) / (1.0 - pe) * 1e6 + 0.5) / 1e6 AS kappa
             FROM z""",
+      // RBO: cosine vs inner-product top-10, dyadic depth weights
+      "x_rbo" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+                q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
+                sa AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_dot_product(q.vq, e.v) /
+                           (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(e.v, e.v))) AS score
+                       FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+                ra AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, neighbor_id) AS ra
+                       FROM sa),
+                sb AS (SELECT q.query_id, e.vec_id AS neighbor_id, list_dot_product(q.vq, e.v) AS ip
+                       FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+                rb AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rb
+                       FROM sb),
+                m AS (SELECT a.query_id, greatest(a.ra, b.rb) AS m
+                      FROM ra a JOIN rb b ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+                      WHERE a.ra <= 10 AND b.rb <= 10),
+                dg AS (SELECT unnest(generate_series(1, 10)) AS d),
+                t AS (SELECT query_id,
+                        floor(1.0 / CAST(d.d * (1 << d.d) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS term
+                      FROM m JOIN dg d ON d.d >= m.m),
+                agg AS (SELECT query_id,
+                          round(CAST(sum(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 6) AS rbo
+                        FROM t GROUP BY 1),
+                nc AS (SELECT query_id, count(*) AS n_common FROM m GROUP BY 1)
+           SELECT q.query_id, coalesce(nc.n_common, 0) AS n_common, coalesce(agg.rbo, 0.0) AS rbo
+           FROM q LEFT JOIN agg ON q.query_id = agg.query_id
+                  LEFT JOIN nc ON q.query_id = nc.query_id
+           ORDER BY q.query_id""",
       // DP counts: md5-seeded Laplace inverse CDF, raw noise in the
-      // released clamp, floor-6 display
-      "x_dp_counts" ->
-        s"""WITH c AS (SELECT $dayE AS day, event_type, count(*) AS c FROM events GROUP BY 1, 2),
-                 u AS (SELECT day, event_type, c,
-                         (CAST(('0x' || substring(md5(day || '|' || event_type), 1, 6)) AS INTEGER) + 0.5)
-                           / 16777216.0 AS u
-                       FROM c)
-            SELECT day, event_type, c,
-                   floor((-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) * 1e6 + 0.5) / 1e6 AS noise,
-                   floor(greatest(c + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 0.0) * 1e6 + 0.5) / 1e6 AS released
-            FROM u ORDER BY day, event_type""",
+      // released clamp, floor-6 display (t22 = the same release emitted
+      // from sealed streaming windows — identical oracle)
+      "x_dp_counts" -> dpCountsSql,
+      "t22_stream_dp" -> dpCountsSql,
       // Bradley–Terry: daily-count duels, then the 6 unrolled MM stages
       "x_bradley_terry" ->
         s"""WITH dc AS (SELECT $dayE AS day, event_type, count(*) AS c FROM events GROUP BY 1, 2),

@@ -113,6 +113,31 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("cnt"), col("total_value"))
 
+  /** Streaming ε-differentially-private count release — the streaming
+    * twin of SparkEntry's x_dp_counts (the privacy ladder's fourth rung,
+    * released continuously): watermark-sealed daily windows, then a
+    * STATELESS noise projection — Laplace(1/ε), ε=1, via the inverse CDF
+    * over the portable md5-derived uniform u=(hash24+½)/2²⁴ seeded by
+    * (day, type). Each sealed day is emitted exactly once, already
+    * noised; determinism makes the streaming release hash-equal to the
+    * batch release for every sealed day.
+    */
+  def dpRelease(events: DataFrame): DataFrame = {
+    val agg = events.withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("c"))
+    val u = (graft.ext.Mixture.hash24(concat_ws("|", col("day"), col("event_type")))
+      .cast("double") + lit(0.5)) / lit(16777216.0)
+    val cu = u - lit(0.5)
+    val noise = -signum(cu) * log(lit(1.0) - lit(2.0) * abs(cu))
+    def f6(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+    agg.select(col("day"), col("event_type"), col("c"), f6(noise).as("noise"),
+      f6(greatest(col("c") + noise, lit(0.0))).as("released"))
+  }
+
   /** Streaming exact dedup by id: watermarked `dropDuplicatesWithinWatermark`
     * — duplicate deliveries (the reference's K2 auto-id + retry failure
     * mode, SURVEY.md §2.9 T3) are dropped in-flight, and the dedup state
