@@ -5376,6 +5376,64 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Tied-variance 2-component Gaussian-mixture EM over the VALUE
+    // HISTOGRAM GRID (never per-row: value is 2-dp cents on a bounded
+    // range, so the grid is ≤~20k points — the histogram-grid discipline
+    // of x_mannwhitney/x_ks_test applied to an iterative fit). Driver
+    // holds the 4 scalar params (k-means-centroid pattern); each of 4 EM
+    // rounds is two grid aggregates. Responsibilities collapse to ONE exp
+    // per grid point (tied σ²: r₁ = π₁/(π₁+π₂·e^{a₁−a₂})), floor-6 before
+    // every decimal-weighted moment, so both engines replay the fit
+    // bit-for-bit. Oracle = 4 unrolled (responsibility, moments, params)
+    // CTE stages.
+    "x_gmm_em" -> ((s, dir) => {
+      // operand precisions chosen so every decimal product stays within
+      // precision 38 UN-CLAMPED: Spark silently reduces the result scale
+      // (rounding!) when p1+p2+1 > 38, which would introduce sub-6-dp
+      // drift the oracle cannot replay
+      val g = events(s, dir).groupBy(col("value").as("x"))
+        .agg(count(lit(1)).cast("decimal(14,0)").as("cnt")).localCheckpoint()
+      val xd = col("x").cast("decimal(10,2)")
+      val b = g.agg(sum(col("cnt")).cast("long").as("n"),
+        sum(col("cnt") * xd).cast("double").as("sx"),
+        sum(col("cnt") * xd * xd).cast("double").as("sxx"),
+        min(col("x")).as("mn"), max(col("x")).as("mx")).collect()(0)
+      val n = b.getLong(0); val nd = n.toDouble
+      val sx = b.getDouble(1); val sxx = b.getDouble(2)
+      val mn = b.getDouble(3); val mx = b.getDouble(4)
+      val mu = sx / nd
+      var p1 = 0.5
+      var m1 = mn + (mx - mn) / 4.0
+      var m2 = mn + 3.0 * (mx - mn) / 4.0
+      var vv = sxx / nd - mu * mu
+      def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      for (_ <- 1 to 4) {
+        val h = ((col("x") - lit(m1)) * (col("x") - lit(m1))
+          - (col("x") - lit(m2)) * (col("x") - lit(m2))) / (lit(2.0) * lit(vv))
+        val rr = f6(lit(p1) / (lit(p1) + (lit(1.0) - lit(p1)) * exp(h)))
+        val ri = g.withColumn("rr", rr).localCheckpoint()
+        val rd = col("rr").cast("decimal(10,6)")
+        val cd = (lit(1.0) - col("rr")).cast("decimal(10,6)")
+        val mrow = ri.agg(
+          sum(col("cnt") * rd).cast("double").as("w1"),
+          sum(col("cnt") * cd).cast("double").as("w2"),
+          sum(col("cnt") * rd * xd).cast("double").as("s1"),
+          sum(col("cnt") * cd * xd).cast("double").as("s2")).collect()(0)
+        val w1 = mrow.getDouble(0); val w2 = mrow.getDouble(1)
+        val s1 = mrow.getDouble(2); val s2 = mrow.getDouble(3)
+        val p1n = w1 / nd; val m1n = s1 / w1; val m2n = s2 / w2
+        val term = f6(col("rr") * (col("x") - lit(m1n)) * (col("x") - lit(m1n))
+          + (lit(1.0) - col("rr")) * (col("x") - lit(m2n)) * (col("x") - lit(m2n)))
+        val vrow = ri.agg(
+          sum(col("cnt") * term.cast("decimal(16,6)")).cast("double").as("sv")).collect()(0)
+        p1 = p1n; m1 = m1n; m2 = m2n; vv = vrow.getDouble(0) / nd
+      }
+      def d6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      import s.implicits._
+      Seq((n, d6(p1), d6(m1), d6(m2), d6(vv)))
+        .toDF("n", "pi1", "mu1", "mu2", "var_t")
+    }),
+
     // Rank-biased overlap (Webber 2010) between the cosine and raw
     // inner-product top-10 rankings — the rank-similarity eval that
     // quantifies how much vector normalization reorders retrieval.
@@ -6131,6 +6189,31 @@ object SparkEntry {
                     LEFT JOIN (SELECT query_id, neighbor_id FROM pk$i WHERE rk = 1) x
                       ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id
                     WHERE x.query_id IS NULL)"""
+    }.mkString(",\n")
+    // x_gmm_em: 4 unrolled EM stages over the value histogram grid —
+    // responsibility (one exp/point, floor-6), decimal-weighted moments,
+    // new means, tied variance from the new means
+    val gmIters = (1 to 4).map { i =>
+      val p = i - 1
+      s"""gr$i AS MATERIALIZED (SELECT g.x, g.cnt,
+              floor(p.p1 / (p.p1 + (1.0 - p.p1)
+                  * exp(((g.x - p.m1) * (g.x - p.m1) - (g.x - p.m2) * (g.x - p.m2)) / (2.0 * p.vv)))
+                * 1e6 + 0.5) / 1e6 AS rr
+            FROM gmg g CROSS JOIN gm$p p),
+          gw$i AS MATERIALIZED (SELECT
+              CAST(sum(cnt * CAST(rr AS DECIMAL(28,6))) AS DOUBLE) AS w1,
+              CAST(sum(cnt * CAST(1.0 - rr AS DECIMAL(28,6))) AS DOUBLE) AS w2,
+              CAST(sum(cnt * CAST(rr AS DECIMAL(28,6)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+              CAST(sum(cnt * CAST(1.0 - rr AS DECIMAL(28,6)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS s2
+            FROM gr$i),
+          gn$i AS MATERIALIZED (SELECT w.w1 / b.nd AS p1, w.s1 / w.w1 AS m1, w.s2 / w.w2 AS m2
+            FROM gw$i w CROSS JOIN gmb b),
+          gv$i AS MATERIALIZED (SELECT
+              CAST(sum(r.cnt * CAST(floor((r.rr * (r.x - n.m1) * (r.x - n.m1)
+                  + (1.0 - r.rr) * (r.x - n.m2) * (r.x - n.m2)) * 1e6 + 0.5) / 1e6
+                AS DECIMAL(28,6))) AS DOUBLE) / any_value(b.nd) AS vv
+            FROM gr$i r CROSS JOIN gn$i n CROSS JOIN gmb b),
+          gm$i AS MATERIALIZED (SELECT n.p1, n.m1, n.m2, v.vv FROM gn$i n CROSS JOIN gv$i v)"""
     }.mkString(",\n")
     // x_dp_counts / t22_stream_dp: the identical deterministic release
     val dpCountsSql =
@@ -9593,6 +9676,23 @@ object SparkEntry {
                    floor(pe * 1e6 + 0.5) / 1e6 AS pe,
                    floor((pbar - pe) / (1.0 - pe) * 1e6 + 0.5) / 1e6 AS kappa
             FROM z""",
+      // GMM EM: histogram-grid fit, 4 unrolled stages
+      "x_gmm_em" ->
+        s"""WITH gmg AS MATERIALIZED (SELECT value AS x, count(*) AS cnt FROM events GROUP BY 1),
+                 gmb AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                          CAST(sum(cnt) AS DOUBLE) AS nd,
+                          CAST(sum(cnt * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                          CAST(sum(cnt * CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                          min(x) AS mn, max(x) AS mx FROM gmg),
+                 gm0 AS (SELECT 0.5 AS p1, mn + (mx - mn) / 4.0 AS m1,
+                           mn + 3.0 * (mx - mn) / 4.0 AS m2,
+                           sxx / nd - (sx / nd) * (sx / nd) AS vv FROM gmb),
+                 $gmIters
+            SELECT b.n, floor(p.p1 * 1e6 + 0.5) / 1e6 AS pi1,
+                   floor(p.m1 * 1e6 + 0.5) / 1e6 AS mu1,
+                   floor(p.m2 * 1e6 + 0.5) / 1e6 AS mu2,
+                   floor(p.vv * 1e6 + 0.5) / 1e6 AS var_t
+            FROM gm4 p CROSS JOIN gmb b""",
       // RBO: cosine vs inner-product top-10, dyadic depth weights
       "x_rbo" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
