@@ -5658,6 +5658,75 @@ object SparkEntry {
         .orderBy("event_type", "lag")
     }),
 
+    // Spearman rank correlation between every pair of event-type daily
+    // series (completing the correlation family: Pearson/OLS, Theil-Sen,
+    // ACF): tie-adjusted average ranks kept INTEGER as 2·avgrank =
+    // 2·rank + tied − 1, so ρ is a ratio of exact integer sums with two
+    // IEEE sqrts — no per-row float pass. Ranks are computed once per
+    // type (they don't depend on the pairing); the day grid is
+    // calendar-bounded metadata.
+    "x_spearman" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = d.select("event_type").distinct().crossJoin(d.select("day").distinct())
+      val full = grid.join(d, Seq("event_type", "day"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val rk = full
+        .withColumn("rn", rank().over(Window.partitionBy("event_type").orderBy("c")))
+        .withColumn("tied", count(lit(1)).over(Window.partitionBy("event_type", "c")))
+        .select(col("event_type"), col("day"),
+          (lit(2L) * col("rn") + col("tied") - lit(1L)).as("r2"))
+      val p = rk.select(col("event_type").as("type_a"), col("day"), col("r2").as("ra"))
+        .join(rk.select(col("event_type").as("type_b"), col("day"), col("r2").as("rb")), Seq("day"))
+        .filter(col("type_a") < col("type_b"))
+      def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      p.groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n"), sum(col("ra")).as("sx"), sum(col("rb")).as("sy"),
+          sum(col("ra") * col("rb")).as("sxy"),
+          sum(col("ra") * col("ra")).as("sxx"), sum(col("rb") * col("rb")).as("syy"))
+        .select(col("type_a"), col("type_b"), col("n"),
+          f6((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))).as("rho"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // Kendall τ-b over the same paired daily series — the rank
+    // correlation robust to non-linearity AND heavy ties (the zero-
+    // completed grid has many tied zero days): concordant/discordant/tie
+    // counts over day pairs, hash-joined on the (type_a, type_b) pair key
+    // with the day<day2 filter as a post-condition (never a BNLJ over the
+    // data); the day-pair grid is calendar-bounded metadata. τ-b from
+    // exact integers with two IEEE sqrts.
+    "x_kendall" -> ((s, dir) => {
+      val d = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = d.select("event_type").distinct().crossJoin(d.select("day").distinct())
+      val full = grid.join(d, Seq("event_type", "day"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val sab = full.select(col("event_type").as("type_a"), col("day"), col("c").as("ca"))
+        .join(full.select(col("event_type").as("type_b"), col("day"), col("c").as("cb")), Seq("day"))
+        .filter(col("type_a") < col("type_b"))
+      val pp = sab.join(
+        sab.select(col("type_a"), col("type_b"), col("day").as("day2"),
+          col("ca").as("ca2"), col("cb").as("cb2")),
+        Seq("type_a", "type_b"))
+        .filter(col("day") < col("day2"))
+      def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val sgn = (col("ca") - col("ca2")) * (col("cb") - col("cb2"))
+      pp.groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n0"),
+          sum((sgn > 0).cast("long")).as("conc"),
+          sum((sgn < 0).cast("long")).as("disc"),
+          sum((col("ca") === col("ca2")).cast("long")).as("tx"),
+          sum((col("cb") === col("cb2")).cast("long")).as("ty"))
+        .select(col("type_a"), col("type_b"), col("n0"), col("conc"), col("disc"),
+          f6(when(col("n0") === col("tx") || col("n0") === col("ty"), lit(0.0))
+            .otherwise((col("conc") - col("disc")).cast("double")
+              / (sqrt((col("n0") - col("tx")).cast("double"))
+                * sqrt((col("n0") - col("ty")).cast("double"))))).as("tau_b"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // personalized PageRank (random walk with restart to a seed set —
     // TrustRank-style crawl curation): the x_pagerank graph with every
     // 50th doc as a trusted seed; rank mass localizes around the seeds.
@@ -9676,6 +9745,57 @@ object SparkEntry {
                    floor(pe * 1e6 + 0.5) / 1e6 AS pe,
                    floor((pbar - pe) / (1.0 - pe) * 1e6 + 0.5) / 1e6 AS kappa
             FROM z""",
+      // Spearman: 2·avgrank integers, rho from exact sums
+      "x_spearman" ->
+        s"""WITH d AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                 grid AS (SELECT t.event_type, dd.day FROM (SELECT DISTINCT event_type FROM d) t
+                          CROSS JOIN (SELECT DISTINCT day FROM d) dd),
+                 full0 AS (SELECT g.event_type, g.day, coalesce(d.c, 0) AS c
+                           FROM grid g LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day),
+                 rk AS (SELECT event_type, day,
+                          2 * rank() OVER (PARTITION BY event_type ORDER BY c)
+                            + count(*) OVER (PARTITION BY event_type, c) - 1 AS r2
+                        FROM full0),
+                 p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                              a.r2 AS ra, b.r2 AS rb
+                       FROM rk a JOIN rk b ON a.day = b.day AND a.event_type < b.event_type),
+                 agg AS (SELECT type_a, type_b, count(*) AS n,
+                           CAST(sum(ra) AS BIGINT) AS sx, CAST(sum(rb) AS BIGINT) AS sy,
+                           CAST(sum(ra * rb) AS BIGINT) AS sxy,
+                           CAST(sum(ra * ra) AS BIGINT) AS sxx,
+                           CAST(sum(rb * rb) AS BIGINT) AS syy
+                         FROM p GROUP BY 1, 2)
+            SELECT type_a, type_b, n,
+                   floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS rho
+            FROM agg ORDER BY type_a, type_b""",
+      // Kendall tau-b: concordant/discordant/tie counts over the bounded
+      // day-pair grid
+      "x_kendall" ->
+        s"""WITH d AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                 grid AS (SELECT t.event_type, dd.day FROM (SELECT DISTINCT event_type FROM d) t
+                          CROSS JOIN (SELECT DISTINCT day FROM d) dd),
+                 full0 AS (SELECT g.event_type, g.day, coalesce(d.c, 0) AS c
+                           FROM grid g LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day),
+                 sab AS (SELECT a.event_type AS type_a, b.event_type AS type_b, a.day,
+                                a.c AS ca, b.c AS cb
+                         FROM full0 a JOIN full0 b ON a.day = b.day AND a.event_type < b.event_type),
+                 pp AS (SELECT x.type_a, x.type_b, x.ca, x.cb, y.ca AS ca2, y.cb AS cb2
+                        FROM sab x JOIN sab y ON x.type_a = y.type_a AND x.type_b = y.type_b
+                          AND x.day < y.day),
+                 agg AS (SELECT type_a, type_b, count(*) AS n0,
+                           CAST(sum(CASE WHEN (ca - ca2) * (cb - cb2) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+                           CAST(sum(CASE WHEN (ca - ca2) * (cb - cb2) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+                           CAST(sum(CASE WHEN ca = ca2 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                           CAST(sum(CASE WHEN cb = cb2 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+                         FROM pp GROUP BY 1, 2)
+            SELECT type_a, type_b, n0, conc, disc,
+                   floor(CASE WHEN n0 = tx OR n0 = ty THEN 0.0
+                              ELSE CAST(conc - disc AS DOUBLE)
+                                / (sqrt(CAST(n0 - tx AS DOUBLE)) * sqrt(CAST(n0 - ty AS DOUBLE))) END
+                     * 1e6 + 0.5) / 1e6 AS tau_b
+            FROM agg ORDER BY type_a, type_b""",
       // GMM EM: histogram-grid fit, 4 unrolled stages
       "x_gmm_em" ->
         s"""WITH gmg AS MATERIALIZED (SELECT value AS x, count(*) AS cnt FROM events GROUP BY 1),
