@@ -5341,6 +5341,78 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // ROC AUC of the urgent-order rate predictor (x_calibration's model,
+    // eval'd as a ranking) — AUC = tie-adjusted Mann–Whitney over the
+    // PREDICTION-VALUE GRID (distinct p ≤ nation×segment cells, bounded
+    // regardless of corpus size): 2·avgrank integers per p-group, AUC
+    // from exact integer sums with one double division. The cumulative
+    // window runs over that bounded grid, never over orders.
+    "x_auc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").join(
+        t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey"), col("c_mktsegment")), "o_custkey")
+        .select(col("o_orderkey"), col("c_nationkey"), col("c_mktsegment"),
+          (col("o_orderpriority") === "1-URGENT").cast("long").as("y"))
+      val rates = o.filter(col("o_orderkey") % 2 === 0)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum(col("y")).as("u"), count(lit(1)).as("tot"))
+      val test = o.filter(col("o_orderkey") % 2 === 1)
+        .join(broadcast(rates), Seq("c_nationkey", "c_mktsegment"))
+        .select(col("y"), (col("u").cast("double") / col("tot").cast("double")).as("p"))
+      val g = test.groupBy("p").agg(count(lit(1)).as("np"), sum(col("y")).as("pos"))
+      val cum = g.withColumn("cum", sum(col("np")).over(
+          Window.orderBy("p").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("pos"), col("np"),
+          (lit(2L) * (col("cum") - col("np")) + col("np") + lit(1L)).as("r2"))
+      def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      cum.agg(sum(col("pos")).as("n1"), sum(col("np") - col("pos")).as("n0"),
+          sum(col("pos") * col("r2")).as("s2"))
+        .select(col("n1"), col("n0"),
+          f6((col("s2") - col("n1") * (col("n1") + 1)).cast("double")
+            / (lit(2L) * col("n1") * col("n0")).cast("double")).as("auc"))
+    }),
+
+    // Isotonic (weighted PAV) calibration of the reliability diagram —
+    // the monotone recalibration step between a raw scorer and a
+    // decision threshold, in the minimax closed form
+    // fit_i = max_{j≤i} min_{k≥i} wavg(hits, n over bins j..k): the
+    // whole computation lives on the ≤10-bin grid (segment averages via
+    // a triangular grid join — metadata-sized at any corpus scale), so
+    // no sequential pooling loop is needed and every average is a ratio
+    // of exact integer sums.
+    "x_isotonic" -> ((s, dir) => {
+      val o = t(s, dir, "orders").join(
+        t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey"), col("c_mktsegment")), "o_custkey")
+        .select(col("o_orderkey"), col("c_nationkey"), col("c_mktsegment"),
+          (col("o_orderpriority") === "1-URGENT").cast("long").as("y"))
+      val rates = o.filter(col("o_orderkey") % 2 === 0)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum(col("y")).as("u"), count(lit(1)).as("tot"))
+      val p = col("u").cast("double") / col("tot").cast("double")
+      val bins = o.filter(col("o_orderkey") % 2 === 1)
+        .join(broadcast(rates), Seq("c_nationkey", "c_mktsegment"))
+        .select(col("y"), least(floor(p * lit(10.0)), lit(9.0)).cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("nb"), sum(col("y")).as("hits"))
+        .localCheckpoint() // reused by 3 bounded grid joins
+      val ids = bins.select(col("bin").as("j"))
+        .crossJoin(bins.select(col("bin").as("k"))).filter(col("j") <= col("k"))
+      val seg = ids.join(bins, col("bin") >= col("j") && col("bin") <= col("k"))
+        .groupBy("j", "k").agg(
+          (sum(col("hits")).cast("double") / sum(col("nb")).cast("double")).as("avgv"))
+      val mn = bins.select(col("bin").as("i"))
+        .join(seg, col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("i", "j").agg(min(col("avgv")).as("mnv"))
+      val fit = mn.groupBy("i").agg(max(col("mnv")).as("fit"))
+      def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      bins.join(fit, col("bin") === col("i"))
+        .select(col("bin"), col("nb"),
+          f6(col("hits").cast("double") / col("nb").cast("double")).as("acc"),
+          f6(col("fit")).as("iso_fit"))
+        .orderBy("bin")
+    }),
+
     // Split-conformal prediction interval — distribution-free coverage
     // for a per-type mean-value predictor (Vovk; the eval harness any
     // score-thresholding pipeline needs): calibration half (even users)
@@ -9849,6 +9921,55 @@ object SparkEntry {
       // from sealed streaming windows — identical oracle)
       "x_dp_counts" -> dpCountsSql,
       "t22_stream_dp" -> dpCountsSql,
+      // AUC: tie-adjusted Mann–Whitney over the prediction-value grid
+      "x_auc" ->
+        """WITH o AS (SELECT o_orderkey, c_nationkey, c_mktsegment,
+                             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+                      FROM orders JOIN customer ON o_custkey = c_custkey),
+                rates AS (SELECT c_nationkey, c_mktsegment,
+                                 CAST(sum(y) AS BIGINT) AS u, count(*) AS tot
+                          FROM o WHERE o_orderkey % 2 = 0 GROUP BY 1, 2),
+                test AS (SELECT y, CAST(u AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+                         FROM o JOIN rates USING (c_nationkey, c_mktsegment)
+                         WHERE o_orderkey % 2 = 1),
+                g AS (SELECT p, count(*) AS np, CAST(sum(y) AS BIGINT) AS pos
+                      FROM test GROUP BY 1),
+                r AS (SELECT pos, np,
+                        2 * (sum(np) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - np)
+                          + np + 1 AS r2
+                      FROM g),
+                agg AS (SELECT CAST(sum(pos) AS BIGINT) AS n1,
+                               CAST(sum(np - pos) AS BIGINT) AS n0,
+                               CAST(sum(pos * r2) AS BIGINT) AS s2
+                        FROM r)
+           SELECT n1, n0,
+                  floor(CAST(s2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n0 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS auc
+           FROM agg""",
+      // Isotonic PAV in minimax closed form on the bin grid
+      "x_isotonic" ->
+        """WITH o AS (SELECT o_orderkey, c_nationkey, c_mktsegment,
+                             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+                      FROM orders JOIN customer ON o_custkey = c_custkey),
+                rates AS (SELECT c_nationkey, c_mktsegment,
+                                 CAST(sum(y) AS BIGINT) AS u, count(*) AS tot
+                          FROM o WHERE o_orderkey % 2 = 0 GROUP BY 1, 2),
+                bins AS (SELECT CAST(least(floor(CAST(u AS DOUBLE) / CAST(tot AS DOUBLE) * 10.0), 9.0) AS INT) AS bin,
+                                count(*) AS nb, CAST(sum(y) AS BIGINT) AS hits
+                         FROM o JOIN rates USING (c_nationkey, c_mktsegment)
+                         WHERE o_orderkey % 2 = 1 GROUP BY 1),
+                ids AS (SELECT a.bin AS j, b.bin AS k FROM bins a CROSS JOIN bins b WHERE a.bin <= b.bin),
+                seg AS (SELECT i.j, i.k,
+                          CAST(sum(b.hits) AS DOUBLE) / CAST(sum(b.nb) AS DOUBLE) AS avgv
+                        FROM ids i JOIN bins b ON b.bin >= i.j AND b.bin <= i.k
+                        GROUP BY 1, 2),
+                mn AS (SELECT b.bin AS i, s.j, min(s.avgv) AS mnv
+                       FROM bins b JOIN seg s ON s.j <= b.bin AND s.k >= b.bin
+                       GROUP BY 1, 2),
+                fit AS (SELECT i, max(mnv) AS fit FROM mn GROUP BY 1)
+           SELECT b.bin, b.nb,
+                  floor(CAST(b.hits AS DOUBLE) / CAST(b.nb AS DOUBLE) * 1e6 + 0.5) / 1e6 AS acc,
+                  floor(f.fit * 1e6 + 0.5) / 1e6 AS iso_fit
+           FROM bins b JOIN fit f ON b.bin = f.i ORDER BY b.bin""",
       // Bradley–Terry: daily-count duels, then the 6 unrolled MM stages
       "x_bradley_terry" ->
         s"""WITH dc AS (SELECT $dayE AS day, event_type, count(*) AS c FROM events GROUP BY 1, 2),

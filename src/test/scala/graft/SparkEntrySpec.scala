@@ -44,8 +44,11 @@ class SparkEntrySpec extends AnyFunSuite {
     //     (value grid, not users).
     //   x_theilsen — median rank over the day-PAIR grid (calendar², not
     //     corpus rows).
+    //   x_auc — cumulative over the PREDICTION-VALUE grid (distinct
+    //     predictions <= nation×segment cells, not orders).
     val boundedInputWhitelist =
-      Set("w2_moving_avg", "x_quantile_norm", "x_ks_test", "x_mannwhitney", "x_gini", "x_theilsen")
+      Set("w2_moving_avg", "x_quantile_norm", "x_ks_test", "x_mannwhitney", "x_gini", "x_theilsen",
+        "x_auc")
     import org.apache.spark.sql.catalyst.plans.logical
     // A global window whose input is DOMINATED by a LIMIT is bounded by
     // construction (e.g. x_bm25_search round-robins the top-20 df terms
