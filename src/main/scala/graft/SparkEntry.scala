@@ -2107,6 +2107,49 @@ object SparkEntry {
 
     // JSON extraction from the raw props payload (schema-on-read over a
     // semi-structured column)
+    // Spark 4 VARIANT ingestion — parse the props JSON ONCE into the
+    // binary variant encoding and extract with variant_get (the
+    // schema-on-read path for semi-structured columns at scan time; the
+    // string-re-parse form is f6_json_extract). Aggregates over the
+    // extracted field prove the typed round-trip.
+    "f11_variant_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // PERMISSIVE corrupt-record accounting — the malformed-input
+    // resilience every large-scale ingest needs: stage an NDJSON export
+    // with every 13th line deterministically mangled, read it back with
+    // an explicit schema + _corrupt_record, and account good rows per
+    // type vs corrupt rows. The corrupt line count is an exact
+    // derivation from the source (event_id % 13), so the oracle needs no
+    // access to the staged file.
+    "s10_corrupt_records" -> ((s, dir) => {
+      val stage = scratchDir("s10", dir).toString
+      val src = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), to_json(struct(
+          col("event_id"), col("event_type"), col("value"))).as("line"))
+        .select(when(col("event_id") % 13 === 0, concat(lit("{oops "), col("line")))
+          .otherwise(col("line")).as("value"))
+      src.coalesce(4).write.mode("overwrite").text(s"$stage/ndjson")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$stage/ndjson")
+        .select(when(col("_corrupt_record").isNotNull, lit("_CORRUPT"))
+          .otherwise(col("event_type")).as("event_type"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     "f6_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
         .select(
@@ -5559,6 +5602,34 @@ object SparkEntry {
           f6(noise).as("noise"),
           f6(greatest(col("c") + noise, lit(0.0))).as("released"))
         .orderBy("day", "event_type")
+    }),
+
+    // Wald SPRT — sequential hypothesis testing of the daily purchase
+    // share (H₀ p=0.19 vs H₁ p=0.21, α=β=0.05), the always-valid
+    // companion to the fixed-horizon tests (x_welch_ttest, x_srm): the
+    // cumulative log-likelihood-ratio walk over the day grid with the
+    // ln(19) decision boundaries. Per-day terms are
+    // x·ln(p₁/p₀) + (n−x)·ln(q₁/q₀) from exact integer counts with two
+    // literal-derived ln constants; floor-6 terms decimal-sum through a
+    // cumulative window over the calendar-bounded grid.
+    "x_sprt" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = events(s, dir).groupBy("day").agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "purchase").cast("long")).as("x"))
+      val la = log(lit(0.21) / lit(0.19))
+      val lb = log((lit(1.0) - lit(0.21)) / (lit(1.0) - lit(0.19)))
+      def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val terms = d.select(col("day"), col("x"), col("n"),
+        f6(col("x").cast("double") * la + (col("n") - col("x")).cast("double") * lb)
+          .cast("decimal(28,6)").as("term"))
+      terms.withColumn("llr", sum(col("term")).over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+        .select(col("day"), col("x"), col("n"), f6(col("llr")).as("llr"),
+          when(col("llr") >= log(lit(19.0)), "accept_h1")
+            .when(col("llr") <= -log(lit(19.0)), "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy("day")
     }),
 
     // Bradley–Terry pairwise-preference strengths (Hunter 2004 MM) — the
@@ -9921,6 +9992,39 @@ object SparkEntry {
       // from sealed streaming windows — identical oracle)
       "x_dp_counts" -> dpCountsSql,
       "t22_stream_dp" -> dpCountsSql,
+      // Variant ingestion: same typed extraction via DuckDB JSON
+      "f11_variant_agg" ->
+        """SELECT event_type, count(*) AS n,
+                  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+                  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+                  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+           FROM events GROUP BY 1 ORDER BY 1""",
+      // Corrupt-record accounting: the mangled-line set is event_id % 13
+      // by construction
+      "s10_corrupt_records" ->
+        """SELECT CASE WHEN event_id % 13 = 0 THEN '_CORRUPT' ELSE event_type END AS event_type,
+                  count(*) AS n
+           FROM events GROUP BY 1 ORDER BY 1""",
+      // SPRT: literal-derived ln constants, floor-6 terms, decimal
+      // cumulative walk over the day grid
+      "x_sprt" ->
+        s"""WITH d AS (SELECT $dayE AS day, count(*) AS n,
+                         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x
+                       FROM events GROUP BY 1),
+                 t AS (SELECT day, x, n,
+                         CAST(floor((CAST(x AS DOUBLE) * ln(0.21 / 0.19)
+                             + CAST(n - x AS DOUBLE) * ln((1.0 - 0.21) / (1.0 - 0.19))) * 1e6 + 0.5) / 1e6
+                           AS DECIMAL(28,6)) AS term
+                       FROM d),
+                 c AS (SELECT day, x, n,
+                         CAST(sum(term) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS DOUBLE) AS llr
+                       FROM t)
+            SELECT day, x, n, floor(llr * 1e6 + 0.5) / 1e6 AS llr,
+                   CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+                        WHEN llr <= -ln(19.0) THEN 'accept_h0'
+                        ELSE 'continue' END AS decision
+            FROM c ORDER BY day""",
       // AUC: tie-adjusted Mann–Whitney over the prediction-value grid
       "x_auc" ->
         """WITH o AS (SELECT o_orderkey, c_nationkey, c_mktsegment,
