@@ -1053,6 +1053,31 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // Dynamic partition overwrite — INSERT OVERWRITE that replaces ONLY
+    // the partitions present in the incoming batch (partitionOverwriteMode
+    // =dynamic), the idempotent-backfill primitive of partitioned lakes:
+    // rewrite one day with corrected values (value doubled), leave every
+    // other partition byte-untouched. The oracle derives the expected
+    // post-state from the source with a CASE on the overwritten day.
+    "k15_dynamic_overwrite" -> ((s, dir) => {
+      val out = persistentPath("k15", dir)
+      val src = events(s, dir).select(col("event_id"), col("day"), col("event_type"), col("value"))
+      src.write.mode("overwrite").partitionBy("day").parquet(out)
+      val patch = src.filter(col("day") === "2024-01-05")
+        .withColumn("value", col("value") * lit(2.0))
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try patch.write.mode("overwrite").partitionBy("day").parquet(out)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(out)
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy("day")
+    }),
+
     // ORC sink + source roundtrip — same columnar write/read lifecycle as
     // k1 but through Spark's second built-in columnar format (the lakehouse
     // interchange case: an ORC-based warehouse reading our output). ORC
@@ -3144,6 +3169,49 @@ object SparkEntry {
         .select(col("query_id"), col("rnk"), col("doc_id"), col("n_terms_matched"),
           round(col("sdec"), 4).cast("double").as("score"))
         .orderBy("query_id", "rnk")),
+
+    // Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty,
+    // μ=100) — the language-model scorer beside x_bm25_search, over the
+    // SAME data-derived queries so the two rankings are comparable:
+    // score(q,d) = Σ_{t∈q∩d} ln(1 + tf/(μ·P(t|C))) + |q|·ln(μ/(dl+μ)),
+    // i.e. matched-term sums over the posting-list probe plus a
+    // per-doc-length prior — round-6 decimal-summed, (sdec DESC, doc_id)
+    // top-10. Same scale shape as BM25: broadcast query terms, one
+    // (query, doc) shuffle, candidates only (never all docs × queries).
+    "x_ql_retrieval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val toksArr = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+      val toks = docs.select(col("doc_id"), toksArr.as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+          explode(col("toks")).as("term"))
+      val tf = toks.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val qterms = dfreq.orderBy(col("df").desc, col("term")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("df").desc, col("term"))))
+        .select(((col("rnk") - 1) % 5).cast("int").as("query_id"), col("term"))
+      val cft = toks.groupBy("term").agg(count(lit(1)).as("cf"))
+      val tott = toks.agg(count(lit(1)).as("total"))
+      val dls = toks.select("doc_id", "dl").distinct()
+      val mt = tf.join(broadcast(qterms), "term")
+        .join(cft, "term").crossJoin(broadcast(tott))
+        .withColumn("ts", round(log(lit(1.0) + col("tf").cast("double")
+            / (lit(100.0) * (col("cf").cast("double") / col("total").cast("double")))), 6)
+          .cast("decimal(18,6)"))
+      val mg = mt.groupBy("query_id", "doc_id")
+        .agg(sum(col("ts")).as("ms"), count(lit(1)).as("n_terms_matched"))
+      val sc = mg.join(dls, "doc_id")
+        .withColumn("sdec", col("ms") +
+          round(lit(4.0) * log(lit(100.0) / (col("dl") + lit(100.0))), 6).cast("decimal(18,6)"))
+      val w = Window.partitionBy("query_id").orderBy(col("sdec").desc, col("doc_id"))
+      sc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("n_terms_matched"),
+          col("sdec").cast("double").as("score"))
+        .orderBy("query_id", "rnk")
+    }),
 
     // reciprocal-rank fusion (Cormack 2009, k=60): the standard hybrid
     // retrieval combiner — here fusing the BM25 score ranking with the
@@ -6919,6 +6987,13 @@ object SparkEntry {
         s"""SELECT $dayE AS day, count(*) AS cnt FROM events
             WHERE NOT ($dayE IN ('2024-01-05', '2024-01-06') AND event_id % 7 = 0)
             GROUP BY 1 ORDER BY 1""",
+      // dynamic overwrite: one day's values doubled, every other
+      // partition untouched
+      "k15_dynamic_overwrite" ->
+        s"""SELECT $dayE AS day, count(*) AS cnt,
+                   CAST(sum(CAST(CASE WHEN $dayE = '2024-01-05' THEN value * 2.0 ELSE value END
+                     AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1 ORDER BY 1""",
       "s2_catalog_scan" ->
         s"""SELECT $dayE AS day, count(*) AS cnt FROM events
             WHERE $dayE >= '2024-01-10' AND $dayE < '2024-01-15'
@@ -8772,6 +8847,25 @@ object SparkEntry {
         """SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_matched,
                   CAST(round(sdec, 4) AS DOUBLE) AS score
            FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""),
+      // QL: Dirichlet mu=100 over the same query terms — matched-term
+      // sums + the doc-length prior
+      "x_ql_retrieval" -> bm25Oracle(
+        """, cft AS (SELECT term, count(*) AS cf FROM toks GROUP BY 1),
+             tott AS (SELECT count(*) AS total FROM toks),
+             dls AS (SELECT DISTINCT doc_id, dl FROM toks),
+             mt AS (SELECT qt.query_id, tf.doc_id,
+                      CAST(round(ln(1.0 + tf / (100.0 * (cf / CAST(total AS DOUBLE)))), 6) AS DECIMAL(18,6)) AS ts
+                    FROM tf JOIN qt USING (term) JOIN cft USING (term) CROSS JOIN tott),
+             mg AS (SELECT query_id, doc_id, sum(ts) AS ms, count(*) AS n_terms_matched
+                    FROM mt GROUP BY 1, 2),
+             sc AS (SELECT m.query_id, m.doc_id, m.n_terms_matched,
+                      m.ms + CAST(round(4.0 * ln(100.0 / (d.dl + 100.0)), 6) AS DECIMAL(18,6)) AS sdec
+                    FROM mg m JOIN dls d USING (doc_id)),
+             rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rnk
+                    FROM sc)
+           SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_matched,
+                  CAST(sdec AS DOUBLE) AS score
+           FROM rr WHERE rnk <= 10 ORDER BY query_id, rnk"""),
       // RRF: same top-10, coverage re-rank, 1/(60+r) fixed-order sum
       "x_rrf" -> bm25Oracle(
         """, top AS (SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_matched
