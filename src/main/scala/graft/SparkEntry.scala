@@ -5672,6 +5672,62 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    // Difference-in-differences — the third causal-inference rung beside
+    // x_cuped (variance reduction) and x_cem_att (matching): treatment by
+    // user parity, pre/post split at mid-month, DiD =
+    // (ΔT) − (ΔC) from four exact-decimal group means. One grid-sized
+    // aggregate; every mean is an exact decimal sum over a long count.
+    "x_did" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        (col("user_id") % 2 === 0).cast("int").as("treat"),
+        (col("day") >= "2024-01-16").cast("int").as("post"),
+        col("value"))
+      def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val g = e.groupBy("treat", "post")
+        .agg(count(lit(1)).as("n"), (dsum(col("value")) / count(lit(1))).as("m"))
+      val wide = g.agg(
+        sum(when(col("treat") === 1 && col("post") === 1, col("m"))).as("m_t1"),
+        sum(when(col("treat") === 1 && col("post") === 0, col("m"))).as("m_t0"),
+        sum(when(col("treat") === 0 && col("post") === 1, col("m"))).as("m_c1"),
+        sum(when(col("treat") === 0 && col("post") === 0, col("m"))).as("m_c0"),
+        sum(col("n")).as("n_total"))
+      wide.select(col("n_total"), f6(col("m_t0")).as("m_t_pre"), f6(col("m_t1")).as("m_t_post"),
+        f6(col("m_c0")).as("m_c_pre"), f6(col("m_c1")).as("m_c_post"),
+        f6((col("m_t1") - col("m_t0")) - (col("m_c1") - col("m_c0"))).as("did"))
+    }),
+
+    // Inverse-propensity off-policy evaluation (IPS + SNIPS) — "what
+    // would the uniform policy's reward be?" answered from logged data,
+    // the off-policy eval loop of ranking/recsys and preference-data
+    // pipelines: behavior propensities p(a|s) from even days (s =
+    // user_id%10 segments), evaluated on odd days with target π uniform
+    // over the action set. Weights are exact rationals; w·value terms
+    // floor-6 decimal-summed. The propensity table is a broadcast
+    // segment×action grid — one eval-side shuffle.
+    "x_ips_eval" -> ((s, dir) => {
+      val e = events(s, dir).select((col("user_id") % 10).as("seg"),
+        col("event_type"), col("value"),
+        (dayofmonth(to_date(col("day"))) % 2).as("par"))
+      val beh = e.filter(col("par") === 0)
+      val prop = beh.groupBy("seg", "event_type").agg(count(lit(1)).as("na"))
+      val segTot = beh.groupBy("seg").agg(count(lit(1)).as("ns"))
+      val acts = beh.agg(count_distinct(col("event_type")).as("k"))
+      def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      // w = π(a)/p(a|s) = (1/k) / (na/ns) = ns/(k·na) — exact rational
+      val w = col("ns").cast("double") / (col("k") * col("na")).cast("double")
+      e.filter(col("par") === 1)
+        .join(broadcast(prop), Seq("seg", "event_type"))
+        .join(broadcast(segTot), Seq("seg")).crossJoin(broadcast(acts))
+        .select(col("seg"),
+          f6(w * col("value")).cast("decimal(28,6)").as("wv"),
+          f6(w).cast("decimal(28,6)").as("wt"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_eval"),
+          f6(sum(col("wv")).cast("double") / count(lit(1))).as("ips"),
+          f6(sum(col("wv")).cast("double") / sum(col("wt")).cast("double")).as("snips"))
+        .orderBy("seg")
+    }),
+
     // Wald SPRT — sequential hypothesis testing of the daily purchase
     // share (H₀ p=0.19 vs H₁ p=0.21, α=β=0.05), the always-valid
     // companion to the fixed-horizon tests (x_welch_ttest, x_srm): the
@@ -10099,6 +10155,43 @@ object SparkEntry {
         """SELECT CASE WHEN event_id % 13 = 0 THEN '_CORRUPT' ELSE event_type END AS event_type,
                   count(*) AS n
            FROM events GROUP BY 1 ORDER BY 1""",
+      // DiD: four exact-decimal group means, one double combination
+      "x_did" ->
+        s"""WITH e AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat,
+                              CASE WHEN $dayE >= '2024-01-16' THEN 1 ELSE 0 END AS post, value
+                       FROM events),
+                 g AS (SELECT treat, post, count(*) AS n,
+                         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS m
+                       FROM e GROUP BY 1, 2),
+                 w AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                         sum(CASE WHEN treat = 1 AND post = 1 THEN m END) AS m_t1,
+                         sum(CASE WHEN treat = 1 AND post = 0 THEN m END) AS m_t0,
+                         sum(CASE WHEN treat = 0 AND post = 1 THEN m END) AS m_c1,
+                         sum(CASE WHEN treat = 0 AND post = 0 THEN m END) AS m_c0
+                       FROM g)
+            SELECT n_total,
+                   floor(m_t0 * 1e6 + 0.5) / 1e6 AS m_t_pre,
+                   floor(m_t1 * 1e6 + 0.5) / 1e6 AS m_t_post,
+                   floor(m_c0 * 1e6 + 0.5) / 1e6 AS m_c_pre,
+                   floor(m_c1 * 1e6 + 0.5) / 1e6 AS m_c_post,
+                   floor(((m_t1 - m_t0) - (m_c1 - m_c0)) * 1e6 + 0.5) / 1e6 AS did
+            FROM w""",
+      // IPS/SNIPS: exact-rational weights ns/(k·na), floor-6 terms
+      "x_ips_eval" ->
+        """WITH e AS (SELECT user_id % 10 AS seg, event_type, value, day(ts) % 2 AS par FROM events),
+                beh AS (SELECT * FROM e WHERE par = 0),
+                prop AS (SELECT seg, event_type, count(*) AS na FROM beh GROUP BY 1, 2),
+                st AS (SELECT seg, count(*) AS ns FROM beh GROUP BY 1),
+                ka AS (SELECT count(DISTINCT event_type) AS k FROM beh),
+                t AS (SELECT e.seg,
+                        CAST(floor((ns / CAST(k * na AS DOUBLE)) * value * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS wv,
+                        CAST(floor((ns / CAST(k * na AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS wt
+                      FROM e JOIN prop USING (seg, event_type) JOIN st USING (seg) CROSS JOIN ka
+                      WHERE par = 1)
+           SELECT seg, count(*) AS n_eval,
+                  floor(CAST(sum(wv) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS ips,
+                  floor(CAST(sum(wv) AS DOUBLE) / CAST(sum(wt) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS snips
+           FROM t GROUP BY 1 ORDER BY 1""",
       // SPRT: literal-derived ln constants, floor-6 terms, decimal
       // cumulative walk over the day grid
       "x_sprt" ->
