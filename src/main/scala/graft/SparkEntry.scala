@@ -1574,6 +1574,45 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // Checkpoint-recovery restart — the operational property every
+    // production stream depends on: run the windowed-count pipeline over
+    // the first half-month, STOP, land the second half as new source
+    // files, restart from the SAME checkpoint. The file source's
+    // checkpointed discovery processes only the new files; the restored
+    // window state accumulates into them; update-mode emission plus the
+    // id-keyed last-write-wins upsert sink make the two runs' emissions
+    // converge to exactly the full batch answer for EVERY window —
+    // including the trailing days a watermark-append run would leave
+    // unsealed (oracled against the whole events table).
+    "t23_stream_restart" -> ((s, dir) => {
+      val stageDir = scratchDir("t23", dir)
+      val stage = stageDir.toString
+      val srcDir = s"$stage/events_src"
+      val idx = persistentPath("t23_idx", dir)
+      deleteRec(new java.io.File(idx))
+      val withDay = Tables.withDay(Tables.loadEvents(s, dir))
+      def run(): Unit = {
+        graft.streaming.EventStream.runForeachBatchUpsert(
+          graft.streaming.EventStream.dailyCounts(
+            graft.streaming.EventStream.readEvents(s, srcDir))
+            .withColumn("id", concat_ws("|", col("day"), col("event_type"))),
+          idx, s"$stage/ckpt", "id", statePartitions = Some(8),
+          outputMode = "update")
+        ()
+      }
+      try {
+        withDay.filter(col("day") < "2024-01-16").drop("day")
+          .coalesce(2).write.mode("overwrite").parquet(srcDir)
+        run() // first run drains half the month, checkpoints, stops
+        withDay.filter(col("day") >= "2024-01-16").drop("day")
+          .coalesce(2).write.mode("append").parquet(srcDir)
+        run() // restart: only the new files are discovered and processed
+      } finally deleteRec(stageDir)
+      s.read.parquet(idx)
+        .select(col("day"), col("event_type"), col("cnt"))
+        .orderBy("day", "event_type")
+    }),
+
     // Streaming DP count release — x_dp_counts as a continuous emission:
     // watermark-sealed daily windows + the stateless md5-seeded Laplace
     // projection, so each sealed (day, type) release is emitted once,
@@ -3983,6 +4022,49 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // Wasserstein-1 (earth-mover) drift between consecutive days' VALUE
+    // distributions — the continuous-distribution complement of
+    // x_dist_drift's categorical KL/TV. Values bin to exact cents
+    // (floor-round), so the support is a bounded VALUE GRID (the x_gini
+    // discipline): per-pair window work is grid-sized at any corpus
+    // scale, and the only data-scale job is the (day, cents) histogram
+    // shuffle. Each histogram row feeds at most two day pairs (as
+    // yesterday / as today) via a tagged union — never a self-join of
+    // events. W1 = Σ|F1−F2|·Δv over the merged support via per-pair
+    // prefix-sum windows; each term floor-rounds to 9 dp and
+    // DECIMAL-sums (order-independent — the x_unigram_lm discipline).
+    "x_wasserstein" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = events(s, dir).filter(col("value").isNotNull)
+        .select(col("day"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        .groupBy("day", "cents").agg(count(lit(1)).as("c"))
+      val tot = h.groupBy("day").agg(sum(col("c")).as("n"))
+      def shifted(d: DataFrame) = date_format(date_add(to_date(d("day")), 1), "yyyy-MM-dd")
+      val asPrev = h.select(shifted(h).as("pday"),
+        col("cents"), col("c").as("c1"), lit(0L).as("c2"))
+      val asCur = h.select(col("day").as("pday"), col("cents"),
+        lit(0L).as("c1"), col("c").as("c2"))
+      val g = asPrev.unionAll(asCur).groupBy("pday", "cents")
+        .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+      val t1 = tot.select(shifted(tot).as("pday"), col("n").as("n1"))
+      val t2 = tot.select(col("day").as("pday"), col("n").as("n2"))
+      val w = Window.partitionBy("pday").orderBy("cents")
+      g.join(t1, "pday").join(t2, "pday") // inner: boundary days drop out
+        .withColumn("cum1", sum(col("c1")).over(w))
+        .withColumn("cum2", sum(col("c2")).over(w))
+        .withColumn("nxt", lead(col("cents"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("term",
+          round(abs(col("cum1").cast("double") / col("n1").cast("double")
+                  - col("cum2").cast("double") / col("n2").cast("double"))
+            * ((col("nxt") - col("cents")).cast("double") / lit(100.0)), 9)
+            .cast("decimal(28,9)"))
+        .groupBy("pday").agg(round(sum(col("term")), 6).cast("double").as("w1"))
+        .select(col("pday").as("day"), col("w1"))
+        .orderBy("day")
+    }),
+
     // sketch-based retention (the 100 TB path for x_day_retention): per-day
     // HLL sketches of the user set — mergeable, so day sketches build once
     // and ANY cross-day intersection derives by inclusion-exclusion
@@ -4300,6 +4382,59 @@ object SparkEntry {
           floor(col("n").cast("double") / col("day_n").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
         .select("day", "touch_type", "n", "share")
         .orderBy("day", "touch_type")
+    }),
+
+    // Shapley-value channel attribution — the coalition-game upgrade of
+    // x_attribution's last-touch rule (Zhao et al., "Shapley Value
+    // Methods for Attribution Modeling"). Per purchase, the touched set
+    // S ⊆ {view, click, signup} is the channels whose LAST prior touch
+    // by the same user lies within the 1-day window — three per-channel
+    // running-max windows over ONE user-ordered pass (a channel was
+    // touched in-window iff its last touch was), so the data-scale work
+    // is a single window pass plus one groupBy on the 3-bit mask; no
+    // self-join. The game value v(T) = #conversions with S ⊆ T and the
+    // Shapley credit φ_c = (1/3!)·Σ_{T∌c} |T|!(2−|T|)!·[v(T∪c)−v(T)]
+    // run on the bounded 8-row subset grid (the crossJoins are 8×3
+    // METADATA, never data-scale — unlike a value-domain grid this one
+    // is fixed by the channel universe). phi_num = 3!·φ_c stays exact
+    // integer end to end; efficiency Σφ_c = v(full)−v(∅) is pinned in
+    // SparkEntrySpec; share uses the floor-round(6dp) determinism.
+    "x_shapley_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def lastMs(ch: String) = max(when(col("event_type") === ch, col("ms"))).over(w)
+      def inWin(c: Column, bit: Int) =
+        when(col("ms") - c <= lit(86400000L), lit(bit)).otherwise(lit(0))
+      val masks = e
+        .withColumn("lv", lastMs("view"))
+        .withColumn("lc", lastMs("click"))
+        .withColumn("ls", lastMs("signup"))
+        .filter(col("event_type") === "purchase")
+        .select((inWin(col("lv"), 1) + inWin(col("lc"), 2) + inWin(col("ls"), 4)).as("m"))
+      val cm = masks.groupBy("m").agg(count(lit(1)).as("c")) // ≤ 8 rows from here on
+      val subsets = s.range(8).select(col("id").cast("int").as("t"))
+      val vt = subsets.join(cm, cm("m").bitwiseAND(col("t")) === cm("m"), "left")
+        .groupBy("t").agg(coalesce(sum(col("c")), lit(0L)).as("v"))
+      val channels = Seq((1, "view"), (2, "click"), (4, "signup")).toDF("b", "channel")
+      val pc = expr("(t & 1) + ((t >> 1) & 1) + ((t >> 2) & 1)")
+      val weight = when(pc === 1, lit(1L)).otherwise(lit(2L)) // |T|!·(2−|T|)! for n=3
+      val v0 = vt.select(col("t").as("t0"), col("v").as("va"))
+      val v1 = vt.select(col("t").as("t1"), col("v").as("vb"))
+      val contrib = channels.crossJoin(subsets)
+        .filter(col("t").bitwiseAND(col("b")) === 0)
+        .join(v0, col("t0") === col("t"))
+        .join(v1, col("t1") === col("t").bitwiseOR(col("b")))
+        .groupBy("channel").agg(sum(weight * (col("vb") - col("va"))).as("phi_num"))
+      val tot = contrib.agg(sum(col("phi_num")).as("ps"))
+      contrib.crossJoin(tot)
+        .select(col("channel"), col("phi_num"),
+          (floor(col("phi_num").cast("double") / nullif(col("ps"), lit(0L)).cast("double")
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("share"))
+        .orderBy("channel")
     }),
 
     // per-source lexical diversity: Shannon entropy over the token
@@ -7088,6 +7223,10 @@ object SparkEntry {
       "t6_stream_daily_counts" ->
         s"""SELECT $dayE AS day, event_type, count(*) AS cnt FROM events
             GROUP BY 1, 2 ORDER BY 1, 2""",
+      // restart converges to exactly the full-corpus daily counts
+      "t23_stream_restart" ->
+        s"""SELECT $dayE AS day, event_type, count(*) AS cnt FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2""",
       "t11_stream_static_join" ->
         s"""WITH d AS (SELECT $dayE AS day, count(*) AS day_total FROM events GROUP BY 1),
                 e AS (SELECT $dayE AS day, event_type FROM events)
@@ -8601,6 +8740,30 @@ object SparkEntry {
                   CAST(round(sum(CAST(round(abs(p - q) * 0.5, 6) AS DECIMAL(18,6))), 4) AS DOUBLE) AS tv,
                   count(*) AS k
            FROM pq GROUP BY day ORDER BY day""",
+      // W1 via prefix-sum CDFs over the merged cents grid of each day pair
+      "x_wasserstein" ->
+        s"""WITH h AS (SELECT $dayE AS day, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                              count(*) AS c
+                       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+                t AS (SELECT day, sum(c) AS n FROM h GROUP BY 1),
+                u AS (SELECT strftime(CAST(day AS DATE) + 1, '%Y-%m-%d') AS pday, cents,
+                             c AS c1, 0 AS c2 FROM h
+                      UNION ALL
+                      SELECT day AS pday, cents, 0 AS c1, c AS c2 FROM h),
+                g AS (SELECT pday, cents, sum(c1) AS c1, sum(c2) AS c2 FROM u GROUP BY 1, 2),
+                j AS (SELECT g.pday, g.cents, g.c1, g.c2, t1.n AS n1, t2.n AS n2
+                      FROM g
+                      JOIN (SELECT strftime(CAST(day AS DATE) + 1, '%Y-%m-%d') AS pday, n FROM t) t1
+                        USING (pday)
+                      JOIN (SELECT day AS pday, n FROM t) t2 USING (pday)),
+                k AS (SELECT pday,
+                             sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2,
+                             lead(cents) OVER w AS nxt, cents, n1, n2
+                      FROM j WINDOW w AS (PARTITION BY pday ORDER BY cents))
+           SELECT pday AS day,
+                  CAST(round(sum(CAST(round(abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)
+                    * ((nxt - cents) / 100.0), 9) AS DECIMAL(28,9))), 6) AS DOUBLE) AS w1
+           FROM k WHERE nxt IS NOT NULL GROUP BY 1 ORDER BY 1""",
       // streaming drift = the batch drift rows for every day whose window
       // the watermark can seal: day end (+1 day midnight) at or below
       // max event time minus the 1 h watermark delay
@@ -9144,6 +9307,37 @@ object SparkEntry {
             SELECT bd.day, touch_type, n,
                    floor(CAST(n AS DOUBLE) / day_n * 1e4 + 0.5) / 1e4 AS share
             FROM bd JOIN tot USING (day) ORDER BY day, touch_type""",
+      // Shapley over the 3-channel coalition grid; phi_num = 3!·φ exact int
+      "x_shapley_attribution" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+                t0 AS (SELECT user_id, event_type, ms,
+                         max(CASE WHEN event_type = 'view' THEN ms END) OVER w AS lv,
+                         max(CASE WHEN event_type = 'click' THEN ms END) OVER w AS lc,
+                         max(CASE WHEN event_type = 'signup' THEN ms END) OVER w AS ls
+                       FROM e
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+                p AS (SELECT (CASE WHEN ms - lv <= 86400000 THEN 1 ELSE 0 END
+                            + CASE WHEN ms - lc <= 86400000 THEN 2 ELSE 0 END
+                            + CASE WHEN ms - ls <= 86400000 THEN 4 ELSE 0 END) AS m
+                      FROM t0 WHERE event_type = 'purchase'),
+                cm AS (SELECT m, count(*) AS c FROM p GROUP BY 1),
+                sub AS (SELECT CAST(range AS INT) AS t FROM range(8)),
+                vt AS (SELECT s.t, CAST(coalesce(sum(cm.c), 0) AS BIGINT) AS v
+                       FROM sub s LEFT JOIN cm ON (cm.m & s.t) = cm.m GROUP BY 1),
+                ch(b, channel) AS (VALUES (1, 'view'), (2, 'click'), (4, 'signup')),
+                contrib AS (SELECT ch.channel,
+                         CAST(sum((CASE ((s.t & 1) + ((s.t >> 1) & 1) + ((s.t >> 2) & 1))
+                                   WHEN 1 THEN 1 ELSE 2 END) * (v1.v - v0.v)) AS BIGINT) AS phi_num
+                       FROM ch, sub s
+                       JOIN vt v0 ON v0.t = s.t
+                       JOIN vt v1 ON v1.t = (s.t | ch.b)
+                       WHERE (s.t & ch.b) = 0
+                       GROUP BY 1),
+                tot AS (SELECT CAST(sum(phi_num) AS BIGINT) AS ps FROM contrib)
+           SELECT channel, phi_num,
+                  floor(CAST(phi_num AS DOUBLE) / nullif(ps, 0) * 1e6 + 0.5) / 1e6 AS share
+           FROM contrib, tot ORDER BY channel""",
       // streaming attribution: the batch attribution SQL restricted to
       // SEALED days (window end <= max event time - watermark delay);
       // shares are re-normalized within the sealed-day purchases only

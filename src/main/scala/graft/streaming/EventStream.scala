@@ -897,9 +897,11 @@ object EventStream {
     * version and converges to the same rows.
     */
   def runForeachBatchUpsert(df: DataFrame, indexDir: String, checkpointDir: String,
-      idCol: String, statePartitions: Option[Int] = None): StreamingQuery = {
+      idCol: String, statePartitions: Option[Int] = None,
+      outputMode: String = "append"): StreamingQuery = {
     val q = withStatePartitions(df.sparkSession, statePartitions) {
       df.writeStream
+        .outputMode(outputMode)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.sinks.EsBulkSink.upsertById(
             batch.withColumn("__v", lit(batchId)), indexDir, idCol, "__v")

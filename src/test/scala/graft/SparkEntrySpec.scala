@@ -74,4 +74,22 @@ class SparkEntrySpec extends AnyFunSuite {
       if (!maybeEmpty.contains(name)) assert(n > 0, s"$name returned no rows")
     }
   }
+
+  test("x_shapley_attribution: efficiency and monotone-game invariants") {
+    val rows = SparkEntry.queries("x_shapley_attribution")(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.length === 3, "one row per channel")
+    val phis = rows.map(_.getAs[Long]("phi_num"))
+    // v is monotone (S ⊆ T ⇒ v(S) ≤ v(T)), so every marginal is ≥ 0
+    assert(phis.forall(_ >= 0L))
+    val total = phis.sum
+    // Σφ_c = v(full) − v(∅): phi_num = 3!·φ so the sum is divisible by 6
+    // and φ-mass never exceeds the purchase count
+    assert(total % 6 === 0L)
+    val purchases = sources.Tables.loadEvents(spark, TestSpark.sfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(total / 6 <= purchases)
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+  }
 }
