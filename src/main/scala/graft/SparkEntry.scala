@@ -4305,6 +4305,31 @@ object SparkEntry {
         .orderBy("type_a", "type_b")
     }),
 
+    // Frequent event-type TRIGRAMS — the sequential (order-sensitive)
+    // counterpart of x_frequent_pairs' basket co-occurrence: consecutive
+    // (a → b → c) runs in each user's (ms, event_id)-ordered stream via
+    // two lead windows (one user-partitioned pass, no self-join).
+    // occurrences = total runs; user_support = distinct users exhibiting
+    // the pattern (the PrefixSpan support notion). The result grid is
+    // bounded by the TYPE ALPHABET (≤ 5³ rows at any corpus scale), so
+    // the groupBy is a map-side-combined shuffle onto a constant key
+    // domain — the distinct-user count shuffles (trigram, user) pairs,
+    // still alphabet³×users bounded.
+    "x_frequent_seqs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+      e.withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("event_type").as("a"), col("t2").as("b"), col("t3").as("c"))
+        .agg(count(lit(1)).as("occurrences"),
+          countDistinct(col("user_id")).as("user_support"))
+        .filter(col("user_support") >= 2)
+        .orderBy("a", "b", "c")
+    }),
+
     // Deequ-style data-quality expectation suite over lineitem: ONE pass
     // computes every check metric (completeness, key uniqueness, domain
     // bounds, cross-column compliance, volume), then a constant-size
@@ -4926,6 +4951,42 @@ object SparkEntry {
           floor(abs(col("x_next").cast("double") - col("s")) * lit(1e6) + lit(0.5)) / lit(1e6))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_forecasts"),
+          (floor(sum(col("abs_err").cast("decimal(28,6)")).cast("double")
+            / count(lit(1)).cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mae"))
+        .orderBy("event_type")
+    }),
+
+    // Holt linear-trend forecast (double exponential smoothing,
+    // α=β=1/2): the coupled recursions l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}),
+    // b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} have NO dyadic closed form (the
+    // x_forecast_ses trick doesn't extend), so instead the STATE is
+    // floor-quantized to 6 dp at every step — a deterministic quantized
+    // dynamical system that replays bit-identically in Spark's aggregate
+    // HOF and DuckDB's recursive CTE. Per (type, t) the fold re-runs the
+    // first t steps: O(days²) per type, bounded by the CALENDAR grid
+    // (metadata at any corpus scale — the x_forecast_ses envelope); the
+    // only data-scale work is the daily-count shuffle. Scored by
+    // next-day MAE like SES, so the two models are directly comparable.
+    "x_forecast_holt" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .withColumn("idx", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")) - 1)
+      val arr = dc.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("idx"), col("c")))).as("a"))
+      val tgt = dc.filter(col("idx") >= 1)
+        .select(col("event_type"), col("idx").as("t"), col("c").as("x"))
+      tgt.join(arr, "event_type")
+        .withColumn("st", expr(
+          """aggregate(slice(a, 2, t - 1),
+               named_struct('l', CAST(a[0].c AS DOUBLE), 'b', CAST(0.0 AS DOUBLE)),
+               (st, e) -> named_struct(
+                 'l', floor((0.5D * CAST(e.c AS DOUBLE) + 0.5D * (st.l + st.b)) * 1e6 + 0.5D) / 1e6,
+                 'b', floor((0.5D * (floor((0.5D * CAST(e.c AS DOUBLE) + 0.5D * (st.l + st.b)) * 1e6 + 0.5D) / 1e6 - st.l) + 0.5D * st.b) * 1e6 + 0.5D) / 1e6))"""))
+        .withColumn("abs_err",
+          expr("floor(abs(CAST(x AS DOUBLE) - (st.l + st.b)) * 1e6 + 0.5) / 1e6"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_forecasts"),
           (floor(sum(col("abs_err").cast("decimal(28,6)")).cast("double")
             / count(lit(1)).cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mae"))
         .orderBy("event_type")
@@ -9252,6 +9313,17 @@ object SparkEntry {
             SELECT type_a, type_b, support,
                    floor(CAST(support AS DOUBLE) / n_baskets * 1e4 + 0.5) / 1e4 AS support_frac
             FROM p CROSS JOIN nb WHERE support >= 20 ORDER BY type_a, type_b""",
+      // consecutive trigrams via two leads over the per-user stream
+      "x_frequent_seqs" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+                g AS (SELECT user_id, event_type AS a,
+                        lead(event_type, 1) OVER w AS b,
+                        lead(event_type, 2) OVER w AS c
+                      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+           SELECT a, b, c, count(*) AS occurrences,
+                  count(DISTINCT user_id) AS user_support
+           FROM g WHERE c IS NOT NULL GROUP BY 1, 2, 3
+           HAVING count(DISTINCT user_id) >= 2 ORDER BY a, b, c""",
       // expectation suite: one aggregate, constant-size report
       "x_expectations" ->
         """WITH a AS (SELECT count(*) AS n_rows,
@@ -9751,6 +9823,29 @@ object SparkEntry {
                    floor(CAST(sum(CAST(abs_err AS DECIMAL(28,6))) AS DOUBLE)
                      / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS mae
             FROM er GROUP BY event_type ORDER BY event_type""",
+      // Holt: the same quantized recursion replayed by a recursive CTE
+      // (per-row joins are legal there — only aggregates are not)
+      "x_forecast_holt" ->
+        s"""WITH RECURSIVE dc AS (SELECT event_type, $dayE AS day, count(*) AS c
+                       FROM events GROUP BY 1, 2),
+                ix AS (SELECT event_type, day, c,
+                         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS idx
+                       FROM dc),
+                r AS (SELECT event_type, 0 AS t, CAST(c AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+                      FROM ix WHERE idx = 0
+                      UNION ALL
+                      SELECT ix.event_type, r.t + 1,
+                        floor((0.5 * CAST(ix.c AS DOUBLE) + 0.5 * (r.l + r.b)) * 1e6 + 0.5) / 1e6,
+                        floor((0.5 * (floor((0.5 * CAST(ix.c AS DOUBLE) + 0.5 * (r.l + r.b)) * 1e6 + 0.5) / 1e6 - r.l)
+                               + 0.5 * r.b) * 1e6 + 0.5) / 1e6
+                      FROM r JOIN ix ON ix.event_type = r.event_type AND ix.idx = r.t + 1),
+                er AS (SELECT r.event_type,
+                         floor(abs(CAST(nx.c AS DOUBLE) - (r.l + r.b)) * 1e6 + 0.5) / 1e6 AS abs_err
+                       FROM r JOIN ix nx ON nx.event_type = r.event_type AND nx.idx = r.t + 1)
+           SELECT event_type, count(*) AS n_forecasts,
+                  floor(CAST(sum(CAST(abs_err AS DECIMAL(28,6))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS mae
+           FROM er GROUP BY 1 ORDER BY 1""",
       // seasonality: integer moving sums, floor-6 + decimal seasonal
       // means, weekday via dayofweek+1 (DuckDB is 0=Sunday)
       "x_seasonality" ->
