@@ -2804,6 +2804,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Matryoshka (nested-truncation) retrieval eval — the MRL deployment
+    // question: how much top-k quality survives serving only the leading
+    // d of 64 dims? Ground truth = full-dim brute top-10; per
+    // d ∈ {8,16,32} the same brute pass runs on slice(embedding, 1, d),
+    // and recall@10 per (d, query) comes from an inner join of the
+    // (query, neighbor) pair sets. Every pass keeps the
+    // corpus-scan + broadcast-queries plan (zero corpus shuffle); the
+    // recall join is top-k × queries × |d| — metadata. The left join
+    // onto the (d, query) grid keeps zero-recall rows visible.
+    "x_matryoshka_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      def topk(d: DataFrame) =
+        Similarity.bruteTopK(d, d.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+      val ground = topk(e).select(col("query_id"), col("neighbor_id"))
+      val per = Seq(8, 16, 32).map { d =>
+        topk(e.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding")))
+          .select(lit(d).as("d"), col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionAll _)
+      val hits = per.join(ground, Seq("query_id", "neighbor_id"))
+        .groupBy("d", "query_id").agg(count(lit(1)).as("n_hits"))
+      per.select("d", "query_id").distinct()
+        .join(hits, Seq("d", "query_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall", col("n_hits").cast("double") / lit(10.0))
+        .orderBy("d", "query_id")
+    }),
+
     // per-dimension embedding standardization (z-score feature scaling —
     // ANN/quantizer prep): dim stats from EXACT decimal (S, Q) sums (a18
     // discipline, scale 8 to keep float precision); map-side combine means
@@ -3339,6 +3366,33 @@ object SparkEntry {
               (col("n_b").cast("double") / col("t").cast("double")))), 6))
       scored.orderBy(col("pmi").desc, col("a"), col("b")).limit(50)
         .select("a", "b", "n_ab", "n_a", "n_b", "pmi")
+    }),
+
+    // Positional phrase search — the exact-phrase counterpart of
+    // x_bm25_search's bag-of-words ranking: consecutive-token adjacency
+    // via a positional-postings equi-join on (doc_id, pos+1) — each
+    // posting matches at most one successor, so the join is LINEAR in
+    // corpus tokens, never quadratic. Self-probing: the corpus's top
+    // bigram (count desc, lexicographic tiebreak — a TakeOrdered top-1,
+    // no global window) becomes the query phrase, so the query is
+    // corpus-independent. Returns per-doc hit counts, the inverted
+    // positional-index access path a 100 TB phrase query needs (probe
+    // broadcast, postings never reshuffled).
+    "x_phrase_search" -> ((s, dir) => {
+      val toksArr = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+      val tk = t(s, dir, "documents").select(col("doc_id"), posexplode(toksArr))
+        .select(col("doc_id"), col("pos"), col("col").as("term"))
+      val bg = tk.join(
+        tk.select(col("doc_id"), (col("pos") - 1).as("pos"), col("term").as("nxt")),
+        Seq("doc_id", "pos"))
+      val top = bg.groupBy(col("term"), col("nxt")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"), col("nxt")).limit(1)
+        .select(col("term"), col("nxt"))
+      bg.join(broadcast(top), Seq("term", "nxt"))
+        .groupBy("doc_id")
+        .agg(first(concat_ws(" ", col("term"), col("nxt"))).as("phrase"),
+          count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
     }),
 
     "x_tfidf_top_terms" -> ((s, dir) => {
@@ -8175,6 +8229,29 @@ object SparkEntry {
                       FROM s)
            SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 4) AS score
            FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+      // Matryoshka: the same brute ranking at each truncated dim
+      "x_matryoshka_recall" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+                ds(d) AS (VALUES (8), (16), (32)),
+                t AS (SELECT d, vec_id, v[1:d] AS v FROM e, ds
+                      UNION ALL SELECT 64 AS d, vec_id, v FROM e),
+                q AS (SELECT d, vec_id AS query_id, v AS vq FROM t WHERE vec_id < 10),
+                s AS (SELECT q.d, q.query_id, t.vec_id AS neighbor_id,
+                        list_dot_product(q.vq, t.v) /
+                          (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(t.v, t.v))) AS score
+                      FROM t JOIN q ON t.d = q.d AND t.vec_id <> q.query_id),
+                r AS (SELECT d, query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY d, query_id
+                          ORDER BY round(score, 6) DESC, neighbor_id) AS rank
+                      FROM s),
+                k AS (SELECT d, query_id, neighbor_id FROM r WHERE rank <= 10),
+                g AS (SELECT query_id, neighbor_id FROM k WHERE d = 64),
+                h AS (SELECT k.d, k.query_id, count(*) AS n_hits
+                      FROM k JOIN g USING (query_id, neighbor_id) WHERE k.d <> 64 GROUP BY 1, 2),
+                grid AS (SELECT DISTINCT d, query_id FROM k WHERE d <> 64)
+           SELECT d, query_id, coalesce(n_hits, 0) AS n_hits,
+                  coalesce(n_hits, 0) / 10.0 AS recall
+           FROM grid LEFT JOIN h USING (d, query_id) ORDER BY d, query_id""",
       "x_embed_standardize" ->
         """WITH dims AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim, CAST(embedding[i] AS DOUBLE) AS x
                          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
@@ -9204,6 +9281,19 @@ object SparkEntry {
                        FROM bi JOIN un ua ON bi.a = ua.term JOIN un ub ON bi.b = ub.term
                        CROSS JOIN tot CROSS JOIN btot)
            SELECT a, b, n_ab, n_a, n_b, pmi FROM sc ORDER BY pmi DESC, a, b LIMIT 50""",
+      // phrase search: positional adjacency, corpus top bigram as probe
+      "x_phrase_search" ->
+        """WITH tk AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                       FROM documents),
+                bg AS (SELECT doc_id, tk[i] AS term, tk[i+1] AS nxt
+                       FROM tk, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+                       WHERE len(tk) >= 2),
+                top AS (SELECT term, nxt
+                        FROM (SELECT term, nxt, count(*) AS n FROM bg GROUP BY 1, 2)
+                        ORDER BY n DESC, term, nxt LIMIT 1)
+           SELECT doc_id, term || ' ' || nxt AS phrase, count(*) AS n_hits
+           FROM bg JOIN top USING (term, nxt)
+           GROUP BY 1, 2 ORDER BY doc_id""",
       // prefix-filtered join's oracle IS the brute inverted-index form
       // (prefix filtering is exact — identical pair set) over the
       // truncated-copy corpus at threshold 0.5
