@@ -605,6 +605,30 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // Incremental view maintenance of a join (delta joins): the
+    // materialized orders⋈lineitem revenue view is refreshed from
+    // deltas via Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — the three delta
+    // terms are each bounded by |Δ|·match-fanout, so a refresh at
+    // 100 TB touches delta partitions only, never rescans the base
+    // join. The deltas split on INDEPENDENT keys (orderkey%10 vs
+    // suppkey%10) so all three terms are non-empty; the DuckDB oracle
+    // computes the FULL join from scratch — equality of the monthly
+    // rollup IS the IVM correctness proof.
+    "x_incremental_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val o0 = o.filter(col("o_orderkey") % 10 =!= 7)
+      val od = o.filter(col("o_orderkey") % 10 === 7)
+      val l0 = l.filter(col("l_suppkey") % 10 =!= 3)
+      val ld = l.filter(col("l_suppkey") % 10 === 3)
+      def j(a: DataFrame, b: DataFrame) = a.join(b, col("o_orderkey") === col("l_orderkey"))
+      j(o0, l0).unionAll(j(od, l0)).unionAll(j(o0, ld)).unionAll(j(od, ld))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("month")
+    }),
+
     // time travel over an append-only change log: reconstruct per-user
     // state AS OF end of 2024-01-20 (version = ms*1e5 + event_id%1e5 — a
     // per-key total order; 'error' events are delete markers). Any
@@ -3328,6 +3352,63 @@ object SparkEntry {
           col("idcg").cast("double").as("idcg"),
           (floor(col("dcg").cast("double") / col("idcg").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)).as("ndcg"))
         .orderBy("query_id")
+    }),
+
+    // Mean-average-precision eval — completes the IR-metric suite
+    // (NDCG graded, RRF fused, RBO rank-similarity, AUC threshold-free):
+    // binary relevance = matched ≥ 2 query terms over the shared BM25
+    // top-10; AP = Σ_{k rel} P@k / R via a per-query prefix-sum window
+    // (rank-bounded input, never corpus-scale); P@k terms floor-round to
+    // 6 dp and DECIMAL-sum. Queries with no relevant docs report AP 0
+    // rather than dropping out.
+    "x_map_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = bm25TopK(s, dir).select(col("query_id"), col("rnk"),
+        (col("n_terms_matched") >= 2).cast("int").as("rel"))
+      val w = Window.partitionBy("query_id").orderBy("rnk")
+      top.withColumn("cum", sum(col("rel")).over(w))
+        .withColumn("pterm", when(col("rel") === 1,
+          (floor(col("cum").cast("double") / col("rnk").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .cast("decimal(28,6)")))
+        .groupBy("query_id").agg(
+          sum(col("rel")).cast("long").as("n_rel"),
+          coalesce(sum(col("pterm")), lit(0).cast("decimal(28,6)")).as("sum_p"))
+        .select(col("query_id"), col("n_rel"),
+          when(col("n_rel") === 0, lit(0.0)).otherwise(
+            floor(col("sum_p").cast("double") / col("n_rel").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("ap"))
+        .orderBy("query_id")
+    }),
+
+    // Neyman-optimal sample allocation — the survey-sampling answer to
+    // "how many docs should each source contribute to a fixed labeling /
+    // eval budget": n_h ∝ N_h·σ_h (minimizes the stratified estimator's
+    // variance), with σ_h = population sd of per-doc token counts. ONE
+    // map-side-combined aggregate computes (N, Σx, Σx²) per source —
+    // exact integer sums — and the allocation math runs on the
+    // |sources|-row grid. σ floor-rounds to 6 dp, the N·σ products stay
+    // DECIMAL-exact, so the shares are deterministic in both engines.
+    "x_neyman_allocation" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("source"),
+        size(TF.tokens(col("text"))).cast("long").as("x"))
+      val st = toks.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sq"))
+      val sig = st.withColumn("sigma",
+        floor(sqrt(col("sq").cast("double") / col("n_docs").cast("double")
+          - (col("sx").cast("double") / col("n_docs").cast("double"))
+            * (col("sx").cast("double") / col("n_docs").cast("double"))) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .withColumn("nsig",
+          col("n_docs").cast("decimal(12,0)") * col("sigma").cast("decimal(12,6)"))
+      val tot = sig.agg(sum(col("nsig")).as("den"))
+      sig.crossJoin(tot)
+        .select(col("source"), col("n_docs"), col("sigma"),
+          (floor(col("nsig").cast("double") / col("den").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("alloc_frac"),
+          floor(lit(1000.0) * col("nsig").cast("double") / col("den").cast("double") + lit(0.5))
+            .cast("long").as("n_alloc"))
+        .orderBy("source")
     }),
 
     // PMI collocations (corpus linguistics' bigram-association score —
@@ -7150,6 +7231,12 @@ object SparkEntry {
             SELECT day, a.c AS src_cnt, b.c AS sink_cnt, a.h AS src_sum, b.h AS sink_sum
             FROM a JOIN b USING (day)
             WHERE a.c <> b.c OR a.h <> b.h ORDER BY day""",
+      // IVM proof: the oracle recomputes the FULL join from scratch
+      "x_incremental_join" ->
+        """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_rows,
+                  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1 ORDER BY 1""",
       "j5_union_all" ->
         """SELECT event_type, count(*) AS cnt FROM (
              SELECT * FROM events WHERE event_type = 'click'
@@ -9261,6 +9348,41 @@ object SparkEntry {
            SELECT dcg.query_id, CAST(dcg AS DOUBLE) AS dcg, CAST(idcg AS DOUBLE) AS idcg,
                   floor(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ndcg
            FROM dcg JOIN idcg ON dcg.query_id = idcg.query_id ORDER BY dcg.query_id"""),
+      // MAP over the shared BM25 ranking, binary relevance = >=2 terms
+      "x_map_eval" -> bm25Oracle(
+        """, top AS (SELECT query_id, CAST(rnk AS INTEGER) AS pos,
+                            CASE WHEN n_terms_matched >= 2 THEN 1 ELSE 0 END AS rel
+                     FROM r WHERE rnk <= 10),
+              pr AS (SELECT query_id, pos, rel,
+                       sum(rel) OVER (PARTITION BY query_id ORDER BY pos) AS cum
+                     FROM top),
+              ap AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+                       coalesce(sum(CASE WHEN rel = 1
+                         THEN CAST(floor(CAST(cum AS DOUBLE) / pos * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) END),
+                         0) AS sum_p
+                     FROM pr GROUP BY 1)
+           SELECT query_id, n_rel,
+                  CASE WHEN n_rel = 0 THEN 0.0
+                       ELSE floor(CAST(sum_p AS DOUBLE) / n_rel * 1e6 + 0.5) / 1e6 END AS ap
+           FROM ap ORDER BY query_id"""),
+      // Neyman: exact integer moments, decimal N·σ products
+      "x_neyman_allocation" ->
+        s"""WITH x AS (SELECT source, CAST(len($toksE) AS BIGINT) AS x FROM documents),
+                st AS (SELECT source, count(*) AS n_docs, CAST(sum(x) AS BIGINT) AS sx,
+                              CAST(sum(x * x) AS BIGINT) AS sq
+                       FROM x GROUP BY 1),
+                sg AS (SELECT source, n_docs, floor(sqrt(CAST(sq AS DOUBLE) / n_docs
+                           - (CAST(sx AS DOUBLE) / n_docs) * (CAST(sx AS DOUBLE) / n_docs))
+                           * 1e6 + 0.5) / 1e6 AS sigma
+                       FROM st),
+                ns AS (SELECT source, n_docs, sigma,
+                              CAST(n_docs AS DECIMAL(12,0)) * CAST(sigma AS DECIMAL(12,6)) AS nsig
+                       FROM sg),
+                tot AS (SELECT sum(nsig) AS den FROM ns)
+           SELECT source, n_docs, sigma,
+                  floor(CAST(nsig AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6 AS alloc_frac,
+                  CAST(floor(1000.0 * CAST(nsig AS DOUBLE) / CAST(den AS DOUBLE) + 0.5) AS BIGINT) AS n_alloc
+           FROM ns, tot ORDER BY source""",
       // collocations: same bigram/unigram counts, ln of the identical
       // double quotient chain, round-6
       "x_collocations" ->
