@@ -1658,6 +1658,28 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    // Chained multi-stateful streaming aggregation: daily windowed
+    // counts feeding a weekly rollup in ONE streaming query (the
+    // window-of-window pipeline — see EventStream.weeklyRollup for the
+    // state-size argument). Oracled as the batch weekly rollup
+    // restricted to watermark-sealed weeks.
+    "t24_stream_weekly_rollup" -> ((s, dir) => {
+      val stageDir = scratchDir("t24", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events.parquet"))
+      val name = "t24_weekly"
+      try {
+        graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.weeklyRollup(
+            graft.streaming.EventStream.readEvents(s, stage)),
+          name, s"$stage/ckpt", outputMode = "append", statePartitions = Some(8))
+      } finally deleteRec(stageDir)
+      s.table(name).select("week_start", "event_type", "cnt", "peak_daily", "n_days")
+        .orderBy("week_start", "event_type")
+    }),
+
     // Spark's BUILT-IN session window (merging event-time sessions with a
     // 1 h inactivity gap) — the native operator form of x_sessionize's
     // manual gaps-and-islands. Boundary semantics: an event exactly gap
@@ -10643,6 +10665,21 @@ object SparkEntry {
       // from sealed streaming windows — identical oracle)
       "x_dp_counts" -> dpCountsSql,
       "t22_stream_dp" -> dpCountsSql,
+      // weekly rollup over daily counts, sealed weeks only (epoch-aligned
+      // 7-day tumbling: week_start = day − (day − 1970-01-01) mod 7)
+      "t24_stream_weekly_rollup" ->
+        s"""WITH d AS (SELECT $dayE AS day, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+                mx AS (SELECT max(ts) AS mt FROM events),
+                w AS (SELECT CAST(day AS DATE)
+                             - CAST((CAST(day AS DATE) - DATE '1970-01-01') % 7 AS INTEGER) AS ws,
+                             event_type, c
+                      FROM d)
+           SELECT strftime(ws, '%Y-%m-%d') AS week_start, event_type,
+                  CAST(sum(c) AS BIGINT) AS cnt, max(c) AS peak_daily,
+                  count(*) AS n_days
+           FROM w, mx
+           WHERE CAST(ws AS TIMESTAMP) + INTERVAL 7 DAY <= mt - INTERVAL 1 HOUR
+           GROUP BY 1, 2 ORDER BY 1, 2""",
       // Variant ingestion: same typed extraction via DuckDB JSON
       "f11_variant_agg" ->
         """SELECT event_type, count(*) AS n,

@@ -138,6 +138,29 @@ object EventStream {
       f6(greatest(col("c") + noise, lit(0.0))).as("released"))
   }
 
+  /** Chained multi-stateful aggregation — Spark's multiple-stateful-
+    * operator pipeline (3.4+): daily windowed counts feed a SECOND,
+    * weekly (epoch-aligned 7-day tumbling) windowed aggregation inside
+    * the same streaming query, by grouping on `window(window, '7 days')`
+    * over the first aggregate's window column. Append mode end to end:
+    * a daily window flows downstream when the watermark seals it, and a
+    * weekly row emits once the watermark passes the WEEK end — so the
+    * weekly state holds at most one open week per type (O(types) state)
+    * and each emission is final. The unsealed trailing week never
+    * emits; the batch oracle applies the same week_end <= max(ts) −
+    * delay cut.
+    */
+  def weeklyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(window(col("window"), "7 days"), col("event_type"))
+      .agg(sum(col("cnt")).as("cnt"), max(col("cnt")).as("peak_daily"),
+        count(lit(1)).as("n_days"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("week_start"),
+        col("event_type"), col("cnt"), col("peak_daily"), col("n_days"))
+
   /** Streaming exact dedup by id: watermarked `dropDuplicatesWithinWatermark`
     * — duplicate deliveries (the reference's K2 auto-id + retry failure
     * mode, SURVEY.md §2.9 T3) are dropped in-flight, and the dedup state
