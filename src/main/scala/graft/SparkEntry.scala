@@ -6278,6 +6278,70 @@ object SparkEntry {
         .orderBy("event_type", "lag")
     }),
 
+    // Lead–lag CROSS-correlation between every ordered pair of
+    // event-type daily series at lags −3..+3 — the bivariate companion
+    // of x_acf (does view volume lead purchase volume?). Identical grid
+    // and deviation construction; the lagged match is an equi-join on
+    // (pair, day+lag), never a filtered grid; numerator terms floor to
+    // 6 dp and DECIMAL-sum; normalization by √(den_a·den_b) with the
+    // per-type denominators broadcast. Day-grid bounded — metadata at
+    // any corpus scale.
+    "x_cross_corr" -> ((s, dir) => {
+      val d = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = d.select("event_type").distinct().crossJoin(d.select("day").distinct())
+      val full = grid.join(d, Seq("event_type", "day"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val mu = full.groupBy("event_type").agg(sum(col("c")).as("sc"), count(lit(1)).as("nd"))
+        .select(col("event_type"),
+          (col("sc").cast("double") / col("nd").cast("double")).as("mu"))
+      val x = full.join(broadcast(mu), "event_type")
+        .select(col("event_type"), to_date(col("day")).as("d"),
+          (col("c").cast("double") - col("mu")).as("dev"))
+      def f6d(c: Column): Column =
+        (floor(c * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)")
+      val den = x.groupBy("event_type").agg(sum(f6d(col("dev") * col("dev"))).as("den"))
+      val b = x.select(col("event_type").as("tb"), col("d").as("db"), col("dev").as("devb"))
+      x.withColumn("lag", explode(array((-3 to 3).map(lit): _*)))
+        .join(b, col("db") === date_add(col("d"), col("lag")) && col("event_type") < col("tb"))
+        .groupBy(col("event_type").as("ta"), col("tb"), col("lag"))
+        .agg(sum(f6d(col("dev") * col("devb"))).as("num"), count(lit(1)).as("n_overlap"))
+        .join(broadcast(den.select(col("event_type").as("ta"), col("den").as("dena"))), "ta")
+        .join(broadcast(den.select(col("event_type").as("tb"), col("den").as("denb"))), "tb")
+        .select(col("ta"), col("tb"), col("lag"), col("n_overlap"),
+          (floor(col("num").cast("double")
+            / sqrt(col("dena").cast("double") * col("denb").cast("double"))
+            * lit(1e4) + lit(0.5)) / lit(1e4)).as("ccf"))
+        .orderBy("ta", "tb", "lag")
+    }),
+
+    // Mann–Kendall trend test per event type — the nonparametric "is
+    // this daily series trending" companion to x_runs_test (randomness)
+    // and x_theilsen (the matching slope estimator): S = Σ_{i<j}
+    // sign(c_j − c_i) over the day-pair grid (calendar² metadata — the
+    // x_theilsen envelope), tie-corrected Var(S) = [n(n−1)(2n+5) −
+    // Σ_t t(t−1)(2t+5)]/18 with tie groups from one (type, count)
+    // rollup, and z with the ±1 continuity correction. Everything up to
+    // the final z is exact integer arithmetic.
+    "x_mann_kendall" -> ((s, dir) => {
+      val d = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val b = d.select(col("event_type"), col("day").as("d2"), col("c").as("c2"))
+      val sg = d.join(b, "event_type").filter(col("day") < col("d2"))
+        .groupBy("event_type")
+        .agg(sum(signum(col("c2") - col("c")).cast("long")).as("s_stat"))
+      val tg = d.groupBy("event_type", "c").agg(count(lit(1)).as("t"))
+        .groupBy("event_type").agg(
+          sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"),
+          sum(col("t")).as("n_days"))
+      sg.join(tg, "event_type")
+        .withColumn("var_num",
+          col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5) - col("tie_term"))
+        .withColumn("z", when(col("s_stat") === 0, lit(0.0)).otherwise(
+          floor((col("s_stat").cast("double") - signum(col("s_stat")))
+            / sqrt(col("var_num").cast("double") / lit(18.0)) * lit(1e4) + lit(0.5)) / lit(1e4)))
+        .select("event_type", "n_days", "s_stat", "var_num", "z")
+        .orderBy("event_type")
+    }),
+
     // Spearman rank correlation between every pair of event-type daily
     // series (completing the correlation family: Pearson/OLS, Theil-Sen,
     // ACF): tie-adjusted average ranks kept INTEGER as 2·avgrank =
@@ -10902,6 +10966,51 @@ object SparkEntry {
             SELECT n.event_type, n.lag,
                    floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e4 + 0.5) / 1e4 AS acf
             FROM num n JOIN den USING (event_type) ORDER BY event_type, lag""",
+      // cross-correlation: the ACF machinery on ordered type pairs
+      "x_cross_corr" ->
+        s"""WITH d AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                 days AS (SELECT DISTINCT day FROM d),
+                 types AS (SELECT DISTINCT event_type FROM d),
+                 f AS (SELECT t.event_type, dy.day, coalesce(d.c, 0) AS c
+                       FROM types t CROSS JOIN days dy
+                       LEFT JOIN d ON d.event_type = t.event_type AND d.day = dy.day),
+                 mu AS (SELECT event_type, CAST(sum(c) AS DOUBLE) / count(*) AS mu FROM f GROUP BY 1),
+                 x AS (SELECT f.event_type, CAST(f.day AS DATE) AS d, CAST(c AS DOUBLE) - mu AS dev
+                       FROM f JOIN mu USING (event_type)),
+                 den AS (SELECT event_type,
+                           sum(CAST(floor(dev * dev * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS den
+                         FROM x GROUP BY 1),
+                 num AS (SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+                           sum(CAST(floor(a.dev * b.dev * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS num,
+                           count(*) AS n_overlap
+                         FROM x a CROSS JOIN (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS l(lag)
+                         JOIN x b ON b.d = a.d + CAST(l.lag AS INTEGER) AND a.event_type < b.event_type
+                         GROUP BY 1, 2, 3)
+            SELECT n.ta, n.tb, n.lag, n.n_overlap,
+                   floor(CAST(num AS DOUBLE)
+                     / sqrt(CAST(da.den AS DOUBLE) * CAST(db.den AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS ccf
+            FROM num n JOIN den da ON da.event_type = n.ta
+            JOIN den db ON db.event_type = n.tb
+            ORDER BY ta, tb, lag""",
+      // Mann–Kendall: exact integer S and tie-corrected variance
+      "x_mann_kendall" ->
+        s"""WITH d AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                 sg AS (SELECT a.event_type,
+                          CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+                        FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+                        GROUP BY 1),
+                 tg AS (SELECT event_type,
+                          CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+                          CAST(sum(t) AS BIGINT) AS n_days
+                        FROM (SELECT event_type, c, count(*) AS t FROM d GROUP BY 1, 2)
+                        GROUP BY 1)
+            SELECT sg.event_type, n_days, s_stat,
+                   n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var_num,
+                   CASE WHEN s_stat = 0 THEN 0.0
+                        ELSE floor((CAST(s_stat AS DOUBLE) - sign(s_stat))
+                          / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0)
+                          * 1e4 + 0.5) / 1e4 END AS z
+            FROM sg JOIN tg USING (event_type) ORDER BY event_type""",
       // personalized PageRank: 8 unrolled stages of the restart recurrence
       "x_ppr" ->
         s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
