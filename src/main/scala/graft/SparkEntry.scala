@@ -2320,6 +2320,22 @@ object SparkEntry {
           TF.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")),
 
+    // Sentence segmentation stats — the sentence-level member of the
+    // quality battery (Gopher rules are word/char level): sentence
+    // count = terminal-punctuation runs [.!?]+ (min 1 — an unpunctuated
+    // doc is one sentence), mean words/sentence from the token count.
+    // Pure scan-fused projections, codegen end to end, no shuffle.
+    "x_sentence_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+            .as("n_sentences"),
+          TF.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("avg_sentence_len",
+          floor(col("n_tokens").cast("double") / col("n_sentences").cast("double")
+            * lit(1e4) + lit(0.5)) / lit(1e4))
+        .orderBy("doc_id")),
+
     // BPE merge discovery (graft.ext.Bpe): 8 greedy merges learned from
     // the word-frequency table — corpus-scale cost is the ONE word count,
     // every merge iteration is an aggregation over the bounded vocabulary.
@@ -6431,6 +6447,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multi-source BFS layer census on the same synthetic link graph as
+    // x_pagerank/x_ppr: minimum hop distance from the seed set
+    // (node % 50 = 0), 6 rounds of frontier expansion
+    // (LinkRank.bfsDistances — per-round traffic is frontier×fanout,
+    // lineage cut per round). Layer sizes answer the crawl-reachability
+    // question (how much of the corpus is within k hops of the trusted
+    // seeds). The oracle replays the same exploration as a recursive
+    // CTE (UNION-dedup'd (node, dist) states, min per node).
+    "x_bfs_layers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"),
+          explode(array(Seq(2, 3, 5).map(m =>
+            (col("doc_id") * m + m) % col("n")): _*)).as("dst"))
+      val seeds = docs.filter(col("doc_id") % 50 === 0)
+      LinkRank.bfsDistances(seeds, "doc_id", edges, "src", "dst", maxDepth = 6)
+        .groupBy(col("dist").as("layer")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("layer")
+    }),
+
     // Theil–Sen robust trend of daily volume — the outlier-proof slope
     // next to x_linreg_tokens' OLS: the (lower) median of all pairwise
     // day-slopes. The pair enumeration is the CALENDAR grid squared
@@ -7959,6 +7997,14 @@ object SparkEntry {
         s"""SELECT doc_id, CAST(len($toksE) AS INTEGER) AS n_tokens,
                    CAST(len(regexp_extract_all(trim(regexp_replace(text, '\\s+', ' ', 'g')),
                      '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_subwords
+            FROM documents ORDER BY doc_id""",
+      "x_sentence_stats" ->
+        s"""SELECT doc_id,
+                   greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS INTEGER), 1) AS n_sentences,
+                   CAST(len($toksE) AS INTEGER) AS n_tokens,
+                   floor(CAST(len($toksE) AS DOUBLE)
+                     / greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS INTEGER), 1)
+                     * 1e4 + 0.5) / 1e4 AS avg_sentence_len
             FROM documents ORDER BY doc_id""",
       "x_quality_score" ->
         s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS len,
@@ -11011,6 +11057,20 @@ object SparkEntry {
                           / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0)
                           * 1e4 + 0.5) / 1e4 END AS z
             FROM sg JOIN tg USING (event_type) ORDER BY event_type""",
+      // BFS: recursive CTE over (node, dist) states, min dist per node
+      "x_bfs_layers" ->
+        """WITH RECURSIVE nodes AS (SELECT doc_id AS node FROM documents),
+                nn AS (SELECT count(*) AS n FROM nodes),
+                e AS (SELECT node AS src, (node * m + m) % nn.n AS dst
+                      FROM nodes CROSS JOIN nn CROSS JOIN (VALUES (2), (3), (5)) AS mm(m)
+                      WHERE node % 10 <> 9),
+                r AS (SELECT node, 0 AS dist FROM nodes WHERE node % 50 = 0
+                      UNION
+                      SELECT e.dst AS node, r.dist + 1 AS dist
+                      FROM r JOIN e ON e.src = r.node WHERE r.dist < 6),
+                m AS (SELECT node, min(dist) AS dist FROM r GROUP BY 1)
+           SELECT CAST(dist AS INTEGER) AS layer, count(*) AS n_nodes
+           FROM m GROUP BY 1 ORDER BY 1""",
       // personalized PageRank: 8 unrolled stages of the restart recurrence
       "x_ppr" ->
         s"""WITH nodes AS (SELECT doc_id AS node FROM documents),

@@ -314,4 +314,34 @@ object LinkRank {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Multi-source BFS: minimum hop distance from any node of `seeds`,
+    * explored for `maxDepth` rounds. Classic frontier expansion — each
+    * round joins the CURRENT frontier (not the visited set) to the edge
+    * table, anti-joins the already-visited set, and cuts lineage
+    * (localCheckpoint — the pageRank discipline), so per-round traffic
+    * is frontier×fanout, the visited set is touched only by the
+    * hash anti-join, and the first round a node is reached IS its
+    * minimum distance (deterministic regardless of partitioning).
+    * Returns (node, dist) for every node reached within `maxDepth`.
+    */
+  def bfsDistances(seeds: DataFrame, seedCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, maxDepth: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).localCheckpoint()
+    var frontier = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint()
+    var visited = frontier
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.select(col("node").as("src"))
+        .join(e, "src").select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth)).localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
 }
