@@ -2647,6 +2647,37 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // DBSCAN over a PLANTED density corpus (graft.ext.Dbscan): every
+    // 4th base vector gets three ±0.06 single-dim perturbed copies (a
+    // 4-point dense blob whose members all have ≥3 ε-neighbors → core),
+    // every 20th additionally a +0.195-dim-2 satellite (exactly ONE
+    // neighbor — the base point — → border; the copies sit at
+    // √(0.195²+0.06²) ≈ 0.204 > ε); everything unplanted is noise
+    // (nearest natural neighbors are ≥1.06 apart on this corpus).
+    // Candidates come from the Lipschitz-exact projection grid
+    // (cellWidth 1.2 ≥ √64/√2·ε — see Dbscan doc), so the oracle's
+    // brute-force neighborhoods double as the grid-completeness proof.
+    "x_dbscan" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      // portable single-dim bump: concat/slice, identical in DuckDB list algebra
+      def bump(d0: Int, delta: Double) =
+        concat(slice(col("v"), 1, d0),
+          array(element_at(col("v"), d0 + 1) + lit(delta)),
+          slice(col("v"), d0 + 2, 63 - d0))
+      def planted(idOff: Int, mod: Int, d0: Int, delta: Double) =
+        base.filter(col("vec_id") % mod === 0)
+          .select((col("vec_id") + idOff).as("vec_id"), bump(d0, delta).as("v"))
+      val corpus = base
+        .unionAll(planted(10000, 4, 0, 0.06))
+        .unionAll(planted(20000, 4, 0, -0.06))
+        .unionAll(planted(30000, 4, 1, 0.06))
+        .unionAll(planted(40000, 20, 2, 0.195))
+      graft.ext.Dbscan.dbscan(corpus, "vec_id", "v", rp2Signs,
+          cellWidth = 1.2, eps = 0.2, minPts = 3)
+        .orderBy("id")
+    }),
+
     // the composed C4-style cleaning pipeline: quality filter → exact dedup
     // (keep min id per fingerprint) → deterministic per-language sample.
     // One declarative plan: two window functions and a projection — each
@@ -8566,6 +8597,39 @@ object SparkEntry {
                           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
                       FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
            SELECT id_a, id_b, cos FROM p WHERE cos >= 0.18 ORDER BY id_a, id_b""",
+      // DBSCAN: brute-force neighborhoods + recursive-CTE core closure
+      "x_dbscan" ->
+        """WITH RECURSIVE b AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                      FROM embeddings),
+                corp AS (
+                  SELECT vec_id, v FROM b
+                  UNION ALL SELECT vec_id + 10000, [v[1] + 0.06] || v[2:64] FROM b WHERE vec_id % 4 = 0
+                  UNION ALL SELECT vec_id + 20000, [v[1] - 0.06] || v[2:64] FROM b WHERE vec_id % 4 = 0
+                  UNION ALL SELECT vec_id + 30000, v[1:1] || [v[2] + 0.06] || v[3:64] FROM b WHERE vec_id % 4 = 0
+                  UNION ALL SELECT vec_id + 40000, v[1:2] || [v[3] + 0.195] || v[4:64] FROM b WHERE vec_id % 20 = 0),
+                p AS (SELECT a.vec_id AS ia, c.vec_id AS ib,
+                        floor(sqrt(list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.v)
+                          + list_dot_product(c.v, c.v)) * 1e6 + 0.5) / 1e6 AS d
+                      FROM corp a JOIN corp c ON a.vec_id < c.vec_id),
+                e AS (SELECT ia, ib FROM p WHERE d <= 0.2),
+                sym AS (SELECT ia AS u, ib AS v FROM e UNION ALL SELECT ib AS u, ia AS v FROM e),
+                core AS (SELECT u AS id FROM sym GROUP BY 1 HAVING count(*) >= 3),
+                ce AS (SELECT u, v FROM sym
+                       WHERE u IN (SELECT id FROM core) AND v IN (SELECT id FROM core)),
+                r AS (SELECT id, id AS reach FROM core
+                      UNION
+                      SELECT r.id, ce.v AS reach FROM r JOIN ce ON ce.u = r.reach),
+                cl AS (SELECT id, min(reach) AS cluster_id FROM r GROUP BY 1),
+                bd AS (SELECT s.u AS id, min(cl.cluster_id) AS cluster_id
+                       FROM sym s JOIN cl ON cl.id = s.v
+                       WHERE s.u NOT IN (SELECT id FROM core) GROUP BY 1)
+           SELECT c.vec_id AS id,
+                  CASE WHEN cl.id IS NOT NULL THEN 'core'
+                       WHEN bd.id IS NOT NULL THEN 'border'
+                       ELSE 'noise' END AS role,
+                  coalesce(cl.cluster_id, bd.cluster_id) AS cluster_id
+           FROM corp c LEFT JOIN cl ON cl.id = c.vec_id LEFT JOIN bd ON bd.id = c.vec_id
+           ORDER BY id""",
       "x_char_ngrams" ->
         """WITH n AS (SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS tn FROM documents),
                 g AS (SELECT unnest(list_transform(generate_series(1, greatest(length(tn) - 2, 1)),

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Density-based clustering (DBSCAN) over an embedding corpus — the
+  * density complement of the centroid family (Similarity.lloydKMeans) and
+  * the near-dup graph family (Dedup.semanticGridPairs → CC): clusters are
+  * ε-connected cores, arbitrary-shaped, with explicit noise.
+  *
+  * Scale design: the ε-neighborhood pair generation NEVER all-pairs the
+  * corpus — candidates come from a 2-D Rademacher projection grid
+  * (the SemDeDup cell trick). Each projection coordinate is
+  * `dot(v, s)/√2` with s ∈ {±1}^d, so it is Lipschitz with constant
+  * L = ‖s‖₂/√2 = √d/√2 in L2; any pair within ε therefore lands within
+  * ⌈L·ε / cellWidth⌉ cells, and with cellWidth ≥ L·ε the 3×3 neighbor
+  * probe is EXACT (no candidate below the radius is ever missed — the
+  * DuckDB oracle recomputes neighborhoods by brute force, so a pruning
+  * bug is a correctness failure, not a silent recall loss). Neighbor
+  * counting, the core test, core-core connected components
+  * ([[Dedup.connectedComponents]]) and border attachment are all
+  * equi-join/groupBy shaped.
+  *
+  * Determinism: distances are floor-rounded to 6 dp before the ε
+  * comparison (boundary-stable across engines), cluster ids are
+  * component-minimum ids, border points attach to the MIN cluster id
+  * among their core neighbors.
+  */
+object Dbscan {
+
+  /** All unordered pairs (id_a < id_b) with round6(‖a−b‖₂) <= eps, via the
+    * projection-grid candidate join. `cellWidth` must be >= √d/√2 · eps
+    * for exact completeness (see object doc).
+    */
+  def epsPairs(embs: DataFrame, idCol: String, vecCol: String,
+      signs2: Array[Double], cellWidth: Double, eps: Double): DataFrame = {
+    val proj = graft.sources.Tables.spread(embs).select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      graft.functions.RpProject.rpProject(col(vecCol), signs2, 2).as("y"))
+      .withColumn("cx", floor(element_at(col("y"), 1) / cellWidth))
+      .withColumn("cy", floor(element_at(col("y"), 2) / cellWidth))
+    val home = proj.select(
+      col("id").as("id_b"), col("v").as("v_b"), col("cx"), col("cy"))
+    val probes = proj
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id").as("id_a"), col("v").as("v_a"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    import graft.functions.{VectorFunctions => VF}
+    // three-dot form (not the (x−y)² fold): the exact double op sequence
+    // DuckDB's list_dot_product algebra replays
+    probes.join(home, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("d",
+        floor(sqrt(VF.dot(col("v_a"), col("v_a")) - lit(2.0) * VF.dot(col("v_a"), col("v_b"))
+            + VF.dot(col("v_b"), col("v_b")))
+          * lit(1e6) + lit(0.5)) / lit(1e6))
+      .filter(col("d") <= eps)
+      .select("id_a", "id_b", "d")
+  }
+
+  /** Full DBSCAN labeling: (id, role ∈ core|border|noise, cluster_id —
+    * null for noise). Core iff >= minPts neighbors within eps (self
+    * EXCLUDED); clusters are connected components of the core-core
+    * ε-graph labeled by component minimum; border = non-core with a core
+    * neighbor, attached to the min core-neighbor cluster.
+    */
+  def dbscan(embs: DataFrame, idCol: String, vecCol: String,
+      signs2: Array[Double], cellWidth: Double, eps: Double, minPts: Int): DataFrame = {
+    val pairs = epsPairs(embs, idCol, vecCol, signs2, cellWidth, eps)
+      .localCheckpoint() // read by counts, the core-core filter, and borders
+    val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    val core = sym.groupBy("u").agg(count(lit(1)).as("n_nbrs"))
+      .filter(col("n_nbrs") >= minPts).select(col("u").as("id"))
+    val corePairs = pairs
+      .join(core.select(col("id").as("id_a")), "id_a")
+      .join(core.select(col("id").as("id_b")), "id_b")
+    val cc = Dedup.connectedComponents(corePairs, "id_a", "id_b")
+    val coreClusters = core.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val border = sym
+      .join(coreClusters.select(col("id").as("v"), col("cluster_id").as("cid")), "v")
+      .join(core.select(col("id").as("u")), Seq("u"), "left_anti")
+      .groupBy("u").agg(min(col("cid")).as("cluster_id"))
+    val roles = coreClusters.select(col("id"), lit("core").as("role"), col("cluster_id"))
+      .unionAll(border.select(col("u").as("id"), lit("border").as("role"), col("cluster_id")))
+    embs.select(col(idCol).as("id")).join(roles, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("role"), lit("noise")).as("role"), col("cluster_id"))
+  }
+}
