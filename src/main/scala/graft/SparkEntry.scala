@@ -910,6 +910,27 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // Partition-layout EVOLUTION: the table starts day-partitioned (v1),
+    // later drops switch to (day, event_type) (v2) — the live-migration
+    // situation every long-lived 100 TB table hits. Readers union the
+    // two Hive layouts by NAME (partition columns materialize in
+    // different positions), and queries over the union still see one
+    // logical table; new-layout scans additionally prune on BOTH
+    // partition keys. Oracled against the plain batch rollup.
+    "k16_partition_evolution" -> ((s, dir) => {
+      val stage = scratchDir("k16", dir).toString
+      val e = events(s, dir)
+      e.filter(col("day") < "2024-01-16").write.mode("overwrite")
+        .partitionBy("day").parquet(s"$stage/v1")
+      e.filter(col("day") >= "2024-01-16").write.mode("overwrite")
+        .partitionBy("day", "event_type").parquet(s"$stage/v2")
+      s.read.parquet(s"$stage/v1")
+        .unionByName(s.read.parquet(s"$stage/v2"))
+        .groupBy(col("day").cast("string").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("day", "event_type")
+    }),
+
     // K1+S2+S3 composed on a REAL Hive layout: write day-partitioned, read
     // back with basePath, filter on the string partition column — Catalyst
     // prunes to the one matching directory (the reference's
@@ -6072,6 +6093,43 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    // DP median via the EXPONENTIAL MECHANISM — the privacy ladder's
+    // second release mechanism next to x_dp_counts' Laplace: per type,
+    // the released median is argmax over the cents-histogram grid of
+    // ε·u/(2Δ) + Gumbel, with rank utility u = −|2·cum − n| (Δu = 2,
+    // ε = 1) and the Gumbel drawn from the same md5-seeded portable
+    // uniform as the Laplace release (−ln(−ln u)) — fully deterministic,
+    // so the mechanism itself is exactly oracled, not just gated. All
+    // windows run over the bounded VALUE grid (the x_gini envelope);
+    // scores floor-round to 6 dp before the argmax for boundary-stable
+    // cross-engine selection.
+    "x_dp_quantile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = events(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("cents")
+      val n = h.groupBy("event_type").agg(sum(col("c")).as("n"))
+      val cum = h.withColumn("cum", sum(col("c")).over(w)).join(n, "event_type")
+      val u01 = (graft.ext.Mixture.hash24(concat_ws("|", col("event_type"), col("cents")))
+        .cast("double") + lit(0.5)) / lit(16777216.0)
+      val scored = cum.withColumn("score",
+        floor((-abs(lit(2) * col("cum") - col("n")).cast("double") / lit(4.0)
+          - log(-log(u01))) * lit(1e6) + lit(0.5)) / lit(1e6))
+      val sel = scored.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("score").desc, col("cents"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), (col("cents").cast("double") / lit(100.0)).as("dp_median"))
+      val tru = scored.filter(lit(2) * col("cum") >= col("n"))
+        .groupBy("event_type").agg(min(col("cents")).as("tc"))
+        .select(col("event_type"), (col("tc").cast("double") / lit(100.0)).as("true_median"))
+      sel.join(tru, "event_type")
+        .withColumn("abs_err",
+          floor(abs(col("dp_median") - col("true_median")) * lit(1e4) + lit(0.5)) / lit(1e4))
+        .orderBy("event_type")
+    }),
+
     // Difference-in-differences — the third causal-inference rung beside
     // x_cuped (variance reduction) and x_cem_att (matching): treatment by
     // user parity, pre/post split at mid-month, DiD =
@@ -7481,6 +7539,9 @@ object SparkEntry {
            FROM r WHERE rnk <= 5 ORDER BY event_type, rnk""",
       "k1_write_roundtrip" ->
         s"SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+      "k16_partition_evolution" ->
+        s"""SELECT $dayE AS day, event_type, count(*) AS cnt FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2""",
       "k4_csv_roundtrip" ->
         s"""SELECT $dayE AS day, count(*) AS cnt,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
@@ -10839,6 +10900,31 @@ object SparkEntry {
       // from sealed streaming windows — identical oracle)
       "x_dp_counts" -> dpCountsSql,
       "t22_stream_dp" -> dpCountsSql,
+      // exponential-mechanism DP median: portable seeded Gumbel argmax
+      "x_dp_quantile" ->
+        """WITH h AS (SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                             count(*) AS c
+                      FROM events GROUP BY 1, 2),
+                n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+                cm AS (SELECT h.event_type, h.cents, n.n,
+                         sum(c) OVER (PARTITION BY h.event_type ORDER BY h.cents) AS cum
+                       FROM h JOIN n USING (event_type)),
+                sc AS (SELECT event_type, cents, n, cum,
+                         floor((-CAST(abs(2 * cum - n) AS DOUBLE) / 4.0
+                           - ln(-ln((CAST(('0x' || substring(md5(event_type || '|' || CAST(cents AS VARCHAR)), 1, 6)) AS INTEGER) + 0.5)
+                               / 16777216.0))) * 1e6 + 0.5) / 1e6 AS score
+                       FROM cm),
+                sel AS (SELECT event_type, cents / 100.0 AS dp_median
+                        FROM (SELECT event_type, cents,
+                                row_number() OVER (PARTITION BY event_type
+                                  ORDER BY score DESC, cents) AS rk
+                              FROM sc)
+                        WHERE rk = 1),
+                tru AS (SELECT event_type, min(cents) / 100.0 AS true_median
+                        FROM sc WHERE 2 * cum >= n GROUP BY 1)
+           SELECT event_type, dp_median, true_median,
+                  floor(abs(dp_median - true_median) * 1e4 + 0.5) / 1e4 AS abs_err
+           FROM sel JOIN tru USING (event_type) ORDER BY event_type""",
       // weekly rollup over daily counts, sealed weeks only (epoch-aligned
       // 7-day tumbling: week_start = day − (day − 1970-01-01) mod 7)
       "t24_stream_weekly_rollup" ->
