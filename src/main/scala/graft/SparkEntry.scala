@@ -5039,6 +5039,47 @@ object SparkEntry {
         round(sum(col("term")), 4).cast("double").as("modularity"))
     }),
 
+    // Conductance of each LPA community — the per-community quality
+    // score next to x_modularity's global Q: φ_c = cut(c) /
+    // min(vol(c), 2m − vol(c)), where cut counts edges with exactly one
+    // endpoint inside. Low φ = a real cluster; φ near 1 = noise. Same
+    // decided-once edge/label joins as modularity (exact integers per
+    // community), the ratio is the only double.
+    "x_conductance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"),
+          explode(array(Seq(2, 3, 5).map(m =>
+            (col("doc_id") * m + m) % col("n")): _*)).as("dst"))
+      val lab = graft.ext.LinkRank.labelPropagation(edges, "src", "dst", rounds = 4)
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val m = und.agg(count(lit(1)).as("m"))
+      val lbl = und
+        .join(lab.select(col("node").as("u"), col("lab").as("lu")), "u")
+        .join(lab.select(col("node").as("v"), col("lab").as("lv")), "v")
+      val cut = lbl.filter(col("lu") =!= col("lv"))
+        .select(explode(array(col("lu"), col("lv"))).as("community"))
+        .groupBy("community").agg(count(lit(1)).as("cut_edges"))
+      val deg = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val vol = lab.join(deg, "node")
+        .groupBy(col("lab").as("community"))
+        .agg(sum(col("deg")).as("volume"), count(lit(1)).as("n_members"))
+      vol.join(cut, Seq("community"), "left")
+        .withColumn("cut_edges", coalesce(col("cut_edges"), lit(0L)))
+        .crossJoin(broadcast(m))
+        .withColumn("conductance",
+          floor(col("cut_edges").cast("double")
+            / least(col("volume"), lit(2) * col("m") - col("volume")).cast("double")
+            * lit(1e6) + lit(0.5)) / lit(1e6))
+        .select("community", "n_members", "volume", "cut_edges", "conductance")
+        .orderBy("community")
+    }),
+
     // HITS hubs & authorities over the link graph (LinkRank.hits):
     // L1-normalized mutual reinforcement, 6 decimal-exact iterations —
     // the query-dependent-authority side of link analysis that PageRank's
@@ -6127,6 +6168,62 @@ object SparkEntry {
       sel.join(tru, "event_type")
         .withColumn("abs_err",
           floor(abs(col("dp_median") - col("true_median")) * lit(1e4) + lit(0.5)) / lit(1e4))
+        .orderBy("event_type")
+    }),
+
+    // Power analysis / minimum-detectable-effect — the experiment
+    // PLANNING side of the testing suite (Welch/MW/SPRT test, CUPED
+    // reduces, this one sizes): per event type, the two-sample MDE at
+    // α=.05 / power .8 (z-sum 2.8) for an equal-split experiment over
+    // the observed population, mde = 2.8·√(2σ²/n). One exact-decimal
+    // moment aggregate (the a15 discipline); every output is a
+    // deterministic double of exact sums.
+    "x_power_mde" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_type"), col("value").cast("decimal(18,2)").as("x"))
+      val st = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(28,4)")).as("sq"))
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      st.withColumn("mean", col("sx").cast("double") / col("n").cast("double"))
+        .withColumn("variance",
+          (col("sq").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double") / col("n").cast("double"))
+            / (col("n").cast("double") - lit(1.0)))
+        .withColumn("mde_raw", lit(2.8) * sqrt(lit(2.0) * col("variance") / col("n").cast("double")))
+        .select(col("event_type"), col("n"),
+          f6(col("mean")).as("mean"),
+          f6(sqrt(col("variance"))).as("sigma"),
+          f6(col("mde_raw")).as("mde_abs"),
+          f6(col("mde_raw") / col("mean")).as("mde_rel"))
+        .orderBy("event_type")
+    }),
+
+    // Forecast BASELINES — persistence (t−1) and seasonal-naive (t−7)
+    // MAE per type, the yardsticks x_forecast_ses / x_forecast_holt
+    // must beat to claim skill (a model worse than carry-forward is
+    // noise). Two lag windows over the type-partitioned day grid;
+    // floor-6 terms, decimal sums, the SES scoring contract.
+    "x_forecast_baselines" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagd = dc
+        .withColumn("p1", lag(col("c"), 1).over(w))
+        .withColumn("p7", lag(col("c"), 7).over(w))
+      def mae(pred: String) = {
+        val t = abs(col("c") - col(pred)).cast("double").cast("decimal(28,6)")
+        (count(col(pred)).as(s"n_$pred"),
+          (floor(sum(when(col(pred).isNotNull, t)).cast("double")
+            / count(col(pred)).cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as(s"mae_$pred"))
+      }
+      val (n1, m1) = mae("p1")
+      val (n7, m7) = mae("p7")
+      lagd.groupBy("event_type")
+        .agg(n1, m1, n7, m7)
+        .select(col("event_type"), col("n_p1").as("n_persistence"), col("mae_p1").as("mae_persistence"),
+          col("n_p7").as("n_seasonal"), col("mae_p7").as("mae_seasonal"))
         .orderBy("event_type")
     }),
 
@@ -10138,6 +10235,44 @@ object SparkEntry {
                    CAST(round(sum(term), 4) AS DOUBLE) AS modularity
             FROM tm"""
       },
+      // conductance: the modularity prelude, per-community cut/volume
+      "x_conductance" -> {
+        val stages = (1 to 4).map { i =>
+          s"""c$i AS MATERIALIZED (
+                SELECT s.u, l.lab, count(*) AS cnt
+                FROM sym s JOIN l${i - 1} l ON s.v = l.node GROUP BY 1, 2),
+              l$i AS MATERIALIZED (
+                SELECT u AS node, lab FROM
+                  (SELECT u, lab, row_number() OVER (PARTITION BY u ORDER BY cnt DESC, lab) AS rk FROM c$i)
+                WHERE rk = 1)"""
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+                 e AS (SELECT doc_id AS src,
+                         unnest([(doc_id * 2 + 2) % n, (doc_id * 3 + 3) % n, (doc_id * 5 + 5) % n]) AS dst
+                       FROM documents CROSS JOIN nn WHERE doc_id % 10 <> 9),
+                 und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                         FROM e WHERE src <> dst),
+                 sym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+                 l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
+                 $stages,
+                 mm AS (SELECT count(*) AS m FROM und),
+                 lbl AS (SELECT und.u, und.v, lu.lab AS lu, lv.lab AS lv
+                         FROM und JOIN l4 lu ON und.u = lu.node JOIN l4 lv ON und.v = lv.node),
+                 cut AS (SELECT lab AS community, count(*) AS cut_edges
+                         FROM (SELECT unnest([lu, lv]) AS lab FROM lbl WHERE lu <> lv)
+                         GROUP BY 1),
+                 deg AS (SELECT node, count(*) AS deg
+                         FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+                 vol AS (SELECT l4.lab AS community, CAST(sum(deg) AS BIGINT) AS volume,
+                                count(*) AS n_members
+                         FROM l4 JOIN deg ON l4.node = deg.node GROUP BY 1)
+            SELECT v.community, n_members, volume,
+                   coalesce(cut_edges, 0) AS cut_edges,
+                   floor(CAST(coalesce(cut_edges, 0) AS DOUBLE)
+                     / CAST(least(volume, 2 * m - volume) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS conductance
+            FROM vol v LEFT JOIN cut USING (community) CROSS JOIN mm
+            ORDER BY community"""
+      },
       // LPA: 4 unrolled neighbor-mode rounds over the symmetrized edges
       "x_lpa" -> {
         val stages = (1 to 4).map { i =>
@@ -10900,6 +11035,41 @@ object SparkEntry {
       // from sealed streaming windows — identical oracle)
       "x_dp_counts" -> dpCountsSql,
       "t22_stream_dp" -> dpCountsSql,
+      // MDE: exact-decimal moments, closed-form 2.8·sqrt(2σ²/n)
+      "x_power_mde" ->
+        """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x FROM events),
+                st AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+                              sum(CAST(x * x AS DECIMAL(28,4))) AS sq
+                       FROM e GROUP BY 1),
+                c AS (SELECT event_type, n,
+                        CAST(sx AS DOUBLE) / n AS mean,
+                        (CAST(sq AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                          / (n - 1.0) AS variance
+                      FROM st),
+                d AS (SELECT event_type, n, mean, variance,
+                             2.8 * sqrt(2.0 * variance / n) AS mde_raw FROM c)
+           SELECT event_type, n,
+                  floor(mean * 1e6 + 0.5) / 1e6 AS mean,
+                  floor(sqrt(variance) * 1e6 + 0.5) / 1e6 AS sigma,
+                  floor(mde_raw * 1e6 + 0.5) / 1e6 AS mde_abs,
+                  floor(mde_raw / mean * 1e6 + 0.5) / 1e6 AS mde_rel
+           FROM d ORDER BY event_type""",
+      // forecast baselines: lag-1 / lag-7 MAE over the per-type day grid
+      "x_forecast_baselines" ->
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                l AS (SELECT event_type, c,
+                        lag(c, 1) OVER w AS p1, lag(c, 7) OVER w AS p7
+                      FROM dc WINDOW w AS (PARTITION BY event_type ORDER BY day))
+           SELECT event_type,
+                  count(p1) AS n_persistence,
+                  floor(CAST(sum(CASE WHEN p1 IS NOT NULL
+                        THEN CAST(CAST(abs(c - p1) AS DOUBLE) AS DECIMAL(28,6)) END) AS DOUBLE)
+                    / count(p1) * 1e4 + 0.5) / 1e4 AS mae_persistence,
+                  count(p7) AS n_seasonal,
+                  floor(CAST(sum(CASE WHEN p7 IS NOT NULL
+                        THEN CAST(CAST(abs(c - p7) AS DOUBLE) AS DECIMAL(28,6)) END) AS DOUBLE)
+                    / count(p7) * 1e4 + 0.5) / 1e4 AS mae_seasonal
+           FROM l GROUP BY 1 ORDER BY 1""",
       // exponential-mechanism DP median: portable seeded Gumbel argmax
       "x_dp_quantile" ->
         """WITH h AS (SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
