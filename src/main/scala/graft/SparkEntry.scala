@@ -3566,6 +3566,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Class-based TF-IDF (the BERTopic c-TF-IDF form) — topic signature
+    // terms PER SOURCE rather than per document: treat each source's
+    // concatenated text as one class document, score
+    // tf_norm · ln(1 + A/f_t) with A = mean tokens/source and f_t the
+    // corpus term frequency, keep the top 5 terms per source. Two
+    // map-side-combined count aggregations; ranking is a per-source
+    // window over the source-term table (WindowGroupLimit ships ≤5 per
+    // source). The "what is this source about" curation view.
+    "x_ctfidf_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("term"))
+      val st = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val srcTot = st.groupBy("source").agg(sum(col("tf")).as("n_src"))
+      val corpusF = st.groupBy("term").agg(sum(col("tf")).as("f"))
+      val a = srcTot.agg((sum(col("n_src")).cast("double")
+        / count(lit(1)).cast("double")).as("a"))
+      val scored = st.join(srcTot, "source").join(corpusF, "term").crossJoin(broadcast(a))
+        .withColumn("score",
+          floor(col("tf").cast("double") / col("n_src").cast("double")
+            * log(lit(1.0) + col("a") / col("f").cast("double"))
+            * lit(1e6) + lit(0.5)) / lit(1e6))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("score").desc, col("term"))))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("term"), col("tf"), col("score"))
+        .orderBy("source", "rk")
+    }),
+
     "x_tfidf_top_terms" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
@@ -6480,6 +6509,23 @@ object SparkEntry {
         .orderBy("event_type", "lag")
     }),
 
+    // Feed-freshness monitor — the operational data-quality view next
+    // to x_expectations' content checks: per type, last event time, lag
+    // behind the freshest feed in whole minutes, and a >24 h staleness
+    // flag. One map-side-combined max aggregate plus a broadcast 1-row
+    // global max; at 100 TB this reads only parquet footer stats after
+    // predicate-less max pushdown.
+    "x_freshness" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"), unix_millis(col("ts")).as("ms"))
+      val per = e.groupBy("event_type").agg(count(lit(1)).as("n"), max(col("ms")).as("last_ms"))
+      val g = per.agg(max(col("last_ms")).as("global_ms"))
+      per.crossJoin(broadcast(g))
+        .withColumn("lag_minutes", floor((col("global_ms") - col("last_ms")) / lit(60000.0)).cast("long"))
+        .withColumn("stale_24h", (col("lag_minutes") >= 1440).cast("int"))
+        .select("event_type", "n", "last_ms", "lag_minutes", "stale_24h")
+        .orderBy("event_type")
+    }),
+
     // Lead–lag CROSS-correlation between every ordered pair of
     // event-type daily series at lags −3..+3 — the bivariate companion
     // of x_acf (does view volume lead purchase volume?). Identical grid
@@ -6514,6 +6560,52 @@ object SparkEntry {
             / sqrt(col("dena").cast("double") * col("denb").cast("double"))
             * lit(1e4) + lit(0.5)) / lit(1e4)).as("ccf"))
         .orderBy("ta", "tb", "lag")
+    }),
+
+    // Partial autocorrelation (PACF, lags 1–3) per type — completes the
+    // Box-Jenkins identification pair with x_acf: Durbin–Levinson in
+    // closed form, φ11 = r1, φ22 = (r2−r1²)/(1−r1²),
+    // φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2). The r_k are
+    // the same decimal-summed numerators/denominator as x_acf divided
+    // RAW (no intermediate rounding — the double-rounding trap), so the
+    // closed-form algebra is the identical IEEE op chain in both
+    // engines; only the outputs floor-round to 4 dp.
+    "x_pacf" -> ((s, dir) => {
+      val d = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = d.select("event_type").distinct().crossJoin(d.select("day").distinct())
+      val full = grid.join(d, Seq("event_type", "day"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val mu = full.groupBy("event_type").agg(sum(col("c")).as("sc"), count(lit(1)).as("nd"))
+        .select(col("event_type"),
+          (col("sc").cast("double") / col("nd").cast("double")).as("mu"))
+      val x = full.join(broadcast(mu), "event_type")
+        .select(col("event_type"), to_date(col("day")).as("d"),
+          (col("c").cast("double") - col("mu")).as("dev"))
+      def f6d(c: Column): Column =
+        (floor(c * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)")
+      val den = x.groupBy("event_type").agg(sum(f6d(col("dev") * col("dev"))).as("den"))
+      val lagged = x.select(col("event_type").as("et2"), col("d").as("d2"), col("dev").as("dev2"))
+      val num = x.withColumn("lag", explode(array(Seq(1, 2, 3).map(lit): _*)))
+        .join(lagged,
+          col("event_type") === col("et2") && col("d2") === date_add(col("d"), col("lag")))
+        .groupBy("event_type", "lag").agg(sum(f6d(col("dev") * col("dev2"))).as("num"))
+      val piv = num.groupBy("event_type").agg(
+        max(when(col("lag") === 1, col("num"))).as("n1"),
+        max(when(col("lag") === 2, col("num"))).as("n2"),
+        max(when(col("lag") === 3, col("num"))).as("n3"))
+      def f4(c: Column) = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+      piv.join(broadcast(den), "event_type")
+        .withColumn("r1", col("n1").cast("double") / col("den").cast("double"))
+        .withColumn("r2", col("n2").cast("double") / col("den").cast("double"))
+        .withColumn("r3", col("n3").cast("double") / col("den").cast("double"))
+        .withColumn("p22", (col("r2") - col("r1") * col("r1")) / (lit(1.0) - col("r1") * col("r1")))
+        .withColumn("p21", col("r1") - col("p22") * col("r1"))
+        .withColumn("p33",
+          (col("r3") - col("p21") * col("r2") - col("p22") * col("r1"))
+            / (lit(1.0) - col("p21") * col("r1") - col("p22") * col("r2")))
+        .select(col("event_type"),
+          f4(col("r1")).as("pacf1"), f4(col("p22")).as("pacf2"), f4(col("p33")).as("pacf3"))
+        .orderBy("event_type")
     }),
 
     // Mann–Kendall trend test per event type — the nonparametric "is
@@ -11332,6 +11424,68 @@ object SparkEntry {
             SELECT n.event_type, n.lag,
                    floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e4 + 0.5) / 1e4 AS acf
             FROM num n JOIN den USING (event_type) ORDER BY event_type, lag""",
+      // freshness: footer-stat max aggregates + broadcast global max
+      "x_freshness" ->
+        """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms FROM events),
+                per AS (SELECT event_type, count(*) AS n, max(ms) AS last_ms FROM e GROUP BY 1),
+                g AS (SELECT max(last_ms) AS global_ms FROM per)
+           SELECT event_type, n, last_ms,
+                  CAST(floor((global_ms - last_ms) / 60000.0) AS BIGINT) AS lag_minutes,
+                  CASE WHEN floor((global_ms - last_ms) / 60000.0) >= 1440 THEN 1 ELSE 0 END AS stale_24h
+           FROM per, g ORDER BY event_type""",
+      // c-TF-IDF: per-source class signature terms
+      "x_ctfidf_terms" ->
+        s"""WITH tk AS (SELECT source, unnest($toksE) AS term FROM documents),
+                st AS (SELECT source, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+                tot AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_src FROM st GROUP BY 1),
+                cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM st GROUP BY 1),
+                a AS (SELECT CAST(sum(n_src) AS DOUBLE) / count(*) AS a FROM tot),
+                sc AS (SELECT st.source, st.term, st.tf,
+                         floor(CAST(st.tf AS DOUBLE) / n_src * ln(1.0 + a / f) * 1e6 + 0.5) / 1e6 AS score
+                       FROM st JOIN tot USING (source) JOIN cf USING (term) CROSS JOIN a),
+                r AS (SELECT source, term, tf, score,
+                        row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rk
+                      FROM sc)
+           SELECT source, CAST(rk AS INTEGER) AS rk, term, tf, score
+           FROM r WHERE rk <= 5 ORDER BY source, rk""",
+      // PACF: Durbin–Levinson closed forms over the raw ACF quotients
+      "x_pacf" ->
+        s"""WITH d AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                 days AS (SELECT DISTINCT day FROM d),
+                 types AS (SELECT DISTINCT event_type FROM d),
+                 f AS (SELECT t.event_type, dy.day, coalesce(d.c, 0) AS c
+                       FROM types t CROSS JOIN days dy
+                       LEFT JOIN d ON d.event_type = t.event_type AND d.day = dy.day),
+                 mu AS (SELECT event_type, CAST(sum(c) AS DOUBLE) / count(*) AS mu FROM f GROUP BY 1),
+                 x AS (SELECT f.event_type, CAST(f.day AS DATE) AS d, CAST(c AS DOUBLE) - mu AS dev
+                       FROM f JOIN mu USING (event_type)),
+                 den AS (SELECT event_type,
+                           sum(CAST(floor(dev * dev * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS den
+                         FROM x GROUP BY 1),
+                 num AS (SELECT a.event_type, l.lag,
+                           sum(CAST(floor(a.dev * b.dev * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS num
+                         FROM x a CROSS JOIN (VALUES (1), (2), (3)) AS l(lag)
+                         JOIN x b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+                         GROUP BY 1, 2),
+                 piv AS (SELECT event_type,
+                           max(CASE WHEN lag = 1 THEN num END) AS n1,
+                           max(CASE WHEN lag = 2 THEN num END) AS n2,
+                           max(CASE WHEN lag = 3 THEN num END) AS n3
+                         FROM num GROUP BY 1),
+                 rr AS (SELECT p.event_type,
+                          CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+                          CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+                          CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3
+                        FROM piv p JOIN den USING (event_type)),
+                 p2 AS (SELECT event_type, r1, r2, r3,
+                          (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+                        FROM rr),
+                 p3 AS (SELECT event_type, r1, r2, r3, p22, r1 - p22 * r1 AS p21 FROM p2)
+            SELECT event_type,
+                   floor(r1 * 1e4 + 0.5) / 1e4 AS pacf1,
+                   floor(p22 * 1e4 + 0.5) / 1e4 AS pacf2,
+                   floor((r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2) * 1e4 + 0.5) / 1e4 AS pacf3
+            FROM p3 ORDER BY event_type""",
       // cross-correlation: the ACF machinery on ordered type pairs
       "x_cross_corr" ->
         s"""WITH d AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
