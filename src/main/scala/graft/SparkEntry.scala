@@ -2396,6 +2396,40 @@ object SparkEntry {
         TF.qualityScore(col("text")).as("quality")
       ).orderBy("doc_id")),
 
+    // SKYLINE (Pareto-front) operator — the multi-objective selection
+    // primitive the engine lacked: docs maximizing quality while
+    // minimizing token count, with no other doc better-or-equal on both
+    // and strictly better on one. Scale shape: a doc is dominated iff
+    // max-quality over docs with STRICTLY fewer tokens ≥ its quality,
+    // or a same-token doc has strictly higher quality — decomposed as
+    // (1) a per-64-token-BUCKET best table (bounded grid; its prefix
+    // window runs over buckets, not docs) broadcast back, (2) a
+    // within-bucket range-frame running max, (3) a per-(bucket, tokens)
+    // tie max. No global window over corpus rows, no self-join; the
+    // oracle is the brute NOT-EXISTS dominance test.
+    "x_skyline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.qualityScore(col("text")).as("quality"))
+        .withColumn("bucket", floor(col("n_tokens") / lit(64)))
+      val bmax = d.groupBy("bucket").agg(max(col("quality")).as("bq"))
+      val wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bmax.withColumn("lower_best", max(col("bq")).over(wb))
+        .select(col("bucket"), col("lower_best"))
+      val wlt = Window.partitionBy("bucket").orderBy(col("n_tokens"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val weq = Window.partitionBy("bucket", "n_tokens")
+      d.join(broadcast(bpre), "bucket")
+        .withColumn("lt_best", greatest(
+          coalesce(max(col("quality")).over(wlt), lit(-1.0)),
+          coalesce(col("lower_best"), lit(-1.0))))
+        .withColumn("eq_best", max(col("quality")).over(weq))
+        .filter(col("lt_best") < col("quality") && col("eq_best") <= col("quality"))
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("n_tokens", "doc_id")
+    }),
+
     // encoding-damage battery (mojibake/controls/replacement-char
     // detection — the ingest-time screen a web corpus runs before any
     // text op): pure scan-fused projection of portable-regex counts.
@@ -3498,6 +3532,53 @@ object SparkEntry {
             .as("alloc_frac"),
           floor(lit(1000.0) * col("nsig").cast("double") / col("den").cast("double") + lit(0.5))
             .cast("long").as("n_alloc"))
+        .orderBy("source")
+    }),
+
+    // Held-out LM evaluation — the proper train/test form of the LM
+    // battery (x_bigram_lm fits in-sample; x_perplexity_prune scores
+    // with a fixed model): an interpolated bigram LM (λ=0.75 bigram
+    // MLE + 0.25 add-1 unigram over the TRAIN vocab) is fit on the
+    // even-doc split and scored on the odd-doc split, reporting
+    // per-source held-out cross-entropy and perplexity. Count tables
+    // shuffle on token keys (map-side combined); scoring is three
+    // left equi-joins; λ is dyadic so every probability is the same
+    // IEEE chain in both engines; −ln p floor-6 + DECIMAL-sum.
+    "x_lm_heldout" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toksArr = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val held = docs.filter(col("doc_id") % 2 === 1)
+      val uni = train.select(explode(toksArr).as("w")).groupBy("w").agg(count(lit(1)).as("cw"))
+      val nv = uni.agg(sum(col("cw")).as("n"), count(lit(1)).as("v"))
+      val bi = train.select(toksArr.as("toks")).filter(size(col("toks")) >= 2)
+        .select(explode(graft.functions.WordNgrams.wordNgrams(col("toks"), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cab"))
+        .select(split(col("bg"), " ").getItem(0).as("a"),
+          split(col("bg"), " ").getItem(1).as("b"), col("cab"))
+      val ctx = bi.groupBy("a").agg(sum(col("cab")).as("ca"))
+      val hb = held.select(col("source"), toksArr.as("toks")).filter(size(col("toks")) >= 2)
+        .select(col("source"),
+          explode(graft.functions.WordNgrams.wordNgrams(col("toks"), 2)).as("bg"))
+        .select(col("source"), split(col("bg"), " ").getItem(0).as("a"),
+          split(col("bg"), " ").getItem(1).as("b"))
+      hb.join(bi, Seq("a", "b"), "left")
+        .join(ctx, Seq("a"), "left")
+        .join(uni.select(col("w").as("b"), col("cw")), Seq("b"), "left")
+        .crossJoin(broadcast(nv))
+        .withColumn("p",
+          lit(0.75) * when(col("cab").isNotNull,
+            col("cab").cast("double") / col("ca").cast("double")).otherwise(lit(0.0))
+          + lit(0.25) * (coalesce(col("cw"), lit(0L)).cast("double") + lit(1.0))
+            / (col("n").cast("double") + col("v").cast("double")))
+        .withColumn("term",
+          (floor(-log(col("p")) * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)"))
+        .groupBy("source").agg(count(lit(1)).as("n_scored"), sum(col("term")).as("sh"))
+        .withColumn("cross_entropy",
+          floor(col("sh").cast("double") / col("n_scored").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
+        .withColumn("perplexity",
+          floor(exp(col("cross_entropy")) * lit(1e2) + lit(0.5)) / lit(1e2))
+        .select("source", "n_scored", "cross_entropy", "perplexity")
         .orderBy("source")
     }),
 
@@ -8299,6 +8380,17 @@ object SparkEntry {
             FROM documents ORDER BY doc_id""",
       "x_lang_id" ->
         s"SELECT doc_id, lang_pred FROM ($langPredCte) ORDER BY doc_id",
+      // skyline: brute NOT-EXISTS dominance — the semantics the bucket
+      // decomposition must reproduce exactly
+      "x_skyline" ->
+        s"""WITH d AS (SELECT doc_id, CAST(len($toksE) AS INTEGER) AS n_tokens,
+                              $qualityE AS quality
+                       FROM documents)
+            SELECT doc_id, n_tokens, quality FROM d a
+            WHERE NOT EXISTS (SELECT 1 FROM d o
+              WHERE o.n_tokens <= a.n_tokens AND o.quality >= a.quality
+                AND (o.n_tokens < a.n_tokens OR o.quality > a.quality))
+            ORDER BY n_tokens, doc_id""",
       "x_lang_quality_agg" ->
         s"""WITH lp AS ($langPredCte)
             SELECT lang_pred, count(*) AS n_docs,
@@ -9849,6 +9941,40 @@ object SparkEntry {
                        FROM bi JOIN un ua ON bi.a = ua.term JOIN un ub ON bi.b = ub.term
                        CROSS JOIN tot CROSS JOIN btot)
            SELECT a, b, n_ab, n_a, n_b, pmi FROM sc ORDER BY pmi DESC, a, b LIMIT 50""",
+      // held-out interpolated LM: same counts/probability chain
+      "x_lm_heldout" ->
+        """WITH tk AS (SELECT doc_id, source,
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                       FROM documents),
+                uni AS (SELECT term, count(*) AS cw
+                        FROM (SELECT unnest(tk) AS term FROM tk WHERE doc_id % 2 = 0) GROUP BY 1),
+                nv AS (SELECT CAST(sum(cw) AS BIGINT) AS n, count(*) AS v FROM uni),
+                tbg AS (SELECT tk[i] AS a, tk[i+1] AS b, count(*) AS cab
+                        FROM tk, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+                        WHERE doc_id % 2 = 0 AND len(tk) >= 2 GROUP BY 1, 2),
+                ctx AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM tbg GROUP BY 1),
+                hb AS (SELECT source, tk[i] AS a, tk[i+1] AS b
+                       FROM tk, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+                       WHERE doc_id % 2 = 1 AND len(tk) >= 2),
+                sc AS (SELECT hb.source,
+                         0.75 * (CASE WHEN tbg.cab IS NOT NULL
+                                 THEN CAST(tbg.cab AS DOUBLE) / ctx.ca ELSE 0.0 END)
+                         + 0.25 * (CAST(coalesce(uni.cw, 0) AS DOUBLE) + 1.0)
+                           / (CAST(nv.n AS DOUBLE) + nv.v) AS p
+                       FROM hb
+                       LEFT JOIN tbg ON tbg.a = hb.a AND tbg.b = hb.b
+                       LEFT JOIN ctx ON ctx.a = hb.a
+                       LEFT JOIN uni ON uni.term = hb.b
+                       CROSS JOIN nv),
+                ag AS (SELECT source, count(*) AS n_scored,
+                         sum(CAST(floor(-ln(p) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS sh
+                       FROM sc GROUP BY 1),
+                ce AS (SELECT source, n_scored,
+                         floor(CAST(sh AS DOUBLE) / n_scored * 1e4 + 0.5) / 1e4 AS cross_entropy
+                       FROM ag)
+           SELECT source, n_scored, cross_entropy,
+                  floor(exp(cross_entropy) * 1e2 + 0.5) / 1e2 AS perplexity
+           FROM ce ORDER BY source""",
       // phrase search: positional adjacency, corpus top bigram as probe
       "x_phrase_search" ->
         """WITH tk AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk

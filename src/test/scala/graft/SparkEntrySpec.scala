@@ -47,9 +47,11 @@ class SparkEntrySpec extends AnyFunSuite {
     //   x_auc — cumulative over the PREDICTION-VALUE grid (distinct
     //     predictions <= nation×segment cells, not orders).
     //   x_sprt — cumulative LLR walk over the calendar day grid.
+    //   x_skyline — prefix-best over the per-64-token BUCKET grid
+    //     (bounded by token-range/64, never corpus rows).
     val boundedInputWhitelist =
       Set("w2_moving_avg", "x_quantile_norm", "x_ks_test", "x_mannwhitney", "x_gini", "x_theilsen",
-        "x_auc", "x_sprt")
+        "x_auc", "x_sprt", "x_skyline")
     import org.apache.spark.sql.catalyst.plans.logical
     // A global window whose input is DOMINATED by a LIMIT is bounded by
     // construction (e.g. x_bm25_search round-robins the top-20 df terms
