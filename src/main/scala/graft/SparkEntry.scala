@@ -6281,6 +6281,75 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Hill tail-index estimator — quantifies HOW heavy the per-user
+    // activity tail is (x_pareto_users shows concentration, x_zipf_fit
+    // fits token ranks; this is the order-statistics exponent):
+    // α̂ = k / Σ_{i≤k} ln(x_(i) / x_(k+1)) over the top k+1 order
+    // statistics of per-user event counts. The only corpus-scale work
+    // is the per-user count; the order statistics ride a TakeOrdered
+    // top-(k+1) (never a global sort), and the estimator runs on the
+    // 51-row grid with floor-6 + DECIMAL-summed log terms.
+    "x_hill_tail" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val uc = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("x"))
+      val top = uc.orderBy(col("x").desc, col("user_id")).limit(51)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("x").desc, col("user_id"))))
+      val mx = top.agg(max(col("rk")).as("m")) // k adapts: min(50, users−1)
+      val xk1 = top.crossJoin(broadcast(mx)).filter(col("rk") === col("m"))
+        .select(col("x").as("xk1"), (col("m") - 1).cast("long").as("k"))
+      top.crossJoin(broadcast(mx)).filter(col("rk") < col("m")).drop("m")
+        .crossJoin(broadcast(xk1))
+        .withColumn("term",
+          (floor(log(col("x").cast("double") / col("xk1").cast("double")) * lit(1e6) + lit(0.5))
+            / lit(1e6)).cast("decimal(28,6)"))
+        .groupBy("k", "xk1").agg(sum(col("term")).as("slog"))
+        .select(col("k"), col("xk1").as("x_k_plus_1"),
+          (floor(col("k").cast("double") / nullif(col("slog"), lit(0)).cast("double")
+            * lit(1e4) + lit(0.5)) / lit(1e4)).as("alpha"))
+    }),
+
+    // Intraclass correlation ICC(1,1) — how much of the value variance
+    // is BETWEEN users vs within (the reliability/clustering-effect
+    // statistic behind design-effect corrections): one-way ANOVA with
+    // the unequal-group-size k̄ correction. One exact-decimal moment
+    // aggregate per user; per-group (Σx)²/n terms floor-6 and
+    // DECIMAL-summed so SSB/SSW are order-independent doubles.
+    "x_icc" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), col("value").cast("decimal(18,2)").as("x"))
+      val g = e.groupBy("user_id").agg(
+        count(lit(1)).as("ng"),
+        sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(28,4)")).as("sq"))
+      def f6d(c: Column) =
+        (floor(c * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)")
+      val agg = g.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("ng")).as("n_total"),
+        sum(col("sx")).as("sx_tot"),
+        sum(f6d(col("sx").cast("double") * col("sx").cast("double") / col("ng").cast("double")))
+          .as("sum_sx2n"),
+        sum(col("sq")).as("sq_tot"),
+        sum(col("ng") * col("ng")).as("sum_ng2"))
+      agg.select(col("n_groups"), col("n_total"),
+          (col("sum_sx2n").cast("double")
+            - col("sx_tot").cast("double") * col("sx_tot").cast("double") / col("n_total").cast("double")).as("ssb"),
+          (col("sq_tot").cast("double") - col("sum_sx2n").cast("double")).as("ssw"),
+          col("sum_ng2"))
+        .withColumn("msb", col("ssb") / (col("n_groups").cast("double") - lit(1.0)))
+        .withColumn("msw", col("ssw") / (col("n_total").cast("double") - col("n_groups").cast("double")))
+        .withColumn("kbar",
+          (col("n_total").cast("double") - col("sum_ng2").cast("double") / col("n_total").cast("double"))
+            / (col("n_groups").cast("double") - lit(1.0)))
+        .select(col("n_groups"), col("n_total"),
+          (floor(col("msb") * lit(1e6) + lit(0.5)) / lit(1e6)).as("msb"),
+          (floor(col("msw") * lit(1e6) + lit(0.5)) / lit(1e6)).as("msw"),
+          (floor((col("msb") - col("msw"))
+            / (col("msb") + (col("kbar") - lit(1.0)) * col("msw"))
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("icc"))
+    }),
+
     // Power analysis / minimum-detectable-effect — the experiment
     // PLANNING side of the testing suite (Welch/MW/SPRT test, CUPED
     // reduces, this one sizes): per event type, the two-sample MDE at
@@ -11253,6 +11322,51 @@ object SparkEntry {
       // from sealed streaming windows — identical oracle)
       "x_dp_counts" -> dpCountsSql,
       "t22_stream_dp" -> dpCountsSql,
+      // Hill: top-(k+1) order stats, floor-6 log terms, decimal sum
+      "x_hill_tail" ->
+        """WITH uc AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+                top AS (SELECT x, row_number() OVER (ORDER BY x DESC, user_id) AS rk
+                        FROM uc ORDER BY x DESC, user_id LIMIT 51),
+                mx AS (SELECT max(rk) AS m FROM top),
+                xk1 AS (SELECT x AS xk1, CAST(m - 1 AS BIGINT) AS k
+                        FROM top, mx WHERE rk = m),
+                tm AS (SELECT k, xk1,
+                         CAST(floor(ln(CAST(x AS DOUBLE) / xk1) * 1e6 + 0.5) / 1e6
+                           AS DECIMAL(28,6)) AS term
+                       FROM top, mx, xk1 WHERE rk < m)
+           SELECT k, xk1 AS x_k_plus_1,
+                  floor(CAST(k AS DOUBLE) / CAST(nullif(sum(term), 0) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS alpha
+           FROM tm GROUP BY k, xk1""",
+      // ICC(1,1): exact moments, floor-6 per-group (Σx)²/n terms
+      "x_icc" ->
+        """WITH e AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS x FROM events),
+                g AS (SELECT user_id, count(*) AS ng, sum(x) AS sx,
+                             sum(CAST(x * x AS DECIMAL(28,4))) AS sq
+                      FROM e GROUP BY 1),
+                a AS (SELECT count(*) AS n_groups, CAST(sum(ng) AS BIGINT) AS n_total,
+                             sum(sx) AS sx_tot,
+                             sum(CAST(floor(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / ng * 1e6 + 0.5) / 1e6
+                               AS DECIMAL(28,6))) AS sum_sx2n,
+                             sum(sq) AS sq_tot,
+                             CAST(sum(ng * ng) AS BIGINT) AS sum_ng2
+                      FROM g),
+                b AS (SELECT n_groups, n_total,
+                        CAST(sum_sx2n AS DOUBLE)
+                          - CAST(sx_tot AS DOUBLE) * CAST(sx_tot AS DOUBLE) / n_total AS ssb,
+                        CAST(sq_tot AS DOUBLE) - CAST(sum_sx2n AS DOUBLE) AS ssw,
+                        sum_ng2
+                      FROM a),
+                c AS (SELECT n_groups, n_total,
+                        ssb / (n_groups - 1.0) AS msb,
+                        ssw / (CAST(n_total AS DOUBLE) - n_groups) AS msw,
+                        (CAST(n_total AS DOUBLE) - CAST(sum_ng2 AS DOUBLE) / n_total)
+                          / (n_groups - 1.0) AS kbar
+                      FROM b)
+           SELECT n_groups, n_total,
+                  floor(msb * 1e6 + 0.5) / 1e6 AS msb,
+                  floor(msw * 1e6 + 0.5) / 1e6 AS msw,
+                  floor((msb - msw) / (msb + (kbar - 1.0) * msw) * 1e6 + 0.5) / 1e6 AS icc
+           FROM c""",
       // MDE: exact-decimal moments, closed-form 2.8·sqrt(2σ²/n)
       "x_power_mde" ->
         """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x FROM events),
