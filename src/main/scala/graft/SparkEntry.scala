@@ -1679,6 +1679,28 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    // Hopping/sliding event-time windows (3-day window, 1-day slide) —
+    // the streaming windowing mode t4/t6 (tumbling) and w9 (session)
+    // don't cover; see EventStream.slidingCounts. Oracled as each day's
+    // events exploded into the three covering epoch-aligned windows,
+    // restricted to watermark-sealed windows.
+    "t25_stream_sliding" -> ((s, dir) => {
+      val stageDir = scratchDir("t25", dir)
+      val stage = stageDir.toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$stage/events.parquet"))
+      val name = "t25_sliding"
+      try {
+        graft.streaming.EventStream.runToMemory(
+          graft.streaming.EventStream.slidingCounts(
+            graft.streaming.EventStream.readEvents(s, stage)),
+          name, s"$stage/ckpt", outputMode = "append", statePartitions = Some(8))
+      } finally deleteRec(stageDir)
+      s.table(name).select("win_start", "win_end", "event_type", "cnt")
+        .orderBy("win_start", "event_type")
+    }),
+
     // Chained multi-stateful streaming aggregation: daily windowed
     // counts feeding a weekly rollup in ONE streaming query (the
     // window-of-window pipeline — see EventStream.weeklyRollup for the
@@ -6793,6 +6815,35 @@ object SparkEntry {
     // IEEE sqrts — no per-row float pass. Ranks are computed once per
     // type (they don't depend on the pairing); the day grid is
     // calendar-bounded metadata.
+    // Friedman test — the k-sample repeated-measures companion of
+    // x_mannwhitney's two-sample U: blocks = days, treatments = event
+    // types, within-day average ranks kept INTEGER as 2r = 2·rank +
+    // tied − 1 (the x_spearman trick), χ²_F = 3·ΣR2_j²/(n·k·(k+1)) −
+    // 3·n·(k+1) in the 2r scaling. Ranking windows run over the
+    // day×type GRID (k rows per day); everything up to the final χ² is
+    // exact integer arithmetic.
+    "x_friedman" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = d.select("event_type").distinct().crossJoin(d.select("day").distinct())
+      val full = grid.join(d, Seq("event_type", "day"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val rk = full
+        .withColumn("rn", rank().over(Window.partitionBy("day").orderBy("c")))
+        .withColumn("tied", count(lit(1)).over(Window.partitionBy("day", "c")))
+        .select(col("event_type"), col("day"),
+          (lit(2L) * col("rn") + col("tied") - lit(1L)).as("r2"))
+      val sums = rk.groupBy("event_type").agg(sum(col("r2")).as("r2sum"), count(lit(1)).as("n"))
+      val tot = sums.agg(
+        count(lit(1)).as("k"), max(col("n")).as("n_blocks"),
+        sum(col("r2sum") * col("r2sum")).as("ssq"))
+      tot.select(col("k"), col("n_blocks"),
+          (floor((lit(3.0) * col("ssq").cast("double")
+            / (col("n_blocks").cast("double") * col("k").cast("double") * (col("k").cast("double") + lit(1.0)))
+            - lit(3.0) * col("n_blocks").cast("double") * (col("k").cast("double") + lit(1.0)))
+            * lit(1e4) + lit(0.5)) / lit(1e4)).as("chi2_f"))
+    }),
+
     "x_spearman" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
@@ -11219,6 +11270,26 @@ object SparkEntry {
                    floor((pbar - pe) / (1.0 - pe) * 1e6 + 0.5) / 1e6 AS kappa
             FROM z""",
       // Spearman: 2·avgrank integers, rho from exact sums
+      // Friedman: integer 2r ranks within day blocks, exact ΣR2²
+      "x_friedman" ->
+        s"""WITH d AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                 grid AS (SELECT t.event_type, dd.day FROM (SELECT DISTINCT event_type FROM d) t
+                          CROSS JOIN (SELECT DISTINCT day FROM d) dd),
+                 f AS (SELECT grid.event_type, grid.day, coalesce(d.c, 0) AS c
+                       FROM grid LEFT JOIN d USING (event_type, day)),
+                 rk AS (SELECT event_type, day,
+                          2 * rank() OVER (PARTITION BY day ORDER BY c)
+                            + count(*) OVER (PARTITION BY day, c) - 1 AS r2
+                        FROM f),
+                 sums AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2sum, count(*) AS n
+                          FROM rk GROUP BY 1),
+                 tot AS (SELECT count(*) AS k, max(n) AS n_blocks,
+                                CAST(sum(r2sum * r2sum) AS BIGINT) AS ssq
+                         FROM sums)
+            SELECT k, n_blocks,
+                   floor((3.0 * ssq / (CAST(n_blocks AS DOUBLE) * k * (k + 1.0))
+                     - 3.0 * n_blocks * (k + 1.0)) * 1e4 + 0.5) / 1e4 AS chi2_f
+            FROM tot""",
       "x_spearman" ->
         s"""WITH d AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
                  grid AS (SELECT t.event_type, dd.day FROM (SELECT DISTINCT event_type FROM d) t
@@ -11427,6 +11498,19 @@ object SparkEntry {
            SELECT event_type, dp_median, true_median,
                   floor(abs(dp_median - true_median) * 1e4 + 0.5) / 1e4 AS abs_err
            FROM sel JOIN tru USING (event_type) ORDER BY event_type""",
+      // sliding windows: day exploded into its 3 covering windows
+      "t25_stream_sliding" ->
+        s"""WITH e AS (SELECT CAST($dayE AS DATE) AS day, event_type FROM events),
+                mx AS (SELECT max(ts) AS mt FROM events),
+                w AS (SELECT day - CAST(o AS INTEGER) AS ws, event_type
+                      FROM e, unnest([0, 1, 2]) AS t(o)),
+                agg AS (SELECT ws, event_type, count(*) AS cnt FROM w GROUP BY 1, 2)
+           SELECT strftime(ws, '%Y-%m-%d') AS win_start,
+                  strftime(ws + 3, '%Y-%m-%d') AS win_end,
+                  event_type, cnt
+           FROM agg, mx
+           WHERE CAST(ws AS TIMESTAMP) + INTERVAL 3 DAY <= mt - INTERVAL 1 HOUR
+           ORDER BY 1, 3""",
       // weekly rollup over daily counts, sealed weeks only (epoch-aligned
       // 7-day tumbling: week_start = day − (day − 1970-01-01) mod 7)
       "t24_stream_weekly_rollup" ->

@@ -138,6 +138,23 @@ object EventStream {
       f6(greatest(col("c") + noise, lit(0.0))).as("released"))
   }
 
+  /** Hopping (sliding) event-time windows — the third windowing mode
+    * next to tumbling (dailyCounts) and session (sessionize/w9): every
+    * event lands in the THREE epoch-aligned 3-day windows that cover
+    * it (slide = 1 day), so each window smooths a rolling 3-day count.
+    * Append mode: a window emits once the watermark passes its end;
+    * state holds the ≤3 open windows per type — O(windows-in-flight),
+    * not O(history).
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "3 days", "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("win_start"),
+        date_format(col("window.end"), "yyyy-MM-dd").as("win_end"),
+        col("event_type"), col("cnt"))
+
   /** Chained multi-stateful aggregation — Spark's multiple-stateful-
     * operator pipeline (3.4+): daily windowed counts feed a SECOND,
     * weekly (epoch-aligned 7-day tumbling) windowed aggregation inside
