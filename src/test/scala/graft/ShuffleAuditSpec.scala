@@ -253,4 +253,32 @@ class ShuffleAuditSpec extends AnyFunSuite {
     assert(updBytes2 < updBytes * 1.5,
       s"k-means update shuffle grew with the corpus: $updBytes -> $updBytes2 bytes")
   }
+
+  test("DBSCAN eps-pair generation shuffles LINEARLY in corpus size (9x grid probes, never all-pairs)") {
+    // Triple the corpus (shifted-id copies): the candidate join's
+    // exchange carries 9 probe rows + 1 home row per vector, so shuffle
+    // volume must scale ~3x (allow 4.5x for partial-combine overheads).
+    // An all-pairs plan would scale 9x — the assert separates the two.
+    val signs = graft.functions.RpProject.signMatrix(2, 64)
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val par = spark.sparkContext.defaultParallelism
+    def stage(d: DataFrame, tag: String): DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_db_$tag").toString
+      d.repartition(par).write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val base = stage(e, "b")
+    val tripled = stage(
+      e.unionAll(e.withColumn("vec_id", col("vec_id") + lit(100000L)))
+        .unionAll(e.withColumn("vec_id", col("vec_id") + lit(200000L))), "t")
+    def pairs(d: DataFrame) =
+      graft.ext.Dbscan.epsPairs(d, "vec_id", "v", signs, cellWidth = 1.2, eps = 0.2)
+    val (b1, n1) = shuffleBytes(pairs(base))
+    val (b3, n3) = shuffleBytes(pairs(tripled))
+    assert(b1 > 0 && b3 > 0)
+    assert(n3 > n1, "tripled corpus (exact duplicates) must yield more eps-pairs")
+    assert(b3 < b1 * 4.5,
+      s"eps-pair shuffle scaled super-linearly: $b1 -> $b3 bytes for 3x corpus")
+  }
 }
