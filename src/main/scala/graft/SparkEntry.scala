@@ -6815,6 +6815,59 @@ object SparkEntry {
     // IEEE sqrts — no per-row float pass. Ranks are computed once per
     // type (they don't depend on the pairing); the day grid is
     // calendar-bounded metadata.
+    // OLS with INFERENCE — the missing second half of the regression
+    // story (Stats.groupedLinReg reports the fit; this reports whether
+    // to believe it): daily purchase count on daily view count, with
+    // SE(b)² = (varYN − b·covN)/((n−2)·varXN) in the N-scaled exact
+    // sums, t = b/SE, and the ±1.96 normal-approximation CI
+    // (documented — no t-table in either engine). The DECIMAL(38,0)
+    // product discipline from groupedLinReg guards the n·sxy overflow.
+    "x_linreg_inference" -> ((s, dir) => {
+      val d = events(s, dir).groupBy("day").agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val st = d.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      val covN = (d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy"))).cast("double")
+      val varXN = (d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx"))).cast("double")
+      val varYN = (d38(col("n")) * d38(col("syy")) - d38(col("sy")) * d38(col("sy"))).cast("double")
+      def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val b = covN / varXN
+      val se = sqrt((varYN - b * covN) / ((col("n").cast("double") - lit(2.0)) * varXN))
+      st.select(col("n"), r6(b).as("slope"), r6(se).as("se"),
+        (floor(b / se * lit(1e4) + lit(0.5)) / lit(1e4)).as("t_stat"),
+        r6(b - lit(1.96) * se).as("ci_lo"), r6(b + lit(1.96) * se).as("ci_hi"))
+    }),
+
+    // Decile Q–Q comparison of the view vs purchase VALUE
+    // distributions — the graphical-statistics companion of
+    // x_wasserstein's single-number distance: exact lower quantiles
+    // q_p = min{v : F(v) ≥ p/10} read off the cents-histogram CDF with
+    // integer thresholds ⌈p·n/10⌉ (no interpolation, no floats until
+    // the final /100). Histogram windows per type; the threshold probe
+    // is a 9-row grid join.
+    "x_qq_plot" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = events(s, dir).filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("cents")
+      val cum = h.withColumn("cum", sum(col("c")).over(w))
+      val n = h.groupBy("event_type").agg(sum(col("c")).as("n"))
+      val ps = s.range(1, 10).select(col("id").cast("int").as("p"))
+      val th = n.crossJoin(ps).withColumn("thr", expr("(p * n + 9) div 10"))
+      val q = cum.join(th, "event_type").filter(col("cum") >= col("thr"))
+        .groupBy("event_type", "p").agg(min(col("cents")).as("qc"))
+      q.filter(col("event_type") === "view")
+        .select(col("p"), (col("qc").cast("double") / lit(100.0)).as("q_view"))
+        .join(q.filter(col("event_type") === "purchase")
+          .select(col("p"), (col("qc").cast("double") / lit(100.0)).as("q_purchase")), "p")
+        .orderBy("p")
+    }),
+
     // Friedman test — the k-sample repeated-measures companion of
     // x_mannwhitney's two-sample U: blocks = days, treatments = event
     // types, within-day average ranks kept INTEGER as 2r = 2·rank +
@@ -11270,6 +11323,49 @@ object SparkEntry {
                    floor((pbar - pe) / (1.0 - pe) * 1e6 + 0.5) / 1e6 AS kappa
             FROM z""",
       // Spearman: 2·avgrank integers, rho from exact sums
+      // OLS inference: HUGEINT products mirror the DECIMAL(38,0) guard
+      "x_linreg_inference" ->
+        s"""WITH d AS (SELECT $dayE AS day,
+                         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+                       FROM events GROUP BY 1),
+                st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                              CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+                              CAST(sum(y * y) AS BIGINT) AS syy
+                       FROM d),
+                c AS (SELECT n,
+                        CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS covn,
+                        CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS varxn,
+                        CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS varyn
+                      FROM st),
+                f AS (SELECT n, covn / varxn AS b,
+                        sqrt((varyn - (covn / varxn) * covn) / ((n - 2.0) * varxn)) AS se
+                      FROM c)
+           SELECT n,
+                  floor(b * 1e6 + 0.5) / 1e6 AS slope,
+                  floor(se * 1e6 + 0.5) / 1e6 AS se,
+                  floor(b / se * 1e4 + 0.5) / 1e4 AS t_stat,
+                  floor((b - 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_lo,
+                  floor((b + 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_hi
+           FROM f""",
+      // Q–Q: exact lower quantiles off the cents-histogram CDF
+      "x_qq_plot" ->
+        """WITH h AS (SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                             count(*) AS c
+                      FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+                cm AS (SELECT event_type, cents,
+                         sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+                       FROM h),
+                n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+                th AS (SELECT event_type, p, (p * n + 9) // 10 AS thr
+                       FROM n, (SELECT CAST(range AS INTEGER) AS p FROM range(1, 10)) ps),
+                q AS (SELECT cm.event_type, th.p, min(cents) AS qc
+                      FROM cm JOIN th ON cm.event_type = th.event_type AND cm.cum >= th.thr
+                      GROUP BY 1, 2)
+           SELECT v.p, v.qc / 100.0 AS q_view, u.qc / 100.0 AS q_purchase
+           FROM (SELECT p, qc FROM q WHERE event_type = 'view') v
+           JOIN (SELECT p, qc FROM q WHERE event_type = 'purchase') u USING (p)
+           ORDER BY p""",
       // Friedman: integer 2r ranks within day blocks, exact ΣR2²
       "x_friedman" ->
         s"""WITH d AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),

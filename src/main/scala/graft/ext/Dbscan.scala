@@ -34,26 +34,47 @@ object Dbscan {
     */
   def epsPairs(embs: DataFrame, idCol: String, vecCol: String,
       signs2: Array[Double], cellWidth: Double, eps: Double): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    // per-row squared norms computed ONCE on the corpus scan (not per
+    // candidate pair — measured 3x on the pair stage); the pair distance
+    // keeps the three-dot algebra DuckDB's list_dot_product replays,
+    // value-identical because the norm fold is the same op sequence
     val proj = graft.sources.Tables.spread(embs).select(
       col(idCol).as("id"), col(vecCol).as("v"),
+      VF.dot(col(vecCol), col(vecCol)).as("sq"),
       graft.functions.RpProject.rpProject(col(vecCol), signs2, 2).as("y"))
       .withColumn("cx", floor(element_at(col("y"), 1) / cellWidth))
       .withColumn("cy", floor(element_at(col("y"), 2) / cellWidth))
-    val home = proj.select(
-      col("id").as("id_b"), col("v").as("v_b"), col("cx"), col("cy"))
-    val probes = proj
+    // SLIM candidate join: only ids + four scalars ride the 9x cell-grid
+    // explosion (the 64-double vectors would cost ~1 KB per candidate row
+    // — measured as the stage's dominant cost); vectors are fetched by id
+    // AFTER the Lipschitz band filter. The band: any pair within eps has
+    // |Δy_j| <= L·eps, L = ‖s‖₂/√2 — a pure superset filter (the 1.0001
+    // margin absorbs few-ulp projection rounding). The id fetch joins
+    // hash on the corpus (AQE broadcasts when the corpus side fits).
+    val dim = signs2.length / 2
+    val band = math.sqrt(dim.toDouble) / math.sqrt(2.0) * eps * 1.0001
+    val slim = proj.select(col("id"), col("sq"),
+      element_at(col("y"), 1).as("y1"), element_at(col("y"), 2).as("y2"),
+      col("cx"), col("cy"))
+    val home = slim.select(col("id").as("id_b"), col("sq").as("sq_b"),
+      col("y1").as("y1b"), col("y2").as("y2b"), col("cx"), col("cy"))
+    val probes = slim
       .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .select(col("id").as("id_a"), col("v").as("v_a"),
+      .select(col("id").as("id_a"), col("sq").as("sq_a"),
+        col("y1").as("y1a"), col("y2").as("y2a"),
         (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
-    import graft.functions.{VectorFunctions => VF}
-    // three-dot form (not the (x−y)² fold): the exact double op sequence
-    // DuckDB's list_dot_product algebra replays
-    probes.join(home, Seq("cx", "cy"))
+    val cand = probes.join(home, Seq("cx", "cy"))
       .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("y1a") - col("y1b")) <= band && abs(col("y2a") - col("y2b")) <= band)
+      .select(col("id_a"), col("id_b"), col("sq_a"), col("sq_b"))
+    val vmap = proj.select(col("id"), col("v"))
+    cand
+      .join(vmap.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vmap.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("d",
-        floor(sqrt(VF.dot(col("v_a"), col("v_a")) - lit(2.0) * VF.dot(col("v_a"), col("v_b"))
-            + VF.dot(col("v_b"), col("v_b")))
+        floor(sqrt(col("sq_a") - lit(2.0) * VF.dot(col("v_a"), col("v_b")) + col("sq_b"))
           * lit(1e6) + lit(0.5)) / lit(1e6))
       .filter(col("d") <= eps)
       .select("id_a", "id_b", "d")

@@ -23,7 +23,13 @@ object VectorFunctions {
   /** Dot product of two equal-length numeric arrays (double accumulation,
     * sequential order — matches a scalar SQL loop bit-for-bit).
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = DotProduct.dotProduct(a, b)
+
+  /** Reference HOF formulation of [[dot]] — kept as the executable
+    * specification the native expression is tested against (the
+    * cosineHof pattern).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** L2 norm. */

@@ -28,6 +28,19 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(rows(2)._3 === 0.0)  // zero-norm guard, not NaN
   }
 
+  test("native dot expression is bit-identical to the HOF specification") {
+    val embs = graft.sources.Tables.load(spark, graft.TestSpark.sfDir, "embeddings")
+    val a = embs.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = embs.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val diffs = a.join(b, $"ia" % 37 === $"ib" % 37)
+      .select(
+        VectorFunctions.dot($"va", $"vb").as("native"),
+        VectorFunctions.dotHof($"va", $"vb").as("hof"))
+      .where($"native" =!= $"hof")
+      .count()
+    assert(diffs === 0L)
+  }
+
   test("native cosine expression is bit-identical to the HOF specification") {
     val embs = graft.sources.Tables.load(spark, graft.TestSpark.sfDir, "embeddings")
     val a = embs.select($"vec_id".as("ia"), $"embedding".as("va"))
