@@ -5298,6 +5298,120 @@ object SparkEntry {
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("auc"))
     }),
 
+    // Kruskal–Wallis H across the THREE parity user groups (the k-sample
+    // extension of x_mannwhitney): rank sums come from the per-user COUNT
+    // HISTOGRAM, never a global rank over users — 2·midrank(v) =
+    // 2·(#below v) + f(v) + 1 is an exact integer off one cumulative
+    // window over the bounded count grid. Per-group R_g²/n_g terms are
+    // floor-6 + DECIMAL-summed (group count is bounded, but the fixed
+    // order keeps both engines' sums identical); the tie correction
+    // Σ(f³−f) rides DECIMAL(38,0) cubes so petabyte-scale tie masses
+    // never wrap a long (the x_cuped overflow lesson).
+    "x_kruskal_wallis" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("x"))
+        .withColumn("grp", pmod(col("user_id"), lit(3)))
+      val h = per.groupBy("x", "grp").agg(count(lit(1)).as("f"))
+      val fx = h.groupBy("x").agg(sum(col("f")).as("fx"))
+      val wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+      val mid = fx
+        .withColumn("below", coalesce(sum(col("fx")).over(wcum), lit(0L)))
+        .withColumn("r2", lit(2L) * col("below") + col("fx") + lit(1L))
+      val rg = h.join(mid.select("x", "r2"), "x")
+        .groupBy("grp").agg(sum(col("f") * col("r2")).as("r2g"), sum(col("f")).as("ng"))
+      val terms = rg.select(
+        col("ng"),
+        (floor(col("r2g").cast("double") * col("r2g").cast("double")
+          / (lit(4.0) * col("ng").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .cast("decimal(28,6)").as("term"))
+      val tot = terms.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("term")).cast("double").as("ssq"))
+      val tie = mid.agg(
+        sum(col("fx").cast("decimal(38,0)") * col("fx") * col("fx") - col("fx"))
+          .cast("double").as("ties"))
+      val nD = col("n").cast("double")
+      val hRaw = lit(12.0) * col("ssq") / (nD * (nD + lit(1.0))) - lit(3.0) * (nD + lit(1.0))
+      val corr = lit(1.0) - col("ties") / (nD * nD * nD - nD)
+      tot.crossJoin(tie).select(col("k"), col("n"),
+        (floor(hRaw * lit(1e6) + lit(0.5)) / lit(1e6)).as("h"),
+        (floor(hRaw / corr * lit(1e6) + lit(0.5)) / lit(1e6)).as("h_adj"))
+    }),
+
+    // Cliff's delta per event type between the parity A/B user groups on
+    // per-user-per-type activity — the ordinal effect SIZE the U test's
+    // p-value doesn't give. δ = (#(a>b) − #(a<b))/(n_a·n_b) from the two
+    // per-type count histograms via type-PARTITIONED prefix sums (below/
+    // above are exact integers; one floor-6 division at the end), with
+    // the standard Romano magnitude bands on |δ|. Work is O(grid) per
+    // type at any corpus scale.
+    "x_cliffs_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = events(s, dir).groupBy("event_type", "user_id").agg(count(lit(1)).as("x"))
+        .withColumn("grp", pmod(col("user_id"), lit(2)))
+      val g = per.groupBy("event_type", "x").agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("fa"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("fb"))
+      val wc = Window.partitionBy("event_type").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wt = Window.partitionBy("event_type")
+      val cum = g
+        .withColumn("below_b", coalesce(sum(col("fb")).over(wc), lit(0L)))
+        .withColumn("nb", sum(col("fb")).over(wt))
+        .withColumn("na", sum(col("fa")).over(wt))
+        .withColumn("above_b", col("nb") - col("below_b") - col("fb"))
+      val d = cum.groupBy("event_type").agg(
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("fa") * (col("below_b") - col("above_b"))).as("num"))
+      val delta = floor(col("num").cast("double")
+        / (col("n_a").cast("double") * col("n_b").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)
+      d.select(col("event_type"), col("n_a"), col("n_b"), delta.as("delta"),
+          when(abs(delta) < 0.147, "negligible").when(abs(delta) < 0.33, "small")
+            .when(abs(delta) < 0.474, "medium").otherwise("large").as("magnitude"))
+        .orderBy("event_type")
+    }),
+
+    // Brown–Forsythe test (Levene with group MEDIANS) for equal spread of
+    // per-user activity across event types — the variance-homogeneity
+    // check Welch's t and the KW test both lean on. The per-type lower
+    // median comes off the type-partitioned count histogram (min v with
+    // 2·cum ≥ n — integer test, no percentile_cont divergence); absolute
+    // deviations z = |x − med| are exact integers, so each group's
+    // (Σz, Σz², n) is an exact-integer triple and the F statistic is one
+    // shared double tree. Per-group between/within terms floor-6 +
+    // DECIMAL-sum so the ≤|types| additions have a fixed order.
+    "x_levene" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = events(s, dir).groupBy("event_type", "user_id").agg(count(lit(1)).as("x"))
+      val hist = per.groupBy("event_type", "x").agg(count(lit(1)).as("f"))
+      val wc = Window.partitionBy("event_type").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.partitionBy("event_type")
+      val med = hist
+        .withColumn("cum", sum(col("f")).over(wc))
+        .withColumn("n", sum(col("f")).over(wt))
+        .filter(lit(2L) * col("cum") >= col("n"))
+        .groupBy("event_type").agg(min(col("x")).as("med"))
+      val z = hist.join(broadcast(med), "event_type")
+        .withColumn("z", abs(col("x") - col("med")))
+      val g = z.groupBy("event_type").agg(
+        sum(col("f")).as("ng"), sum(col("f") * col("z")).as("sz"),
+        sum(col("f") * col("z") * col("z")).as("szz"))
+      def f6d(c: Column): Column =
+        (floor(c * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)")
+      val szD = col("sz").cast("double"); val ngD = col("ng").cast("double")
+      val tot = g.select(col("ng"), col("sz"),
+          f6d(szD * szD / ngD).as("bterm"),
+          f6d(col("szz").cast("double") - szD * szD / ngD).as("wterm"))
+        .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"), sum(col("sz")).as("szt"),
+          sum(col("bterm")).cast("double").as("bsum"),
+          sum(col("wterm")).cast("double").as("wsum"))
+      val nD = col("n").cast("double"); val kD = col("k").cast("double")
+      val b = col("bsum") - col("szt").cast("double") * col("szt").cast("double") / nD
+      def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      tot.select(col("k"), col("n"), f6(b).as("b_ss"), f6(col("wsum")).as("w_ss"),
+        f6((nD - kD) * b / ((kD - lit(1.0)) * col("wsum"))).as("f_bf"))
+    }),
+
     // degree assortativity of the link graph (same generator as
     // x_pagerank): Pearson r over edges of (deg(src), deg(dst)) — do
     // high-degree pages link to high-degree pages? Degrees are one
@@ -10771,6 +10885,96 @@ object SparkEntry {
                   CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
                   floor(CAST(u2 AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS auc
            FROM u""",
+      // Kruskal–Wallis: histogram midranks (2·below + f + 1), floor-6
+      // R²/n terms + decimal sums, decimal(38,0) tie cubes
+      "x_kruskal_wallis" ->
+        """WITH per AS (SELECT user_id, count(*) AS x, user_id % 3 AS grp FROM events GROUP BY 1),
+                h AS (SELECT x, grp, count(*) AS f FROM per GROUP BY 1, 2),
+                fx AS (SELECT x, CAST(sum(f) AS BIGINT) AS fx FROM h GROUP BY 1),
+                mid AS (SELECT x, fx,
+                          coalesce(CAST(sum(fx) OVER (ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below
+                        FROM fx),
+                m2 AS (SELECT x, 2 * below + fx + 1 AS r2 FROM mid),
+                rg AS (SELECT grp, CAST(sum(f * r2) AS BIGINT) AS r2g, CAST(sum(f) AS BIGINT) AS ng
+                       FROM h JOIN m2 USING (x) GROUP BY 1),
+                tm AS (SELECT ng,
+                         CAST(floor(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                           / (4.0 * CAST(ng AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS term
+                       FROM rg),
+                tot AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+                          CAST(sum(term) AS DOUBLE) AS ssq FROM tm),
+                tie AS (SELECT CAST(sum(CAST(fx AS DECIMAL(38,0)) * fx * fx - fx) AS DOUBLE) AS ties
+                        FROM mid)
+           SELECT k, n,
+                  floor((12.0 * ssq / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                    - 3.0 * (CAST(n AS DOUBLE) + 1.0)) * 1e6 + 0.5) / 1e6 AS h,
+                  floor((12.0 * ssq / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                    - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                    / (1.0 - ties / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+                    * 1e6 + 0.5) / 1e6 AS h_adj
+           FROM tot, tie""",
+      // Cliff's delta: per-type histogram below/above prefix sums, one
+      // floor-6 division, Romano magnitude bands on the FLOORED delta
+      "x_cliffs_delta" ->
+        """WITH per AS (SELECT event_type, user_id, count(*) AS x, user_id % 2 AS grp
+                      FROM events GROUP BY 1, 2),
+                g AS (SELECT event_type, x,
+                        CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fa,
+                        CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fb
+                      FROM per GROUP BY 1, 2),
+                c AS (SELECT event_type, x, fa, fb,
+                        coalesce(CAST(sum(fb) OVER (PARTITION BY event_type ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below_b,
+                        CAST(sum(fb) OVER (PARTITION BY event_type) AS BIGINT) AS nb,
+                        CAST(sum(fa) OVER (PARTITION BY event_type) AS BIGINT) AS na
+                      FROM g),
+                d AS (SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+                        CAST(sum(fa * (below_b - (nb - below_b - fb))) AS BIGINT) AS num
+                      FROM c GROUP BY 1),
+                dd AS (SELECT event_type, n_a, n_b,
+                         floor(CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS delta
+                       FROM d)
+           SELECT event_type, n_a, n_b, delta,
+                  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+                       WHEN abs(delta) < 0.33 THEN 'small'
+                       WHEN abs(delta) < 0.474 THEN 'medium'
+                       ELSE 'large' END AS magnitude
+           FROM dd ORDER BY event_type""",
+      // Brown–Forsythe: histogram lower median (min v with 2·cum ≥ n),
+      // integer |x−med| deviations, floor-6 between/within terms +
+      // decimal sums, one shared double tree for F
+      "x_levene" ->
+        """WITH per AS (SELECT event_type, user_id, count(*) AS x FROM events GROUP BY 1, 2),
+                h AS (SELECT event_type, x, count(*) AS f FROM per GROUP BY 1, 2),
+                c AS (SELECT event_type, x, f,
+                        CAST(sum(f) OVER (PARTITION BY event_type ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                        CAST(sum(f) OVER (PARTITION BY event_type) AS BIGINT) AS n
+                      FROM h),
+                med AS (SELECT event_type, min(x) AS med FROM c WHERE 2 * cum >= n GROUP BY 1),
+                z AS (SELECT h.event_type, h.f, abs(h.x - med.med) AS z
+                      FROM h JOIN med ON h.event_type = med.event_type),
+                g AS (SELECT event_type, CAST(sum(f) AS BIGINT) AS ng,
+                        CAST(sum(f * z) AS BIGINT) AS sz,
+                        CAST(sum(f * z * z) AS BIGINT) AS szz
+                      FROM z GROUP BY 1),
+                tm AS (SELECT ng, sz,
+                         CAST(floor(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(ng AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS bterm,
+                         CAST(floor((CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(ng AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS wterm
+                       FROM g),
+                tot AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+                          CAST(sum(sz) AS BIGINT) AS szt,
+                          CAST(sum(bterm) AS DOUBLE) AS bsum,
+                          CAST(sum(wterm) AS DOUBLE) AS wsum
+                        FROM tm)
+           SELECT k, n,
+                  floor((bsum - CAST(szt AS DOUBLE) * CAST(szt AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS b_ss,
+                  floor(wsum * 1e6 + 0.5) / 1e6 AS w_ss,
+                  floor((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                    * (bsum - CAST(szt AS DOUBLE) * CAST(szt AS DOUBLE) / CAST(n AS DOUBLE))
+                    / ((CAST(k AS DOUBLE) - 1.0) * wsum) * 1e6 + 0.5) / 1e6 AS f_bf
+           FROM tot""",
       // assortativity: same edge generator as x_pagerank, degree join,
       // exact-integer Pearson (the x_linreg_tokens select shape)
       "x_assortativity" ->

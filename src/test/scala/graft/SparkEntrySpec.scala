@@ -40,6 +40,7 @@ class SparkEntrySpec extends AnyFunSuite {
     // Everything ordinal-shaped goes through Batching.globalOrdinal.
     //   x_mannwhitney — cumulative over the per-user COUNT grid (values
     //     bounded by max activity, not corpus rows).
+    //   x_kruskal_wallis — same count-grid cumulative (midranks).
     //   x_gini — Lorenz prefix sums over the DOLLAR-BINNED histogram
     //     (value grid, not users).
     //   x_theilsen — median rank over the day-PAIR grid (calendar², not
@@ -50,8 +51,8 @@ class SparkEntrySpec extends AnyFunSuite {
     //   x_skyline — prefix-best over the per-64-token BUCKET grid
     //     (bounded by token-range/64, never corpus rows).
     val boundedInputWhitelist =
-      Set("w2_moving_avg", "x_quantile_norm", "x_ks_test", "x_mannwhitney", "x_gini", "x_theilsen",
-        "x_auc", "x_sprt", "x_skyline")
+      Set("w2_moving_avg", "x_quantile_norm", "x_ks_test", "x_mannwhitney", "x_kruskal_wallis",
+        "x_gini", "x_theilsen", "x_auc", "x_sprt", "x_skyline")
     import org.apache.spark.sql.catalyst.plans.logical
     // A global window whose input is DOMINATED by a LIMIT is bounded by
     // construction (e.g. x_bm25_search round-robins the top-20 df terms
