@@ -5504,6 +5504,49 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Holt–Winters additive-seasonal forecast (period 7, α=β=γ=1/2) —
+    // completes the SES → Holt → HW ladder with the model that can see
+    // the weekly cycle, scored by the same next-day MAE so all three are
+    // directly comparable. Same determinism contract as x_forecast_holt:
+    // every state update (level, trend, AND the rotating 7-slot seasonal
+    // buffer) is floor-quantized to 6 dp, so the fold replays
+    // bit-identically in Spark's aggregate HOF and DuckDB's recursive
+    // CTE (which carries the seasonal buffer as a LIST column). Unlike
+    // Holt's per-target refold this is ONE linear fold per type that
+    // accumulates the error series in-state — O(days) per type, and the
+    // only data-scale work is the daily-count shuffle.
+    "x_holt_winters" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .withColumn("idx", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")) - 1)
+      val arr = dc.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("idx"), col("c")))).as("a"))
+        .filter(size(col("a")) >= 8)
+        .withColumn("l0", expr(
+          "floor(aggregate(slice(a, 1, 7), CAST(0.0 AS DOUBLE), (s, e) -> s + CAST(e.c AS DOUBLE)) / 7.0 * 1e6 + 0.5) / 1e6"))
+      val folded = arr.withColumn("st", expr(
+        """aggregate(slice(a, 8, size(a) - 7),
+             named_struct(
+               'l', l0,
+               'b', CAST(0.0 AS DOUBLE),
+               's7', transform(slice(a, 1, 7), e -> floor((CAST(e.c AS DOUBLE) - l0) * 1e6 + 0.5) / 1e6),
+               'errs', CAST(array() AS ARRAY<DOUBLE>)),
+             (st, e) -> named_struct(
+               'l', floor((0.5D * (CAST(e.c AS DOUBLE) - st.s7[0]) + 0.5D * (st.l + st.b)) * 1e6 + 0.5D) / 1e6,
+               'b', floor((0.5D * (floor((0.5D * (CAST(e.c AS DOUBLE) - st.s7[0]) + 0.5D * (st.l + st.b)) * 1e6 + 0.5D) / 1e6 - st.l) + 0.5D * st.b) * 1e6 + 0.5D) / 1e6,
+               's7', concat(slice(st.s7, 2, 6), array(
+                 floor((0.5D * (CAST(e.c AS DOUBLE) - floor((0.5D * (CAST(e.c AS DOUBLE) - st.s7[0]) + 0.5D * (st.l + st.b)) * 1e6 + 0.5D) / 1e6) + 0.5D * st.s7[0]) * 1e6 + 0.5D) / 1e6)),
+               'errs', concat(st.errs, array(
+                 floor(abs(CAST(e.c AS DOUBLE) - (st.l + st.b + st.s7[0])) * 1e6 + 0.5D) / 1e6))))"""))
+      folded.select(col("event_type"), explode(col("st.errs")).as("abs_err"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_forecasts"),
+          (floor(sum(col("abs_err").cast("decimal(28,6)")).cast("double")
+            / count(lit(1)).cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mae"))
+        .orderBy("event_type")
+    }),
+
     // seasonal decomposition of daily volumes (STL-lite): trend = 7-day
     // centered moving average, weekly seasonal = per-weekday mean of the
     // detrended series, residual = the rest. The windows are
@@ -5705,6 +5748,48 @@ object SparkEntry {
       st.select(col("n").as("n_ranks"),
         (floor(-slope * lit(1e4) + lit(0.5)) / lit(1e4)).as("zipf_s"),
         (floor((col("sy") - slope * col("sx")) / nD * lit(1e4) + lit(0.5)) / lit(1e4)).as("intercept"))
+    }),
+
+    // Good–Turing frequency smoothing over the BIGRAM vocabulary (the
+    // unigram vocab of this corpus has no rare tail — min count 26 — so
+    // the estimator targets the sparse event space it was invented for):
+    // frequency-of-frequencies N_r, the empirical Turing estimate
+    // r* = (r+1)·N_{r+1}/N_r (exact integers + one floor-6 division;
+    // null where N_{r+1} is empty, the honest gap SGT would
+    // interpolate), Good's unseen-mass estimate p0 = N_1/N, and the
+    // log-log decline rate of N_r (the x_zipf_fit floored-ln +
+    // decimal-sum OLS) as the smoothing-curve diagnostic. Everything
+    // downstream of the one bigram shuffle is grid-scale: N_r has at
+    // most |distinct counts| rows at any corpus size.
+    "x_good_turing" -> ((s, dir) => {
+      val v = t(s, dir, "documents").select(TF.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(graft.functions.WordNgrams.wordNgrams(col("tk"), 2)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val nr = v.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val xy = nr.withColumn("x", f6(log(col("r").cast("double"))))
+        .withColumn("y", f6(log(col("n_r").cast("double"))))
+      val st = xy.agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,6)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,6)")).cast("double").as("sy"),
+        sum(f6(col("x") * col("y")).cast("decimal(28,6)")).cast("double").as("sxy"),
+        sum(f6(col("x") * col("x")).cast("decimal(28,6)")).cast("double").as("sxx"))
+      val nD = col("n").cast("double")
+      val fit = st.select(
+        (floor((nD * col("sxy") - col("sx") * col("sy"))
+          / (nD * col("sxx") - col("sx") * col("sx")) * lit(1e4) + lit(0.5)) / lit(1e4)).as("b_loglog"))
+      val tot = v.agg(sum(col("c")).as("n_tokens"))
+      val n1 = nr.filter(col("r") === 1).select(col("n_r").as("n1"))
+      val nxt = nr.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+      nr.filter(col("r") <= 10).join(nxt, Seq("r"), "left")
+        .crossJoin(broadcast(fit)).crossJoin(broadcast(tot)).crossJoin(broadcast(n1))
+        .select(col("r"), col("n_r"),
+          f6((col("r") + lit(1)).cast("double") * col("n_next").cast("double")
+            / col("n_r").cast("double")).as("r_star"),
+          col("b_loglog"),
+          f6(col("n1").cast("double") / col("n_tokens").cast("double")).as("p0_unseen"))
+        .orderBy("r")
     }),
 
     // TextRank keyword extraction (Mihalcea–Tarau 2004): PageRank over
@@ -8791,6 +8876,37 @@ object SparkEntry {
                    floor((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
                      / CAST(n AS DOUBLE) * 1e4 + 0.5) / 1e4 AS intercept
             FROM st""",
+      // Good–Turing: bigram freq-of-freqs grid, empirical r* via the r+1
+      // left join, zipf-style floored-ln OLS for the decline rate
+      "x_good_turing" ->
+        s"""WITH tkx AS (SELECT $toksE AS tk FROM documents),
+                 bg AS (SELECT tk[i] || ' ' || tk[i + 1] AS w
+                        FROM tkx, unnest(range(1, len(tk))) AS u(i)
+                        WHERE len(tk) >= 2),
+                 v AS (SELECT w, count(*) AS c FROM bg GROUP BY 1),
+                 nr AS (SELECT c AS r, count(*) AS n_r FROM v GROUP BY 1),
+                 xy AS (SELECT floor(ln(CAST(r AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS x,
+                               floor(ln(CAST(n_r AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS y
+                        FROM nr),
+                 st AS (SELECT count(*) AS n,
+                          CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                          CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+                          CAST(sum(CAST(floor(x * y * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+                          CAST(sum(CAST(floor(x * x * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+                        FROM xy),
+                 fit AS (SELECT floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(n AS DOUBLE) * sxx - sx * sx) * 1e4 + 0.5) / 1e4 AS b_loglog
+                         FROM st),
+                 tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM v),
+                 n1 AS (SELECT n_r AS n1 FROM nr WHERE r = 1)
+            SELECT nr.r, nr.n_r,
+                   floor(CAST(nr.r + 1 AS DOUBLE) * CAST(nx.n_r AS DOUBLE)
+                     / CAST(nr.n_r AS DOUBLE) * 1e6 + 0.5) / 1e6 AS r_star,
+                   fit.b_loglog,
+                   floor(CAST(n1.n1 AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p0_unseen
+            FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1
+            CROSS JOIN fit CROSS JOIN tot CROSS JOIN n1
+            WHERE nr.r <= 10 ORDER BY nr.r""",
       // TextRank: word co-occurrence graph + the SAME unrolled pagerank
       // stages (prIters references only nodes/nn/e/deg/p0)
       "x_textrank" ->
@@ -11045,6 +11161,36 @@ object SparkEntry {
                   floor(CAST(sum(CAST(abs_err AS DECIMAL(28,6))) AS DOUBLE)
                     / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS mae
            FROM er GROUP BY 1 ORDER BY 1""",
+      // Holt–Winters: the same 6-dp-quantized (level, trend, seasonal-7)
+      // recursion replayed by a recursive CTE carrying the seasonal
+      // buffer as a LIST (1-based: s7[1] = s_{t-7}; [2:7] + append
+      // rotates)
+      "x_holt_winters" ->
+        s"""WITH RECURSIVE dc AS (SELECT event_type, $dayE AS day, count(*) AS c
+                       FROM events GROUP BY 1, 2),
+                ix AS (SELECT event_type, day, c,
+                         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS idx
+                       FROM dc),
+                l0 AS (SELECT event_type,
+                         floor(sum(CASE WHEN idx < 7 THEN CAST(c AS DOUBLE) ELSE 0.0 END) / 7.0 * 1e6 + 0.5) / 1e6 AS l0
+                       FROM ix GROUP BY 1 HAVING count(*) >= 8),
+                init AS (SELECT ix.event_type, 6 AS t, l0.l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+                           list(floor((CAST(ix.c AS DOUBLE) - l0.l0) * 1e6 + 0.5) / 1e6 ORDER BY ix.idx) AS s7,
+                           CAST(NULL AS DOUBLE) AS err
+                         FROM ix JOIN l0 USING (event_type) WHERE ix.idx < 7
+                         GROUP BY ix.event_type, l0.l0),
+                r AS (SELECT * FROM init
+                      UNION ALL
+                      SELECT r.event_type, r.t + 1,
+                        floor((0.5 * (CAST(ix.c AS DOUBLE) - r.s7[1]) + 0.5 * (r.l + r.b)) * 1e6 + 0.5) / 1e6,
+                        floor((0.5 * (floor((0.5 * (CAST(ix.c AS DOUBLE) - r.s7[1]) + 0.5 * (r.l + r.b)) * 1e6 + 0.5) / 1e6 - r.l) + 0.5 * r.b) * 1e6 + 0.5) / 1e6,
+                        list_concat(r.s7[2:7], [floor((0.5 * (CAST(ix.c AS DOUBLE) - floor((0.5 * (CAST(ix.c AS DOUBLE) - r.s7[1]) + 0.5 * (r.l + r.b)) * 1e6 + 0.5) / 1e6) + 0.5 * r.s7[1]) * 1e6 + 0.5) / 1e6]),
+                        floor(abs(CAST(ix.c AS DOUBLE) - (r.l + r.b + r.s7[1])) * 1e6 + 0.5) / 1e6
+                      FROM r JOIN ix ON ix.event_type = r.event_type AND ix.idx = r.t + 1)
+           SELECT event_type, count(err) AS n_forecasts,
+                  floor(CAST(sum(CAST(err AS DECIMAL(28,6))) AS DOUBLE)
+                    / CAST(count(err) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS mae
+           FROM r WHERE err IS NOT NULL GROUP BY 1 ORDER BY 1""",
       // seasonality: integer moving sums, floor-6 + decimal seasonal
       // means, weekday via dayofweek+1 (DuckDB is 0=Sunday)
       "x_seasonality" ->
