@@ -3526,6 +3526,34 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Expected Reciprocal Rank @10 (Chapelle 2009) of the BM25 ranking —
+    // the cascade-model metric NDCG's static discount can't express:
+    // ERR = Σ_r R_r/r · Π_{i<r}(1−R_i) with stopping probability
+    // R = (2^min(rel,4)−1)/16. The four R values are DYADIC (x/16), so
+    // the cumulative continue-products are EXACT doubles (≤10 four-bit
+    // mantissas < 53 bits); per-rank terms floor-6 + DECIMAL-sum. Spark
+    // folds the per-query top-10 in an aggregate HOF; DuckDB replays the
+    // identical product via a windowed product() — both bit-equal
+    // because every multiplication is exact.
+    "x_err_rank" -> ((s, dir) => {
+      val top = bm25TopK(s, dir).select(col("query_id"), col("rnk"),
+        col("n_terms_matched").cast("int").as("rel"))
+      val arr = top.groupBy("query_id")
+        .agg(sort_array(collect_list(struct(col("rnk"), col("rel")))).as("a"))
+      val folded = arr.withColumn("st", expr(
+        """aggregate(a,
+             named_struct('p', CAST(1.0 AS DOUBLE), 'terms', CAST(array() AS ARRAY<DOUBLE>)),
+             (st, e) -> named_struct(
+               'p', st.p * (1.0D - (CASE WHEN e.rel <= 1 THEN 0.0625D WHEN e.rel = 2 THEN 0.1875D WHEN e.rel = 3 THEN 0.4375D ELSE 0.9375D END)),
+               'terms', concat(st.terms, array(
+                 floor((CASE WHEN e.rel <= 1 THEN 0.0625D WHEN e.rel = 2 THEN 0.1875D WHEN e.rel = 3 THEN 0.4375D ELSE 0.9375D END) * st.p / CAST(e.rnk AS DOUBLE) * 1e6 + 0.5D) / 1e6))))"""))
+      folded.select(col("query_id"), explode(col("st.terms")).as("term"))
+        .groupBy("query_id").agg(
+          count(lit(1)).as("n_top"),
+          sum(col("term").cast("decimal(28,6)")).cast("double").as("err"))
+        .orderBy("query_id")
+    }),
+
     // Neyman-optimal sample allocation — the survey-sampling answer to
     // "how many docs should each source contribute to a fixed labeling /
     // eval budget": n_h ∝ N_h·σ_h (minimizes the stratified estimator's
@@ -5410,6 +5438,44 @@ object SparkEntry {
       def f6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
       tot.select(col("k"), col("n"), f6(b).as("b_ss"), f6(col("wsum")).as("w_ss"),
         f6((nD - kD) * b / ((kD - lit(1.0)) * col("wsum"))).as("f_bf"))
+    }),
+
+    // Adamic–Adar link prediction over the doc link graph (same
+    // generator as x_pagerank): for each NON-adjacent pair sharing
+    // common neighbors, score = Σ_w 1/ln(deg w) over the common
+    // neighbors — the classic missing-link ranker. Wedges come from one
+    // self-join of the degree-annotated adjacency on the center (the
+    // x_triangles shape); wedge work is Σ deg(w)², so centers above a
+    // 10k-degree hub cap are dropped (standard AA practice — a web-scale
+    // hub contributes ~0 weight per wedge but quadratic wedge count; the
+    // cap is inert on this corpus and mirrored by the oracle). Weights
+    // floor-6 + DECIMAL-sum; existing edges anti-joined out; top-100 by
+    // (score DESC, u, v) via TakeOrdered with EXACT decimal compare.
+    "x_adamic_adar" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("src"),
+          explode(array(Seq(2, 3, 5).map(m =>
+            (col("doc_id") * m + m) % col("n")): _*)).as("dst"))
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+        .distinct().localCheckpoint() // read 3×: two wedge sides + anti-join
+      val sym = und.select(col("u").as("w"), col("v").as("x"))
+        .unionAll(und.select(col("v").as("w"), col("u").as("x")))
+      val deg = sym.groupBy("w").agg(count(lit(1)).as("deg"))
+      val nb = sym.join(deg, "w").filter(col("deg") <= 10000)
+      val wedges = nb.select(col("w"), col("x").as("a"), col("deg"))
+        .join(nb.select(col("w"), col("x").as("b")), "w")
+        .filter(col("a") < col("b"))
+        .withColumn("wt", (floor(lit(1.0) / log(col("deg").cast("double"))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)"))
+      val scored = wedges.groupBy(col("a").as("u"), col("b").as("v"))
+        .agg(count(lit(1)).as("n_common"), sum(col("wt")).as("aa"))
+        .join(und, Seq("u", "v"), "left_anti")
+      scored.orderBy(col("aa").desc, col("u"), col("v")).limit(100)
+        .select(col("u"), col("v"), col("n_common"), col("aa").cast("double").as("aa_score"))
     }),
 
     // degree assortativity of the link graph (same generator as
@@ -10289,6 +10355,32 @@ object SparkEntry {
            SELECT dcg.query_id, CAST(dcg AS DOUBLE) AS dcg, CAST(idcg AS DOUBLE) AS idcg,
                   floor(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ndcg
            FROM dcg JOIN idcg ON dcg.query_id = idcg.query_id ORDER BY dcg.query_id"""),
+      // ERR: dyadic stopping probs make the continue-product exact; the
+      // windowed product() replays Spark's fold multiplication-for-
+      // multiplication; per-rank terms floor-6 + decimal sums
+      "x_err_rank" -> bm25Oracle(
+        """, top AS (SELECT query_id, CAST(rnk AS INTEGER) AS rnk,
+                            CAST(n_terms_matched AS INTEGER) AS rel
+                     FROM r WHERE rnk <= 10),
+              pr AS (SELECT query_id, rnk, rel,
+                       coalesce(product(CAST(1.0 AS DOUBLE)
+                           - (CASE WHEN rel <= 1 THEN CAST(0.0625 AS DOUBLE)
+                                   WHEN rel = 2 THEN CAST(0.1875 AS DOUBLE)
+                                   WHEN rel = 3 THEN CAST(0.4375 AS DOUBLE)
+                                   ELSE CAST(0.9375 AS DOUBLE) END))
+                         OVER (PARTITION BY query_id ORDER BY rnk
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         CAST(1.0 AS DOUBLE)) AS p
+                     FROM top),
+              tm AS (SELECT query_id,
+                       CAST(floor((CASE WHEN rel <= 1 THEN CAST(0.0625 AS DOUBLE)
+                                        WHEN rel = 2 THEN CAST(0.1875 AS DOUBLE)
+                                        WHEN rel = 3 THEN CAST(0.4375 AS DOUBLE)
+                                        ELSE CAST(0.9375 AS DOUBLE) END)
+                         * p / CAST(rnk AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS term
+                     FROM pr)
+           SELECT query_id, count(*) AS n_top, CAST(sum(term) AS DOUBLE) AS err
+           FROM tm GROUP BY 1 ORDER BY 1"""),
       // MAP over the shared BM25 ranking, binary relevance = >=2 terms
       "x_map_eval" -> bm25Oracle(
         """, top AS (SELECT query_id, CAST(rnk AS INTEGER) AS pos,
@@ -11091,6 +11183,30 @@ object SparkEntry {
                     * (bsum - CAST(szt AS DOUBLE) * CAST(szt AS DOUBLE) / CAST(n AS DOUBLE))
                     / ((CAST(k AS DOUBLE) - 1.0) * wsum) * 1e6 + 0.5) / 1e6 AS f_bf
            FROM tot""",
+      // Adamic–Adar: same generator, degree-annotated adjacency self-
+      // join on the center (10k hub cap mirrored), floor-6 weights +
+      // decimal sums, anti-join on existing edges, exact decimal top-100
+      "x_adamic_adar" ->
+        """WITH nn AS (SELECT count(*) AS n FROM documents),
+                e0 AS (SELECT doc_id AS src,
+                        unnest([(doc_id * 2 + 2) % n, (doc_id * 3 + 3) % n, (doc_id * 5 + 5) % n]) AS dst
+                      FROM documents CROSS JOIN nn WHERE doc_id % 10 <> 9),
+                e AS MATERIALIZED (SELECT src, dst FROM e0),
+                und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                        FROM e WHERE src <> dst),
+                sym AS (SELECT u AS w, v AS x FROM und UNION ALL SELECT v, u FROM und),
+                deg AS (SELECT w, count(*) AS deg FROM sym GROUP BY 1),
+                nb AS (SELECT sym.w, sym.x, deg.deg FROM sym JOIN deg USING (w)
+                       WHERE deg <= 10000),
+                wd AS (SELECT a.x AS a, b.x AS b,
+                         CAST(floor(1.0 / ln(CAST(a.deg AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) AS wt
+                       FROM nb a JOIN nb b ON a.w = b.w AND a.x < b.x),
+                sc AS (SELECT a AS u, b AS v, count(*) AS n_common, sum(wt) AS aa
+                       FROM wd GROUP BY 1, 2),
+                nadj AS (SELECT sc.* FROM sc LEFT JOIN und ON sc.u = und.u AND sc.v = und.v
+                         WHERE und.u IS NULL)
+           SELECT u, v, n_common, CAST(aa AS DOUBLE) AS aa_score
+           FROM nadj ORDER BY aa DESC, u, v LIMIT 100""",
       // assortativity: same edge generator as x_pagerank, degree join,
       // exact-integer Pearson (the x_linreg_tokens select shape)
       "x_assortativity" ->
