@@ -5440,6 +5440,97 @@ object SparkEntry {
         f6((nD - kD) * b / ((kD - lit(1.0)) * col("wsum"))).as("f_bf"))
     }),
 
+    // Logistic regression by distributed IRLS — P(purchase-heavy user |
+    // total activity), the "ML at scale" pattern: THREE quantized Newton steps
+    // where each iteration's gradient/Hessian are five DECIMAL sums over
+    // the (activity, label) JOINT HISTOGRAM (bounded grid — the corpus
+    // contributes one shuffle to build it, every Newton step is
+    // grid-scale with the coefficients broadcast as a 1-row frame; at
+    // 1000 executors the per-iteration traffic is five numbers). The
+    // per-cell sigmoid is floor-6-quantized and clamped to
+    // [1e-6, 1−1e-6] (so the log-likelihood never hits ln 0), the 2×2
+    // Newton solve is one shared double tree, and coefficients are
+    // floor-6 after every step — DuckDB replays the identical three
+    // unrolled CTE stages bit-for-bit.
+    "x_logit_newton" -> ((s, dir) => {
+      // label: purchase-heavy user (purchase share ≥ 1/5 of activity,
+      // integer test np·5 ≥ x — every user purchases SOMETHING in this
+      // corpus, so presence alone is degenerate); feature: total events
+      val per = events(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("x"),
+        (sum((col("event_type") === "purchase").cast("long")) * 5 >= count(lit(1)))
+          .cast("int").as("y"))
+      val hist = per.groupBy("x", "y").agg(count(lit(1)).as("f")).localCheckpoint()
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def d6(c: Column) = f6(c).cast("decimal(28,6)")
+      val xD = col("x").cast("double"); val fD = col("f").cast("double")
+      val yD = col("y").cast("double")
+      def pCol = greatest(least(
+        f6(lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * xD)))),
+        lit(0.999999)), lit(0.000001))
+      var coef = hist.sparkSession.range(1)
+        .select(lit(0.0).as("b0"), lit(0.0).as("b1"))
+      for (_ <- 1 to 3) {
+        val cells = hist.crossJoin(broadcast(coef))
+          .withColumn("p", pCol)
+          .withColumn("w", col("p") * (lit(1.0) - col("p")))
+        val ag = cells.agg(
+          sum(d6(fD * (yD - col("p")))).cast("double").as("g0"),
+          sum(d6(fD * (yD - col("p")) * xD)).cast("double").as("g1"),
+          sum(d6(fD * col("w"))).cast("double").as("h00"),
+          sum(d6(fD * col("w") * xD)).cast("double").as("h01"),
+          sum(d6(fD * col("w") * xD * xD)).cast("double").as("h11"))
+        val det = col("h00") * col("h11") - col("h01") * col("h01")
+        coef = ag.crossJoin(broadcast(coef)).select(
+          f6(col("b0") + (col("h11") * col("g0") - col("h01") * col("g1")) / det).as("b0"),
+          f6(col("b1") + (col("h00") * col("g1") - col("h01") * col("g0")) / det).as("b1"))
+      }
+      hist.crossJoin(broadcast(coef))
+        .withColumn("p", pCol)
+        .agg(sum(col("f")).as("n"), sum(col("f") * col("y")).as("n_pos"),
+          max(col("b0")).as("b0"), max(col("b1")).as("b1"),
+          sum(d6(fD * when(col("y") === 1, log(col("p")))
+            .otherwise(log(lit(1.0) - col("p"))))).cast("double").as("log_lik"))
+    }),
+
+    // McNemar's paired test: do the two cheap proxy classifiers
+    // (A: total activity ≥ population median; B: active-day span ≥
+    // median) disagree asymmetrically about who is purchase-heavy
+    // (share ≥ 1/5 — the x_logit_newton label)? Both medians
+    // are histogram lower medians (the x_levene integer test), truth and
+    // predictions land in one per-user pass, and the test consumes only
+    // the 2×2 disagreement counts — b, c, and χ² with/without continuity
+    // correction from exact integers.
+    "x_mcnemar" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = events(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("tot"),
+        countDistinct(col("day")).as("days"),
+        (sum((col("event_type") === "purchase").cast("long")) * 5 >= count(lit(1)))
+          .cast("int").as("y"))
+      def lowerMedian(df: DataFrame, c: String): DataFrame = {
+        val h = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("f"))
+        val wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        h.withColumn("cum", sum(col("f")).over(wc))
+          .withColumn("n", sum(col("f")).over(Window.partitionBy(lit(0))))
+          .filter(lit(2L) * col("cum") >= col("n"))
+          .agg(min(col("v")).as("med"))
+      }
+      val medTot = lowerMedian(per, "tot").select(col("med").as("med_tot"))
+      val medDays = lowerMedian(per, "days").select(col("med").as("med_days"))
+      val lab = per.crossJoin(broadcast(medTot)).crossJoin(broadcast(medDays))
+        .withColumn("a_ok", ((col("tot") >= col("med_tot")).cast("int") === col("y")).cast("long"))
+        .withColumn("b_ok", ((col("days") >= col("med_days")).cast("int") === col("y")).cast("long"))
+      val ct = lab.agg(
+        sum(when(col("a_ok") === 1 && col("b_ok") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("a_ok") === 0 && col("b_ok") === 1, 1L).otherwise(0L)).as("c"))
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val bD = col("b").cast("double"); val cD = col("c").cast("double")
+      ct.select(col("b"), col("c"), (col("b") + col("c")).as("n_disagree"),
+        f6((bD - cD) * (bD - cD) / (bD + cD)).as("chi2"),
+        f6((abs(bD - cD) - lit(1.0)) * (abs(bD - cD) - lit(1.0)) / (bD + cD)).as("chi2_cc"))
+    }),
+
     // Adamic–Adar link prediction over the doc link graph (same
     // generator as x_pagerank): for each NON-adjacent pair sharing
     // common neighbors, score = Σ_w 1/ln(deg w) over the common
@@ -7733,6 +7824,24 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     val uniToks =
       "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> length(t) >= 1 AND length(t) <= 20)"
+    // x_logit_newton: 3 unrolled Newton/IRLS stages over the (x, y)
+    // histogram — per-cell sigmoid floor-6 + clamp, five decimal sums,
+    // one shared 2×2 solve tree, coefficients floor-6 per step (the
+    // exact trees of the Spark loop)
+    val logitP = "greatest(least(floor(1.0 / (1.0 + exp(-(c.b0 + c.b1 * CAST(h.x AS DOUBLE)))) * 1e6 + 0.5) / 1e6, CAST(0.999999 AS DOUBLE)), CAST(0.000001 AS DOUBLE))"
+    val logitIters = (1 to 3).map { i =>
+      s"""lg$i AS (SELECT
+              CAST(sum(CAST(floor(CAST(h.f AS DOUBLE) * (CAST(h.y AS DOUBLE) - $logitP) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS g0,
+              CAST(sum(CAST(floor(CAST(h.f AS DOUBLE) * (CAST(h.y AS DOUBLE) - $logitP) * CAST(h.x AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS g1,
+              CAST(sum(CAST(floor(CAST(h.f AS DOUBLE) * ($logitP * (1.0 - $logitP)) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS h00,
+              CAST(sum(CAST(floor(CAST(h.f AS DOUBLE) * ($logitP * (1.0 - $logitP)) * CAST(h.x AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS h01,
+              CAST(sum(CAST(floor(CAST(h.f AS DOUBLE) * ($logitP * (1.0 - $logitP)) * CAST(h.x AS DOUBLE) * CAST(h.x AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS h11
+            FROM h CROSS JOIN cf${i - 1} c),
+          cf$i AS (SELECT
+              floor((c.b0 + (a.h11 * a.g0 - a.h01 * a.g1) / (a.h00 * a.h11 - a.h01 * a.h01)) * 1e6 + 0.5) / 1e6 AS b0,
+              floor((c.b1 + (a.h00 * a.g1 - a.h01 * a.g0) / (a.h00 * a.h11 - a.h01 * a.h01)) * 1e6 + 0.5) / 1e6 AS b1
+            FROM lg$i a CROSS JOIN cf${i - 1} c)"""
+    }.mkString(",\n")
     val prIters = (1 to 8).map { i =>
       val p = s"p${i - 1}"
       s"""dm$i AS (SELECT coalesce(sum(CAST(p.pr AS DECIMAL(28,12))), 0) AS dm
@@ -11183,6 +11292,55 @@ object SparkEntry {
                     * (bsum - CAST(szt AS DOUBLE) * CAST(szt AS DOUBLE) / CAST(n AS DOUBLE))
                     / ((CAST(k AS DOUBLE) - 1.0) * wsum) * 1e6 + 0.5) / 1e6 AS f_bf
            FROM tot""",
+      // logistic IRLS: 3 unrolled Newton CTE stages (logitIters), final
+      // clamped-sigmoid log-likelihood as a decimal sum
+      "x_logit_newton" ->
+        s"""WITH per AS (SELECT user_id, count(*) AS x,
+                         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5 >= count(*)
+                              THEN 1 ELSE 0 END AS y
+                       FROM events GROUP BY 1),
+                h AS (SELECT x, y, count(*) AS f FROM per GROUP BY 1, 2),
+                cf0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
+                $logitIters
+           SELECT CAST(sum(h.f) AS BIGINT) AS n,
+                  CAST(sum(h.f * h.y) AS BIGINT) AS n_pos,
+                  max(c.b0) AS b0, max(c.b1) AS b1,
+                  CAST(sum(CAST(floor(CAST(h.f AS DOUBLE)
+                    * (CASE WHEN h.y = 1 THEN ln($logitP) ELSE ln(1.0 - $logitP) END)
+                    * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS log_lik
+           FROM h CROSS JOIN cf3 c""",
+      // McNemar: histogram lower medians for both proxies, 2×2
+      // disagreement counts, χ² with/without continuity from integers
+      "x_mcnemar" ->
+        s"""WITH per AS (SELECT user_id, count(*) AS tot,
+                         count(DISTINCT $dayE) AS days,
+                         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5 >= count(*)
+                              THEN 1 ELSE 0 END AS y
+                       FROM events GROUP BY 1),
+                ht AS (SELECT tot AS v, count(*) AS f FROM per GROUP BY 1),
+                ct AS (SELECT v, CAST(sum(f) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                         CAST(sum(f) OVER () AS BIGINT) AS n FROM ht),
+                mt AS (SELECT min(v) AS med_tot FROM ct WHERE 2 * cum >= n),
+                hd AS (SELECT days AS v, count(*) AS f FROM per GROUP BY 1),
+                cd AS (SELECT v, CAST(sum(f) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                         CAST(sum(f) OVER () AS BIGINT) AS n FROM hd),
+                md AS (SELECT min(v) AS med_days FROM cd WHERE 2 * cum >= n),
+                lab AS (SELECT
+                          CASE WHEN (CASE WHEN tot >= med_tot THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END AS a_ok,
+                          CASE WHEN (CASE WHEN days >= med_days THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END AS b_ok
+                        FROM per CROSS JOIN mt CROSS JOIN md),
+                cts AS (SELECT
+                          CAST(sum(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                          CAST(sum(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+                        FROM lab)
+           SELECT b, c, b + c AS n_disagree,
+                  floor((CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+                    / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS chi2,
+                  floor((abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0) * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+                    / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS chi2_cc
+           FROM cts""",
       // Adamic–Adar: same generator, degree-annotated adjacency self-
       // join on the center (10k hub cap mirrored), floor-6 weights +
       // decimal sums, anti-join on existing edges, exact decimal top-100
