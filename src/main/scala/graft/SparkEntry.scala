@@ -3217,6 +3217,96 @@ object SparkEntry {
           round(dsum(col("n_chars")) / count(lit(1)), 4).as("avg_chars"))
         .orderBy("source")),
 
+    // Jensen–Shannon divergence + vocabulary Jaccard between every
+    // source PAIR's unigram distributions — the mixture-design
+    // complement to x_source_mixture/x_dsir_weights: how far apart are
+    // the sources a sampler is blending? Zero-smoothing JSD via the
+    // intersection identity: words exclusive to one side contribute
+    // p·ln2, and Σ_{A\B} p_a = 1 − Σ_{A∩B} p_a, so ONE self-join on the
+    // word key (sa < sb) yields the whole metric — no full-outer join,
+    // no per-pair vocab union. Per-word intersection terms floor-9 +
+    // DECIMAL(28,9)-summed (JSD terms are tiny); exclusive-mass tail is
+    // one shared double tree; ln 2 is COMPUTED in both engines. Work:
+    // one token-count shuffle, then |vocab|·|source-pairs| grid rows.
+    "x_jsd_sources" -> ((s, dir) => {
+      val wc = t(s, dir, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // both self-join sides + the per-source totals
+      val tot = wc.groupBy("source").agg(
+        sum(col("c")).as("n_tok"), count(lit(1)).as("n_vocab"))
+      val a = wc.select(col("source").as("source_a"), col("w"), col("c").as("ca"))
+        .join(broadcast(tot.select(col("source").as("source_a"),
+          col("n_tok").as("na"), col("n_vocab").as("va"))), "source_a")
+      val b = wc.select(col("source").as("source_b"), col("w"), col("c").as("cb"))
+        .join(broadcast(tot.select(col("source").as("source_b"),
+          col("n_tok").as("nb"), col("n_vocab").as("vb"))), "source_b")
+      val pa = col("ca").cast("double") / col("na").cast("double")
+      val pb = col("cb").cast("double") / col("nb").cast("double")
+      def f9d(c: Column) =
+        (floor(c * lit(1e9) + lit(0.5)) / lit(1e9)).cast("decimal(28,9)")
+      val term = f9d(pa * log(lit(2.0) * pa / (pa + pb))
+        + pb * log(lit(2.0) * pb / (pa + pb)))
+      val int = a.join(b, Seq("w")).filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_common"),
+          max(col("na")).as("na"), max(col("nb")).as("nb"),
+          max(col("va")).as("va"), max(col("vb")).as("vb"),
+          sum(col("ca")).as("sca"), sum(col("cb")).as("scb"),
+          sum(term).cast("double").as("t_int"))
+      val ma = col("sca").cast("double") / col("na").cast("double")
+      val mb = col("scb").cast("double") / col("nb").cast("double")
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      int.select(col("source_a"), col("source_b"), col("n_common"),
+          f6(col("n_common").cast("double")
+            / (col("va") + col("vb") - col("n_common")).cast("double")).as("jaccard"),
+          f6(lit(0.5) * (col("t_int")
+            + (lit(1.0) - ma) * log(lit(2.0)) + (lit(1.0) - mb) * log(lit(2.0)))).as("jsd"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // Cochran's Q — the k-classifier extension of x_mcnemar (k = 3):
+    // activity, day-span, and value-mass median-threshold proxies
+    // against the purchase-share label. Per-user correct-count u_i and
+    // per-classifier totals T_j are exact integers off one pass;
+    // Q = (k−1)·(k·ΣT² − (ΣT)²)/(k·Σu − Σu²) is one floor-6 division.
+    "x_cochran_q" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = events(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("tot"),
+        countDistinct(col("day")).as("days"),
+        sum(col("value").cast("decimal(18,4)")).as("vsum"),
+        (sum((col("event_type") === "purchase").cast("long")) * 5 >= count(lit(1)))
+          .cast("int").as("y"))
+      def lowerMedian(df: DataFrame, c: String): DataFrame = {
+        val h = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("f"))
+        val wcm = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        h.withColumn("cum", sum(col("f")).over(wcm))
+          .withColumn("n", sum(col("f")).over(Window.partitionBy(lit(0))))
+          .filter(lit(2L) * col("cum") >= col("n"))
+          .agg(min(col("v")).as("med"))
+      }
+      val mt = lowerMedian(per, "tot").select(col("med").as("med_tot"))
+      val md = lowerMedian(per, "days").select(col("med").as("med_days"))
+      val mv = lowerMedian(per, "vsum").select(col("med").as("med_vsum"))
+      val lab = per.crossJoin(broadcast(mt)).crossJoin(broadcast(md)).crossJoin(broadcast(mv))
+        .withColumn("ok_a", ((col("tot") >= col("med_tot")).cast("int") === col("y")).cast("long"))
+        .withColumn("ok_b", ((col("days") >= col("med_days")).cast("int") === col("y")).cast("long"))
+        .withColumn("ok_c", ((col("vsum") >= col("med_vsum")).cast("int") === col("y")).cast("long"))
+        .withColumn("u", col("ok_a") + col("ok_b") + col("ok_c"))
+      val ag = lab.agg(
+        count(lit(1)).as("n_users"),
+        sum(col("ok_a")).as("ta"), sum(col("ok_b")).as("tb"), sum(col("ok_c")).as("tc"),
+        sum(col("u")).as("su"), sum(col("u") * col("u")).as("suu"))
+      def sq(c: Column) = c.cast("double") * c.cast("double")
+      val st = sq(col("ta")) + sq(col("tb")) + sq(col("tc")) // square AFTER the
+      val tsum = (col("ta") + col("tb") + col("tc")).cast("double") // cast: T_j² wraps a long at 3e9 users
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      ag.select(col("n_users"), col("ta"), col("tb"), col("tc"),
+        f6(lit(2.0) * (lit(3.0) * st - tsum * tsum)
+          / (lit(3.0) * col("su").cast("double") - col("suu").cast("double"))).as("q"))
+    }),
+
     // language-ID evaluation: confusion counts of predicted vs labeled lang
     "x_lang_confusion" -> ((s, dir) =>
       TF.withLangId(t(s, dir, "documents").select("doc_id", "lang", "text"), "text")
@@ -9594,6 +9684,82 @@ object SparkEntry {
         """SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
                   round(CAST(sum(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_chars
            FROM documents GROUP BY source ORDER BY source""",
+      // JSD via the intersection identity (exclusive mass = 1 − Σ_int p),
+      // floor-9 + decimal(28,9) intersection terms, computed ln(2.0)
+      "x_jsd_sources" ->
+        s"""WITH wc AS (SELECT source, w, count(*) AS c
+                      FROM (SELECT source, unnest($toksE) AS w FROM documents)
+                      GROUP BY 1, 2),
+                tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS n_vocab
+                        FROM wc GROUP BY 1),
+                pr AS (SELECT a.source AS source_a, b.source AS source_b, a.w,
+                         a.c AS ca, b.c AS cb, ta.n_tok AS na, tb.n_tok AS nb,
+                         ta.n_vocab AS va, tb.n_vocab AS vb
+                       FROM wc a JOIN wc b ON a.w = b.w AND a.source < b.source
+                       JOIN tot ta ON ta.source = a.source
+                       JOIN tot tb ON tb.source = b.source),
+                tm AS (SELECT source_a, source_b, na, nb, va, vb, ca, cb,
+                         CAST(floor((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                             * ln(2.0 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                               / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                           + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+                             * ln(2.0 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                               / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))))
+                           * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9)) AS term
+                       FROM pr),
+                agg AS (SELECT source_a, source_b, count(*) AS n_common,
+                          max(na) AS na, max(nb) AS nb, max(va) AS va, max(vb) AS vb,
+                          CAST(sum(ca) AS BIGINT) AS sca, CAST(sum(cb) AS BIGINT) AS scb,
+                          CAST(sum(term) AS DOUBLE) AS t_int
+                        FROM tm GROUP BY 1, 2)
+           SELECT source_a, source_b, n_common,
+                  floor(CAST(n_common AS DOUBLE) / CAST(va + vb - n_common AS DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard,
+                  floor(0.5 * (t_int
+                    + (1.0 - CAST(sca AS DOUBLE) / CAST(na AS DOUBLE)) * ln(2.0)
+                    + (1.0 - CAST(scb AS DOUBLE) / CAST(nb AS DOUBLE)) * ln(2.0)) * 1e6 + 0.5) / 1e6 AS jsd
+           FROM agg ORDER BY source_a, source_b""",
+      // Cochran's Q: three median-threshold proxies, exact integer
+      // T_j/u_i sums, one floor-6 division
+      "x_cochran_q" ->
+        s"""WITH per AS (SELECT user_id, count(*) AS tot,
+                         count(DISTINCT $dayE) AS days,
+                         sum(CAST(value AS DECIMAL(18,4))) AS vsum,
+                         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5 >= count(*)
+                              THEN 1 ELSE 0 END AS y
+                       FROM events GROUP BY 1),
+                ht AS (SELECT tot AS v, count(*) AS f FROM per GROUP BY 1),
+                ct AS (SELECT v, CAST(sum(f) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                         CAST(sum(f) OVER () AS BIGINT) AS n FROM ht),
+                mt AS (SELECT min(v) AS med_tot FROM ct WHERE 2 * cum >= n),
+                hd AS (SELECT days AS v, count(*) AS f FROM per GROUP BY 1),
+                cd AS (SELECT v, CAST(sum(f) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                         CAST(sum(f) OVER () AS BIGINT) AS n FROM hd),
+                md AS (SELECT min(v) AS med_days FROM cd WHERE 2 * cum >= n),
+                hv AS (SELECT vsum AS v, count(*) AS f FROM per GROUP BY 1),
+                cv AS (SELECT v, CAST(sum(f) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                         CAST(sum(f) OVER () AS BIGINT) AS n FROM hv),
+                mv AS (SELECT min(v) AS med_vsum FROM cv WHERE 2 * cum >= n),
+                lab AS (SELECT
+                          CASE WHEN (CASE WHEN tot >= med_tot THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END AS ok_a,
+                          CASE WHEN (CASE WHEN days >= med_days THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END AS ok_b,
+                          CASE WHEN (CASE WHEN vsum >= med_vsum THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END AS ok_c
+                        FROM per CROSS JOIN mt CROSS JOIN md CROSS JOIN mv),
+                ag AS (SELECT count(*) AS n_users,
+                         CAST(sum(ok_a) AS BIGINT) AS ta, CAST(sum(ok_b) AS BIGINT) AS tb,
+                         CAST(sum(ok_c) AS BIGINT) AS tc,
+                         CAST(sum(ok_a + ok_b + ok_c) AS BIGINT) AS su,
+                         CAST(sum((ok_a + ok_b + ok_c) * (ok_a + ok_b + ok_c)) AS BIGINT) AS suu
+                       FROM lab)
+           SELECT n_users, ta, tb, tc,
+                  floor(2.0 * (3.0 * (CAST(ta AS DOUBLE) * CAST(ta AS DOUBLE)
+                        + CAST(tb AS DOUBLE) * CAST(tb AS DOUBLE)
+                        + CAST(tc AS DOUBLE) * CAST(tc AS DOUBLE))
+                      - CAST(ta + tb + tc AS DOUBLE) * CAST(ta + tb + tc AS DOUBLE))
+                    / (3.0 * CAST(su AS DOUBLE) - CAST(suu AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS q
+           FROM ag""",
       "x_lang_confusion" ->
         s"""WITH lp AS ($langPredCte)
             SELECT d.lang, lp.lang_pred, count(*) AS cnt
