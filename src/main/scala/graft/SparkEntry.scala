@@ -4759,6 +4759,56 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     }),
 
+    // Absorbing-Markov analysis of the behavior chain: expected steps to
+    // reach 'purchase' and 16-step absorption probability from every
+    // transient event type — the funnel question x_markov_transitions'
+    // raw matrix doesn't answer. (I−Q)⁻¹ is replaced by the truncated
+    // Neumann recursion v ← 1 + Q·v, a ← p_abs + Q·a, 16 rounds, every
+    // state floor-9-quantized so Spark's loop and DuckDB's 16 unrolled
+    // CTE stages replay identically (the pagerank discipline — lineage
+    // cut per round). The corpus contributes ONE lag-shuffle to build
+    // the transition counts; all 16 rounds run on the |types|² grid.
+    "x_absorbing_markov" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      val trans = e.withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull && col("from_type") =!= "purchase")
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = trans.groupBy("from_type").agg(sum(col("n")).as("row_n"))
+      def f9(c: Column) = floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+      def d9(c: Column) = f9(c).cast("decimal(28,9)")
+      val pm = trans.join(tot, "from_type")
+        .withColumn("p", f9(col("n").cast("double") / col("row_n").cast("double")))
+        .localCheckpoint() // read every round (Q slice + absorb column)
+      val q = pm.filter(col("to_type") =!= "purchase")
+        .select(col("from_type"), col("to_type"), col("p"))
+      val sts = pm.groupBy(col("from_type").as("state"))
+        .agg(sum(when(col("to_type") === "purchase", col("p")).otherwise(lit(0.0))).as("pabs"),
+          sum(col("n")).as("n_out"))
+        .localCheckpoint()
+      var v = sts.select(col("state"), lit(0.0).as("v"), lit(0.0).as("a"))
+      for (_ <- 1 to 16) {
+        val contrib = q
+          .join(v.select(col("state").as("to_type"), col("v"), col("a")), "to_type")
+          .groupBy(col("from_type").as("state"))
+          .agg(sum(d9(col("p") * col("v"))).cast("double").as("sv"),
+            sum(d9(col("p") * col("a"))).cast("double").as("sa"))
+        v = sts.join(contrib, Seq("state"), "left")
+          .select(col("state"),
+            f9(lit(1.0) + coalesce(col("sv"), lit(0.0))).as("v"),
+            f9(col("pabs") + coalesce(col("sa"), lit(0.0))).as("a"))
+          .localCheckpoint()
+      }
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      sts.join(v, "state")
+        .select(col("state"), col("n_out"),
+          f6(col("v")).as("exp_steps_16"), f6(col("a")).as("p_absorb_16"))
+        .orderBy("state")
+    }),
+
     // frequent event-type PAIRS per (user, day) basket — the A-priori
     // first pass of market-basket mining. Baskets are distinct triples;
     // within-basket pair join is bounded by |types|² per basket; support
@@ -7914,6 +7964,20 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     val uniToks =
       "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> length(t) >= 1 AND length(t) <= 20)"
+    // x_absorbing_markov: 16 unrolled truncated-Neumann stages over the
+    // type grid — floor-9 per-term decimal sums, floor-9 state updates
+    // (the exact trees of the Spark loop)
+    val amIters = (1 to 16).map { i =>
+      s"""am$i AS (SELECT st.state,
+              floor((1.0 + coalesce(cb.sv, 0.0)) * 1e9 + 0.5) / 1e9 AS v,
+              floor((st.pabs + coalesce(cb.sa, 0.0)) * 1e9 + 0.5) / 1e9 AS a
+            FROM sts st LEFT JOIN (
+              SELECT q.from_type AS state,
+                CAST(sum(CAST(floor(q.p * p.v * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9))) AS DOUBLE) AS sv,
+                CAST(sum(CAST(floor(q.p * p.a * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9))) AS DOUBLE) AS sa
+              FROM q JOIN am${i - 1} p ON q.to_type = p.state GROUP BY 1) cb
+            ON st.state = cb.state)"""
+    }.mkString(",\n")
     // x_logit_newton: 3 unrolled Newton/IRLS stages over the (x, y)
     // histogram — per-cell sigmoid floor-6 + clamp, five decimal sums,
     // one shared 2×2 solve tree, coefficients floor-6 per step (the
@@ -10855,6 +10919,31 @@ object SparkEntry {
            SELECT tr.from_type, tr.to_type, tr.n,
                   floor(CAST(tr.n AS DOUBLE) / row_n * 1e4 + 0.5) / 1e4 AS p
            FROM tr JOIN tot USING (from_type) ORDER BY from_type, to_type""",
+      // absorbing Markov: the same transition CTE restricted to
+      // transient sources, floor-9 probabilities, 16 amIters stages
+      "x_absorbing_markov" ->
+        s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+                l AS (SELECT user_id, event_type AS to_type,
+                        lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS from_type
+                      FROM e),
+                tr AS (SELECT from_type, to_type, count(*) AS n
+                       FROM l WHERE from_type IS NOT NULL AND from_type <> 'purchase'
+                       GROUP BY 1, 2),
+                tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n FROM tr GROUP BY 1),
+                pm AS (SELECT tr.from_type, tr.to_type, tr.n,
+                         floor(CAST(tr.n AS DOUBLE) / CAST(row_n AS DOUBLE) * 1e9 + 0.5) / 1e9 AS p
+                       FROM tr JOIN tot USING (from_type)),
+                q AS (SELECT from_type, to_type, p FROM pm WHERE to_type <> 'purchase'),
+                sts AS (SELECT from_type AS state,
+                          sum(CASE WHEN to_type = 'purchase' THEN p ELSE 0.0 END) AS pabs,
+                          CAST(sum(n) AS BIGINT) AS n_out
+                        FROM pm GROUP BY 1),
+                am0 AS (SELECT state, CAST(0.0 AS DOUBLE) AS v, CAST(0.0 AS DOUBLE) AS a FROM sts),
+                $amIters
+           SELECT sts.state, sts.n_out,
+                  floor(am16.v * 1e6 + 0.5) / 1e6 AS exp_steps_16,
+                  floor(am16.a * 1e6 + 0.5) / 1e6 AS p_absorb_16
+           FROM sts JOIN am16 ON sts.state = am16.state ORDER BY sts.state""",
       // frequent pairs: distinct (user, day, type) baskets, ordered
       // within-basket pair join, support over the basket universe
       "x_frequent_pairs" ->
