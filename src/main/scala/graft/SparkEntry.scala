@@ -3307,6 +3307,53 @@ object SparkEntry {
           / (lit(3.0) * col("su").cast("double") - col("suu").cast("double"))).as("q"))
     }),
 
+    // Benjamini–Hochberg FDR over the per-type weekend-shift z battery —
+    // the multiple-testing control every per-type test family in this
+    // engine implicitly needs. One pass gives exact (n, weekend) counts;
+    // z is one double tree floor-9; the two-sided p comes from the
+    // Abramowitz–Stegun 7.1.26 erf polynomial (|ε| ≤ 1.5e-7 — the SAME
+    // closed form evaluated in both engines, then floor-9, the x_logit
+    // exp precedent). The BH step-up (reject all i ≤ max{i : p_i ≤
+    // iα/k}) and the adjusted p (running min of k·p/i from the tail)
+    // run as windows over the |types| grid, partitioned by a constant —
+    // bounded input at any corpus scale.
+    "x_bh_fdr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).withColumn("wknd",
+        dayofweek(to_date(col("day"))).isin(1, 7).cast("long"))
+      val per = e.groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("wknd")).as("w"))
+      val g = per.agg(sum(col("n")).as("nn"), sum(col("w")).as("ww"))
+      def f9(c: Column) = floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+      val p0 = col("ww").cast("double") / col("nn").cast("double")
+      val zraw = (col("w").cast("double") / col("n").cast("double") - p0) /
+        sqrt(p0 * (lit(1.0) - p0) / col("n").cast("double"))
+      val x = abs(col("z")) / sqrt(lit(2.0))
+      val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val poly = lit(0.254829592) * tt + lit(-0.284496736) * tt * tt +
+        lit(1.421413741) * tt * tt * tt + lit(-1.453152027) * tt * tt * tt * tt +
+        lit(1.061405429) * tt * tt * tt * tt * tt
+      val wp = per.crossJoin(broadcast(g))
+        .withColumn("z", f9(zraw))
+        .withColumn("p", f9(poly * exp(-x * x)))
+      val wk = Window.partitionBy(lit(0))
+      val wr = Window.partitionBy(lit(0)).orderBy(col("p"), col("event_type"))
+      val ranked = wp
+        .withColumn("i", row_number().over(wr))
+        .withColumn("k", count(lit(1)).over(wk))
+        .withColumn("rstar", max(when(col("p") <=
+          col("i").cast("double") * lit(0.05) / col("k").cast("double"), col("i"))
+          .otherwise(lit(0))).over(wk))
+        .withColumn("padj_term",
+          f9(col("k").cast("double") * col("p") / col("i").cast("double")))
+      val wmin = Window.partitionBy(lit(0)).orderBy(col("i").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ranked
+        .withColumn("p_adj", least(lit(1.0), min(col("padj_term")).over(wmin)))
+        .withColumn("rejected", col("i") <= col("rstar"))
+        .select("event_type", "n", "z", "p", "p_adj", "rejected")
+        .orderBy("event_type")
+    }),
+
     // language-ID evaluation: confusion counts of predicted vs labeled lang
     "x_lang_confusion" -> ((s, dir) =>
       TF.withLangId(t(s, dir, "documents").select("doc_id", "lang", "text"), "text")
@@ -10919,6 +10966,44 @@ object SparkEntry {
            SELECT tr.from_type, tr.to_type, tr.n,
                   floor(CAST(tr.n AS DOUBLE) / row_n * 1e4 + 0.5) / 1e4 AS p
            FROM tr JOIN tot USING (from_type) ORDER BY from_type, to_type""",
+      // BH-FDR: weekend-share z battery (DuckDB dayofweek is 0=Sunday),
+      // A&S 7.1.26 erf tail, step-up + running-min adjust over the
+      // constant-partitioned type grid
+      "x_bh_fdr" ->
+        s"""WITH e AS (SELECT event_type,
+                        CASE WHEN dayofweek(CAST($dayE AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS wknd
+                      FROM events),
+                per AS (SELECT event_type, count(*) AS n, CAST(sum(wknd) AS BIGINT) AS w
+                        FROM e GROUP BY 1),
+                g AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(w) AS BIGINT) AS ww FROM per),
+                wz AS (SELECT event_type, n, w,
+                         floor((CAST(w AS DOUBLE) / CAST(n AS DOUBLE) - CAST(ww AS DOUBLE) / CAST(nn AS DOUBLE))
+                           / sqrt(CAST(ww AS DOUBLE) / CAST(nn AS DOUBLE)
+                               * (1.0 - CAST(ww AS DOUBLE) / CAST(nn AS DOUBLE))
+                               / CAST(n AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS z
+                       FROM per CROSS JOIN g),
+                xt AS (SELECT event_type, n, z, abs(z) / sqrt(2.0) AS x,
+                         1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+                       FROM wz),
+                wpv AS (SELECT event_type, n, z,
+                          floor((0.254829592 * t + -0.284496736 * t * t
+                              + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+                              + 1.061405429 * t * t * t * t * t)
+                            * exp(-x * x) * 1e9 + 0.5) / 1e9 AS p
+                        FROM xt),
+                rk AS (SELECT *, row_number() OVER (PARTITION BY 0 ORDER BY p, event_type) AS i,
+                         count(*) OVER (PARTITION BY 0) AS k FROM wpv),
+                rs AS (SELECT *,
+                         max(CASE WHEN p <= CAST(i AS DOUBLE) * 0.05 / CAST(k AS DOUBLE)
+                             THEN i ELSE 0 END) OVER (PARTITION BY 0) AS rstar,
+                         floor(CAST(k AS DOUBLE) * p / CAST(i AS DOUBLE) * 1e9 + 0.5) / 1e9 AS padj_term
+                       FROM rk),
+                fin AS (SELECT *, least(CAST(1.0 AS DOUBLE), min(padj_term)
+                          OVER (PARTITION BY 0 ORDER BY i DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj
+                        FROM rs)
+           SELECT event_type, n, z, p, p_adj, i <= rstar AS rejected
+           FROM fin ORDER BY event_type""",
       // absorbing Markov: the same transition CTE restricted to
       // transient sources, floor-9 probabilities, 16 amIters stages
       "x_absorbing_markov" ->
