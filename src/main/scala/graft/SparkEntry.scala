@@ -931,6 +931,25 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    // S-family: schema-evolution READ — a later writer added a data
+    // column (k16 evolves the PARTITIONING; this evolves the file
+    // schema). mergeSchema=true makes the scan reconcile footers and
+    // null-fill the old files — the Spark-native answer to the
+    // reference's lenient "missing field → default" coercion applied at
+    // the source instead of per-row. Oracle recomputes the merged view
+    // straight from events.
+    "s11_merge_schema" -> ((s, dir) => {
+      val stage = scratchDir("s11", dir).toString
+      val dc = events(s, dir).groupBy("day").agg(count(lit(1)).as("cnt"))
+      dc.filter(col("day") < "2024-01-16")
+        .write.mode("overwrite").parquet(s"$stage/v1")
+      dc.filter(col("day") >= "2024-01-16")
+        .withColumn("wknd", dayofweek(to_date(col("day"))).isin(1, 7).cast("int"))
+        .write.mode("overwrite").parquet(s"$stage/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$stage/v1", s"$stage/v2")
+        .orderBy("day")
+    }),
+
     // K1+S2+S3 composed on a REAL Hive layout: write day-partitioned, read
     // back with basePath, filter on the string partition column — Catalyst
     // prunes to the one matching directory (the reference's
@@ -2221,6 +2240,23 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
         .select("event_id", "user_id", "trail_1h")
         .orderBy("event_id")
+    }),
+
+    // the remaining rank-function battery: dense_rank / cume_dist /
+    // first_value / last_value over the per-type daily-count grid
+    // (w7 ntile, w8 percent_rank cover the rest of the family)
+    "w12_rank_battery" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy(col("c"), col("day"))
+      val wf = Window.partitionBy("event_type").orderBy(col("c"), col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      dc.select(col("event_type"), col("day"), col("c"),
+          dense_rank().over(w).as("drnk"),
+          (floor(cume_dist().over(w) * lit(1e6) + lit(0.5)) / lit(1e6)).as("cume"),
+          first(col("day")).over(wf).as("quietest_day"),
+          last(col("day")).over(wf).as("busiest_day"))
+        .orderBy("event_type", "day")
     }),
 
     // ntile bucketing: account-balance quartiles within each market segment
@@ -8368,6 +8404,20 @@ object SparkEntry {
                     PARTITION BY user_id ORDER BY ts_ms
                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail_1h
            FROM e ORDER BY event_id""",
+      // w12: dense_rank / cume_dist / full-frame first+last over the
+      // per-type daily grid
+      "w12_rank_battery" ->
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2)
+            SELECT event_type, day, c,
+                   dense_rank() OVER w AS drnk,
+                   floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume,
+                   first_value(day) OVER wf AS quietest_day,
+                   last_value(day) OVER wf AS busiest_day
+            FROM dc
+            WINDOW w AS (PARTITION BY event_type ORDER BY c, day),
+                   wf AS (PARTITION BY event_type ORDER BY c, day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY event_type, day""",
       "j9_salted_join" ->
         """WITH dim AS (SELECT event_type, count(*) AS type_total FROM events GROUP BY 1)
            SELECT e.event_type, count(*) AS cnt, max(type_total) AS type_total
@@ -8633,6 +8683,15 @@ object SparkEntry {
       "k2_partition_pruned_read" ->
         s"""SELECT event_type, count(*) AS cnt FROM events
             WHERE $dayE = '2024-01-05' GROUP BY event_type ORDER BY event_type""",
+      // s11: the merged-schema view recomputed from events (old files
+      // null-fill the evolved column; DuckDB dayofweek is 0=Sunday)
+      "s11_merge_schema" ->
+        s"""SELECT day, cnt,
+                  CASE WHEN day >= '2024-01-16'
+                       THEN (CASE WHEN dayofweek(CAST(day AS DATE)) IN (0, 6) THEN 1 ELSE 0 END)
+                       ELSE NULL END AS wknd
+           FROM (SELECT $dayE AS day, count(*) AS cnt FROM events GROUP BY 1)
+           ORDER BY day""",
       "k3_upsert_last_wins" ->
         """WITH allv AS (
              SELECT event_id, value, 1 AS version FROM events
