@@ -5683,33 +5683,12 @@ object SparkEntry {
         count(lit(1)).as("x"),
         (sum((col("event_type") === "purchase").cast("long")) * 5 >= count(lit(1)))
           .cast("int").as("y"))
-      val hist = per.groupBy("x", "y").agg(count(lit(1)).as("f")).localCheckpoint()
-      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-      def d6(c: Column) = f6(c).cast("decimal(28,6)")
-      val xD = col("x").cast("double"); val fD = col("f").cast("double")
-      val yD = col("y").cast("double")
-      def pCol = greatest(least(
-        f6(lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * xD)))),
-        lit(0.999999)), lit(0.000001))
-      var coef = hist.sparkSession.range(1)
-        .select(lit(0.0).as("b0"), lit(0.0).as("b1"))
-      for (_ <- 1 to 3) {
-        val cells = hist.crossJoin(broadcast(coef))
-          .withColumn("p", pCol)
-          .withColumn("w", col("p") * (lit(1.0) - col("p")))
-        val ag = cells.agg(
-          sum(d6(fD * (yD - col("p")))).cast("double").as("g0"),
-          sum(d6(fD * (yD - col("p")) * xD)).cast("double").as("g1"),
-          sum(d6(fD * col("w"))).cast("double").as("h00"),
-          sum(d6(fD * col("w") * xD)).cast("double").as("h01"),
-          sum(d6(fD * col("w") * xD * xD)).cast("double").as("h11"))
-        val det = col("h00") * col("h11") - col("h01") * col("h01")
-        coef = ag.crossJoin(broadcast(coef)).select(
-          f6(col("b0") + (col("h11") * col("g0") - col("h01") * col("g1")) / det).as("b0"),
-          f6(col("b1") + (col("h00") * col("g1") - col("h01") * col("g0")) / det).as("b1"))
-      }
+      val (hist, coef) = graft.ext.Stats.logisticIrls(per, col("x"), col("y"), 3)
+      def d6(c: Column) =
+        (floor(c * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)")
+      val fD = col("f").cast("double")
       hist.crossJoin(broadcast(coef))
-        .withColumn("p", pCol)
+        .withColumn("p", graft.ext.Stats.logisticP(col("x")))
         .agg(sum(col("f")).as("n"), sum(col("f") * col("y")).as("n_pos"),
           max(col("b0")).as("b0"), max(col("b1")).as("b1"),
           sum(d6(fD * when(col("y") === 1, log(col("p")))

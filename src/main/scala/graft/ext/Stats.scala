@@ -71,4 +71,57 @@ object Stats {
           / col("n").cast("double")).as("intercept"),
         r6(covN / nullif(sqrt(varXN) * sqrt(varYN), lit(0.0))).as("r")): _*)
   }
+
+  /** Logistic regression P(y=1 | x) by distributed IRLS over the (x, y)
+    * JOINT HISTOGRAM: `iters` quantized Newton steps, each one five
+    * DECIMAL sums over the bounded value grid with the coefficient pair
+    * broadcast as a 1-row frame — per-iteration cluster traffic is five
+    * numbers regardless of corpus size, and the corpus contributes only
+    * the one shuffle that builds the histogram. The per-cell sigmoid is
+    * floor-6-quantized and clamped to [1e-6, 1−1e-6] (log-likelihood
+    * never hits ln 0); coefficients floor-6 after every step, so an
+    * engine replaying the same unrolled stages (the oracle's CTE chain)
+    * reproduces the solve bit-for-bit. Returns the histogram and the
+    * final 1-row coefficient frame (b0, b1).
+    */
+  def logisticIrls(pts: DataFrame, x: Column, y: Column, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1)
+    val hist = pts.select(x.as("x"), y.as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("f")).localCheckpoint()
+    def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    def d6(c: Column) = f6(c).cast("decimal(28,6)")
+    val xD = col("x").cast("double"); val fD = col("f").cast("double")
+    val yD = col("y").cast("double")
+    def pCol = greatest(least(
+      f6(lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * xD)))),
+      lit(0.999999)), lit(0.000001))
+    var coef = hist.sparkSession.range(1)
+      .select(lit(0.0).as("b0"), lit(0.0).as("b1"))
+    for (_ <- 1 to iters) {
+      val cells = hist.crossJoin(broadcast(coef))
+        .withColumn("p", pCol)
+        .withColumn("w", col("p") * (lit(1.0) - col("p")))
+      val ag = cells.agg(
+        sum(d6(fD * (yD - col("p")))).cast("double").as("g0"),
+        sum(d6(fD * (yD - col("p")) * xD)).cast("double").as("g1"),
+        sum(d6(fD * col("w"))).cast("double").as("h00"),
+        sum(d6(fD * col("w") * xD)).cast("double").as("h01"),
+        sum(d6(fD * col("w") * xD * xD)).cast("double").as("h11"))
+      val det = col("h00") * col("h11") - col("h01") * col("h01")
+      coef = ag.crossJoin(broadcast(coef)).select(
+        f6(col("b0") + (col("h11") * col("g0") - col("h01") * col("g1")) / det).as("b0"),
+        f6(col("b1") + (col("h00") * col("g1") - col("h01") * col("g0")) / det).as("b1"))
+    }
+    (hist, coef)
+  }
+
+  /** The clamped floor-6 sigmoid of [[logisticIrls]] for a given
+    * coefficient frame — callers scoring rows or computing likelihoods
+    * must use the identical quantized tree. */
+  def logisticP(x: Column): Column = {
+    def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    greatest(least(
+      f6(lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * x.cast("double"))))),
+      lit(0.999999)), lit(0.000001))
+  }
 }

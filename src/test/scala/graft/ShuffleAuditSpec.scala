@@ -281,4 +281,23 @@ class ShuffleAuditSpec extends AnyFunSuite {
     assert(b3 < b1 * 4.5,
       s"eps-pair shuffle scaled super-linearly: $b1 -> $b3 bytes for 3x corpus")
   }
+
+  test("IRLS Newton stages shuffle sufficient statistics, not points: extra iterations add ~zero bytes") {
+    // The corpus pays ONE shuffle (building the joint histogram); every
+    // Newton stage exchanges five decimal numbers per partition. So the
+    // 9-iteration fit must shuffle essentially the same bytes as the
+    // 1-iteration fit — a plan that re-shuffled points (or the
+    // histogram) per stage would scale with iteration count.
+    val pts = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select((col("n_chars") % 50).as("x"), (col("doc_id") % 2).cast("int").as("y"))
+    def fit(iters: Int) = {
+      val (_, coef) = graft.ext.Stats.logisticIrls(pts, col("x"), col("y"), iters)
+      coef
+    }
+    val (b1, _) = shuffleBytes(fit(1))
+    val (b9, _) = shuffleBytes(fit(9))
+    assert(b1 > 0 && b9 > 0)
+    assert(b9 < b1 * 1.5 + 8192,
+      s"IRLS shuffle grew with iteration count: $b1 -> $b9 bytes for 1 -> 9 iterations")
+  }
 }
