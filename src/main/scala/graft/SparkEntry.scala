@@ -3104,6 +3104,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Contrastive-training triplet mining: per anchor, the most similar
+    // SAME-label vector (positive) and the most similar DIFFERENT-label
+    // vector (hard negative), with the margin between them and the
+    // semi-hard flag (margin < 0.05) that a triplet-loss sampler feeds
+    // on. Both sides are the broadcast-query zero-corpus-shuffle plan of
+    // x_hard_negatives; swap in the IVF candidate path (the
+    // x_hard_negatives_ivf pattern) when the anchor set outgrows a
+    // broadcast.
+    "x_triplet_mining" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+      val pos = Similarity.hardPositivesTopK(e, q, "vec_id", "embedding", "label", k = 1)
+        .select(col("query_id"), col("neighbor_id").as("pos_id"), col("score").as("pos_score"))
+      val neg = Similarity.hardNegativesTopK(e, q, "vec_id", "embedding", "label", k = 1)
+        .select(col("query_id"), col("neighbor_id").as("neg_id"), col("score").as("neg_score"))
+      pos.join(neg, "query_id")
+        .withColumn("margin",
+          floor((col("pos_score") - col("neg_score")) * lit(1e4) + lit(0.5)) / lit(1e4))
+        .withColumn("semi_hard", col("margin") < 0.05)
+        .orderBy("query_id")
+    }),
+
     // hard negatives over IVF candidates — the corpus-scale miner (an
     // all-corpus query set can't broadcast): candidates from the coarse
     // cell join instead of the brute cross product, recall@10-gated per
@@ -3341,6 +3363,32 @@ object SparkEntry {
       ag.select(col("n_users"), col("ta"), col("tb"), col("tc"),
         f6(lit(2.0) * (lit(3.0) * st - tsum * tsum)
           / (lit(3.0) * col("su").cast("double") - col("suu").cast("double"))).as("q"))
+    }),
+
+    // Brier score + threshold accuracy of the fitted IRLS model — the
+    // probabilistic-calibration eval (x_calibration bins observed rates;
+    // this scores the model proper). Both metrics are decimal sums over
+    // the SAME joint histogram the fit used, with the identical clamped
+    // floor-6 sigmoid — per-cell (p−y)² and the 0.5-threshold hit flag.
+    "x_brier" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("x"),
+        (sum((col("event_type") === "purchase").cast("long")) * 5 >= count(lit(1)))
+          .cast("int").as("y"))
+      val (hist, coef) = graft.ext.Stats.logisticIrls(per, col("x"), col("y"), 3)
+      def d6(c: Column) =
+        (floor(c * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)")
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val fD = col("f").cast("double"); val yD = col("y").cast("double")
+      hist.crossJoin(broadcast(coef))
+        .withColumn("p", graft.ext.Stats.logisticP(col("x")))
+        .agg(sum(col("f")).as("n"),
+          sum(d6(fD * (col("p") - yD) * (col("p") - yD))).cast("double").as("sb"),
+          sum(when((col("p") >= 0.5).cast("int") === col("y"), col("f"))
+            .otherwise(lit(0L))).as("hits"))
+        .select(col("n"),
+          f6(col("sb") / col("n").cast("double")).as("brier"),
+          f6(col("hits").cast("double") / col("n").cast("double")).as("accuracy"))
     }),
 
     // Benjamini–Hochberg FDR over the per-type weekend-shift z battery —
@@ -9702,6 +9750,31 @@ object SparkEntry {
                       FROM s)
            SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, neg_label, round(score, 4) AS score
            FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+      // triplet mining: same-label and different-label brute rank-1
+      // (round-6 tiebreak, round-4 scores), floor-4 margin
+      "x_triplet_mining" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings),
+                q AS (SELECT vec_id AS query_id, v AS vq, label AS ql FROM e WHERE vec_id < 50),
+                sp AS (SELECT q.query_id, e.vec_id AS pos_id,
+                         list_dot_product(q.vq, e.v) /
+                           (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(e.v, e.v))) AS score
+                       FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id AND e.label = q.ql),
+                rp AS (SELECT query_id, pos_id, round(score, 4) AS pos_score,
+                         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, pos_id) AS rk
+                       FROM sp),
+                sn AS (SELECT q.query_id, e.vec_id AS neg_id,
+                         list_dot_product(q.vq, e.v) /
+                           (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(e.v, e.v))) AS score
+                       FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id AND e.label <> q.ql),
+                rn AS (SELECT query_id, neg_id, round(score, 4) AS neg_score,
+                         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, neg_id) AS rk
+                       FROM sn),
+                j AS (SELECT rp.query_id, rp.pos_id, rp.pos_score, rn.neg_id, rn.neg_score,
+                        floor((rp.pos_score - rn.neg_score) * 1e4 + 0.5) / 1e4 AS margin
+                      FROM rp JOIN rn ON rp.query_id = rn.query_id AND rp.rk = 1 AND rn.rk = 1)
+           SELECT query_id, pos_id, pos_score, neg_id, neg_score, margin,
+                  margin < 0.05 AS semi_hard
+           FROM j ORDER BY query_id""",
       // recall gates: the oracle pins the report shape (10 deciles × 10
       // queries × 10 truth rows) and recall_ok = TRUE for every decile —
       // if either ANN path's recall drops below 90% in any decile, the
@@ -11004,6 +11077,27 @@ object SparkEntry {
            SELECT tr.from_type, tr.to_type, tr.n,
                   floor(CAST(tr.n AS DOUBLE) / row_n * 1e4 + 0.5) / 1e4 AS p
            FROM tr JOIN tot USING (from_type) ORDER BY from_type, to_type""",
+      // Brier/accuracy: the same 3-stage logit chain, then per-cell
+      // (p−y)² decimal sums and the 0.5-threshold hit count at cf3
+      "x_brier" ->
+        s"""WITH per AS (SELECT user_id, count(*) AS x,
+                         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5 >= count(*)
+                              THEN 1 ELSE 0 END AS y
+                       FROM events GROUP BY 1),
+                h AS (SELECT x, y, count(*) AS f FROM per GROUP BY 1, 2),
+                cf0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
+                $logitIters,
+                ag AS (SELECT CAST(sum(h.f) AS BIGINT) AS n,
+                         CAST(sum(CAST(floor(CAST(h.f AS DOUBLE)
+                           * ($logitP - CAST(h.y AS DOUBLE)) * ($logitP - CAST(h.y AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS sb,
+                         CAST(sum(CASE WHEN (CASE WHEN $logitP >= 0.5 THEN 1 ELSE 0 END) = h.y
+                                  THEN h.f ELSE 0 END) AS BIGINT) AS hits
+                       FROM h CROSS JOIN cf3 c)
+           SELECT n,
+                  floor(sb / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS brier,
+                  floor(CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS accuracy
+           FROM ag""",
       // BH-FDR: weekend-share z battery (DuckDB dayofweek is 0=Sunday),
       // A&S 7.1.26 erf tail, step-up + running-min adjust over the
       // constant-partitioned type grid

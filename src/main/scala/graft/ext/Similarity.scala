@@ -127,6 +127,32 @@ object Similarity {
         col("neg_label"), round(col("score"), 4).as("score"))
   }
 
+  /** The positive-side twin of [[hardNegativesTopK]]: per query, the
+    * top-k most similar corpus vectors carrying the SAME label (self
+    * excluded) — contrastive training's anchor→positive pick. Identical
+    * plan: broadcast query set, label equality folded into the join,
+    * zero corpus shuffle.
+    * Output: query_id, rank, neighbor_id, pos_label, score.
+    */
+  def hardPositivesTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("v_c"), col(labelCol).as("pos_label"))
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("v_q"), col(labelCol).as("q_label"))
+    val scored = c
+      .join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("pos_label") === col("q_label"))
+      .withColumn("score", cosine(col("v_q"), col("v_c")))
+    val w = Window.partitionBy(col("query_id")).orderBy(round(col("score"), 6).desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("pos_label"), round(col("score"), 4).as("score"))
+  }
+
   /** LSH-bucketed approximate top-k: only corpus vectors landing in the
     * same sign-random-projection bucket as the query — in ANY of `tables`
     * independent hash tables (OR-amplification), with `probes` extra
