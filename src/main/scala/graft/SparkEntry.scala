@@ -2281,6 +2281,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
         .orderBy("y", "q", "m")),
 
+    // date-ARITHMETIC battery (f4 extracts parts; this computes with
+    // them): ISO week start / week number, month end, calendar-clamped
+    // add-month (Jan 31 + 1m = Feb 29), day diffs — the calendar ops an
+    // incremental-sync window planner leans on, pinned cross-engine
+    "f12_date_battery" -> ((s, dir) =>
+      events(s, dir).select(to_date(col("day")).as("d")).distinct()
+        .select(col("d"),
+          date_trunc("week", col("d")).cast("date").as("week_start"),
+          last_day(col("d")).as("month_end"),
+          add_months(col("d"), 1).as("plus_month"),
+          weekofyear(col("d")).as("iso_week"),
+          quarter(col("d")).as("qtr"),
+          datediff(col("d"), to_date(lit("2024-01-01"))).as("days_since"))
+        .orderBy("d")),
+
     // string-function battery: case, substring, pad, replace, concat
     "f5_string_funcs" -> ((s, dir) =>
       t(s, dir, "customer").filter(col("c_custkey") < 100)
@@ -9027,6 +9042,18 @@ object SparkEntry {
                   count(*) AS cnt,
                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
            FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+      // f12: both engines' week truncation is ISO-Monday; +INTERVAL
+      // clamps like add_months; weekofyear is ISO in both
+      "f12_date_battery" ->
+        s"""WITH dd AS (SELECT DISTINCT CAST($dayE AS DATE) AS d FROM events)
+            SELECT d,
+                   CAST(date_trunc('week', d) AS DATE) AS week_start,
+                   last_day(d) AS month_end,
+                   CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_month,
+                   CAST(weekofyear(d) AS INTEGER) AS iso_week,
+                   CAST(quarter(d) AS INTEGER) AS qtr,
+                   CAST(datediff('day', DATE '2024-01-01', d) AS INTEGER) AS days_since
+            FROM dd ORDER BY d""",
       "f5_string_funcs" ->
         """SELECT c_custkey,
                   upper(c_mktsegment) AS seg_up,
