@@ -4021,14 +4021,19 @@ object SparkEntry {
         lpad(lower(hex(pmod(c, lit(256)))), 2, "0"),
         lpad(lower(hex(floor(c / lit(256)).cast("int"))), 2, "0"))
       def le32(c: Column) = concat(le16(c), lit("0000"))
-      val hexPayload = when(col("doc_id") % 3 === 0, // PNG: sig + IHDR(len,type,13 data) + crc
+      val sr = (col("doc_id") % 8 * 4000 + 8000).cast("int") // 8k..36k Hz
+      val nch = (col("doc_id") % 2 + 1).cast("int")
+      val hexPayload = when(col("doc_id") % 4 === 0, // PNG: sig + IHDR(len,type,13 data) + crc
           concat(lit("89504e470d0a1a0a" + "0000000d" + "49484452"),
             be32(w), be32(h), lit("0806000000" + "deadbeef")))
-        .when(col("doc_id") % 3 === 1, // BMP: BM + size + reserved + offset + BITMAPINFOHEADER prefix
+        .when(col("doc_id") % 4 === 1, // BMP: BM + size + reserved + offset + BITMAPINFOHEADER prefix
           concat(lit("424d" + "00000000" + "00000000" + "36000000" + "28000000"),
             le32(w), le32(h), lit("0100" + "1800")))
-        .otherwise( // GIF89a logical screen descriptor
+        .when(col("doc_id") % 4 === 2, // GIF89a logical screen descriptor
           concat(lit("474946383961"), le16(w), le16(h), lit("000000")))
+        .otherwise( // WAV: RIFF/WAVE + 16-byte PCM fmt chunk + empty data
+          concat(lit("52494646" + "24000000" + "57415645" + "666d7420" + "10000000" + "0100"),
+            le16(nch), le32(sr), lit("00000000" + "0400" + "1000" + "64617461" + "00000000")))
       val media = t(s, dir, "documents")
         .select(col("doc_id").cast("long").as("id"), unhex(hexPayload).as("media"),
           lit("img").as("format"))
@@ -10031,11 +10036,17 @@ object SparkEntry {
       // if the Spark side parsed the constructed header bytes correctly
       "x_multimodal_decode" ->
         """SELECT doc_id,
-                  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
-                  CAST(doc_id % 1000 + 16 AS INTEGER) AS width,
-                  CAST((doc_id * 7) % 1000 + 16 AS INTEGER) AS height,
-                  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS INTEGER) AS channels,
-                  CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 33 WHEN 1 THEN 30 ELSE 13 END AS BIGINT) AS n_bytes
+                  CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+                  CAST(CASE WHEN doc_id % 4 = 3 THEN doc_id % 8 * 4000 + 8000
+                            ELSE doc_id % 1000 + 16 END AS INTEGER) AS width,
+                  CAST(CASE WHEN doc_id % 4 = 3 THEN 16
+                            ELSE (doc_id * 7) % 1000 + 16 END AS INTEGER) AS height,
+                  CAST(CASE WHEN doc_id % 4 = 0 THEN 4
+                            WHEN doc_id % 4 = 3 THEN doc_id % 2 + 1
+                            ELSE 3 END AS INTEGER) AS channels,
+                  CAST(CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 33 WHEN 1 THEN 30 WHEN 2 THEN 13 ELSE 44 END AS BIGINT) AS n_bytes
            FROM documents ORDER BY doc_id""",
       // concat-and-chunk packing: exclusive prefix-sum of token counts in
       // doc_id order, then every 256-token boundary a doc's span crosses

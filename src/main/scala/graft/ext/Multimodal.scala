@@ -69,6 +69,12 @@ object Multimodal {
       Some(("gif", le16(6), le16(8), 3))
     } else if (p.length >= 30 && p(0) == 'B' && p(1) == 'M') {
       Some(("bmp", le32(18), math.abs(le32(22)), u8(28) / 8))
+    } else if (p.length >= 36 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F'
+        && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') {
+      // WAV (RIFF/WAVE fmt chunk): audio reuses the image meta slots —
+      // width = sample rate (LE32 @24), height = bits/sample (LE16 @34),
+      // channels = channel count (LE16 @22)
+      Some(("wav", le32(24), le16(34), le16(22)))
     } else None
   }
 
