@@ -3406,6 +3406,62 @@ object SparkEntry {
           f6(col("hits").cast("double") / col("n").cast("double")).as("accuracy"))
     }),
 
+    // Propensity-score ATT, two estimators in one pass — the
+    // observational-causal completion of the CEM/CUPED/DiD family:
+    // treatment = day-span ≥ median (the x_mcnemar B proxy), outcome =
+    // per-user value mass, propensity fit by the shared IRLS core on the
+    // activity histogram. (a) stratified: 5 propensity strata, per-
+    // stratum treated−control mean gap weighted by treated mass
+    // (strata lacking controls drop out — deterministic, both engines);
+    // (b) IPW: controls weighted by the floor-6 odds p/(1−p). Every mean
+    // rides decimal sums; the propensity is the SAME clamped floor-6
+    // sigmoid the fit used, so the whole estimate replays exactly.
+    "x_psm_att" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = events(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("x"),
+        countDistinct(col("day")).as("days"),
+        sum(col("value").cast("decimal(18,4)")).as("yv"))
+      val hd = per.groupBy(col("days").as("v")).agg(count(lit(1)).as("f"))
+      val wcm = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val med = hd.withColumn("cum", sum(col("f")).over(wcm))
+        .withColumn("n", sum(col("f")).over(Window.partitionBy(lit(0))))
+        .filter(lit(2L) * col("cum") >= col("n"))
+        .agg(min(col("v")).as("med_days"))
+      val pt = per.crossJoin(broadcast(med))
+        .withColumn("treat", (col("days") >= col("med_days")).cast("int"))
+      val (_, coef) = graft.ext.Stats.logisticIrls(pt, col("x"), col("treat"), 3)
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def d6(c: Column) = f6(c).cast("decimal(28,6)")
+      val scored = pt.crossJoin(broadcast(coef))
+        .withColumn("p", graft.ext.Stats.logisticP(col("x")))
+        .withColumn("s", least(floor(col("p") * lit(5.0)), lit(4.0)).cast("int"))
+        .withColumn("w", f6(col("p") / (lit(1.0) - col("p"))))
+      val strat = scored.groupBy("s").agg(
+        sum(col("treat")).as("nt"), sum(lit(1) - col("treat")).as("nc"),
+        sum(when(col("treat") === 1, col("yv"))).as("yt"),
+        sum(when(col("treat") === 0, col("yv"))).as("yc"))
+        .filter(col("nt") > 0 && col("nc") > 0)
+      val satt = strat
+        .withColumn("gap", f6(col("yt").cast("double") / col("nt").cast("double")
+          - col("yc").cast("double") / col("nc").cast("double")))
+        .agg(sum(col("nt")).as("n_treated_used"),
+          sum(d6(col("gap") * col("nt").cast("double"))).cast("double").as("gsum"))
+        .select(col("n_treated_used"),
+          f6(col("gsum") / col("n_treated_used").cast("double")).as("att_strat"))
+      val ipw = scored.agg(
+        sum(col("treat")).as("n_treated"),
+        sum(when(col("treat") === 1, col("yv"))).as("yt"),
+        sum(when(col("treat") === 0, d6(col("w") * col("yv").cast("double"))))
+          .cast("double").as("wy"),
+        sum(when(col("treat") === 0, col("w").cast("decimal(28,6)")))
+          .cast("double").as("ws"))
+        .select(col("n_treated"),
+          f6(col("yt").cast("double") / col("n_treated").cast("double")
+            - col("wy") / col("ws")).as("att_ipw"))
+      satt.crossJoin(ipw)
+    }),
+
     // Benjamini–Hochberg FDR over the per-type weekend-shift z battery —
     // the multiple-testing control every per-type test family in this
     // engine implicitly needs. One pass gives exact (n, weekend) counts;
@@ -11115,6 +11171,53 @@ object SparkEntry {
            SELECT tr.from_type, tr.to_type, tr.n,
                   floor(CAST(tr.n AS DOUBLE) / row_n * 1e4 + 0.5) / 1e4 AS p
            FROM tr JOIN tot USING (from_type) ORDER BY from_type, to_type""",
+      // PSM ATT: median-days treatment, the shared logit chain fit on
+      // (x, treat), per-user propensity via pt aliased as h against cf3,
+      // stratified + IPW estimators off decimal sums
+      "x_psm_att" ->
+        s"""WITH per AS (SELECT user_id, count(*) AS x,
+                         count(DISTINCT $dayE) AS days,
+                         sum(CAST(value AS DECIMAL(18,4))) AS yv
+                       FROM events GROUP BY 1),
+                hd AS (SELECT days AS v, count(*) AS f FROM per GROUP BY 1),
+                cd AS (SELECT v, CAST(sum(f) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                         CAST(sum(f) OVER () AS BIGINT) AS n FROM hd),
+                md AS (SELECT min(v) AS med_days FROM cd WHERE 2 * cum >= n),
+                pt AS (SELECT per.*, CASE WHEN days >= med_days THEN 1 ELSE 0 END AS treat
+                       FROM per CROSS JOIN md),
+                h AS (SELECT x, treat AS y, count(*) AS f FROM pt GROUP BY 1, 2),
+                cf0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
+                $logitIters,
+                scored AS (SELECT h.x, h.treat, h.yv, $logitP AS p
+                           FROM pt h CROSS JOIN cf3 c),
+                sc2 AS (SELECT *, CAST(least(floor(p * 5.0), CAST(4.0 AS DOUBLE)) AS INTEGER) AS s,
+                          floor(p / (1.0 - p) * 1e6 + 0.5) / 1e6 AS w
+                        FROM scored),
+                strat AS (SELECT s, CAST(sum(treat) AS BIGINT) AS nt,
+                            CAST(sum(1 - treat) AS BIGINT) AS nc,
+                            sum(CASE WHEN treat = 1 THEN yv END) AS yt,
+                            sum(CASE WHEN treat = 0 THEN yv END) AS yc
+                          FROM sc2 GROUP BY 1
+                          HAVING sum(treat) > 0 AND sum(1 - treat) > 0),
+                gaps AS (SELECT nt,
+                           floor((CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE)
+                             - CAST(yc AS DOUBLE) / CAST(nc AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS gap
+                         FROM strat),
+                satt AS (SELECT CAST(sum(nt) AS BIGINT) AS n_treated_used,
+                           CAST(sum(CAST(floor(gap * CAST(nt AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS gsum
+                         FROM gaps),
+                ipw AS (SELECT CAST(sum(treat) AS BIGINT) AS n_treated,
+                          sum(CASE WHEN treat = 1 THEN yv END) AS yt,
+                          CAST(sum(CASE WHEN treat = 0 THEN
+                            CAST(floor(w * CAST(yv AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6)) END) AS DOUBLE) AS wy,
+                          CAST(sum(CASE WHEN treat = 0 THEN CAST(w AS DECIMAL(28,6)) END) AS DOUBLE) AS ws
+                        FROM sc2)
+           SELECT satt.n_treated_used,
+                  floor(gsum / CAST(n_treated_used AS DOUBLE) * 1e6 + 0.5) / 1e6 AS att_strat,
+                  ipw.n_treated,
+                  floor((CAST(ipw.yt AS DOUBLE) / CAST(ipw.n_treated AS DOUBLE) - wy / ws) * 1e6 + 0.5) / 1e6 AS att_ipw
+           FROM satt CROSS JOIN ipw""",
       // Brier/accuracy: the same 3-stage logit chain, then per-cell
       // (p−y)² decimal sums and the 0.5-threshold hit count at cf3
       "x_brier" ->
