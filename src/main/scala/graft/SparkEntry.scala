@@ -3406,6 +3406,25 @@ object SparkEntry {
           f6(col("hits").cast("double") / col("n").cast("double")).as("accuracy"))
     }),
 
+    // Active-learning uncertainty sampling: the 20 users the fitted
+    // purchase-share model is LEAST sure about (|p − 0.5| smallest) —
+    // the labeling-budget pick of a human-in-the-loop pipeline. Scoring
+    // is a broadcast-coefficient map over the per-user pass; the top-20
+    // is a TakeOrdered with (uncertainty, user_id) tiebreak.
+    "x_uncertainty_sample" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("x"),
+        (sum((col("event_type") === "purchase").cast("long")) * 5 >= count(lit(1)))
+          .cast("int").as("y"))
+      val (_, coef) = graft.ext.Stats.logisticIrls(per, col("x"), col("y"), 3)
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      per.crossJoin(broadcast(coef))
+        .withColumn("p", graft.ext.Stats.logisticP(col("x")))
+        .withColumn("uncertainty", f6(abs(col("p") - lit(0.5))))
+        .orderBy(col("uncertainty"), col("user_id")).limit(20)
+        .select("user_id", "x", "y", "p", "uncertainty")
+    }),
+
     // Propensity-score ATT, two estimators in one pass — the
     // observational-causal completion of the CEM/CUPED/DiD family:
     // treatment = day-span ≥ median (the x_mcnemar B proxy), outcome =
@@ -4430,6 +4449,34 @@ object SparkEntry {
     "x_unigram_lm" -> ((s, dir) =>
       LmScore.scoreDocs(t(s, dir, "documents"), "doc_id", "text", minCount = 500)
         .orderBy("doc_id")),
+
+    // DoReMi-style mixture reweighting, one exponentiated-gradient step:
+    // per-source loss = −mean unigram-LM log-prob (the proxy-model
+    // signal), weights w_s ∝ exp(η·L_s) from uniform at η = 0.1 —
+    // harder-to-model sources get upweighted, the core move of
+    // loss-driven domain reweighting. Rides the SAME broadcast-vocab LM
+    // as x_unigram_lm (one token shuffle); losses floor-4, exp terms
+    // floor-9, the K-source normalizer a decimal sum. Feeds
+    // x_source_mixture/x_temperature_mix with learned instead of
+    // hand-set proportions.
+    "x_doremi_step" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = LmScore.scoreDocs(docs, "doc_id", "text", minCount = 500)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      def f4(c: Column) = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def f9(c: Column) = floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+      val perSrc = scored.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("mean_logp").cast("decimal(18,4)")).cast("double").as("slp"))
+        .withColumn("loss", f4(-(col("slp") / col("n_docs").cast("double"))))
+        .withColumn("ex", f9(exp(lit(0.1) * col("loss"))))
+      val tot = perSrc.agg(sum(col("ex").cast("decimal(28,9)")).cast("double").as("exs"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("loss"),
+          f6(col("ex") / col("exs")).as("weight"))
+        .orderBy("source")
+    }),
 
     // perplexity-band pruning (the CCNet/Gopher-style middle-band keep):
     // per source, docs are deciled by unigram mean log-prob and the
@@ -10374,6 +10421,31 @@ object SparkEntry {
                    round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS mean_logp,
                    round(CAST(sum(oov) AS DOUBLE) / count(*), 4) AS oov_ratio
             FROM sc GROUP BY doc_id ORDER BY doc_id""",
+      // DoReMi step: the unigram-LM CTE, per-source decimal loss means,
+      // floor-9 exp terms, decimal normalizer
+      "x_doremi_step" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($toksE) AS tok FROM documents),
+                 cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+                 voc AS (SELECT tok, c FROM cnt WHERE c >= 500),
+                 tot AS (SELECT (SELECT sum(c) FROM cnt) AS n, (SELECT count(*) FROM voc) AS v),
+                 sc AS (SELECT t.doc_id,
+                          CAST(round(ln((coalesce(vc.c, 0) + 1.0) / (tot.n + tot.v + 1)), 6) AS DECIMAL(18,6)) AS lp
+                        FROM toks t LEFT JOIN voc vc USING (tok), tot),
+                 dm AS (SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS mean_logp
+                        FROM sc GROUP BY doc_id),
+                 ps AS (SELECT d.source, count(*) AS n_docs,
+                          CAST(sum(CAST(dm.mean_logp AS DECIMAL(18,4))) AS DOUBLE) AS slp
+                        FROM dm JOIN documents d USING (doc_id) GROUP BY 1),
+                 lx AS (SELECT source, n_docs,
+                          floor(-(slp / CAST(n_docs AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS loss
+                        FROM ps),
+                 ex AS (SELECT source, n_docs, loss,
+                          floor(exp(CAST(0.1 AS DOUBLE) * loss) * 1e9 + 0.5) / 1e9 AS ex
+                        FROM lx),
+                 nz AS (SELECT CAST(sum(CAST(ex AS DECIMAL(28,9))) AS DOUBLE) AS exs FROM ex)
+            SELECT source, n_docs, loss,
+                   floor(ex / exs * 1e6 + 0.5) / 1e6 AS weight
+            FROM ex CROSS JOIN nz ORDER BY source""",
       // perplexity pruning: the unigram-LM CTE + per-source ntile(10)
       // over (mean_logp, doc_id), middle-band keep, decimal-mean rollup
       "x_perplexity_prune" ->
@@ -11171,6 +11243,21 @@ object SparkEntry {
            SELECT tr.from_type, tr.to_type, tr.n,
                   floor(CAST(tr.n AS DOUBLE) / row_n * 1e4 + 0.5) / 1e4 AS p
            FROM tr JOIN tot USING (from_type) ORDER BY from_type, to_type""",
+      // uncertainty sampling: the logit chain, per-user p via per aliased
+      // as h against cf3, |p−0.5| ascending top-20
+      "x_uncertainty_sample" ->
+        s"""WITH per AS (SELECT user_id, count(*) AS x,
+                         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5 >= count(*)
+                              THEN 1 ELSE 0 END AS y
+                       FROM events GROUP BY 1),
+                h AS (SELECT x, y, count(*) AS f FROM per GROUP BY 1, 2),
+                cf0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
+                $logitIters,
+                sc AS (SELECT h.user_id, h.x, h.y, $logitP AS p
+                       FROM per h CROSS JOIN cf3 c)
+           SELECT user_id, x, y, p,
+                  floor(abs(p - 0.5) * 1e6 + 0.5) / 1e6 AS uncertainty
+           FROM sc ORDER BY uncertainty, user_id LIMIT 20""",
       // PSM ATT: median-days treatment, the shared logit chain fit on
       // (x, treat), per-user propensity via pt aliased as h against cf3,
       // stratified + IPW estimators off decimal sums
