@@ -42,6 +42,8 @@ class SparkEntrySpec extends AnyFunSuite {
     //     bounded by max activity, not corpus rows).
     //   x_kruskal_wallis — same count-grid cumulative (midranks).
     //   x_mcnemar — lower-median scans over the two count grids.
+    //   x_bh_fdr — BH step-up/adjust over the |types| battery grid (the
+    //     constant partitionBy(lit(0)) is optimized away to global).
     //   x_gini — Lorenz prefix sums over the DOLLAR-BINNED histogram
     //     (value grid, not users).
     //   x_theilsen — median rank over the day-PAIR grid (calendar², not
@@ -53,8 +55,8 @@ class SparkEntrySpec extends AnyFunSuite {
     //     (bounded by token-range/64, never corpus rows).
     val boundedInputWhitelist =
       Set("w2_moving_avg", "x_quantile_norm", "x_ks_test", "x_mannwhitney", "x_kruskal_wallis",
-        "x_mcnemar", "x_cochran_q", "x_psm_att", "x_gini", "x_theilsen", "x_auc", "x_sprt",
-        "x_skyline")
+        "x_mcnemar", "x_cochran_q", "x_psm_att", "x_bh_fdr", "x_gini", "x_theilsen", "x_auc",
+        "x_sprt", "x_skyline")
     import org.apache.spark.sql.catalyst.plans.logical
     // A global window whose input is DOMINATED by a LIMIT is bounded by
     // construction (e.g. x_bm25_search round-robins the top-20 df terms
