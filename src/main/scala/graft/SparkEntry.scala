@@ -3119,6 +3119,37 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Margin-based mining (Artetxe–Schwenk, the CCMatrix/bitext-mining
+    // scorer): per query, the top-1 neighbor's cosine RATIO-normalized
+    // by the mean of both directions' top-4 neighborhoods — absolute
+    // cosine thresholds fail where local density varies; the margin
+    // doesn't. Forward pass = one broadcast-query sweep; the backward
+    // neighborhoods only need the ≤|Q| distinct top-1 ids, so the second
+    // sweep broadcasts that derived set — the corpus is never shuffled.
+    // Plus the mutual-NN flag (b's top-1 is a), the classic alignment
+    // filter. Decimal top-4 sums; margin floor-4.
+    "x_margin_mining" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 100)
+      val fwd = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 4).localCheckpoint()
+      val t1 = fwd.filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("nn_id"), col("score"))
+      val fsum = fwd.groupBy("query_id")
+        .agg(sum(col("score").cast("decimal(18,4)")).as("s_fwd"))
+      val bset = e.join(t1.select(col("nn_id").as("vec_id")).distinct(), "vec_id")
+      val bwd = Similarity.bruteTopK(e, bset, "vec_id", "embedding", k = 4).localCheckpoint()
+      val bsum = bwd.groupBy(col("query_id").as("nn_id"))
+        .agg(sum(col("score").cast("decimal(18,4)")).as("s_bwd"))
+      val b1 = bwd.filter(col("rank") === 1)
+        .select(col("query_id").as("nn_id"), col("neighbor_id").as("b_top1"))
+      def f4(c: Column) = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+      t1.join(fsum, "query_id").join(broadcast(bsum), "nn_id").join(broadcast(b1), "nn_id")
+        .select(col("query_id"), col("nn_id"), col("score"),
+          f4(col("score") * lit(8.0) / (col("s_fwd") + col("s_bwd")).cast("double")).as("margin"),
+          (col("b_top1") === col("query_id")).as("mutual"))
+        .orderBy("query_id")
+    }),
+
     // Contrastive-training triplet mining: per anchor, the most similar
     // SAME-label vector (positive) and the most similar DIFFERENT-label
     // vector (hard negative), with the margin between them and the
@@ -9885,6 +9916,36 @@ object SparkEntry {
                       FROM s)
            SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, neg_label, round(score, 4) AS score
            FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+      // margin mining: brute top-4 both directions (round-6 tiebreak,
+      // round-4 scores), decimal neighborhood sums, floor-4 margin
+      "x_margin_mining" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+                q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 100),
+                s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                        list_dot_product(q.vq, e.v) /
+                          (sqrt(list_dot_product(q.vq, q.vq)) * sqrt(list_dot_product(e.v, e.v))) AS score
+                      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+                r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, neighbor_id) AS rank
+                      FROM s),
+                fwd AS (SELECT query_id, rank, neighbor_id, round(score, 4) AS score FROM r WHERE rank <= 4),
+                t1 AS (SELECT query_id, neighbor_id AS nn_id, score FROM fwd WHERE rank = 1),
+                fsum AS (SELECT query_id, sum(CAST(score AS DECIMAL(18,4))) AS s_fwd FROM fwd GROUP BY 1),
+                bq AS (SELECT DISTINCT nn_id FROM t1),
+                eb AS (SELECT e.vec_id AS bq_id, e.v AS vb FROM e JOIN bq ON e.vec_id = bq.nn_id),
+                s2 AS (SELECT eb.bq_id, e.vec_id AS neighbor_id,
+                         list_dot_product(eb.vb, e.v) /
+                           (sqrt(list_dot_product(eb.vb, eb.vb)) * sqrt(list_dot_product(e.v, e.v))) AS score
+                       FROM e CROSS JOIN eb WHERE e.vec_id <> eb.bq_id),
+                r2 AS (SELECT *, row_number() OVER (PARTITION BY bq_id ORDER BY round(score, 6) DESC, neighbor_id) AS rank
+                       FROM s2),
+                bwd AS (SELECT bq_id, rank, neighbor_id, round(score, 4) AS score FROM r2 WHERE rank <= 4),
+                bsum AS (SELECT bq_id AS nn_id, sum(CAST(score AS DECIMAL(18,4))) AS s_bwd FROM bwd GROUP BY 1),
+                b1 AS (SELECT bq_id AS nn_id, neighbor_id AS b_top1 FROM bwd WHERE rank = 1)
+           SELECT t1.query_id, t1.nn_id, t1.score,
+                  floor(t1.score * 8.0 / CAST(s_fwd + s_bwd AS DOUBLE) * 1e4 + 0.5) / 1e4 AS margin,
+                  b_top1 = t1.query_id AS mutual
+           FROM t1 JOIN fsum USING (query_id) JOIN bsum USING (nn_id) JOIN b1 USING (nn_id)
+           ORDER BY t1.query_id""",
       // triplet mining: same-label and different-label brute rank-1
       // (round-6 tiebreak, round-4 scores), floor-4 margin
       "x_triplet_mining" ->
