@@ -3437,6 +3437,52 @@ object SparkEntry {
           f6(col("hits").cast("double") / col("n").cast("double")).as("accuracy"))
     }),
 
+    // Information-gain feature ranking for the purchase-share label —
+    // the feature-selection pass before any model fit: for each bucketed
+    // behavioral feature (activity 20-event bins, active-day span,
+    // weekend-share decile), IG = H(Y) − H(Y|X) from exact (value,
+    // label) counts; −p·ln p terms floor-9 + decimal sums, conditional
+    // entropies weighted by value mass. One per-user pass; each
+    // feature's grid is bounded by its bucket count at any corpus size.
+    "x_info_gain" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("x"),
+        countDistinct(col("day")).as("days"),
+        sum(dayofweek(to_date(col("day"))).isin(1, 7).cast("long")).as("w"),
+        (sum((col("event_type") === "purchase").cast("long")) * 5 >= count(lit(1)))
+          .cast("int").as("y"))
+        .withColumn("act_bucket", least(floor(col("x").cast("double") / lit(20.0)), lit(5.0)).cast("int"))
+        .withColumn("day_bucket", least(col("days"), lit(10L)))
+        .withColumn("wknd_bucket", floor(col("w").cast("double") * lit(10.0) / col("x").cast("double")).cast("int"))
+        .localCheckpoint() // three feature grids + H(Y) read it
+      def f9d(c: Column) = (floor(c * lit(1e9) + lit(0.5)) / lit(1e9)).cast("decimal(28,9)")
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val n0 = per.agg(count(lit(1)).as("n"))
+      val hy = per.groupBy("y").agg(count(lit(1)).as("ny"))
+        .crossJoin(broadcast(n0))
+        .agg(sum(f9d(-(col("ny").cast("double") / col("n").cast("double"))
+          * log(col("ny").cast("double") / col("n").cast("double")))).cast("double").as("h_y"))
+      def ig(feature: String): DataFrame = {
+        val vy = per.groupBy(col(feature).as("v"), col("y")).agg(count(lit(1)).as("nvy"))
+        val v = vy.groupBy("v").agg(sum(col("nvy")).as("nv"))
+        val hv = vy.join(v, "v")
+          .groupBy("v").agg(max(col("nv")).as("nv"),
+            sum(f9d(-(col("nvy").cast("double") / col("nv").cast("double"))
+              * log(col("nvy").cast("double") / col("nv").cast("double")))).cast("double").as("hv"))
+        val n = per.agg(count(lit(1)).as("n"))
+        hv.crossJoin(broadcast(n))
+          .agg(count(lit(1)).as("n_values"),
+            sum(f9d(col("nv").cast("double") / col("n").cast("double") * col("hv")))
+              .cast("double").as("h_cond"))
+          .select(lit(feature).as("feature"), col("n_values"), col("h_cond"))
+      }
+      ig("act_bucket").unionByName(ig("day_bucket")).unionByName(ig("wknd_bucket"))
+        .crossJoin(broadcast(hy))
+        .select(col("feature"), col("n_values"),
+          f6(col("h_y")).as("h_y"), f6(col("h_y") - col("h_cond")).as("info_gain"))
+        .orderBy("feature")
+    }),
+
     // Active-learning uncertainty sampling: the 20 users the fitted
     // purchase-share model is LEAST sure about (|p − 0.5| smallest) —
     // the labeling-budget pick of a human-in-the-loop pipeline. Scoring
@@ -11304,6 +11350,41 @@ object SparkEntry {
            SELECT tr.from_type, tr.to_type, tr.n,
                   floor(CAST(tr.n AS DOUBLE) / row_n * 1e4 + 0.5) / 1e4 AS p
            FROM tr JOIN tot USING (from_type) ORDER BY from_type, to_type""",
+      // info gain: per-feature (value, label) grids, floor-9 −p·ln p
+      // terms + decimal sums, three features unioned
+      "x_info_gain" ->
+        s"""WITH per AS (SELECT user_id, count(*) AS x,
+                         count(DISTINCT $dayE) AS days,
+                         CAST(sum(CASE WHEN dayofweek(CAST($dayE AS DATE)) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS w,
+                         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5 >= count(*)
+                              THEN 1 ELSE 0 END AS y
+                       FROM events GROUP BY 1),
+                fb AS (SELECT y,
+                         CAST(least(floor(CAST(x AS DOUBLE) / 20.0), 5.0) AS INTEGER) AS act_bucket,
+                         least(days, 10) AS day_bucket,
+                         CAST(floor(CAST(w AS DOUBLE) * 10.0 / CAST(x AS DOUBLE)) AS INTEGER) AS wknd_bucket
+                       FROM per),
+                n0 AS (SELECT count(*) AS n FROM fb),
+                hy AS (SELECT CAST(sum(CAST(floor(-(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9))) AS DOUBLE) AS h_y
+                       FROM (SELECT y, count(*) AS ny FROM fb GROUP BY 1) CROSS JOIN n0),
+                gact AS (SELECT 'act_bucket' AS feature, act_bucket AS v, y, count(*) AS nvy FROM fb GROUP BY 2, 3),
+                gday AS (SELECT 'day_bucket' AS feature, CAST(day_bucket AS INTEGER) AS v, y, count(*) AS nvy FROM fb GROUP BY 2, 3),
+                gwk AS (SELECT 'wknd_bucket' AS feature, wknd_bucket AS v, y, count(*) AS nvy FROM fb GROUP BY 2, 3),
+                g AS (SELECT * FROM gact UNION ALL SELECT * FROM gday UNION ALL SELECT * FROM gwk),
+                vg AS (SELECT feature, v, CAST(sum(nvy) AS BIGINT) AS nv FROM g GROUP BY 1, 2),
+                hv AS (SELECT g.feature, g.v, max(vg.nv) AS nv,
+                         CAST(sum(CAST(floor(-(CAST(g.nvy AS DOUBLE) / CAST(vg.nv AS DOUBLE))
+                           * ln(CAST(g.nvy AS DOUBLE) / CAST(vg.nv AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9))) AS DOUBLE) AS hv
+                       FROM g JOIN vg ON g.feature = vg.feature AND g.v = vg.v
+                       GROUP BY 1, 2),
+                cond AS (SELECT feature, count(*) AS n_values,
+                           CAST(sum(CAST(floor(CAST(nv AS DOUBLE) / CAST(n AS DOUBLE) * hv * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9))) AS DOUBLE) AS h_cond
+                         FROM hv CROSS JOIN n0 GROUP BY 1)
+           SELECT feature, n_values,
+                  floor(h_y * 1e6 + 0.5) / 1e6 AS h_y,
+                  floor((h_y - h_cond) * 1e6 + 0.5) / 1e6 AS info_gain
+           FROM cond CROSS JOIN hy ORDER BY feature""",
       // uncertainty sampling: the logit chain, per-user p via per aliased
       // as h against cf3, |p−0.5| ascending top-20
       "x_uncertainty_sample" ->
