@@ -123,7 +123,10 @@ object SparkEntry {
     * scores DECIMAL-summed, deterministic (sdec DESC, doc_id) top-10.
     * Returns (query_id, rnk, doc_id, n_terms_matched, sdec).
     */
-  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+  /** The shared BM25 corpus-statistics build: (tf, dfreq, stats,
+    * qterms) — factored out so expansion/feedback queries can reuse the
+    * exact frames the ranker scores with. */
+  private def bm25Parts(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
     val toksArr = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
@@ -142,7 +145,16 @@ object SparkEntry {
       .withColumn("rnk", row_number().over(
         Window.partitionBy(lit(0)).orderBy(col("df").desc, col("term"))))
       .select(((col("rnk") - 1) % 5).cast("int").as("query_id"), col("term"))
-    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    (tf, dfreq, stats, qterms)
+  }
+
+  private def bm25Idf: Column =
+    log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (tf, dfreq, stats, qterms) = bm25Parts(s, dir)
+    val idf = bm25Idf
     val tfn = (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
     val perTerm = tf.join(broadcast(qterms), "term")
@@ -3912,6 +3924,30 @@ object SparkEntry {
             floor(col("sum_p").cast("double") / col("n_rel").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
             .as("ap"))
         .orderBy("query_id")
+    }),
+
+    // Pseudo-relevance-feedback query expansion (RM3-lite): the top-5
+    // non-query terms of each query's top-3 BM25 docs, weighted by
+    // tf·idf summed across the feedback docs — the standard recall-
+    // boosting rewrite before a second retrieval pass. Reuses the exact
+    // bm25Parts frames; round-6 per-doc-term weights + decimal sums;
+    // original query terms anti-joined out; top-5 per query via
+    // WindowGroupLimit.
+    "x_query_expansion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (tf, dfreq, stats, qterms) = bm25Parts(s, dir)
+      val top3 = bm25TopK(s, dir).filter(col("rnk") <= 3).select("query_id", "doc_id")
+      val cand = tf.join(top3, "doc_id")
+        .join(dfreq, "term").crossJoin(broadcast(stats))
+        .withColumn("tw", round(bm25Idf * col("tf").cast("double"), 6).cast("decimal(18,6)"))
+        .join(qterms, Seq("query_id", "term"), "left_anti")
+        .groupBy("query_id", "term")
+        .agg(count(lit(1)).as("n_docs_in"), sum(col("tw")).as("wdec"))
+      val w = Window.partitionBy("query_id").orderBy(col("wdec").desc, col("term"))
+      cand.withColumn("exp_rank", row_number().over(w)).filter(col("exp_rank") <= 5)
+        .select(col("query_id"), col("exp_rank"), col("term"), col("n_docs_in"),
+          col("wdec").cast("double").as("weight"))
+        .orderBy("query_id", "exp_rank")
     }),
 
     // Expected Reciprocal Rank @10 (Chapelle 2009) of the BM25 ranking —
@@ -11125,6 +11161,24 @@ object SparkEntry {
            SELECT dcg.query_id, CAST(dcg AS DOUBLE) AS dcg, CAST(idcg AS DOUBLE) AS idcg,
                   floor(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ndcg
            FROM dcg JOIN idcg ON dcg.query_id = idcg.query_id ORDER BY dcg.query_id"""),
+      // query expansion: top-3 feedback docs, tf·idf round-6 + decimal
+      // sums, query terms excluded, top-5 per query
+      "x_query_expansion" -> bm25Oracle(
+        """, top3 AS (SELECT query_id, doc_id FROM r WHERE rnk <= 3),
+              cand AS (SELECT t3.query_id, tf.term,
+                         count(*) AS n_docs_in,
+                         sum(CAST(round(ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+                           * CAST(tf.tf AS DOUBLE), 6) AS DECIMAL(18,6))) AS wdec
+                       FROM tf JOIN top3 t3 USING (doc_id)
+                       JOIN dfreq USING (term) CROSS JOIN stats
+                       LEFT JOIN qt ON qt.query_id = t3.query_id AND qt.term = tf.term
+                       WHERE qt.term IS NULL
+                       GROUP BY 1, 2),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY wdec DESC, term) AS exp_rank
+                     FROM cand)
+           SELECT query_id, CAST(exp_rank AS INTEGER) AS exp_rank, term, n_docs_in,
+                  CAST(wdec AS DOUBLE) AS weight
+           FROM rk WHERE exp_rank <= 5 ORDER BY query_id, exp_rank"""),
       // ERR: dyadic stopping probs make the continue-product exact; the
       // windowed product() replays Spark's fold multiplication-for-
       // multiplication; per-rank terms floor-6 + decimal sums
