@@ -2481,6 +2481,32 @@ object SparkEntry {
         TF.qualityScore(col("text")).as("quality")
       ).orderBy("doc_id")),
 
+    // The CCNet/fastText quality-filter training loop as ONE query:
+    // train the shared IRLS classifier to separate the first ten
+    // sources from the rest using only the SURFACE quality score
+    // (stopword/punct/length heuristics, bucketed ×20), then report the
+    // fit and its threshold accuracy — the "cheap classifier gates the
+    // corpus" pattern. The corpus contributes one histogram shuffle;
+    // training traffic is five numbers per Newton step.
+    "x_quality_classifier" -> ((s, dir) => {
+      val feats = t(s, dir, "documents").select(
+        floor(TF.qualityScore(col("text")) * lit(20.0)).cast("int").as("x"),
+        (regexp_extract(col("source"), "\\d+", 0).cast("int") < 10).cast("int").as("y"))
+      val (hist, coef) = graft.ext.Stats.logisticIrls(feats, col("x"), col("y"), 3)
+      def d6(c: Column) =
+        (floor(c * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)")
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val fD = col("f").cast("double")
+      hist.crossJoin(broadcast(coef))
+        .withColumn("p", graft.ext.Stats.logisticP(col("x")))
+        .agg(sum(col("f")).as("n"), sum(col("f") * col("y")).as("n_pos"),
+          max(col("b0")).as("b0"), max(col("b1")).as("b1"),
+          sum(when((col("p") >= 0.5).cast("int") === col("y"), col("f"))
+            .otherwise(lit(0L))).as("hits"))
+        .select(col("n"), col("n_pos"), col("b0"), col("b1"),
+          f6(col("hits").cast("double") / col("n").cast("double")).as("accuracy"))
+    }),
+
     // SKYLINE (Pareto-front) operator — the multi-objective selection
     // primitive the engine lacked: docs maximizing quality while
     // minimizing token count, with no other doc better-or-equal on both
@@ -9462,6 +9488,27 @@ object SparkEntry {
             FROM documents ORDER BY doc_id""",
       "x_lang_id" ->
         s"SELECT doc_id, lang_pred FROM ($langPredCte) ORDER BY doc_id",
+      // quality classifier: the x_quality_score quality expr bucketed
+      // ×20, source-id label, the shared 3-stage logit chain
+      "x_quality_classifier" ->
+        s"""WITH feats AS (SELECT
+                  CAST(floor(round((CASE WHEN len($toksE) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter($toksE, t -> list_contains($stopList, t))) AS DOUBLE) / len($toksE) END) * 0.5
+                    + CAST(least(len($toksE), 200) AS DOUBLE) / 400.0, 4) * 20.0) AS INTEGER) AS x,
+                  CASE WHEN CAST(regexp_extract(source, '\\d+') AS INTEGER) < 10 THEN 1 ELSE 0 END AS y
+                FROM documents),
+                h AS (SELECT x, y, count(*) AS f FROM feats GROUP BY 1, 2),
+                cf0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
+                $logitIters,
+                ag AS (SELECT CAST(sum(h.f) AS BIGINT) AS n,
+                         CAST(sum(h.f * h.y) AS BIGINT) AS n_pos,
+                         max(c.b0) AS b0, max(c.b1) AS b1,
+                         CAST(sum(CASE WHEN (CASE WHEN $logitP >= 0.5 THEN 1 ELSE 0 END) = h.y
+                                  THEN h.f ELSE 0 END) AS BIGINT) AS hits
+                       FROM h CROSS JOIN cf3 c)
+           SELECT n, n_pos, b0, b1,
+                  floor(CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS accuracy
+           FROM ag""",
       // skyline: brute NOT-EXISTS dominance — the semantics the bucket
       // decomposition must reproduce exactly
       "x_skyline" ->
