@@ -5183,7 +5183,7 @@ object SparkEntry {
           sum(col("n")).as("n_out"))
         .localCheckpoint()
       var v = sts.select(col("state"), lit(0.0).as("v"), lit(0.0).as("a"))
-      for (_ <- 1 to 16) {
+      for (i <- 1 to 16) {
         val contrib = q
           .join(v.select(col("state").as("to_type"), col("v"), col("a")), "to_type")
           .groupBy(col("from_type").as("state"))
@@ -5193,7 +5193,10 @@ object SparkEntry {
           .select(col("state"),
             f9(lit(1.0) + coalesce(col("sv"), lit(0.0))).as("v"),
             f9(col("pabs") + coalesce(col("sa"), lit(0.0))).as("a"))
-          .localCheckpoint()
+        // lineage cut every 4 rounds, not every round: the grid is
+        // |types| rows, so a 4-deep join chain is cheap to plan while
+        // quartering the eager-materialization fixed cost
+        if (i % 4 == 0) v = v.localCheckpoint()
       }
       def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
       sts.join(v, "state")
