@@ -106,6 +106,25 @@ object GraftExtensions {
             s"flatBooks must be a foldable array<double>, got $other")
         }
         graft.functions.PqEncode(exprs(0), books, intLit(exprs(2), "m"), intLit(exprs(3), "k"))
+      }),
+    (
+      "dot_product",
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "dot_product(vecA, vecB)")
+        graft.functions.DotProduct(exprs(0), exprs(1))
+      }),
+    (
+      "normalize_unicode",
+      new ExpressionInfo(classOf[graft.functions.NormalizeUnicode].getName, "normalize_unicode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "normalize_unicode(text, 'NFC'|'NFKC'|'NFD'|'NFKD')")
+        val form = exprs(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"form must be a string literal, got $other")
+        }
+        graft.functions.NormalizeUnicode(exprs(0), form)
       })
   )
 

@@ -14,6 +14,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[Long](1).length === 4)
   }
 
+  test("dot_product and normalize_unicode are callable from SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+               normalize_unicode('éclair', 'NFC') AS s""").head()
+    assert(row.getDouble(0) === 11.0)
+    assert(row.getString(1) === "éclair")
+  }
+
   test("simhash64 and minhash_sig are callable from SQL and match the Column API") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
