@@ -3952,6 +3952,33 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Incremental BM25 index maintenance: document-frequency tables are
+    // MERGEABLE — a new-docs delta batch contributes its own df counts
+    // and the index is the per-term SUM, never a recompute over the
+    // base corpus (the x_dedup_incremental discipline applied to the
+    // retrieval index). This query rebuilds the top-20 df ranking from
+    // base(80%) + delta(20%) partial counts; the oracle recomputes from
+    // the full corpus in one pass — hash equality IS the mergeability
+    // proof.
+    "x_bm25_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def dfOf(d: DataFrame): DataFrame = d
+        .select(col("doc_id"),
+          explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("term"))
+        .distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val base = dfOf(docs.filter(col("doc_id") % 5 =!= 0))
+      val delta = dfOf(docs.filter(col("doc_id") % 5 === 0))
+      val merged = base.unionByName(delta)
+        .groupBy("term").agg(sum(col("df")).as("df"))
+      import org.apache.spark.sql.expressions.Window
+      merged.orderBy(col("df").desc, col("term")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("df").desc, col("term"))))
+        .select(col("rnk"), col("term"), col("df"))
+        .orderBy("rnk")
+    }),
+
     // Pseudo-relevance-feedback query expansion (RM3-lite): the top-5
     // non-query terms of each query's top-3 BM25 docs, weighted by
     // tf·idf summed across the feedback docs — the standard recall-
@@ -11211,6 +11238,16 @@ object SparkEntry {
            SELECT dcg.query_id, CAST(dcg AS DOUBLE) AS dcg, CAST(idcg AS DOUBLE) AS idcg,
                   floor(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ndcg
            FROM dcg JOIN idcg ON dcg.query_id = idcg.query_id ORDER BY dcg.query_id"""),
+      // incremental BM25 stats: full-corpus one-pass df recompute — the
+      // mergeability check against the Spark base+delta sum
+      "x_bm25_incremental" ->
+        """WITH toks AS (SELECT DISTINCT doc_id,
+                        unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+                      FROM documents),
+                dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+                top AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rnk
+                        FROM dfreq QUALIFY rnk <= 20)
+           SELECT CAST(rnk AS INTEGER) AS rnk, term, df FROM top ORDER BY rnk""",
       // query expansion: top-3 feedback docs, tf·idf round-6 + decimal
       // sums, query terms excluded, top-5 per query
       "x_query_expansion" -> bm25Oracle(
