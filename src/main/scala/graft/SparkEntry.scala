@@ -6111,6 +6111,48 @@ object SparkEntry {
         .select(col("u"), col("v"), col("n_common"), col("aa").cast("double").as("aa_score"))
     }),
 
+    // Incremental connected components by CLUSTER CONTRACTION — the
+    // graph member of the incremental family (dedup/LSH/IVF/BM25 all
+    // have one): new edges never reprocess the base graph. Base
+    // components contract to their min-id representatives (self-edges
+    // keep singletons visible); delta edges map endpoints through the
+    // representative table (unseen nodes pass through); a second CC runs
+    // on the CONTRACTED graph — |base reps| + |delta nodes| rows, not
+    // the corpus — and composing the two labelings reproduces the
+    // full-graph min-id labels EXACTLY (min of component mins = global
+    // component min). The graph is a sparser single-multiplier cycle
+    // decomposition (the 3-multiplier pagerank graph is one giant
+    // component — nothing to merge); the mod-3 delta fragments cycles
+    // and adds 120+ unseen nodes, so the merge path is genuinely
+    // exercised. Oracle = one-shot transitive closure over everything.
+    "x_cc_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .filter(col("doc_id") % 3 =!= 2)
+        .select(col("doc_id").as("src"), ((col("doc_id") * 7 + 7) % col("n")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .localCheckpoint() // base/delta split + node inventory read it
+      val base = edges.filter((col("src") + col("dst")) % 3 =!= 0)
+      val delta = edges.filter((col("src") + col("dst")) % 3 === 0)
+      val rep = Dedup.connectedComponents(base, "src", "dst").localCheckpoint()
+      val d2 = delta
+        .join(rep.select(col("id").as("src"), col("cluster_id").as("ca")), Seq("src"), "left")
+        .join(rep.select(col("id").as("dst"), col("cluster_id").as("cb")), Seq("dst"), "left")
+        .select(coalesce(col("ca"), col("src")).as("a"), coalesce(col("cb"), col("dst")).as("b"))
+      val contracted = d2.unionByName(
+        rep.select(col("cluster_id").as("a"), col("cluster_id").as("b")).distinct())
+      val top = Dedup.connectedComponents(contracted, "a", "b")
+      val nodesAll = edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id"))).distinct()
+      val mapped = nodesAll.join(rep, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("r"))
+      mapped.join(top.select(col("id").as("r"), col("cluster_id").as("comp")), Seq("r"), "left")
+        .select(col("id"), coalesce(col("comp"), col("r")).as("comp"))
+        .groupBy("comp").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("comp")
+    }),
+
     // degree assortativity of the link graph (same generator as
     // x_pagerank): Pearson r over edges of (deg(src), deg(dst)) — do
     // high-degree pages link to high-degree pages? Degrees are one
@@ -12324,6 +12366,20 @@ object SparkEntry {
                   floor((abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0) * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
                     / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS chi2_cc
            FROM cts""",
+      // incremental CC: one-shot transitive closure over the FULL edge
+      // set — hash equality proves the contraction path exact
+      "x_cc_incremental" ->
+        """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+                e0 AS (SELECT doc_id AS src, (doc_id * 7 + 7) % n AS dst
+                       FROM documents CROSS JOIN nn WHERE doc_id % 3 <> 2),
+                e AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst),
+                und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+                reach(a, b) AS (
+                  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+                  UNION
+                  SELECT u.a, r.b FROM und u JOIN reach r ON u.b = r.a),
+                lab AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
+           SELECT comp, count(*) AS n_nodes FROM lab GROUP BY 1 ORDER BY 1""",
       // Adamic–Adar: same generator, degree-annotated adjacency self-
       // join on the center (10k hub cap mirrored), floor-6 weights +
       // decimal sums, anti-join on existing edges, exact decimal top-100
