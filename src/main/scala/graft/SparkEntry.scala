@@ -2507,6 +2507,35 @@ object SparkEntry {
           f6(col("hits").cast("double") / col("n").cast("double")).as("accuracy"))
     }),
 
+    // Learning curve for the quality classifier: train the shared IRLS
+    // fit on 25/50/75/100% deterministic doc slices (doc_id mod 4),
+    // score the FULL corpus with each — "is more labeled data still
+    // buying accuracy?", the budget question every annotation pipeline
+    // asks. Four histogram-scale fits; evaluation is one shared
+    // histogram × four broadcast coefficient rows.
+    "x_learning_curve" -> ((s, dir) => {
+      val docsAll = t(s, dir, "documents")
+      def featsOf(d: DataFrame) = d.select(
+        floor(TF.qualityScore(col("text")) * lit(20.0)).cast("int").as("x"),
+        (regexp_extract(col("source"), "\\d+", 0).cast("int") < 10).cast("int").as("y"))
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val evh = featsOf(docsAll).groupBy("x", "y").agg(count(lit(1)).as("f"))
+        .localCheckpoint() // scored by all four fits
+      val frames = Seq(1, 2, 3, 4).map { k =>
+        val (_, coef) = graft.ext.Stats.logisticIrls(
+          featsOf(docsAll.filter(col("doc_id") % 4 < k)), col("x"), col("y"), 3)
+        evh.crossJoin(broadcast(coef))
+          .withColumn("p", graft.ext.Stats.logisticP(col("x")))
+          .agg(sum(col("f")).as("n_eval"),
+            max(col("b0")).as("b0"), max(col("b1")).as("b1"),
+            sum(when((col("p") >= 0.5).cast("int") === col("y"), col("f"))
+              .otherwise(lit(0L))).as("hits"))
+          .select(lit(k * 25).as("train_pct"), col("n_eval"), col("b0"), col("b1"),
+            f6(col("hits").cast("double") / col("n_eval").cast("double")).as("accuracy"))
+      }
+      frames.reduce(_.unionByName(_)).orderBy("train_pct")
+    }),
+
     // SKYLINE (Pareto-front) operator — the multi-objective selection
     // primitive the engine lacked: docs maximizing quality while
     // minimizing token count, with no other doc better-or-equal on both
@@ -8427,6 +8456,22 @@ object SparkEntry {
     // one shared 2×2 solve tree, coefficients floor-6 per step (the
     // exact trees of the Spark loop)
     val logitP = "greatest(least(floor(1.0 / (1.0 + exp(-(c.b0 + c.b1 * CAST(h.x AS DOUBLE)))) * 1e6 + 0.5) / 1e6, CAST(0.999999 AS DOUBLE)), CAST(0.000001 AS DOUBLE))"
+    // parameterized form: `hName` = histogram CTE, `pfx` = coefficient CTE
+    // prefix (chain i reads ${pfx}${i-1}, writes ${pfx}$i) — lets one
+    // oracle unroll several independent fits (the learning curve)
+    def logitChain(hName: String, pfx: String): String = (1 to 3).map { i =>
+      s"""${pfx}g$i AS (SELECT
+              CAST(sum(CAST(floor(CAST(h.f AS DOUBLE) * (CAST(h.y AS DOUBLE) - $logitP) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS g0,
+              CAST(sum(CAST(floor(CAST(h.f AS DOUBLE) * (CAST(h.y AS DOUBLE) - $logitP) * CAST(h.x AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS g1,
+              CAST(sum(CAST(floor(CAST(h.f AS DOUBLE) * ($logitP * (1.0 - $logitP)) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS h00,
+              CAST(sum(CAST(floor(CAST(h.f AS DOUBLE) * ($logitP * (1.0 - $logitP)) * CAST(h.x AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS h01,
+              CAST(sum(CAST(floor(CAST(h.f AS DOUBLE) * ($logitP * (1.0 - $logitP)) * CAST(h.x AS DOUBLE) * CAST(h.x AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS h11
+            FROM $hName h CROSS JOIN $pfx${i - 1} c),
+          $pfx$i AS (SELECT
+              floor((c.b0 + (a.h11 * a.g0 - a.h01 * a.g1) / (a.h00 * a.h11 - a.h01 * a.h01)) * 1e6 + 0.5) / 1e6 AS b0,
+              floor((c.b1 + (a.h00 * a.g1 - a.h01 * a.g0) / (a.h00 * a.h11 - a.h01 * a.h01)) * 1e6 + 0.5) / 1e6 AS b1
+            FROM ${pfx}g$i a CROSS JOIN $pfx${i - 1} c)"""
+    }.mkString(",\n")
     val logitIters = (1 to 3).map { i =>
       s"""lg$i AS (SELECT
               CAST(sum(CAST(floor(CAST(h.f AS DOUBLE) * (CAST(h.y AS DOUBLE) - $logitP) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS g0,
@@ -9560,6 +9605,49 @@ object SparkEntry {
             FROM documents ORDER BY doc_id""",
       "x_lang_id" ->
         s"SELECT doc_id, lang_pred FROM ($langPredCte) ORDER BY doc_id",
+      // learning curve: four independent logitChain unrolls over the
+      // mod-4 training slices, one shared eval histogram
+      "x_learning_curve" ->
+        s"""WITH feats AS (SELECT
+                  CAST(floor(round((CASE WHEN len($toksE) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter($toksE, t -> list_contains($stopList, t))) AS DOUBLE) / len($toksE) END) * 0.5
+                    + CAST(least(len($toksE), 200) AS DOUBLE) / 400.0, 4) * 20.0) AS INTEGER) AS x,
+                  CASE WHEN CAST(regexp_extract(source, '\\d+') AS INTEGER) < 10 THEN 1 ELSE 0 END AS y,
+                  CAST(doc_id % 4 AS INTEGER) AS m
+                FROM documents),
+                he AS (SELECT x, y, count(*) AS f FROM feats GROUP BY 1, 2),
+                h1 AS (SELECT x, y, count(*) AS f FROM feats WHERE m < 1 GROUP BY 1, 2),
+                h2 AS (SELECT x, y, count(*) AS f FROM feats WHERE m < 2 GROUP BY 1, 2),
+                h3 AS (SELECT x, y, count(*) AS f FROM feats WHERE m < 3 GROUP BY 1, 2),
+                h4 AS (SELECT x, y, count(*) AS f FROM feats GROUP BY 1, 2),
+                ca0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
+                cb0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
+                cc0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
+                cd0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
+                ${logitChain("h1", "ca")},
+                ${logitChain("h2", "cb")},
+                ${logitChain("h3", "cc")},
+                ${logitChain("h4", "cd")},
+                ev AS (
+                  SELECT 25 AS train_pct, CAST(sum(h.f) AS BIGINT) AS n_eval,
+                         max(c.b0) AS b0, max(c.b1) AS b1,
+                         CAST(sum(CASE WHEN (CASE WHEN $logitP >= 0.5 THEN 1 ELSE 0 END) = h.y THEN h.f ELSE 0 END) AS BIGINT) AS hits
+                  FROM he h CROSS JOIN ca3 c
+                  UNION ALL
+                  SELECT 50, CAST(sum(h.f) AS BIGINT), max(c.b0), max(c.b1),
+                         CAST(sum(CASE WHEN (CASE WHEN $logitP >= 0.5 THEN 1 ELSE 0 END) = h.y THEN h.f ELSE 0 END) AS BIGINT)
+                  FROM he h CROSS JOIN cb3 c
+                  UNION ALL
+                  SELECT 75, CAST(sum(h.f) AS BIGINT), max(c.b0), max(c.b1),
+                         CAST(sum(CASE WHEN (CASE WHEN $logitP >= 0.5 THEN 1 ELSE 0 END) = h.y THEN h.f ELSE 0 END) AS BIGINT)
+                  FROM he h CROSS JOIN cc3 c
+                  UNION ALL
+                  SELECT 100, CAST(sum(h.f) AS BIGINT), max(c.b0), max(c.b1),
+                         CAST(sum(CASE WHEN (CASE WHEN $logitP >= 0.5 THEN 1 ELSE 0 END) = h.y THEN h.f ELSE 0 END) AS BIGINT)
+                  FROM he h CROSS JOIN cd3 c)
+           SELECT train_pct, n_eval, b0, b1,
+                  floor(CAST(hits AS DOUBLE) / CAST(n_eval AS DOUBLE) * 1e6 + 0.5) / 1e6 AS accuracy
+           FROM ev ORDER BY train_pct""",
       // quality classifier: the x_quality_score quality expr bucketed
       // ×20, source-id label, the shared 3-stage logit chain
       "x_quality_classifier" ->
