@@ -39,4 +39,33 @@ class StatsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"closed-form solve must not join:\n$plan")
     assert("Exchange".r.findAllIn(plan).size === 1, s"exactly one exchange expected:\n$plan")
   }
+
+  test("logisticIrls is partitioning-invariant: decimal sums make the fit bit-identical") {
+    // the classic nondeterminism failure mode for iterative fits is
+    // float accumulation order varying with partitioning; the quantized
+    // Newton steps must not exhibit it
+    val pts = (1 to 500).map(i => (i % 37, if (i % 37 > 18 ^ i % 11 == 0) 1 else 0))
+      .toDF("x", "y")
+    def fit(d: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val (_, coef) = Stats.logisticIrls(d, col("x"), col("y"), 3)
+      val r = coef.collect().head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val a = fit(pts.repartition(1))
+    val b = fit(pts.repartition(13))
+    assert(a === b, s"fit varies with partitioning: $a vs $b")
+    // and the fit moved off the origin (the data is actually separable-ish)
+    assert(a._1 != 0.0 || a._2 != 0.0)
+  }
+
+  test("logisticIrls recovers the direction of a monotone relationship") {
+    // y mostly 1 above the midpoint of x: slope must come out positive
+    val pts = (1 to 400).map { i =>
+      val x = i % 21
+      (x, if (x + (i % 3) > 11) 1 else 0)
+    }.toDF("x", "y")
+    val (_, coef) = Stats.logisticIrls(pts, col("x"), col("y"), 3)
+    val r = coef.collect().head
+    assert(r.getDouble(1) > 0.0, s"expected positive slope, got ${r.getDouble(1)}")
+  }
 }
