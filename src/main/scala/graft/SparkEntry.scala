@@ -8290,6 +8290,65 @@ object SparkEntry {
           sum(col("n_pieces")).as("n_unitok"),
           round(sum(col("logp")), 4).cast("double").as("sum_logp"))
         .orderBy("doc_id")
+    }),
+
+    // One-way ANOVA over per-event value by event_type — the parametric
+    // sibling of x_kruskal_wallis: F = (SSB/(k−1)) / (SSW/(n−k)) from
+    // per-group exact decimal moments (Σv, Σv² through DECIMAL(18,4)
+    // per-row casts — order-independent in both engines); the only
+    // cross-group reduction is over the |event_type| grid, each group's
+    // Σv²/n term floor-6-rounded before the decimal sum. One corpus
+    // pass; everything after is metadata-sized at any scale.
+    "x_anova_f" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"), col("value").cast("decimal(18,4)").as("v"))
+      val g = e.groupBy("event_type").agg(
+        count(lit(1)).as("n_g"),
+        sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("svv"))
+      val term = floor(col("sv").cast("double") * col("sv").cast("double")
+        / col("n_g").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)
+      val ag = g.agg(
+        count(lit(1)).cast("int").as("k"),
+        sum(col("n_g")).as("n"),
+        sum(col("sv")).as("s_all"),
+        sum(col("svv")).as("svv_all"),
+        sum(term.cast("decimal(28,6)")).as("sb"))
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val corr = col("s_all").cast("double") * col("s_all").cast("double") / col("n").cast("double")
+      val ssb = col("sb").cast("double") - corr
+      val ssw = col("svv_all").cast("double") - col("sb").cast("double")
+      ag.select(col("k"), col("n"),
+        f6(ssb).as("ss_between"), f6(ssw).as("ss_within"),
+        f6((ssb / (col("k") - lit(1)).cast("double"))
+          / (ssw / (col("n") - col("k")).cast("double"))).as("f_stat"))
+    }),
+
+    // G-test of independence over the event_type × weekend grid — the
+    // likelihood-ratio companion of x_chi2_independence (G = 2·Σ O·ln(O/E)
+    // is additive across disjoint slices of the table, which χ² is not —
+    // corpus audits prefer it for exactly that drill-down). groupBy emits
+    // only observed cells; absent cells contribute 0 by the 0·ln 0
+    // convention. One corpus pass to the bounded |types|×2 grid; per-cell
+    // ln terms floor-9 before the order-independent decimal sum.
+    "x_gtest" -> ((s, dir) => {
+      val cell = events(s, dir)
+        .groupBy(col("event_type"), dayofweek(to_date(col("day"))).isin(1, 7).as("weekend"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cell.groupBy("event_type").agg(sum(col("o")).as("rt"))
+      val ct = cell.groupBy("weekend").agg(sum(col("o")).as("ct"))
+      val n = cell.agg(sum(col("o")).as("n"),
+        count_distinct(col("event_type")).as("r"), count_distinct(col("weekend")).as("c"))
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val od = col("o").cast("double")
+      val ex = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+      cell.join(broadcast(rt), "event_type").join(broadcast(ct), "weekend").crossJoin(broadcast(n))
+        .withColumn("term",
+          (floor(od * log(od / ex) * lit(1e9) + lit(0.5)) / lit(1e9)).cast("decimal(28,9)"))
+        .groupBy(col("r"), col("c"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("term")).as("t"))
+        .select(col("n_cells"),
+          f6(lit(2.0) * col("t").cast("double")).as("g_stat"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"))
     })
   )
 
@@ -13969,7 +14028,39 @@ object SparkEntry {
             SELECT doc_id, count(*) AS n_words, CAST(sum(n) AS BIGINT) AS n_unitok,
                    CAST(round(sum(s), 4) AS DOUBLE) AS sum_logp
             FROM utoks JOIN uwres USING (w)
-            GROUP BY doc_id ORDER BY doc_id"""
+            GROUP BY doc_id ORDER BY doc_id""",
+      "x_anova_f" ->
+        """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v FROM events),
+                g AS (SELECT event_type, count(*) AS n_g, sum(v) AS sv, sum(v * v) AS svv
+                      FROM e GROUP BY 1),
+                ag AS (SELECT CAST(count(*) AS INTEGER) AS k,
+                         CAST(sum(n_g) AS BIGINT) AS n,
+                         sum(sv) AS s_all, sum(svv) AS svv_all,
+                         sum(CAST(floor(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                               / CAST(n_g AS DOUBLE) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS sb
+                       FROM g)
+           SELECT k, n,
+                  floor((CAST(sb AS DOUBLE) - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ss_between,
+                  floor((CAST(svv_all AS DOUBLE) - CAST(sb AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ss_within,
+                  floor(((CAST(sb AS DOUBLE) - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                        / ((CAST(svv_all AS DOUBLE) - CAST(sb AS DOUBLE)) / CAST(n - k AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS f_stat
+           FROM ag""",
+      "x_gtest" ->
+        s"""WITH e AS (SELECT event_type,
+                         dayofweek(CAST($dayE AS DATE)) IN (0, 6) AS weekend FROM events),
+                cell AS (SELECT event_type, weekend, count(*) AS o FROM e GROUP BY 1, 2),
+                rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cell GROUP BY 1),
+                ct AS (SELECT weekend, CAST(sum(o) AS BIGINT) AS ct FROM cell GROUP BY 1),
+                n AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT event_type) AS r,
+                             count(DISTINCT weekend) AS c FROM cell),
+                t AS (SELECT r, c,
+                        CAST(floor(CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE)
+                            / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9)) AS term
+                      FROM cell JOIN rt USING (event_type) JOIN ct USING (weekend) CROSS JOIN n)
+           SELECT count(*) AS n_cells,
+                  floor(2.0 * CAST(sum(term) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS g_stat,
+                  (r - 1) * (c - 1) AS dof
+           FROM t GROUP BY r, c"""
     )
   }
 

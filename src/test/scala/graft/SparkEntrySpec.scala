@@ -99,4 +99,31 @@ class SparkEntrySpec extends AnyFunSuite {
     val shareSum = rows.map(_.getAs[Double]("share")).sum
     assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
   }
+
+  test("x_anova_f: variance partition identity; x_gtest: information inequality") {
+    import org.apache.spark.sql.functions._
+    val a = SparkEntry.queries("x_anova_f")(spark, TestSpark.sfDir).collect().head
+    // SSB + SSW must equal the independently computed total sum of squares
+    // (the defining partition of variance), up to the floor-6 rounding of
+    // the two addends
+    val e = sources.Tables.loadEvents(spark, TestSpark.sfDir)
+      .select(col("value").cast("decimal(18,4)").as("v"))
+    val m = e.agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+      sum(col("v") * col("v")).as("ss")).collect().head
+    val n = m.getAs[Long]("n").toDouble
+    val s = m.getAs[java.math.BigDecimal]("s").doubleValue()
+    val ss = m.getAs[java.math.BigDecimal]("ss").doubleValue()
+    val ssTotal = ss - s * s / n
+    val parts = a.getAs[Double]("ss_between") + a.getAs[Double]("ss_within")
+    assert(math.abs(parts - ssTotal) < 1e-2, s"SSB+SSW=$parts vs SST=$ssTotal")
+    assert(a.getAs[Double]("f_stat") >= 0.0)
+    assert(a.getAs[Long]("n") === m.getAs[Long]("n"))
+
+    val g = SparkEntry.queries("x_gtest")(spark, TestSpark.sfDir).collect().head
+    // G = 2N·I(X;Y) ≥ 0 (Gibbs' inequality); dof is the observed grid's
+    assert(g.getAs[Double]("g_stat") >= -1e-6, s"G=${g.getAs[Double]("g_stat")}")
+    val types = sources.Tables.loadEvents(spark, TestSpark.sfDir)
+      .select("event_type").distinct().count()
+    assert(g.getAs[Long]("dof") === (types - 1) * 1L)
+  }
 }
