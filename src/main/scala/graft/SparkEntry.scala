@@ -8323,6 +8323,56 @@ object SparkEntry {
           / (ssw / (col("n") - col("k")).cast("double"))).as("f_stat"))
     }),
 
+    // Yule–Walker AR(2) fit + 7-day recursive forecast on the global
+    // daily value series — the autoregressive member of the forecasting
+    // family (x_forecast_ses/x_forecast_holt/x_holt_winters smooth;
+    // this one models the lag structure x_acf only measures). One corpus
+    // pass to the bounded day grid; autocovariances are (d, d+k)
+    // equi-joins on that grid with floor-6 decimal-summed products;
+    // φ₁, φ₂ from the closed-form 2×2 Yule–Walker solve on a 1-row
+    // frame; the 7 forecast steps unroll as scalar expressions. Every
+    // post-scan op is calendar-bounded metadata at any corpus scale.
+    "x_ar_forecast" -> ((s, dir) => {
+      val daily = events(s, dir).groupBy(to_date(col("day")).as("d"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("y"))
+      val m = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        .select((col("sy").cast("double") / col("n").cast("double")).as("mu"))
+      val x = daily.crossJoin(broadcast(m))
+        .select(col("d"), (col("y").cast("double") - col("mu")).as("dev"))
+      def f6d(c: Column) = (floor(c * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)")
+      val c0 = x.agg(sum(f6d(col("dev") * col("dev"))).as("c0"))
+      val lagged = x.select(col("d").as("d2"), col("dev").as("dev2"))
+      val nums = x.withColumn("lag", explode(array(lit(1), lit(2))))
+        .join(lagged, col("d2") === date_add(col("d"), col("lag")))
+        .groupBy("lag").agg(sum(f6d(col("dev") * col("dev2"))).as("num"))
+      val c1 = nums.filter(col("lag") === 1).select(col("num").as("c1"))
+      val c2 = nums.filter(col("lag") === 2).select(col("num").as("c2"))
+      val ld = daily.agg(max(col("d")).as("last_d"))
+      val yn = daily.crossJoin(broadcast(ld)).filter(col("d") === col("last_d"))
+        .select(col("y").cast("double").as("yn"))
+      val yn1 = daily.crossJoin(broadcast(ld)).filter(col("d") === date_sub(col("last_d"), 1))
+        .select(col("y").cast("double").as("yn1"))
+      val r1 = col("c1").cast("double") / col("c0").cast("double")
+      val r2 = col("c2").cast("double") / col("c0").cast("double")
+      val base = m.crossJoin(broadcast(c0)).crossJoin(broadcast(c1)).crossJoin(broadcast(c2))
+        .crossJoin(broadcast(yn)).crossJoin(broadcast(yn1))
+        .withColumn("phi1", r1 * (lit(1.0) - r2) / (lit(1.0) - r1 * r1))
+        .withColumn("phi2", (r2 - r1 * r1) / (lit(1.0) - r1 * r1))
+      val withF = (1 to 7).foldLeft(base) { (df, h) =>
+        val p1 = if (h == 1) col("yn") else col(s"f${h - 1}")
+        val p2 = if (h == 1) col("yn1") else if (h == 2) col("yn") else col(s"f${h - 2}")
+        df.withColumn(s"f$h",
+          col("mu") + col("phi1") * (p1 - col("mu")) + col("phi2") * (p2 - col("mu")))
+      }
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def f4(c: Column) = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+      withF.select(f6(col("phi1")).as("phi1"), f6(col("phi2")).as("phi2"),
+          explode(array((1 to 7).map(h =>
+            struct(lit(h).as("h"), f4(col(s"f$h")).as("forecast"))): _*)).as("fx"))
+        .select(col("fx.h").as("h"), col("phi1"), col("phi2"), col("fx.forecast").as("forecast"))
+        .orderBy("h")
+    }),
+
     // G-test of independence over the event_type × weekend grid — the
     // likelihood-ratio companion of x_chi2_independence (G = 2·Σ O·ln(O/E)
     // is additive across disjoint slices of the table, which χ² is not —
@@ -14045,6 +14095,39 @@ object SparkEntry {
                   floor(((CAST(sb AS DOUBLE) - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
                         / ((CAST(svv_all AS DOUBLE) - CAST(sb AS DOUBLE)) / CAST(n - k AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS f_stat
            FROM ag""",
+      "x_ar_forecast" -> {
+        val fcast = (1 to 7).map { h =>
+          val p1 = if (h == 1) "yn" else s"f${h - 1}"
+          val p2 = if (h == 1) "yn1" else if (h == 2) "yn" else s"f${h - 2}"
+          val prev = if (h == 1) "p" else s"s${h - 1}"
+          s"s$h AS (SELECT *, mu + phi1 * ($p1 - mu) + phi2 * ($p2 - mu) AS f$h FROM $prev)"
+        }.mkString(",\n")
+        val rows = (1 to 7).map(h =>
+          s"SELECT phi1, phi2, CAST($h AS INTEGER) AS h, f$h AS f FROM s7")
+          .mkString(" UNION ALL ")
+        s"""WITH daily AS (SELECT CAST($dayE AS DATE) AS d,
+                             sum(CAST(value AS DECIMAL(18,4))) AS y FROM events GROUP BY 1),
+                m AS (SELECT CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu FROM daily),
+                x AS (SELECT d, CAST(y AS DOUBLE) - mu AS dev FROM daily CROSS JOIN m),
+                c0 AS (SELECT CAST(sum(CAST(floor(dev * dev * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS c0 FROM x),
+                c1 AS (SELECT CAST(sum(CAST(floor(a.dev * b.dev * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS c1
+                       FROM x a JOIN x b ON b.d = a.d + 1),
+                c2 AS (SELECT CAST(sum(CAST(floor(a.dev * b.dev * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS DOUBLE) AS c2
+                       FROM x a JOIN x b ON b.d = a.d + 2),
+                ld AS (SELECT max(d) AS last_d FROM daily),
+                yn AS (SELECT CAST(y AS DOUBLE) AS yn FROM daily, ld WHERE d = last_d),
+                yn1 AS (SELECT CAST(y AS DOUBLE) AS yn1 FROM daily, ld WHERE d = last_d - 1),
+                p AS (SELECT mu,
+                        c1 / c0 * (1.0 - c2 / c0) / (1.0 - (c1 / c0) * (c1 / c0)) AS phi1,
+                        (c2 / c0 - (c1 / c0) * (c1 / c0)) / (1.0 - (c1 / c0) * (c1 / c0)) AS phi2,
+                        yn, yn1
+                      FROM m CROSS JOIN c0 CROSS JOIN c1 CROSS JOIN c2 CROSS JOIN yn CROSS JOIN yn1),
+                $fcast,
+                r AS ($rows)
+           SELECT h, floor(phi1 * 1e6 + 0.5) / 1e6 AS phi1, floor(phi2 * 1e6 + 0.5) / 1e6 AS phi2,
+                  floor(f * 1e4 + 0.5) / 1e4 AS forecast
+           FROM r ORDER BY h"""
+      },
       "x_gtest" ->
         s"""WITH e AS (SELECT event_type,
                          dayofweek(CAST($dayE AS DATE)) IN (0, 6) AS weekend FROM events),

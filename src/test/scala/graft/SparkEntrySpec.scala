@@ -126,4 +126,17 @@ class SparkEntrySpec extends AnyFunSuite {
       .select("event_type").distinct().count()
     assert(g.getAs[Long]("dof") === (types - 1) * 1L)
   }
+
+  test("x_ar_forecast: 7 horizon rows, finite stationary fit") {
+    val rows = SparkEntry.queries("x_ar_forecast")(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Int]("h")).toSeq === (1 to 7))
+    val phi1 = rows.head.getAs[Double]("phi1")
+    val phi2 = rows.head.getAs[Double]("phi2")
+    // Yule–Walker on a stationary sample sits inside the AR(2)
+    // stationarity triangle: |φ2| < 1, φ2 ± φ1 < 1
+    assert(math.abs(phi2) < 1.0 && phi2 + phi1 < 1.0 && phi2 - phi1 < 1.0,
+      s"non-stationary fit phi1=$phi1 phi2=$phi2")
+    assert(rows.forall(r => !r.getAs[Double]("forecast").isNaN))
+  }
 }
