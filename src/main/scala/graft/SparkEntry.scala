@@ -8323,6 +8323,38 @@ object SparkEntry {
           / (ssw / (col("n") - col("k")).cast("double"))).as("f_stat"))
     }),
 
+    // Interpolated Kneser–Ney bigram smoothing (Kneser & Ney 1995;
+    // Chen–Goodman 1998 eq. 4.25) — the production n-gram smoothing next
+    // to x_good_turing's count re-estimates: P(w2|w1) =
+    // max(c−D,0)/c(w1) + D·N₁₊(w1·)/c(w1) · N₁₊(·w2)/|bigram types|,
+    // D = 0.75 (dyadic — exact in IEEE on both engines). All inputs are
+    // exact integer count tables; the probe side is the top-100 bigram
+    // table broadcast INTO the vocab-scale count tables (never the
+    // reverse — vocab grows with the corpus, the probe set doesn't).
+    "x_kneser_ney" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(TF.tokens(col("text")).as("ts")).filter(size(col("ts")) >= 2)
+      val bg = toks
+        .select(explode(graft.functions.WordNgrams.wordNgrams(col("ts"), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c12"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+        .drop("bg")
+      val uni = bg.groupBy("w1").agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_follow"))
+      val cont = bg.groupBy("w2").agg(count(lit(1)).as("n_precede"))
+      val tot = bg.agg(count(lit(1)).as("n_types"))
+      val top = bg.orderBy(col("c12").desc, col("w1"), col("w2")).limit(100)
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val d = lit(0.75)
+      val pml = greatest(col("c12").cast("double") - d, lit(0.0)) / col("c1").cast("double")
+      val lam = d * col("n_follow").cast("double") / col("c1").cast("double")
+      val pc = col("n_precede").cast("double") / col("n_types").cast("double")
+      broadcast(top).join(uni, "w1").join(cont, "w2").crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          col("n_follow"), col("n_precede"), f6(pml + lam * pc).as("p_kn"))
+        .orderBy("w1", "w2")
+    }),
+
     // Yule–Walker AR(2) fit + 7-day recursive forecast on the global
     // daily value series — the autoregressive member of the forecasting
     // family (x_forecast_ses/x_forecast_holt/x_holt_winters smooth;
@@ -14095,6 +14127,23 @@ object SparkEntry {
                   floor(((CAST(sb AS DOUBLE) - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
                         / ((CAST(svv_all AS DOUBLE) - CAST(sb AS DOUBLE)) / CAST(n - k AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS f_stat
            FROM ag""",
+      "x_kneser_ney" ->
+        s"""WITH tk AS (SELECT $toksE AS ts FROM documents),
+                t2 AS (SELECT ts FROM tk WHERE len(ts) >= 2),
+                bg AS (SELECT w1, w2, count(*) AS c12 FROM (
+                         SELECT ts[i] AS w1, ts[i+1] AS w2
+                         FROM t2, unnest(range(1, len(ts))) AS u(i)) GROUP BY 1, 2),
+                uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n_follow
+                        FROM bg GROUP BY 1),
+                cont AS (SELECT w2, count(*) AS n_precede FROM bg GROUP BY 1),
+                tot AS (SELECT count(*) AS n_types FROM bg),
+                top AS (SELECT * FROM bg ORDER BY c12 DESC, w1, w2 LIMIT 100)
+           SELECT w1, w2, c12, c1, n_follow, n_precede,
+                  floor((greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+                      + 0.75 * CAST(n_follow AS DOUBLE) / CAST(c1 AS DOUBLE)
+                        * (CAST(n_precede AS DOUBLE) / CAST(n_types AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS p_kn
+           FROM top JOIN uni USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+           ORDER BY w1, w2""",
       "x_ar_forecast" -> {
         val fcast = (1 to 7).map { h =>
           val p1 = if (h == 1) "yn" else s"f${h - 1}"

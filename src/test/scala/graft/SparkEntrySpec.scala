@@ -139,4 +139,19 @@ class SparkEntrySpec extends AnyFunSuite {
       s"non-stationary fit phi1=$phi1 phi2=$phi2")
     assert(rows.forall(r => !r.getAs[Double]("forecast").isNaN))
   }
+
+  test("x_kneser_ney: probabilities bounded, discount+continuation structure") {
+    val rows = SparkEntry.queries("x_kneser_ney")(spark, TestSpark.sfDir).collect()
+    assert(rows.length === 100)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_kn")
+      val c12 = r.getAs[Long]("c12").toDouble
+      val c1 = r.getAs[Long]("c1").toDouble
+      assert(p > 0.0 && p <= 1.0, s"p_kn out of range: $p")
+      // interpolation only ADDS continuation mass to the discounted ML term
+      assert(p >= (c12 - 0.75) / c1 - 1e-6)
+      // and never exceeds undiscounted ML plus the full λ backoff budget
+      assert(p <= c12 / c1 + 1e-6 || c12 < c1)
+    }
+  }
 }
