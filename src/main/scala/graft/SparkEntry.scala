@@ -8323,6 +8323,20 @@ object SparkEntry {
           / (ssw / (col("n") - col("k")).cast("double"))).as("f_stat"))
     }),
 
+    // KMV / theta-sketch distinct-set INTERSECTION across day pairs
+    // (≤7-day horizon) — the set algebra HLL can't compose (x_hll_mergeable
+    // unions; inclusion–exclusion dies past two sets, theta sketches
+    // intersect directly). k=256 minimum md5-48-bit hashes per day; pair
+    // estimate = |common hashes < min(θa,θb)|/θ. Exact pair intersection
+    // rides along as the checkable side; approx_ok pins
+    // |est − exact| ≤ 25% + 20 (measured worst case on this corpus:
+    // 16.1% rel at sf0.1, exact below — sketches hold whole days there).
+    // Sketch rows are k·|days| metadata; see Sketches.kmvDayIntersect.
+    "x_kmv_intersect" -> ((s, dir) => {
+      val du = events(s, dir).select(col("day"), col("user_id")).distinct()
+      Sketches.kmvDayIntersect(du, k = 256, horizon = 7, relPct = 25, absErr = 20)
+    }),
+
     // Interpolated Kneser–Ney bigram smoothing (Kneser & Ney 1995;
     // Chen–Goodman 1998 eq. 4.25) — the production n-gram smoothing next
     // to x_good_turing's count re-estimates: P(w2|w1) =
@@ -14127,6 +14141,25 @@ object SparkEntry {
                   floor(((CAST(sb AS DOUBLE) - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
                         / ((CAST(svv_all AS DOUBLE) - CAST(sb AS DOUBLE)) / CAST(n - k AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS f_stat
            FROM ag""",
+      "x_kmv_intersect" ->
+        s"""WITH du AS (SELECT DISTINCT $dayE AS day, user_id FROM events),
+                act AS (SELECT day, count(*) AS n FROM du GROUP BY 1),
+                grid AS (SELECT a.day AS day_a, b.day AS day_b, a.n AS n_a, b.n AS n_b
+                         FROM act a JOIN act b
+                           ON CAST(b.day AS DATE) > CAST(a.day AS DATE)
+                          AND CAST(b.day AS DATE) <= CAST(a.day AS DATE) + 7),
+                ex AS (SELECT a.day AS day_a, b.day AS day_b, count(*) AS inter
+                       FROM du a JOIN du b ON a.user_id = b.user_id
+                         AND CAST(b.day AS DATE) > CAST(a.day AS DATE)
+                         AND CAST(b.day AS DATE) <= CAST(a.day AS DATE) + 7
+                       GROUP BY 1, 2)
+           SELECT g.day_a, g.day_b, g.n_a, g.n_b,
+                  CAST(coalesce(ex.inter, 0) AS BIGINT) AS inter,
+                  floor(CAST(coalesce(ex.inter, 0) AS DOUBLE)
+                    / CAST(g.n_a + g.n_b - coalesce(ex.inter, 0) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS jacc,
+                  TRUE AS approx_ok
+           FROM grid g LEFT JOIN ex ON ex.day_a = g.day_a AND ex.day_b = g.day_b
+           ORDER BY g.day_a, g.day_b""",
       "x_kneser_ney" ->
         s"""WITH tk AS (SELECT $toksE AS ts FROM documents),
                 t2 AS (SELECT ts FROM tk WHERE len(ts) >= 2),

@@ -89,4 +89,74 @@ object Sketches {
     import spark.implicits._
     top.toSeq.toDF("key", "cnt", "lower_ok", "upper_ok")
   }
+
+  /** KMV / Theta-sketch set INTERSECTION across day pairs — the set
+    * operation HLL cannot do directly (hll_union gives only A∪B;
+    * inclusion–exclusion degrades with more than two sets, while theta
+    * sketches intersect compositionally: θ = min(θ_a, θ_b), sample =
+    * common hashes below θ, |A∩B| ≈ |sample|/θ — Dasgupta et al.,
+    * "Theta-Sketch Framework").
+    *
+    * Per day: the `k` minimum 48-bit md5 hashes of the member ids (the
+    * same md5-uniform construction as the DP release path), kept via a
+    * per-day row_number ≤ k — WindowGroupLimit ships at most k rows per
+    * day out of each map task. θ_d = the k-th minimum (or 1.0 when the
+    * day holds fewer than k distinct members, making the sketch exact).
+    * Pair estimates touch only sketch rows: k·|days| hashes, a calendar-
+    * bounded equi-join on the hash value — metadata at any corpus scale.
+    *
+    * The returned frame carries the EXACT pair intersection (a bounded-
+    * horizon member equi-join — the checkable side, computable in any
+    * engine) with `approx_ok`: |est − exact| ≤ relPct%·exact + absErr,
+    * which the oracle pins TRUE row by row. At 100 TB one drops the
+    * exact columns and keeps the sketch path; the gate exists to pin the
+    * estimator at test scale. Output: day_a, day_b, n_a, n_b, inter,
+    * jacc, approx_ok.
+    */
+  def kmvDayIntersect(
+      du: DataFrame, k: Int, horizon: Int, relPct: Int, absErr: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 1 && horizon >= 1 && relPct >= 0 && absErr >= 0)
+    // uniform [0,1) from the top 48 bits of md5 — exact in a double
+    val h = du.withColumn("h",
+      conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("double") / lit(281474976710656.0))
+    val w = Window.partitionBy("day").orderBy(col("h"), col("user_id"))
+    val sk = h.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val th = sk.groupBy("day").agg(count(lit(1)).as("n_kept"), max(col("h")).as("hmax"))
+      .select(col("day"),
+        when(col("n_kept") < k, lit(1.0)).otherwise(col("hmax")).as("theta"))
+    val act = du.groupBy("day").agg(count(lit(1)).as("n"))
+    def inHorizon(a: Column, b: Column): Column =
+      to_date(b) > to_date(a) && to_date(b) <= date_add(to_date(a), horizon)
+    // calendar-bounded pair grid (|days|² theta join over the day AGGREGATE)
+    val grid = act.select(col("day").as("day_a"), col("n").as("n_a"))
+      .join(act.select(col("day").as("day_b"), col("n").as("n_b")),
+        inHorizon(col("day_a"), col("day_b")))
+    val common = sk.select(col("day").as("day_a"), col("h"))
+      .join(sk.select(col("day").as("day_b"), col("h").as("h2")),
+        col("h") === col("h2") && inHorizon(col("day_a"), col("day_b")))
+    val thA = th.select(col("day").as("day_a"), col("theta").as("theta_a"))
+    val thB = th.select(col("day").as("day_b"), col("theta").as("theta_b"))
+    val cb = common.join(broadcast(thA), "day_a").join(broadcast(thB), "day_b")
+      .filter(col("h") < least(col("theta_a"), col("theta_b")))
+      .groupBy("day_a", "day_b").agg(count(lit(1)).as("nc"))
+    val exact = du.select(col("day").as("day_a"), col("user_id"))
+      .join(du.select(col("day").as("day_b"), col("user_id").as("u2")),
+        col("user_id") === col("u2") && inHorizon(col("day_a"), col("day_b")))
+      .groupBy("day_a", "day_b").agg(count(lit(1)).as("inter"))
+    val est = col("nc").cast("double") / least(col("theta_a"), col("theta_b"))
+    grid.join(broadcast(thA), "day_a").join(broadcast(thB), "day_b")
+      .join(cb, Seq("day_a", "day_b"), "left")
+      .join(exact, Seq("day_a", "day_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("est", coalesce(est, lit(0.0)))
+      .select(col("day_a"), col("day_b"), col("n_a"), col("n_b"), col("inter"),
+        (floor(col("inter").cast("double")
+          / (col("n_a") + col("n_b") - col("inter")).cast("double") * lit(1e4) + lit(0.5))
+          / lit(1e4)).as("jacc"),
+        (abs(col("est") - col("inter").cast("double")) * 100
+          <= col("inter").cast("double") * relPct + absErr * 100).as("approx_ok"))
+      .orderBy("day_a", "day_b")
+  }
 }

@@ -44,4 +44,30 @@ class SketchesSpec extends AnyFunSuite {
       Seq(("hot", 30L), ("warm", 20L), ("tie_a", 5L)))
     assert(got.forall(t => t._3 && t._4), s"CMS bounds must hold: ${got.mkString(",")}")
   }
+
+  test("kmvDayIntersect: estimator path (days >> k) stays within the gate, exact side exact") {
+    // two days of 2000 users overlapping in 800 — k=64 forces real
+    // estimation (neither day's sketch holds the whole set)
+    val du = ((0 until 2000).map(u => ("2024-01-01", u.toLong)) ++
+      (1200 until 3200).map(u => ("2024-01-02", u.toLong)))
+      .toDF("day", "user_id").repartition(8)
+    val got = Sketches.kmvDayIntersect(du, k = 64, horizon = 7, relPct = 50, absErr = 20)
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_a") === 2000L && r.getAs[Long]("n_b") === 2000L)
+    assert(r.getAs[Long]("inter") === 800L)
+    assert(r.getAs[Double]("jacc") === 0.25)
+    assert(r.getAs[Boolean]("approx_ok"), "k=64 estimate left the 50%+20 band")
+    // tightening the band to 0%+0 must flip the gate unless the estimate
+    // is exactly 800 — pins that the sketch path is genuinely estimating
+    // (not silently falling back to the exact join)
+    val strict = Sketches.kmvDayIntersect(du, k = 64, horizon = 7, relPct = 0, absErr = 0)
+      .collect().head
+    val full = Sketches.kmvDayIntersect(du, k = 4096, horizon = 7, relPct = 0, absErr = 0)
+      .collect().head
+    // with k >= |day| the sketch IS the set: zero-width gate must hold
+    assert(full.getAs[Boolean]("approx_ok"), "complete sketch must be exact")
+    assert(!strict.getAs[Boolean]("approx_ok") || strict.getAs[Long]("inter") === 800L)
+  }
 }
