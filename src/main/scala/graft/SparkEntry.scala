@@ -8323,6 +8323,20 @@ object SparkEntry {
           / (ssw / (col("n") - col("k")).cast("double"))).as("f_stat"))
     }),
 
+    // Functional-graph cycle census over the deterministic successor
+    // map v → (3v+7) mod N on documents — the pointer-doubling scale
+    // pattern (ID remap chains, redirect graphs): ⌈log₂ N⌉ self-joins
+    // instead of N sequential hops; see LinkRank.functionalCycles. The
+    // oracle replays 16 doubling stages (idempotent past stabilization,
+    // so the fixed unroll matches the data-sized Spark loop exactly).
+    "x_func_cycles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val succ0 = docs.crossJoin(broadcast(nRow))
+        .select(col("doc_id").as("v"), ((col("doc_id") * 3 + 7) % col("n")).as("p"))
+      LinkRank.functionalCycles(succ0)
+    }),
+
     // KMV / theta-sketch distinct-set INTERSECTION across day pairs
     // (≤7-day horizon) — the set algebra HLL can't compose (x_hll_mergeable
     // unions; inclusion–exclusion dies past two sets, theta sketches
@@ -14141,6 +14155,24 @@ object SparkEntry {
                   floor(((CAST(sb AS DOUBLE) - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
                         / ((CAST(svv_all AS DOUBLE) - CAST(sb AS DOUBLE)) / CAST(n - k AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS f_stat
            FROM ag""",
+      "x_func_cycles" -> {
+        val dbl = (1 to 16).map { k =>
+          s"""fc$k AS MATERIALIZED (SELECT a.v, b.p AS p, least(a.mn, b.mn) AS mn
+                FROM fc${k - 1} a JOIN fc${k - 1} b ON a.p = b.v)"""
+        }.mkString(",\n")
+        s"""WITH d AS (SELECT doc_id AS v FROM documents),
+                nn AS (SELECT count(*) AS n FROM d),
+                fc0 AS MATERIALIZED (SELECT v, (v * 3 + 7) % n AS p, v AS mn
+                                     FROM d CROSS JOIN nn),
+                $dbl,
+                cyc AS MATERIALIZED (
+                  SELECT a.v, b.mn AS cycle_id, a.v IN (SELECT p FROM fc16) AS on_cycle
+                  FROM fc16 a JOIN fc16 b ON a.p = b.v),
+                lens AS (SELECT cycle_id, count(*) AS cycle_len FROM cyc WHERE on_cycle GROUP BY 1),
+                basin AS (SELECT cycle_id, count(*) AS n_basin FROM cyc GROUP BY 1)
+           SELECT cycle_id, lens.cycle_len, basin.n_basin
+           FROM lens JOIN basin USING (cycle_id) ORDER BY cycle_id"""
+      },
       "x_kmv_intersect" ->
         s"""WITH du AS (SELECT DISTINCT $dayE AS day, user_id FROM events),
                 act AS (SELECT day, count(*) AS n FROM du GROUP BY 1),

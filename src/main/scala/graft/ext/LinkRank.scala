@@ -344,4 +344,37 @@ object LinkRank {
     }
     visited
   }
+
+  /** Cycle analysis of a FUNCTIONAL graph (out-degree exactly 1 — ID
+    * remapping chains, symlink/redirect graphs, successor hashing) by
+    * POINTER DOUBLING: ⌈log₂ N⌉ rounds of p ← p∘p with a running
+    * path-minimum, instead of N sequential hops. Round k holds, per
+    * vertex, f^(2^k)(v) and min{f^i(v) : i < 2^k}; once 2^k ≥ N the
+    * pointer sits on v's terminal cycle and the minimum is stable, so
+    * cycle_id(v) = pathmin(p(v)) is the cycle's least vertex, and the
+    * cyclic vertices are exactly the image of f^(2^k). Each round is ONE
+    * self-equi-join of N rows (O(N log N) total traffic — the
+    * list-ranking bound); lineage cut per round like pageRank. Input
+    * `succ0`: one row (v, p) per vertex with p = f(v). Output: one row
+    * per cycle — cycle_id, cycle_len, n_basin (vertices draining in).
+    */
+  def functionalCycles(succ0: DataFrame): DataFrame = {
+    val n = succ0.count() // bounded scalar (vertex count — the pageRank pattern)
+    val rounds = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+    var cur = succ0.select(col("v"), col("p"), col("v").as("mn")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val b = cur.select(col("v").as("bv"), col("p").as("bp"), col("mn").as("bmn"))
+      cur = cur.join(b, cur("p") === col("bv"))
+        .select(cur("v").as("v"), col("bp").as("p"), least(cur("mn"), col("bmn")).as("mn"))
+        .localCheckpoint(true)
+    }
+    val b2 = cur.select(col("v").as("bv"), col("mn").as("bmn"))
+    val cyc = cur.join(b2, cur("p") === col("bv"))
+      .select(cur("v").as("v"), col("bmn").as("cycle_id"))
+    val cyclic = cur.select(col("p").as("cv")).distinct()
+    val lens = cyc.join(cyclic, cyc("v") === col("cv"), "left_semi")
+      .groupBy("cycle_id").agg(count(lit(1)).as("cycle_len"))
+    val basin = cyc.groupBy("cycle_id").agg(count(lit(1)).as("n_basin"))
+    lens.join(basin, "cycle_id").orderBy("cycle_id")
+  }
 }

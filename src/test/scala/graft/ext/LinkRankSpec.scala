@@ -123,4 +123,25 @@ class LinkRankSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("functionalCycles: rho-shaped graph — two cycles with tails, exact census") {
+    // cycle {0,1,2} fed by 5; cycle {3,4} fed by 6; 7 → 6 → 4 (depth-2 tail)
+    val succ = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 5L -> 0L,
+      3L -> 4L, 4L -> 3L, 6L -> 4L, 7L -> 6L).toDF("v", "p")
+    val got = LinkRank.functionalCycles(succ)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === Set((0L, 3L, 4L), (3L, 2L, 4L)))
+  }
+
+  test("functionalCycles: basins partition the vertex set on the corpus successor map") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 500L
+    val succ = (0L until n).map(v => (v, (v * 3 + 7) % n)).toDF("v", "p")
+    val rows = LinkRank.functionalCycles(succ).collect()
+    assert(rows.map(_.getLong(2)).sum === n, "basins must partition all vertices")
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= r.getLong(2)))
+    // cycle ids are the least member of each cycle, hence distinct
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+  }
 }
