@@ -8323,6 +8323,57 @@ object SparkEntry {
           / (ssw / (col("n") - col("k")).cast("double"))).as("f_stat"))
     }),
 
+    // Fellegi–Sunter probabilistic record linkage (the 1969 decision
+    // model behind Splink/dedupe): customers vs a deterministically
+    // dirtied copy (every 3rd name case-flipped, every 7th segment
+    // corrupted, balance jittered by key%5), BLOCKED on nation — per-
+    // block all-pairs like production linkage, never corpus all-pairs.
+    // u-probabilities are EXACT random-agreement rates Σf²/n² from the
+    // dirty side's field histograms; m fixed priors (.95/.9/.8); field
+    // weights log2(m/u) / log2((1−m)/(1−u)) floor-6; predict match at
+    // score > 0 (the likelihood-ratio-positive rule). Output: pair
+    // volume + confusion vs the planted key identity.
+    "x_record_linkage" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val bal = col("c_acctbal").cast("double")
+      val a = c.select(col("c_custkey").as("akey"), col("c_nationkey").as("blk"),
+        col("c_name").as("aname"), col("c_mktsegment").as("aseg"),
+        floor(bal / 100).as("abal"))
+      val b = c.select((col("c_custkey") + 1000000).as("bkey"), col("c_nationkey").as("blk"),
+        when(col("c_custkey") % 3 === 0, upper(col("c_name"))).otherwise(col("c_name")).as("bname"),
+        when(col("c_custkey") % 7 === 0, lit("UNKNOWN")).otherwise(col("c_mktsegment")).as("bseg"),
+        floor((bal + (col("c_custkey") % 5).cast("double")) / 100).as("bbal"))
+      def uOf(df: DataFrame, cn: String, out: String): DataFrame =
+        df.groupBy(cn).agg(count(lit(1)).as("f"))
+          .agg(sum(col("f") * col("f")).as("sq"), sum(col("f")).as("n"))
+          .select((col("sq").cast("double")
+            / (col("n").cast("double") * col("n").cast("double"))).as(out))
+      val us = uOf(b, "bname", "u_name").crossJoin(uOf(b, "bseg", "u_seg"))
+        .crossJoin(uOf(b, "bbal", "u_bal"))
+      def f6(x: Column) = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+      def w(agree: Column, m: Double, u: Column): Column =
+        f6(when(agree, log2(lit(m) / u)).otherwise(log2((lit(1.0) - lit(m)) / (lit(1.0) - u))))
+      val pairs = a.join(b, "blk").crossJoin(broadcast(us))
+        .withColumn("score",
+          w(col("aname") === col("bname"), 0.95, col("u_name"))
+            + w(col("aseg") === col("bseg"), 0.9, col("u_seg"))
+            + w(col("abal") === col("bbal"), 0.8, col("u_bal")))
+        .withColumn("pred", (col("score") > lit(0.0)).cast("long"))
+        .withColumn("truth", (col("bkey") - 1000000 === col("akey")).cast("long"))
+      def f4(x: Column) = floor(x * lit(1e4) + lit(0.5)) / lit(1e4)
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("pred")).as("n_pred"),
+        sum(col("truth")).as("n_true"),
+        sum(col("pred") * col("truth")).as("tp"))
+        .crossJoin(broadcast(us))
+        .select(col("n_pairs"), col("n_pred"), col("n_true"), col("tp"),
+          f4(col("tp").cast("double") / col("n_pred").cast("double")).as("precision"),
+          f4(col("tp").cast("double") / col("n_true").cast("double")).as("recall"),
+          f6(col("u_name")).as("u_name"), f6(col("u_seg")).as("u_seg"),
+          f6(col("u_bal")).as("u_bal"))
+    }),
+
     // Functional-graph cycle census over the deterministic successor
     // map v → (3v+7) mod N on documents — the pointer-doubling scale
     // pattern (ID remap chains, redirect graphs): ⌈log₂ N⌉ self-joins
@@ -14155,6 +14206,46 @@ object SparkEntry {
                   floor(((CAST(sb AS DOUBLE) - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
                         / ((CAST(svv_all AS DOUBLE) - CAST(sb AS DOUBLE)) / CAST(n - k AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS f_stat
            FROM ag""",
+      // record linkage: the (1−m)/(1−u) subtractions go through explicit
+      // DOUBLE casts — DuckDB's bare 1.0 − 0.95 is exact DECIMAL
+      // arithmetic and lands on a DIFFERENT double than the runtime
+      // IEEE subtraction Spark performs (the pagerank 1−d lesson)
+      "x_record_linkage" -> {
+        def w(agree: String, m: String, u: String) =
+          s"""floor(CASE WHEN $agree THEN log2(CAST($m AS DOUBLE) / $u)
+                ELSE log2((CAST(1.0 AS DOUBLE) - CAST($m AS DOUBLE)) / (CAST(1.0 AS DOUBLE) - $u)) END
+                * 1e6 + 0.5) / 1e6"""
+        s"""WITH a AS (SELECT c_custkey AS akey, c_nationkey AS blk, c_name AS aname,
+                         c_mktsegment AS aseg,
+                         CAST(floor(CAST(c_acctbal AS DOUBLE) / 100) AS BIGINT) AS abal
+                       FROM customer),
+                b AS (SELECT c_custkey + 1000000 AS bkey, c_nationkey AS blk,
+                        CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS bname,
+                        CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS bseg,
+                        CAST(floor((CAST(c_acctbal AS DOUBLE) + CAST(c_custkey % 5 AS DOUBLE)) / 100) AS BIGINT) AS bbal
+                      FROM customer),
+                un AS (SELECT CAST(sum(f * f) AS DOUBLE) / (CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE)) AS u_name
+                       FROM (SELECT count(*) AS f FROM b GROUP BY bname)),
+                us AS (SELECT CAST(sum(f * f) AS DOUBLE) / (CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE)) AS u_seg
+                       FROM (SELECT count(*) AS f FROM b GROUP BY bseg)),
+                ub AS (SELECT CAST(sum(f * f) AS DOUBLE) / (CAST(sum(f) AS DOUBLE) * CAST(sum(f) AS DOUBLE)) AS u_bal
+                       FROM (SELECT count(*) AS f FROM b GROUP BY bbal)),
+                p AS (SELECT CASE WHEN ${w("aname = bname", "0.95", "u_name")}
+                               + ${w("aseg = bseg", "0.9", "u_seg")}
+                               + ${w("abal = bbal", "0.8", "u_bal")} > 0.0 THEN 1 ELSE 0 END AS pred,
+                             CASE WHEN bkey - 1000000 = akey THEN 1 ELSE 0 END AS truth
+                      FROM a JOIN b USING (blk) CROSS JOIN un CROSS JOIN us CROSS JOIN ub),
+                ag AS (SELECT count(*) AS n_pairs, CAST(sum(pred) AS BIGINT) AS n_pred,
+                         CAST(sum(truth) AS BIGINT) AS n_true, CAST(sum(pred * truth) AS BIGINT) AS tp
+                       FROM p)
+           SELECT n_pairs, n_pred, n_true, tp,
+                  floor(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) * 1e4 + 0.5) / 1e4 AS precision,
+                  floor(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) * 1e4 + 0.5) / 1e4 AS recall,
+                  floor(u_name * 1e6 + 0.5) / 1e6 AS u_name,
+                  floor(u_seg * 1e6 + 0.5) / 1e6 AS u_seg,
+                  floor(u_bal * 1e6 + 0.5) / 1e6 AS u_bal
+           FROM ag CROSS JOIN un CROSS JOIN us CROSS JOIN ub"""
+      },
       "x_func_cycles" -> {
         val dbl = (1 to 16).map { k =>
           s"""fc$k AS MATERIALIZED (SELECT a.v, b.p AS p, least(a.mn, b.mn) AS mn

@@ -154,4 +154,18 @@ class SparkEntrySpec extends AnyFunSuite {
       assert(p <= c12 / c1 + 1e-6 || c12 < c1)
     }
   }
+
+  test("x_record_linkage: confusion cells consistent, every true pair blocked together") {
+    val r = SparkEntry.queries("x_record_linkage")(spark, TestSpark.sfDir).collect().head
+    val nCust = sources.Tables.load(spark, TestSpark.sfDir, "customer").count()
+    // blocking on nation never separates a record from its dirty twin
+    assert(r.getAs[Long]("n_true") === nCust)
+    val tp = r.getAs[Long]("tp")
+    assert(tp <= r.getAs[Long]("n_pred") && tp <= r.getAs[Long]("n_true"))
+    assert(r.getAs[Double]("precision") > 0.5 && r.getAs[Double]("recall") > 0.5,
+      "FS weights should separate planted matches on this corpus")
+    // u's are proper random-agreement probabilities
+    Seq("u_name", "u_seg", "u_bal").foreach { u =>
+      assert(r.getAs[Double](u) > 0.0 && r.getAs[Double](u) < 1.0) }
+  }
 }
