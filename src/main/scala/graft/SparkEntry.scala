@@ -8323,6 +8323,77 @@ object SparkEntry {
           / (ssw / (col("n") - col("k")).cast("double"))).as("f_stat"))
     }),
 
+    // Depth-2 CART decision tree (exact greedy Gini splits) on the
+    // per-user (activity, active-days) joint HISTOGRAM for the
+    // purchase-share label — the interpretable-model sibling of
+    // x_logit_newton/x_naive_bayes. Candidate thresholds are the node's
+    // own distinct feature values, evaluated on grid×grid crossJoins
+    // (value grids bounded by max activity / the calendar — never
+    // corpus rows); splits chosen by floor-9 Gini with (gini, feat,
+    // thr) total-order tie-breaks; a gini=2.0 sentinel keeps
+    // unsplittable nodes relational (no driver branching). Output: the
+    // 3 internal splits + up to 4 leaves with majority votes.
+    "x_decision_tree" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("x1"),
+        countDistinct(col("day")).as("x2"),
+        (sum((col("event_type") === "purchase").cast("long")) * 5 >= count(lit(1)))
+          .cast("long").as("y"))
+      val h = per.groupBy("x1", "x2", "y").agg(count(lit(1)).as("f")).localCheckpoint()
+      def xf(feat: Int) = if (feat == 1) col("x1") else col("x2")
+      def bestSplit(hm: DataFrame): DataFrame = {
+        val evals = Seq(1, 2).map { feat =>
+          val ts = hm.select(xf(feat).as("thr")).distinct()
+          hm.crossJoin(ts)
+            .groupBy("thr").agg(
+              sum(when(xf(feat) < col("thr"), col("f")).otherwise(lit(0L))).as("nl"),
+              sum(when(xf(feat) < col("thr"), col("f") * col("y")).otherwise(lit(0L))).as("pl"),
+              sum(when(xf(feat) >= col("thr"), col("f")).otherwise(lit(0L))).as("nr"),
+              sum(when(xf(feat) >= col("thr"), col("f") * col("y")).otherwise(lit(0L))).as("pr"))
+            .filter(col("nl") > 0 && col("nr") > 0)
+            .select(lit(feat).as("feat"), col("thr"), col("nl"), col("pl"), col("nr"), col("pr"))
+        }
+        def g(nn: Column, p: Column): Column = {
+          val nd = nn.cast("double"); val pd = p.cast("double"); val qd = (nn - p).cast("double")
+          nd - (pd * pd + qd * qd) / nd
+        }
+        val scored = evals.reduce(_ unionAll _)
+          .select(col("feat"), col("thr"),
+            (floor((g(col("nl"), col("pl")) + g(col("nr"), col("pr")))
+              / (col("nl") + col("nr")).cast("double") * lit(1e9) + lit(0.5)) / lit(1e9)).as("gini"))
+        val sentinel = s.range(1).select(lit(0).as("feat"), lit(0L).as("thr"), lit(2.0).as("gini"))
+        scored.unionAll(sentinel).orderBy(col("gini"), col("feat"), col("thr")).limit(1)
+      }
+      def isLeft(fc: Column, tc: Column): Column =
+        when(fc === 1, col("x1") < tc).otherwise(col("x2") < tc)
+      val s1 = bestSplit(h).select(col("feat").as("feat0"), col("thr").as("thr0"), col("gini").as("gini0"))
+      val hx = h.crossJoin(broadcast(s1))
+      val hL = hx.filter(isLeft(col("feat0"), col("thr0"))).select("x1", "x2", "y", "f").localCheckpoint()
+      val hR = hx.filter(!isLeft(col("feat0"), col("thr0"))).select("x1", "x2", "y", "f").localCheckpoint()
+      val s2 = bestSplit(hL).select(col("feat").as("featl"), col("thr").as("thrl"), col("gini").as("ginil"))
+      val s3 = bestSplit(hR).select(col("feat").as("featr"), col("thr").as("thrr"), col("gini").as("ginir"))
+      val lv = h.crossJoin(broadcast(s1)).crossJoin(broadcast(s2)).crossJoin(broadcast(s3))
+        .withColumn("node",
+          when(isLeft(col("feat0"), col("thr0")),
+            when(isLeft(col("featl"), col("thrl")), lit("LL")).otherwise(lit("LR")))
+            .otherwise(
+              when(isLeft(col("featr"), col("thrr")), lit("RL")).otherwise(lit("RR"))))
+        .groupBy("node").agg(sum(col("f")).as("n"), sum(col("f") * col("y")).as("pos"))
+        .select(col("node"), lit(null).cast("int").as("feat"), lit(null).cast("long").as("thr"),
+          lit(null).cast("double").as("gini"), col("n"), col("pos"),
+          (col("pos") * 2 >= col("n")).cast("long").as("pred"))
+      def nodeStats(hm: DataFrame, name: String, sp: DataFrame, f: String, t: String, gc: String) =
+        hm.agg(sum(col("f")).as("n"), sum(col("f") * col("y")).as("pos"))
+          .crossJoin(broadcast(sp))
+          .select(lit(name).as("node"), col(f).as("feat"), col(t).as("thr"),
+            col(gc).as("gini"), col("n"), col("pos"), lit(null).cast("long").as("pred"))
+      nodeStats(h, "root", s1, "feat0", "thr0", "gini0")
+        .unionAll(nodeStats(hL, "L", s2, "featl", "thrl", "ginil"))
+        .unionAll(nodeStats(hR, "R", s3, "featr", "thrr", "ginir"))
+        .unionAll(lv)
+        .orderBy("node")
+    }),
+
     // Fellegi–Sunter probabilistic record linkage (the 1969 decision
     // model behind Splink/dedupe): customers vs a deterministically
     // dirtied copy (every 3rd name case-flipped, every 7th segment
@@ -14206,6 +14277,71 @@ object SparkEntry {
                   floor(((CAST(sb AS DOUBLE) - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
                         / ((CAST(svv_all AS DOUBLE) - CAST(sb AS DOUBLE)) / CAST(n - k AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS f_stat
            FROM ag""",
+      // decision tree: 3 unrolled greedy-split stages, each MATERIALIZED
+      // (doubly-referenced CTEs — the Bradley–Terry inlining lesson);
+      // the 2.0 sentinel mirrors the Spark no-split guard
+      "x_decision_tree" -> {
+        def split(hm: String, out: String) = {
+          def sideAgg(feat: Int, xcol: String) =
+            s"""SELECT $feat AS feat, t.thr,
+                   CAST(sum(CASE WHEN h.$xcol < t.thr THEN f ELSE 0 END) AS BIGINT) AS nl,
+                   CAST(sum(CASE WHEN h.$xcol < t.thr THEN f * y ELSE 0 END) AS BIGINT) AS pl,
+                   CAST(sum(CASE WHEN h.$xcol >= t.thr THEN f ELSE 0 END) AS BIGINT) AS nr,
+                   CAST(sum(CASE WHEN h.$xcol >= t.thr THEN f * y ELSE 0 END) AS BIGINT) AS pr
+                 FROM $hm h CROSS JOIN (SELECT DISTINCT $xcol AS thr FROM $hm) t
+                 GROUP BY t.thr"""
+          s"""$out AS MATERIALIZED (
+                SELECT feat, thr, gini FROM (
+                  SELECT CAST(feat AS INTEGER) AS feat, thr,
+                         floor(((CAST(nl AS DOUBLE) - (CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+                                  + CAST(nl - pl AS DOUBLE) * CAST(nl - pl AS DOUBLE)) / CAST(nl AS DOUBLE))
+                              + (CAST(nr AS DOUBLE) - (CAST(pr AS DOUBLE) * CAST(pr AS DOUBLE)
+                                  + CAST(nr - pr AS DOUBLE) * CAST(nr - pr AS DOUBLE)) / CAST(nr AS DOUBLE)))
+                             / CAST(nl + nr AS DOUBLE) * 1e9 + 0.5) / 1e9 AS gini
+                  FROM (${sideAgg(1, "x1")} UNION ALL ${sideAgg(2, "x2")})
+                  WHERE nl > 0 AND nr > 0
+                  UNION ALL SELECT CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(2.0 AS DOUBLE))
+                ORDER BY gini, feat, thr LIMIT 1)"""
+        }
+        def left(sp: String) =
+          s"CASE WHEN $sp.feat = 1 THEN h.x1 < $sp.thr ELSE h.x2 < $sp.thr END"
+        s"""WITH per AS (SELECT user_id, count(*) AS x1, count(DISTINCT $dayE) AS x2,
+                           CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5 >= count(*)
+                                THEN 1 ELSE 0 END AS y
+                         FROM events GROUP BY 1),
+                hist AS MATERIALIZED (SELECT x1, x2, y, count(*) AS f FROM per GROUP BY 1, 2, 3),
+                ${split("hist", "s1")},
+                hl AS MATERIALIZED (SELECT h.x1, h.x2, h.y, h.f FROM hist h CROSS JOIN s1
+                                    WHERE ${left("s1")}),
+                hr AS MATERIALIZED (SELECT h.x1, h.x2, h.y, h.f FROM hist h CROSS JOIN s1
+                                    WHERE NOT (${left("s1")})),
+                ${split("hl", "s2")},
+                ${split("hr", "s3")},
+                lv AS (SELECT CASE WHEN ${left("s1")}
+                                THEN (CASE WHEN ${left("s2")} THEN 'LL' ELSE 'LR' END)
+                                ELSE (CASE WHEN ${left("s3")} THEN 'RL' ELSE 'RR' END) END AS node,
+                              f, y
+                       FROM hist h CROSS JOIN s1 CROSS JOIN s2 CROSS JOIN s3),
+                lva AS (SELECT node, CAST(sum(f) AS BIGINT) AS n,
+                          CAST(sum(f * y) AS BIGINT) AS pos FROM lv GROUP BY 1)
+           SELECT node, feat, thr, gini, n, pos, pred FROM (
+             SELECT 'root' AS node, feat, thr, gini,
+                    (SELECT CAST(sum(f) AS BIGINT) FROM hist) AS n,
+                    (SELECT CAST(sum(f * y) AS BIGINT) FROM hist) AS pos,
+                    CAST(NULL AS BIGINT) AS pred FROM s1
+             UNION ALL
+             SELECT 'L', feat, thr, gini,
+                    (SELECT CAST(sum(f) AS BIGINT) FROM hl),
+                    (SELECT CAST(sum(f * y) AS BIGINT) FROM hl), NULL FROM s2
+             UNION ALL
+             SELECT 'R', feat, thr, gini,
+                    (SELECT CAST(sum(f) AS BIGINT) FROM hr),
+                    (SELECT CAST(sum(f * y) AS BIGINT) FROM hr), NULL FROM s3
+             UNION ALL
+             SELECT node, CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                    n, pos, CAST(CASE WHEN pos * 2 >= n THEN 1 ELSE 0 END AS BIGINT) FROM lva)
+           ORDER BY node"""
+      },
       // record linkage: the (1−m)/(1−u) subtractions go through explicit
       // DOUBLE casts — DuckDB's bare 1.0 − 0.95 is exact DECIMAL
       // arithmetic and lands on a DIFFERENT double than the runtime

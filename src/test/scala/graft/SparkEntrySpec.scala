@@ -168,4 +168,21 @@ class SparkEntrySpec extends AnyFunSuite {
     Seq("u_name", "u_seg", "u_bal").foreach { u =>
       assert(r.getAs[Double](u) > 0.0 && r.getAs[Double](u) < 1.0) }
   }
+
+  test("x_decision_tree: node masses nest, leaves beat the majority baseline") {
+    val m = SparkEntry.queries("x_decision_tree")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getAs[String]("node") -> r).toMap
+    def n(k: String) = m.get(k).map(_.getAs[Long]("n")).getOrElse(0L)
+    def pos(k: String) = m.get(k).map(_.getAs[Long]("pos")).getOrElse(0L)
+    assert(n("L") + n("R") === n("root"))
+    assert(n("LL") + n("LR") === n("L"))
+    assert(n("RL") + n("RR") === n("R"))
+    assert(pos("LL") + pos("LR") + pos("RL") + pos("RR") === pos("root"))
+    // greedy splits never lose training accuracy vs predicting the
+    // root majority everywhere
+    val leafCorrect = Seq("LL", "LR", "RL", "RR")
+      .map(k => math.max(pos(k), n(k) - pos(k))).sum
+    assert(leafCorrect >= math.max(pos("root"), n("root") - pos("root")))
+    m.values.foreach(r => assert(r.getAs[Long]("pos") <= r.getAs[Long]("n")))
+  }
 }
