@@ -8581,6 +8581,233 @@ object SparkEntry {
         .select(col("n_cells"),
           f6(lit(2.0) * col("t").cast("double")).as("g_stat"),
           ((col("r") - 1) * (col("c") - 1)).as("dof"))
+    }),
+
+    // Two-sample log-rank test (Mantel–Cox) on time-to-first-purchase,
+    // even- vs odd-user_id arms — the inferential sibling of
+    // x_survival_curve (which only draws the curve): is the purchase-
+    // hazard the same in both arms? Non-purchasers are right-censored at
+    // the global last observed day. Per-user lifetimes reduce to a
+    // (t, arm) HISTOGRAM (t is calendar-bounded); at-risk counts come
+    // from suffix sums over that grid via the x_survival_curve
+    // bounded-theta-join pattern — never a per-user sort. O/E/V terms
+    // are floor-9 per event time, decimal-summed; one corpus pass.
+    "x_logrank" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id").agg(
+        to_date(min(col("day"))).as("d0"),
+        to_date(min(when(col("event_type") === "purchase", col("day")))).as("dp"))
+      val end = events(s, dir).agg(to_date(max(col("day"))).as("dend"))
+      val lt = per.crossJoin(broadcast(end)).select(
+        when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+          .otherwise(datediff(col("dend"), col("d0"))).cast("long").as("t"),
+        col("dp").isNotNull.cast("long").as("e"),
+        pmod(col("user_id"), lit(2)).as("g"))
+      val h = lt.groupBy("t", "g")
+        .agg(count(lit(1)).as("c"), sum(col("e")).as("d")).localCheckpoint()
+      val grid = h.groupBy("t").agg(sum(col("d")).as("dt"))
+        .filter(col("dt") > 0).select(col("t").as("tt"))
+      val byArm = grid.join(h, col("t") >= col("tt"))
+        .groupBy("tt", "g").agg(
+          sum(col("c")).as("n_g"),
+          sum(when(col("t") === col("tt"), col("d")).otherwise(lit(0L))).as("d_g"))
+      val byT = byArm.groupBy("tt").agg(
+        sum(col("n_g")).as("n"),
+        sum(when(col("g") === 1, col("n_g")).otherwise(lit(0L))).as("n1"),
+        sum(col("d_g")).as("d"),
+        sum(when(col("g") === 1, col("d_g")).otherwise(lit(0L))).as("d1"))
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def f9d(c: Column) =
+        (floor(c * lit(1e9) + lit(0.5)) / lit(1e9)).cast("decimal(28,9)")
+      val nD = col("n").cast("double"); val n1D = col("n1").cast("double")
+      val dD = col("d").cast("double")
+      val e1 = dD * n1D / nD
+      val v = when(col("n") > 1,
+        dD * n1D * (nD - n1D) * (nD - dD) / (nD * nD * (nD - lit(1.0))))
+        .otherwise(lit(0.0))
+      val ag = byT.agg(
+        count(lit(1)).as("n_times"),
+        sum(col("d")).as("n_events"),
+        sum(col("d1")).as("o1"),
+        sum(f9d(e1)).as("e1"),
+        sum(f9d(v)).as("v"))
+      ag.select(col("n_times"), col("n_events"), col("o1"),
+        f6(col("e1").cast("double")).as("e1"),
+        f6(col("v").cast("double")).as("v"),
+        f6((col("o1").cast("double") - col("e1").cast("double"))
+          * (col("o1").cast("double") - col("e1").cast("double"))
+          / col("v").cast("double")).as("chi2"))
+    }),
+
+    // Directional association rules A→B over (user, day) event-type
+    // baskets — x_frequent_pairs stops at unordered SUPPORT; this adds
+    // the market-basket readout: confidence n(AB)/n(A) and lift
+    // n(AB)·N/(n(A)·n(B)), kept above a 5% integer-exact support gate
+    // (n_ab·20 ≥ N — no float threshold). The pair space is
+    // |event_types|² metadata; basket/item counts are the only corpus
+    // shuffles, and every derived ratio is a floor-6 double of exact
+    // longs (products ≤ 2^63 by the bounded type domain).
+    "x_assoc_rules" -> ((s, dir) => {
+      val b = events(s, dir)
+        .select(col("user_id"), col("day"), col("event_type")).distinct()
+      val nb = b.select("user_id", "day").distinct().agg(count(lit(1)).as("nb"))
+      val item = b.groupBy("event_type").agg(count(lit(1)).as("n_item"))
+      val pair = b.join(
+        b.select(col("user_id"), col("day"), col("event_type").as("consequent")),
+        Seq("user_id", "day"))
+        .filter(col("event_type") =!= col("consequent"))
+        .groupBy(col("event_type").as("antecedent"), col("consequent"))
+        .agg(count(lit(1)).as("n_ab"))
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      pair
+        .join(broadcast(item.select(col("event_type").as("antecedent"), col("n_item").as("n_a"))), "antecedent")
+        .join(broadcast(item.select(col("event_type").as("consequent"), col("n_item").as("n_c"))), "consequent")
+        .crossJoin(broadcast(nb))
+        .filter(col("n_ab") * 20 >= col("nb"))
+        .select(col("antecedent"), col("consequent"), col("n_ab"),
+          f6(col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+          f6((col("n_ab") * col("nb")).cast("double")
+            / (col("n_a") * col("n_c")).cast("double")).as("lift"))
+        .orderBy("antecedent", "consequent")
+    }),
+
+    // Depth-2 binary-segmentation changepoint detection on the daily
+    // global event-count series — the multi-changepoint sibling of
+    // x_changepoint's single CUSUM shift: greedily split where
+    // SSE(left)+SSE(right) is minimal, then recurse once per side.
+    // Segment costs come in O(1) from inclusive prefix sums over the
+    // CALENDAR day grid (the x_sprt bounded-window pattern), so every
+    // pick is an argmin over ≤|days| candidate rows — metadata at any
+    // corpus scale. Costs are doubles of exact longs (identical IEEE
+    // ops both engines), floor-6 only at output; (cost, index) ties
+    // break on the earlier index.
+    "x_binseg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = events(s, dir).groupBy("day").agg(count(lit(1)).as("c"))
+      val wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      val p = d.select(col("day"),
+          row_number().over(Window.orderBy("day")).as("i"),
+          sum(col("c")).over(wc).as("s1"),
+          sum(col("c") * col("c")).over(wc).as("s2")).localCheckpoint()
+      val tot = p.orderBy(col("i").desc).limit(1)
+        .select(col("i").as("n"), col("s1").as("t1"), col("s2").as("t2"))
+      def sse(s2b: Column, s2a: Column, s1b: Column, s1a: Column, len: Column): Column =
+        (s2b - s2a).cast("double") -
+          (s1b - s1a).cast("double") * (s1b - s1a).cast("double") / len.cast("double")
+      val z = lit(0L)
+      val cand1 = p.crossJoin(broadcast(tot)).filter(col("i") < col("n"))
+        .select(col("day"), col("i"), col("n"), col("t1"), col("t2"),
+          (sse(col("s2"), z, col("s1"), z, col("i"))
+            + sse(col("t2"), col("s2"), col("t1"), col("s1"), col("n") - col("i"))).as("cost"))
+      val pick1 = cand1.orderBy(col("cost"), col("i")).limit(1).localCheckpoint()
+      val at1 = p.select(col("i").as("i1"), col("s1").as("b1"), col("s2").as("b2"))
+        .crossJoin(broadcast(pick1.select(col("i").as("pi"))))
+        .filter(col("i1") === col("pi")).drop("pi")
+      val left = p.crossJoin(broadcast(at1)).filter(col("i") < col("i1"))
+        .select(lit("left").as("seg"), col("day"), col("i"),
+          (sse(col("s2"), z, col("s1"), z, col("i"))
+            + sse(col("b2"), col("s2"), col("b1"), col("s1"), col("i1") - col("i"))).as("cost"))
+        .orderBy(col("cost"), col("i")).limit(1)
+      val right = p.crossJoin(broadcast(at1)).crossJoin(broadcast(tot))
+        .filter(col("i") > col("i1") && col("i") < col("n"))
+        .select(lit("right").as("seg"), col("day"), col("i"),
+          (sse(col("s2"), col("b2"), col("s1"), col("b1"), col("i") - col("i1"))
+            + sse(col("t2"), col("s2"), col("t1"), col("s1"), col("n") - col("i"))).as("cost"))
+        .orderBy(col("cost"), col("i")).limit(1)
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      pick1.select(lit("root").as("seg"), col("day"), col("i"), col("cost"))
+        .unionAll(left).unionAll(right)
+        .select(col("seg"), col("day").as("split_day"),
+          col("i").cast("long").as("split_idx"),
+          f6(col("cost")).as("sse_after"))
+        .orderBy("seg")
+    }),
+
+    // Baron–Kenny mediation decomposition via exact two-regressor OLS
+    // normal equations: does raw activity (X = total events) drive
+    // purchasing (Y = purchase count) directly, or through engagement
+    // breadth (M = distinct active days)? a = slope of M~X; (b, c')
+    // are the partial slopes of Y~M+X from the 2×2 Cramer solve;
+    // indirect = a·b, and c_total = c' + a·b holds algebraically —
+    // the multi-regressor extension of x_linreg_inference. All
+    // centered moments are exact decimal(38,0) integers (the d38
+    // discipline) cast to double only for the final ratios; one
+    // user-keyed corpus pass, 1-row output.
+    "x_mediation" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("x"),
+        countDistinct(col("day")).as("m"),
+        sum((col("event_type") === "purchase").cast("long")).as("y"))
+      val mo = per.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("m")).as("sm"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("m") * col("m")).as("smm"),
+        sum(col("x") * col("m")).as("sxm"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("m") * col("y")).as("smy"))
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      def cen(spq: Column, sp: Column, sq: Column) =
+        (d38(col("n")) * d38(spq) - d38(sp) * d38(sq)).cast("double")
+      val cXX = cen(col("sxx"), col("sx"), col("sx"))
+      val cMM = cen(col("smm"), col("sm"), col("sm"))
+      val cXM = cen(col("sxm"), col("sx"), col("sm"))
+      val cXY = cen(col("sxy"), col("sx"), col("sy"))
+      val cMY = cen(col("smy"), col("sm"), col("sy"))
+      val a = cXM / cXX
+      val cTot = cXY / cXX
+      val det = cXX * cMM - cXM * cXM
+      val b = (cXX * cMY - cXM * cXY) / det
+      val cPrime = (cMM * cXY - cXM * cMY) / det
+      def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      mo.select(col("n"), f6(a).as("a"), f6(b).as("b"),
+        f6(cTot).as("c_total"), f6(cPrime).as("c_prime"),
+        f6(a * b).as("indirect"),
+        f6(a * b / cTot).as("prop_mediated"))
+    }),
+
+    // 2-state HMM Viterbi decode of each type's daily-volume regime
+    // (low/high vs the type's own mean, an integer-exact c·n > Σc
+    // gate). The trick that keeps Viterbi EXACT in both engines: with
+    // transitions (stay ¾, switch ¼) and emissions (match ¾, miss ¼),
+    // every path probability is (¼)^(2T−1)·3^k — so argmax path ≡
+    // argmax of the INTEGER count k of "good" factors, and the whole
+    // DP runs in int arithmetic (ties: prefer previous state 0). Path
+    // statistics (high-days, switches) ride the DP state, so no
+    // backtrace pass is needed. ONE linear fold per type over the
+    // collected day array (the x_holt_winters discipline) — the only
+    // corpus-scale work is the daily-count shuffle.
+    "x_hmm_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val tt = dc.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum(col("c")).as("tot"))
+      val obs = dc.join(broadcast(tt), "event_type")
+        .withColumn("idx", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")) - 1)
+        .select(col("event_type"), col("idx"),
+          when(col("c") * col("nd") > col("tot"), 1).otherwise(0).as("o"))
+      val arr = obs.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("idx"), col("o")))).as("a"))
+      val folded = arr.withColumn("st", expr(
+        """aggregate(
+             slice(a, 2, size(a) - 1),
+             named_struct(
+               'v0', CASE WHEN a[0].o = 0 THEN 1 ELSE 0 END,
+               'v1', CASE WHEN a[0].o = 1 THEN 1 ELSE 0 END,
+               'h0', 0, 'h1', 1, 'sw0', 0, 'sw1', 0),
+             (st, e) -> named_struct(
+               'v0', greatest(st.v0 + 1, st.v1) + (CASE WHEN e.o = 0 THEN 1 ELSE 0 END),
+               'v1', greatest(st.v0, st.v1 + 1) + (CASE WHEN e.o = 1 THEN 1 ELSE 0 END),
+               'h0', CASE WHEN st.v1 > st.v0 + 1 THEN st.h1 ELSE st.h0 END,
+               'h1', 1 + CASE WHEN st.v1 + 1 > st.v0 THEN st.h1 ELSE st.h0 END,
+               'sw0', CASE WHEN st.v1 > st.v0 + 1 THEN st.sw1 + 1 ELSE st.sw0 END,
+               'sw1', CASE WHEN st.v1 + 1 > st.v0 THEN st.sw1 ELSE st.sw0 + 1 END))"""))
+      folded.select(col("event_type"),
+          size(col("a")).cast("long").as("n_days"),
+          when(col("st.v1") > col("st.v0"), col("st.v1")).otherwise(col("st.v0"))
+            .cast("long").as("score"),
+          when(col("st.v1") > col("st.v0"), col("st.h1")).otherwise(col("st.h0"))
+            .cast("long").as("n_high"),
+          when(col("st.v1") > col("st.v0"), col("st.sw1")).otherwise(col("st.sw0"))
+            .cast("long").as("n_switches"))
+        .orderBy("event_type")
     })
   )
 
@@ -14484,7 +14711,159 @@ object SparkEntry {
            SELECT count(*) AS n_cells,
                   floor(2.0 * CAST(sum(term) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS g_stat,
                   (r - 1) * (c - 1) AS dof
-           FROM t GROUP BY r, c"""
+           FROM t GROUP BY r, c""",
+      "x_logrank" ->
+        s"""WITH per AS (SELECT user_id,
+                           min(CAST($dayE AS DATE)) AS d0,
+                           min(CASE WHEN event_type = 'purchase' THEN CAST($dayE AS DATE) END) AS dp
+                         FROM events GROUP BY 1),
+                eend AS (SELECT max(CAST($dayE AS DATE)) AS dend FROM events),
+                lt AS (SELECT CAST(CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dend - d0 END AS BIGINT) AS t,
+                         CAST(CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS e,
+                         user_id % 2 AS g
+                       FROM per CROSS JOIN eend),
+                h AS MATERIALIZED (
+                  SELECT t, g, count(*) AS c, CAST(sum(e) AS BIGINT) AS d FROM lt GROUP BY 1, 2),
+                grid AS (SELECT t AS tt FROM h GROUP BY t HAVING sum(d) > 0),
+                byarm AS (SELECT tt, g, CAST(sum(c) AS BIGINT) AS n_g,
+                            CAST(sum(CASE WHEN t = tt THEN d ELSE 0 END) AS BIGINT) AS d_g
+                          FROM grid JOIN h ON h.t >= grid.tt GROUP BY 1, 2),
+                byt AS (SELECT tt,
+                          CAST(sum(n_g) AS BIGINT) AS n,
+                          CAST(sum(CASE WHEN g = 1 THEN n_g ELSE 0 END) AS BIGINT) AS n1,
+                          CAST(sum(d_g) AS BIGINT) AS d,
+                          CAST(sum(CASE WHEN g = 1 THEN d_g ELSE 0 END) AS BIGINT) AS d1
+                        FROM byarm GROUP BY 1),
+                ag AS (SELECT count(*) AS n_times,
+                         CAST(sum(d) AS BIGINT) AS n_events,
+                         CAST(sum(d1) AS BIGINT) AS o1,
+                         sum(CAST(floor(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE) * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9))) AS e1,
+                         sum(CAST(floor(CASE WHEN n > 1
+                               THEN CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) * CAST(n - d AS DOUBLE)
+                                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                               ELSE 0.0 END * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9))) AS v
+                       FROM byt)
+           SELECT n_times, n_events, o1,
+                  floor(CAST(e1 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS e1,
+                  floor(CAST(v AS DOUBLE) * 1e6 + 0.5) / 1e6 AS v,
+                  floor((CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE)) * (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE))
+                        / CAST(v AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2
+           FROM ag""",
+      "x_assoc_rules" ->
+        s"""WITH b AS MATERIALIZED (
+                  SELECT DISTINCT user_id, $dayE AS day, event_type FROM events),
+                nb AS (SELECT count(*) AS nb FROM (SELECT DISTINCT user_id, day FROM b)),
+                item AS MATERIALIZED (
+                  SELECT event_type, count(*) AS n_item FROM b GROUP BY 1),
+                pair AS (SELECT a.event_type AS antecedent, c.event_type AS consequent, count(*) AS n_ab
+                         FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+                           AND a.event_type <> c.event_type
+                         GROUP BY 1, 2)
+           SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS n_ab,
+                  floor(CAST(n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) * 1e6 + 0.5) / 1e6 AS confidence,
+                  floor(CAST(n_ab * nb AS DOUBLE) / CAST(ia.n_item * ic.n_item AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lift
+           FROM pair JOIN item ia ON pair.antecedent = ia.event_type
+                JOIN item ic ON pair.consequent = ic.event_type
+                CROSS JOIN nb
+           WHERE n_ab * 20 >= nb
+           ORDER BY antecedent, consequent""",
+      // binseg: picks are doubly-referenced → MATERIALIZED (the
+      // Bradley–Terry inlining lesson); costs are doubles of exact
+      // BIGINT prefix sums, identical IEEE ops to the Spark side
+      "x_binseg" ->
+        s"""WITH d AS (SELECT $dayE AS day, count(*) AS c FROM events GROUP BY 1),
+                p AS MATERIALIZED (
+                  SELECT day,
+                    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+                    CAST(sum(c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+                    CAST(sum(c * c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s2
+                  FROM d),
+                tot AS MATERIALIZED (SELECT i AS n, s1 AS t1, s2 AS t2 FROM p ORDER BY i DESC LIMIT 1),
+                cand1 AS (SELECT day, i,
+                    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(i AS DOUBLE))
+                    + (CAST(t2 - s2 AS DOUBLE) - CAST(t1 - s1 AS DOUBLE) * CAST(t1 - s1 AS DOUBLE) / CAST(n - i AS DOUBLE)) AS cost
+                  FROM p CROSS JOIN tot WHERE i < n),
+                pick1 AS MATERIALIZED (SELECT day, i, cost FROM cand1 ORDER BY cost, i LIMIT 1),
+                at1 AS MATERIALIZED (
+                  SELECT p.i AS i1, p.s1 AS b1, p.s2 AS b2 FROM p JOIN pick1 ON p.i = pick1.i),
+                lpick AS (SELECT 'left' AS seg, day, i, cost FROM (
+                    SELECT day, i,
+                      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(i AS DOUBLE))
+                      + (CAST(b2 - s2 AS DOUBLE) - CAST(b1 - s1 AS DOUBLE) * CAST(b1 - s1 AS DOUBLE) / CAST(i1 - i AS DOUBLE)) AS cost
+                    FROM p CROSS JOIN at1 WHERE i < i1)
+                  ORDER BY cost, i LIMIT 1),
+                rpick AS (SELECT 'right' AS seg, day, i, cost FROM (
+                    SELECT day, i,
+                      (CAST(s2 - b2 AS DOUBLE) - CAST(s1 - b1 AS DOUBLE) * CAST(s1 - b1 AS DOUBLE) / CAST(i - i1 AS DOUBLE))
+                      + (CAST(t2 - s2 AS DOUBLE) - CAST(t1 - s1 AS DOUBLE) * CAST(t1 - s1 AS DOUBLE) / CAST(n - i AS DOUBLE)) AS cost
+                    FROM p CROSS JOIN at1 CROSS JOIN tot WHERE i > i1 AND i < n)
+                  ORDER BY cost, i LIMIT 1),
+                allp AS (SELECT 'root' AS seg, day, i, cost FROM pick1
+                  UNION ALL SELECT * FROM lpick UNION ALL SELECT * FROM rpick)
+           SELECT seg, day AS split_day, CAST(i AS BIGINT) AS split_idx,
+                  floor(cost * 1e6 + 0.5) / 1e6 AS sse_after
+           FROM allp ORDER BY seg""",
+      "x_mediation" ->
+        s"""WITH per AS (SELECT user_id, count(*) AS x,
+                           count(DISTINCT $dayE) AS m,
+                           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+                         FROM events GROUP BY 1),
+                mo AS (SELECT count(*) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(m) AS BIGINT) AS sm, CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(m * m) AS BIGINT) AS smm,
+                         CAST(sum(x * m) AS BIGINT) AS sxm, CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(m * y) AS BIGINT) AS smy
+                       FROM per),
+                c AS (SELECT n,
+                        CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS cxx,
+                        CAST(CAST(n AS HUGEINT) * smm - CAST(sm AS HUGEINT) * sm AS DOUBLE) AS cmm,
+                        CAST(CAST(n AS HUGEINT) * sxm - CAST(sx AS HUGEINT) * sm AS DOUBLE) AS cxm,
+                        CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cxy,
+                        CAST(CAST(n AS HUGEINT) * smy - CAST(sm AS HUGEINT) * sy AS DOUBLE) AS cmy
+                      FROM mo),
+                f AS (SELECT n, cxm / cxx AS a, cxy / cxx AS ctot,
+                        (cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm) AS b,
+                        (cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm) AS cprime
+                      FROM c)
+           SELECT n, floor(a * 1e6 + 0.5) / 1e6 AS a, floor(b * 1e6 + 0.5) / 1e6 AS b,
+                  floor(ctot * 1e6 + 0.5) / 1e6 AS c_total,
+                  floor(cprime * 1e6 + 0.5) / 1e6 AS c_prime,
+                  floor(a * b * 1e6 + 0.5) / 1e6 AS indirect,
+                  floor(a * b / ctot * 1e6 + 0.5) / 1e6 AS prop_mediated
+           FROM f""",
+      // hmm decode: the integer-Viterbi recursion, one recursive-CTE
+      // step per day per type (the x_holt_winters fold twin)
+      "x_hmm_decode" ->
+        s"""WITH RECURSIVE dc AS (SELECT event_type, $dayE AS day, count(*) AS c
+                       FROM events GROUP BY 1, 2),
+                tt AS (SELECT event_type, count(*) AS nd, CAST(sum(c) AS BIGINT) AS tot
+                       FROM dc GROUP BY 1),
+                obs AS MATERIALIZED (
+                  SELECT dc.event_type,
+                    row_number() OVER (PARTITION BY dc.event_type ORDER BY day) - 1 AS idx,
+                    CASE WHEN c * nd > tot THEN 1 ELSE 0 END AS o
+                  FROM dc JOIN tt USING (event_type)),
+                nn AS (SELECT event_type, count(*) AS n_days FROM obs GROUP BY 1),
+                r AS (SELECT event_type, 0 AS t,
+                        CASE WHEN o = 0 THEN 1 ELSE 0 END AS v0,
+                        CASE WHEN o = 1 THEN 1 ELSE 0 END AS v1,
+                        0 AS h0, 1 AS h1, 0 AS sw0, 0 AS sw1
+                      FROM obs WHERE idx = 0
+                      UNION ALL
+                      SELECT r.event_type, r.t + 1,
+                        greatest(r.v0 + 1, r.v1) + (CASE WHEN o.o = 0 THEN 1 ELSE 0 END),
+                        greatest(r.v0, r.v1 + 1) + (CASE WHEN o.o = 1 THEN 1 ELSE 0 END),
+                        CASE WHEN r.v1 > r.v0 + 1 THEN r.h1 ELSE r.h0 END,
+                        1 + CASE WHEN r.v1 + 1 > r.v0 THEN r.h1 ELSE r.h0 END,
+                        CASE WHEN r.v1 > r.v0 + 1 THEN r.sw1 + 1 ELSE r.sw0 END,
+                        CASE WHEN r.v1 + 1 > r.v0 THEN r.sw1 ELSE r.sw0 + 1 END
+                      FROM r JOIN obs o ON o.event_type = r.event_type AND o.idx = r.t + 1)
+           SELECT r.event_type, CAST(nn.n_days AS BIGINT) AS n_days,
+                  CAST(CASE WHEN v1 > v0 THEN v1 ELSE v0 END AS BIGINT) AS score,
+                  CAST(CASE WHEN v1 > v0 THEN h1 ELSE h0 END AS BIGINT) AS n_high,
+                  CAST(CASE WHEN v1 > v0 THEN sw1 ELSE sw0 END AS BIGINT) AS n_switches
+           FROM r JOIN nn USING (event_type) WHERE r.t = nn.n_days - 1
+           ORDER BY event_type"""
     )
   }
 

@@ -53,10 +53,11 @@ class SparkEntrySpec extends AnyFunSuite {
     //   x_sprt — cumulative LLR walk over the calendar day grid.
     //   x_skyline — prefix-best over the per-64-token BUCKET grid
     //     (bounded by token-range/64, never corpus rows).
+    //   x_binseg — SSE prefix sums over the calendar day grid.
     val boundedInputWhitelist =
       Set("w2_moving_avg", "x_quantile_norm", "x_ks_test", "x_mannwhitney", "x_kruskal_wallis",
         "x_mcnemar", "x_cochran_q", "x_psm_att", "x_bh_fdr", "x_gini", "x_theilsen", "x_auc",
-        "x_sprt", "x_skyline")
+        "x_sprt", "x_skyline", "x_binseg")
     import org.apache.spark.sql.catalyst.plans.logical
     // A global window whose input is DOMINATED by a LIMIT is bounded by
     // construction (e.g. x_bm25_search round-robins the top-20 df terms
@@ -184,5 +185,119 @@ class SparkEntrySpec extends AnyFunSuite {
       .map(k => math.max(pos(k), n(k) - pos(k))).sum
     assert(leafCorrect >= math.max(pos("root"), n("root") - pos("root")))
     m.values.foreach(r => assert(r.getAs[Long]("pos") <= r.getAs[Long]("n")))
+  }
+
+  test("x_logrank: O/E mass balance and nonnegative variance") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("x_logrank")(spark, TestSpark.sfDir).collect().head
+    val purchasers = sources.Tables.loadEvents(spark, TestSpark.sfDir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    // every purchaser contributes exactly one event to the risk table
+    assert(r.getAs[Long]("n_events") === purchasers)
+    val o1 = r.getAs[Long]("o1").toDouble
+    val e1 = r.getAs[Double]("e1")
+    // arm-1 expected events stay within the total event mass
+    assert(e1 >= 0.0 && e1 <= r.getAs[Long]("n_events").toDouble + 1e-6)
+    assert(o1 <= r.getAs[Long]("n_events"))
+    assert(r.getAs[Double]("v") >= 0.0)
+    assert(r.getAs[Double]("chi2") >= 0.0)
+  }
+
+  test("x_assoc_rules: confidence/lift consistency against raw basket counts") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("x_assoc_rules")(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    val b = sources.Tables.withDay(sources.Tables.loadEvents(spark, TestSpark.sfDir))
+      .select("user_id", "day", "event_type").distinct().cache()
+    val nb = b.select("user_id", "day").distinct().count().toDouble
+    val itemN = b.groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val (a, c) = (r.getAs[String]("antecedent"), r.getAs[String]("consequent"))
+      val nab = r.getAs[Long]("n_ab").toDouble
+      // the 5% support gate held
+      assert(nab * 20 >= nb)
+      val conf = r.getAs[Double]("confidence")
+      assert(math.abs(conf - nab / itemN(a)) < 1e-6)
+      // lift = conf / P(consequent)
+      val lift = r.getAs[Double]("lift")
+      assert(math.abs(lift - conf / (itemN(c) / nb)) < 1e-3)
+      assert(conf > 0.0 && conf <= 1.0 + 1e-9)
+    }
+    // rules are directional: A→B and B→A confidences differ unless the
+    // item supports match — but both must share the same symmetric lift
+    val byPair = rows.groupBy(r => Set(r.getAs[String]("antecedent"), r.getAs[String]("consequent")))
+    byPair.values.filter(_.length == 2).foreach { pr =>
+      assert(math.abs(pr(0).getAs[Double]("lift") - pr(1).getAs[Double]("lift")) < 1e-4)
+    }
+    b.unpersist()
+  }
+
+  test("x_binseg: nested splits ordered, each recursion never increases its segment's SSE") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("x_binseg")(spark, TestSpark.sfDir).collect()
+      .map(r => r.getAs[String]("seg") -> r).toMap
+    val root = rows("root")
+    // total SSE of the unsplit series, computed independently
+    val d = sources.Tables.withDay(sources.Tables.loadEvents(spark, TestSpark.sfDir))
+      .groupBy("day").count().select(col("count").cast("double").as("c"))
+    val m = d.agg(count(lit(1)).as("n"), sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
+      .collect().head
+    val sseTotal = m.getAs[Double]("s2") - m.getAs[Double]("s1") * m.getAs[Double]("s1") / m.getAs[Long]("n")
+    // the root split cannot cost more than not splitting at all
+    assert(root.getAs[Double]("sse_after") <= sseTotal + 1e-6)
+    // child split indices nest strictly around the root index
+    val ri = root.getAs[Long]("split_idx")
+    rows.get("left").foreach(l => assert(l.getAs[Long]("split_idx") < ri))
+    rows.get("right").foreach(r => assert(r.getAs[Long]("split_idx") > ri))
+    rows.values.foreach(r => assert(r.getAs[Double]("sse_after") >= -1e-9))
+  }
+
+  test("x_mediation: effect decomposition c_total = c' + a*b") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("x_mediation")(spark, TestSpark.sfDir).collect().head
+    val a = r.getAs[Double]("a"); val b = r.getAs[Double]("b")
+    val cT = r.getAs[Double]("c_total"); val cP = r.getAs[Double]("c_prime")
+    // the defining OLS identity (exact algebraically; floor-6 outputs)
+    assert(math.abs(cT - (cP + a * b)) < 1e-4, s"c_total=$cT c'=$cP a*b=${a * b}")
+    assert(math.abs(r.getAs[Double]("indirect") - a * b) < 1e-5)
+    // more active days can only come from more events: a > 0 on this corpus
+    assert(a > 0.0)
+  }
+
+  test("x_hmm_decode: Viterbi beats every constant-state path, stats are path-consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("x_hmm_decode")(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    // recompute the observation sequence independently (same mean gate)
+    val dc = sources.Tables.withDay(sources.Tables.loadEvents(spark, TestSpark.sfDir))
+      .groupBy("event_type", "day").count()
+    val obsCnt = dc.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("count")).as("tot"))
+      .join(dc, "event_type")
+      .groupBy("event_type").agg(
+        sum(when(col("count") * col("n") > col("tot"), 1L).otherwise(0L)).as("n1"),
+        count(lit(1)).as("nd"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n1"), r.getAs[Long]("nd"))).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val n = r.getAs[Long]("n_days")
+      val (n1, nd) = obsCnt(t)
+      assert(n === nd)
+      val score = r.getAs[Long]("score")
+      // a constant path scores (n-1) stay-transitions + its emission matches;
+      // Viterbi must do at least as well as the better constant path,
+      // and can never beat all-factors-good
+      assert(score >= (n - 1) + math.max(n1, n - n1), s"$t: score $score below constant-path bound")
+      assert(score <= 2 * n - 1)
+      val h = r.getAs[Long]("n_high"); val sw = r.getAs[Long]("n_switches")
+      assert(h >= 0 && h <= n)
+      assert(sw >= 0 && sw <= n - 1)
+      // zero switches means the decoded path is constant
+      if (sw == 0) assert(h == 0L || h == n)
+    }
   }
 }
