@@ -180,10 +180,7 @@ object SparkEntry {
       "x_lsh_exact_agreement: banded-candidate agreement vs exact n-gram Jaccard pairs",
     "x_simhash_pairs" ->
       "x_simhash_exact_agreement + x_simhash_scurve: Hamming-pair agreement and collision S-curve vs exact Jaccard",
-    "x_multimodal_features" ->
-      ("x_multimodal_decode: the header decoder exactly oracled on constructed PNG/BMP/GIF bytes; " +
-        "x_multimodal_meta/x_multimodal_framesample: metadata plumbing exactly oracled; " +
-        "pixel-feature stub is the documented container limitation"))
+    )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -3679,16 +3676,55 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "lang_pred")),
 
-    // multimodal decode pipeline end-to-end: binary payloads → batched
-    // mapPartitions (stub) decode → feature rows → resize plan. Rows-only
-    // check (stub decode values aren't SQL-expressible); the plumbing —
-    // typed Dataset, per-partition batching, no shuffle — is the product.
+    // multimodal feature pipeline end-to-end, EXACTLY ORACLED: per doc a
+    // real PNG is encoded from a SQL-expressible pixel formula (size,
+    // channel count and scanline filter all vary with doc_id, exercising
+    // every PNG filter), then the REAL pure-JVM pixel decoder
+    // (Multimodal.decodePixels — JDK Inflater + filter reconstruction)
+    // reads the pixels back and the batched feature extractor emits
+    // per-channel means; resizePlan fits an 8×8 thumbnail box. The oracle
+    // recomputes the means from the formula — green only if deflate
+    // round-trip AND all five filter reconstructions are byte-correct.
+    // mapPartitions batched decode: a map over the scan, no shuffle.
     "x_multimodal_features" -> ((s, dir) => {
-      val media = graft.ext.Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "img")
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 13 + 4).toInt; val h = (id * 3 % 11 + 4).toInt
+          val ch = (id % 4 + 1).toInt
+          graft.ext.Multimodal.MediaRow(id, graft.ext.Multimodal.encodePng(w, h, ch,
+            (x, y, c) => ((id * 31 + x * 7 + y * 13 + c * 101) % 256).toInt,
+            y => ((id + y) % 5).toInt), "png")
+        }
+      def f(i: Int) = floor(element_at(col("features"), i + 1).cast("double") * 100 + lit(0.5))
+        .cast("long").as(s"f${i}_centi")
       graft.ext.Multimodal.resizePlan(
-        graft.ext.Multimodal.extractFeatures(media).toDF(), maxW = 256, maxH = 256)
-        .select("id", "n_bytes", "width", "height", "n_frames", "out_w", "out_h")
-        .orderBy("id")
+        graft.ext.Multimodal.extractFeatures(media).toDF(), maxW = 8, maxH = 8)
+        .select(col("id").as("doc_id"), col("width"), col("height"), col("n_frames"),
+          col("out_w"), col("out_h"), f(0), f(1), f(2), f(3))
+        .orderBy("doc_id")
+    }),
+
+    // REAL PNG pixel decode, exactly oracled at the sum level: encode the
+    // formula image (filter type rotating over all five per row), decode
+    // with Multimodal.decodePixels, emit exact per-channel pixel-value
+    // sums; the oracle re-derives every sum from the formula over the
+    // (x, y) grid. The strongest possible gate on the codec: one wrong
+    // byte anywhere in inflate or unfiltering shifts a sum.
+    "x_multimodal_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 13 + 4).toInt; val h = (id * 3 % 11 + 4).toInt
+          val ch = (id % 4 + 1).toInt
+          graft.ext.Multimodal.MediaRow(id, graft.ext.Multimodal.encodePng(w, h, ch,
+            (x, y, c) => ((id * 31 + x * 7 + y * 13 + c * 101) % 256).toInt,
+            y => ((id + y) % 5).toInt), "png")
+        }
+      graft.ext.Multimodal.pixelStats(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"),
+          col("n_pixels"), col("c0_sum"), col("c1_sum"), col("c2_sum"), col("c3_sum"))
+        .orderBy("doc_id")
     }),
 
     // deterministic stratified sample: ≤100 rows per event type, selected
@@ -8808,6 +8844,108 @@ object SparkEntry {
           when(col("st.v1") > col("st.v0"), col("st.sw1")).otherwise(col("st.sw0"))
             .cast("long").as("n_switches"))
         .orderBy("event_type")
+    }),
+
+    // Greedy k-center coreset selection (Gonzalez farthest-point
+    // traversal, k=8) over the embedding corpus — the diversity-first
+    // data-selection primitive (2-approximation of the optimal k-center
+    // cover): seed with the smallest vec_id, then repeatedly take the
+    // point FARTHEST from its nearest chosen center. Squared distances
+    // come from the native sequential-IEEE dot product (d² = |x|² +
+    // |c|² − 2x·c, the list_dot_product-identical kernel), round-6 for
+    // deterministic (dmin DESC, vec_id) argmax ties. The running dmin
+    // column makes each round ONE broadcast-center corpus projection —
+    // O(k·n·d) total with zero corpus shuffles, the linear form that
+    // survives any corpus scale. Radius per pick = that pick's dmin,
+    // the exact cover radius of the preceding center set.
+    "x_kcenter_coreset" -> ((s, dir) => {
+      import graft.functions.DotProduct.dotProduct
+      val base = t(s, dir, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nn", dotProduct(col("v"), col("v"))).localCheckpoint()
+      val seed = base.orderBy("vec_id").limit(1)
+        .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("nn").as("c_nn"))
+        .localCheckpoint()
+      def d2 = round(col("nn") + col("c_nn") - lit(2.0) * dotProduct(col("v"), col("c_v")), 6)
+      var cur = base.crossJoin(broadcast(seed))
+        .select(col("vec_id"), col("v"), col("nn"), d2.as("dmin")).localCheckpoint()
+      var out = seed.select(lit(1).as("pick_order"), col("c_id").as("vec_id"),
+        lit(null).cast("double").as("radius"))
+      for (k <- 2 to 8) {
+        val p = cur.orderBy(col("dmin").desc, col("vec_id")).limit(1).localCheckpoint()
+        out = out.unionAll(p.select(lit(k).as("pick_order"), col("vec_id"),
+          col("dmin").as("radius")))
+        cur = cur.crossJoin(broadcast(
+            p.select(col("v").as("c_v"), col("nn").as("c_nn"))))
+          .select(col("vec_id"), col("v"), col("nn"), least(col("dmin"), d2).as("dmin"))
+          .localCheckpoint()
+      }
+      out.orderBy("pick_order")
+    }),
+
+    // ε-greedy bandit OFFLINE REPLAY over the day sequence — arms are
+    // event types, the day-t reward of an arm is the integer-exact
+    // "above its own mean volume" gate (the x_hmm_decode observation).
+    // Policy: pull each unpulled arm first; then with ε=¼ (an md5-
+    // seeded day hash — deterministic and engine-portable, the
+    // x_dp_counts technique) explore a hash-chosen arm, else exploit
+    // the best empirical mean (double-precision compare, first-index
+    // ties — IEEE-identical in both engines). The replay itself is ONE
+    // linear fold over the |days|×|arms| METADATA grid (the
+    // x_holt_winters discipline); the only corpus-scale work is the
+    // daily-count shuffle. Output: per-arm pulls/wins/win-rate.
+    "x_bandit_replay" -> ((s, dir) => {
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val tt = dc.groupBy("event_type").agg(sum(col("c")).as("tot"))
+      val days = events(s, dir).select("day").distinct()
+      val dcnt = days.agg(count(lit(1)).as("dd"))
+      val types = tt.select("event_type")
+      // lexicographic arm index without a global window: rank = number of
+      // types strictly below, over the bounded |types|² grid
+      val aidx = types.join(types.select(col("event_type").as("tb")),
+          col("tb") < col("event_type"), "left")
+        .groupBy("event_type").agg(count(col("tb")).cast("int").as("ai"))
+      val grid = days.crossJoin(tt)
+        .join(dc, Seq("event_type", "day"), "left")
+        .select(col("day"), col("event_type"), coalesce(col("c"), lit(0L)).as("c"), col("tot"))
+        .crossJoin(broadcast(dcnt))
+        .join(broadcast(aidx), "event_type")
+        .select(col("day"), col("ai"),
+          when(col("c") * col("dd") > col("tot"), 1).otherwise(0).as("o"))
+      val perDay = grid.groupBy("day")
+        .agg(sort_array(collect_list(struct(col("ai"), col("o")))).as("oa"))
+        .select(col("day"), expr("transform(oa, e -> e.o)").as("obs"),
+          when(graft.ext.Mixture.hash24(concat(lit("bx|"), col("day"))) % 4 === 0, 1)
+            .otherwise(0).as("ex"),
+          graft.ext.Mixture.hash24(concat(lit("ba|"), col("day"))).as("eh"))
+      // the pick index, 0-based; bound vars renamed j/b so the inlined
+      // copies never shadow the surrounding transform's i
+      val pick =
+        """CASE WHEN size(filter(sequence(0, size(st.n) - 1), j -> st.n[j] = 0)) > 0
+                THEN filter(sequence(0, size(st.n) - 1), j -> st.n[j] = 0)[0]
+                WHEN e.ex = 1 THEN e.eh % size(st.n)
+                ELSE aggregate(sequence(1, size(st.n) - 1), 0,
+                  (b, j) -> IF(CAST(st.w[j] AS DOUBLE) / st.n[j] > CAST(st.w[b] AS DOUBLE) / st.n[b], j, b))
+           END"""
+      val folded = perDay.groupBy()
+        .agg(sort_array(collect_list(struct(col("day"), col("obs"), col("ex"), col("eh")))).as("a"))
+        .withColumn("st", expr(
+          s"""aggregate(
+                slice(a, 2, size(a) - 1),
+                named_struct(
+                  'n', transform(a[0].obs, (x, i) -> IF(i = 0, 1, 0)),
+                  'w', transform(a[0].obs, (x, i) -> IF(i = 0, a[0].obs[0], 0))),
+                (st, e) -> named_struct(
+                  'n', transform(sequence(0, size(st.n) - 1), i -> st.n[i] + IF(i = ($pick), 1, 0)),
+                  'w', transform(sequence(0, size(st.n) - 1), i -> st.w[i] + IF(i = ($pick), e.obs[i], 0))))"""))
+      folded.select(col("st.w").as("w"), posexplode(col("st.n")).as(Seq("ai", "n_pulls")))
+        .select(col("ai").cast("int").as("ai"), col("n_pulls").cast("long").as("n_pulls"),
+          element_at(col("w"), col("ai") + 1).cast("long").as("wins"))
+        .join(broadcast(aidx), "ai")
+        .select(col("event_type").as("arm"), col("n_pulls"), col("wins"),
+          (floor(col("wins").cast("double") / col("n_pulls").cast("double") * lit(1e4)
+            + lit(0.5)) / lit(1e4)).as("win_rate"))
+        .orderBy("arm")
     })
   )
 
@@ -11019,6 +11157,54 @@ object SparkEntry {
                   CAST(CASE CAST(doc_id % 4 AS INTEGER)
                     WHEN 0 THEN 33 WHEN 1 THEN 30 WHEN 2 THEN 13 ELSE 44 END AS BIGINT) AS n_bytes
            FROM documents ORDER BY doc_id""",
+      // the REAL PNG codec round-trip: per-channel pixel sums recomputed
+      // from the same (doc_id, x, y, c) formula the Spark side encoded —
+      // any inflate or filter-reconstruction defect shifts a sum
+      "x_multimodal_pixels" ->
+        """WITH d AS (SELECT doc_id,
+                        CAST(doc_id % 13 + 4 AS INTEGER) AS width,
+                        CAST(doc_id * 3 % 11 + 4 AS INTEGER) AS height,
+                        CAST(doc_id % 4 + 1 AS INTEGER) AS channels
+                      FROM documents),
+                s AS (SELECT doc_id, width, height, channels,
+                        list_transform(range(0, 4), c ->
+                          CASE WHEN c < channels THEN
+                            CAST(list_sum(flatten(list_transform(range(0, width), x ->
+                              list_transform(range(0, height), y ->
+                                (doc_id * 31 + x * 7 + y * 13 + c * 101) % 256)))) AS BIGINT)
+                          END) AS sums
+                      FROM d)
+           SELECT doc_id, width, height, channels,
+                  CAST(width AS BIGINT) * height AS n_pixels,
+                  sums[1] AS c0_sum, sums[2] AS c1_sum, sums[3] AS c2_sum, sums[4] AS c3_sum
+           FROM s ORDER BY doc_id""",
+      // feature means + thumbnail plan from the same formula image; the
+      // float cast mirrors the Spark side's Array[Float] feature vector
+      "x_multimodal_features" -> {
+        def f(c: Int) =
+          s"""CAST(floor(CAST(CAST(CASE WHEN channels > $c
+                   THEN CAST(sums[${c + 1}] AS DOUBLE) / (width * height)
+                   ELSE 0.0 END AS REAL) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS f${c}_centi"""
+        s"""WITH d AS (SELECT doc_id,
+                        CAST(doc_id % 13 + 4 AS INTEGER) AS width,
+                        CAST(doc_id * 3 % 11 + 4 AS INTEGER) AS height,
+                        CAST(doc_id % 4 + 1 AS INTEGER) AS channels
+                      FROM documents),
+                s AS (SELECT doc_id, width, height, channels,
+                        list_transform(range(0, 4), c ->
+                          CASE WHEN c < channels THEN
+                            list_sum(flatten(list_transform(range(0, width), x ->
+                              list_transform(range(0, height), y ->
+                                (doc_id * 31 + x * 7 + y * 13 + c * 101) % 256))))
+                          END) AS sums,
+                        round(least(8.0 / width, 8.0 / height, 1.0), 4) AS scale
+                      FROM d)
+           SELECT doc_id, width, height, CAST(1 AS INTEGER) AS n_frames,
+                  CAST(floor(width * scale) AS INTEGER) AS out_w,
+                  CAST(floor(height * scale) AS INTEGER) AS out_h,
+                  ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
+           FROM s ORDER BY doc_id"""
+      },
       // concat-and-chunk packing: exclusive prefix-sum of token counts in
       // doc_id order, then every 256-token boundary a doc's span crosses
       "x_seq_packing" ->
@@ -14863,7 +15049,83 @@ object SparkEntry {
                   CAST(CASE WHEN v1 > v0 THEN h1 ELSE h0 END AS BIGINT) AS n_high,
                   CAST(CASE WHEN v1 > v0 THEN sw1 ELSE sw0 END AS BIGINT) AS n_switches
            FROM r JOIN nn USING (event_type) WHERE r.t = nn.n_days - 1
-           ORDER BY event_type"""
+           ORDER BY event_type""",
+      // k-center: 7 unrolled farthest-point stages, every pick and every
+      // dmin refresh MATERIALIZED (doubly referenced)
+      "x_kcenter_coreset" -> {
+        val stages = (2 to 8).map { k =>
+          val prevD = s"d${k - 1}"
+          s"""p$k AS MATERIALIZED (
+                SELECT vec_id, v, nn, dmin FROM $prevD ORDER BY dmin DESC, vec_id LIMIT 1),
+              d$k AS MATERIALIZED (
+                SELECT a.vec_id, a.v, a.nn,
+                  least(a.dmin, round(a.nn + p.nn - 2 * list_dot_product(a.v, p.v), 6)) AS dmin
+                FROM $prevD a CROSS JOIN p$k p)"""
+        }.mkString(",\n")
+        val unions = (2 to 8).map { k =>
+          s"UNION ALL SELECT $k, vec_id, dmin FROM p$k"
+        }.mkString("\n")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+                b AS MATERIALIZED (SELECT vec_id, v, list_dot_product(v, v) AS nn FROM e),
+                s1 AS MATERIALIZED (SELECT vec_id, v, nn FROM b ORDER BY vec_id LIMIT 1),
+                d1 AS MATERIALIZED (
+                  SELECT a.vec_id, a.v, a.nn,
+                    round(a.nn + s.nn - 2 * list_dot_product(a.v, s.v), 6) AS dmin
+                  FROM b a CROSS JOIN s1 s),
+                $stages
+           SELECT * FROM (
+             SELECT 1 AS pick_order, vec_id, CAST(NULL AS DOUBLE) AS radius FROM s1
+             $unions)
+           ORDER BY pick_order"""
+      },
+      // bandit replay: the ε-greedy recursion, one recursive-CTE step
+      // per day; the pick expression is inlined at each use (1-based
+      // list indices — the Spark side is 0-based over the same arm
+      // order, so arm k there is list slot k+1 here)
+      "x_bandit_replay" -> {
+        val means = "list_transform(range(1, len(r.n) + 1), j -> CAST(r.w[j] AS DOUBLE) / r.n[j])"
+        val pick =
+          s"""CASE WHEN len(list_filter(range(1, len(r.n) + 1), j -> r.n[j] = 0)) > 0
+                  THEN list_filter(range(1, len(r.n) + 1), j -> r.n[j] = 0)[1]
+                  WHEN pd.ex = 1 THEN (pd.eh % len(r.n)) + 1
+                  ELSE list_position($means, list_aggregate($means, 'max'))
+             END"""
+        s"""WITH RECURSIVE dc AS (SELECT event_type, $dayE AS day, count(*) AS c
+                       FROM events GROUP BY 1, 2),
+                tt AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS tot FROM dc GROUP BY 1),
+                days AS (SELECT DISTINCT $dayE AS day FROM events),
+                dd AS (SELECT count(*) AS dd FROM days),
+                arms AS MATERIALIZED (
+                  SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) AS INTEGER) AS ai, tot
+                  FROM tt),
+                g AS (SELECT d.day, a.ai,
+                        CASE WHEN COALESCE(dc.c, 0) * dd.dd > a.tot THEN 1 ELSE 0 END AS o
+                      FROM days d CROSS JOIN arms a CROSS JOIN dd
+                      LEFT JOIN dc ON dc.event_type = a.event_type AND dc.day = d.day),
+                pd AS MATERIALIZED (
+                  SELECT day, list(o ORDER BY ai) AS obs,
+                    CASE WHEN CAST(('0x' || substring(md5('bx|' || day), 1, 6)) AS INTEGER) % 4 = 0
+                         THEN 1 ELSE 0 END AS ex,
+                    CAST(('0x' || substring(md5('ba|' || day), 1, 6)) AS INTEGER) AS eh,
+                    row_number() OVER (ORDER BY day) AS t
+                  FROM g GROUP BY day),
+                r AS (SELECT t,
+                        list_transform(range(1, len(obs) + 1), i -> CASE WHEN i = 1 THEN 1 ELSE 0 END) AS n,
+                        list_transform(range(1, len(obs) + 1), i -> CASE WHEN i = 1 THEN obs[1] ELSE 0 END) AS w
+                      FROM pd WHERE t = 1
+                      UNION ALL
+                      SELECT pd.t,
+                        list_transform(range(1, len(r.n) + 1), i -> r.n[i] + CASE WHEN i = ($pick) THEN 1 ELSE 0 END),
+                        list_transform(range(1, len(r.n) + 1), i -> r.w[i] + CASE WHEN i = ($pick) THEN pd.obs[i] ELSE 0 END)
+                      FROM r JOIN pd ON pd.t = r.t + 1),
+                fin AS (SELECT n, w FROM r, (SELECT max(t) AS mt FROM pd) m WHERE r.t = m.mt)
+           SELECT a.event_type AS arm,
+                  CAST(f.n[a.ai] AS BIGINT) AS n_pulls,
+                  CAST(f.w[a.ai] AS BIGINT) AS wins,
+                  floor(CAST(f.w[a.ai] AS DOUBLE) / f.n[a.ai] * 1e4 + 0.5) / 1e4 AS win_rate
+           FROM fin f CROSS JOIN arms a ORDER BY arm"""
+      }
     )
   }
 

@@ -300,4 +300,31 @@ class SparkEntrySpec extends AnyFunSuite {
       if (sw == 0) assert(h == 0L || h == n)
     }
   }
+
+  test("x_kcenter_coreset: cover radius is non-increasing and picks are distinct") {
+    val rows = SparkEntry.queries("x_kcenter_coreset")(spark, TestSpark.sfDir).collect()
+    assert(rows.map(_.getAs[Int]("pick_order")).toSeq === (1 to 8))
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === 8)
+    // each new center is the farthest point from the chosen set, so the
+    // max-min distance (the cover radius) can only shrink
+    val radii = rows.filter(_.getAs[Int]("pick_order") >= 2).map(_.getAs[Double]("radius"))
+    assert(radii.forall(_ >= 0.0))
+    radii.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-9, s"radius grew: $a -> $b") }
+  }
+
+  test("x_bandit_replay: one pull per day, every arm tried, wins bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("x_bandit_replay")(spark, TestSpark.sfDir).collect()
+    val nDays = sources.Tables.withDay(sources.Tables.loadEvents(spark, TestSpark.sfDir))
+      .select("day").distinct().count()
+    // the replay pulls exactly one arm per day
+    assert(rows.map(_.getAs[Long]("n_pulls")).sum === nDays)
+    // explore-first guarantees every arm is pulled at least once
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pulls") >= 1)
+      assert(r.getAs[Long]("wins") <= r.getAs[Long]("n_pulls"))
+      val wr = r.getAs[Double]("win_rate")
+      assert(wr >= 0.0 && wr <= 1.0)
+    }
+  }
 }
