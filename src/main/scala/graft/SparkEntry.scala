@@ -8946,6 +8946,178 @@ object SparkEntry {
           (floor(col("wins").cast("double") / col("n_pulls").cast("double") * lit(1e4)
             + lit(0.5)) / lit(1e4)).as("win_rate"))
         .orderBy("arm")
+    }),
+
+    // SCD type-2 dimension build (gaps-and-islands): each customer's
+    // order-priority HISTORY collapsed into effective-dated version rows —
+    // consecutive equal-priority runs become one segment with
+    // valid_from/valid_to (next segment's start) and an is_current flag.
+    // All three windows share ONE partitioning (o_custkey), so the whole
+    // build is a single shuffle on the dimension key at any history size;
+    // ties inside a day break on o_orderkey for determinism.
+    "x_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"), col("o_orderpriority").as("prio"))
+      val seg = o
+        .withColumn("pp", lag(col("prio"), 1).over(w))
+        .withColumn("chg", when(col("pp").isNull || col("pp") =!= col("prio"), 1L).otherwise(0L))
+        .withColumn("seg", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val g = seg.groupBy(col("o_custkey"), col("seg"), col("prio"))
+        .agg(min(col("od")).as("valid_from"), count(lit(1)).as("n_orders"))
+      g.withColumn("valid_to",
+          lead(col("valid_from"), 1).over(Window.partitionBy("o_custkey").orderBy("seg")))
+        .select(col("o_custkey").as("custkey"), col("seg").as("version"),
+          col("prio").as("priority"), col("valid_from"), col("valid_to"),
+          col("n_orders"), col("valid_to").isNull.as("is_current"))
+        .orderBy("custkey", "version")
+    }),
+
+    // day × event-type PIVOT matrix: wide daily counts via pivot with the
+    // FIXED type domain (no distinct-values pre-job — the wide schema is
+    // declared, so the whole pivot is one map-side-combined aggregation,
+    // one shuffle on day regardless of corpus size)
+    "x_pivot_matrix" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = events(s, dir).groupBy("day").pivot("event_type", types).agg(count(lit(1)))
+      p.select(col("day") +: types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+        .withColumn("n_total", types.map(tp => col(s"n_$tp")).reduce(_ + _))
+        .orderBy("day")
+    }),
+
+    // Flesch–Kincaid-style readability per source: syllables from vowel-
+    // group runs, pseudo-sentences as ceil(words/15) fixed windows (the
+    // corpus has no sentence punctuation — documented convention), grade
+    // from SOURCE-LEVEL integer totals so the only floating point is one
+    // final closed-form expression. Scan-fused projections + one groupBy.
+    "x_readability" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+        TF.tokenCount(col("text")).cast("long").as("wrds"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long").as("syl"))
+        .withColumn("sents", expr("CAST((wrds + 14) DIV 15 AS BIGINT)"))
+      val W = col("n_words").cast("double")
+      d.groupBy("source").agg(count(lit(1)).as("n_docs"), sum(col("wrds")).as("n_words"),
+          sum(col("syl")).as("n_syllables"), sum(col("sents")).as("n_sentences"))
+        .select(col("source"), col("n_docs"), col("n_words"), col("n_syllables"),
+          col("n_sentences"),
+          (floor((lit(0.39) * W / col("n_sentences").cast("double")
+            + lit(11.8) * col("n_syllables").cast("double") / W - lit(15.59))
+            * lit(1e4) + lit(0.5)) / lit(1e4)).as("fk_grade"))
+        .orderBy("source")
+    }),
+
+    // Page–Hinkley drift detector over each type's daily-volume series:
+    // volumes normalized by the type mean (scale-free), then the classic
+    // PH recursion — cumulative deviation from the RUNNING mean, its
+    // running min, alert when the gap exceeds λ=0.5 (δ=0.01). ONE linear
+    // fold per type over the bounded day grid (the x_holt_winters
+    // discipline: per-step floor-9 quantization keeps both engines'
+    // doubles in lockstep); corpus-scale work is only the daily-count
+    // shuffle.
+    "x_page_hinkley" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .withColumn("idx", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")) - 1)
+      val st = dc.groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("c")).as("sx"))
+      val arr = dc.join(broadcast(st), "event_type")
+        .withColumn("xn", floor(col("c").cast("double") * col("n") / col("sx") * lit(1e9)
+          + lit(0.5)) / lit(1e9))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n_days"),
+          sort_array(collect_list(struct(col("idx"), col("day"), col("xn")))).as("a"))
+      val folded = arr.withColumn("st", expr(
+        """aggregate(a,
+             named_struct('t', 0L, 'ssum', CAST(0.0 AS DOUBLE), 'ph', CAST(0.0 AS DOUBLE),
+               'mn', CAST(1e18 AS DOUBLE), 'gap', CAST(0.0 AS DOUBLE), 'alerts', 0L,
+               'first', CAST(NULL AS STRING)),
+             (st, e) -> named_struct(
+               't', st.t + 1L,
+               'ssum', st.ssum + e.xn,
+               'ph', floor((st.ph + e.xn - (st.ssum + e.xn) / (st.t + 1L) - 0.01D) * 1e9 + 0.5D) / 1e9,
+               'mn', least(st.mn, floor((st.ph + e.xn - (st.ssum + e.xn) / (st.t + 1L) - 0.01D) * 1e9 + 0.5D) / 1e9),
+               'gap', greatest(st.gap, greatest(floor((st.ph + e.xn - (st.ssum + e.xn) / (st.t + 1L) - 0.01D) * 1e9 + 0.5D) / 1e9 - st.mn, CAST(0.0 AS DOUBLE))),
+               'alerts', st.alerts + IF(floor((st.ph + e.xn - (st.ssum + e.xn) / (st.t + 1L) - 0.01D) * 1e9 + 0.5D) / 1e9 - st.mn > 0.5D, 1L, 0L),
+               'first', coalesce(st.first, IF(floor((st.ph + e.xn - (st.ssum + e.xn) / (st.t + 1L) - 0.01D) * 1e9 + 0.5D) / 1e9 - st.mn > 0.5D, e.day, CAST(NULL AS STRING)))))"""))
+      folded.select(col("event_type"), col("n_days"),
+          (floor(col("st.gap") * lit(1e6) + lit(0.5)) / lit(1e6)).as("max_gap"),
+          col("st.alerts").as("n_alerts"), col("st.first").as("first_alert_day"))
+        .orderBy("event_type")
+    }),
+
+    // Generalized-ESD-style outlier sweep on GLOBAL daily volume: three
+    // rounds of "remove the most extreme day", each round re-deriving
+    // mean/sd from the surviving days. The extremity ranking uses the
+    // INTEGER-EXACT scaled deviation |c·n − Σc| (the x_changepoint trick
+    // — no double enters the argmax); the studentized statistic is one
+    // closed-form double per round. Day grid = calendar-bounded metadata.
+    "x_esd_outliers" -> ((s, dir) => {
+      val d0 = events(s, dir).groupBy("day").agg(count(lit(1)).as("c")).localCheckpoint()
+      def round1(d: DataFrame, k: Int): (DataFrame, DataFrame) = {
+        val st = d.groupBy().agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+          sum(col("c") * col("c")).as("sxx"))
+        val scored = d.crossJoin(broadcast(st))
+          .withColumn("score", abs(col("c") * col("n") - col("sx")))
+        val pick = scored.orderBy(col("score").desc, col("day")).limit(1)
+          .select(lit(k).as("round_no"), col("day"), col("c"),
+            (floor(col("score").cast("double") / col("n").cast("double")
+              / sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+                / col("n").cast("double")) / col("n").cast("double"))
+              * lit(1e4) + lit(0.5)) / lit(1e4)).as("r_stat"))
+          .localCheckpoint()
+        (pick, d.join(pick.select(col("day")), Seq("day"), "left_anti").localCheckpoint())
+      }
+      val (p1, d1) = round1(d0, 1)
+      val (p2, d2) = round1(d1, 2)
+      val (p3, _) = round1(d2, 3)
+      p1.unionAll(p2).unionAll(p3)
+        .withColumn("flagged", col("r_stat") > 3.0)
+        .orderBy("round_no")
+    }),
+
+    // Deterministic RANSAC line fit per type over (day-index, volume):
+    // 16 md5-seeded candidate point pairs each propose a line; the
+    // consensus winner maximizes inliers within tol = 10% of the type's
+    // mean volume. The candidate grid is types×16 metadata; the inlier
+    // count is one equi-join on event_type over the bounded day grid —
+    // robust trend fitting with zero data-dependent randomness.
+    "x_ransac_line" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .withColumn("x", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")) - 1)
+      val st = dc.groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("c")).as("sx"))
+      val cand = st.select(col("event_type"), col("n"), col("sx"),
+          explode(sequence(lit(0), lit(15))).as("cid"))
+        .withColumn("i1", graft.ext.Mixture.hash24(
+          concat(lit("ra|"), col("event_type"), lit("|"), col("cid"))) % col("n"))
+        .withColumn("i2", graft.ext.Mixture.hash24(
+          concat(lit("rb|"), col("event_type"), lit("|"), col("cid"))) % col("n"))
+        .filter(col("i1") =!= col("i2"))
+      val pts = dc.select(col("event_type"), col("x"), col("c"))
+      val lines = cand
+        .join(pts.select(col("event_type"), col("x").as("i1"), col("c").as("y1")),
+          Seq("event_type", "i1"))
+        .join(pts.select(col("event_type"), col("x").as("i2"), col("c").as("y2")),
+          Seq("event_type", "i2"))
+        .withColumn("slope", (col("y2") - col("y1")).cast("double") / (col("i2") - col("i1")))
+        .withColumn("icept", col("y1").cast("double") - col("slope") * col("i1"))
+        .withColumn("tol", lit(0.1) * col("sx").cast("double") / col("n"))
+      val scored = lines.join(pts, "event_type")
+        .withColumn("inlier",
+          (abs(col("c").cast("double") - (col("icept") + col("slope") * col("x"))) <= col("tol"))
+            .cast("long"))
+        .groupBy(col("event_type"), col("cid"), col("slope"), col("icept"))
+        .agg(sum(col("inlier")).as("n_inliers"))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("n_inliers").desc, col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("cid").cast("int").as("cand_id"), col("n_inliers"),
+          (floor(col("slope") * lit(1e4) + lit(0.5)) / lit(1e4)).as("slope"),
+          (floor(col("icept") * lit(1e4) + lit(0.5)) / lit(1e4)).as("intercept"))
+        .orderBy("event_type")
     })
   )
 
@@ -15125,7 +15297,137 @@ object SparkEntry {
                   CAST(f.w[a.ai] AS BIGINT) AS wins,
                   floor(CAST(f.w[a.ai] AS DOUBLE) / f.n[a.ai] * 1e4 + 0.5) / 1e4 AS win_rate
            FROM fin f CROSS JOIN arms a ORDER BY arm"""
-      }
+      },
+      // SCD2: the same gaps-and-islands windows, custkey-partitioned
+      "x_scd2" ->
+        """WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+                        o_orderpriority AS prio FROM orders),
+                l AS (SELECT *, lag(prio) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS pp
+                      FROM o),
+                s AS (SELECT *, CAST(sum(CASE WHEN pp IS NULL OR pp <> prio THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
+                      FROM l),
+                g AS (SELECT o_custkey, seg, prio, min(od) AS valid_from, count(*) AS n_orders
+                      FROM s GROUP BY 1, 2, 3),
+                f AS (SELECT *, lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY seg) AS valid_to
+                      FROM g)
+           SELECT o_custkey AS custkey, seg AS version, prio AS priority, valid_from, valid_to,
+                  n_orders, valid_to IS NULL AS is_current
+           FROM f ORDER BY custkey, version""",
+      // pivot matrix: conditional sums over the fixed type domain (the
+      // total sums the five cases, mirroring the declared pivot schema)
+      "x_pivot_matrix" ->
+        s"""SELECT $dayE AS day,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                  CAST(sum(CASE WHEN event_type IN ('click','error','purchase','signup','view')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_total
+           FROM events GROUP BY 1 ORDER BY day""",
+      // readability: integer totals per source, one closed-form double
+      "x_readability" ->
+        s"""WITH d AS (SELECT source, CAST(len($toksE) AS BIGINT) AS wrds,
+                        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl
+                      FROM documents),
+                e AS (SELECT source, wrds, syl, (wrds + 14) // 15 AS sents FROM d),
+                g AS (SELECT source, count(*) AS n_docs, CAST(sum(wrds) AS BIGINT) AS n_words,
+                        CAST(sum(syl) AS BIGINT) AS n_syllables,
+                        CAST(sum(sents) AS BIGINT) AS n_sentences
+                      FROM e GROUP BY 1)
+           SELECT source, n_docs, n_words, n_syllables, n_sentences,
+                  floor((0.39 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+                    + 11.8 * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) - 15.59)
+                    * 1e4 + 0.5) / 1e4 AS fk_grade
+           FROM g ORDER BY source""",
+      // Page–Hinkley: the same per-step floor-9-quantized recursion, one
+      // recursive-CTE row per (type, day)
+      "x_page_hinkley" ->
+        s"""WITH RECURSIVE dc AS (SELECT event_type, $dayE AS day, count(*) AS c
+                       FROM events GROUP BY 1, 2),
+                st AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sx
+                       FROM dc GROUP BY 1),
+                ix AS (SELECT dc.event_type, dc.day,
+                         floor(CAST(dc.c AS DOUBLE) * st.n / st.sx * 1e9 + 0.5) / 1e9 AS xn,
+                         row_number() OVER (PARTITION BY dc.event_type ORDER BY dc.day) - 1 AS idx
+                       FROM dc JOIN st USING (event_type)),
+                r AS (SELECT event_type, 0 AS t, CAST(0.0 AS DOUBLE) AS ssum,
+                        CAST(0.0 AS DOUBLE) AS ph, CAST(1e18 AS DOUBLE) AS mn,
+                        CAST(0.0 AS DOUBLE) AS gap, CAST(0 AS BIGINT) AS alerts,
+                        CAST(NULL AS VARCHAR) AS first_day
+                      FROM st
+                      UNION ALL
+                      SELECT r.event_type, r.t + 1,
+                        r.ssum + ix.xn,
+                        floor((r.ph + ix.xn - (r.ssum + ix.xn) / (r.t + 1) - 0.01) * 1e9 + 0.5) / 1e9,
+                        least(r.mn, floor((r.ph + ix.xn - (r.ssum + ix.xn) / (r.t + 1) - 0.01) * 1e9 + 0.5) / 1e9),
+                        greatest(r.gap, greatest(floor((r.ph + ix.xn - (r.ssum + ix.xn) / (r.t + 1) - 0.01) * 1e9 + 0.5) / 1e9 - r.mn, 0.0)),
+                        r.alerts + CASE WHEN floor((r.ph + ix.xn - (r.ssum + ix.xn) / (r.t + 1) - 0.01) * 1e9 + 0.5) / 1e9 - r.mn > 0.5 THEN 1 ELSE 0 END,
+                        COALESCE(r.first_day, CASE WHEN floor((r.ph + ix.xn - (r.ssum + ix.xn) / (r.t + 1) - 0.01) * 1e9 + 0.5) / 1e9 - r.mn > 0.5 THEN ix.day END)
+                      FROM r JOIN ix ON ix.event_type = r.event_type AND ix.idx = r.t)
+           SELECT r.event_type, st.n AS n_days,
+                  floor(r.gap * 1e6 + 0.5) / 1e6 AS max_gap,
+                  CAST(r.alerts AS BIGINT) AS n_alerts, r.first_day AS first_alert_day
+           FROM r JOIN st USING (event_type) WHERE r.t = st.n ORDER BY event_type""",
+      // ESD sweep: three chained rounds; the argmax rides the integer
+      // score, the studentized stat is one double tree per round
+      "x_esd_outliers" -> {
+        val stat = """floor(CAST(score AS DOUBLE) / CAST(n AS DOUBLE)
+                    / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) * 1e4 + 0.5) / 1e4"""
+        val rounds = (1 to 3).map { k =>
+          val prev = if (k == 1) "d0" else s"d${k - 1}"
+          val drop =
+            if (k == 3) ""
+            else s""",
+                d$k AS (SELECT day, c FROM $prev WHERE day NOT IN (SELECT day FROM p$k))"""
+          s"""s$k AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS sx,
+                        CAST(sum(c * c) AS BIGINT) AS sxx FROM $prev),
+              p$k AS MATERIALIZED (
+                SELECT $k AS round_no, day, c, abs(c * n - sx) AS score, n, sx, sxx
+                FROM $prev, s$k ORDER BY abs(c * n - sx) DESC, day LIMIT 1)$drop"""
+        }.mkString(",\n")
+        s"""WITH d0 AS (SELECT $dayE AS day, count(*) AS c FROM events GROUP BY 1),
+                $rounds,
+                u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3),
+                v AS (SELECT round_no, day, c, $stat AS r_stat FROM u)
+           SELECT round_no, day, c, r_stat, r_stat > 3.0 AS flagged
+           FROM v ORDER BY round_no"""
+      },
+      // RANSAC: md5-seeded candidate pairs, inlier consensus on the grid
+      "x_ransac_line" ->
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                ix AS (SELECT event_type, day, c,
+                         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS x
+                       FROM dc),
+                st AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sx
+                       FROM dc GROUP BY 1),
+                cd AS MATERIALIZED (
+                  SELECT st.event_type, st.n, st.sx, cid,
+                    CAST(('0x' || substring(md5('ra|' || st.event_type || '|' || cid), 1, 6)) AS INTEGER) % st.n AS i1,
+                    CAST(('0x' || substring(md5('rb|' || st.event_type || '|' || cid), 1, 6)) AS INTEGER) % st.n AS i2
+                  FROM st, (SELECT unnest(range(16)) AS cid)),
+                ln2 AS (SELECT cd.event_type, cd.cid,
+                          CAST(b.c - a.c AS DOUBLE) / (cd.i2 - cd.i1) AS slope,
+                          CAST(a.c AS DOUBLE) - CAST(b.c - a.c AS DOUBLE) / (cd.i2 - cd.i1) * cd.i1 AS icept,
+                          0.1 * CAST(cd.sx AS DOUBLE) / cd.n AS tol
+                        FROM cd
+                        JOIN ix a ON a.event_type = cd.event_type AND a.x = cd.i1
+                        JOIN ix b ON b.event_type = cd.event_type AND b.x = cd.i2
+                        WHERE cd.i1 <> cd.i2),
+                sc AS (SELECT l.event_type, l.cid, l.slope, l.icept,
+                         CAST(sum(CASE WHEN abs(CAST(p.c AS DOUBLE) - (l.icept + l.slope * p.x)) <= l.tol
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+                       FROM ln2 l JOIN ix p ON p.event_type = l.event_type
+                       GROUP BY 1, 2, 3, 4),
+                wn AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                         ORDER BY n_inliers DESC, cid) AS rk FROM sc)
+           SELECT event_type, CAST(cid AS INTEGER) AS cand_id, n_inliers,
+                  floor(slope * 1e4 + 0.5) / 1e4 AS slope,
+                  floor(icept * 1e4 + 0.5) / 1e4 AS intercept
+           FROM wn WHERE rk = 1 ORDER BY event_type"""
     )
   }
 

@@ -20,10 +20,10 @@ class SparkEntrySpec extends AnyFunSuite {
     // SQL-portable across engines — but each has a derived checked cousin:
     // x_minhash_lsh ⊆-gated by x_lsh_exact_agreement, x_simhash_pairs
     // hamming-gated by x_simhash_exact_agreement, x_ann_* recall-gated by
-    // x_ann_*_recall; x_multimodal_features wraps the documented decoder
-    // stub (no media libs in the container)
+    // x_ann_*_recall (x_multimodal_features graduated to an exact oracle
+    // when the real PNG pixel decoder landed)
     assert(rowsOnly === Set("x_minhash_lsh", "x_simhash_pairs", "x_ann_lsh",
-      "x_ann_ivf", "x_multimodal_features"))
+      "x_ann_ivf"))
   }
 
   test("all queries execute and are non-empty at sf0.001 (except known-sparse pair miners)") {
