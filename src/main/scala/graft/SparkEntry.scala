@@ -9118,6 +9118,128 @@ object SparkEntry {
           (floor(col("slope") * lit(1e4) + lit(0.5)) / lit(1e4)).as("slope"),
           (floor(col("icept") * lit(1e4) + lit(0.5)) / lit(1e4)).as("intercept"))
         .orderBy("event_type")
+    }),
+
+    // Matrix profile (motif + discord discovery) over each type's daily
+    // volumes: z-normalized 7-day subsequences, all-pairs distances with
+    // a ±3 trivial-match exclusion zone, then the classic readouts — the
+    // MOTIF (closest pair) and the DISCORD (window whose nearest neighbor
+    // is farthest). Window sums are exact integers; z-scores are floor-9
+    // quantized before the unrolled 7-term distance so both engines walk
+    // identical doubles. The pair grid is calendar²-bounded metadata —
+    // corpus-scale work is only the daily-count shuffle.
+    "x_matrix_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .withColumn("idx", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")) - 1)
+      val arr = dc.groupBy("event_type").agg(count(lit(1)).cast("int").as("n"),
+          expr("transform(sort_array(collect_list(struct(idx, c))), e -> e.c)").as("a"))
+        .filter(col("n") >= 11)
+      val wnd = arr.select(col("event_type"), col("n"),
+          explode(expr(
+            "transform(sequence(0, n - 7), i -> named_struct('i', i, 'v', slice(a, i + 1, 7)))"))
+            .as("w"))
+        .select(col("event_type"), col("n"), col("w.i").as("i"), col("w.v").as("v"))
+        .withColumn("sv", expr("aggregate(v, 0L, (s, e) -> s + e)"))
+        .withColumn("svv", expr("aggregate(v, 0L, (s, e) -> s + e * e)"))
+        .filter(lit(7) * col("svv") - col("sv") * col("sv") > 0)
+        .withColumn("sd", sqrt((col("svv").cast("double")
+          - col("sv").cast("double") * col("sv").cast("double") / lit(7)) / lit(7)))
+        .withColumn("z", expr(
+          "transform(v, e -> floor((CAST(e AS DOUBLE) - CAST(sv AS DOUBLE) / 7) / sd * 1e9 + 0.5D) / 1e9)"))
+        .select(col("event_type"), col("n"), col("i"), col("z"))
+        .localCheckpoint()
+      val distE = (1 to 7).map(k =>
+        s"(element_at(az, $k) - element_at(bz, $k)) * (element_at(az, $k) - element_at(bz, $k))")
+        .mkString(" + ")
+      val pr = wnd.select(col("event_type"), col("n"), col("i"), col("z").as("az"))
+        .join(wnd.select(col("event_type"), col("i").as("j"), col("z").as("bz")), "event_type")
+        .filter(col("j") > col("i") + 3)
+        .withColumn("dist", sqrt(expr(distE)))
+        .select(col("event_type"), col("n"), col("i"), col("j"), col("dist"))
+        .localCheckpoint()
+      val motif = pr.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("dist"), col("i"), col("j"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), (col("n") - 6).cast("long").as("n_windows"),
+          col("i").cast("long").as("motif_i"), col("j").cast("long").as("motif_j"),
+          (floor(col("dist") * lit(1e6) + lit(0.5)) / lit(1e6)).as("motif_dist"))
+      val nn = pr.select(col("event_type"), col("i").as("w"), col("dist"))
+        .unionAll(pr.select(col("event_type"), col("j").as("w"), col("dist")))
+        .groupBy("event_type", "w").agg(min(col("dist")).as("nnd"))
+      val discord = nn.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("nnd").desc, col("w"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("w").cast("long").as("discord_i"),
+          (floor(col("nnd") * lit(1e6) + lit(0.5)) / lit(1e6)).as("discord_dist"))
+      motif.join(discord, "event_type").orderBy("event_type")
+    }),
+
+    // ColBERT-style LATE-INTERACTION retrieval: each 64-d embedding is
+    // treated as 4 "token" sub-vectors of 16; score(q, d) = Σ_q-token
+    // max_d-token ⟨q_t, d_t⟩ (MaxSim). The 16 dots per pair ride the
+    // native sequential-IEEE dot kernel on doc-side slices; the probe
+    // side (vec_id % 100 = 0) is BROADCAST, so the corpus never
+    // shuffles — the same zero-shuffle plan shape as x_embed_cosine_topk
+    // at any corpus size. Top-5 per query, score-then-id determinism.
+    "x_late_interaction" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.DotProduct.dotProduct
+      def sub(c: Column, t: Int): Column = slice(c, t * 16 + 1, 16)
+      val base = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val qs = base.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val pairs = base.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("query_id"))
+      val maxsim = (0 to 3).map { qt =>
+        (0 to 3).map { dt => dotProduct(sub(col("qv"), qt), sub(col("v"), dt)) }
+          .reduce(greatest(_, _))
+      }.reduce(_ + _)
+      val scored = pairs.select(col("query_id"), col("vec_id"), maxsim.as("score"))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          (floor(col("score") * lit(1e6) + lit(0.5)) / lit(1e6)).as("maxsim"))
+        .orderBy("query_id", "rk")
+    }),
+
+    // Hashing-trick feature audit: every token hashed into 64 buckets
+    // (the md5-24-bit kernel both engines share), per bucket the distinct
+    // vocabulary, occupancy and a collision flag — the pre-flight audit
+    // for hashed-feature models (what share of mass lands in collided
+    // buckets). One map-side-combined aggregation over the token scan.
+    "x_feature_hashing" -> ((s, dir) =>
+      t(s, dir, "documents").select(explode(TF.tokens(col("text"))).as("term"))
+        .withColumn("bucket", graft.ext.Mixture.hash24(col("term")) % 64)
+        .groupBy("bucket").agg(countDistinct(col("term")).as("n_terms"),
+          count(lit(1)).as("n_occurrences"))
+        .withColumn("collided", col("n_terms") > 1)
+        .orderBy("bucket")),
+
+    // Quantile treatment effect: per-user event counts, arms by the
+    // deterministic user_id parity, per-arm deciles read from the exact
+    // count histogram (smallest v with cumulative mass ≥ ⌈p·N/10⌉ — the
+    // type-1 quantile, INTEGER-EXACT end to end). Histograms are bounded
+    // aggregates; no global sort, no per-user ranking at any scale.
+    "x_qte" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("v"))
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+      val hist = u.groupBy("arm", "v").agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum(col("f")).over(Window.partitionBy("arm").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = u.groupBy("arm").agg(count(lit(1)).as("nu"))
+      val grid = n.select(col("arm"), col("nu"), explode(sequence(lit(1), lit(9))).as("p"))
+        .withColumn("pos", expr("CAST((nu * p + 9) DIV 10 AS BIGINT)"))
+      val q = hist.join(grid, "arm").filter(col("cum") >= col("pos"))
+        .groupBy("arm", "p").agg(min(col("v")).as("q"))
+      q.filter(col("arm") === 1).select(col("p").as("decile"), col("q").as("q_treat"))
+        .join(q.filter(col("arm") === 0).select(col("p").as("decile"), col("q").as("q_ctrl")),
+          "decile")
+        .withColumn("qte", col("q_treat") - col("q_ctrl"))
+        .orderBy("decile")
     })
   )
 
@@ -15427,7 +15549,95 @@ object SparkEntry {
            SELECT event_type, CAST(cid AS INTEGER) AS cand_id, n_inliers,
                   floor(slope * 1e4 + 0.5) / 1e4 AS slope,
                   floor(icept * 1e4 + 0.5) / 1e4 AS intercept
-           FROM wn WHERE rk = 1 ORDER BY event_type"""
+           FROM wn WHERE rk = 1 ORDER BY event_type""",
+      // matrix profile: identical floor-9 z-windows, unrolled 7-term
+      // distance, motif/discord readouts
+      "x_matrix_profile" -> {
+        val dist = (1 to 7).map(k =>
+          s"(a.z[$k] - b.z[$k]) * (a.z[$k] - b.z[$k])").mkString(" + ")
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                ix AS (SELECT event_type, c,
+                         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS idx
+                       FROM dc),
+                arr AS (SELECT event_type, CAST(count(*) AS INTEGER) AS n,
+                          list(c ORDER BY idx) AS a
+                        FROM ix GROUP BY 1 HAVING count(*) >= 11),
+                wn0 AS (SELECT event_type, n,
+                          unnest(list_transform(range(0, n - 6), i -> {'i': i, 'v': a[i+1:i+7]})) AS w
+                        FROM arr),
+                st AS MATERIALIZED (
+                  SELECT event_type, n, w.i AS i, w.v AS v,
+                    CAST(list_sum(w.v) AS BIGINT) AS sv,
+                    CAST(list_sum(list_transform(w.v, e -> e * e)) AS BIGINT) AS svv
+                  FROM wn0),
+                wz AS (SELECT event_type, n, i,
+                         list_transform(v, e -> floor((CAST(e AS DOUBLE) - CAST(sv AS DOUBLE) / 7)
+                           / sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / 7) / 7)
+                           * 1e9 + 0.5) / 1e9) AS z
+                       FROM st WHERE 7 * svv - sv * sv > 0),
+                pr AS MATERIALIZED (
+                  SELECT a.event_type, a.n, a.i AS i, b.i AS j, sqrt($dist) AS dist
+                  FROM wz a JOIN wz b ON b.event_type = a.event_type AND b.i > a.i + 3),
+                mot AS (SELECT event_type, n, i, j, dist,
+                          row_number() OVER (PARTITION BY event_type ORDER BY dist, i, j) AS rk
+                        FROM pr),
+                sym AS (SELECT event_type, i AS w, dist FROM pr
+                        UNION ALL SELECT event_type, j AS w, dist FROM pr),
+                nn AS (SELECT event_type, w, min(dist) AS nnd FROM sym GROUP BY 1, 2),
+                dis AS (SELECT event_type, w, nnd,
+                          row_number() OVER (PARTITION BY event_type ORDER BY nnd DESC, w) AS rk
+                        FROM nn)
+           SELECT m.event_type, CAST(m.n - 6 AS BIGINT) AS n_windows,
+                  CAST(m.i AS BIGINT) AS motif_i, CAST(m.j AS BIGINT) AS motif_j,
+                  floor(m.dist * 1e6 + 0.5) / 1e6 AS motif_dist,
+                  CAST(d.w AS BIGINT) AS discord_i,
+                  floor(d.nnd * 1e6 + 0.5) / 1e6 AS discord_dist
+           FROM mot m JOIN dis d ON d.event_type = m.event_type AND d.rk = 1
+           WHERE m.rk = 1 ORDER BY m.event_type"""
+      },
+      // late interaction: the same 16 sequential-IEEE dots, 4 variadic
+      // maxes summed left-to-right
+      "x_late_interaction" -> {
+        def g(qt: Int) = "greatest(" + (0 to 3).map(dt =>
+          s"list_dot_product(qv[${qt * 16 + 1}:${(qt + 1) * 16}], v[${dt * 16 + 1}:${(dt + 1) * 16}])")
+          .mkString(", ") + ")"
+        val score = (0 to 3).map(g).mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+                q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+                p AS (SELECT q.query_id, e.vec_id, $score AS score
+                      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+                r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, vec_id) AS rk FROM p)
+           SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id,
+                  floor(score * 1e6 + 0.5) / 1e6 AS maxsim
+           FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
+      },
+      // feature hashing: the shared md5-24-bit bucket kernel
+      "x_feature_hashing" ->
+        s"""WITH tk AS (SELECT unnest($toksE) AS term FROM documents),
+                b AS (SELECT term,
+                        CAST(('0x' || substring(md5(term), 1, 6)) AS INTEGER) % 64 AS bucket
+                      FROM tk)
+           SELECT bucket, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+                  count(*) AS n_occurrences, count(DISTINCT term) > 1 AS collided
+           FROM b GROUP BY bucket ORDER BY bucket""",
+      // QTE: integer-exact type-1 quantiles off the per-arm histogram
+      "x_qte" ->
+        """WITH u AS (SELECT user_id, count(*) AS v, CAST(user_id % 2 AS INTEGER) AS arm
+                      FROM events GROUP BY 1),
+                h AS (SELECT arm, v, count(*) AS f FROM u GROUP BY 1, 2),
+                ch AS (SELECT arm, v, CAST(sum(f) OVER (PARTITION BY arm ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                       FROM h),
+                nn AS (SELECT arm, count(*) AS nu FROM u GROUP BY 1),
+                g AS (SELECT nn.arm, nn.nu, p FROM nn, (SELECT unnest(range(1, 10)) AS p)),
+                q AS (SELECT g.arm, g.p, min(ch.v) AS q
+                      FROM g JOIN ch ON ch.arm = g.arm AND ch.cum >= (g.nu * g.p + 9) // 10
+                      GROUP BY 1, 2)
+           SELECT CAST(t.p AS INTEGER) AS decile, t.q AS q_treat, c.q AS q_ctrl,
+                  t.q - c.q AS qte
+           FROM q t JOIN q c ON c.p = t.p AND c.arm = 0 WHERE t.arm = 1 ORDER BY decile"""
     )
   }
 
