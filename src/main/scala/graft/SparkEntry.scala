@@ -9240,6 +9240,112 @@ object SparkEntry {
           "decile")
         .withColumn("qte", col("q_treat") - col("q_ctrl"))
         .orderBy("decile")
+    }),
+
+    // Growth accounting (the new / retained / resurrected / churned user
+    // ledger): per day, actives split by each user's PREVIOUS active day
+    // — never before (new), yesterday (retained), an older day
+    // (resurrected) — plus churn = yesterday's actives who didn't return.
+    // One (user, day) dedup shuffle + one user-partitioned lag; the day
+    // ledger is calendar-bounded. The identity new + retained +
+    // resurrected = active holds by construction.
+    "x_growth_accounting" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val du = events(s, dir).select(col("user_id"), col("day")).distinct()
+      val lagd = du.withColumn("prevd",
+        lag(col("day"), 1).over(Window.partitionBy("user_id").orderBy("day")))
+      val prevCal = date_format(date_add(to_date(col("day")), -1), "yyyy-MM-dd")
+      val g = lagd.groupBy("day").agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("prevd").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prevd") === date_format(date_add(to_date(col("day")), -1), "yyyy-MM-dd"), 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("prevd").isNotNull
+          && col("prevd") < date_format(date_add(to_date(col("day")), -1), "yyyy-MM-dd"), 1L)
+          .otherwise(0L)).as("n_resurrected"))
+      g.withColumn("prev_cal", prevCal)
+        .join(g.select(col("day").as("prev_cal"), col("n_active").as("prev_active")),
+          Seq("prev_cal"), "left")
+        .select(col("day"), col("n_active"), col("n_new"), col("n_retained"),
+          col("n_resurrected"), (col("prev_active") - col("n_retained")).as("n_churned"))
+        .orderBy("day")
+    }),
+
+    // Tukey-fence (IQR) volume anomalies on global daily totals: Q1/Q3
+    // are exact type-1 quantiles off the count histogram, and the fence
+    // tests stay INTEGER (2c < 2·Q1 − 3·IQR avoids the 1.5 multiplier
+    // ever touching a double). Histogram + one broadcast threshold row —
+    // nothing here grows with the corpus except the daily-count shuffle.
+    "x_anomaly_iqr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = events(s, dir).groupBy("day").agg(count(lit(1)).as("c"))
+      val hist = d.groupBy("c").agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum(col("f")).over(Window.orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = d.agg(count(lit(1)).as("nd"))
+      val qs = hist.crossJoin(broadcast(n))
+        .select(
+          min(when(col("cum") * 4 >= col("nd"), col("c"))).as("q1"),
+          min(when(col("cum") * 4 >= col("nd") * 3, col("c"))).as("q3"))
+      d.crossJoin(broadcast(qs))
+        .select(col("day"), col("c"), col("q1"), col("q3"),
+          (col("c") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3).as("is_low"),
+          (col("c") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3).as("is_high"))
+        .orderBy("day")
+    }),
+
+    // Edit-distance similarity join over part names with attribute
+    // blocking: candidates pair only within the same final-token block
+    // (the stable "noun" attribute — classic entity-resolution blocking
+    // that keeps candidates per-block-bounded at any catalog size), then
+    // exact Levenshtein ≤ 4 filters. Both engines share the native
+    // levenshtein kernel; the block join is an equi-join, never all-pairs.
+    "x_edit_sim_join" -> ((s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name").as("name")).distinct()
+        .withColumn("blk", element_at(split(col("name"), " "), -1))
+      names.select(col("blk"), col("name").as("name_a"))
+        .join(names.select(col("blk"), col("name").as("name_b")), "blk")
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 4)
+        .select(col("blk").as("block"), col("name_a"), col("name_b"), col("dist"))
+        .orderBy("block", "name_a", "name_b")
+    }),
+
+    // RAKE keyword extraction: candidate phrases are maximal stopword-free
+    // token runs (stopwords: the corpus function words a/the), word score
+    // = degree/frequency over phrase co-occurrence (floor-9, then DECIMAL
+    // sums so the phrase score is exact in any aggregation order), phrase
+    // score = Σ member word scores. Top-15 distinct phrases. One token
+    // shuffle + bounded-vocab broadcasts — TextRank's classic cheap rival.
+    "x_rake_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TF.tokens(lower(col("text")))).as(Seq("pos", "term")))
+      val ns = tok.filter(!col("term").isin("a", "the"))
+        .withColumn("grp", col("pos") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+      val phrases = ns.groupBy(col("doc_id"), col("grp"))
+        .agg(expr("array_join(transform(sort_array(collect_list(struct(pos, term))), e -> e.term), ' ')")
+          .as("phrase"), count(lit(1)).as("plen"))
+      val words = ns.join(phrases.select(col("doc_id"), col("grp"), col("plen")),
+        Seq("doc_id", "grp"))
+      val wscore = words.groupBy("term").agg(
+          sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+        .withColumn("wsc", (floor(col("deg").cast("double") / col("freq").cast("double")
+          * lit(1e9) + lit(0.5)) / lit(1e9)).cast("decimal(28,9)"))
+      val pscore = words.join(broadcast(wscore.select(col("term"), col("wsc"))), "term")
+        .groupBy(col("doc_id"), col("grp")).agg(sum(col("wsc")).as("psc"))
+        .join(phrases, Seq("doc_id", "grp"))
+      pscore.groupBy("phrase").agg(max(col("psc")).as("score"), count(lit(1)).as("n_occurrences"))
+        .orderBy(col("score").desc, col("phrase")).limit(15)
+        // rank AFTER the limit: the window's input is 15 rows, not the
+        // phrase table (GlobalLimit-dominated, per the plan audit)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score").desc, col("phrase"))))
+        .select(col("rk"), col("phrase"), col("score").cast("double").as("score"),
+          col("n_occurrences"))
+        .orderBy("rk")
     })
   )
 
@@ -15637,7 +15743,79 @@ object SparkEntry {
                       GROUP BY 1, 2)
            SELECT CAST(t.p AS INTEGER) AS decile, t.q AS q_treat, c.q AS q_ctrl,
                   t.q - c.q AS qte
-           FROM q t JOIN q c ON c.p = t.p AND c.arm = 0 WHERE t.arm = 1 ORDER BY decile"""
+           FROM q t JOIN q c ON c.p = t.p AND c.arm = 0 WHERE t.arm = 1 ORDER BY decile""",
+      // growth accounting: previous-active-day split + calendar self-join
+      "x_growth_accounting" ->
+        s"""WITH du AS (SELECT DISTINCT user_id, $dayE AS day FROM events),
+                l AS (SELECT user_id, day,
+                        lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prevd
+                      FROM du),
+                g AS (SELECT day, count(*) AS n_active,
+                        CAST(sum(CASE WHEN prevd IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                        CAST(sum(CASE WHEN prevd = strftime(CAST(day AS DATE) - 1, '%Y-%m-%d')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                        CAST(sum(CASE WHEN prevd IS NOT NULL
+                            AND prevd < strftime(CAST(day AS DATE) - 1, '%Y-%m-%d')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+                      FROM l GROUP BY 1)
+           SELECT g.day, g.n_active, g.n_new, g.n_retained, g.n_resurrected,
+                  p.n_active - g.n_retained AS n_churned
+           FROM g LEFT JOIN g p ON p.day = strftime(CAST(g.day AS DATE) - 1, '%Y-%m-%d')
+           ORDER BY g.day""",
+      // IQR fences: exact type-1 quartiles, integer fence tests
+      "x_anomaly_iqr" ->
+        s"""WITH d AS (SELECT $dayE AS day, count(*) AS c FROM events GROUP BY 1),
+                h AS (SELECT c, count(*) AS f FROM d GROUP BY 1),
+                ch AS (SELECT c, CAST(sum(f) OVER (ORDER BY c
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                       FROM h),
+                nd AS (SELECT count(*) AS nd FROM d),
+                qs AS (SELECT min(CASE WHEN cum * 4 >= nd THEN c END) AS q1,
+                              min(CASE WHEN cum * 4 >= nd * 3 THEN c END) AS q3
+                       FROM ch, nd)
+           SELECT d.day, d.c, qs.q1, qs.q3,
+                  d.c * 2 < qs.q1 * 2 - (qs.q3 - qs.q1) * 3 AS is_low,
+                  d.c * 2 > qs.q3 * 2 + (qs.q3 - qs.q1) * 3 AS is_high
+           FROM d, qs ORDER BY d.day""",
+      // edit-sim join: identical blocking + native levenshtein
+      "x_edit_sim_join" ->
+        """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+                b AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM names)
+           SELECT a.blk AS block, a.name AS name_a, b2.name AS name_b,
+                  CAST(levenshtein(a.name, b2.name) AS INTEGER) AS dist
+           FROM b a JOIN b b2 ON b2.blk = a.blk AND a.name < b2.name
+           WHERE levenshtein(a.name, b2.name) <= 4
+           ORDER BY block, name_a, name_b""",
+      // RAKE: stopword islands, degree/frequency decimals, phrase sums
+      "x_rake_keywords" ->
+        """WITH tk AS (SELECT doc_id,
+                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                      FROM documents),
+                tok AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, tk[i] AS term
+                        FROM tk, unnest(generate_series(1, len(tk))) AS u(i)),
+                ns AS (SELECT doc_id, pos, term,
+                         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                       FROM tok WHERE term NOT IN ('a', 'the')),
+                ph AS (SELECT doc_id, grp,
+                         array_to_string(list(term ORDER BY pos), ' ') AS phrase,
+                         count(*) AS plen
+                       FROM ns GROUP BY 1, 2),
+                words AS (SELECT ns.doc_id, ns.grp, ns.term, ph.plen
+                          FROM ns JOIN ph ON ph.doc_id = ns.doc_id AND ph.grp = ns.grp),
+                ws AS (SELECT term,
+                         CAST(floor(CAST(sum(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                           * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9)) AS wsc
+                       FROM words GROUP BY 1),
+                ps AS (SELECT w.doc_id, w.grp, sum(ws.wsc) AS psc
+                       FROM words w JOIN ws ON ws.term = w.term GROUP BY 1, 2),
+                agg AS (SELECT ph.phrase, max(ps.psc) AS score, count(*) AS n_occurrences
+                        FROM ps JOIN ph ON ph.doc_id = ps.doc_id AND ph.grp = ps.grp
+                        GROUP BY 1),
+                top AS (SELECT phrase, score, n_occurrences,
+                          row_number() OVER (ORDER BY score DESC, phrase) AS rk FROM agg)
+           SELECT CAST(rk AS INTEGER) AS rk, phrase, CAST(score AS DOUBLE) AS score,
+                  n_occurrences
+           FROM top WHERE rk <= 15 ORDER BY rk"""
     )
   }
 

@@ -57,7 +57,10 @@ class SparkEntrySpec extends AnyFunSuite {
     val boundedInputWhitelist =
       Set("w2_moving_avg", "x_quantile_norm", "x_ks_test", "x_mannwhitney", "x_kruskal_wallis",
         "x_mcnemar", "x_cochran_q", "x_psm_att", "x_bh_fdr", "x_gini", "x_theilsen", "x_auc",
-        "x_sprt", "x_skyline", "x_binseg")
+        "x_sprt", "x_skyline", "x_binseg",
+        // x_anomaly_iqr — cumulative histogram of GLOBAL daily totals:
+        // one row per distinct daily count, bounded by the calendar grid
+        "x_anomaly_iqr")
     import org.apache.spark.sql.catalyst.plans.logical
     // A global window whose input is DOMINATED by a LIMIT is bounded by
     // construction (e.g. x_bm25_search round-robins the top-20 df terms
