@@ -9346,6 +9346,75 @@ object SparkEntry {
         .select(col("rk"), col("phrase"), col("score").cast("double").as("score"),
           col("n_occurrences"))
         .orderBy("rk")
+    }),
+
+    // Gap backfill with held-out truth: ~20% of each type's days are
+    // md5-masked, then reconstructed by LINEAR INTERPOLATION between the
+    // nearest surviving neighbors (boundary gaps fall back to the one
+    // neighbor), scored as MAE against the hidden truth next to the LOCF
+    // (carry-forward) baseline. Neighbor lookup is a bounded
+    // masked×known grid join per type — no IGNORE-NULLS window
+    // dependence, engine-portable, calendar-bounded at any corpus size.
+    "x_backfill_interpolate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .withColumn("idx", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")) - 1)
+        .withColumn("masked", graft.ext.Mixture.hash24(
+          concat(lit("bf|"), col("event_type"), lit("|"), col("day"))) % 5 === 0)
+        .localCheckpoint()
+      val known = dc.filter(!col("masked")).select(col("event_type"),
+        col("idx").as("kidx"), col("c").as("kc"))
+      val m = dc.filter(col("masked")).select(col("event_type"), col("idx"), col("c"))
+      val nb = m.join(known, "event_type")
+        .groupBy("event_type", "idx", "c").agg(
+          max(when(col("kidx") < col("idx"), col("kidx"))).as("pidx"),
+          min(when(col("kidx") > col("idx"), col("kidx"))).as("nidx"))
+      val withVals = nb
+        .join(known.select(col("event_type"), col("kidx").as("pidx"), col("kc").as("pc")),
+          Seq("event_type", "pidx"), "left")
+        .join(known.select(col("event_type"), col("kidx").as("nidx"), col("kc").as("nc")),
+          Seq("event_type", "nidx"), "left")
+      val interp = when(col("pidx").isNull, col("nc").cast("double"))
+        .when(col("nidx").isNull, col("pc").cast("double"))
+        .otherwise(col("pc").cast("double") + (col("nc") - col("pc")).cast("double")
+          * (col("idx") - col("pidx")).cast("double") / (col("nidx") - col("pidx")).cast("double"))
+      val locf = when(col("pc").isNotNull, col("pc")).otherwise(col("nc")).cast("double")
+      withVals
+        .withColumn("e_int", floor(abs(interp - col("c").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .withColumn("e_locf", floor(abs(locf - col("c").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .groupBy("event_type").agg(count(lit(1)).as("n_masked"),
+          (floor(sum(col("e_int").cast("decimal(28,6)")).cast("double")
+            / count(lit(1)).cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mae_interp"),
+          (floor(sum(col("e_locf").cast("decimal(28,6)")).cast("double")
+            / count(lit(1)).cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mae_locf"))
+        .orderBy("event_type")
+    }),
+
+    // Cohort LTV curves: users cohorted by first-active day, purchase
+    // revenue accumulated by cohort AGE (days since first seen), divided
+    // by FULL cohort size (not just purchasers). Revenue rides decimal
+    // sums so the cumulative window is exact in any aggregation order;
+    // the output grid is cohort×age — calendar²-bounded. Two shuffles:
+    // the per-user first-day agg and the (cohort, age) revenue agg.
+    "x_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(first, "user_id")
+        .withColumn("age", datediff(to_date(col("day")), to_date(col("cohort"))))
+        .groupBy("cohort", "age").agg(sum(col("value").cast("decimal(18,4)")).as("r"))
+      rev.withColumn("cum", sum(col("r")).over(
+          Window.partitionBy("cohort").orderBy("age")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(sizes), "cohort")
+        .select(col("cohort"), col("age"), col("n_users"),
+          (floor(col("cum").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as("cum_revenue"),
+          (floor(col("cum").cast("double") / col("n_users").cast("double") * lit(1e4)
+            + lit(0.5)) / lit(1e4)).as("ltv"))
+        .orderBy("cohort", "age")
     })
   )
 
@@ -15815,7 +15884,58 @@ object SparkEntry {
                           row_number() OVER (ORDER BY score DESC, phrase) AS rk FROM agg)
            SELECT CAST(rk AS INTEGER) AS rk, phrase, CAST(score AS DOUBLE) AS score,
                   n_occurrences
-           FROM top WHERE rk <= 15 ORDER BY rk"""
+           FROM top WHERE rk <= 15 ORDER BY rk""",
+      // backfill: identical mask, neighbor grid join, interp/LOCF MAE
+      "x_backfill_interpolate" ->
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                ix AS (SELECT event_type, day, c,
+                         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS idx,
+                         CAST(('0x' || substring(md5('bf|' || event_type || '|' || day), 1, 6)) AS INTEGER) % 5 = 0 AS masked
+                       FROM dc),
+                known AS (SELECT event_type, idx AS kidx, c AS kc FROM ix WHERE NOT masked),
+                m AS (SELECT event_type, idx, c FROM ix WHERE masked),
+                nb AS (SELECT m.event_type, m.idx, m.c,
+                         max(CASE WHEN k.kidx < m.idx THEN k.kidx END) AS pidx,
+                         min(CASE WHEN k.kidx > m.idx THEN k.kidx END) AS nidx
+                       FROM m JOIN known k ON k.event_type = m.event_type
+                       GROUP BY 1, 2, 3),
+                wv AS (SELECT nb.*, p.kc AS pc, n.kc AS nc
+                       FROM nb
+                       LEFT JOIN known p ON p.event_type = nb.event_type AND p.kidx = nb.pidx
+                       LEFT JOIN known n ON n.event_type = nb.event_type AND n.kidx = nb.nidx),
+                er AS (SELECT event_type,
+                         floor(abs(CASE WHEN pidx IS NULL THEN CAST(nc AS DOUBLE)
+                                        WHEN nidx IS NULL THEN CAST(pc AS DOUBLE)
+                                        ELSE CAST(pc AS DOUBLE) + CAST(nc - pc AS DOUBLE)
+                                          * CAST(idx - pidx AS DOUBLE) / CAST(nidx - pidx AS DOUBLE)
+                                   END - CAST(c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS e_int,
+                         floor(abs(CAST(CASE WHEN pc IS NOT NULL THEN pc ELSE nc END AS DOUBLE)
+                           - CAST(c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS e_locf
+                       FROM wv)
+           SELECT event_type, count(*) AS n_masked,
+                  floor(CAST(sum(CAST(e_int AS DECIMAL(28,6))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS mae_interp,
+                  floor(CAST(sum(CAST(e_locf AS DECIMAL(28,6))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS mae_locf
+           FROM er GROUP BY 1 ORDER BY event_type""",
+      // cohort LTV: decimal revenue, exact cumulative window, full-cohort
+      // denominators
+      "x_cohort_ltv" ->
+        s"""WITH f AS (SELECT user_id, min($dayE) AS cohort FROM events GROUP BY 1),
+                sz AS (SELECT cohort, count(*) AS n_users FROM f GROUP BY 1),
+                rev AS (SELECT f.cohort,
+                          CAST(CAST(e.ts AS DATE) - CAST(f.cohort AS DATE) AS INTEGER) AS age,
+                          sum(CAST(e.value AS DECIMAL(18,4))) AS r
+                        FROM events e JOIN f ON f.user_id = e.user_id
+                        WHERE e.event_type = 'purchase'
+                        GROUP BY 1, 2),
+                cm AS (SELECT cohort, age, sum(r) OVER (PARTITION BY cohort ORDER BY age
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                       FROM rev)
+           SELECT cm.cohort, cm.age, sz.n_users,
+                  floor(CAST(cum AS DOUBLE) * 1e4 + 0.5) / 1e4 AS cum_revenue,
+                  floor(CAST(cum AS DOUBLE) / CAST(sz.n_users AS DOUBLE) * 1e4 + 0.5) / 1e4 AS ltv
+           FROM cm JOIN sz USING (cohort) ORDER BY cohort, age"""
     )
   }
 

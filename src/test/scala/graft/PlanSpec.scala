@@ -192,4 +192,25 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("x_maxip_topk")
     assert(p.contains("TakeOrderedAndProject"), s"norm band must be a partial top-B:\n$p")
   }
+
+  test("x_late_interaction broadcasts the probe side and group-limits before its one shuffle") {
+    val p = plan("x_late_interaction")
+    // probe side is an IdentityBroadcast cross join: the corpus NEVER
+    // shuffles into the scoring join
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BroadcastExchange"),
+      s"corpus-side scoring must stream against a broadcast probe set:\n$p")
+    // partial + final WindowGroupLimit: each map task ships <=5 rows per
+    // query, so the ranking exchange is queries-bounded at any corpus size
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected partial+final group-limit before the rank exchange:\n$p")
+  }
+
+  test("x_scd2 builds all segment windows on ONE custkey partitioning") {
+    val p = plan("x_scd2")
+    // lag -> running segment sum -> lead: a single hashpartitioning on
+    // o_custkey serves the whole gaps-and-islands chain; a second
+    // key-partitioned exchange would mean the windows re-shuffled
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(p).size <= 1,
+      s"SCD2 windows must share the custkey exchange:\n$p")
+  }
 }
