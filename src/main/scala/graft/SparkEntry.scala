@@ -9415,6 +9415,309 @@ object SparkEntry {
           (floor(col("cum").cast("double") / col("n_users").cast("double") * lit(1e4)
             + lit(0.5)) / lit(1e4)).as("ltv"))
         .orderBy("cohort", "age")
+    }),
+
+    // Z-ORDER layout audit (the lakehouse data-clustering primitive):
+    // interleave the low 16 bits of (partkey, suppkey) into a Morton
+    // code, bucket rows by its top bits ("files"), and measure per-bucket
+    // key-range spans against the naive orderkey-ranged layout. Z-order
+    // buckets confine BOTH keys to narrow ranges (small span product ⇒
+    // min/max file stats prune either predicate); the naive layout leaves
+    // the secondary keys full-range. Pure projection + one groupBy per
+    // layout — the audit itself is scan-shaped at any table size.
+    "x_zorder_layout" -> ((s, dir) => {
+      val zS = (0 until 16).map(b =>
+        s"(shiftleft((shiftright(xk, $b) & 1), ${2 * b}) | shiftleft((shiftright(yk, $b) & 1), ${2 * b + 1}))")
+        .mkString("(", " | ", ")")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), (col("l_partkey") % 65536).as("xk"),
+          (col("l_suppkey") % 65536).as("yk"), col("l_partkey"), col("l_suppkey"))
+      val mo = li.agg(max(col("l_orderkey")).as("mo"))
+      val both = li.crossJoin(broadcast(mo))
+        .withColumn("z", expr(zS))
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("shiftright(z, 26) & 63").as("zb"),
+          expr("CAST((l_orderkey * 64) DIV (mo + 1) AS BIGINT)").as("nb"))
+      def spans(bucket: Column, label: String) = both.groupBy(bucket.as("bucket")).agg(
+          count(lit(1)).as("n_rows"),
+          (max(col("l_partkey")) - min(col("l_partkey")) + 1).as("p_span"),
+          (max(col("l_suppkey")) - min(col("l_suppkey")) + 1).as("s_span"))
+        .withColumn("layout", lit(label))
+      spans(col("zb"), "zorder").unionByName(spans(col("nb"), "orderkey"))
+        .withColumn("span_product", col("p_span") * col("s_span"))
+        .select(col("layout"), col("bucket"), col("n_rows"), col("p_span"), col("s_span"),
+          col("span_product"))
+        .orderBy("layout", "bucket")
+    }),
+
+    // Simpson's-paradox audit: treatment/control purchase rates compared
+    // overall AND per weekday stratum, with every direction decided by
+    // INTEGER cross-multiplication (s1·n0 vs s0·n1 — no rate division
+    // anywhere). A stratum is "reversed" when its direction opposes the
+    // aggregate's — the classic confounding alarm. Two map-side-combined
+    // aggregations over the scan; the stratum grid is metadata.
+    "x_simpson_paradox" -> ((s, dir) => {
+      val base = events(s, dir).select(
+        (col("user_id") % 2 === 1).as("treat"),
+        (dayofweek(to_date(col("day")))).as("dow"),
+        (col("event_type") === "purchase").cast("long").as("hit"))
+      def agg(g: DataFrame, stratum: Column) = g.groupBy(stratum.as("stratum")).agg(
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(!col("treat"), col("hit")).otherwise(0L)).as("s_ctrl"),
+        sum(when(col("treat"), 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("treat"), col("hit")).otherwise(0L)).as("s_treat"))
+      val rows = agg(base, col("dow").cast("int"))
+        .unionByName(agg(base, lit(0)))
+        .withColumn("direction", signum(
+          (col("s_treat") * col("n_ctrl") - col("s_ctrl") * col("n_treat")).cast("double"))
+          .cast("int"))
+      val ov = rows.filter(col("stratum") === 0)
+        .select(col("direction").as("odir"))
+      rows.crossJoin(broadcast(ov))
+        .withColumn("reversed", col("stratum") =!= 0 && col("direction") * col("odir") < 0)
+        .select(col("stratum"), col("n_ctrl"), col("s_ctrl"), col("n_treat"), col("s_treat"),
+          col("direction"), col("reversed"))
+        .orderBy("stratum")
+    }),
+
+    // RANGE-frame window battery (value-based frames — the frame kind the
+    // w-series hadn't covered): for each day, the volume mass of days
+    // whose count lies within ±50 of it, per type. RANGE peers include
+    // ties by definition in both engines; sums stay integer. One
+    // type-partitioned window over the bounded day grid.
+    "w13_range_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy(col("c")).rangeBetween(-50, 50)
+      dc.select(col("event_type"), col("day"), col("c"),
+          sum(col("c")).over(w).as("near_sum"),
+          count(lit(1)).over(w).as("near_days"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Entity-resolution end to end: blocking (final name token) →
+    // matching (levenshtein ≤ 2) → CLUSTERING (the alternating-star
+    // connected components, min-name labels) → cluster cards. Singletons
+    // keep themselves as cluster id. The CC machinery is the same
+    // O(1)-row-width loop the dedup family uses — ER at catalog scale is
+    // blocking-bounded, never all-pairs.
+    "x_er_clusters" -> ((s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name").as("name")).distinct()
+        .withColumn("blk", element_at(split(col("name"), " "), -1))
+      val pairs = names.select(col("blk"), col("name").as("a"))
+        .join(names.select(col("blk"), col("name").as("b")), "blk")
+        .filter(col("a") < col("b") && levenshtein(col("a"), col("b")) <= 2)
+      val cc = graft.ext.Dedup.connectedComponents(pairs, "a", "b")
+      names.select(col("name"))
+        .join(cc.select(col("id").as("name"), col("cluster_id")), Seq("name"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("name")))
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+        .select(col("name"), col("cluster_id"), col("cluster_size"))
+        .orderBy("cluster_id", "name")
+    }),
+
+    // Targeting gains/lift table: users ranked by activity (the
+    // x_logit_newton score is monotone in it — slope sign pinned by
+    // StatsSpec), cut into cum-mass deciles off the activity HISTOGRAM
+    // (never a per-user global rank), each decile's capture of the
+    // purchase-heavy label as integer counts; gain% and lift are single
+    // closed-form doubles over exact integers. The histogram is bounded
+    // by the activity domain, not the user count.
+    "x_gains_table" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = events(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("x"),
+        (sum((col("event_type") === "purchase").cast("long")) * 5 >= count(lit(1)))
+          .cast("long").as("y"))
+      val hist = per.groupBy("x").agg(count(lit(1)).as("f"), sum(col("y")).as("fp"))
+      val tot = per.agg(count(lit(1)).as("nn"), sum(col("y")).as("pp"))
+      val cum = hist.withColumn("cumf", sum(col("f")).over(Window.orderBy(col("x").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", expr("CAST(((cumf - 1) * 10) DIV nn AS INT) + 1"))
+      val dec = cum.groupBy("decile").agg(sum(col("f")).as("n_users"),
+          sum(col("fp")).as("n_pos"), max(col("nn")).as("nn"), max(col("pp")).as("pp"))
+        .withColumn("cum_pos", sum(col("n_pos")).over(Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      dec.select(col("decile"), col("n_users"), col("n_pos"), col("cum_pos"),
+          (floor(col("cum_pos").cast("double") * 100 / col("pp").cast("double") * lit(1e4)
+            + lit(0.5)) / lit(1e4)).as("gain_pct"),
+          (floor(col("n_pos").cast("double") * col("nn") / (col("n_users").cast("double") * col("pp"))
+            * lit(1e4) + lit(0.5)) / lit(1e4)).as("lift"))
+        .orderBy("decile")
+    }),
+
+    // Ljung–Box portmanteau test on the x_acf autocorrelations: Q =
+    // n(n+2) Σ r_k²/(n−k) over lags {1,2,3,7} — "is there ANY serial
+    // structure at all". r_k are the same floor-4 decimal-sum ACFs;
+    // each Q term is floor-9 quantized then decimal-summed so the
+    // 4-term reduction is aggregation-order-exact.
+    "x_ljung_box" -> ((s, dir) => {
+      val d = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val grid = d.select("event_type").distinct().crossJoin(d.select("day").distinct())
+      val full = grid.join(d, Seq("event_type", "day"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val mu = full.groupBy("event_type").agg(sum(col("c")).as("sc"), count(lit(1)).as("nd"))
+        .select(col("event_type"), col("nd"),
+          (col("sc").cast("double") / col("nd").cast("double")).as("mu"))
+      val x = full.join(broadcast(mu), "event_type")
+        .select(col("event_type"), col("nd"), to_date(col("day")).as("d"),
+          (col("c").cast("double") - col("mu")).as("dev"))
+      def f6d(c: Column): Column =
+        ((floor(c * lit(1e6) + lit(0.5)) / lit(1e6)).cast("decimal(28,6)"))
+      val den = x.groupBy("event_type").agg(sum(f6d(col("dev") * col("dev"))).as("den"))
+      val lagged = x.select(col("event_type").as("et2"), col("d").as("d2"), col("dev").as("dev2"))
+      val acf = x.withColumn("lag", explode(array(Seq(1, 2, 3, 7).map(lit): _*)))
+        .join(lagged,
+          col("event_type") === col("et2") && col("d2") === date_add(col("d"), col("lag")))
+        .groupBy("event_type", "lag").agg(max(col("nd")).as("nd"),
+          sum(f6d(col("dev") * col("dev2"))).as("num"))
+        .join(broadcast(den), "event_type")
+        .select(col("event_type"), col("lag"), col("nd"),
+          (floor(col("num").cast("double") / col("den").cast("double") * lit(1e4) + lit(0.5))
+            / lit(1e4)).as("r"))
+      acf.groupBy("event_type").agg(max(col("nd")).as("n_days"),
+          sum((floor(col("r") * col("r") / (col("nd") - col("lag")).cast("double") * lit(1e9)
+            + lit(0.5)) / lit(1e9)).cast("decimal(28,9)")).as("terms"))
+        .select(col("event_type"), col("n_days"), lit(4).as("df"),
+          (floor(col("n_days").cast("double") * (col("n_days") + 2)
+            * col("terms").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as("q_stat"))
+        .orderBy("event_type")
+    }),
+
+    // SAX symbolic compression of each type's daily series: z-scores
+    // (floor-6), 7-day PAA segment means (decimal sums, floor-4), then
+    // the 3-symbol gaussian-breakpoint alphabet (±0.4307) — the symbolic
+    // index time-series miners build before motif/rule search. Output is
+    // one compact word per type; everything is grid metadata after the
+    // daily-count shuffle.
+    "x_sax_symbols" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .withColumn("idx", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")) - 1)
+      val st = dc.groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+        sum(col("c") * col("c")).as("sxx"))
+      val z = dc.join(broadcast(st), "event_type")
+        .withColumn("sd", sqrt((col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double") / col("n").cast("double"))
+          / col("n").cast("double")))
+        .withColumn("z", floor((col("c").cast("double")
+          - col("sx").cast("double") / col("n").cast("double")) / col("sd") * lit(1e6)
+          + lit(0.5)) / lit(1e6))
+        .withColumn("seg", expr("CAST(idx DIV 7 AS INT)"))
+      val seg = z.groupBy("event_type", "seg").agg(
+          (floor(sum(col("z").cast("decimal(28,6)")).cast("double")
+            / count(lit(1)).cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as("m"))
+        .withColumn("sym", when(col("m") < -0.4307, lit("a"))
+          .when(col("m") > 0.4307, lit("c")).otherwise(lit("b")))
+      seg.groupBy("event_type").agg(
+          expr("array_join(transform(sort_array(collect_list(struct(seg, sym))), e -> e.sym), '')")
+            .as("sax"),
+          count(lit(1)).as("n_segments"))
+        .orderBy("event_type")
+    }),
+
+    // Lempel–Ziv (Kaspar–Schuster) complexity of each type's up/down
+    // volume sequence — the randomness/compressibility audit next to the
+    // runs test: the move string parses into phrases, each extended
+    // while it already occurs in the preceding prefix. ONE linear fold
+    // of pure string ops (substr/instr — bit-identical across engines)
+    // over the calendar-bounded sequence.
+    "x_lz_complexity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val mv = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("m", when(col("c") > col("prev"), lit("1")).otherwise(lit("0")))
+        .withColumn("idx", row_number().over(w) - 1)
+      val ss = mv.groupBy("event_type").agg(
+        expr("array_join(transform(sort_array(collect_list(struct(idx, m))), e -> e.m), '')")
+          .as("s"))
+      ss.withColumn("st", expr(
+          """aggregate(sequence(1, length(s)),
+               named_struct('cnt', 0L, 'start', 1),
+               (st, j) -> IF(j > 1 AND instr(substr(s, 1, j - 1), substr(s, st.start, j - st.start + 1)) > 0,
+                 st, named_struct('cnt', st.cnt + 1L, 'start', j + 1)))"""))
+        .select(col("event_type"), length(col("s")).cast("long").as("n_bits"),
+          (col("st.cnt") + when(col("st.start") <= length(col("s")), 1L).otherwise(0L))
+            .as("lz_phrases"))
+        .orderBy("event_type")
+    }),
+
+    // Maximum drawdown of each type's cumulative demeaned volume: the
+    // running-peak-minus-current of the INTEGER-EXACT scaled deviation
+    // series Σ(c·n − Σc) (the x_changepoint trick — no double touches the
+    // argmax), normalized once at the end. Trough = earliest day hitting
+    // the max drawdown. Two stacked windows on ONE type partitioning.
+    "x_drawdown" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val st = dc.groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("c")).as("sx"))
+      val wrun = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cs = dc.join(broadcast(st), "event_type")
+        .withColumn("cum", sum(col("c") * col("n") - col("sx")).over(wrun))
+        .withColumn("peak", max(col("cum")).over(wrun))
+        .withColumn("dd", col("peak") - col("cum"))
+      cs.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("dd").desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("trough_day"), col("dd").as("dd_scaled"),
+          (floor(col("dd").cast("double") / col("n").cast("double") * lit(1e4) + lit(0.5))
+            / lit(1e4)).as("max_drawdown"))
+        .orderBy("event_type")
+    }),
+
+    // Popularity recommender with seen-filter: global top-100 parts by
+    // purchase volume BROADCAST, each sampled customer anti-joins what
+    // they already bought and takes the 5 most popular novel parts. The
+    // catalog never shuffles: candidates are user × broadcast-top-100,
+    // the seen set is one (custkey, partkey) dedup — the cold-start
+    // serving plan that works at any user count.
+    "x_recommend_pop" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val pop = li.groupBy("l_partkey").agg(count(lit(1)).as("pop"))
+        .orderBy(col("pop").desc, col("l_partkey")).limit(100)
+      val seen = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("custkey"), col("l_partkey")).distinct()
+      val users = t(s, dir, "customer").filter(col("c_custkey") % 50 === 0)
+        .select(col("c_custkey").as("custkey"))
+      users.crossJoin(broadcast(pop))
+        .join(seen, Seq("custkey", "l_partkey"), "left_anti")
+        .withColumn("rk", row_number().over(Window.partitionBy("custkey")
+          .orderBy(col("pop").desc, col("l_partkey"))))
+        .filter(col("rk") <= 5)
+        .select(col("custkey"), col("rk"), col("l_partkey").as("partkey"), col("pop"))
+        .orderBy("custkey", "rk")
+    }),
+
+    // Peak detection on daily volumes: a peak is STRICTLY above both
+    // neighbors and at least 25% above the type's histogram lower median
+    // (4c > 5·med — integers only). Prominence-lite, engine-exact;
+    // lag/lead + the median share one type-bounded histogram.
+    "x_peaks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val dc = events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val med = dc.groupBy("event_type", "c").agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum(col("f")).over(Window.partitionBy("event_type").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(dc.groupBy("event_type").agg(count(lit(1)).as("nd")), "event_type")
+        .filter(col("cum") * 2 >= col("nd"))
+        .groupBy("event_type").agg(min(col("c")).as("med"))
+      dc.withColumn("pc", lag(col("c"), 1).over(w))
+        .withColumn("nc", lead(col("c"), 1).over(w))
+        .join(broadcast(med), "event_type")
+        .filter(col("pc").isNotNull && col("nc").isNotNull
+          && col("c") > col("pc") && col("c") > col("nc")
+          && col("c") * 4 > col("med") * 5)
+        .select(col("event_type"), col("day"), col("c"), col("med"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -15935,7 +16238,245 @@ object SparkEntry {
            SELECT cm.cohort, cm.age, sz.n_users,
                   floor(CAST(cum AS DOUBLE) * 1e4 + 0.5) / 1e4 AS cum_revenue,
                   floor(CAST(cum AS DOUBLE) / CAST(sz.n_users AS DOUBLE) * 1e4 + 0.5) / 1e4 AS ltv
-           FROM cm JOIN sz USING (cohort) ORDER BY cohort, age"""
+           FROM cm JOIN sz USING (cohort) ORDER BY cohort, age""",
+      // z-order: identical Morton interleave, per-layout span stats
+      "x_zorder_layout" -> {
+        val zD = (0 until 16).map(b =>
+          s"((((xk >> $b) & 1) << ${2 * b}) | (((yk >> $b) & 1) << ${2 * b + 1}))")
+          .mkString("(", " | ", ")")
+        s"""WITH li AS (SELECT l_orderkey, l_partkey % 65536 AS xk, l_suppkey % 65536 AS yk,
+                        l_partkey, l_suppkey FROM lineitem),
+                mo AS (SELECT max(l_orderkey) AS mo FROM lineitem),
+                z AS (SELECT l_partkey, l_suppkey,
+                        ($zD >> 26) & 63 AS zb,
+                        (l_orderkey * 64) // (mo + 1) AS nb
+                      FROM li, mo),
+                u AS (SELECT 'zorder' AS layout, zb AS bucket, count(*) AS n_rows,
+                        max(l_partkey) - min(l_partkey) + 1 AS p_span,
+                        max(l_suppkey) - min(l_suppkey) + 1 AS s_span
+                      FROM z GROUP BY 2
+                      UNION ALL
+                      SELECT 'orderkey', nb, count(*),
+                        max(l_partkey) - min(l_partkey) + 1,
+                        max(l_suppkey) - min(l_suppkey) + 1
+                      FROM z GROUP BY 2)
+           SELECT layout, bucket, n_rows, p_span, s_span, p_span * s_span AS span_product
+           FROM u ORDER BY layout, bucket"""
+      },
+      // Simpson: integer cross-multiplied directions, overall stratum 0
+      "x_simpson_paradox" ->
+        s"""WITH base AS (SELECT user_id % 2 = 1 AS treat,
+                        dayofweek(CAST($dayE AS DATE)) + 1 AS dow,
+                        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+                      FROM events),
+                st AS (SELECT CAST(dow AS INTEGER) AS stratum,
+                         CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+                         CAST(sum(CASE WHEN NOT treat THEN hit ELSE 0 END) AS BIGINT) AS s_ctrl,
+                         CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+                         CAST(sum(CASE WHEN treat THEN hit ELSE 0 END) AS BIGINT) AS s_treat
+                       FROM base GROUP BY 1
+                       UNION ALL
+                       SELECT 0,
+                         CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT),
+                         CAST(sum(CASE WHEN NOT treat THEN hit ELSE 0 END) AS BIGINT),
+                         CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT),
+                         CAST(sum(CASE WHEN treat THEN hit ELSE 0 END) AS BIGINT)
+                       FROM base),
+                d AS (SELECT *, CAST(CASE WHEN s_treat * n_ctrl > s_ctrl * n_treat THEN 1
+                                          WHEN s_treat * n_ctrl < s_ctrl * n_treat THEN -1
+                                          ELSE 0 END AS INTEGER) AS direction
+                      FROM st),
+                ov AS (SELECT direction AS odir FROM d WHERE stratum = 0)
+           SELECT stratum, n_ctrl, s_ctrl, n_treat, s_treat, direction,
+                  stratum <> 0 AND direction * odir < 0 AS reversed
+           FROM d, ov ORDER BY stratum""",
+      // RANGE frames: value-based peers, integer sums
+      "w13_range_frames" ->
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2)
+           SELECT event_type, day, c,
+                  CAST(sum(c) OVER w AS BIGINT) AS near_sum,
+                  CAST(count(*) OVER w AS BIGINT) AS near_days
+           FROM dc
+           WINDOW w AS (PARTITION BY event_type ORDER BY c
+             RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING)
+           ORDER BY event_type, day""",
+      // ER clusters: closure-reachability min labels over the blocked
+      // match graph (the graph is block-bounded, so the closure is too)
+      "x_er_clusters" ->
+        """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+                b AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM names),
+                e0 AS (SELECT a.name AS a, b2.name AS b
+                       FROM b a JOIN b b2 ON b2.blk = a.blk AND a.name < b2.name
+                       WHERE levenshtein(a.name, b2.name) <= 2),
+                ed AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+                cl AS (SELECT name AS a, name AS r FROM names
+                       UNION
+                       SELECT cl.a, ed.b AS r FROM cl JOIN ed ON ed.a = cl.r),
+                lbl AS (SELECT a AS name, min(r) AS cluster_id FROM cl GROUP BY 1),
+                sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+           SELECT l.name, l.cluster_id, sz.cluster_size
+           FROM lbl l JOIN sz USING (cluster_id) ORDER BY cluster_id, name""",
+      // gains table: upper-cum histogram deciles, integer capture counts
+      "x_gains_table" ->
+        """WITH per AS (SELECT user_id, count(*) AS x,
+                        CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+                          >= count(*) THEN 1 ELSE 0 END AS y
+                      FROM events GROUP BY 1),
+                h AS (SELECT x, count(*) AS f, CAST(sum(y) AS BIGINT) AS fp FROM per GROUP BY 1),
+                tot AS (SELECT count(*) AS nn, CAST(sum(y) AS BIGINT) AS pp FROM per),
+                cm AS (SELECT h.*, tot.nn, tot.pp,
+                         CAST(sum(f) OVER (ORDER BY x DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumf
+                       FROM h, tot),
+                dc AS (SELECT CAST(((cumf - 1) * 10) // nn AS INTEGER) + 1 AS decile,
+                         f, fp, nn, pp
+                       FROM cm),
+                dec AS (SELECT decile, CAST(sum(f) AS BIGINT) AS n_users,
+                          CAST(sum(fp) AS BIGINT) AS n_pos, max(nn) AS nn, max(pp) AS pp
+                        FROM dc GROUP BY 1),
+                cum2 AS (SELECT *, CAST(sum(n_pos) OVER (ORDER BY decile
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+                         FROM dec)
+           SELECT decile, n_users, n_pos, cum_pos,
+                  floor(CAST(cum_pos AS DOUBLE) * 100 / CAST(pp AS DOUBLE) * 1e4 + 0.5) / 1e4 AS gain_pct,
+                  floor(CAST(n_pos AS DOUBLE) * nn / (CAST(n_users AS DOUBLE) * pp) * 1e4 + 0.5) / 1e4 AS lift
+           FROM cum2 ORDER BY decile""",
+      // Ljung-Box: the x_acf pipeline + floor-9 decimal term sums
+      "x_ljung_box" ->
+        s"""WITH d AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                days AS (SELECT DISTINCT day FROM d),
+                types AS (SELECT DISTINCT event_type FROM d),
+                f AS (SELECT t.event_type, dy.day, coalesce(d.c, 0) AS c
+                      FROM types t CROSS JOIN days dy
+                      LEFT JOIN d ON d.event_type = t.event_type AND d.day = dy.day),
+                mu AS (SELECT event_type, count(*) AS nd,
+                         CAST(sum(c) AS DOUBLE) / count(*) AS mu FROM f GROUP BY 1),
+                x AS (SELECT f.event_type, mu.nd, CAST(f.day AS DATE) AS d,
+                        CAST(c AS DOUBLE) - mu.mu AS dev
+                      FROM f JOIN mu USING (event_type)),
+                den AS (SELECT event_type,
+                          sum(CAST(floor(dev * dev * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS den
+                        FROM x GROUP BY 1),
+                num AS (SELECT a.event_type, l.lag, max(a.nd) AS nd,
+                          sum(CAST(floor(a.dev * b.dev * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))) AS num
+                        FROM x a CROSS JOIN (VALUES (1), (2), (3), (7)) AS l(lag)
+                        JOIN x b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+                        GROUP BY 1, 2),
+                r AS (SELECT n.event_type, n.lag, n.nd,
+                        floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e4 + 0.5) / 1e4 AS r
+                      FROM num n JOIN den USING (event_type)),
+                q AS (SELECT event_type, max(nd) AS n_days,
+                        sum(CAST(floor(r * r / CAST(nd - lag AS DOUBLE) * 1e9 + 0.5) / 1e9
+                          AS DECIMAL(28,9))) AS terms
+                      FROM r GROUP BY 1)
+           SELECT event_type, n_days, CAST(4 AS INTEGER) AS df,
+                  floor(CAST(n_days AS DOUBLE) * (n_days + 2) * CAST(terms AS DOUBLE) * 1e4 + 0.5) / 1e4 AS q_stat
+           FROM q ORDER BY event_type""",
+      // SAX: floor-6 z, floor-4 PAA means, +-0.4307 alphabet
+      "x_sax_symbols" ->
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                ix AS (SELECT event_type, c,
+                         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS idx
+                       FROM dc),
+                st AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sx,
+                         CAST(sum(c * c) AS BIGINT) AS sxx FROM dc GROUP BY 1),
+                z AS (SELECT ix.event_type, CAST(idx // 7 AS INTEGER) AS seg,
+                        floor((CAST(c AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                          / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                              / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                          * 1e6 + 0.5) / 1e6 AS z
+                      FROM ix JOIN st USING (event_type)),
+                seg AS (SELECT event_type, seg,
+                          floor(CAST(sum(CAST(z AS DECIMAL(28,6))) AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS m
+                        FROM z GROUP BY 1, 2),
+                sym AS (SELECT event_type, seg,
+                          CASE WHEN m < -0.4307 THEN 'a' WHEN m > 0.4307 THEN 'c' ELSE 'b' END AS sym
+                        FROM seg)
+           SELECT event_type, string_agg(sym, '' ORDER BY seg) AS sax,
+                  count(*) AS n_segments
+           FROM sym GROUP BY 1 ORDER BY event_type""",
+      // LZ complexity: the same substr/strpos parse, one recursion row
+      // per (type, position)
+      "x_lz_complexity" ->
+        s"""WITH RECURSIVE dc AS (SELECT event_type, $dayE AS day, count(*) AS c
+                       FROM events GROUP BY 1, 2),
+                mv AS (SELECT event_type, day, c,
+                         lag(c) OVER (PARTITION BY event_type ORDER BY day) AS prev
+                       FROM dc),
+                sq AS (SELECT event_type,
+                         string_agg(CASE WHEN c > prev THEN '1' ELSE '0' END, '' ORDER BY day) AS s
+                       FROM mv WHERE prev IS NOT NULL GROUP BY 1),
+                r AS (SELECT event_type, s, 0 AS j, CAST(0 AS BIGINT) AS cnt, 1 AS start
+                      FROM sq
+                      UNION ALL
+                      SELECT r.event_type, r.s, r.j + 1,
+                        CASE WHEN r.j + 1 > 1 AND strpos(substr(r.s, 1, r.j),
+                            substr(r.s, r.start, r.j + 2 - r.start)) > 0
+                          THEN r.cnt ELSE r.cnt + 1 END,
+                        CASE WHEN r.j + 1 > 1 AND strpos(substr(r.s, 1, r.j),
+                            substr(r.s, r.start, r.j + 2 - r.start)) > 0
+                          THEN r.start ELSE r.j + 2 END
+                      FROM r WHERE r.j < length(r.s))
+           SELECT event_type, CAST(length(s) AS BIGINT) AS n_bits,
+                  cnt + CASE WHEN start <= length(s) THEN 1 ELSE 0 END AS lz_phrases
+           FROM r WHERE j = length(s) ORDER BY event_type""",
+      // drawdown: integer scaled-deviation cumsum, running peak, one
+      // normalize at the end
+      "x_drawdown" ->
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                st AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sx
+                       FROM dc GROUP BY 1),
+                cs AS (SELECT dc.event_type, dc.day, st.n,
+                         CAST(sum(dc.c * st.n - st.sx) OVER w AS BIGINT) AS cum
+                       FROM dc JOIN st USING (event_type)
+                       WINDOW w AS (PARTITION BY dc.event_type ORDER BY dc.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                pk AS MATERIALIZED (SELECT event_type, day, n, cum,
+                         CAST(max(cum) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+                       FROM cs),
+                dd AS (SELECT event_type, day, n, peak - cum AS dd,
+                         row_number() OVER (PARTITION BY event_type
+                           ORDER BY peak - cum DESC, day) AS rk
+                       FROM pk)
+           SELECT event_type, day AS trough_day, dd AS dd_scaled,
+                  floor(CAST(dd AS DOUBLE) / CAST(n AS DOUBLE) * 1e4 + 0.5) / 1e4 AS max_drawdown
+           FROM dd WHERE rk = 1 ORDER BY event_type""",
+      // recommender: broadcast top-100, per-user anti-join + top-5
+      "x_recommend_pop" ->
+        """WITH pop AS (SELECT l_partkey, count(*) AS pop FROM lineitem GROUP BY 1
+                        ORDER BY pop DESC, l_partkey LIMIT 100),
+                seen AS (SELECT DISTINCT o.o_custkey AS custkey, li.l_partkey
+                         FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey),
+                users AS (SELECT c_custkey AS custkey FROM customer WHERE c_custkey % 50 = 0),
+                cand AS (SELECT u.custkey, p.l_partkey, p.pop
+                         FROM users u CROSS JOIN pop p
+                         WHERE NOT EXISTS (SELECT 1 FROM seen s
+                           WHERE s.custkey = u.custkey AND s.l_partkey = p.l_partkey)),
+                rk AS (SELECT *, row_number() OVER (PARTITION BY custkey
+                         ORDER BY pop DESC, l_partkey) AS rk FROM cand)
+           SELECT custkey, CAST(rk AS INTEGER) AS rk, l_partkey AS partkey, pop
+           FROM rk WHERE rk <= 5 ORDER BY custkey, rk""",
+      // peaks: strict neighbors + 25%-above-median, all integer tests
+      "x_peaks" ->
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                h AS (SELECT event_type, c, count(*) AS f FROM dc GROUP BY 1, 2),
+                ch AS (SELECT event_type, c, CAST(sum(f) OVER (PARTITION BY event_type ORDER BY c
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                       FROM h),
+                nd AS (SELECT event_type, count(*) AS nd FROM dc GROUP BY 1),
+                med AS (SELECT ch.event_type, min(ch.c) AS med
+                        FROM ch JOIN nd USING (event_type) WHERE ch.cum * 2 >= nd.nd
+                        GROUP BY 1),
+                nb AS (SELECT event_type, day, c,
+                         lag(c) OVER (PARTITION BY event_type ORDER BY day) AS pc,
+                         lead(c) OVER (PARTITION BY event_type ORDER BY day) AS nc
+                       FROM dc)
+           SELECT nb.event_type, nb.day, nb.c, med.med
+           FROM nb JOIN med USING (event_type)
+           WHERE pc IS NOT NULL AND nc IS NOT NULL AND c > pc AND c > nc AND c * 4 > med * 5
+           ORDER BY nb.event_type, nb.day"""
     )
   }
 

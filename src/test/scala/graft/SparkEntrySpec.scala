@@ -60,7 +60,10 @@ class SparkEntrySpec extends AnyFunSuite {
         "x_sprt", "x_skyline", "x_binseg",
         // x_anomaly_iqr — cumulative histogram of GLOBAL daily totals:
         // one row per distinct daily count, bounded by the calendar grid
-        "x_anomaly_iqr")
+        "x_anomaly_iqr",
+        // x_gains_table — cum windows over the activity HISTOGRAM
+        // (bounded by the activity domain) and the 10-row decile grid
+        "x_gains_table")
     import org.apache.spark.sql.catalyst.plans.logical
     // A global window whose input is DOMINATED by a LIMIT is bounded by
     // construction (e.g. x_bm25_search round-robins the top-20 df terms
