@@ -9718,6 +9718,90 @@ object SparkEntry {
           && col("c") * 4 > col("med") * 5)
         .select(col("event_type"), col("day"), col("c"), col("med"))
         .orderBy("event_type", "day")
+    }),
+
+    // MAD (median-absolute-deviation) robust outliers on global daily
+    // volume: median AND the MAD both read from count histograms (the
+    // exact lower-median trick twice), so the only double is the final
+    // modified z-score 0.6745(c−med)/MAD. The robust sibling of
+    // x_anomaly_iqr/x_esd_outliers — immune to the outliers it hunts.
+    "x_outlier_mad" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = events(s, dir).groupBy("day").agg(count(lit(1)).as("c"))
+      def lowerMedian(df: DataFrame, vCol: String): DataFrame = {
+        val h = df.groupBy(vCol).agg(count(lit(1)).as("f"))
+          .withColumn("cum", sum(col("f")).over(Window.orderBy(vCol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        h.crossJoin(broadcast(df.agg(count(lit(1)).as("nd"))))
+          .filter(col("cum") * 2 >= col("nd"))
+          .agg(min(col(vCol)).as("m"))
+      }
+      val med = lowerMedian(d, "c")
+      val dev = d.crossJoin(broadcast(med)).withColumn("adev", abs(col("c") - col("m")))
+      val mad = lowerMedian(dev.select(col("adev")), "adev")
+        .select(col("m").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .select(col("day"), col("c"), col("m").as("med"), col("mad"),
+          when(col("mad") === 0, lit(null).cast("double"))
+            .otherwise(floor(lit(0.6745) * (col("c") - col("m")).cast("double")
+              / col("mad").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as("mod_z"))
+        .withColumn("flagged", abs(col("mod_z")) > 3.5)
+        .orderBy("day")
+    }),
+
+    // Week-over-week change report: each day against its 7-rows-back
+    // twin per type, percent change floor-4 and a ±20% alert decided by
+    // the INTEGER test 5·|c−c₇| > c₇. One type-partitioned lag over the
+    // day grid — the everyday ops dashboard query, engine-exact.
+    "x_wow_change" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("day")
+      events(s, dir).groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .withColumn("c7", lag(col("c"), 7).over(w))
+        .filter(col("c7").isNotNull)
+        .select(col("event_type"), col("day"), col("c"), col("c7"),
+          (floor((col("c") - col("c7")).cast("double") / col("c7").cast("double") * lit(1e4)
+            + lit(0.5)) / lit(1e4)).as("wow_pct"),
+          (abs(col("c") - col("c7")) * 5 > col("c7")).as("alert"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Consistent-hashing rebalance audit (the partitioning math under
+    // every distributed KV layer): 8 nodes × 32 md5 vnodes form ring A,
+    // ring B adds node n8; every user key walks clockwise to its vnode.
+    // Both rings are ONE broadcast array row, assignment is a per-key
+    // HOF probe (no join, scan-speed at any key count). The defining
+    // guarantee — keys only ever move TO the new node — comes out as
+    // moved_in/moved_out counts per node.
+    "x_consistent_hashing" -> ((s, dir) => {
+      def ring(n: Int): DataFrame = s.range(1)
+        .select(explode(sequence(lit(0), lit(n - 1))).as("nd"))
+        .select(col("nd"), explode(sequence(lit(0), lit(31))).as("v"))
+        .select(struct(
+          graft.ext.Mixture.hash24(concat(lit("ch|n"), col("nd"), lit("|"), col("v"))).as("pos"),
+          concat(lit("n"), col("nd")).as("node")).as("e"))
+        .agg(sort_array(collect_list(col("e"))).as("ring"))
+      val keys = events(s, dir).select(col("user_id")).distinct()
+        .withColumn("h", graft.ext.Mixture.hash24(concat(lit("k|"), col("user_id"))))
+      val asg = keys
+        .crossJoin(broadcast(ring(8).select(col("ring").as("r8"))))
+        .crossJoin(broadcast(ring(9).select(col("ring").as("r9"))))
+        .select(col("user_id"),
+          expr("coalesce(get(filter(r8, e -> e.pos >= h), 0).node, r8[0].node)").as("a"),
+          expr("coalesce(get(filter(r9, e -> e.pos >= h), 0).node, r9[0].node)").as("b"))
+        .localCheckpoint()
+      val ca = asg.groupBy(col("a").as("node")).agg(count(lit(1)).as("n_keys_8ring"))
+      val cb = asg.groupBy(col("b").as("node")).agg(count(lit(1)).as("n_keys_9ring"))
+      val mi = asg.filter(col("a") =!= col("b"))
+        .groupBy(col("b").as("node")).agg(count(lit(1)).as("moved_in"))
+      val mo = asg.filter(col("a") =!= col("b"))
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("moved_out"))
+      cb.join(ca, Seq("node"), "left").join(mi, Seq("node"), "left")
+        .join(mo, Seq("node"), "left")
+        .select(col("node"), coalesce(col("n_keys_8ring"), lit(0L)).as("n_keys_8ring"),
+          col("n_keys_9ring"), coalesce(col("moved_in"), lit(0L)).as("moved_in"),
+          coalesce(col("moved_out"), lit(0L)).as("moved_out"))
+        .orderBy("node")
     })
   )
 
@@ -16476,7 +16560,65 @@ object SparkEntry {
            SELECT nb.event_type, nb.day, nb.c, med.med
            FROM nb JOIN med USING (event_type)
            WHERE pc IS NOT NULL AND nc IS NOT NULL AND c > pc AND c > nc AND c * 4 > med * 5
-           ORDER BY nb.event_type, nb.day"""
+           ORDER BY nb.event_type, nb.day""",
+      // MAD: lower medians off two histograms, one closed-form double
+      "x_outlier_mad" ->
+        s"""WITH d AS (SELECT $dayE AS day, count(*) AS c FROM events GROUP BY 1),
+                h1 AS (SELECT c, count(*) AS f FROM d GROUP BY 1),
+                ch1 AS (SELECT c, CAST(sum(f) OVER (ORDER BY c
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                        FROM h1),
+                n1 AS (SELECT count(*) AS nd FROM d),
+                med AS (SELECT min(c) AS m FROM ch1, n1 WHERE cum * 2 >= nd),
+                dev AS (SELECT d.day, d.c, med.m, abs(d.c - med.m) AS adev FROM d, med),
+                h2 AS (SELECT adev, count(*) AS f FROM dev GROUP BY 1),
+                ch2 AS (SELECT adev, CAST(sum(f) OVER (ORDER BY adev
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                        FROM h2),
+                mad AS (SELECT min(adev) AS mad FROM ch2, n1 WHERE cum * 2 >= nd),
+                z AS (SELECT day, c, m AS med, mad.mad,
+                        CASE WHEN mad.mad = 0 THEN NULL
+                             ELSE floor(0.6745 * CAST(c - m AS DOUBLE) / CAST(mad.mad AS DOUBLE)
+                               * 1e4 + 0.5) / 1e4 END AS mod_z
+                      FROM dev, mad)
+           SELECT day, c, med, mad, mod_z, abs(mod_z) > 3.5 AS flagged
+           FROM z ORDER BY day""",
+      // WoW: rows-7 lag, integer 20% alert
+      "x_wow_change" ->
+        s"""WITH dc AS (SELECT event_type, $dayE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+                l AS (SELECT event_type, day, c,
+                        lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS c7
+                      FROM dc)
+           SELECT event_type, day, c, c7,
+                  floor(CAST(c - c7 AS DOUBLE) / CAST(c7 AS DOUBLE) * 1e4 + 0.5) / 1e4 AS wow_pct,
+                  abs(c - c7) * 5 > c7 AS alert
+           FROM l WHERE c7 IS NOT NULL ORDER BY event_type, day""",
+      // consistent hashing: the same md5 ring as one sorted struct list,
+      // clockwise probe via list_filter
+      "x_consistent_hashing" ->
+        """WITH r8 AS (SELECT list_sort(list({'pos':
+                          CAST(('0x' || substring(md5('ch|n' || nd || '|' || v), 1, 6)) AS INTEGER),
+                          'node': 'n' || nd})) AS ring
+                      FROM (SELECT unnest(range(8)) AS nd), (SELECT unnest(range(32)) AS v)),
+                r9 AS (SELECT list_sort(list({'pos':
+                          CAST(('0x' || substring(md5('ch|n' || nd || '|' || v), 1, 6)) AS INTEGER),
+                          'node': 'n' || nd})) AS ring
+                      FROM (SELECT unnest(range(9)) AS nd), (SELECT unnest(range(32)) AS v)),
+                kh AS (SELECT user_id,
+                         CAST(('0x' || substring(md5('k|' || user_id), 1, 6)) AS INTEGER) AS h
+                       FROM (SELECT DISTINCT user_id FROM events)),
+                asg AS MATERIALIZED (SELECT user_id,
+                        COALESCE(list_filter(r8.ring, e -> e.pos >= h)[1].node, r8.ring[1].node) AS a,
+                        COALESCE(list_filter(r9.ring, e -> e.pos >= h)[1].node, r9.ring[1].node) AS b
+                      FROM kh, r8, r9),
+                ca AS (SELECT a AS node, count(*) AS n8 FROM asg GROUP BY 1),
+                cb AS (SELECT b AS node, count(*) AS n9 FROM asg GROUP BY 1),
+                mi AS (SELECT b AS node, count(*) AS mvin FROM asg WHERE a <> b GROUP BY 1),
+                mo AS (SELECT a AS node, count(*) AS mvout FROM asg WHERE a <> b GROUP BY 1)
+           SELECT cb.node, COALESCE(ca.n8, 0) AS n_keys_8ring, cb.n9 AS n_keys_9ring,
+                  COALESCE(mi.mvin, 0) AS moved_in, COALESCE(mo.mvout, 0) AS moved_out
+           FROM cb LEFT JOIN ca USING (node) LEFT JOIN mi USING (node) LEFT JOIN mo USING (node)
+           ORDER BY node"""
     )
   }
 

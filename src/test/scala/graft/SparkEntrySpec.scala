@@ -63,7 +63,10 @@ class SparkEntrySpec extends AnyFunSuite {
         "x_anomaly_iqr",
         // x_gains_table — cum windows over the activity HISTOGRAM
         // (bounded by the activity domain) and the 10-row decile grid
-        "x_gains_table")
+        "x_gains_table",
+        // x_outlier_mad — two cumulative count histograms of GLOBAL daily
+        // totals, both calendar-bounded
+        "x_outlier_mad")
     import org.apache.spark.sql.catalyst.plans.logical
     // A global window whose input is DOMINATED by a LIMIT is bounded by
     // construction (e.g. x_bm25_search round-robins the top-20 df terms
