@@ -3727,6 +3727,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL GIF LZW decode, exactly oracled: encode a formula grayscale
+    // image per doc with the pure-JVM GIF87a encoder (real LZW —
+    // variable-width codes, dictionary growth), decode it back through
+    // Multimodal.decodePixels (palette → RGB), and emit exact channel
+    // sums the oracle re-derives from the formula. GifCodecSpec pins the
+    // codec against ImageIO in both directions (incl. interlace);
+    // this row pins it against DuckDB arithmetic end-to-end.
+    "x_multimodal_gif" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 11 + 4).toInt; val h = (id * 5 % 9 + 4).toInt
+          graft.ext.Multimodal.MediaRow(id, graft.ext.Multimodal.encodeGif(w, h,
+            (x, y) => ((id * 37 + x * 11 + y * 17) % 256).toInt), "gif")
+        }
+      graft.ext.Multimodal.pixelStats(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"),
+          col("n_pixels"), col("c0_sum"), col("c1_sum"), col("c2_sum"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic stratified sample: ≤100 rows per event type, selected
     // by a per-row LCG hash so the sample is stable across engines and runs
     // (the distributed replacement for driver-side random sampling; at
@@ -12033,6 +12054,22 @@ object SparkEntry {
            SELECT doc_id, width, height, channels,
                   CAST(width AS BIGINT) * height AS n_pixels,
                   sums[1] AS c0_sum, sums[2] AS c1_sum, sums[3] AS c2_sum, sums[4] AS c3_sum
+           FROM s ORDER BY doc_id""",
+      // GIF: grayscale palette means all three channel sums equal the
+      // formula's gray sum
+      "x_multimodal_gif" ->
+        """WITH d AS (SELECT doc_id,
+                        CAST(doc_id % 11 + 4 AS INTEGER) AS width,
+                        CAST(doc_id * 5 % 9 + 4 AS INTEGER) AS height
+                      FROM documents),
+                s AS (SELECT doc_id, width, height,
+                        CAST(list_sum(flatten(list_transform(range(0, width), x ->
+                          list_transform(range(0, height), y ->
+                            (doc_id * 37 + x * 11 + y * 17) % 256)))) AS BIGINT) AS gs
+                      FROM d)
+           SELECT doc_id, width, height, CAST(3 AS INTEGER) AS channels,
+                  CAST(width AS BIGINT) * height AS n_pixels,
+                  gs AS c0_sum, gs AS c1_sum, gs AS c2_sum
            FROM s ORDER BY doc_id""",
       // feature means + thumbnail plan from the same formula image; the
       // float cast mirrors the Spark side's Array[Float] feature vector

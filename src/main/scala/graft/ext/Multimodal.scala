@@ -10,16 +10,21 @@ import org.apache.spark.sql.functions._
   * feature schema — is real and tested. Decoding is real too, in two
   * layers: [[decodeHeader]] parses PNG/GIF/BMP/WAV headers (dimensions,
   * channels) with pure-JVM byte arithmetic (oracled by
-  * x_multimodal_decode), and [[decodePixels]] is a FULL PNG pixel decoder
-  * — JDK `Inflater` for the zlib stream plus byte-exact reconstruction of
-  * all five scanline filters — with [[encodePng]] as its deterministic
-  * write half (oracled end-to-end by x_multimodal_pixels /
+  * x_multimodal_decode), and [[decodePixels]] is a FULL pixel decoder
+  * for TWO container formats — PNG (JDK `Inflater` for the zlib stream
+  * plus byte-exact reconstruction of all five scanline filters) and GIF
+  * (a from-scratch LZW decompressor with variable-width codes, KwKwK,
+  * dictionary reset, and 4-pass de-interlacing; palette → RGB) — with
+  * [[encodePng]] / [[encodeGif]] as deterministic write halves (oracled
+  * end-to-end by x_multimodal_pixels / x_multimodal_gif /
   * x_multimodal_features: encode a formula image, decode it back, match
-  * the formula's exact channel sums in DuckDB). Only the embedding
-  * forward pass / non-PNG pixel codecs remain a clearly marked STUB (no
-  * codec libraries exist in this container): [[featuresStub]] produces
-  * deterministic fake features for opaque payloads so the batched
-  * pipeline shape is exercised end-to-end regardless of format.
+  * the formula's exact channel sums in DuckDB; PngCodecSpec/GifCodecSpec
+  * pin both codecs against the JDK's independent ImageIO
+  * implementations in both directions). Only the embedding forward pass
+  * / JPEG-class codecs remain a clearly marked STUB (no codec libraries
+  * exist in this container): [[featuresStub]] produces deterministic
+  * fake features for opaque payloads so the batched pipeline shape is
+  * exercised end-to-end regardless of format.
   *
   * Scale design: decode runs per-partition with local batching (`grouped`),
   * so decoder state (a model, a codec context) is initialized once per
@@ -123,6 +128,7 @@ object Multimodal {
     * codec arithmetic at any corpus size.
     */
   def decodePixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') return decodeGifPixels(p)
     if (p.length < 8 || (p(0) & 0xff) != 0x89 || p(1) != 'P' || p(2) != 'N' || p(3) != 'G')
       return None
     def be32(j: Int): Int =
@@ -268,6 +274,216 @@ object Multimodal {
     chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0))
     chunk("IDAT", zOut.toByteArray)
     chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** REAL pure-JVM GIF pixel decoder: parses the logical screen
+    * descriptor + global/local color tables, walks extension blocks, and
+    * LZW-decompresses the image data (variable-width codes LSB-first,
+    * clear/EOI handling, the KwKwK case, width growth to 12 bits) —
+    * exactly the GIF89a algorithm, no codec library. Palette indices map
+    * through the color table to RGB, so the result is always 3-channel.
+    * Interlaced images and malformed streams return None.
+    */
+  def decodeGifPixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (p.length < 13 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F') return None
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    var i = 6
+    val packed = u8(i + 4)
+    i += 7
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (i + 3 * n > p.length) return None
+      gct = Array.tabulate(n)(k => (u8(i + 3 * k) << 16) | (u8(i + 3 * k + 1) << 8) | u8(i + 3 * k + 2))
+      i += 3 * n
+    }
+    while (i < p.length) {
+      u8(i) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 => // extension block: label then sub-blocks
+          i += 2
+          while (i < p.length && u8(i) != 0) i += 1 + u8(i)
+          i += 1
+        case 0x2c =>
+          if (i + 10 > p.length) return None
+          val iw = le16(i + 5); val ih = le16(i + 7); val ip = u8(i + 9)
+          i += 10
+          var ct = gct
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            if (i + 3 * n > p.length) return None
+            ct = Array.tabulate(n)(k =>
+              (u8(i + 3 * k) << 16) | (u8(i + 3 * k + 1) << 8) | u8(i + 3 * k + 2))
+            i += 3 * n
+          }
+          if (ct == null || iw <= 0 || ih <= 0) return None
+          if (i >= p.length) return None
+          val minCode = u8(i); i += 1
+          if (minCode < 2 || minCode > 8) return None
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < p.length && u8(i) != 0) {
+            val n = u8(i)
+            if (i + 1 + n > p.length) return None
+            data.write(p, i + 1, n); i += 1 + n
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, iw * ih).getOrElse(return None)
+          // interlaced GIFs store rows in four passes (0,8.. / 4,8.. /
+          // 2,4.. / 1,2..): map stored-row order back to display order
+          val rowOf: Int => Int =
+            if ((ip & 0x40) == 0) identity
+            else {
+              val order = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+                .flatMap { case (s0, st) => s0 until ih by st }
+              k => order(k)
+            }
+          val out = new Array[Int](iw * ih * 3)
+          var k = 0
+          while (k < iw * ih) {
+            if (idx(k) >= ct.length) return None
+            val c = ct(idx(k))
+            val pos = (rowOf(k / iw) * iw + (k % iw)) * 3
+            out(pos) = (c >> 16) & 0xff; out(pos + 1) = (c >> 8) & 0xff; out(pos + 2) = c & 0xff
+            k += 1
+          }
+          return Some((iw, ih, 3, out))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-flavor LZW decompression: codes read LSB-first at growing width
+    * (min+1 … 12 bits), literal codes < clear, dictionary entries as
+    * (prefix, suffix) pairs, clear resets, EOI terminates, and the
+    * classic code==next ("KwKwK") special case.
+    */
+  private def lzwDecode(d: Array[Byte], minCode: Int, nPixels: Int): Option[Array[Int]] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    var width = minCode + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var next = end + 1
+    val out = new Array[Int](nPixels)
+    var outLen = 0
+    var bitPos = 0
+    def read(): Int = {
+      if (bitPos + width > d.length * 8) return -2
+      var v = 0
+      var b = 0
+      while (b < width) {
+        v |= (((d((bitPos + b) >> 3) >> ((bitPos + b) & 7)) & 1) << b)
+        b += 1
+      }
+      bitPos += width
+      v
+    }
+    def firstOf(c0: Int): Int = { var c = c0; while (c > end) c = prefix(c); c }
+    val stack = new Array[Int](4097)
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code == -2) return None
+      else if (code == clear) { next = end + 1; width = minCode + 1; prev = -1 }
+      else if (code == end) done = true
+      else if (prev == -1) {
+        if (code >= clear) return None
+        if (outLen >= nPixels) return None
+        out(outLen) = code; outLen += 1; prev = code
+      } else {
+        var c = code
+        var sp = 0
+        if (code >= next) {
+          if (code != next) return None
+          stack(sp) = firstOf(prev); sp += 1
+          c = prev
+        }
+        while (c > end) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        if (c >= clear) return None
+        val first = c
+        stack(sp) = c; sp += 1
+        if (outLen + sp > nPixels) return None
+        while (sp > 0) { sp -= 1; out(outLen) = stack(sp); outLen += 1 }
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first; next += 1
+          // widen as soon as a code of value `next` (the KwKwK case)
+          // would no longer fit — the GIF-standard decoder schedule
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    if (outLen == nPixels) Some(out) else None
+  }
+
+  /** Deterministic GIF87a encoder (the write half): a 256-entry grayscale
+    * global color table (palette[i] = (i,i,i)) and REAL LZW compression —
+    * variable-width codes, width growth in lockstep with the decoder,
+    * dictionary reset via clear when full. `px(x, y)` gives the 0..255
+    * gray level. Standards-valid: any GIF reader opens it.
+    */
+  def encodeGif(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, "empty image")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    le16(w); le16(h)
+    out.write(0x80 | 7) // GCT present, 2^(7+1)=256 entries
+    out.write(0); out.write(0)
+    var k = 0
+    while (k < 256) { out.write(k); out.write(k); out.write(k); k += 1 }
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0) // descriptor
+    val minCode = 8
+    out.write(minCode)
+    // LZW compress the index stream
+    val clear = 1 << minCode
+    val end = clear + 1
+    var width = minCode + 1
+    val dict = new java.util.HashMap[Long, Integer]()
+    var next = end + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nAcc = 0
+    def emit(code: Int): Unit = {
+      acc |= (code.toLong << nAcc); nAcc += width
+      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+    }
+    emit(clear)
+    var cur = px(0, 0) & 0xff
+    var n = 1
+    while (n < w * h) {
+      val b = px(n % w, n / w) & 0xff
+      val key = (cur.toLong << 12) | b
+      val e = dict.get(key)
+      if (e != null) cur = e.intValue()
+      else {
+        emit(cur)
+        if (next < 4096) {
+          dict.put(key, Integer.valueOf(next)); next += 1
+          // the encoder widens ONE CODE LATER than the decoder: it only
+          // needs width for the codes it emits (max next-1), while the
+          // decoder must already fit the KwKwK value `next`
+          if (next == (1 << width) + 1 && width < 12) width += 1
+        } else {
+          emit(clear); dict.clear(); next = end + 1; width = minCode + 1
+        }
+        cur = b
+      }
+      n += 1
+    }
+    emit(cur); emit(end)
+    if (nAcc > 0) bits.write((acc & 0xff).toInt)
+    val z = bits.toByteArray
+    var off = 0
+    while (off < z.length) {
+      val len = math.min(255, z.length - off)
+      out.write(len); out.write(z, off, len); off += len
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
     out.toByteArray
   }
 
