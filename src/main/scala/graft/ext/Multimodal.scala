@@ -487,6 +487,29 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Nearest-neighbor pixel resize (the real half of [[resizePlan]]):
+    * output pixel (x, y) samples source (⌊x·w/ow⌋, ⌊y·h/oh⌋) — integer
+    * arithmetic only, so an oracle can re-derive every sampled
+    * coordinate. Row-major x-then-channel layout like [[decodePixels]].
+    */
+  def resizeNearest(w: Int, h: Int, ch: Int, pix: Array[Int], ow: Int, oh: Int): Array[Int] = {
+    require(ow > 0 && oh > 0 && pix.length == w * h * ch, "bad resize args")
+    val out = new Array[Int](ow * oh * ch)
+    var y = 0
+    while (y < oh) {
+      val sy = y * h / oh
+      var x = 0
+      while (x < ow) {
+        val sx = x * w / ow
+        var c = 0
+        while (c < ch) { out((y * ow + x) * ch + c) = pix((sy * w + sx) * ch + c); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Batched REAL pixel decode → exact per-channel sums. The oracle-able
     * face of [[decodePixels]]: for a constructed image whose pixel values
     * follow a SQL-expressible formula, these sums match the formula's sums

@@ -66,7 +66,10 @@ class SparkEntrySpec extends AnyFunSuite {
         "x_gains_table",
         // x_outlier_mad — two cumulative count histograms of GLOBAL daily
         // totals, both calendar-bounded
-        "x_outlier_mad")
+        "x_outlier_mad",
+        // x_rolling_corr — 14-row co-moment windows over the joined
+        // click/purchase DAY series (one row per calendar day)
+        "x_rolling_corr")
     import org.apache.spark.sql.catalyst.plans.logical
     // A global window whose input is DOMINATED by a LIMIT is bounded by
     // construction (e.g. x_bm25_search round-robins the top-20 df terms
