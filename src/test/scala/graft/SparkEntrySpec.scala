@@ -69,7 +69,9 @@ class SparkEntrySpec extends AnyFunSuite {
         "x_outlier_mad",
         // x_rolling_corr — 14-row co-moment windows over the joined
         // click/purchase DAY series (one row per calendar day)
-        "x_rolling_corr")
+        "x_rolling_corr",
+        // x_uplift_tlearner — cum window over the activity HISTOGRAM
+        "x_uplift_tlearner")
     import org.apache.spark.sql.catalyst.plans.logical
     // A global window whose input is DOMINATED by a LIMIT is bounded by
     // construction (e.g. x_bm25_search round-robins the top-20 df terms
