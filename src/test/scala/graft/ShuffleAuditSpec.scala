@@ -300,4 +300,26 @@ class ShuffleAuditSpec extends AnyFunSuite {
     assert(b9 < b1 * 1.5 + 8192,
       s"IRLS shuffle grew with iteration count: $b1 -> $b9 bytes for 1 -> 9 iterations")
   }
+
+  test("pixel decode is a map over the scan: shuffle is pixel-volume-INDEPENDENT and tiny") {
+    // encode → decodePixels → per-image sums runs entirely inside
+    // mapPartitions; the only exchange left is the count()'s one-row
+    // partial-aggregate. Quadrupling the pixel area must not move it,
+    // and the absolute volume must stay metadata-sized.
+    import spark.implicits._
+    def stats(scale: Int) = {
+      val media = docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+        graft.ext.Multimodal.MediaRow(id, graft.ext.Multimodal.encodePng(
+          6 * scale, 5 * scale, 3,
+          (x, y, c) => ((id + x * 3 + y * 5 + c) % 256).toInt), "png")
+      }
+      graft.ext.Multimodal.pixelStats(media).toDF()
+    }
+    val (b1, n1) = shuffleBytes(stats(1))
+    val (b4, n4) = shuffleBytes(stats(2)) // 4x the pixels
+    assert(n1 > 0 && n1 === n4)
+    assert(b1 < 16384, s"decode shuffled $b1 bytes — pixels are riding an exchange")
+    assert(b4 < b1 * 1.2 + 4096,
+      s"decode shuffle grew with pixel volume: $b1 -> $b4 bytes at 4x the pixels")
+  }
 }
