@@ -61,7 +61,8 @@ object Bench {
     // warmup pass: JIT, codegen compilation, FS cache — report steady state
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
-      spark.catalog.clearCache() // some operators cache() internally; leaked
+      CacheScope.drain()         // operator-internal caches are registered;
+      spark.catalog.clearCache() // clearCache stays as the backstop — leaked
     }                            // entries distort every later measurement
     // A failed query is recorded, not silently timed: side-effecting entries
     // (bucketed writes, the streaming run, the sync rewrite) that break must
@@ -71,6 +72,7 @@ object Bench {
       val r =
         try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+      CacheScope.drain()
       spark.catalog.clearCache()
       r
     }

@@ -47,6 +47,7 @@ object BenchScaling {
         val r =
           try { fn(spark, dir).count(); Right((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+        CacheScope.drain()
         spark.catalog.clearCache()
         r
       }
@@ -57,6 +58,7 @@ object BenchScaling {
     SparkEntry.queries.foreach { case (_, fn) =>
       Seq(small, large).foreach { d =>
         try { fn(spark, d).count(); () } catch { case _: Throwable => () }
+        CacheScope.drain()
         spark.catalog.clearCache()
       }
     }

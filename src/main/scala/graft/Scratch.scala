@@ -26,12 +26,14 @@ object Scratch {
       val fn = SparkEntry.queries(name)
       // warmup (JIT/codegen), then three timed runs — report each + min
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      CacheScope.drain()
       spark.catalog.clearCache()
       val times = Seq.fill(3) {
         val t0 = System.nanoTime()
         val r =
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable => println(s"$name ERROR ${e.getClass.getSimpleName}: ${e.getMessage}"); -1.0 }
+        CacheScope.drain()
         spark.catalog.clearCache()
         r
       }

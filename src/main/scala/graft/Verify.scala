@@ -36,9 +36,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // some operators cache() internally; without this the CacheManager
-      // holds every query's blocks for the whole 280+-query dump (the
-      // Bench per-query discipline)
+      // some operators cache() internally (registered via CacheScope);
+      // without this the CacheManager holds every query's blocks for the
+      // whole 400+-query dump (the Bench per-query discipline)
+      CacheScope.drain()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -334,8 +334,10 @@ object Multimodal {
           val rowOf: Int => Int =
             if ((ip & 0x40) == 0) identity
             else {
+              // materialized once as an Array so the per-pixel lookup is
+              // O(1) (a List here made decode O(w·h²) on tall images)
               val order = Seq((0, 8), (4, 8), (2, 4), (1, 2))
-                .flatMap { case (s0, st) => s0 until ih by st }
+                .flatMap { case (s0, st) => s0 until ih by st }.toArray
               k => order(k)
             }
           val out = new Array[Int](iw * ih * 3)

@@ -55,8 +55,8 @@ object UnigramTok {
           w.substr(p, l))))).as("piece"),
       col(freqCol).cast("long").as("f"))
     val counts = subs.groupBy("piece").agg(sum(col("f")).as("cnt"))
-    val vocab = counts.filter(length(col("piece")) === 1 || col("cnt") >= minCount)
-      .cache() // total + score read it; bounded (piece vocabulary)
+    val vocab = graft.CacheScope.cached( // total + score read it; bounded
+      counts.filter(length(col("piece")) === 1 || col("cnt") >= minCount))
     val total = vocab.agg(sum(col("cnt")).as("t"))
     vocab.crossJoin(broadcast(total))
       .select(col("piece"), col("cnt"),
