@@ -213,4 +213,28 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning\\(o_custkey".r.findAllIn(p).size <= 1,
       s"SCD2 windows must share the custkey exchange:\n$p")
   }
+
+  test("x_label_noise rides the IVF cell equi-join, never a corpus-vs-query nested loop") {
+    val p = plan("x_label_noise")
+    // the brute form's signature is a CONDITIONED BroadcastNestedLoopJoin
+    // (query set vs whole corpus on query_id != neighbor_id — fine for 100
+    // queries, not for an all-corpus audit); the headline plan must be the
+    // candidate equi-join on the coarse cell id. The only BNLJs allowed are
+    // the condition-less 1-row scalar attaches (broadcast centroid array).
+    assert(!"BroadcastNestedLoopJoin [^\\n]*NOT \\(".r.findFirstIn(p).isDefined
+        && !p.contains("CartesianProduct"),
+      s"label-noise audit must not nested-loop the corpus against the queries:\n$p")
+    assert(p.contains("cell"), s"candidates must come from the IVF cell join:\n$p")
+  }
+
+  test("q18 having-clause aggregate feeds the joins from ONE lineitem scan") {
+    val p = plan("q18_large_orders")
+    // TPC-H Q18's classic trap is re-scanning lineitem for the HAVING
+    // subquery; our plan aggregates lineitem once and joins the (filtered)
+    // aggregate to orders/customer
+    assert("lineitem\\.parquet".r.findAllIn(p).size <= 1,
+      s"q18 must scan lineitem exactly once:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"total-qty aggregate must be partial+final:\n$p")
+  }
 }

@@ -64,6 +64,12 @@ def main(sf_dir, out_dir):
             exp_cols = [d[0] for d in exp_rel.description]
             exp = exp_rel.fetchall()
         except Exception as e:
+            if "no_oracle" in str(e):
+                # deliberate: the approximate-by-nature rows carry their
+                # gate linkage via SELECT error('no_oracle ... gated_by')
+                # so the driver's err field is self-contained
+                print(f"GATE {name}: {e}")
+                continue
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
             continue
