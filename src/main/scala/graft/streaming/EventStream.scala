@@ -82,7 +82,8 @@ object EventStream {
     * [[eventsSchema]] ts type — the current corpus encoding — instead of
     * failing the 'unable to infer schema' batch probe.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val storedTs =
       try spark.read.parquet(dir).schema("ts").dataType
       catch { case _: org.apache.spark.sql.AnalysisException =>
@@ -90,7 +91,12 @@ object EventStream {
       }
     val schema = StructType(eventsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = storedTs) else f))
-    val raw = spark.readStream.schema(schema).parquet(dir)
+    val reader = spark.readStream.schema(schema)
+    // admission control (respected by AvailableNow): bounds each
+    // microbatch to N files — production right-sizes batch memory with it;
+    // the replay test uses it to force a multi-batch run
+    val raw = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(dir)
     storedTs match {
       case LongType => // TIMESTAMP(NANOS) read as nanos-long
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -952,6 +958,55 @@ object EventStream {
     }
     q.awaitTermination()
     q
+  }
+
+  /** Failure-injection form of [[runForeachBatchUpsert]] — the T3
+    * exactly-once-under-retry proof. The first run applies microbatch 0's
+    * sink side-effects in FULL, then throws before the engine can write
+    * batch 0's commit log: exactly the replay window in which a real sink
+    * failure (executor loss, driver OOM, network partition after the bulk
+    * POST succeeded) strands a delivered-but-uncommitted batch. The second
+    * run restarts from the same checkpoint; the engine re-delivers batch 0
+    * with the SAME batchId and data (the offset WAL was written before
+    * processing), so every side-effect runs twice for that batch.
+    *
+    * Two sinks receive every batch, pinning the positive/negative pair the
+    * reference's own duplicate-generation trap motivates
+    * (`data-s3-elastic-transfer.py:188-256` — auto-id bulk retries
+    * duplicate documents, requiring a second reconciliation script):
+    *  - `indexDir`: the id-keyed idempotent upsert (K3) with the batchId as
+    *    version — the replayed batch re-applies the same (id, version) rows
+    *    and final state is IDENTICAL to a failure-free run.
+    *  - `appendDir`: the auto-id append (K2) — the replayed batch lands a
+    *    second copy, and the final row count inflates by exactly one batch.
+    */
+  def runUpsertReplayInjected(df: DataFrame, indexDir: String, appendDir: String,
+      checkpointDir: String, idCol: String,
+      statePartitions: Option[Int] = None): Unit = {
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def attempt(): Unit = {
+      val q = withStatePartitions(df.sparkSession, statePartitions) {
+        df.writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val versioned = batch.withColumn("__v", lit(batchId))
+            graft.sinks.EsBulkSink.upsertById(versioned, indexDir, idCol, "__v")
+            graft.sinks.EsBulkSink.indexAppend(batch, appendDir)
+            // crash AFTER the side-effects, BEFORE the commit log write —
+            // once, on the first delivery of batch 0
+            if (batchId == 0 && injected.compareAndSet(false, true))
+              throw new RuntimeException(
+                "injected failure: sink applied, checkpoint commit pending")
+          }
+          .option("checkpointLocation", checkpointDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination()
+    }
+    try attempt()
+    catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    attempt() // restart: batch 0 replays (uncommitted), then the rest drains
   }
 
   /** T3/T5 as a stream: incremental append of new files into the emulated

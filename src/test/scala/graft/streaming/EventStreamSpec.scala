@@ -95,6 +95,39 @@ class EventStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() === n1, "replay must be a no-op on final state")
   }
 
+  test("mid-batch failure + replay: upsert state identical, auto-id append duplicates one batch") {
+    val base = Files.createTempDirectory("graft_replay")
+    Files.copy(
+      java.nio.file.Paths.get(TestSpark.sfDir + "/events.parquet"), base.resolve("a.parquet"))
+    Files.copy(
+      java.nio.file.Paths.get(TestSpark.sfDir + "/events.parquet"), base.resolve("b.parquet"))
+    val idx = s"$base/idx"
+    val app = s"$base/app"
+
+    // batch 0's sink effects land, then the query dies before the commit
+    // log write; the restart re-delivers batch 0 (same batchId, same data)
+    EventStream.runUpsertReplayInjected(
+      EventStream.readEvents(spark, base.toString, maxFilesPerTrigger = Some(1)),
+      idx, app, s"$base/ckpt", "event_id", statePartitions = Some(4))
+
+    val srcIds = Tables.loadEvents(spark, TestSpark.sfDir)
+      .select("event_id").distinct()
+    val srcN = Tables.loadEvents(spark, TestSpark.sfDir).count()
+
+    // positive: the id-keyed upsert re-applied the same (id, version) rows
+    // — final state is EXACTLY the failure-free state (write batch N twice
+    // => identical)
+    val got = spark.read.parquet(idx).select("event_id")
+    assert(got.count() === srcIds.count(), "upsert must hold one row per distinct id")
+    assert(got.exceptAll(srcIds).isEmpty && srcIds.exceptAll(got).isEmpty,
+      "upsert id set must equal the failure-free state")
+
+    // negative: the reference's auto-id trap — the replayed batch appended
+    // a second copy of itself: 2 source copies + 1 replayed batch = 3N
+    assert(spark.read.parquet(app).count() === 3 * srcN,
+      "auto-id append must show exactly one duplicated batch")
+  }
+
   test("transformWithState running counts: final emission per user equals the batch count") {
     val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
     EventStream.runToMemory(
