@@ -8,23 +8,26 @@ import org.apache.spark.sql.functions._
   * Images/audio/video are carried as opaque `binary` columns with typed
   * metadata. The Spark-side plumbing — schema, partition-sized batching,
   * feature schema — is real and tested. Decoding is real too, in two
-  * layers: [[decodeHeader]] parses PNG/GIF/BMP/WAV headers (dimensions,
-  * channels) with pure-JVM byte arithmetic (oracled by
+  * layers: [[decodeHeader]] parses PNG/GIF/BMP/JPEG/WAV headers
+  * (dimensions, channels) with pure-JVM byte arithmetic (oracled by
   * x_multimodal_decode), and [[decodePixels]] is a FULL pixel decoder
-  * for TWO container formats — PNG (JDK `Inflater` for the zlib stream
-  * plus byte-exact reconstruction of all five scanline filters) and GIF
+  * for THREE container formats — PNG (JDK `Inflater` for the zlib stream
+  * plus byte-exact reconstruction of all five scanline filters), GIF
   * (a from-scratch LZW decompressor with variable-width codes, KwKwK,
-  * dictionary reset, and 4-pass de-interlacing; palette → RGB) — with
-  * [[encodePng]] / [[encodeGif]] as deterministic write halves (oracled
-  * end-to-end by x_multimodal_pixels / x_multimodal_gif /
-  * x_multimodal_features: encode a formula image, decode it back, match
-  * the formula's exact channel sums in DuckDB; PngCodecSpec/GifCodecSpec
-  * pin both codecs against the JDK's independent ImageIO
-  * implementations in both directions). Only the embedding forward pass
-  * / JPEG-class codecs remain a clearly marked STUB (no codec libraries
-  * exist in this container): [[featuresStub]] produces deterministic
-  * fake features for opaque payloads so the batched pipeline shape is
-  * exercised end-to-end regardless of format.
+  * dictionary reset, and 4-pass de-interlacing; palette → RGB), and
+  * baseline JPEG ([[Jpeg]]: huffman entropy decode, dequantization, the
+  * reference islow integer IDCT, fancy chroma upsampling, fixed-point
+  * YCbCr→RGB — bit-identical to the JDK's libjpeg-based reader) — with
+  * [[encodePng]] / [[encodeGif]] / [[Jpeg.encode]] as deterministic
+  * write halves (oracled end-to-end by x_multimodal_pixels /
+  * x_multimodal_gif / x_multimodal_jpeg / x_multimodal_features: encode
+  * a formula image, decode it back, match the formula's exact channel
+  * sums in DuckDB; PngCodecSpec/GifCodecSpec/JpegCodecSpec pin all three
+  * codecs against the JDK's independent ImageIO implementations in both
+  * directions). Only the embedding forward pass remains a clearly marked
+  * STUB (no model runtime exists in this container): [[featuresStub]]
+  * produces deterministic fake features for opaque payloads so the
+  * batched pipeline shape is exercised end-to-end regardless of format.
   *
   * Scale design: decode runs per-partition with local batching (`grouped`),
   * so decoder state (a model, a codec context) is initialized once per
@@ -78,6 +81,18 @@ object Multimodal {
       Some(("gif", le16(6), le16(8), 3))
     } else if (p.length >= 30 && p(0) == 'B' && p(1) == 'M') {
       Some(("bmp", le32(18), math.abs(le32(22)), u8(28) / 8))
+    } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments to the frame header (SOF0/1/2) — height
+      // BE16 at +5, width at +7, component count at +9 within the segment
+      var i = 2
+      while (i + 9 < p.length && u8(i) == 0xff) {
+        val m = u8(i + 1)
+        val len = (u8(i + 2) << 8) | u8(i + 3)
+        if (m == 0xc0 || m == 0xc1 || m == 0xc2)
+          return Some(("jpeg", (u8(i + 7) << 8) | u8(i + 8), (u8(i + 5) << 8) | u8(i + 6), u8(i + 9)))
+        i = if (m >= 0xd0 && m <= 0xd7) i + 2 else i + 2 + len
+      }
+      None
     } else if (p.length >= 36 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F'
         && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') {
       // WAV (RIFF/WAVE fmt chunk): audio reuses the image meta slots —
@@ -129,6 +144,7 @@ object Multimodal {
     */
   def decodePixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') return decodeGifPixels(p)
+    if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) return Jpeg.decode(p)
     if (p.length < 8 || (p(0) & 0xff) != 0x89 || p(1) != 'P' || p(2) != 'N' || p(3) != 'G')
       return None
     def be32(j: Int): Int =
