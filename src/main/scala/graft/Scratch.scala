@@ -11,7 +11,8 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else Bench.headline
-    val sfDir = s"/root/testdata/sf$sf"
+    // an absolute path selects a synthesized corpus (e.g. MakeScale's sf1)
+    val sfDir = if (sf.startsWith("/")) sf else s"/root/testdata/sf$sf"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
