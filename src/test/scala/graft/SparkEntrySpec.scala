@@ -14,16 +14,23 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
-  test("oracle coverage: every query without SQL is an explicitly known exception") {
-    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+  test("oracle coverage: every query has an oracle; the 4 known exceptions carry gate sentinels") {
     // xxhash64 signatures and hash-derived ANN buckets/cells aren't
     // SQL-portable across engines — but each has a derived checked cousin:
     // x_minhash_lsh ⊆-gated by x_lsh_exact_agreement, x_simhash_pairs
     // hamming-gated by x_simhash_exact_agreement, x_ann_* recall-gated by
-    // x_ann_*_recall (x_multimodal_features graduated to an exact oracle
-    // when the real PNG pixel decoder landed)
-    assert(rowsOnly === Set("x_minhash_lsh", "x_simhash_pairs", "x_ann_lsh",
-      "x_ann_ivf"))
+    // x_ann_*_recall. Since round 10 these 4 carry a deliberate DuckDB
+    // `SELECT error('no_oracle ... gated_by ...')` as their oracle, so the
+    // driver's per-query err field names the gates — every queries entry
+    // therefore has an oracleSql entry, and ONLY those 4 are sentinels.
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly.isEmpty, s"queries with no oracleSql at all: $rowsOnly")
+    val sentinels = SparkEntry.oracleSql.filter(_._2.contains("no_oracle")).keySet
+    assert(sentinels === Set("x_minhash_lsh", "x_simhash_pairs", "x_ann_lsh", "x_ann_ivf"))
+    sentinels.foreach { n =>
+      assert(SparkEntry.oracleSql(n).contains(SparkEntry.gatedBy(n).takeWhile(_ != ':')),
+        s"$n's sentinel must name its gate query")
+    }
   }
 
   test("all queries execute and are non-empty at sf0.001 (except known-sparse pair miners)") {
