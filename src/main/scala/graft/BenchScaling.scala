@@ -36,6 +36,12 @@ object BenchScaling {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
     val large = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val xl = sys.env.get("SPARK_GRAFT_SF_XL").filter(d => new java.io.File(d).isDirectory)
+    // optional args: restrict to named queries (targeted re-measure after a
+    // fix/corpus change; tools/merge_scaling.py folds the partial output
+    // back into the committed BENCH_SCALING.json) + alternate output path
+    val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "/root/repo/BENCH_SCALING.json")
+    def queries = SparkEntry.queries.filter(q => only.forall(_.contains(q._1)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,7 +69,7 @@ object BenchScaling {
         .getOrElse(Right(ts.collect { case Right(t) => t }.min))
     }
     // warmup every SF (JIT, codegen, FS cache), then best-of-2 timed each
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       dirs.foreach { d =>
         try { fn(spark, d).count(); () } catch { case _: Throwable => () }
         CacheScope.drain()
@@ -71,7 +77,7 @@ object BenchScaling {
       }
     }
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val rows = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, dirs.map(d => timeBest(fn, d, 2)))
     }
     val entries = rows.collect { case (name, ts) if ts.forall(_.isRight) =>
@@ -100,7 +106,7 @@ object BenchScaling {
     val out =
       s"""{"small_sf":"$small","large_sf":"$large","xl_sf":${xl.fold("null")(d => s""""$d"""")},"data_ratio":10.0,"flag_ratio":$FlagRatio,"noise_floor_sec":$NoiseFloorSec,"flagged":$fjson,"errors":$errs,"queries":$qjson}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_SCALING.json"),
+      java.nio.file.Paths.get(outPath),
       out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"flagged: ${flagged.map(_._1).mkString(", ")} (${flagged.size})")
     spark.stop()

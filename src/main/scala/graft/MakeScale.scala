@@ -111,8 +111,16 @@ object MakeScale {
         .withColumn("n_chars", length(col("text")).cast("long"))),
       "documents")
 
+    // vector VALUES must not repeat verbatim across tiles: 10 identical
+    // twins per point is a degenerate density structure (every ε-ball gets
+    // 10× points, neighbor-pair counts inflate 100× — the round-10 x_dbscan
+    // lesson). A per-tile COORDINATE ROTATION preserves norms and all
+    // within-tile pairwise distances while decorrelating tiles.
     val emb = read("embeddings")
-    write(tile(emb, Map("vec_id" -> stride(emb, "vec_id"))), "embeddings")
+    write(tile(emb, Map("vec_id" -> stride(emb, "vec_id")),
+      (d, k) => if (k == 0) d else d.withColumn("embedding",
+        concat(slice(col("embedding"), k + 1, 64 - k), slice(col("embedding"), 1, k)))),
+      "embeddings")
 
     spark.stop()
   }

@@ -244,7 +244,16 @@ object Jpeg {
     * None for anything outside baseline support (progressive, 12-bit,
     * arithmetic coding, >2 sampling factors, truncated streams).
     */
-  def decode(p: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+  def decode(p: Array[Byte]): Option[(Int, Int, Int, Array[Int])] =
+    // belt-and-braces on top of the per-segment bounds checks: adversarial
+    // length fields must degrade to None, never escape as an exception
+    // (the decodePixels family contract)
+    try decodeImpl(p)
+    catch {
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None
+    }
+
+  private def decodeImpl(p: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
     val qt = Array.ofDim[Int](4, 64)
     val dcHuff = new Array[Huff](4)
@@ -259,6 +268,8 @@ object Jpeg {
       if (m == 0xd9) return None // EOI before SOS
       val len = ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
       val seg = i + 4
+      // the whole declared segment must be present before any payload read
+      if (len >= 2 && !(m >= 0xd0 && m <= 0xd7) && seg + len - 2 > p.length) return None
       m match {
         case 0xdb => // DQT: one or more tables; 8-bit precision only
           var j = seg
@@ -285,11 +296,11 @@ object Jpeg {
             j += 17 + total
           }
         case 0xc0 | 0xc1 => // SOF0/1 baseline(+extended) sequential
-          if ((p(seg) & 0xff) != 8) return None // 8-bit samples only
+          if (len < 8 || (p(seg) & 0xff) != 8) return None // 8-bit samples only
           h = ((p(seg + 1) & 0xff) << 8) | (p(seg + 2) & 0xff)
           w = ((p(seg + 3) & 0xff) << 8) | (p(seg + 4) & 0xff)
           val nc = p(seg + 5) & 0xff
-          if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+          if (w <= 0 || h <= 0 || (nc != 1 && nc != 3) || len < 8 + 3 * nc) return None
           if (w.toLong * h > (1L << 26)) return None // decode-bomb cap
           comps = Array.tabulate(nc) { k =>
             val o = seg + 6 + 3 * k
@@ -301,9 +312,9 @@ object Jpeg {
         case 0xdd => // DRI
           restartInterval = ((p(seg) & 0xff) << 8) | (p(seg + 1) & 0xff)
         case 0xda => // SOS: single interleaved scan
-          if (comps == null) return None
+          if (comps == null || len < 3) return None
           val ns = p(seg) & 0xff
-          if (ns != comps.length) return None
+          if (ns != comps.length || len < 6 + 2 * ns) return None
           var k = 0
           while (k < ns) {
             val cid = p(seg + 1 + 2 * k) & 0xff

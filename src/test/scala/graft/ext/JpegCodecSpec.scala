@@ -131,4 +131,19 @@ class JpegCodecSpec extends AnyFunSuite {
     corrupt(good.length / 2) = (corrupt(good.length / 2) ^ 0x55).toByte
     Jpeg.decode(corrupt) // garbage coefficients or None — never an exception
   }
+
+  test("fuzz: every truncation point and a seeded corruption sweep degrade, never throw") {
+    val good = Jpeg.encode(16, 16, 3, px(13L), Jpeg.qStandard)
+    // every prefix: lying length fields / half-read segments must bail
+    for (n <- 0 until good.length) Jpeg.decode(java.util.Arrays.copyOf(good, n))
+    // deterministic LCG byte corruptions, one per position class
+    var s = 0x9e3779b9L
+    for (_ <- 0 until 500) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val pos = math.floorMod(s >> 16, good.length.toLong).toInt
+      val bad = good.clone()
+      bad(pos) = (s >> 40).toByte
+      Jpeg.decode(bad) // Some(garbage) or None — never an exception
+    }
+  }
 }
