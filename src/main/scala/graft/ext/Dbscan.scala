@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object Dbscan {
 
+  /** Planted-structure id spacing shared by SparkEntry's x_dbscan query
+    * and DbscanSpec, so the query and its test cannot drift (round-10's
+    * red test was exactly such a drift). Planted copies live at
+    * `base + k·PlantedIdSpacing`; 10M spacing is collision-free against
+    * any corpus whose real vec_ids stay under 10M (the sf1 tiled corpus
+    * reaches 19,999). The 4th plant (every-20th satellite) is the border
+    * set: `SatellitePlantOffset = 4 · PlantedIdSpacing`.
+    */
+  val PlantedIdSpacing: Long = 10000000L
+  val SatellitePlantOffset: Long = 4L * PlantedIdSpacing
+
   /** All unordered pairs (id_a < id_b) with round6(‖a−b‖₂) <= eps, via the
     * projection-grid candidate join. `cellWidth` must be >= √d/√2 · eps
     * for exact completeness (see object doc).

@@ -21,9 +21,12 @@ class DbscanSpec extends AnyFunSuite {
     val clusters = rows.flatMap(r => Option(r.getAs[java.lang.Long]("cluster_id"))).distinct
     assert(clusters.length === nGroups)
     assert(clusters.forall(c => c % 4 == 0 && c < nBase))
-    // every border (satellite, id = base + 40000) attaches to its own blob
+    // every border (satellite, id = base + SatellitePlantOffset) attaches
+    // to its own blob — the offset is the SHARED constant the query plants
+    // with, so the spec cannot drift from the query again
     rows.filter(_.getAs[String]("role") == "border").foreach { r =>
-      assert(r.getAs[Long]("cluster_id") === r.getAs[Long]("id") - 40000)
+      assert(r.getAs[Long]("cluster_id") ===
+        r.getAs[Long]("id") - ext.Dbscan.SatellitePlantOffset)
     }
   }
 }
