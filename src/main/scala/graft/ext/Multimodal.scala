@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   * a formula image, decode it back, match the formula's exact channel
   * sums in DuckDB; PngCodecSpec/GifCodecSpec/JpegCodecSpec pin all three
   * codecs against the JDK's independent ImageIO implementations in both
-  * directions). Only the embedding forward pass remains a clearly marked
-  * STUB (no model runtime exists in this container): [[featuresStub]]
-  * produces deterministic fake features for opaque payloads so the
-  * batched pipeline shape is exercised end-to-end regardless of format.
+  * directions). Audio is real too: [[decodeWavSamples]] decodes 8/16-bit
+  * PCM WAV (with [[encodeWav]] as the write half) and [[audioStats]]
+  * extracts exact per-channel sums/energy/peak/zero-crossings, oracled
+  * on formula-synthesized tones (x_multimodal_audio). Video containers
+  * get a header walk (MP4/ISO-BMFF moov→mvhd/tkhd in [[decodeHeader]]).
+  * Embeddings carry NO stub either: [[imageEmbed]] pools real decoded
+  * pixels into integer patch sums under a fixed projection, and
+  * [[byteEmbed]] is a byte-distribution signature for opaque payloads —
+  * both integer-exact and oracle-recomputable.
   *
   * Scale design: decode runs per-partition with local batching (`grouped`),
   * so decoder state (a model, a codec context) is initialized once per
@@ -83,14 +88,18 @@ object Multimodal {
       Some(("bmp", le32(18), math.abs(le32(22)), u8(28) / 8))
     } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // JPEG: walk marker segments to the frame header (SOF0/1/2) — height
-      // BE16 at +5, width at +7, component count at +9 within the segment
+      // BE16 at +5, width at +7, component count at +9 within the segment.
+      // RSTn (d0..d7), TEM (01) and stray SOI/EOI (d8/d9) are STANDALONE
+      // markers with no length field — skipping them as if they carried
+      // one would misread the following bytes as a length and could walk
+      // past a real SOF
       var i = 2
       while (i + 9 < p.length && u8(i) == 0xff) {
         val m = u8(i + 1)
-        val len = (u8(i + 2) << 8) | u8(i + 3)
         if (m == 0xc0 || m == 0xc1 || m == 0xc2)
           return Some(("jpeg", (u8(i + 7) << 8) | u8(i + 8), (u8(i + 5) << 8) | u8(i + 6), u8(i + 9)))
-        i = if (m >= 0xd0 && m <= 0xd7) i + 2 else i + 2 + len
+        val standalone = (m >= 0xd0 && m <= 0xd7) || m == 0x01 || m == 0xd8 || m == 0xd9
+        i = if (standalone) i + 2 else i + 2 + ((u8(i + 2) << 8) | u8(i + 3))
       }
       None
     } else if (p.length >= 36 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F'
@@ -99,6 +108,45 @@ object Multimodal {
       // width = sample rate (LE32 @24), height = bits/sample (LE16 @34),
       // channels = channel count (LE16 @22)
       Some(("wav", le32(24), le16(34), le16(22)))
+    } else if (p.length >= 16 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p') {
+      // MP4 / ISO-BMFF: walk top-level boxes to moov, then its children to
+      // mvhd (timescale/duration → whole seconds) and the first trak's
+      // tkhd (16.16 fixed-point width/height). Video reuses the meta
+      // slots: width/height = track pixel dims, channels = duration in
+      // whole seconds (floor(duration/timescale)). Version-1 boxes carry
+      // 64-bit times; both layouts are handled. Reference: ISO/IEC
+      // 14496-12 §8.2 (mvhd), §8.5 (tkhd).
+      def boxWalk(from: Int, to: Int, typ: String): Int = {
+        var i = from
+        while (i + 8 <= to) {
+          val sz = be32(i)
+          if (sz < 8 || i + sz > to) return -1
+          if (p(i + 4) == typ(0) && p(i + 5) == typ(1) && p(i + 6) == typ(2) && p(i + 7) == typ(3))
+            return i
+          i += sz
+        }
+        -1
+      }
+      val moov = boxWalk(0, p.length, "moov")
+      if (moov < 0) return None
+      val moovEnd = moov + be32(moov)
+      val mvhd = boxWalk(moov + 8, moovEnd, "mvhd")
+      val durSec: Int = if (mvhd < 0) 0 else {
+        val v = u8(mvhd + 8)
+        if (v == 0) { val ts = be32(mvhd + 20); if (ts > 0) (be32(mvhd + 24).toLong / ts).toInt else 0 }
+        else {
+          val ts = be32(mvhd + 28)
+          val hi = be32(mvhd + 32).toLong << 32
+          val lo = be32(mvhd + 36).toLong & 0xffffffffL
+          if (ts > 0) ((hi | lo) / ts).toInt else 0
+        }
+      }
+      val trak = boxWalk(moov + 8, moovEnd, "trak")
+      if (trak < 0) return None
+      val tkhd = boxWalk(trak + 8, trak + be32(trak), "tkhd")
+      if (tkhd < 0) return None
+      val dimOff = if (u8(tkhd + 8) == 0) 84 else 96 // v1 widens 3 time fields by 4 each
+      Some(("mp4", be32(tkhd + dimOff) >>> 16, be32(tkhd + dimOff + 4) >>> 16, durSec))
     } else None
   }
 
@@ -557,28 +605,180 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder — stands in for an image/audio codec. Deterministic in
-    * the payload bytes. A real implementation replaces ONLY this function.
+  /** REAL pure-JVM WAV PCM sample decoder: walks RIFF chunks (fmt /
+    * data, even-byte chunk padding per the RIFF spec), requires PCM
+    * (wFormatTag = 1) at 8 or 16 bits, and decodes the sample stream —
+    * 8-bit WAV is UNSIGNED (centered by −128), 16-bit is signed
+    * little-endian two's complement. Returns (sampleRate, bits,
+    * channels, samples) with samples channel-interleaved in frame order,
+    * exactly as stored. Non-PCM / other depths / malformed chunks return
+    * None (header-only metadata still flows via [[decodeHeader]]).
     */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
-    val h = java.util.Arrays.hashCode(payload)
-    val width = 64 + math.abs(h % 1024)        // fake width
-    val height = 64 + math.abs((h >> 10) % 1024) // fake height
-    val frames = 1 + payload.length / 100       // fake frame count
-    (width, height, frames)
+  def decodeWavSamples(p: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (p.length < 36 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F'
+        || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    var i = 12
+    var rate = 0; var bits = 0; var nch = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= p.length) {
+      val id = new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = le32(i + 4)
+      if (len < 0 || i + 8 + len > p.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          if (le16(i + 8) != 1) return None // PCM only
+          nch = le16(i + 10); rate = le32(i + 12); bits = le16(i + 22)
+        case "data" => dataOff = i + 8; dataLen = len
+        case _ => ()
+      }
+      i += 8 + len + (len & 1) // RIFF chunks pad to even length
+    }
+    if (rate <= 0 || nch <= 0 || dataOff < 0 || (bits != 8 && bits != 16)) return None
+    val bytesPer = bits / 8
+    val n = dataLen / bytesPer
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      out(k) =
+        if (bits == 8) u8(dataOff + k) - 128
+        else (le16(dataOff + 2 * k) << 16) >> 16 // sign-extend LE int16
+      k += 1
+    }
+    Some((rate, bits, nch, out))
   }
 
-  /** STUB feature extractor — stands in for an embedding model forward
-    * pass. Deterministic in the payload.
+  /** Deterministic WAV PCM encoder (the write half): `sample(frame, ch)`
+    * gives the signed sample value, clamped to the depth's range; 8-bit
+    * stores unsigned (value + 128), 16-bit signed little-endian.
+    * Standards-valid RIFF/WAVE any audio reader opens.
     */
-  def featuresStub(payload: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](featureDim)
-    var i = 0
-    while (i < payload.length) {
-      out(i % featureDim) += (payload(i) & 0xff) / 255.0f
-      i += 1
+  def encodeWav(sampleRate: Int, bits: Int, channels: Int, nFrames: Int,
+      sample: (Int, Int) => Int): Array[Byte] = {
+    require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
+    require(sampleRate > 0 && channels > 0 && nFrames >= 0, "bad wav args")
+    val bytesPer = bits / 8
+    val dataLen = nFrames * channels * bytesPer
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def ascii(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    ascii("RIFF"); le32(36 + dataLen); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(channels); le32(sampleRate)
+    le32(sampleRate * channels * bytesPer); le16(channels * bytesPer); le16(bits)
+    ascii("data"); le32(dataLen)
+    val lo = if (bits == 8) -128 else -32768
+    val hi = if (bits == 8) 127 else 32767
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = math.max(lo, math.min(hi, sample(f, c)))
+        if (bits == 8) out.write(v + 128) else le16(v & 0xffff)
+        c += 1
+      }
+      f += 1
     }
-    out
+    out.toByteArray
+  }
+
+  /** Per-clip audio statistics from a REAL PCM decode — the audio twin of
+    * [[PixelStats]]: per-channel integer sum, energy (sum of squares),
+    * peak |sample|, and zero-crossing count (sign flips between
+    * consecutive frames, 0 counted as non-negative) — all integers an
+    * oracle recomputes exactly from a formula-synthesized tone.
+    */
+  final case class AudioStats(
+      id: Long, sample_rate: Int, bits: Int, channels: Int, n_frames: Long,
+      c0_sum: java.lang.Long, c0_sq: java.lang.Long, c0_peak: java.lang.Long, c0_zc: java.lang.Long,
+      c1_sum: java.lang.Long, c1_sq: java.lang.Long, c1_peak: java.lang.Long, c1_zc: java.lang.Long)
+
+  /** Batched REAL WAV decode → exact per-channel stats. Undecodable
+    * payloads yield a zero row (id retained). Same per-partition
+    * `grouped` batch shape as [[pixelStats]]; a map over the scan, no
+    * shuffle at any corpus size.
+    */
+  def audioStats(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          decodeWavSamples(r.media) match {
+            case Some((rate, bits, nch, s)) =>
+              val nf = s.length / nch
+              val sum = new Array[Long](2); val sq = new Array[Long](2)
+              val peak = new Array[Long](2); val zc = new Array[Long](2)
+              var f = 0
+              while (f < nf) {
+                var c = 0
+                while (c < nch) {
+                  val v = s(f * nch + c).toLong
+                  if (c < 2) {
+                    sum(c) += v; sq(c) += v * v
+                    if (math.abs(v) > peak(c)) peak(c) = math.abs(v)
+                    if (f > 0 && ((s((f - 1) * nch + c) < 0) != (v < 0))) zc(c) += 1
+                  }
+                  c += 1
+                }
+                f += 1
+              }
+              def g(arr: Array[Long], c: Int): java.lang.Long =
+                if (c < nch) java.lang.Long.valueOf(arr(c)) else null
+              AudioStats(r.id, rate, bits, nch, nf.toLong,
+                g(sum, 0), g(sq, 0), g(peak, 0), g(zc, 0),
+                g(sum, 1), g(sq, 1), g(peak, 1), g(zc, 1))
+            case None =>
+              AudioStats(r.id, 0, 0, 0, 0L, null, null, null, null, null, null, null, null)
+          }
+        }
+      }
+    }
+  }
+
+  /** REAL deterministic visual embedding (replaces the former
+    * `featuresStub`): the decoded image is pooled into a 4×2 spatial grid
+    * of channel-0 patch SUMS (integer — pixel (x, y) belongs to cell
+    * row y·2/h, col x·4/w), then projected through the fixed integer
+    * matrix A[k][j] = ((k·7 + j·3) mod 5) − 2 to [[featureDim]]
+    * coordinates. Every step is integer arithmetic on exact decoded
+    * pixels, so an oracle re-derives the embedding from the image
+    * formula — and the vectors feed the existing bruteTopK/MIPS/IVF
+    * stack directly (values stay < 2²⁴, exact in Float).
+    */
+  def imageEmbed(w: Int, h: Int, ch: Int, pix: Array[Int]): Array[Float] = {
+    val cells = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      val row = y * 2 / h
+      var x = 0
+      while (x < w) {
+        cells(row * 4 + x * 4 / w) += pix((y * w + x) * ch)
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(featureDim) { k =>
+      var e = 0L
+      var j = 0
+      while (j < 8) { e += (((k * 7 + j * 3) % 5) - 2) * cells(j); j += 1 }
+      e.toFloat
+    }
+  }
+
+  /** REAL byte-distribution feature for payloads no codec recognizes (the
+    * honest replacement for the former stub): [[featureDim]] counts of
+    * bytes by high-3-bits bucket (b >>> 5), a content signature that is
+    * integer-exact and oracle-recomputable from the payload bytes.
+    */
+  def byteEmbed(payload: Array[Byte]): Array[Float] = {
+    val counts = new Array[Int](featureDim)
+    var i = 0
+    while (i < payload.length) { counts((payload(i) & 0xff) >>> 5) += 1; i += 1 }
+    Array.tabulate(featureDim)(counts(_).toFloat)
   }
 
   /** Wrap a string column as a binary media payload (testdata has no real
@@ -605,11 +805,13 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // a real model would process `batch` as one vectorized call.
-        // Decodable PNGs take the REAL pixel path: features = per-channel
+        // Decodable images take the REAL pixel path: features = per-channel
         // means from the decoded pixels (exact sums / pixel count, an
         // oracle-recomputable function of the image content). Other
-        // recognized containers get real header dims + the stub features;
-        // opaque payloads the full deterministic stub.
+        // recognized containers get real header dims; payloads no codec
+        // recognizes get zero dims — and both carry the REAL
+        // byte-distribution signature ([[byteEmbed]]) as features. No
+        // stubbed value remains anywhere in the path.
         batch.iterator.map { r =>
           decodePixels(r.media) match {
             case Some((w, h, ch, pix)) =>
@@ -621,10 +823,10 @@ object Multimodal {
                 if (c < ch) (sums(c) / n).toFloat else 0.0f)
               MediaFeatures(r.id, r.media.length.toLong, w, h, 1, feats)
             case None =>
-              val (w, h, f) = decodeHeader(r.media)
-                .map { case (_, dw, dh, _) => (dw, dh, 1) }
-                .getOrElse(decodeStub(r.media))
-              MediaFeatures(r.id, r.media.length.toLong, w, h, f, featuresStub(r.media))
+              val (w, h) = decodeHeader(r.media)
+                .map { case (_, dw, dh, _) => (dw, dh) }
+                .getOrElse((0, 0))
+              MediaFeatures(r.id, r.media.length.toLong, w, h, 1, byteEmbed(r.media))
           }
         }
       }

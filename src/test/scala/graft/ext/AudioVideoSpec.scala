@@ -1,0 +1,132 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the WAV PCM codec against the JDK's independent javax.sound
+  * reader (the JpegCodecSpec/ImageIO discipline applied to audio) and
+  * the MP4/ISO-BMFF header walk against hand-constructed boxes.
+  */
+class AudioVideoSpec extends AnyFunSuite {
+
+  private def tone16(f: Int, c: Int): Int = ((f * 31 + c * 997 + 7) % 4001) - 2000
+  private def tone8(f: Int, c: Int): Int = ((f * 13 + c * 101 + 3) % 241) - 120
+
+  test("encodeWav → decodeWavSamples roundtrips 16-bit stereo exactly") {
+    val nf = 777
+    val bytes = Multimodal.encodeWav(16000, 16, 2, nf, tone16)
+    val Some((rate, bits, nch, s)) = Multimodal.decodeWavSamples(bytes)
+    assert((rate, bits, nch) === ((16000, 16, 2)))
+    assert(s.length === nf * 2)
+    for (f <- 0 until nf; c <- 0 until 2)
+      assert(s(f * 2 + c) === tone16(f, c), s"frame $f ch $c")
+  }
+
+  test("encodeWav → decodeWavSamples roundtrips 8-bit mono exactly") {
+    val nf = 500
+    val bytes = Multimodal.encodeWav(8000, 8, 1, nf, tone8)
+    val Some((rate, bits, nch, s)) = Multimodal.decodeWavSamples(bytes)
+    assert((rate, bits, nch) === ((8000, 8, 1)))
+    assert(s.toSeq === (0 until nf).map(tone8(_, 0)))
+  }
+
+  test("javax.sound (independent JDK reader) opens encodeWav output with matching format and PCM bytes") {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    for ((bits, nch, enc) <- Seq(
+        (16, 2, AudioFormat.Encoding.PCM_SIGNED),
+        (8, 1, AudioFormat.Encoding.PCM_UNSIGNED))) {
+      val nf = 321
+      val tone = if (bits == 16) tone16 _ else tone8 _
+      val bytes = Multimodal.encodeWav(22050, bits, nch, nf, tone)
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getEncoding === enc)
+      assert(fmt.getSampleRate === 22050.0f)
+      assert(fmt.getSampleSizeInBits === bits)
+      assert(fmt.getChannels === nch)
+      assert(ais.getFrameLength === nf.toLong)
+      val raw = ais.readAllBytes()
+      // the JDK reader's raw PCM stream must be byte-identical to our
+      // data chunk (the last dataLen bytes of the encoding)
+      assert(raw.toSeq === bytes.takeRight(nf * nch * bits / 8).toSeq)
+    }
+  }
+
+  test("decodeWavSamples rejects non-PCM, odd depths, and truncated chunks") {
+    val good = Multimodal.encodeWav(8000, 16, 1, 10, tone16)
+    assert(Multimodal.decodeWavSamples(good).isDefined)
+    val nonPcm = good.clone(); nonPcm(20) = 3 // wFormatTag = IEEE float
+    assert(Multimodal.decodeWavSamples(nonPcm) === None)
+    val bad24 = good.clone(); bad24(34) = 24 // bits/sample
+    assert(Multimodal.decodeWavSamples(bad24) === None)
+    assert(Multimodal.decodeWavSamples(good.take(30)) === None)
+    assert(Multimodal.decodeWavSamples("RIFFxxxxWAVE but then garbage bytes".getBytes("UTF-8")) === None)
+  }
+
+  test("decodeWavSamples skips unknown chunks and honors odd-length padding") {
+    // hand-build: RIFF/WAVE + LIST chunk of ODD length 3 (padded to 4) +
+    // fmt + data — the walker must land on fmt/data despite the detour
+    val body = new java.io.ByteArrayOutputStream()
+    def ascii(s: String) = body.write(s.getBytes("US-ASCII"))
+    def le16(v: Int) = { body.write(v & 0xff); body.write((v >> 8) & 0xff) }
+    def le32(v: Int) = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    ascii("LIST"); le32(3); body.write(Array[Byte](1, 2, 3, 0)) // odd + pad
+    ascii("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(8000); le16(1); le16(8)
+    ascii("data"); le32(4); body.write(Array[Byte](0, 64, 127.toByte, 128.toByte))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val b = body.toByteArray
+    out.write(Array[Byte]((4 + b.length & 0xff).toByte, 0, 0, 0)); out.write("WAVE".getBytes("US-ASCII"))
+    out.write(b)
+    val Some((rate, bits, nch, s)) = Multimodal.decodeWavSamples(out.toByteArray)
+    assert((rate, bits, nch) === ((8000, 8, 1)))
+    assert(s.toSeq === Seq(-128, -64, -1, 0)) // 8-bit unsigned, centered
+  }
+
+  /** Minimal valid MP4: ftyp + moov[mvhd(v0) + trak[tkhd(v0)]]. */
+  private def mp4(w: Int, h: Int, durMs: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int) = out.write(Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+    def ascii(s: String) = out.write(s.getBytes("US-ASCII"))
+    def zeros(n: Int) = out.write(new Array[Byte](n))
+    be32(16); ascii("ftyp"); ascii("isom"); be32(0x200)
+    be32(8 + 108 + 100); ascii("moov")
+    be32(108); ascii("mvhd"); be32(0); be32(0); be32(0); be32(1000); be32(durMs)
+    be32(0x00010000); out.write(1); out.write(0); zeros(2 + 8)
+    be32(0x00010000); be32(0); be32(0); be32(0); be32(0x00010000); be32(0); be32(0); be32(0); be32(0x40000000)
+    zeros(24); be32(2)
+    be32(100); ascii("trak")
+    be32(92); ascii("tkhd"); be32(7); be32(0); be32(0); be32(1); be32(0); be32(durMs); zeros(8)
+    zeros(2 + 2 + 2 + 2)
+    be32(0x00010000); be32(0); be32(0); be32(0); be32(0x00010000); be32(0); be32(0); be32(0); be32(0x40000000)
+    be32(w << 16); be32(h << 16)
+    out.toByteArray
+  }
+
+  test("decodeHeader walks MP4 boxes to tkhd dims and mvhd duration") {
+    assert(Multimodal.decodeHeader(mp4(1920, 1080, 37500)) === Some(("mp4", 1920, 1080, 37)))
+    assert(Multimodal.decodeHeader(mp4(640, 480, 999)) === Some(("mp4", 640, 480, 0)))
+    // truncated moov → None, not a throw
+    assert(Multimodal.decodeHeader(mp4(640, 480, 1000).take(40)) === None)
+  }
+
+  test("JPEG header walk skips standalone markers (TEM, stray SOI) without misreading a length") {
+    // SOI + TEM (standalone) + stray SOI + SOF0 — the old walker read
+    // TEM's following bytes as a length and could skip past the SOF
+    val p = Array[Int](
+      0xff, 0xd8, 0xff, 0x01, 0xff, 0xd8,
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 77, 0x01, 0x2c, 0x03,
+      0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte)
+    assert(Multimodal.decodeHeader(p) === Some(("jpeg", 300, 77, 3)))
+  }
+
+  test("imageEmbed pools patch sums under the fixed integer projection") {
+    // 4x2 image, 1 channel, pixel value = x + 10*y → each grid cell is a
+    // single pixel; embedding k = Σ_j A[k][j]·pix(j)
+    val pix = Array.tabulate(8)(i => (i % 4) + 10 * (i / 4))
+    val e = Multimodal.imageEmbed(4, 2, 1, pix)
+    for (k <- 0 until Multimodal.featureDim) {
+      val want = (0 until 8).map(j => ((((k * 7 + j * 3) % 5) - 2) * pix(j)).toLong).sum
+      assert(e(k) === want.toFloat, s"dim $k")
+    }
+  }
+}

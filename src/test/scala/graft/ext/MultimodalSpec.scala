@@ -18,7 +18,10 @@ class MultimodalSpec extends AnyFunSuite {
     val rows = feats.collect()
     assert(rows.length === 50)
     assert(rows.forall(_.features.length === Multimodal.featureDim))
-    assert(rows.forall(r => r.n_frames === 1 + r.n_bytes / 100))
+    // opaque text payloads: no codec recognizes them → zero dims, one
+    // frame, and the byteEmbed signature (bucket counts sum to n_bytes)
+    assert(rows.forall(r => r.n_frames === 1 && r.width === 0 && r.height === 0))
+    assert(rows.forall(r => r.features.map(_.toLong).sum === r.n_bytes))
 
     // deterministic: a second run produces identical features
     val again = Multimodal.extractFeatures(media, batchSize = 7).collect()
