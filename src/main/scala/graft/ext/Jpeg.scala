@@ -10,12 +10,16 @@ package graft.ext
   * so decode output matches the JDK's independent ImageIO reader exactly
   * (pinned in JpegCodecSpec, both directions).
   *
-  * Decoder: baseline sequential SOF0/SOF1, arbitrary DQT/DHT (tables are
-  * read from the stream, never assumed), interleaved single-scan MCUs with
+  * Decoder: baseline sequential SOF0/SOF1 AND progressive SOF2 —
+  * arbitrary DQT/DHT (tables are read from the stream, never assumed),
   * per-component sampling factors 1..2 (4:4:4, 4:2:2, 4:2:0), restart
-  * markers, grayscale and YCbCr color. Progressive (SOF2) returns None and
-  * falls back to the header-only path like every other unsupported
-  * container variant.
+  * markers, grayscale and YCbCr color. Progressive streams accumulate
+  * zigzag coefficients across any legal scan script (spectral selection
+  * + successive approximation: DC first/refine, AC first/refine with EOB
+  * runs, T.81 G.2) and reconstruct at EOI — pinned bit-identical to the
+  * JDK's libjpeg-based reader on its own 10-scan progressive output
+  * (ProgressiveJpegSpec). 12-bit, arithmetic coding and hierarchical
+  * modes return None and fall back to the header-only path.
   *
   * Encoder: baseline, grayscale or 4:4:4 YCbCr, caller-supplied
   * quantization table. Entropy tables are uniform-length canonical Huffman
@@ -237,6 +241,12 @@ object Jpeg {
     var dcTab = 0; var acTab = 0; var dcPred = 0
     var plane: Array[Int] = _ // padded (wb*8) x (hb*8) samples
     var wPix = 0 // padded plane width in samples
+    // progressive state: per-block coefficients in ZIGZAG order (the
+    // order every scan codes them in), padded MCU block grid (bw × bh)
+    // and the non-interleaved scan grid (bwS × bhS — T.81 A.2.2: a
+    // single-component scan covers only ceil(ceil(dim·f/max)/8) blocks)
+    var coefZ: Array[Int] = _
+    var bw = 0; var bh = 0; var bwS = 0; var bhS = 0
   }
 
   /** Decode a baseline JFIF payload → (width, height, channels, pixels) in
@@ -260,77 +270,135 @@ object Jpeg {
     val acHuff = new Array[Huff](4)
     var comps: Array[Comp] = null
     var w = 0; var h = 0
+    var maxH = 1; var maxV = 1; var mcusX = 0; var mcusY = 0
     var restartInterval = 0
+    var progressive = false
+    var anyScan = false
     var i = 2
-    while (i + 4 <= p.length) {
+    while (i + 2 <= p.length) {
       if ((p(i) & 0xff) != 0xff) return None
       val m = p(i + 1) & 0xff
-      if (m == 0xd9) return None // EOI before SOS
-      val len = ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
-      val seg = i + 4
-      // the whole declared segment must be present before any payload read
-      if (len >= 2 && !(m >= 0xd0 && m <= 0xd7) && seg + len - 2 > p.length) return None
-      m match {
-        case 0xdb => // DQT: one or more tables; 8-bit precision only
-          var j = seg
-          while (j < seg + len - 2) {
-            val pq = (p(j) & 0xff) >> 4; val tq = p(j) & 0x0f
-            if (pq != 0 || tq > 3 || j + 65 > p.length) return None
+      if (m == 0xd9) // EOI: for progressive, all scans are in — reconstruct
+        return if (progressive && anyScan) finishProgressive(w, h, comps, qt, maxH, maxV)
+          else None
+      if (m >= 0xd0 && m <= 0xd7) { i += 2 } // standalone RSTn between segments
+      else {
+        if (i + 4 > p.length) return None
+        val len = ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+        val seg = i + 4
+        // the whole declared segment must be present before any payload read
+        if (len < 2 || seg + len - 2 > p.length) return None
+        var advanced = false
+        m match {
+          case 0xdb => // DQT: one or more tables; 8-bit precision only
+            var j = seg
+            while (j < seg + len - 2) {
+              val pq = (p(j) & 0xff) >> 4; val tq = p(j) & 0x0f
+              if (pq != 0 || tq > 3 || j + 65 > p.length) return None
+              var k = 0
+              while (k < 64) { qt(tq)(ZigZag(k)) = p(j + 1 + k) & 0xff; k += 1 }
+              j += 65
+            }
+          case 0xc4 => // DHT
+            var j = seg
+            while (j < seg + len - 2) {
+              val tc = (p(j) & 0xff) >> 4; val th = p(j) & 0x0f
+              if (th > 3 || j + 17 > p.length) return None
+              val bits = new Array[Int](17)
+              var total = 0
+              var k = 1
+              while (k <= 16) { bits(k) = p(j + k) & 0xff; total += bits(k); k += 1 }
+              if (j + 17 + total > p.length) return None
+              val vals = java.util.Arrays.copyOfRange(p, j + 17, j + 17 + total)
+              val t = new Huff(bits, vals)
+              if (tc == 0) dcHuff(th) = t else acHuff(th) = t
+              j += 17 + total
+            }
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
+            if (len < 8 || (p(seg) & 0xff) != 8) return None // 8-bit samples only
+            h = ((p(seg + 1) & 0xff) << 8) | (p(seg + 2) & 0xff)
+            w = ((p(seg + 3) & 0xff) << 8) | (p(seg + 4) & 0xff)
+            val nc = p(seg + 5) & 0xff
+            if (w <= 0 || h <= 0 || (nc != 1 && nc != 3) || len < 8 + 3 * nc) return None
+            if (w.toLong * h > (1L << 26)) return None // decode-bomb cap
+            comps = Array.tabulate(nc) { k =>
+              val o = seg + 6 + 3 * k
+              val c = Comp(p(o) & 0xff, (p(o + 1) & 0xff) >> 4, p(o + 1) & 0x0f, p(o + 2) & 0xff)
+              if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2) return None
+              c
+            }
+            maxH = comps.map(_.h).max; maxV = comps.map(_.v).max
+            mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+            mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+            progressive = m == 0xc2
+            if (progressive) comps.foreach { c =>
+              c.bw = mcusX * c.h; c.bh = mcusY * c.v
+              c.coefZ = new Array[Int](c.bw * c.bh * 64)
+              val cw = (w * c.h + maxH - 1) / maxH
+              val chh = (h * c.v + maxV - 1) / maxV
+              c.bwS = (cw + 7) / 8; c.bhS = (chh + 7) / 8
+            }
+          case 0xdd => // DRI
+            restartInterval = ((p(seg) & 0xff) << 8) | (p(seg + 1) & 0xff)
+          case 0xda => // SOS
+            if (comps == null || len < 3) return None
+            val ns = p(seg) & 0xff
+            if (len < 6 + 2 * ns || ns < 1) return None
+            if (!progressive) { // baseline: single interleaved scan, done
+              if (ns != comps.length) return None
+              var k = 0
+              while (k < ns) {
+                val cid = p(seg + 1 + 2 * k) & 0xff
+                val tabs = p(seg + 2 + 2 * k) & 0xff
+                val c = comps.find(_.id == cid).getOrElse(return None)
+                c.dcTab = tabs >> 4; c.acTab = tabs & 0x0f
+                k += 1
+              }
+              return decodeScan(p, seg + len - 2, w, h, comps, qt, dcHuff, acHuff, restartInterval)
+            }
+            // progressive: one of many scans; decode it and continue the
+            // marker walk at the next marker after its entropy data
+            if (ns > comps.length) return None
+            val scanComps = new Array[Comp](ns)
             var k = 0
-            while (k < 64) { qt(tq)(ZigZag(k)) = p(j + 1 + k) & 0xff; k += 1 }
-            j += 65
-          }
-        case 0xc4 => // DHT
-          var j = seg
-          while (j < seg + len - 2) {
-            val tc = (p(j) & 0xff) >> 4; val th = p(j) & 0x0f
-            if (th > 3 || j + 17 > p.length) return None
-            val bits = new Array[Int](17)
-            var total = 0
-            var k = 1
-            while (k <= 16) { bits(k) = p(j + k) & 0xff; total += bits(k); k += 1 }
-            if (j + 17 + total > p.length) return None
-            val vals = java.util.Arrays.copyOfRange(p, j + 17, j + 17 + total)
-            val t = new Huff(bits, vals)
-            if (tc == 0) dcHuff(th) = t else acHuff(th) = t
-            j += 17 + total
-          }
-        case 0xc0 | 0xc1 => // SOF0/1 baseline(+extended) sequential
-          if (len < 8 || (p(seg) & 0xff) != 8) return None // 8-bit samples only
-          h = ((p(seg + 1) & 0xff) << 8) | (p(seg + 2) & 0xff)
-          w = ((p(seg + 3) & 0xff) << 8) | (p(seg + 4) & 0xff)
-          val nc = p(seg + 5) & 0xff
-          if (w <= 0 || h <= 0 || (nc != 1 && nc != 3) || len < 8 + 3 * nc) return None
-          if (w.toLong * h > (1L << 26)) return None // decode-bomb cap
-          comps = Array.tabulate(nc) { k =>
-            val o = seg + 6 + 3 * k
-            val c = Comp(p(o) & 0xff, (p(o + 1) & 0xff) >> 4, p(o + 1) & 0x0f, p(o + 2) & 0xff)
-            if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2) return None
-            c
-          }
-        case 0xc2 => return None // progressive: out of baseline scope
-        case 0xdd => // DRI
-          restartInterval = ((p(seg) & 0xff) << 8) | (p(seg + 1) & 0xff)
-        case 0xda => // SOS: single interleaved scan
-          if (comps == null || len < 3) return None
-          val ns = p(seg) & 0xff
-          if (ns != comps.length || len < 6 + 2 * ns) return None
-          var k = 0
-          while (k < ns) {
-            val cid = p(seg + 1 + 2 * k) & 0xff
-            val tabs = p(seg + 2 + 2 * k) & 0xff
-            val c = comps.find(_.id == cid).getOrElse(return None)
-            c.dcTab = tabs >> 4; c.acTab = tabs & 0x0f
-            k += 1
-          }
-          return decodeScan(p, seg + len - 2, w, h, comps, qt, dcHuff, acHuff, restartInterval)
-        case _ => () // APPn/COM/etc: skip
+            while (k < ns) {
+              val cid = p(seg + 1 + 2 * k) & 0xff
+              val tabs = p(seg + 2 + 2 * k) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(return None)
+              c.dcTab = tabs >> 4; c.acTab = tabs & 0x0f
+              scanComps(k) = c
+              k += 1
+            }
+            val ss = p(seg + 1 + 2 * ns) & 0xff
+            val se = p(seg + 2 + 2 * ns) & 0xff
+            val ahal = p(seg + 3 + 2 * ns) & 0xff
+            val next = decodeProgScan(p, seg + len - 2, scanComps, mcusX, mcusY,
+              ss, se, ahal >> 4, ahal & 0x0f, restartInterval, dcHuff, acHuff)
+            if (next < 0) return None
+            anyScan = true
+            i = next; advanced = true
+          case _ => () // APPn/COM/DNL/etc: skip
+        }
+        if (!advanced) i = seg + len - 2
       }
-      // standalone markers (RSTn) carry no length field; everything else
-      // advances past its payload (seg + len - 2 is the segment end)
-      if (m >= 0xd0 && m <= 0xd7) i += 2 else i = seg + len - 2
     }
     None
+  }
+
+  /** First marker at/after `from`: 0xFF followed by a real marker byte
+    * (not a stuffed 0x00, a 0xFF fill byte, or an RSTn — those live
+    * inside entropy data).
+    */
+  private def nextMarker(p: Array[Byte], from: Int): Int = {
+    var j = math.max(from, 0)
+    while (j + 1 < p.length) {
+      if ((p(j) & 0xff) == 0xff) {
+        val n = p(j + 1) & 0xff
+        if (n != 0x00 && n != 0xff && !(n >= 0xd0 && n <= 0xd7)) return j
+      }
+      j += 1
+    }
+    -1
   }
 
   private def decodeScan(p: Array[Byte], dataStart: Int, w: Int, h: Int,
@@ -407,7 +475,195 @@ object Jpeg {
       }
       mcu += 1
     }
-    // assemble: upsample to full resolution + color convert
+    assemble(comps, w, h, maxH, maxV)
+  }
+
+  /** Decode one progressive scan's entropy data (T.81 G.2 / the public
+    * reference implementation's successive-approximation semantics):
+    * DC first/refine (interleaved or single-component), AC first/refine
+    * (single-component, spectral band Ss..Se, EOB runs). Coefficients
+    * accumulate in each component's zigzag-order `coefZ`. Returns the
+    * index of the next marker after the scan, or -1 on a corrupt stream.
+    */
+  private def decodeProgScan(p: Array[Byte], dataStart: Int, scanComps: Array[Comp],
+      mcusX: Int, mcusY: Int, ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int, dcHuff: Array[Huff], acHuff: Array[Huff]): Int = {
+    if (ss > 63 || se > 63 || se < ss || al > 13) return -1
+    if (ss == 0 && se != 0) return -1 // DC and AC never share a scan
+    if (ss > 0 && scanComps.length != 1) return -1 // AC scans: one component
+    val br = new BitReader(p, dataStart)
+    var eobrun = 0
+    scanComps.foreach(_.dcPred = 0)
+    var unit = 0 // restart-interval counter (MCUs or blocks)
+    @inline def restartIfDue(): Boolean =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        val ok = br.restart()
+        if (ok) { scanComps.foreach(_.dcPred = 0); eobrun = 0 }
+        ok
+      } else true
+    if (ss == 0) {
+      // DC scan. Interleaved: MCU geometry like baseline; single
+      // component: its own bwS × bhS block raster.
+      val interleaved = scanComps.length > 1
+      val nUnits = if (interleaved) mcusX * mcusY else scanComps(0).bwS * scanComps(0).bhS
+      while (unit < nUnits) {
+        if (!restartIfDue()) return -1
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
+          val nBx = if (interleaved) c.h else 1
+          val nBy = if (interleaved) c.v else 1
+          var by = 0
+          while (by < nBy) {
+            var bx = 0
+            while (bx < nBx) {
+              val bX = if (interleaved) (unit % mcusX) * c.h + bx else unit % c.bwS
+              val bY = if (interleaved) (unit / mcusX) * c.v + by else unit / c.bwS
+              val off = (bY * c.bw + bX) * 64
+              if (ah == 0) { // DC first: diffs accumulate in the >>Al domain
+                val dh = dcHuff(c.dcTab)
+                if (dh == null) return -1
+                val t = br.decodeHuff(dh)
+                if (t < 0 || t > 15) return -1
+                c.dcPred += extend(br.bits(t), t)
+                c.coefZ(off) = c.dcPred << al
+              } else { // DC refine: one correction bit per block
+                if (br.bit() == 1) c.coefZ(off) |= 1 << al
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        unit += 1
+      }
+    } else {
+      // AC scan over one component's block raster
+      val c = scanComps(0)
+      val ach = acHuff(c.acTab)
+      if (ach == null) return -1
+      val p1 = 1 << al; val m1 = -1 << al
+      val nUnits = c.bwS * c.bhS
+      while (unit < nUnits) {
+        if (!restartIfDue()) return -1
+        val off = ((unit / c.bwS) * c.bw + unit % c.bwS) * 64
+        if (ah == 0) { // AC first (G.2.2): band values at <<Al, EOB runs
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var done = false
+            while (!done && k <= se) {
+              val rs = br.decodeHuff(ach)
+              if (rs < 0) return -1
+              val r = rs >> 4; val s = rs & 0x0f
+              if (s != 0) {
+                k += r
+                if (k > se) return -1
+                c.coefZ(off + k) = extend(br.bits(s), s) << al
+                k += 1
+              } else if (r == 15) k += 16 // ZRL
+              else { // EOBn: run of (1<<r)+bits(r) all-done blocks
+                eobrun = (1 << r) - 1
+                if (r > 0) eobrun += br.bits(r)
+                done = true
+              }
+            }
+          }
+        } else { // AC refine (G.2.3): correction bits thread through runs
+          var k = ss
+          if (eobrun == 0) {
+            var done = false
+            while (!done && k <= se) {
+              val rs = br.decodeHuff(ach)
+              if (rs < 0) return -1
+              var r = rs >> 4; val s = rs & 0x0f
+              var newVal = 0
+              if (s == 0) {
+                if (r < 15) { // EOBn: correct the rest of this band below
+                  eobrun = 1 << r
+                  if (r > 0) eobrun += br.bits(r)
+                  done = true
+                }
+                // r == 15: ZRL — pass 16 zero-history coefficients
+              } else {
+                if (s != 1) return -1 // refinement codes only ±1
+                newVal = if (br.bit() == 1) p1 else m1
+              }
+              if (!done) {
+                // advance over r zero-history coefs; every nonzero on the
+                // way carries a correction bit
+                var placed = false
+                while (!placed && k <= se) {
+                  val v = c.coefZ(off + k)
+                  if (v != 0) {
+                    if (br.bit() == 1 && (v & p1) == 0)
+                      c.coefZ(off + k) = v + (if (v >= 0) p1 else m1)
+                  } else if (r == 0) {
+                    if (newVal != 0) c.coefZ(off + k) = newVal
+                    placed = true
+                  } else r -= 1
+                  k += 1
+                }
+                if (!placed && newVal != 0) return -1 // ran off the band
+              }
+            }
+          }
+          if (eobrun > 0) { // tail: correction bits for remaining nonzeros
+            while (k <= se) {
+              val v = c.coefZ(off + k)
+              if (v != 0 && br.bit() == 1 && (v & p1) == 0)
+                c.coefZ(off + k) = v + (if (v >= 0) p1 else m1)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        unit += 1
+      }
+    }
+    nextMarker(p, math.max(dataStart, br.pos - 2))
+  }
+
+  /** Progressive reconstruction at EOI: dequantize each component's
+    * accumulated zigzag coefficients, IDCT every block into the sample
+    * plane, then share the baseline assembly (upsample + color convert).
+    */
+  private def finishProgressive(w: Int, h: Int, comps: Array[Comp],
+      qt: Array[Array[Int]], maxH: Int, maxV: Int): Option[(Int, Int, Int, Array[Int])] = {
+    if (comps == null || w <= 0 || h <= 0) return None
+    val coef = new Array[Int](64)
+    val blk = new Array[Int](64)
+    comps.foreach { c =>
+      if (c.tq > 3) return None
+      val q = qt(c.tq)
+      c.wPix = c.bw * 8
+      c.plane = new Array[Int](c.wPix * c.bh * 8)
+      var b = 0
+      val nB = c.bw * c.bh
+      while (b < nB) {
+        val off = b * 64
+        var k = 0
+        while (k < 64) { coef(ZigZag(k)) = c.coefZ(off + k) * q(ZigZag(k)); k += 1 }
+        idctBlock(coef, blk)
+        val px0 = (b % c.bw) * 8; val py0 = (b / c.bw) * 8
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) { c.plane((py0 + y) * c.wPix + px0 + x) = blk(8 * y + x); x += 1 }
+          y += 1
+        }
+        b += 1
+      }
+    }
+    assemble(comps, w, h, maxH, maxV)
+  }
+
+  /** Shared final stage for baseline and progressive: upsample every
+    * component plane to full resolution and color-convert.
+    */
+  private def assemble(comps: Array[Comp], w: Int, h: Int, maxH: Int, maxV: Int)
+      : Option[(Int, Int, Int, Array[Int])] = {
     val nc = comps.length
     if (nc == 1) {
       val c = comps(0)
@@ -542,14 +798,16 @@ object Jpeg {
   }
 
   /** Uniform-length canonical Huffman: 12 DC categories at 4 bits (codes
-    * 0..11) and the 162 AC symbols (EOB, ZRL, 16 runs × 10 sizes) at 8
-    * bits (codes 0..161) — no all-ones codeword, valid per T.81, fully
-    * described by the DHT segment the encoder writes.
+    * 0..11) and the AC symbols at 8 bits — EOB, ZRL, 16 runs × 10 sizes,
+    * plus the EOBn symbols (r<<4, r = 1..14) progressive EOB runs need:
+    * 176 codes, no all-ones codeword, valid per T.81, fully described by
+    * the DHT segment the encoder writes.
     */
   private val dcSyms: Array[Int] = (0 to 11).toArray
   private val acSyms: Array[Int] = {
     val b = Array.newBuilder[Int]
-    b += 0x00 // EOB
+    b += 0x00 // EOB / EOB1
+    for (run <- 1 to 14) b += (run << 4) // EOBn (progressive only)
     for (run <- 0 to 15; size <- 1 to 10) b += (run << 4) | size
     b += 0xf0 // ZRL
     b.result().sorted
@@ -562,45 +820,15 @@ object Jpeg {
     n
   }
 
-  /** Encode as baseline JFIF. `channels` 1 (grayscale) or 3 (RGB →
-    * 4:4:4 YCbCr); `px(x, y, c)` supplies samples 0..255; `qtable` is
-    * applied to every component (natural order) — [[qUnit]] makes
-    * constant-block images roundtrip exactly, [[qStandard]] is the
-    * general-content default.
+  /** FDCT + quantization for every 8×8 block of every component
+    * (4:4:4 / grayscale, edge replication): per component, blocks in
+    * raster order, 64 quantized coefficients each in ZIGZAG order.
+    * Double-precision FDCT — exact DC for constant blocks. RGB converts
+    * to YCbCr with jccolor-style fixed point (exact Y = v, Cb = Cr = 128
+    * when R=G=B).
     */
-  def encode(w: Int, h: Int, channels: Int, px: (Int, Int, Int) => Int,
-      qtable: Array[Int] = qStandard): Array[Byte] = {
-    require(channels == 1 || channels == 3, "baseline encoder: 1 or 3 channels")
-    val out = new java.io.ByteArrayOutputStream()
-    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
-    def marker(m: Int, payload: Array[Byte]): Unit = {
-      out.write(0xff); out.write(m); u16(payload.length + 2); out.write(payload, 0, payload.length)
-    }
-    out.write(0xff); out.write(0xd8) // SOI
-    marker(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0
-    // DQT (table 0, zig-zag order on the wire)
-    marker(0xdb, (Array(0x00) ++ ZigZag.map(qtable(_))).map(_.toByte))
-    // SOF0
-    val sof = Array.newBuilder[Byte]
-    sof += 8; sof += (h >> 8).toByte; sof += h.toByte; sof += (w >> 8).toByte; sof += w.toByte
-    sof += channels.toByte
-    for (c <- 1 to channels) { sof += c.toByte; sof += 0x11.toByte; sof += 0 }
-    marker(0xc0, sof.result())
-    // DHT: DC table 0 (12 syms at 4 bits), AC table 0 (162 syms at 8 bits)
-    val dcBits = new Array[Byte](16); dcBits(3) = 12
-    val acBits = new Array[Byte](16); acBits(7) = 162.toByte
-    marker(0xc4,
-      Array(0x00.toByte) ++ dcBits ++ dcSyms.map(_.toByte) ++
-      Array(0x10.toByte) ++ acBits ++ acSyms.map(_.toByte))
-    // SOS
-    val sos = Array.newBuilder[Byte]
-    sos += channels.toByte
-    for (c <- 1 to channels) { sos += c.toByte; sos += 0x00.toByte }
-    sos += 0; sos += 63; sos += 0
-    marker(0xda, sos.result())
-
-    // per-pixel component samples (grayscale passthrough / RGB → YCbCr via
-    // jccolor-style fixed point: exact Y = v, Cb = Cr = 128 when R=G=B)
+  private def quantBlocks(w: Int, h: Int, channels: Int, px: (Int, Int, Int) => Int,
+      qtable: Array[Int]): Array[Array[Int]] = {
     def sample(x0: Int, y0: Int, comp: Int): Int = {
       val x = math.min(math.max(x0, 0), w - 1)
       val y = math.min(math.max(y0, 0), h - 1)
@@ -614,11 +842,9 @@ object Jpeg {
         }
       }
     }
-
-    val bw = new BitWriter(out)
     val cos = Array.tabulate(8, 8)((k, n) => math.cos((2 * n + 1) * k * math.Pi / 16))
-    val dcPred = new Array[Int](channels)
     val blocksY = (h + 7) / 8; val blocksX = (w + 7) / 8
+    val out = Array.fill(channels)(new Array[Int](blocksX * blocksY * 64))
     val f = new Array[Double](64)
     var byi = 0
     while (byi < blocksY) {
@@ -626,7 +852,6 @@ object Jpeg {
       while (bxi < blocksX) {
         var comp = 0
         while (comp < channels) {
-          // FDCT (double precision; exact DC for constant blocks)
           var u = 0
           while (u < 8) {
             var v = 0
@@ -648,30 +873,12 @@ object Jpeg {
             }
             u += 1
           }
-          // quantize + entropy-code in zig-zag order
-          val qz = new Array[Int](64)
+          val off = (byi * blocksX + bxi) * 64
           var k = 0
           while (k < 64) {
             val nat = ZigZag(k)
-            qz(k) = math.round(f(nat) / qtable(nat)).toInt
+            out(comp)(off + k) = math.round(f(nat) / qtable(nat)).toInt
             k += 1
-          }
-          val diff = qz(0) - dcPred(comp); dcPred(comp) = qz(0)
-          val t = bitSize(diff)
-          bw.put(t, 4) // DC: category t at code t (uniform 4-bit table)
-          if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
-          var kk = 1
-          while (kk < 64) {
-            var run = 0
-            while (kk < 64 && qz(kk) == 0) { run += 1; kk += 1 }
-            if (kk == 64) bw.put(acCode(0x00), 8) // EOB
-            else {
-              while (run > 15) { bw.put(acCode(0xf0), 8); run -= 16 }
-              val v = qz(kk); val s = bitSize(v)
-              bw.put(acCode((run << 4) | s), 8)
-              bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
-              kk += 1
-            }
           }
           comp += 1
         }
@@ -679,7 +886,206 @@ object Jpeg {
       }
       byi += 1
     }
+    out
+  }
+
+  /** SOI through DHT — everything before the first SOS, shared by the
+    * baseline (SOF0) and progressive (SOF2) encoders.
+    */
+  private def writeHeaders(out: java.io.ByteArrayOutputStream, w: Int, h: Int,
+      channels: Int, qtable: Array[Int], sofMarker: Int): Unit = {
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m); u16(payload.length + 2); out.write(payload, 0, payload.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    marker(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0
+    // DQT (table 0, zig-zag order on the wire)
+    marker(0xdb, (Array(0x00) ++ ZigZag.map(qtable(_))).map(_.toByte))
+    val sof = Array.newBuilder[Byte]
+    sof += 8; sof += (h >> 8).toByte; sof += h.toByte; sof += (w >> 8).toByte; sof += w.toByte
+    sof += channels.toByte
+    for (c <- 1 to channels) { sof += c.toByte; sof += 0x11.toByte; sof += 0 }
+    marker(sofMarker, sof.result())
+    // DHT: DC table 0 (12 syms at 4 bits), AC table 0 (176 syms at 8 bits)
+    val dcBits = new Array[Byte](16); dcBits(3) = 12
+    val acBits = new Array[Byte](16); acBits(7) = acSyms.length.toByte
+    marker(0xc4,
+      Array(0x00.toByte) ++ dcBits ++ dcSyms.map(_.toByte) ++
+      Array(0x10.toByte) ++ acBits ++ acSyms.map(_.toByte))
+  }
+
+  private def writeSos(out: java.io.ByteArrayOutputStream, compIds: Seq[Int],
+      ss: Int, se: Int, ahal: Int): Unit = {
+    val sos = Array.newBuilder[Byte]
+    sos += compIds.length.toByte
+    for (c <- compIds) { sos += c.toByte; sos += 0x00.toByte }
+    sos += ss.toByte; sos += se.toByte; sos += ahal.toByte
+    val payload = sos.result()
+    out.write(0xff); out.write(0xda)
+    out.write(((payload.length + 2) >> 8) & 0xff); out.write((payload.length + 2) & 0xff)
+    out.write(payload, 0, payload.length)
+  }
+
+  /** Encode as baseline JFIF. `channels` 1 (grayscale) or 3 (RGB →
+    * 4:4:4 YCbCr); `px(x, y, c)` supplies samples 0..255; `qtable` is
+    * applied to every component (natural order) — [[qUnit]] makes
+    * constant-block images roundtrip exactly, [[qStandard]] is the
+    * general-content default.
+    */
+  def encode(w: Int, h: Int, channels: Int, px: (Int, Int, Int) => Int,
+      qtable: Array[Int] = qStandard): Array[Byte] = {
+    require(channels == 1 || channels == 3, "baseline encoder: 1 or 3 channels")
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, w, h, channels, qtable, sofMarker = 0xc0)
+    writeSos(out, 1 to channels, 0, 63, 0)
+    val qz = quantBlocks(w, h, channels, px, qtable)
+    val bw = new BitWriter(out)
+    val dcPred = new Array[Int](channels)
+    val blocksY = (h + 7) / 8; val blocksX = (w + 7) / 8
+    var b = 0
+    val nB = blocksX * blocksY
+    while (b < nB) {
+      var comp = 0
+      while (comp < channels) {
+        val off = b * 64
+        val cz = qz(comp)
+        val diff = cz(off) - dcPred(comp); dcPred(comp) = cz(off)
+        val t = bitSize(diff)
+        bw.put(t, 4) // DC: category t at code t (uniform 4-bit table)
+        if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        var kk = 1
+        while (kk < 64) {
+          var run = 0
+          while (kk < 64 && cz(off + kk) == 0) { run += 1; kk += 1 }
+          if (kk == 64) bw.put(acCode(0x00), 8) // EOB
+          else {
+            while (run > 15) { bw.put(acCode(0xf0), 8); run -= 16 }
+            val v = cz(off + kk); val s = bitSize(v)
+            // baseline AC SSSS caps at 10 (T.81 Table K.5): |coef| <= 1023.
+            // Fail loudly, not with an opaque Map lookup error — hit only
+            // when a small quantizer meets very high-contrast content
+            require(s <= 10,
+              s"quantized AC coefficient $v exceeds baseline JPEG's 10-bit cap " +
+              "(|coef| <= 1023); use a larger quantization table")
+            bw.put(acCode((run << 4) | s), 8)
+            bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+            kk += 1
+          }
+        }
+        comp += 1
+      }
+      b += 1
+    }
     bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode as PROGRESSIVE JFIF (SOF2) with a 4-stage spectral-selection
+    * + DC-successive-approximation scan script:
+    *   1. DC first, all components interleaved, Al = 1
+    *   2. DC refine, Ah = 1 → Al = 0
+    *   3. per component: AC band 1..5, Al = 0 (with EOB runs)
+    *   4. per component: AC band 6..63, Al = 0 (with EOB runs)
+    * Coefficients are the SAME quantized values the baseline encoder
+    * writes — progressive only changes their transmission order — so a
+    * correct decoder reconstructs pixels identical to the baseline
+    * encoding's (pinned by ProgressiveJpegSpec), and [[qUnit]]
+    * constant-block images stay exactly oracle-able.
+    */
+  def encodeProgressive(w: Int, h: Int, channels: Int, px: (Int, Int, Int) => Int,
+      qtable: Array[Int] = qStandard): Array[Byte] = {
+    require(channels == 1 || channels == 3, "progressive encoder: 1 or 3 channels")
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, w, h, channels, qtable, sofMarker = 0xc2)
+    val qz = quantBlocks(w, h, channels, px, qtable)
+    val blocksY = (h + 7) / 8; val blocksX = (w + 7) / 8
+    val nB = blocksX * blocksY
+
+    // scan 1: DC first (Al = 1) — diffs in the >>1 domain, MCU-interleaved
+    writeSos(out, 1 to channels, 0, 0, 0x01)
+    locally {
+      val bw = new BitWriter(out)
+      val dcPred = new Array[Int](channels)
+      var b = 0
+      while (b < nB) {
+        var comp = 0
+        while (comp < channels) {
+          val dc = qz(comp)(b * 64) >> 1
+          val diff = dc - dcPred(comp); dcPred(comp) = dc
+          val t = bitSize(diff)
+          bw.put(t, 4)
+          if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+          comp += 1
+        }
+        b += 1
+      }
+      bw.flush()
+    }
+
+    // scan 2: DC refine (Ah = 1, Al = 0) — one raw bit per block
+    writeSos(out, 1 to channels, 0, 0, 0x10)
+    locally {
+      val bw = new BitWriter(out)
+      var b = 0
+      while (b < nB) {
+        var comp = 0
+        while (comp < channels) {
+          bw.put(qz(comp)(b * 64) & 1, 1)
+          comp += 1
+        }
+        b += 1
+      }
+      bw.flush()
+    }
+
+    // scans 3..: per component, AC spectral bands with EOB-run coding
+    for (comp <- 0 until channels; (ss, se) <- Seq((1, 5), (6, 63))) {
+      writeSos(out, Seq(comp + 1), ss, se, 0x00)
+      val bw = new BitWriter(out)
+      val cz = qz(comp)
+      var eobrun = 0
+      def flushEob(): Unit = while (eobrun > 0) {
+        val n = math.min(eobrun, 32767)
+        val r = 31 - Integer.numberOfLeadingZeros(n)
+        bw.put(acCode(r << 4), 8)
+        if (r > 0) bw.put(n - (1 << r), r)
+        eobrun -= n
+      }
+      var b = 0
+      while (b < nB) {
+        val off = b * 64
+        var lastNZ = -1
+        var k = ss
+        while (k <= se) { if (cz(off + k) != 0) lastNZ = k; k += 1 }
+        if (lastNZ < 0) eobrun += 1
+        else {
+          flushEob()
+          var run = 0
+          k = ss
+          while (k <= lastNZ) {
+            val v = cz(off + k)
+            if (v == 0) run += 1
+            else {
+              while (run > 15) { bw.put(acCode(0xf0), 8); run -= 16 }
+              val s = bitSize(v)
+              require(s <= 10,
+                s"quantized AC coefficient $v exceeds JPEG's 10-bit cap " +
+                "(|coef| <= 1023); use a larger quantization table")
+              bw.put(acCode((run << 4) | s), 8)
+              bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+              run = 0
+            }
+            k += 1
+          }
+          if (lastNZ < se) eobrun = 1 // this block's tail starts a new run
+        }
+        b += 1
+      }
+      flushEob()
+      bw.flush()
+    }
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
