@@ -203,10 +203,7 @@ object Similarity {
       df.select(col(idCol).as(outId), col(vecCol).as(vOut))
         .crossJoin(broadcast(centArr))
         .select(col(outId), col(vOut),
-          explode(slice(array_sort(transform(col("cents"), c =>
-            struct(
-              negate(round(cosine(col(vOut), c("cv")), 6)).as("negsim"),
-              c("centroid_id").as("cell")))), 1, n)).as("sc"))
+          explode(topCells(col(vOut), n)).as("sc"))
         .select(col(outId), col(vOut), col("sc").getField("cell").as("cell"))
     val corpusCells = assign(corpus, "neighbor_id", "v_c", 1) // each vector lives in 1 cell
     val queryCells = assign(queries, "query_id", "v_q", nProbe) // probe nProbe cells
@@ -220,6 +217,44 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
     // no pair dedup needed: each corpus vector lives in exactly one cell
+  }
+
+  /** √N coarse-quantizer sizing: nLists = ⌈√N⌉ clamped to
+    * [minLists, maxLists]. A FIXED nLists makes per-cell size grow
+    * linearly with the corpus (the round-10 watch item: at 100 TB a
+    * 16-cell quantizer degenerates to 16 near-full scans); √N is the
+    * standard IVF balance point — per-cell size AND centroid-table size
+    * both grow as √N, so assignment cost (N·√N·dim total, √N·dim per
+    * row) and probed-cell volume stay balanced, and the driver-resident
+    * centroid array stays bounded (maxLists·dim doubles ≤ a few MB).
+    * One metadata-cheap count() at index-build time; callers that scale
+    * nLists should scale nProbe with [[probeFor]] to hold the probe
+    * FRACTION (the recall dial) constant.
+    */
+  def adaptiveNLists(corpus: DataFrame, minLists: Int = 16, maxLists: Int = 4096): Int =
+    math.max(minLists,
+      math.min(maxLists, math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
+
+  /** nProbe preserving a num/den probe fraction under a changed nLists
+    * (rounded up, so recall never drops below the tuned fraction).
+    */
+  def probeFor(nLists: Int, num: Int = 14, den: Int = 16): Int =
+    math.max(1, math.min(nLists, (nLists * num + den - 1) / den))
+
+  /** The n best cells for a vector against the broadcast centroid array.
+    * n = 1 (every indexing site) takes the ARGMIN path — array_min does
+    * L−1 struct comparisons and allocates nothing extra, where
+    * slice(array_sort, 1, 1) paid a full O(L log L) interpreted struct
+    * sort per row: measured 5× on corpus assignment once adaptiveNLists
+    * lifted L from 16 to √N. Probe sides (n > 1, query-set-sized) keep
+    * the sort.
+    */
+  private def topCells(vCol: Column, n: Int): Column = {
+    val scoredArr = transform(col("cents"), c =>
+      struct(
+        negate(round(cosine(vCol, c("cv")), 6)).as("negsim"),
+        c("centroid_id").as("cell")))
+    if (n == 1) array(array_min(scoredArr)) else slice(array_sort(scoredArr), 1, n)
   }
 
   /** The IVF coarse-quantizer centroid table as ONE broadcastable row
@@ -242,10 +277,7 @@ object Similarity {
     df.select(col(idCol).as("id"), col(vecCol).as("__v"))
       .crossJoin(broadcast(centArr))
       .select(col("id"),
-        explode(slice(array_sort(transform(col("cents"), c =>
-          struct(
-            negate(round(cosine(col("__v"), c("cv")), 6)).as("negsim"),
-            c("centroid_id").as("cell")))), 1, 1)).as("sc"))
+        explode(topCells(col("__v"), 1)).as("sc"))
       .select(col("id"), col("sc").getField("cell").as("cell"))
 
   /** Incremental IVF index maintenance: at 100 TB an append must NOT
@@ -299,10 +331,7 @@ object Similarity {
       df.select(col(idCol).as(outId), col(vecCol).as(vOut), col(labelCol).as(lOut))
         .crossJoin(broadcast(centArr))
         .select(col(outId), col(vOut), col(lOut),
-          explode(slice(array_sort(transform(col("cents"), c =>
-            struct(
-              negate(round(cosine(col(vOut), c("cv")), 6)).as("negsim"),
-              c("centroid_id").as("cell")))), 1, n)).as("sc"))
+          explode(topCells(col(vOut), n)).as("sc"))
         .select(col(outId), col(vOut), col(lOut), col("sc").getField("cell").as("cell"))
     val corpusCells = assign(corpus, "neighbor_id", "v_c", "neg_label", 1)
     val queryCells = assign(queries, "query_id", "v_q", "q_label", nProbe)
@@ -379,19 +408,13 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col(classCol).as("cls"), col(vecCol).as("v_c"))
       .crossJoin(broadcast(centArr))
       .select(col("neighbor_id"), col("cls"), col("v_c"),
-        explode(slice(array_sort(transform(col("cents"), c =>
-          struct(
-            negate(round(cosine(col("v_c"), c("cv")), 6)).as("negsim"),
-            c("centroid_id").as("cell")))), 1, 1)).as("sc"))
+        explode(topCells(col("v_c"), 1)).as("sc"))
       .select(col("neighbor_id"), col("cls"), col("v_c"), col("sc").getField("cell").as("cell"))
     val queryCells = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("v_q"))
       .crossJoin(broadcast(centArr))
       .select(col("query_id"), col("v_q"),
-        explode(slice(array_sort(transform(col("cents"), c =>
-          struct(
-            negate(round(cosine(col("v_q"), c("cv")), 6)).as("negsim"),
-            c("centroid_id").as("cell")))), 1, nProbe)).as("sc"))
+        explode(topCells(col("v_q"), nProbe)).as("sc"))
       .select(col("query_id"), col("v_q"), col("sc").getField("cell").as("cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(round(col("score"), 6).desc, col("neighbor_id").asc)
     corpusCells
@@ -548,13 +571,15 @@ object Similarity {
       cents: IndexedSeq[Array[Double]],
       nProbe: Int): DataFrame = {
     def assign(df: DataFrame, outId: String, vOut: String, n: Int): DataFrame = {
-      val scored = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      val scoredArr = array(cents.zipWithIndex.map { case (c, i) =>
         struct(
           negate(round(cosine(col(vOut), centLit(c)), 6)).as("negsim"),
           lit(i).as("cell"))
-      }: _*))
+      }: _*)
+      // argmin for n = 1, like topCells: no per-row struct sort
+      val top = if (n == 1) array(array_min(scoredArr)) else slice(array_sort(scoredArr), 1, n)
       df.select(col(idCol).as(outId), col(vecCol).as(vOut))
-        .select(col(outId), col(vOut), explode(slice(scored, 1, n)).as("sc"))
+        .select(col(outId), col(vOut), explode(top).as("sc"))
         .select(col(outId), col(vOut), col("sc").getField("cell").as("cell"))
     }
     val corpusCells = assign(corpus, "neighbor_id", "v_c", 1)
