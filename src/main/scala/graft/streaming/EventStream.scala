@@ -490,32 +490,46 @@ object EventStream {
   class SessionTimerProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, java.sql.Timestamp), UserSession] {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var pending: ListState[Long] = _
+    @transient private var nxt: ValueState[Long] = _ // the ONE live timer
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       pending = getHandle.getListState[Long](
         "pending", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      nxt = getHandle.getValueState[Long](
+        "nxt", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(
         user: Long,
         rows: Iterator[(Long, java.sql.Timestamp)],
         timers: TimerValues): Iterator[UserSession] = {
-      // ONE timer per distinct event time, at ts+gap: a session's close
-      // timer (last+gap) is then always registered the moment its last
-      // event arrives, so every island closable at the final watermark has
-      // a timer at-or-below that watermark — a per-batch-max timer can
-      // miss an early island when several islands share a batch and only
-      // the latest close time gets scheduled. Mid-session timers fire and
-      // finalize nothing: harmless. Timer count is O(pending events) —
-      // the same scale the event buffer already occupies.
-      val have = listTimerSet()
-      val fresh = scala.collection.mutable.Set.empty[Long]
+      // ONE live timer per user, at a LOWER BOUND of the earliest possible
+      // island close: min(new event) + gap. Earlier-than-needed is safe
+      // (the firing finalizes every sealed island and CHAINS the next
+      // timer from the surviving buffer, so no later close is ever
+      // missed); later-than-needed cannot happen because an island's
+      // close time is (its last event) + gap >= (its min event) + gap.
+      // This replaces the round-10 one-timer-per-distinct-event scheme,
+      // whose O(events) timer registrations + expiry callbacks (each a
+      // state-store list read) dominated the sf1 scaling point: 1M events
+      // meant ~1M RocksDB timer puts and ~1M firings; now timer traffic
+      // is O(batches + sessions).
+      var minMs = Long.MaxValue
       rows.foreach { case (_, ts) =>
         val ms = ts.getTime
         pending.appendValue(ms)
-        val t = ms + gapMs
-        if (!have.contains(t) && fresh.add(t)) getHandle.registerTimer(t)
+        if (ms < minMs) minMs = ms
+      }
+      if (minMs != Long.MaxValue) {
+        val needed = minMs + gapMs
+        if (!nxt.exists()) { getHandle.registerTimer(needed); nxt.update(needed) }
+        else if (needed < nxt.get()) {
+          getHandle.deleteTimer(nxt.get())
+          getHandle.registerTimer(needed)
+          nxt.update(needed)
+        }
       }
       Iterator.empty
     }
@@ -526,7 +540,7 @@ object EventStream {
         info: ExpiredTimerInfo): Iterator[UserSession] = {
       val wm = timers.getCurrentWatermarkInMs()
       val buf = pending.get().toArray.sorted
-      if (buf.isEmpty) return Iterator.empty
+      if (buf.isEmpty) { nxt.clear(); return Iterator.empty }
       // gaps-and-islands over the whole buffer; finalize EVERY island the
       // watermark has sealed (islands are time-ordered, so the first open
       // one ends the scan). All closable work happens in this one firing —
@@ -544,15 +558,17 @@ object EventStream {
         } else kept = buf.slice(i, buf.length) // open tail: keep, stop
       }
       pending.clear()
-      if (kept.nonEmpty) pending.put(kept) // close timers already registered
+      if (kept.nonEmpty) {
+        pending.put(kept)
+        // chain: the first (earliest) open island's exact close time —
+        // provably > wm, or the island would have been sealed above
+        var j = 0
+        while (j + 1 < kept.length && kept(j + 1) - kept(j) <= gapMs) j += 1
+        val nextT = kept(j) + gapMs
+        getHandle.registerTimer(nextT)
+        nxt.update(nextT)
+      } else nxt.clear()
       out.result().iterator
-    }
-
-    private def listTimerSet(): Set[Long] = {
-      val b = Set.newBuilder[Long]
-      val it = getHandle.listTimers()
-      while (it.hasNext) b += it.next().asInstanceOf[Long]
-      b.result()
     }
   }
 
