@@ -18,6 +18,17 @@ import org.apache.spark.sql.Dataset
   * session": `catalog.clearCache()` also works but is a global hammer that
   * would evict caches a co-resident application owns; drain() releases
   * exactly what this engine took.
+  *
+  * CONTRACT — single-threaded harness, drain-per-query: the registry is a
+  * process-global buffer, so (1) a caller that never drains accumulates
+  * strong Dataset references (and their pinned cache blocks) without
+  * bound, and (2) a drain() on one thread unpersists caches a
+  * concurrently-building query just registered. Bench / Verify / Scratch /
+  * BenchScaling all run queries serially and drain after each action,
+  * which is the intended use. A multi-tenant caller needs per-query scope
+  * handles instead — deliberately NOT built here: no concurrent caller
+  * exists in this engine, and a speculative handle API would leave the
+  * simple serial contract untested.
   */
 object CacheScope {
   private val live = mutable.ArrayBuffer.empty[Dataset[_]]

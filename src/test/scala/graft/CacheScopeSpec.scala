@@ -48,11 +48,14 @@ class CacheScopeSpec extends AnyFunSuite {
       .flatMap { p =>
         val text = java.nio.file.Files.readString(p)
         val bare = "\\.cache\\(\\)".r.findAllIn(text).size
-        val scoped = "CacheScope\\.cached\\(".r.findAllIn(text).size
         val unpersists = "\\.unpersist\\(".r.findAllIn(text).size
         // CacheScope.scala itself holds the one sanctioned df.cache()
         val own = if (p.getFileName.toString == "CacheScope.scala") 1 else 0
-        if (bare - own > unpersists && scoped == 0) Some(s"$p ($bare cache / $unpersists unpersist)")
+        // every bare .cache() needs its own unpersist; CacheScope.cached
+        // call sites contain no ".cache()" text, so they don't exempt a
+        // file from this count (the r10 ADVICE hole: any file using
+        // CacheScope could previously add unpaired bare caches unseen)
+        if (bare - own > unpersists) Some(s"$p ($bare cache / $unpersists unpersist)")
         else None
       }.toList
     assert(offenders.isEmpty, s"unpaired .cache() sites: ${offenders.mkString("; ")}")

@@ -20,6 +20,15 @@ BASE = "/root/repo/BENCH_SCALING.json"
 def main(patch_path, base_path=BASE):
     base = json.load(open(base_path))
     patch = json.load(open(patch_path))
+    # a patch measured against different corpora or thresholds is not
+    # mergeable: silently folding it would let (e.g.) a run without
+    # SPARK_GRAFT_SF_XL drop a query's xl/ratio2 points while the merged
+    # file still advertises an xl_sf (r10 ADVICE)
+    for key in ("small_sf", "large_sf", "xl_sf", "flag_ratio", "noise_floor_sec"):
+        b, p = base.get(key), patch.get(key)
+        assert p == b, (
+            f"patch {key!r} = {p!r} does not match base {b!r}; "
+            "re-measure with the base file's corpora/thresholds")
     for name, entry in patch["queries"].items():
         base["queries"][name] = entry
     # errors: drop re-measured queries' stale errors, add fresh ones
