@@ -769,6 +769,25 @@ object Multimodal {
     }
   }
 
+  /** REAL deterministic audio embedding — the PCM twin of [[imageEmbed]]:
+    * the clip's frames split into [[featureDim]] equal time windows
+    * (frame f belongs to window f·8/nf), feature k = Σ|sample| of
+    * channel 0 in window k — the loudness envelope as exact integers,
+    * so an oracle re-derives the embedding from a tone formula and the
+    * vectors feed the same exact-integer-MIPS retrieval stack
+    * (window sums < 2²⁴ at any supported clip length — exact in Float).
+    */
+  def audioEmbed(channels: Int, samples: Array[Int]): Array[Float] = {
+    val nf = samples.length / channels
+    val e = new Array[Long](featureDim)
+    var f = 0
+    while (f < nf) {
+      e(f * featureDim / nf) += math.abs(samples(f * channels).toLong)
+      f += 1
+    }
+    Array.tabulate(featureDim)(e(_).toFloat)
+  }
+
   /** REAL byte-distribution feature for payloads no codec recognizes (the
     * honest replacement for the former stub): [[featureDim]] counts of
     * bytes by high-3-bits bucket (b >>> 5), a content signature that is
