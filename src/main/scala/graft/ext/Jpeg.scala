@@ -993,19 +993,37 @@ object Jpeg {
     * correct decoder reconstructs pixels identical to the baseline
     * encoding's (pinned by ProgressiveJpegSpec), and [[qUnit]]
     * constant-block images stay exactly oracle-able.
+    *
+    * `restartInterval > 0` emits a DRI segment and RSTn markers every
+    * that-many MCUs in EVERY scan (byte-aligned, DC predictors and EOB
+    * runs reset across each — an EOB run never spans a restart), which
+    * exercises the decoder's progressive restart path.
     */
   def encodeProgressive(w: Int, h: Int, channels: Int, px: (Int, Int, Int) => Int,
-      qtable: Array[Int] = qStandard): Array[Byte] = {
+      qtable: Array[Int] = qStandard, restartInterval: Int = 0): Array[Byte] = {
     require(channels == 1 || channels == 3, "progressive encoder: 1 or 3 channels")
     val out = new java.io.ByteArrayOutputStream()
     writeHeaders(out, w, h, channels, qtable, sofMarker = 0xc2)
+    if (restartInterval > 0) { // DRI
+      out.write(0xff); out.write(0xdd); out.write(0x00); out.write(0x04)
+      out.write((restartInterval >> 8) & 0xff); out.write(restartInterval & 0xff)
+    }
     val qz = quantBlocks(w, h, channels, px, qtable)
     val blocksY = (h + 7) / 8; val blocksX = (w + 7) / 8
     val nB = blocksX * blocksY
+    var rstIdx = 0
+    def restartMark(bw: BitWriter, unit: Int): Boolean =
+      if (restartInterval > 0 && unit + 1 < nB && (unit + 1) % restartInterval == 0) {
+        bw.flush()
+        out.write(0xff); out.write(0xd0 + rstIdx % 8)
+        rstIdx += 1
+        true
+      } else false
 
     // scan 1: DC first (Al = 1) — diffs in the >>1 domain, MCU-interleaved
     writeSos(out, 1 to channels, 0, 0, 0x01)
     locally {
+      rstIdx = 0
       val bw = new BitWriter(out)
       val dcPred = new Array[Int](channels)
       var b = 0
@@ -1019,6 +1037,7 @@ object Jpeg {
           if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
           comp += 1
         }
+        if (restartMark(bw, b)) java.util.Arrays.fill(dcPred, 0)
         b += 1
       }
       bw.flush()
@@ -1027,6 +1046,7 @@ object Jpeg {
     // scan 2: DC refine (Ah = 1, Al = 0) — one raw bit per block
     writeSos(out, 1 to channels, 0, 0, 0x10)
     locally {
+      rstIdx = 0
       val bw = new BitWriter(out)
       var b = 0
       while (b < nB) {
@@ -1035,6 +1055,7 @@ object Jpeg {
           bw.put(qz(comp)(b * 64) & 1, 1)
           comp += 1
         }
+        restartMark(bw, b)
         b += 1
       }
       bw.flush()
@@ -1043,6 +1064,7 @@ object Jpeg {
     // scans 3..: per component, AC spectral bands with EOB-run coding
     for (comp <- 0 until channels; (ss, se) <- Seq((1, 5), (6, 63))) {
       writeSos(out, Seq(comp + 1), ss, se, 0x00)
+      rstIdx = 0
       val bw = new BitWriter(out)
       val cz = qz(comp)
       var eobrun = 0
@@ -1081,6 +1103,9 @@ object Jpeg {
           }
           if (lastNZ < se) eobrun = 1 // this block's tail starts a new run
         }
+        // an EOB run must not span a restart: flush it first
+        if (restartInterval > 0 && b + 1 < nB && (b + 1) % restartInterval == 0) flushEob()
+        restartMark(bw, b)
         b += 1
       }
       flushEob()

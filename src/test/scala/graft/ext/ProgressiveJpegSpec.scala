@@ -135,6 +135,45 @@ class ProgressiveJpegSpec extends AnyFunSuite {
     assert(progPix.toSeq === basePix.toSeq)
   }
 
+  test("progressive restart markers (DRI + RSTn in every scan) decode identically") {
+    // restart intervals force byte-alignment, DC-predictor resets and
+    // EOB-run flushes mid-scan in all four scan types — the decoder's
+    // progressive restart path is load-bearing here, and both our decoder
+    // and ImageIO must agree with the restart-free encoding
+    for (ch <- Seq(1, 3); ri <- Seq(1, 3, 7)) {
+      val (w, h) = (40, 33) // 5x5 blocks: several restarts per scan
+      val plain = Jpeg.encodeProgressive(w, h, ch, px(17L + ri), Jpeg.qStandard)
+      val rst = Jpeg.encodeProgressive(w, h, ch, px(17L + ri), Jpeg.qStandard, restartInterval = ri)
+      assert(rst.length > plain.length) // markers actually present
+      val Some((_, _, _, a)) = Jpeg.decode(plain)
+      val Some((dw, dh, dch, b)) = Jpeg.decode(rst)
+      assert((dw, dh, dch) === ((w, h, ch)))
+      assert(b.toSeq === a.toSeq, s"ch=$ch ri=$ri")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rst))
+      assert(img != null && img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        // gray reads the RAW raster sample — getRGB would gamma-convert
+        if (ch == 1) assert(b(y * w + x) === img.getRaster.getSample(x, y, 0), s"($x,$y) ri=$ri")
+        else {
+          val rgb = img.getRGB(x, y)
+          assert((b((y * w + x) * 3), b((y * w + x) * 3 + 1), b((y * w + x) * 3 + 2)) ===
+            (((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)), s"($x,$y) ri=$ri")
+        }
+      }
+    }
+  }
+
+  test("audioEmbed pools the loudness envelope into 8 integer windows") {
+    // 16 frames, 2 channels: window of frame f is f/2; channel 0 only
+    val nf = 16
+    val samples = Array.tabulate(nf * 2)(i => if (i % 2 == 0) (i / 2) - 8 else 999)
+    val e = Multimodal.audioEmbed(2, samples)
+    for (k <- 0 until 8) {
+      val want = (0 until nf).filter(_ * 8 / nf == k).map(f => math.abs(f - 8).toLong).sum
+      assert(e(k) === want.toFloat, s"window $k")
+    }
+  }
+
   test("progressive malformed payloads degrade to None, never throw") {
     val good = Jpeg.encodeProgressive(16, 16, 3, px(9L), Jpeg.qStandard)
     for (n <- 0 until good.length) Jpeg.decode(java.util.Arrays.copyOf(good, n))
