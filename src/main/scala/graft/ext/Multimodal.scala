@@ -485,26 +485,11 @@ object Multimodal {
     if (outLen == nPixels) Some(out) else None
   }
 
-  /** Deterministic GIF87a encoder (the write half): a 256-entry grayscale
-    * global color table (palette[i] = (i,i,i)) and REAL LZW compression —
-    * variable-width codes, width growth in lockstep with the decoder,
-    * dictionary reset via clear when full. `px(x, y)` gives the 0..255
-    * gray level. Standards-valid: any GIF reader opens it.
+  /** GIF-flavor LZW compression of an index stream (variable-width codes,
+    * width growth in lockstep with [[lzwDecode]], dictionary reset via
+    * clear when full) — shared by the still and animated encoders.
     */
-  def encodeGif(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
-    require(w > 0 && h > 0, "empty image")
-    val out = new java.io.ByteArrayOutputStream()
-    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    out.write("GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-    le16(w); le16(h)
-    out.write(0x80 | 7) // GCT present, 2^(7+1)=256 entries
-    out.write(0); out.write(0)
-    var k = 0
-    while (k < 256) { out.write(k); out.write(k); out.write(k); k += 1 }
-    out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0) // descriptor
-    val minCode = 8
-    out.write(minCode)
-    // LZW compress the index stream
+  private def lzwEncode(idx: Int => Int, nPixels: Int, minCode: Int): Array[Byte] = {
     val clear = 1 << minCode
     val end = clear + 1
     var width = minCode + 1
@@ -518,10 +503,10 @@ object Multimodal {
       while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
     }
     emit(clear)
-    var cur = px(0, 0) & 0xff
+    var cur = idx(0) & 0xff
     var n = 1
-    while (n < w * h) {
-      val b = px(n % w, n / w) & 0xff
+    while (n < nPixels) {
+      val b = idx(n) & 0xff
       val key = (cur.toLong << 12) | b
       val e = dict.get(key)
       if (e != null) cur = e.intValue()
@@ -542,15 +527,153 @@ object Multimodal {
     }
     emit(cur); emit(end)
     if (nAcc > 0) bits.write((acc & 0xff).toInt)
-    val z = bits.toByteArray
+    bits.toByteArray
+  }
+
+  private def writeSubBlocks(out: java.io.ByteArrayOutputStream, z: Array[Byte]): Unit = {
     var off = 0
     while (off < z.length) {
       val len = math.min(255, z.length - off)
       out.write(len); out.write(z, off, len); off += len
     }
     out.write(0) // block terminator
+  }
+
+  /** Deterministic GIF87a encoder (the write half): a 256-entry grayscale
+    * global color table (palette[i] = (i,i,i)) and REAL LZW compression.
+    * `px(x, y)` gives the 0..255 gray level. Standards-valid: any GIF
+    * reader opens it.
+    */
+  def encodeGif(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, "empty image")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    le16(w); le16(h)
+    out.write(0x80 | 7) // GCT present, 2^(7+1)=256 entries
+    out.write(0); out.write(0)
+    var k = 0
+    while (k < 256) { out.write(k); out.write(k); out.write(k); k += 1 }
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0) // descriptor
+    val minCode = 8
+    out.write(minCode)
+    writeSubBlocks(out, lzwEncode(n => px(n % w, n / w), w * h, minCode))
     out.write(0x3b) // trailer
     out.toByteArray
+  }
+
+  /** Deterministic ANIMATED GIF89a encoder — the "video" write half: one
+    * full-canvas frame per image descriptor, each preceded by a graphic
+    * control extension (delay `delayCs` centiseconds, disposal 1), plus
+    * the NETSCAPE looping application extension. `px(frame, x, y)` gives
+    * the 0..255 gray level. Standards-valid: any animated-GIF reader
+    * (including the JDK's) plays it.
+    */
+  def encodeGifAnimated(w: Int, h: Int, nFrames: Int, px: (Int, Int, Int) => Int,
+      delayCs: Int = 4): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0, "empty animation")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    le16(w); le16(h)
+    out.write(0x80 | 7); out.write(0); out.write(0)
+    var k = 0
+    while (k < 256) { out.write(k); out.write(k); out.write(k); k += 1 }
+    // NETSCAPE2.0 loop-forever application extension
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(3); out.write(1); le16(0); out.write(0)
+    var f = 0
+    while (f < nFrames) {
+      // graphic control: disposal 1 (leave in place), no transparency
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0x04); le16(delayCs); out.write(0); out.write(0)
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+      val minCode = 8
+      out.write(minCode)
+      val ff = f
+      writeSubBlocks(out, lzwEncode(n => px(ff, n % w, n / w), w * h, minCode))
+      f += 1
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** REAL animated-GIF frame decoder — the "video" read half: walks every
+    * image descriptor (skipping extensions), LZW-decodes each frame
+    * through the same [[lzwDecode]] the still path uses, and maps palette
+    * indices to gray/RGB. Requires full-canvas, non-interlaced frames
+    * (what [[encodeGifAnimated]] writes and the common animation case);
+    * sub-rectangle frames return None rather than silently
+    * mis-compositing. Returns (width, height, frames), each frame a
+    * row-major 3-channel pixel array like [[decodePixels]].
+    */
+  def decodeGifFrames(p: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] = {
+    if (p.length < 13 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F') return None
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val cw = le16(6); val chh = le16(8)
+    var i = 6
+    val packed = u8(i + 4)
+    i += 7
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (i + 3 * n > p.length) return None
+      gct = Array.tabulate(n)(k => (u8(i + 3 * k) << 16) | (u8(i + 3 * k + 1) << 8) | u8(i + 3 * k + 2))
+      i += 3 * n
+    }
+    val frames = Seq.newBuilder[Array[Int]]
+    var nFrames = 0
+    while (i < p.length) {
+      u8(i) match {
+        case 0x3b => // trailer
+          return if (nFrames > 0) Some((cw, chh, frames.result().toArray)) else None
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          while (i < p.length && u8(i) != 0) i += 1 + u8(i)
+          i += 1
+        case 0x2c =>
+          if (i + 10 > p.length) return None
+          val left = le16(i + 1); val top = le16(i + 3)
+          val iw = le16(i + 5); val ih = le16(i + 7); val ip = u8(i + 9)
+          i += 10
+          var ct = gct
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            if (i + 3 * n > p.length) return None
+            ct = Array.tabulate(n)(k =>
+              (u8(i + 3 * k) << 16) | (u8(i + 3 * k + 1) << 8) | u8(i + 3 * k + 2))
+            i += 3 * n
+          }
+          // full-canvas non-interlaced frames only (see doc)
+          if (ct == null || left != 0 || top != 0 || iw != cw || ih != chh ||
+            (ip & 0x40) != 0 || iw <= 0 || ih <= 0) return None
+          if (i >= p.length) return None
+          val minCode = u8(i); i += 1
+          if (minCode < 2 || minCode > 8) return None
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < p.length && u8(i) != 0) {
+            val n = u8(i)
+            if (i + 1 + n > p.length) return None
+            data.write(p, i + 1, n); i += 1 + n
+          }
+          i += 1 // terminator
+          val idx = lzwDecode(data.toByteArray, minCode, iw * ih).getOrElse(return None)
+          val out = new Array[Int](iw * ih * 3)
+          var k = 0
+          while (k < iw * ih) {
+            if (idx(k) >= ct.length) return None
+            val c = ct(idx(k))
+            out(3 * k) = (c >> 16) & 0xff; out(3 * k + 1) = (c >> 8) & 0xff; out(3 * k + 2) = c & 0xff
+            k += 1
+          }
+          frames += out
+          nFrames += 1
+        case _ => return None
+      }
+    }
+    None
   }
 
   /** Nearest-neighbor pixel resize (the real half of [[resizePlan]]):

@@ -119,6 +119,55 @@ class AudioVideoSpec extends AnyFunSuite {
     assert(Multimodal.decodeHeader(p) === Some(("jpeg", 300, 77, 3)))
   }
 
+  private def apx(f: Int, x: Int, y: Int): Int = ((f * 53 + x * 11 + y * 17 + 5) % 256)
+
+  test("encodeGifAnimated → decodeGifFrames roundtrips every frame exactly") {
+    val (w, h, nf) = (11, 7, 5)
+    val bytes = Multimodal.encodeGifAnimated(w, h, nf, apx)
+    val Some((dw, dh, frames)) = Multimodal.decodeGifFrames(bytes)
+    assert((dw, dh, frames.length) === ((w, h, nf)))
+    for (f <- 0 until nf; y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert(frames(f)((y * w + x) * 3 + c) === apx(f, x, y), s"f=$f ($x,$y,$c)")
+    // the still decoder reads frame 0 of the same bytes
+    val Some((sw, sh, sch, first)) = Multimodal.decodePixels(bytes)
+    assert((sw, sh, sch) === ((w, h, 3)))
+    assert(first.toSeq === frames(0).toSeq)
+  }
+
+  test("JDK ImageIO (independent reader) plays our animated GIF frame-by-frame identically") {
+    val (w, h, nf) = (13, 9, 4)
+    val bytes = Multimodal.encodeGifAnimated(w, h, nf, apx)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    assert(reader.getNumImages(true) === nf)
+    val Some((_, _, frames)) = Multimodal.decodeGifFrames(bytes)
+    for (f <- 0 until nf) {
+      val img = reader.read(f)
+      assert(img.getWidth === w && img.getHeight === h, s"frame $f dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        assert((frames(f)((y * w + x) * 3), frames(f)((y * w + x) * 3 + 1),
+          frames(f)((y * w + x) * 3 + 2)) ===
+          (((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)), s"frame $f ($x,$y)")
+      }
+    }
+    reader.dispose()
+  }
+
+  test("decodeGifFrames refuses sub-rectangle frames instead of mis-compositing") {
+    val bytes = Multimodal.encodeGifAnimated(8, 6, 2, apx)
+    // corrupt frame 0's descriptor left coordinate (descriptor follows the
+    // header + GCT + NETSCAPE ext + GCE; find the first 0x2c)
+    var i = 13 + 768
+    while ((bytes(i) & 0xff) != 0x2c) i += 1
+    val bad = bytes.clone()
+    bad(i + 1) = 1 // left = 1
+    assert(Multimodal.decodeGifFrames(bad) === None)
+    // truncation never throws
+    for (n <- 0 until bytes.length by 7) Multimodal.decodeGifFrames(bytes.take(n))
+  }
+
   test("imageEmbed pools patch sums under the fixed integer projection") {
     // 4x2 image, 1 channel, pixel value = x + 10*y → each grid cell is a
     // single pixel; embedding k = Σ_j A[k][j]·pix(j)
