@@ -227,6 +227,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("cell"), s"candidates must come from the IVF cell join:\n$p")
   }
 
+  test("embed-retrieval queries broadcast the BOUNDED query side, never the corpus") {
+    // decode→embed→retrieve (image and audio forms): the corpus embedding
+    // scan must stay the streamed side of the non-equi join — a corpus
+    // broadcast would OOM the driver at scale — and the per-query top-k
+    // must plan the rank-limit pushdown (WindowGroupLimit), not a full
+    // window over all scored pairs
+    for (name <- Seq("x_image_embed_topk", "x_audio_embed_topk")) {
+      val p = plan(name)
+      val bnlj = "BroadcastNestedLoopJoin BuildRight".r.findAllIn(p).size +
+        "BroadcastNestedLoopJoin BuildLeft".r.findAllIn(p).size
+      assert(bnlj >= 1, s"$name: the bounded query side must broadcast:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"$name: per-query top-k must push the rank limit map-side:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: no cartesian:\n$p")
+    }
+  }
+
+  test("multimodal decode queries are scan-shaped: no shuffle before the cosmetic sort") {
+    // audio stats and video frame decode are maps over the documents scan;
+    // the ONLY exchange allowed is the final orderBy's range partitioning
+    for (name <- Seq("x_multimodal_audio", "x_multimodal_video")) {
+      val p = plan(name)
+      val exchanges = "Exchange ".r.findAllIn(p).size
+      val range = "Exchange rangepartitioning".r.findAllIn(p).size
+      assert(exchanges == range && range >= 1,
+        s"$name: decode must not shuffle (only the output sort may):\n$p")
+    }
+  }
+
   test("q18 having-clause aggregate feeds the joins from ONE lineitem scan") {
     val p = plan("q18_large_orders")
     // TPC-H Q18's classic trap is re-scanning lineitem for the HAVING
