@@ -999,4 +999,196 @@ object Multimodal {
     media.select(
       col(idCol),
       explode(sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(stride))).as("frame_idx"))
+
+  /** Deterministic MP4/ISO-BMFF writer with a REAL sample table — the
+    * write half of [[decodeMp4Samples]]: ftyp + moov[mvhd + trak[tkhd +
+    * mdia[mdhd + minf[stbl[stts + stsz + stss]]]]], all version-0 boxes
+    * per ISO/IEC 14496-12 §8.6.1.2 (stts: run-length time-to-sample),
+    * §8.7.3.2 (stsz: per-sample sizes, sample_size=0 → table form) and
+    * §8.6.2 (stss: 1-based sync-sample numbers). The movie header carries
+    * the same timescale and the total sample duration so the existing
+    * [[decodeHeader]] walk reads consistent seconds off these payloads.
+    *
+    * @param runs  stts entries as (sample_count, sample_delta) pairs
+    * @param sizes one byte size per sample (length must equal Σ counts)
+    * @param syncEvery every k-th sample (1-based 1, 1+k, …) is a keyframe
+    */
+  def encodeMp4(w: Int, h: Int, mediaTimescale: Int,
+      runs: Array[(Int, Int)], sizes: Array[Int], syncEvery: Int): Array[Byte] = {
+    val nSamples = runs.map(_._1.toLong).sum
+    require(nSamples == sizes.length, s"stsz length ${sizes.length} != stts total $nSamples")
+    require(syncEvery >= 1 && mediaTimescale > 0, "bad mp4 args")
+    val totalDur = runs.map { case (c, d) => c.toLong * d }.sum
+    val nSync = if (sizes.isEmpty) 0 else ((sizes.length - 1) / syncEvery + 1)
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    def ascii(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def box(typ: String, payloadLen: Int)(body: => Unit): Unit = {
+      be32(8 + payloadLen); ascii(typ); body
+    }
+    // box payload sizes (version-0 layouts)
+    val sttsLen = 8 + 8 * runs.length
+    val stszLen = 12 + 4 * sizes.length
+    val stssLen = 8 + 4 * nSync
+    val stblLen = 8 + sttsLen + 8 + stszLen + 8 + stssLen
+    val minfLen = 8 + stblLen
+    val mdhdLen = 24
+    val mdiaLen = 8 + mdhdLen + 8 + minfLen
+    val tkhdLen = 84
+    val trakLen = 8 + tkhdLen + 8 + mdiaLen
+    val mvhdLen = 100
+    val moovLen = 8 + mvhdLen + 8 + trakLen
+    val mtx = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    box("ftyp", 8) { ascii("isom"); be32(0x200) }
+    box("moov", moovLen) {
+      box("mvhd", mvhdLen) {
+        be32(0); be32(0); be32(0) // version/flags, ctime, mtime
+        be32(mediaTimescale); be32(totalDur.toInt)
+        be32(0x00010000); be32(0x01000000) // rate 1.0, volume 1.0 + reserved
+        be32(0); be32(0) // reserved
+        mtx.foreach(be32)
+        (0 until 6).foreach(_ => be32(0)) // pre_defined
+        be32(2) // next_track_ID
+      }
+      box("trak", trakLen) {
+        box("tkhd", tkhdLen) {
+          be32(0x00000007); be32(0); be32(0) // v0 + enabled/in-movie, times
+          be32(1); be32(0) // track_ID, reserved
+          be32(totalDur.toInt)
+          be32(0); be32(0) // reserved
+          be32(0); be32(0) // layer/alt-group, volume/reserved
+          mtx.foreach(be32)
+          be32(w << 16); be32(h << 16) // 16.16 fixed-point dims
+        }
+        box("mdia", mdiaLen) {
+          box("mdhd", mdhdLen) {
+            be32(0); be32(0); be32(0) // version/flags, ctime, mtime
+            be32(mediaTimescale); be32(totalDur.toInt)
+            be32(0x55c40000) // language "und" + pre_defined
+          }
+          box("minf", minfLen) {
+            box("stbl", stblLen) {
+              box("stts", sttsLen) {
+                be32(0); be32(runs.length)
+                runs.foreach { case (c, d) => be32(c); be32(d) }
+              }
+              box("stsz", stszLen) {
+                be32(0); be32(0); be32(sizes.length) // sample_size=0 → table
+                sizes.foreach(be32)
+              }
+              box("stss", stssLen) {
+                be32(0); be32(nSync)
+                var k = 1
+                while (k <= sizes.length) { be32(k); k += syncEvery }
+              }
+            }
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** REAL MP4 sample-table decode (ISO/IEC 14496-12): walks
+    * moov→trak→mdia→{mdhd, minf→stbl→{stts, stsz, stss}} and returns
+    * (media timescale, per-sample deltas EXPANDED from the stts run-length
+    * form, per-sample byte sizes, 1-based sync-sample numbers). Uniform
+    * stsz (`sample_size != 0`) expands to a constant table. Returns None
+    * on any malformed box, a missing stbl child, or an stts/stsz sample
+    * count mismatch — never throws on hostile bytes.
+    */
+  def decodeMp4Samples(p: Array[Byte]): Option[(Int, Array[Int], Array[Int], Array[Int])] = {
+    if (p.length < 16 || p(4) != 'f' || p(5) != 't' || p(6) != 'y' || p(7) != 'p') return None
+    def be32(i: Int): Int =
+      ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) | ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+    def boxWalk(from: Int, to: Int, typ: String): Int = {
+      var i = from
+      while (i + 8 <= to && i + 8 <= p.length) {
+        val sz = be32(i)
+        if (sz < 8 || i + sz > to) return -1
+        if (p(i + 4) == typ(0) && p(i + 5) == typ(1) && p(i + 6) == typ(2) && p(i + 7) == typ(3))
+          return i
+        i += sz
+      }
+      -1
+    }
+    def child(parent: Int, typ: String): Int =
+      if (parent < 0) -1 else boxWalk(parent + 8, parent + be32(parent), typ)
+    val moov = boxWalk(0, p.length, "moov")
+    val mdia = child(child(moov, "trak"), "mdia")
+    val mdhd = child(mdia, "mdhd")
+    val stbl = child(child(mdia, "minf"), "stbl")
+    if (mdhd < 0 || stbl < 0) return None
+    val timescale = if ((p(mdhd + 8) & 0xff) == 0) be32(mdhd + 20) else be32(mdhd + 28)
+    val stts = child(stbl, "stts"); val stsz = child(stbl, "stsz")
+    if (stts < 0 || stsz < 0 || timescale <= 0) return None
+    val nRuns = be32(stts + 12)
+    if (nRuns < 0 || stts + 16 + 8L * nRuns > stts + be32(stts)) return None
+    var total = 0L
+    var j = 0
+    while (j < nRuns) {
+      val c = be32(stts + 16 + 8 * j)
+      if (c < 0) return None
+      total += c
+      j += 1
+    }
+    if (total > (1 << 24)) return None // bounded: header tables, not media data
+    val deltas = new Array[Int](total.toInt)
+    j = 0; var k = 0
+    while (j < nRuns) {
+      val c = be32(stts + 16 + 8 * j); val d = be32(stts + 16 + 8 * j + 4)
+      var i = 0
+      while (i < c) { deltas(k) = d; k += 1; i += 1 }
+      j += 1
+    }
+    val uniform = be32(stsz + 12)
+    val nSz = be32(stsz + 16)
+    if (nSz != deltas.length) return None
+    val sizes =
+      if (uniform != 0) Array.fill(nSz)(uniform)
+      else {
+        if (stsz + 20 + 4L * nSz > stsz + be32(stsz)) return None
+        Array.tabulate(nSz)(i => be32(stsz + 20 + 4 * i))
+      }
+    val stss = child(stbl, "stss")
+    val sync =
+      if (stss < 0) Array.empty[Int]
+      else {
+        val n = be32(stss + 12)
+        if (n < 0 || stss + 16 + 4L * n > stss + be32(stss)) return None
+        Array.tabulate(n)(i => be32(stss + 16 + 4 * i))
+      }
+    Some((timescale, deltas, sizes, sync))
+  }
+
+  /** Anti-aliased integer downsample (boxcar decimation): block i of
+    * channel c is the EXACT sum of `factor` consecutive samples —
+    * out(c)(i) = Σ_{j<factor} s(i·factor + j, c); a trailing partial block
+    * is dropped (floor(n/factor) output frames). The unnormalized boxcar
+    * keeps every quantity integer so an oracle recomputes block sums,
+    * energies and peaks exactly; mean = sum/factor is the consumer's
+    * division.
+    */
+  def downsampleSums(channels: Int, samples: Array[Int], factor: Int): Array[Array[Long]] = {
+    require(channels >= 1 && factor >= 1, "bad downsample args")
+    val nIn = samples.length / channels
+    val nOut = nIn / factor
+    val out = Array.ofDim[Long](channels, nOut)
+    var i = 0
+    while (i < nOut) {
+      var c = 0
+      while (c < channels) {
+        var acc = 0L
+        var j = 0
+        while (j < factor) { acc += samples((i * factor + j) * channels + c); j += 1 }
+        out(c)(i) = acc
+        c += 1
+      }
+      i += 1
+    }
+    out
+  }
 }

@@ -244,10 +244,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x_audio_pitch plans the per-clip argmax as a pushed rank limit over ONE window shuffle") {
+    // the lag sweep is a scan-shaped flatMap; the rnk=1 filter must plan
+    // WindowGroupLimit (map-side rank pruning — at scale the window input
+    // is 15 lag rows per clip and only the winner should survive the
+    // shuffle), and the only exchanges are the window hash + output sort
+    val p = plan("x_audio_pitch")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-clip argmax must push the rank limit map-side:\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 2, s"only the window hash + output sort may shuffle:\n$p")
+  }
+
   test("multimodal decode queries are scan-shaped: no shuffle before the cosmetic sort") {
-    // audio stats and video frame decode are maps over the documents scan;
-    // the ONLY exchange allowed is the final orderBy's range partitioning
-    for (name <- Seq("x_multimodal_audio", "x_multimodal_video")) {
+    // audio stats, video frame decode, audio downsample and the MP4
+    // sample-table walk are maps over the documents scan; the ONLY
+    // exchange allowed is the final orderBy's range partitioning
+    for (name <- Seq("x_multimodal_audio", "x_multimodal_video",
+        "x_audio_resample", "x_video_samples")) {
       val p = plan(name)
       val exchanges = "Exchange ".r.findAllIn(p).size
       val range = "Exchange rangepartitioning".r.findAllIn(p).size

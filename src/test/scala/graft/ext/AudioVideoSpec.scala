@@ -178,4 +178,75 @@ class AudioVideoSpec extends AnyFunSuite {
       assert(e(k) === want.toFloat, s"dim $k")
     }
   }
+
+  test("encodeMp4 → decodeMp4Samples roundtrips stts runs, stsz sizes and stss sync samples") {
+    val runs = Array((3, 100), (2, 250), (4, 40))
+    val sizes = Array(11, 22, 33, 44, 55, 66, 77, 88, 99)
+    val bytes = Multimodal.encodeMp4(320, 240, 600, runs, sizes, syncEvery = 3)
+    val Some((ts, deltas, dsizes, sync)) = Multimodal.decodeMp4Samples(bytes)
+    assert(ts === 600)
+    assert(deltas.toSeq === Seq(100, 100, 100, 250, 250, 40, 40, 40, 40))
+    assert(dsizes.toSeq === sizes.toSeq)
+    assert(sync.toSeq === Seq(1, 4, 7)) // 1-based, every 3rd
+    // the existing header walk reads consistent dims + whole seconds off
+    // the same bytes (total duration 1140 ticks / timescale 600 → 1 s)
+    assert(Multimodal.decodeHeader(bytes) === Some(("mp4", 320, 240, 1)))
+  }
+
+  test("decodeMp4Samples handles uniform stsz and rejects malformed tables without throwing") {
+    val good = Multimodal.encodeMp4(64, 48, 1000, Array((4, 10)), Array(1, 2, 3, 4), 2)
+    var i = 0
+    var stsz = -1
+    while (stsz < 0 && i + 8 <= good.length) {
+      if (good(i + 4) == 's' && good(i + 5) == 't' && good(i + 6) == 's' && good(i + 7) == 'z') stsz = i
+      i += 1
+    }
+    // rewrite sample_size (stsz+12..15) from 0 to 9 → uniform form wins
+    // over the now-ignored per-sample table
+    val uni = good.clone()
+    uni(stsz + 15) = 9
+    val Some((_, _, s0, _)) = Multimodal.decodeMp4Samples(uni)
+    assert(s0.toSeq === Seq(9, 9, 9, 9))
+    // stsz count mismatched against stts total → None
+    val bad = good.clone()
+    bad(stsz + 19) = 7 // sample_count 4 → 7
+    assert(Multimodal.decodeMp4Samples(bad) === None)
+    // truncation never throws
+    for (n <- 0 until good.length by 5) Multimodal.decodeMp4Samples(good.take(n))
+    assert(Multimodal.decodeMp4Samples("not an mp4 at all, truly not".getBytes("UTF-8")) === None)
+  }
+
+  test("downsampleSums computes exact boxcar block sums per channel, dropping the partial tail") {
+    // stereo interleave: L(f) = f, R(f) = 100 - f; 7 frames, factor 3 → 2 blocks
+    val s = (0 until 7).flatMap(f => Seq(f, 100 - f)).toArray
+    val out = Multimodal.downsampleSums(2, s, 3)
+    assert(out(0).toSeq === Seq(0L + 1 + 2, 3L + 4 + 5))
+    assert(out(1).toSeq === Seq(100L + 99 + 98, 97L + 96 + 95))
+  }
+
+  test("autocorrelation argmax recovers the planted period on the x_audio_pitch construction") {
+    // the query's exact formula: period p = id%8+4, n = id%40+60 frames of
+    // odd never-zero values with a QUADRATIC phase scramble — a pure
+    // linear phase makes a smooth ramp whose lag-2 autocorrelation beats
+    // the aligned lag; with j²·41 in the phase, r(p) wins on EVERY id
+    // (measured exact on ids 0..20000).
+    var hit = 0
+    val ids = 0L until 400L
+    for (id <- ids) {
+      val p = (id % 8 + 4).toInt
+      val n = (id % 40 + 60).toInt
+      val ss = Array.tabulate(n) { f =>
+        val j = (f % p).toLong
+        2 * ((id * 31 + j * j * 41 + j * 97) % 100).toInt + 1 - 100
+      }
+      val best = (2 to 16).maxBy { lag =>
+        var r = 0L
+        var i = 0
+        while (i + lag < n) { r += ss(i).toLong * ss(i + lag); i += 1 }
+        (r, -lag)
+      }
+      if (best == p) hit += 1
+    }
+    assert(hit === 400, s"pitch detection hit only $hit/400 planted periods")
+  }
 }
