@@ -256,6 +256,18 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"only the window hash + output sort may shuffle:\n$p")
   }
 
+  test("x_video_bitrate reuses ONE doc-hash partitioning for both windows and the aggregate") {
+    // the per-sample window, the (doc, gop) window and the per-doc groupBy
+    // must all ride the same hashpartitioning(doc_id) — HashPartitioning(a)
+    // satisfies ClusteredDistribution(a, b), so a second hash exchange
+    // means the composition regressed; only the cosmetic sort may add one
+    val p = plan("x_video_bitrate")
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).size
+    val range = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(hash == 1 && range == 1,
+      s"expected exactly one hash + one range exchange, got $hash/$range:\n$p")
+  }
+
   test("multimodal decode queries are scan-shaped: no shuffle before the cosmetic sort") {
     // audio stats, video frame decode, audio downsample and the MP4
     // sample-table walk are maps over the documents scan; the ONLY
