@@ -1,0 +1,161 @@
+package graft.sources
+
+/** WARC/1.0 web-archive records (ISO 28500) — the CommonCrawl ingestion
+  * primitive: a crawl delivery is a stream of records, each a version
+  * line, CRLF-terminated named headers, a blank line, exactly
+  * `Content-Length` bytes of content, and a CRLF CRLF record separator;
+  * the whole stream is usually gzip transport-compressed. This is the
+  * pure-JVM read/write pair the `x_warc_ingest` query drives: the writer
+  * emits standards-shaped records (so any WARC reader opens them) and the
+  * reader walks them back out byte-exactly — header grammar, declared
+  * content lengths and the gzip layer all honored, malformed input
+  * rejected with `None` rather than a throw.
+  *
+  * Reference behavior surveyed from the public WARC spec only; the
+  * reference repo has no web-archive path — this extends the ingest
+  * family (s9 binary ingest, k4/k5 text roundtrips) to the format crawl
+  * corpora actually arrive in.
+  */
+object Warc {
+
+  final case class Record(warcType: String, recordId: String,
+      targetUri: String, content: Array[Byte])
+
+  private val Crlf = "\r\n"
+
+  /** Serialize records into one uncompressed WARC stream: per record a
+    * `WARC/1.0` version line, the named headers, `Content-Length` =
+    * content BYTES (the spec's uncompressed length), blank line, content,
+    * CRLF CRLF separator.
+    */
+  def writeRecords(records: Seq[Record]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val header = new StringBuilder()
+        .append("WARC/1.0").append(Crlf)
+        .append("WARC-Type: ").append(r.warcType).append(Crlf)
+        .append("WARC-Record-ID: ").append(r.recordId).append(Crlf)
+        .append("WARC-Target-URI: ").append(r.targetUri).append(Crlf)
+        .append("Content-Length: ").append(r.content.length).append(Crlf)
+        .append(Crlf)
+      out.write(header.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.write(r.content)
+      out.write((Crlf + Crlf).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    }
+    out.toByteArray
+  }
+
+  /** Gzip transport compression (one member over the whole stream — the
+    * layout `GZIPInputStream` and every WARC tool read back).
+    */
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  private def gunzip(bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      Some(in.readAllBytes())
+    } catch { case _: java.io.IOException => None }
+
+  final case class HttpResponse(status: Int, contentType: String, body: Array[Byte])
+
+  /** Parse the HTTP response block a `WARC-Type: response` record carries
+    * (the layer between the WARC envelope and the document bytes in a
+    * real crawl): `HTTP/1.x SP status SP reason CRLF`, headers until the
+    * blank line (names case-insensitive), body = every byte after it.
+    * Returns None on a non-HTTP status line or a malformed header —
+    * never throws.
+    */
+  def parseHttp(content: Array[Byte]): Option[HttpResponse] = {
+    var split = -1
+    var i = 0
+    while (split < 0 && i + 3 < content.length) {
+      if (content(i) == '\r' && content(i + 1) == '\n'
+          && content(i + 2) == '\r' && content(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) return None
+    val head = new String(content, 0, split, java.nio.charset.StandardCharsets.US_ASCII)
+    val lines = head.split("\r\n", -1)
+    val statusParts = lines(0).split(" ", 3)
+    if (statusParts.length < 2 || !statusParts(0).startsWith("HTTP/1.")) return None
+    val status = try statusParts(1).toInt catch { case _: NumberFormatException => return None }
+    var contentType = ""
+    var j = 1
+    while (j < lines.length) {
+      val sep = lines(j).indexOf(':')
+      if (sep < 0) return None
+      if (lines(j).substring(0, sep).trim.equalsIgnoreCase("content-type"))
+        contentType = lines(j).substring(sep + 1).trim
+      j += 1
+    }
+    Some(HttpResponse(status, contentType,
+      java.util.Arrays.copyOfRange(content, split + 4, content.length)))
+  }
+
+  /** Parse a (possibly gzip-compressed — sniffed by the 1f 8b magic) WARC
+    * stream into its records. Every record must open with `WARC/1.0`,
+    * carry a parseable `Content-Length` (bytes of content), and close
+    * with CRLF CRLF after exactly that many content bytes; header names
+    * match case-insensitively per the spec. Any violation — bad version
+    * line, missing/garbled length, truncated content, absent separator —
+    * returns `None` for the WHOLE stream: a crawl file that lies about
+    * its lengths cannot be trusted record-by-record.
+    */
+  def parseRecords(payload: Array[Byte]): Option[Seq[Record]] = {
+    val bytes =
+      if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b)
+        gunzip(payload).getOrElse(return None)
+      else payload
+    val out = scala.collection.mutable.ArrayBuffer[Record]()
+    var i = 0
+    def lineEnd(from: Int): Int = {
+      var j = from
+      while (j + 1 < bytes.length && !(bytes(j) == '\r' && bytes(j + 1) == '\n')) j += 1
+      if (j + 1 < bytes.length) j else -1
+    }
+    while (i < bytes.length) {
+      val ve = lineEnd(i)
+      if (ve < 0) return None
+      val version = new String(bytes, i, ve - i, java.nio.charset.StandardCharsets.US_ASCII)
+      if (version != "WARC/1.0") return None
+      i = ve + 2
+      var warcType = ""; var recordId = ""; var targetUri = ""
+      var contentLength = -1L
+      var blank = false
+      while (!blank) {
+        val he = lineEnd(i)
+        if (he < 0) return None
+        if (he == i) { blank = true; i += 2 }
+        else {
+          val line = new String(bytes, i, he - i, java.nio.charset.StandardCharsets.US_ASCII)
+          val sep = line.indexOf(':')
+          if (sep < 0) return None
+          val name = line.substring(0, sep).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(sep + 1).trim
+          name match {
+            case "warc-type" => warcType = value
+            case "warc-record-id" => recordId = value
+            case "warc-target-uri" => targetUri = value
+            case "content-length" =>
+              contentLength = try value.toLong catch { case _: NumberFormatException => return None }
+            case _ => () // unknown headers are legal; skip
+          }
+          i = he + 2
+        }
+      }
+      if (contentLength < 0 || i + contentLength + 4 > bytes.length) return None
+      val content = java.util.Arrays.copyOfRange(bytes, i, i + contentLength.toInt)
+      i += contentLength.toInt
+      if (!(bytes(i) == '\r' && bytes(i + 1) == '\n' && bytes(i + 2) == '\r' && bytes(i + 3) == '\n'))
+        return None
+      i += 4
+      out += Record(warcType, recordId, targetUri, content)
+    }
+    Some(out.toSeq)
+  }
+}

@@ -269,11 +269,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("multimodal decode queries are scan-shaped: no shuffle before the cosmetic sort") {
-    // audio stats, video frame decode, audio downsample and the MP4
-    // sample-table walk are maps over the documents scan; the ONLY
-    // exchange allowed is the final orderBy's range partitioning
+    // audio stats, video frame decode, audio downsample, the MP4
+    // sample-table walk and the WARC record walk are maps over the
+    // documents scan; the ONLY exchange allowed is the final orderBy's
+    // range partitioning
     for (name <- Seq("x_multimodal_audio", "x_multimodal_video",
-        "x_audio_resample", "x_video_samples")) {
+        "x_audio_resample", "x_video_samples", "x_warc_ingest",
+        "x_http_extract", "x_url_canonicalize")) {
       val p = plan(name)
       val exchanges = "Exchange ".r.findAllIn(p).size
       val range = "Exchange rangepartitioning".r.findAllIn(p).size

@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Column-only URL canonicalizer on the tricky shapes: case
+  * folding stops at the path, default ports strip while real ports stay,
+  * stacked dot-segments resolve, fragments drop, query params sort.
+  */
+class UrlFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlFunctions.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+
+  test("canonicalizes scheme/host case, default port, dot segments, fragment and param order") {
+    assert(canon("HTTP://ExAmPle.COM:80/a/./b/../c?z=1&a=2#frag")
+      === Seq("http://example.com/a/c?a=2&z=1"))
+    // path case is SEMANTIC and must survive; only scheme+host fold
+    assert(canon("HTTPS://WWW.Site.ORG/Path/File.HTML")
+      === Seq("https://www.site.org/Path/File.HTML"))
+  }
+
+  test("non-default ports survive; each scheme strips only its own default") {
+    assert(canon("https://host.org:8443/x") === Seq("https://host.org:8443/x"))
+    assert(canon("https://host.org:443/x") === Seq("https://host.org/x"))
+    assert(canon("http://host.org:443/x") === Seq("http://host.org:443/x"))
+    assert(canon("http://host.org:80/x") === Seq("http://host.org/x"))
+  }
+
+  test("two stacked ../ levels resolve; a lone query param keeps its value intact") {
+    assert(canon("http://h/a/b/../../c") === Seq("http://h/c"))
+    assert(canon("http://h/p?only=a&b") === Seq("http://h/p?b&only=a"))
+  }
+
+  test("flag helpers: fragment, default port, param count") {
+    val row = Seq("HTTP://H.com:80/p?b=2&a=1#s").toDF("u").select(
+      UrlFunctions.hasFragment(col("u")),
+      UrlFunctions.hasDefaultPort(col("u")),
+      UrlFunctions.numParams(col("u"))).as[(Boolean, Boolean, Int)].head()
+    assert(row === ((true, true, 2)))
+    val bare = Seq("https://h/p").toDF("u").select(
+      UrlFunctions.hasFragment(col("u")),
+      UrlFunctions.hasDefaultPort(col("u")),
+      UrlFunctions.numParams(col("u"))).as[(Boolean, Boolean, Int)].head()
+    assert(bare === ((false, false, 0)))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the WARC/1.0 record grammar: multi-record walk, gzip transport
+  * sniffing, case-insensitive headers, Content-Length honored
+  * byte-exactly, and rejection (None, never a throw) of every malformed
+  * form — lying lengths, bad version lines, missing separators,
+  * corrupt gzip.
+  */
+class WarcSpec extends AnyFunSuite {
+
+  private def rec(i: Int): Warc.Record = Warc.Record(
+    if (i % 2 == 0) "response" else "metadata",
+    s"<urn:uuid:$i>", s"http://example.com/$i",
+    (s"payload $i with some bytes " + "x" * i).getBytes("UTF-8"))
+
+  test("writeRecords → parseRecords roundtrips a multi-record stream byte-exactly") {
+    val in = (0 until 5).map(rec)
+    val Some(out) = Warc.parseRecords(Warc.writeRecords(in))
+    assert(out.length === 5)
+    for ((a, b) <- in.zip(out)) {
+      assert(a.warcType === b.warcType)
+      assert(a.recordId === b.recordId)
+      assert(a.targetUri === b.targetUri)
+      assert(a.content.toSeq === b.content.toSeq)
+    }
+  }
+
+  test("gzip transport is sniffed by magic and decompressed before the walk") {
+    val in = Seq(rec(0), rec(1))
+    val plain = Warc.writeRecords(in)
+    val Some(out) = Warc.parseRecords(Warc.gzip(plain))
+    assert(out.map(_.content.toSeq) === in.map(_.content.toSeq))
+    // an independent JDK reader opens our gzip member
+    val back = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(Warc.gzip(plain))).readAllBytes()
+    assert(back.toSeq === plain.toSeq)
+  }
+
+  test("unknown headers are skipped; header names match case-insensitively") {
+    val raw = ("WARC/1.0\r\n" +
+      "warc-type: response\r\n" +
+      "WARC-Date: 2026-08-16T00:00:00Z\r\n" + // unknown to the parser
+      "CONTENT-LENGTH: 3\r\n" +
+      "Warc-Target-Uri: http://x/\r\n" +
+      "\r\nabc\r\n\r\n").getBytes("US-ASCII")
+    val Some(Seq(r)) = Warc.parseRecords(raw)
+    assert(r.warcType === "response")
+    assert(r.targetUri === "http://x/")
+    assert(r.content.toSeq === "abc".getBytes("US-ASCII").toSeq)
+  }
+
+  test("parseHttp splits status line, case-insensitive headers and body at the first blank line") {
+    val body = "doc body with \r\n\r\n inside".getBytes("UTF-8")
+    val content = ("HTTP/1.1 301 Moved Permanently\r\n" +
+      "content-TYPE: text/html; charset=UTF-8\r\n" +
+      "X-Extra: v\r\n\r\n").getBytes("US-ASCII") ++ body
+    val Some(h) = Warc.parseHttp(content)
+    assert(h.status === 301)
+    assert(h.contentType === "text/html; charset=UTF-8")
+    // the body's own blank line must NOT re-split: bytes are exact
+    assert(h.body.toSeq === body.toSeq)
+    // not HTTP / bad status / headerless garbage → None, never a throw
+    assert(Warc.parseHttp("GOPHER/1.0 200\r\n\r\nx".getBytes("US-ASCII")) === None)
+    assert(Warc.parseHttp("HTTP/1.1 abc Reason\r\n\r\nx".getBytes("US-ASCII")) === None)
+    assert(Warc.parseHttp("no blank line at all".getBytes("US-ASCII")) === None)
+  }
+
+  test("malformed streams are rejected as None, never a throw") {
+    val good = Warc.writeRecords(Seq(rec(0)))
+    // bad version line
+    val badVer = good.clone(); badVer(5) = '2'
+    assert(Warc.parseRecords(badVer) === None)
+    // content-length pointing past the buffer (a lying crawl file)
+    val s = new String(good, "ISO-8859-1")
+    val lied = s.replaceFirst("Content-Length: ", "Content-Length: 9999")
+    assert(Warc.parseRecords(lied.getBytes("ISO-8859-1")) === None)
+    // missing record separator
+    assert(Warc.parseRecords(good.dropRight(2)) === None)
+    // truncation never throws
+    for (n <- 0 until good.length by 3) Warc.parseRecords(good.take(n))
+    // corrupt gzip member: decode failure surfaces as None (CRC/format
+    // IOExceptions are caught), or as junk bytes that then fail the
+    // version check — either way no throw
+    val gz = Warc.gzip(good)
+    val badGz = gz.clone(); badGz(gz.length / 2) = (badGz(gz.length / 2) ^ 0x55).toByte
+    Warc.parseRecords(badGz)
+    // a gzip stream truncated mid-member never throws either
+    for (n <- 2 until gz.length by 7) Warc.parseRecords(gz.take(n))
+  }
+}
