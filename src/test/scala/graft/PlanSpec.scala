@@ -268,6 +268,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one hash + one range exchange, got $hash/$range:\n$p")
   }
 
+  test("x_robots_filter broadcasts the bounded host-rule table; the URL scan never shuffles") {
+    // 50 hosts of parsed disallow prefixes must reach the corpus as a
+    // broadcast probe — a hash exchange here would shuffle the whole URL
+    // scan at production scale for a 50-row rule table
+    val p = plan("x_robots_filter")
+    assert(p.contains("BroadcastHashJoin"), s"rule table must broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"the URL scan must not shuffle:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      s"only the cosmetic sort may exchange:\n$p")
+  }
+
   test("multimodal decode queries are scan-shaped: no shuffle before the cosmetic sort") {
     // audio stats, video frame decode, audio downsample, the MP4
     // sample-table walk and the WARC record walk are maps over the
