@@ -1,0 +1,45 @@
+package graft.sources
+
+/** XML sitemap parsing (sitemaps.org protocol) — the crawl DISCOVERY
+  * step that feeds the frontier the robots gate then filters: an
+  * `<urlset>` of `<url>` entries, each with a required `<loc>` and an
+  * optional `<lastmod>`. The walker is a real tag scan (no regex, no DOM
+  * load): whitespace-tolerant, order-independent within an entry,
+  * unknown child tags (`<priority>`, `<changefreq>`) skipped, and any
+  * `<url>` without a `<loc>` rejects the whole document as `None` — a
+  * sitemap that breaks the protocol cannot be trusted entry-by-entry.
+  */
+object Sitemap {
+
+  final case class Entry(loc: String, lastmod: String)
+
+  /** Text content of the first `<tag>…</tag>` inside `xml[from, to)`,
+    * trimmed; None when the tag is absent in that window.
+    */
+  private def tagText(xml: String, tag: String, from: Int, to: Int): Option[String] = {
+    val open = xml.indexOf(s"<$tag>", from)
+    if (open < 0 || open >= to) return None
+    val start = open + tag.length + 2
+    val close = xml.indexOf(s"</$tag>", start)
+    if (close < 0 || close > to) return None
+    Some(xml.substring(start, close).trim)
+  }
+
+  /** Parse a sitemap document into its entries (file order). None when
+    * the root is not an urlset or any entry lacks its `<loc>`.
+    */
+  def parse(xml: String): Option[Seq[Entry]] = {
+    if (!xml.contains("<urlset")) return None
+    val out = scala.collection.mutable.ArrayBuffer[Entry]()
+    var i = xml.indexOf("<url>")
+    while (i >= 0) {
+      val end = xml.indexOf("</url>", i)
+      if (end < 0) return None
+      val loc = tagText(xml, "loc", i, end).getOrElse(return None)
+      val lastmod = tagText(xml, "lastmod", i, end).getOrElse("")
+      out += Entry(loc, lastmod)
+      i = xml.indexOf("<url>", end)
+    }
+    Some(out.toSeq)
+  }
+}

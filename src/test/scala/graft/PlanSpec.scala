@@ -280,6 +280,17 @@ class PlanSpec extends AnyFunSuite {
       s"only the cosmetic sort may exchange:\n$p")
   }
 
+  test("x_audio_onset combines block energies map-side before its one shuffle") {
+    // per-block energy rows reduce per clip: the aggregate must be
+    // partial+final (map-side combine), with one hash exchange + the sort
+    val p = plan("x_audio_onset")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1
+        && "Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      s"expected one hash + one range exchange:\n$p")
+  }
+
   test("multimodal decode queries are scan-shaped: no shuffle before the cosmetic sort") {
     // audio stats, video frame decode, audio downsample, the MP4
     // sample-table walk and the WARC record walk are maps over the
@@ -287,7 +298,7 @@ class PlanSpec extends AnyFunSuite {
     // range partitioning
     for (name <- Seq("x_multimodal_audio", "x_multimodal_video",
         "x_audio_resample", "x_video_samples", "x_warc_ingest",
-        "x_http_extract", "x_url_canonicalize")) {
+        "x_http_extract", "x_url_canonicalize", "x_sitemap_parse")) {
       val p = plan(name)
       val exchanges = "Exchange ".r.findAllIn(p).size
       val range = "Exchange rangepartitioning".r.findAllIn(p).size
