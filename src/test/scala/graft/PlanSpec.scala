@@ -298,7 +298,8 @@ class PlanSpec extends AnyFunSuite {
     // range partitioning
     for (name <- Seq("x_multimodal_audio", "x_multimodal_video",
         "x_audio_resample", "x_video_samples", "x_warc_ingest",
-        "x_http_extract", "x_url_canonicalize", "x_sitemap_parse")) {
+        "x_http_extract", "x_url_canonicalize", "x_sitemap_parse",
+        "x_html_extract", "x_charset_detect")) {
       val p = plan(name)
       val exchanges = "Exchange ".r.findAllIn(p).size
       val range = "Exchange rangepartitioning".r.findAllIn(p).size

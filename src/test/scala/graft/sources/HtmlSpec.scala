@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the HTML extraction traps one by one: script/style content must
+  * not leak (even when it CONTAINS markup), comments skip, entities
+  * decode, whitespace collapses, anchors count, and the title stays out
+  * of the body text.
+  */
+class HtmlSpec extends AnyFunSuite {
+
+  test("script content with embedded fake tags never leaks into visible text") {
+    val e = Html.extract(
+      "<body><p>before</p><script>var s = \"<p>LEAK</p>\";</script><p>after</p></body>")
+    assert(e.text === "before after")
+  }
+
+  test("style blocks, comments and tags drop; entities decode; whitespace collapses") {
+    val e = Html.extract(
+      "<body><!-- <b>LEAK</b> -->  a &amp; b\n\n  <style>p{x:1}</style>&lt;c&gt;&nbsp;d </body>")
+    assert(e.text === "a & b <c> d")
+  }
+
+  test("title is captured separately and excluded from body text; anchors count") {
+    val e = Html.extract(
+      "<html><head><title> My   Title &amp; Co </title></head>" +
+        "<body><a href=\"/x\">one</a> <a href=\"/y\">two</a></body></html>")
+    assert(e.title === "My Title & Co")
+    assert(e.text === "one two")
+    assert(e.nLinks === 2)
+  }
+
+  test("case-insensitive SCRIPT/STYLE close tags; unterminated blocks drop to end") {
+    assert(Html.extract("<p>x</p><SCRIPT>a<b>c</SCRIPT><p>y</p>").text === "x y")
+    // unterminated script swallows the rest rather than leaking it
+    assert(Html.extract("<p>x</p><script>var a = 1;").text === "x")
+    // unknown entities pass through verbatim
+    assert(Html.extract("<p>&unknown; &#65;</p>").text === "&unknown; &#65;")
+  }
+}
