@@ -48,14 +48,75 @@ object Warc {
   /** Gzip transport compression (one member over the whole stream — the
     * layout `GZIPInputStream` and every WARC tool read back).
     */
-  def gzip(bytes: Array[Byte]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(bytes); gz.close()
-    bos.toByteArray
+  def gzip(bytes: Array[Byte]): Array[Byte] = new GzipCodec().gzip(bytes)
+
+  /** Reusable gzip codec — ONE native Deflater/Inflater pair reset per
+    * payload instead of allocated per payload. `GZIPOutputStream`/
+    * `GZIPInputStream` allocate (and finalize) native zlib state per
+    * instance; at corpus scale that is millions of native allocations on
+    * the ingest hot path and measurably drifts full-board timings under
+    * heap pressure. Allocate one codec per PARTITION (`mapPartitions`)
+    * — it is not thread-safe. Frames are standard RFC 1952 members
+    * (magic, CM=8, FLG=0, OS=0; CRC32 + ISIZE trailer) that any gzip
+    * reader opens; [[gunzip]] verifies both trailer fields and falls
+    * back to the JDK stream reader for members with optional header
+    * fields (FLG != 0).
+    */
+  final class GzipCodec {
+    import java.util.zip.{CRC32, Deflater, Inflater}
+    private val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    private val inflater = new Inflater(true)
+    private val crc = new CRC32
+    private val buf = new Array[Byte](8192)
+
+    def gzip(bytes: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 32)
+      out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+      deflater.reset()
+      deflater.setInput(bytes)
+      deflater.finish()
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        out.write(buf, 0, n)
+      }
+      crc.reset(); crc.update(bytes)
+      def le32(v: Long): Unit = {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+      }
+      le32(crc.getValue)
+      le32(bytes.length.toLong & 0xffffffffL)
+      out.toByteArray
+    }
+
+    def gunzip(bytes: Array[Byte]): Option[Array[Byte]] = {
+      if (bytes.length < 18 || (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b
+          || bytes(2) != 8) return None
+      if (bytes(3) != 0) return gunzipJdk(bytes) // optional header fields
+      try {
+        val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
+        inflater.reset()
+        inflater.setInput(bytes, 10, bytes.length - 10)
+        while (!inflater.finished()) {
+          val n = inflater.inflate(buf)
+          if (n == 0 && inflater.needsInput()) return None // truncated
+          out.write(buf, 0, n)
+        }
+        val data = out.toByteArray
+        def le32(i: Int): Long =
+          ((bytes(i) & 0xffL)) | ((bytes(i + 1) & 0xffL) << 8) |
+            ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+        val trailer = 10 + inflater.getBytesRead.toInt
+        if (trailer + 8 > bytes.length) return None
+        crc.reset(); crc.update(data)
+        if (le32(trailer) != crc.getValue) return None
+        if (le32(trailer + 4) != (data.length.toLong & 0xffffffffL)) return None
+        Some(data)
+      } catch { case _: java.util.zip.DataFormatException => None }
+    }
   }
 
-  private def gunzip(bytes: Array[Byte]): Option[Array[Byte]] =
+  private def gunzipJdk(bytes: Array[Byte]): Option[Array[Byte]] =
     try {
       val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
       Some(in.readAllBytes())
@@ -106,10 +167,17 @@ object Warc {
     * returns `None` for the WHOLE stream: a crawl file that lies about
     * its lengths cannot be trusted record-by-record.
     */
-  def parseRecords(payload: Array[Byte]): Option[Seq[Record]] = {
+  def parseRecords(payload: Array[Byte]): Option[Seq[Record]] =
+    parseRecords(payload, None)
+
+  /** [[parseRecords]] decompressing through a caller-owned reusable
+    * [[GzipCodec]] — the per-partition form the corpus-scale queries use
+    * (zero per-row native allocation).
+    */
+  def parseRecords(payload: Array[Byte], codec: Option[GzipCodec]): Option[Seq[Record]] = {
     val bytes =
       if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b)
-        gunzip(payload).getOrElse(return None)
+        codec.fold(gunzipJdk(payload))(_.gunzip(payload)).getOrElse(return None)
       else payload
     val out = scala.collection.mutable.ArrayBuffer[Record]()
     var i = 0

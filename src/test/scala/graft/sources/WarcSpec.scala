@@ -38,6 +38,31 @@ class WarcSpec extends AnyFunSuite {
     assert(back.toSeq === plain.toSeq)
   }
 
+  test("GzipCodec reuses one native pair across payloads; JDK readers open its frames") {
+    val codec = new Warc.GzipCodec
+    for (i <- 0 until 20) {
+      val payload = (s"payload $i " + "y" * (i * 7)).getBytes("UTF-8")
+      val gz = codec.gzip(payload)
+      // our own reusable inflater reads it back
+      assert(codec.gunzip(gz).map(_.toSeq) === Some(payload.toSeq))
+      // and the independent JDK stream reader agrees byte-for-byte
+      val jdk = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gz)).readAllBytes()
+      assert(jdk.toSeq === payload.toSeq)
+    }
+    // a JDK-written member (same FLG=0 layout) decodes through the codec
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos); g.write("jdk side".getBytes("UTF-8")); g.close()
+    assert(codec.gunzip(bos.toByteArray).map(new String(_, "UTF-8")) === Some("jdk side"))
+    // corrupt trailer CRC → None
+    val bad = codec.gzip("x".getBytes("UTF-8"))
+    bad(bad.length - 5) = (bad(bad.length - 5) ^ 0x7f).toByte
+    assert(codec.gunzip(bad) === None)
+    // truncation never throws
+    val whole = codec.gzip("some longer payload for truncation".getBytes("UTF-8"))
+    for (n <- 0 until whole.length by 3) codec.gunzip(whole.take(n))
+  }
+
   test("unknown headers are skipped; header names match case-insensitively") {
     val raw = ("WARC/1.0\r\n" +
       "warc-type: response\r\n" +
