@@ -37,7 +37,8 @@ object Bench {
     "x_winnow_pairs", "x_ncm_classify", "x_lsh_incremental", "x_perplexity_prune",
     "x_prefix_jaccard", "x_triangles", "x_maxip_topk",
     "x_bm25_search", "x_collocations", "x_unigram_tok",
-    "x_pca_project", "t20_stream_attribution", "x_kmeans", "x_mmr_rerank")
+    "x_pca_project", "t20_stream_attribution", "x_kmeans", "x_mmr_rerank",
+    "x_crawl_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

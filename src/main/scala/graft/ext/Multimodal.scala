@@ -120,7 +120,9 @@ object Multimodal {
         var i = from
         while (i + 8 <= to) {
           val sz = be32(i)
-          if (sz < 8 || i + sz > to) return -1
+          // bound check in Long: a hostile box size near Int.MaxValue
+          // overflows i + sz and would walk i negative
+          if (sz < 8 || i.toLong + sz > to) return -1
           if (p(i + 4) == typ(0) && p(i + 5) == typ(1) && p(i + 6) == typ(2) && p(i + 7) == typ(3))
             return i
           i += sz
@@ -1108,7 +1110,9 @@ object Multimodal {
       var i = from
       while (i + 8 <= to && i + 8 <= p.length) {
         val sz = be32(i)
-        if (sz < 8 || i + sz > to) return -1
+        // Long bound check: a hostile size near Int.MaxValue overflows
+        // i + sz, walks i negative, and be32 would throw
+        if (sz < 8 || i.toLong + sz > to) return -1
         if (p(i + 4) == typ(0) && p(i + 5) == typ(1) && p(i + 6) == typ(2) && p(i + 7) == typ(3))
           return i
         i += sz

@@ -59,10 +59,14 @@ object UrlFunctions {
     val q = when(instr(pathQ, "?") > 0, substring_index(pathQ, "?", -1)).otherwise(lit(""))
     // dot-segment resolution: drop /./ then collapse one /seg/../ level;
     // applied twice so two stacked levels still resolve (crawl URLs
-    // beyond that depth are pathological — canonicalize what's real)
+    // beyond that depth are pathological — canonicalize what's real).
+    // TRAILING dot-segments (".../." and ".../seg/..", no slash after)
+    // resolve to the directory per RFC 3986 §5.2.4 remove_dot_segments.
     def resolveOnce(p: Column): Column =
       regexp_replace(regexp_replace(p, "/\\./", "/"), "/[^/.][^/]*/\\.\\./", "/")
-    val resolved = resolveOnce(resolveOnce(path))
+    def resolveTrailing(p: Column): Column =
+      regexp_replace(regexp_replace(p, "/[^/.][^/]*/\\.\\.$", "/"), "/\\.$", "/")
+    val resolved = resolveTrailing(resolveOnce(resolveOnce(path)))
     val sortedQ = when(q === "", lit(""))
       .otherwise(concat(lit("?"), array_join(array_sort(split(q, "&")), "&")))
     concat(sch, lit("://"), host, portPart, resolved, sortedQ)
@@ -77,10 +81,13 @@ object UrlFunctions {
     isDefaultPort(scheme(noFrag), explicitPort(noFrag))
   }
 
-  /** Query-parameter count of `url` (0 when no query). */
+  /** Query-parameter count of `url` (0 when no query, INCLUDING the
+    * bare-`?` empty query real crawl URLs carry).
+    */
   def numParams(url: Column): Column = {
     val pathQ = pathQuery(substring_index(url, "#", 1))
-    when(instr(pathQ, "?") > 0, size(split(substring_index(pathQ, "?", -1), "&")))
+    val q = substring_index(pathQ, "?", -1)
+    when(instr(pathQ, "?") > 0 && q =!= "", size(split(q, "&")))
       .otherwise(lit(0))
   }
 }

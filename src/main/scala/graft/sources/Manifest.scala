@@ -43,15 +43,41 @@ object Manifest {
       .agg(count(lit(1)).as("row_count"), stats: _*)
   }
 
+  /** Hard ceiling on the kept-file list [[filesInRange]] will materialize
+    * on the driver. The collect is metadata-scale BY CONTRACT, not by
+    * luck: 4M path strings (~100 TB at 128 MB files, each path ~100
+    * bytes) is ~400 MB of driver heap — the point where a pruned read
+    * should be re-expressed as partition pruning (directory grain, no
+    * per-file list) rather than silently OOM the driver. Exceeding the
+    * ceiling throws with that guidance instead of degrading.
+    */
+  val MaxPrunedFiles: Int = 4 * 1000 * 1000
+
   /** Files whose [min_c, max_c] intersects the CLOSED interval [lo, hi] —
     * a conservative superset for any predicate contained in it (boundary
     * files are kept; the residual filter discards their out-of-range
-    * rows). Bounded driver collect: one string per kept file.
+    * rows). Driver collect bounded by [[MaxPrunedFiles]]: the limit is
+    * pushed into the plan (`limit n+1`), so a manifest over the ceiling
+    * ships at most n+1 rows before failing fast — never the full list.
     */
   def filesInRange(manifest: DataFrame, c: String, lo: Double, hi: Double): Seq[String] =
-    manifest
+    filesInRange(manifest, c, lo, hi, MaxPrunedFiles)
+
+  /** [[filesInRange]] with an explicit ceiling (tests pin the gate with
+    * a small one; production uses the [[MaxPrunedFiles]] default).
+    */
+  def filesInRange(manifest: DataFrame, c: String, lo: Double, hi: Double,
+      maxFiles: Int): Seq[String] = {
+    val kept = manifest
       .filter(col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo))
-      .select("file").collect().map(_.getString(0)).toIndexedSeq
+      .select("file").limit(maxFiles + 1)
+      .collect().map(_.getString(0)).toIndexedSeq
+    if (kept.length > maxFiles)
+      throw new IllegalStateException(
+        s"manifest prune kept > $maxFiles files — file-grain pruning is no longer " +
+          "metadata-scale for this layout; prune by partition directory first or coarsen the manifest")
+    kept
+  }
 
   /** Read only the files [[filesInRange]] keeps. The caller applies its
     * exact predicate on top (and Catalyst pushes it into the kept files'

@@ -42,4 +42,45 @@ object Sitemap {
     }
     Some(out.toSeq)
   }
+
+  /** Parse a `<sitemapindex>` document (sitemaps.org: how large sites
+    * actually ship sitemaps — an index of child sitemap files, each
+    * capped at 50k URLs) into the child `<loc>`s, file order. Same
+    * strictness as [[parse]]: unknown children (`<lastmod>`…) are
+    * skipped, a `<sitemap>` entry without `<loc>` rejects the document.
+    */
+  def parseIndex(xml: String): Option[Seq[String]] = {
+    if (!xml.contains("<sitemapindex")) return None
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = xml.indexOf("<sitemap>")
+    while (i >= 0) {
+      val end = xml.indexOf("</sitemap>", i)
+      if (end < 0) return None
+      out += tagText(xml, "loc", i, end).getOrElse(return None)
+      i = xml.indexOf("<sitemap>", end)
+    }
+    Some(out.toSeq)
+  }
+
+  /** Crawl-discovery resolution from either root: an `<urlset>` yields
+    * its entries directly; a `<sitemapindex>` resolves ONE level — each
+    * child loc is fetched through `fetch` and must parse as an urlset
+    * (the protocol forbids index-of-index nesting). Every entry is
+    * tagged with the child sitemap loc it came from ("" for a direct
+    * urlset). None bubbles from any malformed document or failed fetch —
+    * a discovery tree that breaks the protocol cannot be trusted
+    * branch-by-branch.
+    */
+  def resolve(xml: String, fetch: String => Option[String]): Option[Seq[(String, Entry)]] =
+    if (xml.contains("<sitemapindex")) {
+      parseIndex(xml).flatMap { locs =>
+        val out = scala.collection.mutable.ArrayBuffer[(String, Entry)]()
+        locs.foreach { loc =>
+          val child = fetch(loc).getOrElse(return None)
+          if (child.contains("<sitemapindex")) return None // no index-of-index
+          parse(child).getOrElse(return None).foreach(e => out += ((loc, e)))
+        }
+        Some(out.toSeq)
+      }
+    } else parse(xml).map(_.map(("", _)))
 }

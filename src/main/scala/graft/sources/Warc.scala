@@ -50,6 +50,25 @@ object Warc {
     */
   def gzip(bytes: Array[Byte]): Array[Byte] = new GzipCodec().gzip(bytes)
 
+  /** Member-per-record transport layout — the CommonCrawl convention:
+    * each record gzip'd as its OWN RFC 1952 member and the members
+    * concatenated. (That layout is what makes per-record HTTP range
+    * requests into a `.warc.gz` segment work: a reader can start at any
+    * member boundary.) Concatenated members are legal gzip (RFC 1952
+    * §2.2 "a gzip file consists of a series of members"), so
+    * [[GzipCodec.gunzip]] — which walks ALL members — recovers the exact
+    * uncompressed record stream and [[parseRecords]] reads it unchanged.
+    */
+  def gzipPerRecord(records: Seq[Record], codec: GzipCodec): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r => out.write(codec.gzip(writeRecords(Seq(r)))) }
+    out.toByteArray
+  }
+
+  /** [[gzipPerRecord]] with a one-shot codec (tests/driver use). */
+  def gzipPerRecord(records: Seq[Record]): Array[Byte] =
+    gzipPerRecord(records, new GzipCodec)
+
   /** Reusable gzip codec — ONE native Deflater/Inflater pair reset per
     * payload instead of allocated per payload. `GZIPOutputStream`/
     * `GZIPInputStream` allocate (and finalize) native zlib state per
@@ -58,9 +77,14 @@ object Warc {
     * heap pressure. Allocate one codec per PARTITION (`mapPartitions`)
     * — it is not thread-safe. Frames are standard RFC 1952 members
     * (magic, CM=8, FLG=0, OS=0; CRC32 + ISIZE trailer) that any gzip
-    * reader opens; [[gunzip]] verifies both trailer fields and falls
-    * back to the JDK stream reader for members with optional header
-    * fields (FLG != 0).
+    * reader opens. [[gunzip]] reads the FULL RFC 1952 grammar back:
+    * every optional header field (FEXTRA/FNAME/FCOMMENT/FHCRC), BOTH
+    * trailer checks per member, and — the property real `.warc.gz`
+    * files stand on — a LOOP over concatenated members, so a
+    * member-per-record CommonCrawl segment decompresses to the complete
+    * record stream. Anything else (trailing garbage after a trailer, a
+    * truncated member, a CRC/ISIZE lie) is `None` for the whole stream,
+    * never a silent partial result.
     */
   final class GzipCodec {
     import java.util.zip.{CRC32, Deflater, Inflater}
@@ -90,37 +114,58 @@ object Warc {
     }
 
     def gunzip(bytes: Array[Byte]): Option[Array[Byte]] = {
-      if (bytes.length < 18 || (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b
-          || bytes(2) != 8) return None
-      if (bytes(3) != 0) return gunzipJdk(bytes) // optional header fields
+      if (bytes.length == 0) return None
+      def le32(i: Int): Long =
+        ((bytes(i) & 0xffL)) | ((bytes(i + 1) & 0xffL) << 8) |
+          ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
+      var off = 0
       try {
-        val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
-        inflater.reset()
-        inflater.setInput(bytes, 10, bytes.length - 10)
-        while (!inflater.finished()) {
-          val n = inflater.inflate(buf)
-          if (n == 0 && inflater.needsInput()) return None // truncated
-          out.write(buf, 0, n)
+        // RFC 1952 §2.2: a gzip file is a SERIES of members. Walk them
+        // all; any byte run that is not a complete, verified member —
+        // including garbage after a valid trailer — rejects the stream.
+        while (off < bytes.length) {
+          if (bytes.length - off < 18 || (bytes(off) & 0xff) != 0x1f
+              || (bytes(off + 1) & 0xff) != 0x8b || bytes(off + 2) != 8) return None
+          val flg = bytes(off + 3) & 0xff
+          if ((flg & 0xe0) != 0) return None // reserved FLG bits must be 0
+          var p = off + 10
+          if ((flg & 4) != 0) { // FEXTRA: le16 length + that many bytes
+            if (p + 2 > bytes.length) return None
+            p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
+          }
+          if ((flg & 8) != 0) { // FNAME: zero-terminated
+            while (p < bytes.length && bytes(p) != 0) p += 1
+            p += 1
+          }
+          if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+            while (p < bytes.length && bytes(p) != 0) p += 1
+            p += 1
+          }
+          if ((flg & 2) != 0) p += 2 // FHCRC
+          if (p >= bytes.length) return None
+          inflater.reset()
+          inflater.setInput(bytes, p, bytes.length - p)
+          crc.reset()
+          var memberLen = 0L
+          while (!inflater.finished()) {
+            val n = inflater.inflate(buf)
+            if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+              return None // truncated member
+            crc.update(buf, 0, n)
+            memberLen += n
+            out.write(buf, 0, n)
+          }
+          val trailer = p + inflater.getBytesRead.toInt
+          if (trailer + 8 > bytes.length) return None
+          if (le32(trailer) != crc.getValue) return None
+          if (le32(trailer + 4) != (memberLen & 0xffffffffL)) return None
+          off = trailer + 8
         }
-        val data = out.toByteArray
-        def le32(i: Int): Long =
-          ((bytes(i) & 0xffL)) | ((bytes(i + 1) & 0xffL) << 8) |
-            ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
-        val trailer = 10 + inflater.getBytesRead.toInt
-        if (trailer + 8 > bytes.length) return None
-        crc.reset(); crc.update(data)
-        if (le32(trailer) != crc.getValue) return None
-        if (le32(trailer + 4) != (data.length.toLong & 0xffffffffL)) return None
-        Some(data)
+        Some(out.toByteArray)
       } catch { case _: java.util.zip.DataFormatException => None }
     }
   }
-
-  private def gunzipJdk(bytes: Array[Byte]): Option[Array[Byte]] =
-    try {
-      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-      Some(in.readAllBytes())
-    } catch { case _: java.io.IOException => None }
 
   final case class HttpResponse(status: Int, contentType: String, body: Array[Byte])
 
@@ -177,7 +222,7 @@ object Warc {
   def parseRecords(payload: Array[Byte], codec: Option[GzipCodec]): Option[Seq[Record]] = {
     val bytes =
       if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b)
-        codec.fold(gunzipJdk(payload))(_.gunzip(payload)).getOrElse(return None)
+        codec.getOrElse(new GzipCodec).gunzip(payload).getOrElse(return None)
       else payload
     val out = scala.collection.mutable.ArrayBuffer[Record]()
     var i = 0

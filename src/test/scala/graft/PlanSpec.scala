@@ -280,6 +280,20 @@ class PlanSpec extends AnyFunSuite {
       s"only the cosmetic sort may exchange:\n$p")
   }
 
+  test("x_crawl_funnel is scan-shaped end-to-end: one broadcast probe, no corpus shuffle") {
+    // WARC -> HTTP -> charset -> HTML -> canonicalize -> robots as ONE
+    // pipeline: the 50-host rule table broadcasts onto the kernel's
+    // output and the corpus reaches the cosmetic sort without a single
+    // hash exchange — the property that makes the funnel a pure
+    // streaming pass over 100 TB of segments
+    val p = plan("x_crawl_funnel")
+    assert(p.contains("BroadcastHashJoin"), s"rule table must broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"the funnel must not shuffle the corpus:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      s"only the cosmetic sort may exchange:\n$p")
+  }
+
   test("x_audio_onset combines block energies map-side before its one shuffle") {
     // per-block energy rows reduce per clip: the aggregate must be
     // partial+final (map-side combine), with one hash exchange + the sort
@@ -298,7 +312,8 @@ class PlanSpec extends AnyFunSuite {
     // range partitioning
     for (name <- Seq("x_multimodal_audio", "x_multimodal_video",
         "x_audio_resample", "x_video_samples", "x_warc_ingest",
-        "x_http_extract", "x_url_canonicalize", "x_sitemap_parse",
+        "x_warc_members", "x_http_extract", "x_url_canonicalize",
+        "x_sitemap_parse", "x_sitemap_index",
         "x_html_extract", "x_charset_detect")) {
       val p = plan(name)
       val exchanges = "Exchange ".r.findAllIn(p).size

@@ -214,6 +214,24 @@ class AudioVideoSpec extends AnyFunSuite {
     // truncation never throws
     for (n <- 0 until good.length by 5) Multimodal.decodeMp4Samples(good.take(n))
     assert(Multimodal.decodeMp4Samples("not an mp4 at all, truly not".getBytes("UTF-8")) === None)
+    // a hostile box size near Int.MaxValue must not overflow the walk
+    // (i + sz wrapping negative would throw out-of-bounds, not None)
+    val hostile = good.clone()
+    val moov = {
+      var j = 0; var at = -1
+      while (at < 0 && j + 8 <= hostile.length) {
+        if (hostile(j + 4) == 'm' && hostile(j + 5) == 'o' && hostile(j + 6) == 'o'
+          && hostile(j + 7) == 'v') at = j
+        j += 1
+      }
+      at
+    }
+    // rewrite a PRECEDING box's size to 0x7FFFFFF0 so the walk must
+    // reject it before reaching moov
+    hostile(0) = 0x7f; hostile(1) = 0xff.toByte; hostile(2) = 0xff.toByte; hostile(3) = 0xf0.toByte
+    assert(moov > 0)
+    assert(Multimodal.decodeMp4Samples(hostile) === None)
+    assert(Multimodal.decodeHeader(hostile) === None)
   }
 
   test("downsampleSums computes exact boxcar block sums per channel, dropping the partial tail") {

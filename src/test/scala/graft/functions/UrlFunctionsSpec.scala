@@ -35,6 +35,18 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(canon("http://h/p?only=a&b") === Seq("http://h/p?b&only=a"))
   }
 
+  test("trailing dot-segments and the bare-? empty query (real crawl shapes)") {
+    // RFC 3986 §5.2.4: trailing '.' and 'seg/..' resolve to the directory
+    assert(canon("http://h/a/b/.") === Seq("http://h/a/b/"))
+    assert(canon("http://h/a/b/..") === Seq("http://h/a/"))
+    assert(canon("http://h/a/./b/x/..") === Seq("http://h/a/b/"))
+    // a bare '?' is an EMPTY query: zero params, and it canonicalizes away
+    assert(canon("http://h/p?") === Seq("http://h/p"))
+    val n = Seq("http://h/p?", "http://h/p?a=1").toDF("u")
+      .select(UrlFunctions.numParams(col("u"))).as[Int].collect().toSeq
+    assert(n === Seq(0, 1))
+  }
+
   test("flag helpers: fragment, default port, param count") {
     val row = Seq("HTTP://H.com:80/p?b=2&a=1#s").toDF("u").select(
       UrlFunctions.hasFragment(col("u")),

@@ -41,4 +41,32 @@ class CharsetDetectSpec extends AnyFunSuite {
     assert(CharsetDetect.detect(b(0x41, 0xe9, 0xe9, 0x42)) ===
       CharsetDetect.Detection("latin-1", 2, 4))
   }
+
+  test("strict classes: overlong, CESU-8 surrogate and >U+10FFFF reject like every strict decoder") {
+    // overlong NUL (E0 80 80) and overlong 4-byte (F0 80 80 80)
+    assert(CharsetDetect.detect(b(0x41, 0xe0, 0x80, 0x80)).charset === "latin-1")
+    assert(CharsetDetect.detect(b(0x41, 0xf0, 0x80, 0x80, 0x80)).charset === "latin-1")
+    // CESU-8 surrogate half U+D800 (ED A0 80)
+    assert(CharsetDetect.detect(b(0x41, 0xed, 0xa0, 0x80)).charset === "latin-1")
+    // F4 90 80 80 encodes U+110000 — past the Unicode ceiling
+    assert(CharsetDetect.detect(b(0x41, 0xf4, 0x90, 0x80, 0x80)).charset === "latin-1")
+    // the tight edges of the same lead bytes remain VALID utf-8
+    assert(CharsetDetect.detect(b(0xe0, 0xa0, 0x80)).charset === "utf-8") // U+0800
+    assert(CharsetDetect.detect(b(0xed, 0x9f, 0xbf)).charset === "utf-8") // U+D7FF
+    assert(CharsetDetect.detect(b(0xf0, 0x90, 0x80, 0x80)).charset === "utf-8") // U+10000
+    assert(CharsetDetect.detect(b(0xf4, 0x8f, 0xbf, 0xbf)).charset === "utf-8") // U+10FFFF
+    // cross-check every class against the JDK's strict REPORT decoder
+    for (bs <- Seq(b(0x41, 0xe0, 0x80, 0x80), b(0x41, 0xed, 0xa0, 0x80),
+        b(0x41, 0xf4, 0x90, 0x80, 0x80), b(0xe0, 0xa0, 0x80), b(0xed, 0x9f, 0xbf),
+        b(0xf0, 0x90, 0x80, 0x80), b(0xf4, 0x8f, 0xbf, 0xbf))) {
+      val strict = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val jdkAccepts =
+        try { strict.decode(java.nio.ByteBuffer.wrap(bs)); true }
+        catch { case _: java.nio.charset.CharacterCodingException => false }
+      assert(jdkAccepts === (CharsetDetect.detect(bs).charset === "utf-8"),
+        s"JDK strict decoder disagrees on ${bs.map(x => f"${x & 0xff}%02X").mkString(" ")}")
+    }
+  }
 }

@@ -34,7 +34,31 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.extract("<p>x</p><SCRIPT>a<b>c</SCRIPT><p>y</p>").text === "x y")
     // unterminated script swallows the rest rather than leaking it
     assert(Html.extract("<p>x</p><script>var a = 1;").text === "x")
-    // unknown entities pass through verbatim
-    assert(Html.extract("<p>&unknown; &#65;</p>").text === "&unknown; &#65;")
+    // unknown NAMED entities pass through verbatim
+    assert(Html.extract("<p>&unknown; &broken</p>").text === "&unknown; &broken")
+  }
+
+  test("numeric character references decode: decimal, hex, multibyte, and the reject set") {
+    assert(Html.extract("<p>&#65;&#x42;c</p>").text === "ABc")
+    // U+2019 right single quote and an astral code point (surrogate pair)
+    assert(Html.extract("<p>it&#x2019;s &#128512;</p>").text === "it’s 😀")
+    // NUL, surrogate halves and out-of-range stay verbatim (never decoded)
+    assert(Html.extract("<p>&#0; &#xD800; &#x110000; &#xZZ;</p>").text
+      === "&#0; &#xD800; &#x110000; &#xZZ;")
+  }
+
+  test("'>' inside quoted attribute values does not end the tag") {
+    val e = Html.extract(
+      "<body><a href=\"/x\" title=\"a > b\">one</a> <p data-q='1>0'>two</p></body>")
+    assert(e.text === "one two")
+    assert(e.nLinks === 1)
+  }
+
+  test("bare '<' in prose is literal text, not a tag opener") {
+    assert(Html.extract("<p>a < b and x <= y</p>").text === "a < b and x <= y")
+    // an unterminated REAL tag still drops the tail (it never closes)…
+    assert(Html.extract("<p>x</p><a href=").text === "x")
+    // …but a trailing bare '<' survives as text
+    assert(Html.extract("<p>a <</p>").text === "a <")
   }
 }

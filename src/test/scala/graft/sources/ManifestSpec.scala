@@ -120,4 +120,21 @@ class ManifestSpec extends AnyFunSuite {
     assert(none.count() === 0L)
     assert(none.columns.contains("event_id"))
   }
+
+  test("file-list collect is bounded by contract: over-ceiling prune fails fast, never OOMs") {
+    val out = Files.createTempDirectory("graft_manifest_gate").toString + "/out"
+    events.repartition(16, col("event_id")).write.mode("overwrite").parquet(out)
+    val mf = Manifest.build(spark, out, Seq("value"))
+    // under the cap: same answer as the default path
+    val all = Manifest.filesInRange(mf, "value", Double.MinValue, Double.MaxValue)
+    assert(Manifest.filesInRange(mf, "value", Double.MinValue, Double.MaxValue, 16).toSet
+      === all.toSet)
+    // over the cap: IllegalStateException with guidance, after shipping
+    // at most cap+1 rows to the driver (the limit is in the plan)
+    val e = intercept[IllegalStateException] {
+      Manifest.filesInRange(mf, "value", Double.MinValue, Double.MaxValue, 3)
+    }
+    assert(e.getMessage.contains("prune by partition directory"))
+    assert(Manifest.MaxPrunedFiles === 4000000)
+  }
 }

@@ -48,4 +48,44 @@ class RobotsSpec extends AnyFunSuite {
       "User-agent: *\nDisallow: /two/\n"
     assert(Robots.disallowPrefixes(txt) === Seq("/one/", "/two/"))
   }
+
+  test("Allow rules collect alongside Disallow; empty Allow is no rule") {
+    val txt =
+      """User-agent: *
+        |Disallow: /
+        |Allow: /public/
+        |Allow:    # empty = no rule
+        |allow: /also/ # case-insensitive
+        |""".stripMargin
+    assert(Robots.ruleGroups(txt) === ((Seq("/public/", "/also/"), Seq("/"))))
+  }
+
+  test("RFC 9309 §2.2.3 pattern match: prefixes, *, and the $ anchor") {
+    assert(Robots.matches("/a/", "/a/page"))
+    assert(!Robots.matches("/a/", "/b/a/")) // match is FROM THE START
+    assert(Robots.matches("/*/x", "/any/thing/x/tail")) // * spans segments
+    assert(Robots.matches("/a*page$", "/a/3/page"))
+    assert(!Robots.matches("/a*page$", "/a/3/pages")) // $ anchors the end
+    assert(Robots.matches("/fish*.php$", "/fish/file.php"))
+    assert(!Robots.matches("/fish*.php$", "/fish/file.php?q=1"))
+    // star backtrack: the anchored tail must bind to the LAST viable spot
+    assert(Robots.matches("/a*b$", "/axbxb"))
+    assert(Robots.matches("/*", "/anything"))
+    assert(Robots.matches("/", "/"))
+    assert(!Robots.matches("/long", "/lo"))
+  }
+
+  test("RFC 9309 §2.2.2 precedence: longest match wins, Allow wins ties, no match allows") {
+    // the canonical real-site shape: blanket Disallow + carve-out
+    assert(Robots.isAllowed(Seq("/public/"), Seq("/"), "/public/page"))
+    assert(!Robots.isAllowed(Seq("/public/"), Seq("/"), "/private/page"))
+    // longer Disallow beats shorter Allow
+    assert(!Robots.isAllowed(Seq("/a/"), Seq("/a/secret/"), "/a/secret/x"))
+    // equal length → Allow wins
+    assert(Robots.isAllowed(Seq("/page"), Seq("/page"), "/page"))
+    // no matching rule → allowed
+    assert(Robots.isAllowed(Seq.empty, Seq("/x/"), "/y/page"))
+    // wildcard pattern participates in longest-match by PATTERN length
+    assert(!Robots.isAllowed(Seq("/a/"), Seq("/*/5/"), "/a/5/page"))
+  }
 }

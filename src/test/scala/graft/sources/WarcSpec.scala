@@ -92,6 +92,64 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parseHttp("no blank line at all".getBytes("US-ASCII")) === None)
   }
 
+  test("member-per-record gzip (the CommonCrawl layout) reads back complete") {
+    val in = (0 until 7).map(rec)
+    val codec = new Warc.GzipCodec
+    val cc = Warc.gzipPerRecord(in, codec)
+    // the codec walks ALL members — every record, both codec paths
+    for (c <- Seq(Some(codec), None)) {
+      val Some(out) = Warc.parseRecords(cc, c)
+      assert(out.length === 7)
+      assert(out.map(_.content.toSeq) === in.map(_.content.toSeq))
+    }
+    // the JDK's own concatenated-member reader agrees byte-for-byte
+    val jdk = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(cc)).readAllBytes()
+    assert(jdk.toSeq === Warc.writeRecords(in).toSeq)
+  }
+
+  test("multi-member edges: trailing garbage, truncated/corrupt second member → None") {
+    val codec = new Warc.GzipCodec
+    val two = Warc.gzipPerRecord(Seq(rec(0), rec(1)), codec)
+    assert(Warc.parseRecords(two, Some(codec)).map(_.length) === Some(2))
+    // trailing garbage after the last member's trailer: reject, never
+    // silently drop (the contract the round-11 single-member reader broke)
+    assert(codec.gunzip(two ++ "garbage".getBytes("US-ASCII")) === None)
+    assert(Warc.parseRecords(two ++ Array[Byte](0, 1, 2), Some(codec)) === None)
+    // cutting EXACTLY at the first member's trailer is a complete
+    // one-member stream — that reads as record 0 alone (a reader cannot
+    // know about members that were never appended)...
+    val m0len = codec.gzip(Warc.writeRecords(Seq(rec(0)))).length
+    assert(Warc.parseRecords(two.take(m0len), Some(codec)).map(_.length) === Some(1))
+    // ...but a PARTIAL second member → None, never a throw or a partial
+    for (n <- (m0len + 1) until two.length by 3)
+      assert(Warc.parseRecords(two.take(n), Some(codec)) === None)
+    // corrupt second member's trailer CRC → None (not first-member-only)
+    val bad = two.clone(); bad(two.length - 5) = (bad(two.length - 5) ^ 0x7f).toByte
+    assert(codec.gunzip(bad) === None)
+  }
+
+  test("optional RFC 1952 header fields (FNAME/FEXTRA/FHCRC) decode; reserved FLG bits reject") {
+    val codec = new Warc.GzipCodec
+    val payload = "record bytes behind an annotated header".getBytes("UTF-8")
+    val plain = codec.gzip(payload)
+    def withHeader(flg: Int, extra: Array[Byte]): Array[Byte] =
+      plain.take(3) ++ Array(flg.toByte) ++ plain.slice(4, 10) ++ extra ++ plain.drop(10)
+    // FNAME: zero-terminated file name after the fixed header
+    val named = withHeader(8, "segment-00001.warc".getBytes("US-ASCII") :+ 0.toByte)
+    assert(codec.gunzip(named).map(_.toSeq) === Some(payload.toSeq))
+    // FEXTRA: le16 length + payload
+    val fx = Array[Byte](4, 0, 'e', 'x', 't', 'r')
+    assert(codec.gunzip(withHeader(4, fx)).map(_.toSeq) === Some(payload.toSeq))
+    // FHCRC: two header-CRC bytes (value unchecked, correctly skipped)
+    assert(codec.gunzip(withHeader(2, Array[Byte](0x12, 0x34))).map(_.toSeq)
+      === Some(payload.toSeq))
+    // a named member CONCATENATED with a plain member still reads fully
+    assert(codec.gunzip(named ++ plain).map(_.toSeq) === Some((payload ++ payload).toSeq))
+    // reserved FLG bits (0xE0) must reject per RFC 1952 §2.3.1
+    assert(codec.gunzip(withHeader(0x80, Array.empty)) === None)
+  }
+
   test("malformed streams are rejected as None, never a throw") {
     val good = Warc.writeRecords(Seq(rec(0)))
     // bad version line
