@@ -81,6 +81,75 @@ object UrlFunctions {
     isDefaultPort(scheme(noFrag), explicitPort(noFrag))
   }
 
+  /** Registrable domain (eTLD+1) of `host` under a public-suffix rule
+    * set — the crawl primitive that groups `a.cdn.site.co.uk` and
+    * `www.site.co.uk` into ONE site for politeness budgets, dedup keys
+    * and per-site quotas. Implements the published publicsuffix.org
+    * algorithm over a caller-supplied bounded rule sample: `exact`
+    * suffix rules, `wildcard` PARENTS (a rule `*.ck` is passed as
+    * "ck": any single label + ".ck" is a public suffix), and
+    * `exception` rules (passed as the full rule host, e.g. "www.ck" —
+    * its public suffix is the rule minus the leftmost label, beating
+    * every other match). Longest (most-label) match wins; no match
+    * falls back to the implicit `*` rule (the bare TLD). A host that
+    * IS a public suffix has no registrable domain → null.
+    *
+    * Pure Column composition: `split`/`slice`/`array_join` build the
+    * candidate label-suffixes per row (≤ label count, tiny),
+    * `filter`/`transform`/`array_max` run the match — native HOF
+    * expressions against BROADCAST-LITERAL rule arrays, zero UDF, zero
+    * join, zero shuffle at any corpus size.
+    */
+  def registrableDomain(host: Column, exact: Seq[String],
+      wildcard: Seq[String], exception: Seq[String]): Column = {
+    val labels = split(host, "\\.")
+    val nL = size(labels)
+    def suffixAt(i: Column): Column = array_join(slice(labels, i, nL - i + 1), ".")
+    def litArr(xs: Seq[String]): Column =
+      if (xs.isEmpty) array().cast("array<string>") else array(xs.map(lit): _*)
+    val exArr = litArr(exact)
+    val wcArr = litArr(wildcard)
+    val xcArr = litArr(exception)
+    val idxs = sequence(lit(1), nL)
+    // exception rule: public suffix = the rule minus its leftmost label
+    val excPs = array_max(transform(
+      filter(idxs, i => array_contains(xcArr, suffixAt(i))), i => nL - i))
+    val exactPs = array_max(transform(
+      filter(idxs, i => array_contains(exArr, suffixAt(i))), i => nL - i + 1))
+    // a wildcard parent one position to the right makes labels[i..] public
+    // guard i < nL explicitly: sequence(1, nL - 1) DESCENDS for nL = 1
+    val wcPs = array_max(transform(
+      filter(idxs, i => i < nL && array_contains(wcArr, suffixAt(i + 1))),
+      i => nL - i + 1))
+    val ps = coalesce(excPs,
+      greatest(coalesce(exactPs, lit(1)), coalesce(wcPs, lit(1))))
+    when(nL > ps, array_join(slice(labels, nL - ps, ps + 1), "."))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** Public-suffix label count under the same rule set — the `ps`
+    * [[registrableDomain]] derives, exposed for auditing.
+    */
+  def publicSuffixLabels(host: Column, exact: Seq[String],
+      wildcard: Seq[String], exception: Seq[String]): Column = {
+    val labels = split(host, "\\.")
+    val nL = size(labels)
+    def suffixAt(i: Column): Column = array_join(slice(labels, i, nL - i + 1), ".")
+    def litArr(xs: Seq[String]): Column =
+      if (xs.isEmpty) array().cast("array<string>") else array(xs.map(lit): _*)
+    val excPs = array_max(transform(
+      filter(sequence(lit(1), nL), i => array_contains(litArr(exception), suffixAt(i))),
+      i => nL - i))
+    val exactPs = array_max(transform(
+      filter(sequence(lit(1), nL), i => array_contains(litArr(exact), suffixAt(i))),
+      i => nL - i + 1))
+    val wcPs = array_max(transform(
+      filter(sequence(lit(1), nL),
+        i => i < nL && array_contains(litArr(wildcard), suffixAt(i + 1))),
+      i => nL - i + 1))
+    coalesce(excPs, greatest(coalesce(exactPs, lit(1)), coalesce(wcPs, lit(1))))
+  }
+
   /** Query-parameter count of `url` (0 when no query, INCLUDING the
     * bare-`?` empty query real crawl URLs carry).
     */

@@ -66,6 +66,43 @@ object Robots {
     */
   def disallowPrefixes(text: String): Seq[String] = ruleGroups(text)._2
 
+  /** `Crawl-delay` (seconds) binding to the wildcard group — the
+    * de-facto politeness extension (not in RFC 9309, honored by most
+    * crawlers; Google ignores it, Bing/Yandex apply it). First valid
+    * wildcard-group value wins; absent/garbled → None. Same group
+    * grammar as [[ruleGroups]].
+    */
+  def crawlDelay(text: String): Option[Long] = {
+    var agents = Set.empty[String]
+    var inAgentRun = false
+    var found: Option[Long] = None
+    text.split("\n", -1).foreach { raw =>
+      val line = {
+        val hash = raw.indexOf('#')
+        (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      }
+      if (line.nonEmpty) {
+        val sep = line.indexOf(':')
+        if (sep > 0) {
+          val directive = line.substring(0, sep).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(sep + 1).trim
+          directive match {
+            case "user-agent" =>
+              agents = (if (inAgentRun) agents else Set.empty[String]) +
+                value.toLowerCase(java.util.Locale.ROOT)
+              inAgentRun = true
+            case "crawl-delay" =>
+              inAgentRun = false
+              if (found.isEmpty && agents.contains("*"))
+                found = value.toLongOption.filter(_ >= 0)
+            case _ => inAgentRun = false
+          }
+        }
+      }
+    }
+    found
+  }
+
   /** RFC 9309 §2.2.3 pattern match: does `pattern` match `path`?
     * `*` matches any (possibly empty) run of characters; a FINAL `$`
     * anchors the match to the end of the path; everything else matches

@@ -294,6 +294,19 @@ class PlanSpec extends AnyFunSuite {
       s"only the cosmetic sort may exchange:\n$p")
   }
 
+  test("x_fetch_schedule: broadcast delay table, ONE per-host window shuffle") {
+    // politeness is inherently per-host sequential: the only hash
+    // exchange allowed is the host-partitioned rank window (hosts
+    // parallelize across the cluster); the 50-row delay table must
+    // broadcast, and the cosmetic sort adds the single range exchange
+    val p = plan("x_fetch_schedule")
+    assert(p.contains("BroadcastHashJoin"), s"delay table must broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the per-host window may hash-shuffle:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      s"only the cosmetic sort may range-shuffle:\n$p")
+  }
+
   test("x_audio_onset combines block energies map-side before its one shuffle") {
     // per-block energy rows reduce per clip: the aggregate must be
     // partial+final (map-side combine), with one hash exchange + the sort
@@ -314,7 +327,7 @@ class PlanSpec extends AnyFunSuite {
         "x_audio_resample", "x_video_samples", "x_warc_ingest",
         "x_warc_members", "x_http_extract", "x_url_canonicalize",
         "x_sitemap_parse", "x_sitemap_index",
-        "x_html_extract", "x_charset_detect")) {
+        "x_html_extract", "x_charset_detect", "x_main_content", "x_etld1")) {
       val p = plan(name)
       val exchanges = "Exchange ".r.findAllIn(p).size
       val range = "Exchange rangepartitioning".r.findAllIn(p).size

@@ -47,6 +47,31 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(n === Seq(0, 1))
   }
 
+  test("registrableDomain: publicsuffix.org semantics over a sample rule set") {
+    val exact = Seq("com", "uk", "co.uk", "github.io", "io")
+    val wc = Seq("ck")
+    val exc = Seq("www.ck")
+    def reg(hosts: String*): Seq[(String, Int)] =
+      hosts.toDF("h").select(
+        UrlFunctions.registrableDomain(col("h"), exact, wc, exc),
+        UrlFunctions.publicSuffixLabels(col("h"), exact, wc, exc))
+        .as[(String, Int)].collect().toSeq
+    assert(reg("a.b.site.com") === Seq(("site.com", 1)))
+    // multi-label rule beats its one-label prefix rule
+    assert(reg("www.site.co.uk") === Seq(("site.co.uk", 2)))
+    // private-registry rule (github.io) beats io
+    assert(reg("me.github.io") === Seq(("me.github.io", 2)))
+    // wildcard *.ck: any single label under ck is itself a suffix
+    assert(reg("deep.site.w.ck") === Seq(("site.w.ck", 2)))
+    assert(reg("site.ck") === Seq((null, 2))) // host IS a public suffix
+    // exception !www.ck beats the wildcard
+    assert(reg("www.ck") === Seq(("www.ck", 1)))
+    assert(reg("sub.www.ck") === Seq(("www.ck", 1)))
+    // no matching rule → the implicit * (bare TLD) rule
+    assert(reg("site.example") === Seq(("site.example", 1)))
+    assert(reg("example") === Seq((null, 1))) // single label, no registrable
+  }
+
   test("flag helpers: fragment, default port, param count") {
     val row = Seq("HTTP://H.com:80/p?b=2&a=1#s").toDF("u").select(
       UrlFunctions.hasFragment(col("u")),

@@ -75,6 +75,22 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.matches("/long", "/lo"))
   }
 
+  test("crawlDelay: wildcard group only, decoy named-agent delay skipped, garbage → None") {
+    val txt =
+      """User-agent: specialbot
+        |Crawl-delay: 99
+        |
+        |User-agent: *
+        |Disallow: /private/
+        |Crawl-delay: 3 # seconds
+        |Crawl-delay: 7
+        |""".stripMargin
+    assert(Robots.crawlDelay(txt) === Some(3L)) // first wildcard value wins
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: nope\n") === None)
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: -2\n") === None)
+    assert(Robots.crawlDelay("User-agent: botA\nCrawl-delay: 5\n") === None)
+  }
+
   test("RFC 9309 §2.2.2 precedence: longest match wins, Allow wins ties, no match allows") {
     // the canonical real-site shape: blanket Disallow + carve-out
     assert(Robots.isAllowed(Seq("/public/"), Seq("/"), "/public/page"))
