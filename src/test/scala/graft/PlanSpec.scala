@@ -294,6 +294,16 @@ class PlanSpec extends AnyFunSuite {
       s"only the cosmetic sort may exchange:\n$p")
   }
 
+  test("x_redirect_resolve: each doubling round is one plan deep (corpus read once)") {
+    // the self-join rounds are checkpointed: an unbroken lineage would
+    // re-derive the scan 2^rounds times. The FINAL plan must hang off
+    // the last checkpoint, never re-reading documents.parquet
+    val p = plan("x_redirect_resolve")
+    assert(!p.contains("documents.parquet"),
+      s"final round must read the checkpoint, not re-scan the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"doubling must stay an equi-join:\n$p")
+  }
+
   test("x_fetch_schedule: broadcast delay table, ONE per-host window shuffle") {
     // politeness is inherently per-host sequential: the only hash
     // exchange allowed is the host-partitioned rank window (hosts
@@ -327,7 +337,8 @@ class PlanSpec extends AnyFunSuite {
         "x_audio_resample", "x_video_samples", "x_warc_ingest",
         "x_warc_members", "x_http_extract", "x_url_canonicalize",
         "x_sitemap_parse", "x_sitemap_index",
-        "x_html_extract", "x_charset_detect", "x_main_content", "x_etld1")) {
+        "x_html_extract", "x_charset_detect", "x_main_content", "x_etld1",
+        "x_jsonld_extract")) {
       val p = plan(name)
       val exchanges = "Exchange ".r.findAllIn(p).size
       val range = "Exchange rangepartitioning".r.findAllIn(p).size

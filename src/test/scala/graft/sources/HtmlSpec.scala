@@ -54,6 +54,17 @@ class HtmlSpec extends AnyFunSuite {
     assert(e.nLinks === 1)
   }
 
+  test("scriptBlocks pulls typed script content; decoys and visible text stay out") {
+    val html = "<head><script>var fake = '<script type=\"application/ld+json\">';</script>" +
+      "<script type=\"application/ld+json\">{\"a\":1}</script>" +
+      "<SCRIPT TYPE=\"APPLICATION/LD+JSON\">{\"b\":2}</SCRIPT></head><p>text</p>"
+    assert(Html.scriptBlocks(html, "ld+json") === Seq("{\"a\":1}", "{\"b\":2}"))
+    // untyped scripts don't match; the blocks never leak into visible text
+    assert(Html.scriptBlocks(html, "ld+json").forall(b => !Html.extract(html).text.contains(b)))
+    assert(Html.scriptBlocks("<script type='x'>unterminated", "x") === Seq())
+    assert(Html.scriptBlocks("<p>no scripts at all</p>", "ld+json") === Seq())
+  }
+
   test("bare '<' in prose is literal text, not a tag opener") {
     assert(Html.extract("<p>a < b and x <= y</p>").text === "a < b and x <= y")
     // an unterminated REAL tag still drops the tail (it never closes)…
