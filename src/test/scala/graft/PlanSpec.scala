@@ -294,6 +294,19 @@ class PlanSpec extends AnyFunSuite {
       s"only the cosmetic sort may exchange:\n$p")
   }
 
+  test("x_link_graph combines edges map-side: one hash shuffle + the cosmetic sort") {
+    // outlink extraction and canonicalization fuse into the scan; the
+    // only data movement is the site->site edge aggregate (partial+
+    // final) — at corpus scale the shuffle carries EDGE GROUPS, not
+    // pages
+    val p = plan("x_link_graph")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"edge aggregate must be partial+final:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1
+        && "Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      s"expected one hash + one range exchange:\n$p")
+  }
+
   test("x_redirect_resolve: each doubling round is one plan deep (corpus read once)") {
     // the self-join rounds are checkpointed: an unbroken lineage would
     // re-derive the scan 2^rounds times. The FINAL plan must hang off

@@ -65,6 +65,20 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.scriptBlocks("<p>no scripts at all</p>", "ld+json") === Seq())
   }
 
+  test("linkHrefs pulls real anchor hrefs only: quoted/bare values, decoys and no-href skipped") {
+    val html = "<body><a href=\"/x\">one</a> <A HREF='/y'>two</A> " +
+      "<a class=\"btn\" href = /bare >three</a> " +
+      "<a name=\"no-href\">four</a> " +
+      "<a data-href=\"/not-an-href\">five</a> " +
+      "<script>var s = '<a href=\"/decoy\">';</script>" +
+      "<!-- <a href=\"/commented\">gone</a> --></body>"
+    assert(Html.linkHrefs(html) === Seq("/x", "/y", "/bare"))
+    // a quoted '>' inside the href must not end the tag
+    assert(Html.linkHrefs("<a href=\"/q?a>b\">x</a>") === Seq("/q?a>b"))
+    // unterminated tag yields what was complete, never a throw
+    assert(Html.linkHrefs("<a href=\"/ok\">x</a><a href=\"/trunc") === Seq("/ok"))
+  }
+
   test("bare '<' in prose is literal text, not a tag opener") {
     assert(Html.extract("<p>a < b and x <= y</p>").text === "a < b and x <= y")
     // an unterminated REAL tag still drops the tail (it never closes)…
