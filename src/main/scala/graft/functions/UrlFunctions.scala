@@ -57,16 +57,27 @@ object UrlFunctions {
     val pathQ = pathQuery(noFrag)
     val path = substring_index(pathQ, "?", 1)
     val q = when(instr(pathQ, "?") > 0, substring_index(pathQ, "?", -1)).otherwise(lit(""))
-    // dot-segment resolution: drop /./ then collapse one /seg/../ level;
-    // applied twice so two stacked levels still resolve (crawl URLs
-    // beyond that depth are pathological — canonicalize what's real).
-    // TRAILING dot-segments (".../." and ".../seg/..", no slash after)
-    // resolve to the directory per RFC 3986 §5.2.4 remove_dot_segments.
-    def resolveOnce(p: Column): Column =
-      regexp_replace(regexp_replace(p, "/\\./", "/"), "/[^/.][^/]*/\\.\\./", "/")
-    def resolveTrailing(p: Column): Column =
-      regexp_replace(regexp_replace(p, "/[^/.][^/]*/\\.\\.$", "/"), "/\\.$", "/")
-    val resolved = resolveTrailing(resolveOnce(resolveOnce(path)))
+    // FULL RFC 3986 §5.2.4 remove_dot_segments as a native HOF fold —
+    // exact at ANY nesting depth (a fixed regex pass caps out; a crawl
+    // URL can stack arbitrarily) and therefore idempotent, which the
+    // property battery pins. Segment walk: "." drops; ".." pops (a
+    // no-op at root, per the RFC); anything else — including empty
+    // segments from "//" — pushes. A trailing "." or ".." resolves to
+    // the DIRECTORY: appending "/" first makes it an inner segment and
+    // the empty tail segment carries the trailing slash through.
+    val resolved = {
+      val p2 = when(path.rlike("/\\.\\.?$"), concat(path, lit("/"))).otherwise(path)
+      val segs = split(p2, "/")
+      val folded = aggregate(
+        slice(segs, lit(2), greatest(size(segs) - 1, lit(0))), // drop the pre-root ""
+        array().cast("array<string>"),
+        (acc, seg) =>
+          when(seg === ".", acc)
+            .when(seg === "..", slice(acc, lit(1), greatest(size(acc) - 1, lit(0))))
+            .otherwise(concat(acc, array(seg))))
+      when(path === "", lit("")) // host-only URL: no path to normalize
+        .otherwise(concat(lit("/"), array_join(folded, "/")))
+    }
     val sortedQ = when(q === "", lit(""))
       .otherwise(concat(lit("?"), array_join(array_sort(split(q, "&")), "&")))
     concat(sch, lit("://"), host, portPart, resolved, sortedQ)
