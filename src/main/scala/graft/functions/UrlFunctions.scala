@@ -115,6 +115,26 @@ object UrlFunctions {
       wildcard: Seq[String], exception: Seq[String]): Column = {
     val labels = split(host, "\\.")
     val nL = size(labels)
+    val ps = psLabels(labels, nL, exact, wildcard, exception)
+    when(nL > ps, array_join(slice(labels, nL - ps, ps + 1), "."))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** Public-suffix label count under the same rule set — the `ps`
+    * [[registrableDomain]] derives, exposed for auditing.
+    */
+  def publicSuffixLabels(host: Column, exact: Seq[String],
+      wildcard: Seq[String], exception: Seq[String]): Column = {
+    val labels = split(host, "\\.")
+    psLabels(labels, size(labels), exact, wildcard, exception)
+  }
+
+  /** The public-suffix label count of a split host — the single rule
+    * evaluation both [[registrableDomain]] and [[publicSuffixLabels]]
+    * build on, so a rule-semantics change can never drift the two.
+    */
+  private def psLabels(labels: Column, nL: Column, exact: Seq[String],
+      wildcard: Seq[String], exception: Seq[String]): Column = {
     def suffixAt(i: Column): Column = array_join(slice(labels, i, nL - i + 1), ".")
     def litArr(xs: Seq[String]): Column =
       if (xs.isEmpty) array().cast("array<string>") else array(xs.map(lit): _*)
@@ -131,32 +151,6 @@ object UrlFunctions {
     // guard i < nL explicitly: sequence(1, nL - 1) DESCENDS for nL = 1
     val wcPs = array_max(transform(
       filter(idxs, i => i < nL && array_contains(wcArr, suffixAt(i + 1))),
-      i => nL - i + 1))
-    val ps = coalesce(excPs,
-      greatest(coalesce(exactPs, lit(1)), coalesce(wcPs, lit(1))))
-    when(nL > ps, array_join(slice(labels, nL - ps, ps + 1), "."))
-      .otherwise(lit(null).cast("string"))
-  }
-
-  /** Public-suffix label count under the same rule set — the `ps`
-    * [[registrableDomain]] derives, exposed for auditing.
-    */
-  def publicSuffixLabels(host: Column, exact: Seq[String],
-      wildcard: Seq[String], exception: Seq[String]): Column = {
-    val labels = split(host, "\\.")
-    val nL = size(labels)
-    def suffixAt(i: Column): Column = array_join(slice(labels, i, nL - i + 1), ".")
-    def litArr(xs: Seq[String]): Column =
-      if (xs.isEmpty) array().cast("array<string>") else array(xs.map(lit): _*)
-    val excPs = array_max(transform(
-      filter(sequence(lit(1), nL), i => array_contains(litArr(exception), suffixAt(i))),
-      i => nL - i))
-    val exactPs = array_max(transform(
-      filter(sequence(lit(1), nL), i => array_contains(litArr(exact), suffixAt(i))),
-      i => nL - i + 1))
-    val wcPs = array_max(transform(
-      filter(sequence(lit(1), nL),
-        i => i < nL && array_contains(litArr(wildcard), suffixAt(i + 1))),
       i => nL - i + 1))
     coalesce(excPs, greatest(coalesce(exactPs, lit(1)), coalesce(wcPs, lit(1))))
   }

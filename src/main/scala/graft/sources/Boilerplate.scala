@@ -49,108 +49,55 @@ object Boilerplate {
 
   private val ChromeTags = Set("nav", "footer", "aside", "header")
 
-  /** Segment `html` into its non-empty text blocks, document order. */
+  /** Segment `html` into its non-empty text blocks, document order.
+    * Drives [[Html.scanTags]] — the one shared tokenizer — so this
+    * extractor can never disagree with [[Html.extract]] /
+    * [[Html.linkHrefs]] about what text exists.
+    */
   def blocks(html: String): Seq[Block] = {
     val out = scala.collection.mutable.ArrayBuffer[Block]()
-    val text = new StringBuilder
+    val bodyText = new StringBuilder
     val anchorText = new StringBuilder
     var chromeDepth = 0
     var anchorDepth = 0
     var inTitle = false
-    val n = html.length
     def words(sb: StringBuilder): Array[String] =
       sb.toString.split("\\s+").filter(_.nonEmpty)
     def flush(): Unit = {
-      val w = words(text)
+      val w = words(bodyText)
       if (w.nonEmpty)
         out += Block(out.length, chromeDepth > 0, w.mkString(" "),
           w.length, words(anchorText).length)
-      text.clear(); anchorText.clear()
+      bodyText.clear(); anchorText.clear()
     }
-    def lowerAt(s: String, from: Int): Boolean =
-      from + s.length <= n && html.regionMatches(true, from, s, 0, s.length)
-    def tagEndQuoted(from: Int): Int = {
-      var j = from + 1
-      var quote = ' '
-      while (j < n) {
-        val cj = html.charAt(j)
-        if (quote != ' ') { if (cj == quote) quote = ' ' }
-        else if (cj == '"' || cj == '\'') quote = cj
-        else if (cj == '>') return j
-        j += 1
+    def onTag(name: String, closing: Boolean): Unit = {
+      if (name == "title") inTitle = !closing
+      else if (name == "a") {
+        if (closing) { if (anchorDepth > 0) anchorDepth -= 1 }
+        else anchorDepth += 1
       }
-      -1
-    }
-    def append(s: String): Unit = if (!inTitle) {
-      text.append(s)
-      if (anchorDepth > 0) anchorText.append(s)
-    }
-    var i = 0
-    while (i < n) {
-      val c = html.charAt(i)
-      val nc = if (i + 1 < n) html.charAt(i + 1) else ' '
-      if (c == '<' && !(nc.isLetter || nc == '/' || nc == '!' || nc == '?')) {
-        append(c.toString); i += 1
-      } else if (c == '<') {
-        if (lowerAt("<!--", i)) {
-          val end = html.indexOf("-->", i + 4)
-          i = if (end < 0) n else end + 3
-        } else if (lowerAt("<script", i) || lowerAt("<style", i)) {
-          val tag = if (lowerAt("<script", i)) "script" else "style"
-          val close = s"</$tag"
-          var j = tagEndQuoted(i)
-          if (j < 0) { i = n }
-          else {
-            var k = j + 1
-            var end = -1
-            while (end < 0 && k < n) {
-              if (html.charAt(k) == '<' && lowerAt(close, k)) end = k
-              k += 1
-            }
-            i = if (end < 0) n else math.max(html.indexOf('>', end) + 1, end + close.length)
-          }
-        } else {
-          val tagEnd = tagEndQuoted(i)
-          if (tagEnd < 0) { i = n }
-          else {
-            val inner = html.substring(i + 1, tagEnd)
-            val closing = inner.startsWith("/")
-            val name = (if (closing) inner.drop(1) else inner)
-              .takeWhile(_.isLetterOrDigit).toLowerCase(java.util.Locale.ROOT)
-            if (name == "title") inTitle = !closing
-            else if (name == "a") {
-              if (closing) { if (anchorDepth > 0) anchorDepth -= 1 }
-              else anchorDepth += 1
-            }
-            if (BlockTags.contains(name)) {
-              // a block boundary on BOTH open and close: whatever text
-              // accumulated belongs to the block that just ended
-              flush()
-              if (ChromeTags.contains(name)) {
-                if (closing) { if (chromeDepth > 0) chromeDepth -= 1 }
-                else chromeDepth += 1
-              }
-            } else if (!inTitle) {
-              // inline tags are word separators, same as Html.extract
-              text.append(' ')
-              if (anchorDepth > 0) anchorText.append(' ')
-            }
-            i = tagEnd + 1
-          }
+      if (BlockTags.contains(name)) {
+        // a block boundary on BOTH open and close: whatever text
+        // accumulated belongs to the block that just ended
+        flush()
+        if (ChromeTags.contains(name)) {
+          if (closing) { if (chromeDepth > 0) chromeDepth -= 1 }
+          else chromeDepth += 1
         }
-      } else if (c == '&') {
-        val semi = html.indexOf(';', i)
-        val decoded =
-          if (semi > i && semi - i <= 10) Html.decodeRef(html.substring(i + 1, semi))
-          else None
-        decoded match {
-          case Some(rep) => append(rep); i = semi + 1
-          case None => append(c.toString); i += 1
-        }
-      } else {
-        append(c.toString); i += 1
+      } else if (!inTitle) {
+        // inline tags are word separators, same as Html.extract
+        bodyText.append(' ')
+        if (anchorDepth > 0) anchorText.append(' ')
       }
     }
+    Html.scanTags(html, new Html.ScanHandler {
+      def text(s: String): Unit = if (!inTitle) {
+        bodyText.append(s)
+        if (anchorDepth > 0) anchorText.append(s)
+      }
+      def open(name: String, inner: String): Unit = onTag(name, closing = false)
+      def close(name: String): Unit = onTag(name, closing = true)
+    })
     flush()
     out.toSeq
   }

@@ -22,6 +22,106 @@ object Html {
 
   final case class Extracted(title: String, text: String, nLinks: Int)
 
+  /** Event sink for [[scanTags]] — the ONE tag/entity scanner all three
+    * extractors ([[extract]], [[linkHrefs]], [[Boilerplate.blocks]])
+    * drive, so a tokenizer-rule change (comment handling, quoted `>`,
+    * entity decoding, bare `<`) can never diverge them.
+    */
+  private[sources] trait ScanHandler {
+    /** Literal text run, a decoded entity, or a bare `<`/`&`. */
+    def text(s: String): Unit
+    /** A non-closing tag: `name` lowercased, `inner` the raw text
+      * between `<` and the quote-aware `>` (name + attributes).
+      */
+    def open(name: String, inner: String): Unit
+    /** A closing tag, `name` lowercased. */
+    def close(name: String): Unit
+  }
+
+  /** Single-pass HTML tokenizer (no DOM, no regex): comments skipped,
+    * `<script>`/`<style>` CONTENT dropped entirely, `>` inside quoted
+    * attribute values does not end a tag, a bare `<` in prose is
+    * literal text (HTML5 less-than-sign rule), the six named entities
+    * and numeric references decoded. Unterminated constructs stop the
+    * scan (events emitted so far stand). Emits events to `h`.
+    */
+  private[sources] def scanTags(html: String, h: ScanHandler): Unit = {
+    val n = html.length
+    def lowerAt(s: String, from: Int): Boolean =
+      from + s.length <= n && html.regionMatches(true, from, s, 0, s.length)
+    // position of the '>' ending the tag opened at `from`, honoring
+    // quoted attribute values; -1 when the tag never closes
+    def tagEndQuoted(from: Int): Int = {
+      var j = from + 1
+      var quote = ' '
+      while (j < n) {
+        val cj = html.charAt(j)
+        if (quote != ' ') { if (cj == quote) quote = ' ' }
+        else if (cj == '"' || cj == '\'') quote = cj
+        else if (cj == '>') return j
+        j += 1
+      }
+      -1
+    }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      val nc = if (i + 1 < n) html.charAt(i + 1) else ' '
+      if (c == '<' && !(nc.isLetter || nc == '/' || nc == '!' || nc == '?')) {
+        // HTML5 tokenizer rule: '<' not opening a tag is literal text
+        h.text("<"); i += 1
+      } else if (c == '<') {
+        if (lowerAt("<!--", i)) { // comment: skip to -->
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (lowerAt("<script", i) || lowerAt("<style", i)) {
+          val tag = if (lowerAt("<script", i)) "script" else "style"
+          val closeTag = s"</$tag"
+          val j = tagEndQuoted(i)
+          if (j < 0) { i = n }
+          else {
+            // find the matching close tag case-insensitively
+            var k = j + 1
+            var end = -1
+            while (end < 0 && k < n) {
+              if (html.charAt(k) == '<' && lowerAt(closeTag, k)) end = k
+              k += 1
+            }
+            i = if (end < 0) n
+                else math.max(html.indexOf('>', end) + 1, end + closeTag.length)
+          }
+        } else {
+          val tagEnd = tagEndQuoted(i)
+          if (tagEnd < 0) { i = n }
+          else {
+            val inner = html.substring(i + 1, tagEnd)
+            if (inner.startsWith("/"))
+              h.close(inner.drop(1).takeWhile(_.isLetterOrDigit)
+                .toLowerCase(java.util.Locale.ROOT))
+            else
+              h.open(inner.takeWhile(_.isLetterOrDigit)
+                .toLowerCase(java.util.Locale.ROOT), inner)
+            i = tagEnd + 1
+          }
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i)
+        val decoded =
+          if (semi > i && semi - i <= 10) decodeRef(html.substring(i + 1, semi)) else None
+        decoded match {
+          case Some(rep) => h.text(rep); i = semi + 1
+          case None => h.text("&"); i += 1
+        }
+      } else {
+        // plain text: emit the whole run to the next special char at once
+        var j = i + 1
+        while (j < n && html.charAt(j) != '<' && html.charAt(j) != '&') j += 1
+        h.text(html.substring(i, j))
+        i = j
+      }
+    }
+  }
+
   private def entity(name: String): Option[String] = name match {
     case "amp" => Some("&")
     case "lt" => Some("<")
@@ -95,29 +195,37 @@ object Html {
   /** `href` attribute value inside an anchor tag's attribute text, or
     * None: `href`, optional whitespace, `=`, optional whitespace, then
     * a quoted or bare value. The attribute name must follow whitespace
-    * (so `data-href=` does not match).
+    * (so `data-href=` does not match), and the scan is quote-aware:
+    * `href=` appearing INSIDE another attribute's quoted value (e.g.
+    * `<a title="see href='x'" href="/real">`) is skipped over, not
+    * mistaken for the attribute.
     */
   private def hrefIn(inner: String): Option[String] = {
-    val lower = inner.toLowerCase(java.util.Locale.ROOT)
-    var i = lower.indexOf("href")
-    while (i >= 0) {
-      val before = if (i == 0) 'x' else lower.charAt(i - 1)
-      var j = i + 4
-      while (j < inner.length && inner.charAt(j).isWhitespace) j += 1
-      if (before.isWhitespace && j < inner.length && inner.charAt(j) == '=') {
-        j += 1
-        while (j < inner.length && inner.charAt(j).isWhitespace) j += 1
-        if (j < inner.length && (inner.charAt(j) == '"' || inner.charAt(j) == '\'')) {
-          val q = inner.charAt(j)
-          val end = inner.indexOf(q, j + 1)
-          return Some(if (end < 0) inner.substring(j + 1) else inner.substring(j + 1, end))
-        } else {
-          var end = j
-          while (end < inner.length && !inner.charAt(end).isWhitespace) end += 1
-          return Some(inner.substring(j, end))
-        }
-      }
-      i = lower.indexOf("href", i + 4)
+    val n = inner.length
+    var i = 0
+    var quote = ' '
+    while (i < n) {
+      val c = inner.charAt(i)
+      if (quote != ' ') { if (c == quote) quote = ' '; i += 1 }
+      else if (c == '"' || c == '\'') { quote = c; i += 1 }
+      else if ((c == 'h' || c == 'H') && inner.regionMatches(true, i, "href", 0, 4) &&
+               i > 0 && inner.charAt(i - 1).isWhitespace) {
+        var j = i + 4
+        while (j < n && inner.charAt(j).isWhitespace) j += 1
+        if (j < n && inner.charAt(j) == '=') {
+          j += 1
+          while (j < n && inner.charAt(j).isWhitespace) j += 1
+          if (j < n && (inner.charAt(j) == '"' || inner.charAt(j) == '\'')) {
+            val q = inner.charAt(j)
+            val end = inner.indexOf(q, j + 1)
+            return Some(if (end < 0) inner.substring(j + 1) else inner.substring(j + 1, end))
+          } else {
+            var end = j
+            while (end < n && !inner.charAt(end).isWhitespace) end += 1
+            return Some(inner.substring(j, end))
+          }
+        } else i += 4
+      } else i += 1
     }
     None
   }
@@ -132,52 +240,12 @@ object Html {
     */
   def linkHrefs(html: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    val n = html.length
-    def lowerAt(s: String, from: Int): Boolean =
-      from + s.length <= n && html.regionMatches(true, from, s, 0, s.length)
-    def tagEndQuoted(from: Int): Int = {
-      var j = from + 1
-      var quote = ' '
-      while (j < n) {
-        val cj = html.charAt(j)
-        if (quote != ' ') { if (cj == quote) quote = ' ' }
-        else if (cj == '"' || cj == '\'') quote = cj
-        else if (cj == '>') return j
-        j += 1
-      }
-      -1
-    }
-    var i = 0
-    while (i < n) {
-      val c = html.charAt(i)
-      val nc = if (i + 1 < n) html.charAt(i + 1) else ' '
-      if (c == '<' && (nc.isLetter || nc == '/' || nc == '!' || nc == '?')) {
-        if (lowerAt("<!--", i)) {
-          val end = html.indexOf("-->", i + 4)
-          i = if (end < 0) n else end + 3
-        } else if (lowerAt("<script", i) || lowerAt("<style", i)) {
-          val tag = if (lowerAt("<script", i)) "script" else "style"
-          val close = s"</$tag"
-          val j = tagEndQuoted(i)
-          if (j < 0) return out.toSeq
-          var k = j + 1
-          var end = -1
-          while (end < 0 && k < n) {
-            if (html.charAt(k) == '<' && lowerAt(close, k)) end = k
-            k += 1
-          }
-          if (end < 0) return out.toSeq
-          i = math.max(html.indexOf('>', end) + 1, end + close.length)
-        } else {
-          val tagEnd = tagEndQuoted(i)
-          if (tagEnd < 0) return out.toSeq
-          val inner = html.substring(i + 1, tagEnd)
-          val name = inner.takeWhile(_.isLetterOrDigit).toLowerCase(java.util.Locale.ROOT)
-          if (name == "a" && !inner.startsWith("/")) hrefIn(inner).foreach(out += _)
-          i = tagEnd + 1
-        }
-      } else i += 1
-    }
+    scanTags(html, new ScanHandler {
+      def text(s: String): Unit = ()
+      def open(name: String, inner: String): Unit =
+        if (name == "a") hrefIn(inner).foreach(out += _)
+      def close(name: String): Unit = ()
+    })
     out.toSeq
   }
 
@@ -186,92 +254,25 @@ object Html {
     * the `<a>` tag count.
     */
   def extract(html: String): Extracted = {
-    val text = new StringBuilder
+    val body = new StringBuilder
     val title = new StringBuilder
     var nLinks = 0
-    var i = 0
     var inTitle = false
-    val n = html.length
-    def lowerAt(s: String, from: Int): Boolean =
-      from + s.length <= n && html.regionMatches(true, from, s, 0, s.length)
-    // position of the '>' ending the tag opened at `from`, honoring
-    // quoted attribute values; -1 when the tag never closes
-    def tagEndQuoted(from: Int): Int = {
-      var j = from + 1
-      var quote = ' '
-      while (j < n) {
-        val cj = html.charAt(j)
-        if (quote != ' ') { if (cj == quote) quote = ' ' }
-        else if (cj == '"' || cj == '\'') quote = cj
-        else if (cj == '>') return j
-        j += 1
+    scanTags(html, new ScanHandler {
+      def text(s: String): Unit = (if (inTitle) title else body).append(s)
+      def open(name: String, inner: String): Unit = {
+        if (name == "a") nLinks += 1
+        if (name == "title") inTitle = true
+        // tags are word separators in visible text
+        if (!inTitle) body.append(' ')
       }
-      -1
-    }
-    while (i < n) {
-      val c = html.charAt(i)
-      val nc = if (i + 1 < n) html.charAt(i + 1) else ' '
-      if (c == '<' && !(nc.isLetter || nc == '/' || nc == '!' || nc == '?')) {
-        // HTML5 tokenizer rule: '<' not opening a tag is literal text
-        (if (inTitle) title else text).append(c)
-        i += 1
-      } else if (c == '<') {
-        if (lowerAt("<!--", i)) { // comment: skip to -->
-          val end = html.indexOf("-->", i + 4)
-          i = if (end < 0) n else end + 3
-        } else if (lowerAt("<script", i) || lowerAt("<style", i)) {
-          val tag = if (lowerAt("<script", i)) "script" else "style"
-          val close = s"</$tag"
-          var j = tagEndQuoted(i)
-          if (j < 0) { i = n }
-          else {
-            // find the matching close tag case-insensitively
-            var k = j + 1
-            var end = -1
-            while (end < 0 && k < n) {
-              if (html.charAt(k) == '<' && lowerAt(close, k)) end = k
-              k += 1
-            }
-            i = if (end < 0) n else math.max(html.indexOf('>', end) + 1, end + close.length)
-          }
-        } else {
-          // a normal tag: read its name, then skip to its quote-aware '>'
-          val tagEnd = tagEndQuoted(i)
-          if (tagEnd < 0) { i = n }
-          else {
-            val inner = html.substring(i + 1, tagEnd)
-            val name = inner.takeWhile(ch => ch.isLetterOrDigit).toLowerCase(java.util.Locale.ROOT)
-            val closing = inner.startsWith("/")
-            val closeName =
-              if (closing) inner.drop(1).takeWhile(_.isLetterOrDigit).toLowerCase(java.util.Locale.ROOT)
-              else ""
-            if (name == "a") nLinks += 1
-            if (name == "title") inTitle = true
-            if (closing && closeName == "title") inTitle = false
-            // tags are word separators in visible text
-            if (!inTitle) text.append(' ')
-            i = tagEnd + 1
-          }
-        }
-      } else if (c == '&') {
-        val semi = html.indexOf(';', i)
-        val decoded =
-          if (semi > i && semi - i <= 10) decodeRef(html.substring(i + 1, semi)) else None
-        decoded match {
-          case Some(rep) =>
-            (if (inTitle) title else text).append(rep)
-            i = semi + 1
-          case None =>
-            (if (inTitle) title else text).append(c)
-            i += 1
-        }
-      } else {
-        (if (inTitle) title else text).append(c)
-        i += 1
+      def close(name: String): Unit = {
+        if (name == "title") inTitle = false
+        if (!inTitle) body.append(' ')
       }
-    }
+    })
     def normalize(sb: StringBuilder): String =
       sb.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
-    Extracted(normalize(title), normalize(text), nLinks)
+    Extracted(normalize(title), normalize(body), nLinks)
   }
 }

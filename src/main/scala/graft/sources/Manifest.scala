@@ -68,9 +68,12 @@ object Manifest {
     */
   def filesInRange(manifest: DataFrame, c: String, lo: Double, hi: Double,
       maxFiles: Int): Seq[String] = {
+    // probe one past the ceiling to detect overflow; Long-safe min so an
+    // explicit Int.MaxValue ceiling can't wrap to a negative limit
+    val probe = math.min(maxFiles.toLong + 1L, Int.MaxValue.toLong).toInt
     val kept = manifest
       .filter(col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo))
-      .select("file").limit(maxFiles + 1)
+      .select("file").limit(probe)
       .collect().map(_.getString(0)).toIndexedSeq
     if (kept.length > maxFiles)
       throw new IllegalStateException(

@@ -77,6 +77,9 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.linkHrefs("<a href=\"/q?a>b\">x</a>") === Seq("/q?a>b"))
     // unterminated tag yields what was complete, never a throw
     assert(Html.linkHrefs("<a href=\"/ok\">x</a><a href=\"/trunc") === Seq("/ok"))
+    // ' href=' INSIDE another attribute's quoted value is not the attribute
+    assert(Html.linkHrefs("<a title=\"see href='x'\" href=\"/real\">t</a>") === Seq("/real"))
+    assert(Html.linkHrefs("<a title='use href=\"/fake\"'>no real href</a>") === Seq())
   }
 
   test("bare '<' in prose is literal text, not a tag opener") {
