@@ -155,6 +155,30 @@ object UrlFunctions {
     coalesce(excPs, greatest(coalesce(exactPs, lit(1)), coalesce(wcPs, lit(1))))
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform — the published
+    * key format of OpenWayback / CommonCrawl CDX indexes) of `url`:
+    * canonicalize (see [[canonicalizeUrl]]), drop the scheme, reverse
+    * the host labels comma-joined, keep a non-default port, then `)`,
+    * then the path+query LOWERCASED (CDX keys compare
+    * case-insensitively on the path):
+    * `HTTP://News.Example.COM:80/World/X?b=2&a=1` →
+    * `com,example,news)/world/x?a=1&b=2`. Host-reversal makes one
+    * site's captures — and one registrable domain's subdomains — a
+    * CONTIGUOUS key range, which is what turns a URL predicate into a
+    * byte-range prune over a sorted index. Pure Column composition on
+    * top of the canonicalizer: zero UDF, zero shuffle.
+    */
+  def surtKey(url: Column): Column = {
+    val canon = canonicalizeUrl(url)
+    val rest = substring_index(canon, "://", -1)
+    val hp = substring_index(rest, "/", 1)
+    val host = substring_index(hp, ":", 1)
+    val port = when(instr(hp, ":") > 0,
+      concat(lit(":"), substring_index(hp, ":", -1))).otherwise(lit(""))
+    val pathQ = lower(rest.substr(length(hp) + 1, length(rest)))
+    concat(array_join(reverse(split(host, "\\.")), ","), port, lit(")"), pathQ)
+  }
+
   /** Query-parameter count of `url` (0 when no query, INCLUDING the
     * bare-`?` empty query real crawl URLs carry).
     */

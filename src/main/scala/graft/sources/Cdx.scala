@@ -1,0 +1,139 @@
+package graft.sources
+
+/** CDX-J crawl index records — the crawl-scale analog of
+  * [[Manifest]]'s min/max file pruning and of the reference's partition
+  * predicate pushdown (`data-s3-elastic-transfer.py:301-308`):
+  * CommonCrawl ships per-segment indexes mapping a SURT-sorted URL key
+  * to the exact `(filename, offset, length)` byte range of that
+  * capture's gzip member, so a fetcher answering a URL predicate reads
+  * ONLY the matching members of the matching segments — never the other
+  * 99.99% of the archive. This is the published CDXJ shape (OpenWayback
+  * / CommonCrawl cdx-toolkit): one line per capture,
+  *
+  *   `<SURT key> <14-digit timestamp> <flat JSON>`
+  *
+  * with `offset`/`length` carried as JSON STRINGS (the quirk the real
+  * index files have). The writer emits that shape; the parser walks it
+  * back strictly — a malformed line, non-digit timestamp, bad escape,
+  * non-numeric offset/length or trailing garbage rejects the WHOLE
+  * index with `None` (an index that lies about byte ranges cannot be
+  * trusted line-by-line), mirroring the `Warc.parseRecords` contract.
+  */
+object Cdx {
+
+  /** One capture: its SURT key, original URL, 14-digit timestamp and
+    * the byte range of its gzip member inside the segment file.
+    */
+  final case class Entry(surt: String, url: String, timestamp: String,
+      offset: Long, length: Long)
+
+  private def escape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Serialize `entries` as CDXJ lines (no trailing newline). */
+  def writeCdxj(entries: Seq[Entry]): String =
+    entries.map { e =>
+      s"""${e.surt} ${e.timestamp} {"url": "${escape(e.url)}", """ +
+        s""""offset": "${e.offset}", "length": "${e.length}"}"""
+    }.mkString("\n")
+
+  /** Parse a flat JSON object with STRING values only — the CDXJ field
+    * payload. Returns None on any grammar violation.
+    */
+  private def parseFlatJson(s: String): Option[Map[String, String]] = {
+    var i = 0
+    val n = s.length
+    def ws(): Unit = while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\t')) i += 1
+    def str(): Option[String] = {
+      if (i >= n || s.charAt(i) != '"') return None
+      i += 1
+      val sb = new StringBuilder
+      while (i < n && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= n) return None
+          s.charAt(i + 1) match {
+            case '"' => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case '/' => sb.append('/'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case 'u' =>
+              if (i + 6 > n) return None
+              val h = s.substring(i + 2, i + 6)
+              if (!h.forall(c2 => c2.isDigit || (c2 >= 'a' && c2 <= 'f') || (c2 >= 'A' && c2 <= 'F')))
+                return None
+              sb.append(Integer.parseInt(h, 16).toChar); i += 6
+            case _ => return None
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      if (i >= n) return None
+      i += 1 // closing quote
+      Some(sb.toString)
+    }
+    ws()
+    if (i >= n || s.charAt(i) != '{') return None
+    i += 1
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    ws()
+    if (i < n && s.charAt(i) == '}') { i += 1 }
+    else {
+      var more = true
+      while (more) {
+        ws()
+        val k = str().getOrElse(return None)
+        ws()
+        if (i >= n || s.charAt(i) != ':') return None
+        i += 1; ws()
+        val v = str().getOrElse(return None)
+        m(k) = v
+        ws()
+        if (i < n && s.charAt(i) == ',') { i += 1 }
+        else if (i < n && s.charAt(i) == '}') { i += 1; more = false }
+        else return None
+      }
+    }
+    ws()
+    if (i != n) return None // trailing garbage
+    Some(m.toMap)
+  }
+
+  /** Parse CDXJ `text` back into entries, strictly: every line must be
+    * `surt SP 14-digit-timestamp SP {json}` with url/offset/length
+    * present and numeric ranges non-negative. None on any violation.
+    */
+  def parseCdxj(text: String): Option[Seq[Entry]] = {
+    if (text.isEmpty) return Some(Seq.empty)
+    val out = scala.collection.mutable.ArrayBuffer[Entry]()
+    text.split("\n", -1).foreach { line =>
+      val sp1 = line.indexOf(' ')
+      if (sp1 <= 0) return None
+      val sp2 = line.indexOf(' ', sp1 + 1)
+      if (sp2 < 0) return None
+      val surt = line.substring(0, sp1)
+      val ts = line.substring(sp1 + 1, sp2)
+      if (ts.length != 14 || !ts.forall(_.isDigit)) return None
+      val json = parseFlatJson(line.substring(sp2 + 1)).getOrElse(return None)
+      val url = json.getOrElse("url", return None)
+      def num(k: String): Option[Long] = json.get(k)
+        .filter(v => v.nonEmpty && v.length <= 18 && v.forall(_.isDigit))
+        .map(_.toLong)
+      val off = num("offset").getOrElse(return None)
+      val len = num("length").getOrElse(return None)
+      out += Entry(surt, url, ts, off, len)
+    }
+    Some(out.toSeq)
+  }
+}
