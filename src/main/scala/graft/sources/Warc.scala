@@ -18,8 +18,16 @@ package graft.sources
   */
 object Warc {
 
+  /** `refersTo`/`payloadDigest` carry `WARC-Refers-To` /
+    * `WARC-Payload-Digest` — the headers a `WARC-Type: revisit` record
+    * stands on (ISO 28500 §6.7: a crawler that re-fetches content whose
+    * digest it has already stored writes a bodiless revisit record
+    * pointing at the original instead of storing the bytes again).
+    * Empty string = header absent.
+    */
   final case class Record(warcType: String, recordId: String,
-      targetUri: String, content: Array[Byte])
+      targetUri: String, content: Array[Byte],
+      refersTo: String = "", payloadDigest: String = "")
 
   private val Crlf = "\r\n"
 
@@ -36,6 +44,11 @@ object Warc {
         .append("WARC-Type: ").append(r.warcType).append(Crlf)
         .append("WARC-Record-ID: ").append(r.recordId).append(Crlf)
         .append("WARC-Target-URI: ").append(r.targetUri).append(Crlf)
+      if (r.refersTo.nonEmpty)
+        header.append("WARC-Refers-To: ").append(r.refersTo).append(Crlf)
+      if (r.payloadDigest.nonEmpty)
+        header.append("WARC-Payload-Digest: ").append(r.payloadDigest).append(Crlf)
+      header
         .append("Content-Length: ").append(r.content.length).append(Crlf)
         .append(Crlf)
       out.write(header.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
@@ -238,6 +251,7 @@ object Warc {
       if (version != "WARC/1.0") return None
       i = ve + 2
       var warcType = ""; var recordId = ""; var targetUri = ""
+      var refersTo = ""; var payloadDigest = ""
       var contentLength = -1L
       var blank = false
       while (!blank) {
@@ -254,6 +268,8 @@ object Warc {
             case "warc-type" => warcType = value
             case "warc-record-id" => recordId = value
             case "warc-target-uri" => targetUri = value
+            case "warc-refers-to" => refersTo = value
+            case "warc-payload-digest" => payloadDigest = value
             case "content-length" =>
               contentLength = try value.toLong catch { case _: NumberFormatException => return None }
             case _ => () // unknown headers are legal; skip
@@ -267,7 +283,7 @@ object Warc {
       if (!(bytes(i) == '\r' && bytes(i + 1) == '\n' && bytes(i + 2) == '\r' && bytes(i + 3) == '\n'))
         return None
       i += 4
-      out += Record(warcType, recordId, targetUri, content)
+      out += Record(warcType, recordId, targetUri, content, refersTo, payloadDigest)
     }
     Some(out.toSeq)
   }

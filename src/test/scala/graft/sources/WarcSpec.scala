@@ -27,6 +27,22 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("revisit records: WARC-Refers-To and WARC-Payload-Digest round-trip; absent = empty") {
+    val revisit = Warc.Record("revisit", "<urn:uuid:r1>", "http://example.com/again",
+      Array.emptyByteArray, refersTo = "<urn:uuid:orig-7>",
+      payloadDigest = "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    val Some(out) = Warc.parseRecords(Warc.writeRecords(Seq(revisit, rec(0))))
+    assert(out.head.warcType === "revisit")
+    assert(out.head.refersTo === "<urn:uuid:orig-7>")
+    assert(out.head.payloadDigest === "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    assert(out.head.content.isEmpty)
+    // a plain record writes NEITHER header and parses both back empty
+    val plain = new String(Warc.writeRecords(Seq(rec(0))),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    assert(!plain.contains("WARC-Refers-To") && !plain.contains("WARC-Payload-Digest"))
+    assert(out(1).refersTo === "" && out(1).payloadDigest === "")
+  }
+
   test("gzip transport is sniffed by magic and decompressed before the walk") {
     val in = Seq(rec(0), rec(1))
     val plain = Warc.writeRecords(in)
