@@ -226,16 +226,35 @@ object Warc {
     * its lengths cannot be trusted record-by-record.
     */
   def parseRecords(payload: Array[Byte]): Option[Seq[Record]] =
-    parseRecords(payload, None)
+    parseRecords(payload, None, None)
 
   /** [[parseRecords]] decompressing through a caller-owned reusable
     * [[GzipCodec]] — the per-partition form the corpus-scale queries use
     * (zero per-row native allocation).
     */
-  def parseRecords(payload: Array[Byte], codec: Option[GzipCodec]): Option[Seq[Record]] = {
+  def parseRecords(payload: Array[Byte], codec: Option[GzipCodec]): Option[Seq[Record]] =
+    parseRecords(payload, codec, None)
+
+  /** True when `payload` opens with a zstd magic — a compressed frame
+    * (`28 B5 2F FD`) or a skippable frame (`5? 2A 4D 18`).
+    */
+  private def isZstd(payload: Array[Byte]): Boolean =
+    payload.length >= 4 && {
+      val m = ((payload(0) & 0xffL)) | ((payload(1) & 0xffL) << 8) |
+        ((payload(2) & 0xffL) << 16) | ((payload(3) & 0xffL) << 24)
+      m == 0xFD2FB528L || (m & 0xFFFFFFF0L) == 0x184D2A50L
+    }
+
+  /** [[parseRecords]] with BOTH transport codecs caller-owned — gzip
+    * and zstd (`.warc.gz` / `.warc.zst`) sniffed by magic.
+    */
+  def parseRecords(payload: Array[Byte], codec: Option[GzipCodec],
+      zstdCodec: Option[ZstdCodec]): Option[Seq[Record]] = {
     val bytes =
       if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b)
         codec.getOrElse(new GzipCodec).gunzip(payload).getOrElse(return None)
+      else if (isZstd(payload))
+        zstdCodec.getOrElse(new ZstdCodec).unzstd(payload).getOrElse(return None)
       else payload
     val out = scala.collection.mutable.ArrayBuffer[Record]()
     var i = 0
