@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization as a pure Column composition — the crawl-pipeline
@@ -153,6 +153,52 @@ object UrlFunctions {
       filter(idxs, i => i < nL && array_contains(wcArr, suffixAt(i + 1))),
       i => nL - i + 1))
     coalesce(excPs, greatest(coalesce(exactPs, lit(1)), coalesce(wcPs, lit(1))))
+  }
+
+  /** [[registrableDomain]] + [[publicSuffixLabels]] at PRODUCTION rule
+    * scale — the real publicsuffix.org list is ~9,500 rules, where the
+    * literal-array HOF form pays O(|rules|) per candidate label per row
+    * (measured: see NOTES). This form is the broadcast-join shape that
+    * holds at any rule count: each host explodes into its ≤ nLabels
+    * candidate suffixes (tiny), ONE broadcast equi-join against the
+    * rule table covers all three rule kinds (for a match at label
+    * position i: exact → ps = nL-i+1, exception → ps = nL-i, wildcard →
+    * the rule is the PARENT, so ps = nL-i+2 guarded by i ≥ 2), and a
+    * partial-agg groupBy on the row key reduces candidates — the only
+    * shuffle, carrying ints. Same semantics as the HOF form (the spec
+    * pins agreement on the full rule-class battery).
+    *
+    * `rules` columns: `rule` (suffix text, no `*.`/`!` markers), `kind`
+    * in exact|wildcard|exception. `df` must carry a unique `keyCol`.
+    * Output: `df` + `site` (null when the host IS a public suffix) +
+    * `ps_labels`.
+    */
+  def registrableDomainJoined(df: DataFrame, keyCol: String, hostCol: String,
+      rules: DataFrame): DataFrame = {
+    val labels = split(col(hostCol), "\\.")
+    val nL = size(labels)
+    val cands = df.select(col(keyCol), col(hostCol), nL.as("n_l"),
+        posexplode(transform(sequence(lit(1), nL),
+          i => array_join(slice(labels, i, nL - i + 1), "."))))
+      .withColumnRenamed("col", "suffix")
+      .withColumn("i", col("pos") + 1).drop("pos")
+    val matched = cands.join(broadcast(rules), col("suffix") === col("rule"))
+      .select(col(keyCol),
+        when(col("kind") === "exception", col("n_l") - col("i")).as("exc_ps"),
+        when(col("kind") === "exact", col("n_l") - col("i") + 1)
+          .when(col("kind") === "wildcard" && col("i") >= 2, col("n_l") - col("i") + 2)
+          .as("match_ps"))
+      .groupBy(col(keyCol))
+      .agg(max("exc_ps").as("exc_ps"), max("match_ps").as("match_ps"))
+    df.join(matched, Seq(keyCol), "left")
+      .withColumn("ps_labels",
+        coalesce(col("exc_ps"), greatest(coalesce(col("match_ps"), lit(1)), lit(1))))
+      .withColumn("site",
+        when(size(split(col(hostCol), "\\.")) > col("ps_labels"),
+          array_join(slice(split(col(hostCol), "\\."),
+            size(split(col(hostCol), "\\.")) - col("ps_labels"), col("ps_labels") + 1), "."))
+          .otherwise(lit(null).cast("string")))
+      .drop("exc_ps", "match_ps")
   }
 
   /** SURT key (Sort-friendly URI Reordering Transform — the published

@@ -72,6 +72,29 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(reg("example") === Seq((null, 1))) // single label, no registrable
   }
 
+  test("registrableDomainJoined agrees with the HOF form on every rule class") {
+    val exact = Seq("com", "uk", "co.uk", "github.io", "io")
+    val wc = Seq("ck")
+    val exc = Seq("www.ck")
+    val rules = (exact.map((_, "exact")) ++ wc.map((_, "wildcard")) ++
+      exc.map((_, "exception"))).toDF("rule", "kind")
+    val hosts = Seq("a.b.site.com", "www.site.co.uk", "me.github.io",
+      "deep.site.w.ck", "site.ck", "www.ck", "sub.www.ck", "site.example",
+      "example", "w.ck", "ck").zipWithIndex.map(_.swap).toDF("id", "h")
+    val viaJoin = UrlFunctions.registrableDomainJoined(hosts, "id", "h", rules)
+      .orderBy("id").select("site", "ps_labels").as[(String, Int)].collect().toSeq
+    val viaHof = hosts.orderBy("id").select(
+      UrlFunctions.registrableDomain(col("h"), exact, wc, exc),
+      UrlFunctions.publicSuffixLabels(col("h"), exact, wc, exc))
+      .as[(String, Int)].collect().toSeq
+    assert(viaJoin === viaHof)
+    // and both give the documented outcomes
+    assert(viaJoin.take(4) === Seq(("site.com", 1), ("site.co.uk", 2),
+      ("me.github.io", 2), ("site.w.ck", 2)))
+    assert(viaJoin.drop(4) === Seq((null, 2), ("www.ck", 1), ("www.ck", 1),
+      ("site.example", 1), (null, 1), (null, 2), (null, 1)))
+  }
+
   test("flag helpers: fragment, default port, param count") {
     val row = Seq("HTTP://H.com:80/p?b=2&a=1#s").toDF("u").select(
       UrlFunctions.hasFragment(col("u")),
