@@ -1025,6 +1025,74 @@ object EventStream {
     attempt() // restart: batch 0 replays (uncommitted), then the rest drains
   }
 
+  /** One issued fetch slot of [[politenessFrontier]]: the site-level
+    * sequence number (its rate-limit clock position), the per-host
+    * sequence within the site, and the earliest allowed fetch time.
+    */
+  final case class FetchSlot(doc_id: Long, site: String, host: String,
+      site_seq: Int, host_seq: Int, fetch_at_s: Long)
+
+  /** Streaming per-site politeness frontier (t28) — the scheduler a
+    * continuous crawl runs between URL discovery and fetching: keyed by
+    * eTLD+1 SITE (politeness budgets are per registrable domain — a CDN
+    * of subdomains must not multiply a site's fetch rate), a typed
+    * `ValueState` carries the site's issued-fetch count (its crawl-delay
+    * clock position, persisting ACROSS microbatches), and a typed
+    * `MapState[host, count]` tracks each full host's sequence — the
+    * t17 MapState shape: only hosts touched in a batch round-trip the
+    * store. Within a batch a site's pending URLs are ordered by
+    * (priority, doc_id) — the same deterministic rank the batch
+    * scheduler (`x_fetch_schedule`) uses — and slot n is released at
+    * `(n-1) × crawl_delay` on the site clock. State per site is
+    * O(distinct hosts), independent of URL volume; runs on the RocksDB
+    * provider (transformWithState requires it).
+    */
+  class PolitenessProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, String, Long, Long, Long), FetchSlot] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var siteSeq: ValueState[Long] = _
+    @transient private var hostSeq: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      siteSeq = getHandle.getValueState[Long](
+        "siteSeq", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      hostSeq = getHandle.getMapState[String, Long](
+        "hostSeq", org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        site: String,
+        rows: Iterator[(String, String, Long, Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[FetchSlot] = {
+      // (site, host, doc_id, prio, delay_s) — deterministic release order
+      val pending = rows.toArray.sortBy { case (_, _, id, prio, _) => (prio, id) }
+      var s0 = if (siteSeq.exists()) siteSeq.get() else 0L
+      val out = pending.map { case (_, host, id, _, delay) =>
+        s0 += 1
+        val h = (if (hostSeq.containsKey(host)) hostSeq.getValue(host) else 0L) + 1
+        hostSeq.updateValue(host, h)
+        FetchSlot(id, site, host, s0.toInt, h.toInt, (s0 - 1) * delay)
+      }
+      siteSeq.update(s0)
+      out.iterator
+    }
+  }
+
+  /** [[PolitenessProcessor]] over a request stream with columns
+    * `(site, host, doc_id, prio, delay_s)`.
+    */
+  def politenessFrontier(requests: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = requests.sparkSession
+    import spark.implicits._
+    requests.as[(String, String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new PolitenessProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** T3/T5 as a stream: incremental append of new files into the emulated
     * index directory with exactly-once file-source progress via checkpoint.
     */
