@@ -38,7 +38,7 @@ object Bench {
     "x_prefix_jaccard", "x_triangles", "x_maxip_topk",
     "x_bm25_search", "x_collocations", "x_unigram_tok",
     "x_pca_project", "t20_stream_attribution", "x_kmeans", "x_mmr_rerank",
-    "x_crawl_funnel")
+    "x_crawl_funnel", "x_pdf_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
