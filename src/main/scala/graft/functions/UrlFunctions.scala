@@ -170,8 +170,13 @@ object UrlFunctions {
     *
     * `rules` columns: `rule` (suffix text, no `*.`/`!` markers), `kind`
     * in exact|wildcard|exception. `df` must carry a unique `keyCol`.
-    * Output: `df` + `site` (null when the host IS a public suffix) +
-    * `ps_labels`.
+    * Output: `(keyCol, hostCol, site, ps_labels)` — `site` null when
+    * the host IS a public suffix. The rules join is LEFT so hosts with
+    * no matching rule keep their candidate rows (implicit `*` rule),
+    * which lets the host ride THROUGH the one groupBy instead of
+    * re-joining `df` afterwards — the whole pass is broadcast-join +
+    * one int-only shuffle, no sort-merge join anywhere (PlanSpec pins
+    * it).
     */
   def registrableDomainJoined(df: DataFrame, keyCol: String, hostCol: String,
       rules: DataFrame): DataFrame = {
@@ -182,23 +187,21 @@ object UrlFunctions {
           i => array_join(slice(labels, i, nL - i + 1), "."))))
       .withColumnRenamed("col", "suffix")
       .withColumn("i", col("pos") + 1).drop("pos")
-    val matched = cands.join(broadcast(rules), col("suffix") === col("rule"))
-      .select(col(keyCol),
-        when(col("kind") === "exception", col("n_l") - col("i")).as("exc_ps"),
-        when(col("kind") === "exact", col("n_l") - col("i") + 1)
-          .when(col("kind") === "wildcard" && col("i") >= 2, col("n_l") - col("i") + 2)
+    cands.join(broadcast(rules), col("suffix") === col("rule"), "left")
+      .groupBy(col(keyCol), col(hostCol), col("n_l"))
+      .agg(
+        max(when(col("kind") === "exception", col("n_l") - col("i"))).as("exc_ps"),
+        max(when(col("kind") === "exact", col("n_l") - col("i") + 1)
+          .when(col("kind") === "wildcard" && col("i") >= 2, col("n_l") - col("i") + 2))
           .as("match_ps"))
-      .groupBy(col(keyCol))
-      .agg(max("exc_ps").as("exc_ps"), max("match_ps").as("match_ps"))
-    df.join(matched, Seq(keyCol), "left")
       .withColumn("ps_labels",
         coalesce(col("exc_ps"), greatest(coalesce(col("match_ps"), lit(1)), lit(1))))
       .withColumn("site",
-        when(size(split(col(hostCol), "\\.")) > col("ps_labels"),
+        when(col("n_l") > col("ps_labels"),
           array_join(slice(split(col(hostCol), "\\."),
-            size(split(col(hostCol), "\\.")) - col("ps_labels"), col("ps_labels") + 1), "."))
+            col("n_l") - col("ps_labels"), col("ps_labels") + 1), "."))
           .otherwise(lit(null).cast("string")))
-      .drop("exc_ps", "match_ps")
+      .drop("exc_ps", "match_ps", "n_l")
   }
 
   /** SURT key (Sort-friendly URI Reordering Transform — the published

@@ -360,6 +360,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x_pdf_extract and x_warc_zstd stay scan-shaped: only the output sort exchanges") {
+    for (name <- Seq("x_pdf_extract", "x_warc_zstd")) {
+      val p = plan(name)
+      val exchanges = "Exchange ".r.findAllIn(p).size
+      val range = "Exchange rangepartitioning".r.findAllIn(p).size
+      assert(exchanges == range && range >= 1,
+        s"$name: the codec kernel must not shuffle (only the output sort may):\n$p")
+    }
+  }
+
+  test("x_etld1_fullpsl probes the 9,500-rule table with a broadcast join, never a sort-merge") {
+    val p = plan("x_etld1_fullpsl")
+    assert(p.contains("BroadcastHashJoin"), s"rule table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join against the rule table:\n$p")
+    // the candidate reduction is a real partial+final aggregate, not a window
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty,
+      s"candidate max must aggregate:\n$p")
+  }
+
+  test("x_warc_revisit resolution join keys on the refers-to pointer") {
+    val p = SparkEntry.queries("x_warc_revisit")(spark, TestSpark.sfDir)
+      .queryExecution.optimizedPlan.toString
+    // the revisit side projects only (doc_id, refers_to, digest) into the
+    // resolution join — raw text never crosses it (content stats ride the
+    // response side, already reduced to two longs)
+    assert(p.contains("refers_to"), s"resolution join must key on refers_to:\n$p")
+    val joinLines = p.linesIterator.filter(_.contains("Join ")).toSeq
+    assert(joinLines.nonEmpty && !joinLines.exists(_.contains("text")),
+      s"no join may consume the raw text column:\n$p")
+  }
+
   test("q18 having-clause aggregate feeds the joins from ONE lineitem scan") {
     val p = plan("q18_large_orders")
     // TPC-H Q18's classic trap is re-scanning lineitem for the HAVING
