@@ -224,7 +224,11 @@ object UrlFunctions {
     val host = substring_index(hp, ":", 1)
     val port = when(instr(hp, ":") > 0,
       concat(lit(":"), substring_index(hp, ":", -1))).otherwise(lit(""))
-    val pathQ = lower(rest.substr(length(hp) + 1, length(rest)))
+    // Host-only URLs key as `host)/` — published SURT keys
+    // (OpenWayback/CommonCrawl) always carry the path, so a root-page
+    // capture must match the real index's `com,example)/` form.
+    val rawPathQ = lower(rest.substr(length(hp) + 1, length(rest)))
+    val pathQ = when(rawPathQ === "", lit("/")).otherwise(rawPathQ)
     concat(array_join(reverse(split(host, "\\.")), ","), port, lit(")"), pathQ)
   }
 

@@ -38,9 +38,21 @@ object Cdx {
     sb.toString
   }
 
-  /** Serialize `entries` as CDXJ lines (no trailing newline). */
+  private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  /** Serialize `entries` as CDXJ lines (no trailing newline). The SURT
+    * key and timestamp are NOT escapable in the line grammar (they are
+    * space-delimited prefix fields), so an entry whose key contains
+    * whitespace/control bytes or whose timestamp is not exactly 14
+    * ASCII digits would serialize to a line the strict parser rejects
+    * wholesale — require them well-formed up front instead.
+    */
   def writeCdxj(entries: Seq[Entry]): String =
     entries.map { e =>
+      require(e.surt.nonEmpty && !e.surt.exists(_ <= ' '),
+        s"SURT key must be non-empty with no space/control chars: '${e.surt}'")
+      require(e.timestamp.length == 14 && e.timestamp.forall(isAsciiDigit),
+        s"timestamp must be 14 ASCII digits: '${e.timestamp}'")
       s"""${e.surt} ${e.timestamp} {"url": "${escape(e.url)}", """ +
         s""""offset": "${e.offset}", "length": "${e.length}"}"""
     }.mkString("\n")
@@ -72,7 +84,9 @@ object Cdx {
             case 'u' =>
               if (i + 6 > n) return None
               val h = s.substring(i + 2, i + 6)
-              if (!h.forall(c2 => c2.isDigit || (c2 >= 'a' && c2 <= 'f') || (c2 >= 'A' && c2 <= 'F')))
+              // ASCII hex ONLY: Char.isDigit / Character.digit accept
+              // Unicode digit classes, which the strict grammar must not.
+              if (!h.forall(c2 => (c2 >= '0' && c2 <= '9') || (c2 >= 'a' && c2 <= 'f') || (c2 >= 'A' && c2 <= 'F')))
                 return None
               sb.append(Integer.parseInt(h, 16).toChar); i += 6
             case _ => return None
@@ -124,11 +138,11 @@ object Cdx {
       if (sp2 < 0) return None
       val surt = line.substring(0, sp1)
       val ts = line.substring(sp1 + 1, sp2)
-      if (ts.length != 14 || !ts.forall(_.isDigit)) return None
+      if (ts.length != 14 || !ts.forall(isAsciiDigit)) return None
       val json = parseFlatJson(line.substring(sp2 + 1)).getOrElse(return None)
       val url = json.getOrElse("url", return None)
       def num(k: String): Option[Long] = json.get(k)
-        .filter(v => v.nonEmpty && v.length <= 18 && v.forall(_.isDigit))
+        .filter(v => v.nonEmpty && v.length <= 18 && v.forall(isAsciiDigit))
         .map(_.toLong)
       val off = num("offset").getOrElse(return None)
       val len = num("length").getOrElse(return None)

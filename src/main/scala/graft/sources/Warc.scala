@@ -23,11 +23,18 @@ object Warc {
     * stands on (ISO 28500 §6.7: a crawler that re-fetches content whose
     * digest it has already stored writes a bodiless revisit record
     * pointing at the original instead of storing the bytes again).
-    * Empty string = header absent.
+    * `truncated` carries `WARC-Truncated` (ISO 28500 §5.13: a crawler
+    * that cut a capture short — `length`, `time`, `disconnect`,
+    * `unspecified` — MUST flag it; a consumer that extracts a truncated
+    * payload as if complete corrupts its corpus). `warcType` is the
+    * full ISO 28500 §6 vocabulary — `response`, `request`, `metadata`,
+    * `revisit`, `conversion`, `warcinfo`, `resource` — the writer and
+    * parser are type-agnostic. Empty string = header absent.
     */
   final case class Record(warcType: String, recordId: String,
       targetUri: String, content: Array[Byte],
-      refersTo: String = "", payloadDigest: String = "")
+      refersTo: String = "", payloadDigest: String = "",
+      truncated: String = "")
 
   private val Crlf = "\r\n"
 
@@ -48,6 +55,8 @@ object Warc {
         header.append("WARC-Refers-To: ").append(r.refersTo).append(Crlf)
       if (r.payloadDigest.nonEmpty)
         header.append("WARC-Payload-Digest: ").append(r.payloadDigest).append(Crlf)
+      if (r.truncated.nonEmpty)
+        header.append("WARC-Truncated: ").append(r.truncated).append(Crlf)
       header
         .append("Content-Length: ").append(r.content.length).append(Crlf)
         .append(Crlf)
@@ -100,10 +109,11 @@ object Warc {
     * never a silent partial result.
     */
   final class GzipCodec {
-    import java.util.zip.{CRC32, Deflater, Inflater}
+    import java.util.zip.{Adler32, CRC32, Deflater, Inflater}
     private val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
     private val inflater = new Inflater(true)
     private val crc = new CRC32
+    private val adler = new Adler32
     private val buf = new Array[Byte](8192)
 
     def gzip(bytes: Array[Byte]): Array[Byte] = {
@@ -131,7 +141,11 @@ object Warc {
       def le32(i: Int): Long =
         ((bytes(i) & 0xffL)) | ((bytes(i + 1) & 0xffL) << 8) |
           ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
+      // Clamped: `bytes.length * 3` overflows Int past ~715 MiB and a
+      // negative BAOS capacity throws outside the DataFormatException
+      // catch — violating the never-throw contract.
+      val out = new java.io.ByteArrayOutputStream(
+        math.max(64L, math.min(bytes.length.toLong * 3, 1L << 30)).toInt)
       var off = 0
       try {
         // RFC 1952 §2.2: a gzip file is a SERIES of members. Walk them
@@ -178,18 +192,167 @@ object Warc {
         Some(out.toByteArray)
       } catch { case _: java.util.zip.DataFormatException => None }
     }
+
+    /** RFC 1950 zlib stream of `bytes` — what HTTP
+      * `Content-Encoding: deflate` means per RFC 9110 §8.4.1.3 (the
+      * zlib WRAPPER, not bare deflate): CMF/FLG header (CM=8,
+      * CINFO=7, FCHECK making the pair ≡0 mod 31), raw-deflate data,
+      * big-endian Adler-32 trailer. Reuses this codec's raw Deflater.
+      */
+    def zlib(bytes: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 16)
+      out.write(0x78); out.write(0x9c) // CM=8 CINFO=7; FLEVEL=2, FCHECK ok (0x789c % 31 == 0)
+      deflater.reset()
+      deflater.setInput(bytes)
+      deflater.finish()
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        out.write(buf, 0, n)
+      }
+      adler.reset(); adler.update(bytes)
+      val a = adler.getValue
+      out.write(((a >> 24) & 0xff).toInt); out.write(((a >> 16) & 0xff).toInt)
+      out.write(((a >> 8) & 0xff).toInt); out.write((a & 0xff).toInt)
+      out.toByteArray
+    }
+
+    /** Strict RFC 1950 read-back of [[zlib]]: CM must be 8, FCHECK
+      * must verify, FDICT rejected (HTTP deflate never carries a
+      * preset dictionary), Adler-32 trailer verified, no trailing
+      * garbage. `None` on any violation, never a throw.
+      */
+    def unzlib(bytes: Array[Byte]): Option[Array[Byte]] = {
+      if (bytes.length < 6) return None
+      val cmf = bytes(0) & 0xff
+      val flg = bytes(1) & 0xff
+      if ((cmf & 0x0f) != 8) return None // CM: deflate only
+      if ((cmf * 256 + flg) % 31 != 0) return None // FCHECK
+      if ((flg & 0x20) != 0) return None // FDICT: not in HTTP deflate
+      val out = new java.io.ByteArrayOutputStream(
+        math.max(64L, math.min(bytes.length.toLong * 3, 1L << 30)).toInt)
+      try {
+        inflater.reset()
+        inflater.setInput(bytes, 2, bytes.length - 2)
+        adler.reset()
+        while (!inflater.finished()) {
+          val n = inflater.inflate(buf)
+          if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+            return None // truncated stream
+          adler.update(buf, 0, n)
+          out.write(buf, 0, n)
+        }
+        val trailer = 2 + inflater.getBytesRead.toInt
+        if (trailer + 4 != bytes.length) return None // short or trailing garbage
+        val want = ((bytes(trailer) & 0xffL) << 24) | ((bytes(trailer + 1) & 0xffL) << 16) |
+          ((bytes(trailer + 2) & 0xffL) << 8) | (bytes(trailer + 3) & 0xffL)
+        if (want != adler.getValue) return None
+        Some(out.toByteArray)
+      } catch { case _: java.util.zip.DataFormatException => None }
+    }
   }
 
-  final case class HttpResponse(status: Int, contentType: String, body: Array[Byte])
-
-  /** Parse the HTTP response block a `WARC-Type: response` record carries
-    * (the layer between the WARC envelope and the document bytes in a
-    * real crawl): `HTTP/1.x SP status SP reason CRLF`, headers until the
-    * blank line (names case-insensitive), body = every byte after it.
-    * Returns None on a non-HTTP status line or a malformed header —
-    * never throws.
+  /** `body` is the DECODED payload — transfer decoding (chunked) and
+    * content decoding (gzip/deflate) already applied; the raw encodings
+    * seen on the wire are reported in `transferEncoding` /
+    * `contentEncoding` (lowercased, "" = absent).
     */
-  def parseHttp(content: Array[Byte]): Option[HttpResponse] = {
+  final case class HttpResponse(status: Int, contentType: String, body: Array[Byte],
+      transferEncoding: String = "", contentEncoding: String = "")
+
+  /** Encode `bytes` as an RFC 9112 §7.1 chunked transfer body: each
+    * chunk a lowercase-hex size line + CRLF + data + CRLF, closed by
+    * the `0` last-chunk, `trailers` (complete `Name: value` lines, no
+    * CRLF), and the final CRLF. `chunkSize` bounds each data chunk.
+    */
+  def chunked(bytes: Array[Byte], chunkSize: Int, trailers: Seq[String] = Nil): Array[Byte] = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val out = new java.io.ByteArrayOutputStream(bytes.length + 64)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    var off = 0
+    while (off < bytes.length) {
+      val n = math.min(chunkSize, bytes.length - off)
+      out.write(java.lang.Integer.toHexString(n).getBytes(ascii))
+      out.write('\r'); out.write('\n')
+      out.write(bytes, off, n)
+      out.write('\r'); out.write('\n')
+      off += n
+    }
+    out.write('0'); out.write('\r'); out.write('\n')
+    trailers.foreach { t =>
+      out.write(t.getBytes(ascii)); out.write('\r'); out.write('\n')
+    }
+    out.write('\r'); out.write('\n')
+    out.toByteArray
+  }
+
+  /** Strict RFC 9112 §7.1 chunked-body decode: hex chunk sizes (ASCII
+    * hex only; chunk extensions after `;` skipped), exact CRLF framing
+    * around every chunk, a `0` last-chunk, trailer lines that must each
+    * carry a `:`, the closing CRLF, and NOTHING after it. `None` on any
+    * violation — a body whose framing lies cannot be trusted partially.
+    */
+  def dechunk(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length))
+    var i = 0
+    def lineEnd(from: Int): Int = {
+      var j = from
+      while (j + 1 < bytes.length && !(bytes(j) == '\r' && bytes(j + 1) == '\n')) j += 1
+      if (j + 1 < bytes.length) j else -1
+    }
+    var last = false
+    while (!last) {
+      val le = lineEnd(i)
+      if (le < 0) return None
+      val line = new String(bytes, i, le - i, java.nio.charset.StandardCharsets.US_ASCII)
+      val semi = line.indexOf(';')
+      val hex = (if (semi >= 0) line.substring(0, semi) else line).trim
+      if (hex.isEmpty || hex.length > 8 ||
+          !hex.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+        return None
+      val n = java.lang.Integer.parseInt(hex, 16)
+      i = le + 2
+      if (n == 0) last = true
+      else {
+        if (i + n + 2 > bytes.length) return None
+        out.write(bytes, i, n)
+        if (!(bytes(i + n) == '\r' && bytes(i + n + 1) == '\n')) return None
+        i += n + 2
+      }
+    }
+    // trailer section: zero or more header lines, then the bare CRLF
+    var closed = false
+    while (!closed) {
+      val le = lineEnd(i)
+      if (le < 0) return None
+      if (le == i) { i += 2; closed = true }
+      else {
+        val line = new String(bytes, i, le - i, java.nio.charset.StandardCharsets.US_ASCII)
+        if (line.indexOf(':') < 0) return None // trailer must be a header line
+        i = le + 2
+      }
+    }
+    if (i != bytes.length) return None // garbage after the terminating CRLF
+    Some(out.toByteArray)
+  }
+
+  /** Parse the HTTP response block a `WARC-Type: response` record
+    * carries (the layer between the WARC envelope and the document
+    * bytes in a real crawl): `HTTP/1.x SP status SP reason CRLF`,
+    * headers until the blank line (names case-insensitive), then the
+    * body with the WIRE GRAMMAR honored — `Transfer-Encoding: chunked`
+    * de-framed (RFC 9112 §7.1, strict) and `Content-Encoding:
+    * gzip`/`x-gzip`/`deflate`/`identity` decoded (RFC 9110 §8.4) in
+    * that order, which is what real CommonCrawl response records store
+    * (the raw wire bytes). A transfer coding other than chunked, an
+    * unknown content coding, or malformed framing in either layer
+    * returns None — never a silently mis-framed body, never a throw.
+    */
+  def parseHttp(content: Array[Byte]): Option[HttpResponse] = parseHttp(content, None)
+
+  /** [[parseHttp]] decompressing `Content-Encoding` through a
+    * caller-owned reusable [[GzipCodec]] — the per-partition form.
+    */
+  def parseHttp(content: Array[Byte], codec: Option[GzipCodec]): Option[HttpResponse] = {
     var split = -1
     var i = 0
     while (split < 0 && i + 3 < content.length) {
@@ -204,16 +367,38 @@ object Warc {
     if (statusParts.length < 2 || !statusParts(0).startsWith("HTTP/1.")) return None
     val status = try statusParts(1).toInt catch { case _: NumberFormatException => return None }
     var contentType = ""
+    var transferEnc = ""
+    var contentEnc = ""
     var j = 1
     while (j < lines.length) {
       val sep = lines(j).indexOf(':')
       if (sep < 0) return None
-      if (lines(j).substring(0, sep).trim.equalsIgnoreCase("content-type"))
-        contentType = lines(j).substring(sep + 1).trim
+      val name = lines(j).substring(0, sep).trim
+      val value = lines(j).substring(sep + 1).trim
+      if (name.equalsIgnoreCase("content-type")) contentType = value
+      else if (name.equalsIgnoreCase("transfer-encoding"))
+        transferEnc = value.toLowerCase(java.util.Locale.ROOT)
+      else if (name.equalsIgnoreCase("content-encoding"))
+        contentEnc = value.toLowerCase(java.util.Locale.ROOT)
       j += 1
     }
-    Some(HttpResponse(status, contentType,
-      java.util.Arrays.copyOfRange(content, split + 4, content.length)))
+    val raw = java.util.Arrays.copyOfRange(content, split + 4, content.length)
+    // Transfer decoding first (RFC 9112 §6.1: chunked is the message
+    // framing), then content decoding (the representation coding).
+    val deframed = transferEnc match {
+      case "" | "identity" => raw
+      case "chunked" => dechunk(raw).getOrElse(return None)
+      case _ => return None // gzip-then-chunked etc.: not emitted by real servers; reject
+    }
+    val body = contentEnc match {
+      case "" | "identity" => deframed
+      case "gzip" | "x-gzip" =>
+        codec.getOrElse(new GzipCodec).gunzip(deframed).getOrElse(return None)
+      case "deflate" =>
+        codec.getOrElse(new GzipCodec).unzlib(deframed).getOrElse(return None)
+      case _ => return None // br/zstd/unknown: cannot decode, must not mislabel
+    }
+    Some(HttpResponse(status, contentType, body, transferEnc, contentEnc))
   }
 
   /** Parse a (possibly gzip-compressed — sniffed by the 1f 8b magic) WARC
@@ -254,7 +439,12 @@ object Warc {
       if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b)
         codec.getOrElse(new GzipCodec).gunzip(payload).getOrElse(return None)
       else if (isZstd(payload))
-        zstdCodec.getOrElse(new ZstdCodec).unzstd(payload).getOrElse(return None)
+        zstdCodec match {
+          case Some(z) => z.unzstd(payload).getOrElse(return None)
+          case None => // one-shot fallback: close the native contexts after use
+            val z = new ZstdCodec
+            try z.unzstd(payload).getOrElse(return None) finally z.close()
+        }
       else payload
     val out = scala.collection.mutable.ArrayBuffer[Record]()
     var i = 0
@@ -270,7 +460,7 @@ object Warc {
       if (version != "WARC/1.0") return None
       i = ve + 2
       var warcType = ""; var recordId = ""; var targetUri = ""
-      var refersTo = ""; var payloadDigest = ""
+      var refersTo = ""; var payloadDigest = ""; var truncated = ""
       var contentLength = -1L
       var blank = false
       while (!blank) {
@@ -289,6 +479,7 @@ object Warc {
             case "warc-target-uri" => targetUri = value
             case "warc-refers-to" => refersTo = value
             case "warc-payload-digest" => payloadDigest = value
+            case "warc-truncated" => truncated = value
             case "content-length" =>
               contentLength = try value.toLong catch { case _: NumberFormatException => return None }
             case _ => () // unknown headers are legal; skip
@@ -302,7 +493,7 @@ object Warc {
       if (!(bytes(i) == '\r' && bytes(i + 1) == '\n' && bytes(i + 2) == '\r' && bytes(i + 3) == '\n'))
         return None
       i += 4
-      out += Record(warcType, recordId, targetUri, content, refersTo, payloadDigest)
+      out += Record(warcType, recordId, targetUri, content, refersTo, payloadDigest, truncated)
     }
     Some(out.toSeq)
   }

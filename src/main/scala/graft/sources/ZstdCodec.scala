@@ -18,12 +18,22 @@ package graft.sources
   *
   * Uses the zstd-jni shipped on Spark's own classpath (the engine's
   * parquet codec path) — no new dependency.
+  *
+  * OWNERSHIP: the two native contexts have NO finalizer/Cleaner in
+  * zstd-jni — unlike the JDK Deflater behind [[Warc.GzipCodec]], the
+  * native memory is freed only by an explicit [[close]]. Per-partition
+  * callers must register `close()` on task completion
+  * (`TaskContext.addTaskCompletionListener`); see
+  * [[ZstdCodec.forPartition]] which does exactly that.
   */
-final class ZstdCodec {
+final class ZstdCodec extends AutoCloseable {
   import com.github.luben.zstd.{Zstd, ZstdCompressCtx, ZstdDecompressCtx}
 
   private val cctx = new ZstdCompressCtx().setLevel(3)
   private val dctx = new ZstdDecompressCtx()
+
+  /** Release the native compress/decompress contexts. Idempotent. */
+  override def close(): Unit = { cctx.close(); dctx.close() }
 
   /** Hard ceiling on a single frame's declared content size (1 GiB) —
     * a hostile frame header must not be able to command an allocation.
@@ -60,7 +70,11 @@ final class ZstdCodec {
     def le32(i: Int): Long =
       ((bytes(i) & 0xffL)) | ((bytes(i + 1) & 0xffL) << 8) |
         ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
+    // Clamp the initial guess: `bytes.length * 3` overflows Int past
+    // ~715 MiB, and a negative BAOS capacity throws outside the catch
+    // list below — violating the never-throw contract.
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64L, math.min(bytes.length.toLong * 3, MaxFrameContent)).toInt)
     var off = 0
     try {
       while (off < bytes.length) {
@@ -105,5 +119,19 @@ final class ZstdCodec {
       case _: com.github.luben.zstd.ZstdException => None
       case _: java.io.IOException => None
     }
+  }
+}
+
+object ZstdCodec {
+  /** A codec whose native contexts are released when the CURRENT task
+    * completes — the one correct way to hold a [[ZstdCodec]] inside
+    * `mapPartitions`. Outside a task (driver/tests) the caller owns
+    * the close.
+    */
+  def forPartition(): ZstdCodec = {
+    val c = new ZstdCodec
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => c.close())
+    c
   }
 }

@@ -1030,7 +1030,7 @@ object EventStream {
     * sequence within the site, and the earliest allowed fetch time.
     */
   final case class FetchSlot(doc_id: Long, site: String, host: String,
-      site_seq: Int, host_seq: Int, fetch_at_s: Long)
+      site_seq: Long, host_seq: Long, fetch_at_s: Long)
 
   /** Streaming per-site politeness frontier (t28) — the scheduler a
     * continuous crawl runs between URL discovery and fetching: keyed by
@@ -1073,7 +1073,10 @@ object EventStream {
         s0 += 1
         val h = (if (hostSeq.containsKey(host)) hostSeq.getValue(host) else 0L) + 1
         hostSeq.updateValue(host, h)
-        FetchSlot(id, site, host, s0.toInt, h.toInt, (s0 - 1) * delay)
+        // Counters stay Long end-to-end: the ValueState clock survives
+        // across microbatches indefinitely on a continuous crawl, so an
+        // Int narrowing would silently wrap past 2^31 issued fetches.
+        FetchSlot(id, site, host, s0, h, (s0 - 1) * delay)
       }
       siteSeq.update(s0)
       out.iterator

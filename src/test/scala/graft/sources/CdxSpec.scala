@@ -51,7 +51,8 @@ class CdxSpec extends AnyFunSuite {
       "com,example,news)/world/x?a=1&b=2",
       "org,site,www)/path",
       "com,example:8080)/y",
-      "com,example)"))
+      // root pages key as host)/ — matches published CommonCrawl keys
+      "com,example)/"))
   }
 
   test("pruned fetch reads ONLY indexed ranges: corrupt non-selected members, fetch survives") {

@@ -108,6 +108,88 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parseHttp("no blank line at all".getBytes("US-ASCII")) === None)
   }
 
+  test("chunked transfer coding: round trip, extensions, trailers; malformed framing → None") {
+    val a = java.nio.charset.StandardCharsets.US_ASCII
+    val body = ("x" * 100 + "tail").getBytes(a)
+    // round trip at several chunk sizes, with and without trailers
+    for (cs <- Seq(1, 7, 100, 4096)) {
+      assert(Warc.dechunk(Warc.chunked(body, cs)).map(_.toSeq) === Some(body.toSeq))
+      assert(Warc.dechunk(Warc.chunked(body, cs, Seq("X-T: 1", "X-U: 2")))
+        .map(_.toSeq) === Some(body.toSeq))
+    }
+    assert(Warc.dechunk(Warc.chunked(Array.emptyByteArray, 8)).map(_.toSeq) === Some(Nil))
+    // chunk extensions after ';' are skipped per RFC 9112 §7.1.1
+    assert(Warc.dechunk("3;name=val\r\nabc\r\n0\r\n\r\n".getBytes(a)).map(_.toSeq)
+      === Some("abc".getBytes(a).toSeq))
+    // malformed: non-hex size, missing CRLF after data, size lying long,
+    // no last-chunk, garbage after the final CRLF, trailer without ':',
+    // unicode-digit size char
+    assert(Warc.dechunk("zz\r\nabc\r\n0\r\n\r\n".getBytes(a)) === None)
+    assert(Warc.dechunk("3\r\nabcXX0\r\n\r\n".getBytes(a)) === None)
+    assert(Warc.dechunk("ff\r\nabc\r\n0\r\n\r\n".getBytes(a)) === None)
+    assert(Warc.dechunk("3\r\nabc\r\n".getBytes(a)) === None)
+    assert(Warc.dechunk("3\r\nabc\r\n0\r\n\r\nx".getBytes(a)) === None)
+    assert(Warc.dechunk("3\r\nabc\r\n0\r\nbad trailer\r\n\r\n".getBytes(a)) === None)
+    assert(Warc.dechunk("٠\r\nabc\r\n0\r\n\r\n".getBytes("UTF-8")) === None)
+  }
+
+  test("zlib (RFC 1950): round trip; header/FDICT/Adler/trailing-garbage violations → None") {
+    val codec = new Warc.GzipCodec
+    val body = "deflate me please, deflate me twice".getBytes("UTF-8")
+    val z = codec.zlib(body)
+    assert(codec.unzlib(z).map(_.toSeq) === Some(body.toSeq))
+    assert(codec.unzlib(Array.emptyByteArray) === None)
+    assert(codec.unzlib(z.dropRight(1)) === None) // truncated trailer
+    assert(codec.unzlib(z :+ 0.toByte) === None) // trailing garbage
+    val badAdler = z.clone(); badAdler(badAdler.length - 1) = (badAdler.last ^ 1).toByte
+    assert(codec.unzlib(badAdler) === None)
+    val badCm = z.clone(); badCm(0) = 0x79.toByte // CM != 8 (and FCHECK breaks)
+    assert(codec.unzlib(badCm) === None)
+    val fdict = z.clone(); fdict(1) = (fdict(1) | 0x20).toByte
+    assert(codec.unzlib(fdict) === None) // FDICT set (FCHECK also invalid)
+  }
+
+  test("parseHttp decodes the wire: chunked, gzip, deflate, chunked+gzip; unknown codings → None") {
+    val a = java.nio.charset.StandardCharsets.US_ASCII
+    val codec = new Warc.GzipCodec
+    val body = "the decoded document body".getBytes("UTF-8")
+    def resp(hdrs: String, wire: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n$hdrs\r\n").getBytes(a) ++ wire
+    val Some(h1) = Warc.parseHttp(resp("Transfer-Encoding: chunked\r\n", Warc.chunked(body, 5)))
+    assert(h1.body.toSeq === body.toSeq && h1.transferEncoding === "chunked")
+    val Some(h2) = Warc.parseHttp(resp("Content-Encoding: gzip\r\n", codec.gzip(body)), Some(codec))
+    assert(h2.body.toSeq === body.toSeq && h2.contentEncoding === "gzip")
+    val Some(h3) = Warc.parseHttp(resp("Content-Encoding: deflate\r\n", codec.zlib(body)), Some(codec))
+    assert(h3.body.toSeq === body.toSeq)
+    val Some(h4) = Warc.parseHttp(resp(
+      "Transfer-Encoding: CHUNKED\r\nContent-Encoding: gzip\r\n",
+      Warc.chunked(codec.gzip(body), 9)), Some(codec))
+    assert(h4.body.toSeq === body.toSeq)
+    // violations: unknown codings, mis-framed chunk body, gzip lying
+    assert(Warc.parseHttp(resp("Transfer-Encoding: gzip, chunked\r\n", body)) === None)
+    assert(Warc.parseHttp(resp("Content-Encoding: br\r\n", body)) === None)
+    assert(Warc.parseHttp(resp("Transfer-Encoding: chunked\r\n", body)) === None)
+    assert(Warc.parseHttp(resp("Content-Encoding: gzip\r\n", body)) === None)
+  }
+
+  test("WARC-Truncated and the full record-type vocabulary round-trip") {
+    val codec = new Warc.GzipCodec
+    val recs = Seq(
+      Warc.Record("request", "<urn:uuid:q>", "http://x/",
+        "GET / HTTP/1.1\r\n\r\n".getBytes("US-ASCII")),
+      Warc.Record("response", "<urn:uuid:r>", "http://x/",
+        "half a docu".getBytes("US-ASCII"), truncated = "length"),
+      Warc.Record("metadata", "<urn:uuid:m>", "http://x/",
+        "fetchTimeMs: 12".getBytes("US-ASCII")),
+      Warc.Record("conversion", "<urn:uuid:c>", "http://x/",
+        "plain text".getBytes("US-ASCII"), refersTo = "<urn:uuid:r>"))
+    val Some(back) = Warc.parseRecords(Warc.gzipPerRecord(recs, codec), Some(codec))
+    assert(back.map(_.warcType) === Seq("request", "response", "metadata", "conversion"))
+    assert(back(1).truncated === "length")
+    assert(back(0).truncated === "" && back(2).truncated === "")
+    assert(back(3).refersTo === "<urn:uuid:r>")
+  }
+
   test("member-per-record gzip (the CommonCrawl layout) reads back complete") {
     val in = (0 until 7).map(rec)
     val codec = new Warc.GzipCodec
