@@ -72,4 +72,156 @@ object CharsetDetect {
     while (i < bytes.length) { if ((bytes(i) & 0xff) >= 0x80) c += 1; i += 1 }
     c
   }
+
+  /** [[sniff]] result: the winning charset, WHICH precedence level won
+    * (`bom` / `http` / `meta` / `structural`), the high-byte count of
+    * the post-BOM payload and the decoded length in UTF-16 code units
+    * (single-byte charsets: one per byte; UTF-8: one per sequence;
+    * UTF-16: one per 2-byte unit).
+    */
+  final case class Sniffed(charset: String, source: String,
+      nNonAscii: Int, decodedLen: Int)
+
+  /** WHATWG-precedence charset sniffing — the published decode decision
+    * of real HTML pipelines (WHATWG Encoding §4.2 BOM sniff + HTML
+    * §13.2.3.2 prescan): **BOM > HTTP `charset=` parameter > `<meta>`
+    * prescan > structural fallback** ([[detect]]). House strictness on
+    * top of the published order: a DECLARED label whose bytes fail
+    * strict validation (a lying header, an odd-length "UTF-16" body)
+    * falls through to the next level instead of mislabeling — headers
+    * lie, the bytes don't. Published quirks honored: declared labels
+    * normalize per the WHATWG encoding-label table (`latin1`,
+    * `iso-8859-1`, `us-ascii` → windows-1252), and a `<meta>`-declared
+    * UTF-16 is read as UTF-8 (HTML §13.2.3.3 — a page that really were
+    * UTF-16 could not carry an ASCII meta tag to say so).
+    *
+    * `httpContentType` is the raw Content-Type header value ("" = none);
+    * the `charset=` parameter is extracted here.
+    */
+  def sniff(bytes: Array[Byte], httpContentType: String = ""): Sniffed = {
+    val n = bytes.length
+    // 1) BOM — authoritative when its declared decode holds
+    if (n >= 3 && (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb
+        && (bytes(2) & 0xff) == 0xbf) {
+      val rest = java.util.Arrays.copyOfRange(bytes, 3, n)
+      val d = detect(rest)
+      if (d.charset != "latin-1") return Sniffed("utf-8", "bom", d.nNonAscii, d.decodedLen)
+    } else if (n >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe) {
+      if ((n - 2) % 2 == 0)
+        return Sniffed("utf-16le", "bom", countHighBytes(bytes, 2), (n - 2) / 2)
+    } else if (n >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff) {
+      if ((n - 2) % 2 == 0)
+        return Sniffed("utf-16be", "bom", countHighBytes(bytes, 2), (n - 2) / 2)
+    }
+    // 2) HTTP header charset parameter
+    val fromHttp = declared(bytes, charsetParam(httpContentType), "http", metaIsAscii = false)
+    if (fromHttp.isDefined) return fromHttp.get
+    // 3) <meta charset> / http-equiv prescan over the first 1024 bytes
+    val fromMeta = declared(bytes, metaCharset(bytes), "meta", metaIsAscii = true)
+    if (fromMeta.isDefined) return fromMeta.get
+    // 4) structural fallback
+    val d = detect(bytes)
+    Sniffed(d.charset, "structural", d.nNonAscii, d.decodedLen)
+  }
+
+  /** Resolve a declared label against the actual bytes; None = label
+    * absent/unknown or its decode does not hold (fall through).
+    */
+  private def declared(bytes: Array[Byte], label: String, source: String,
+      metaIsAscii: Boolean): Option[Sniffed] = {
+    val n = bytes.length
+    normalizeLabel(label, metaQuirk = metaIsAscii) match {
+      case "" => None
+      case "utf-8" =>
+        val d = detect(bytes)
+        if (d.charset == "latin-1") None // label lies; bytes don't validate
+        else Some(Sniffed("utf-8", source, d.nNonAscii, d.decodedLen))
+      case enc @ ("utf-16le" | "utf-16be") =>
+        if (n % 2 != 0) None
+        else Some(Sniffed(enc, source, countHighBytes(bytes, 0), n / 2))
+      case "windows-1252" =>
+        Some(Sniffed("windows-1252", source, countHighBytes(bytes, 0), n))
+      case _ => None
+    }
+  }
+
+  /** WHATWG encoding-label normalization (the subset a crawl corpus
+    * actually carries). `metaQuirk`: HTML §13.2.3.3 — UTF-16 labels
+    * from a `<meta>` tag are changed to UTF-8. "" = unknown label.
+    */
+  private def normalizeLabel(label: String, metaQuirk: Boolean): String = {
+    val l = label.trim.toLowerCase(java.util.Locale.ROOT)
+    val base = l match {
+      case "utf-8" | "utf8" | "unicode-1-1-utf-8" => "utf-8"
+      case "utf-16" | "utf-16le" | "unicode" => "utf-16le"
+      case "utf-16be" => "utf-16be"
+      case "latin1" | "latin-1" | "l1" | "iso-8859-1" | "iso8859-1"
+          | "iso_8859-1" | "windows-1252" | "cp1252" | "x-cp1252"
+          | "ascii" | "us-ascii" | "iso-ir-100" => "windows-1252"
+      case _ => ""
+    }
+    if (metaQuirk && (base == "utf-16le" || base == "utf-16be")) "utf-8" else base
+  }
+
+  /** Extract the `charset=` parameter from a Content-Type value
+    * (case-insensitive, optional quotes); "" when absent.
+    */
+  def charsetParam(contentType: String): String = {
+    val lower = contentType.toLowerCase(java.util.Locale.ROOT)
+    val i = lower.indexOf("charset=")
+    if (i < 0) return ""
+    var v = contentType.substring(i + 8).trim
+    val semi = v.indexOf(';')
+    if (semi >= 0) v = v.substring(0, semi).trim
+    if (v.length >= 2 && (v.head == '"' && v.last == '"')) v = v.substring(1, v.length - 1)
+    v
+  }
+
+  /** HTML §13.2.3.2 prescan (strict subset): scan the first 1024 bytes
+    * for a `<meta ...>` tag carrying a `charset=` declaration — either
+    * the `charset` attribute or a `charset=` inside an `http-equiv`
+    * `content` value; the byte window is read as ASCII (any page
+    * declaring its charset must spell the declaration in ASCII). ""
+    * when no declaration is found.
+    */
+  def metaCharset(bytes: Array[Byte]): String = {
+    val window = new String(bytes, 0, math.min(1024, bytes.length),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lower = window.toLowerCase(java.util.Locale.ROOT)
+    var from = 0
+    while (true) {
+      val tag = lower.indexOf("<meta", from)
+      if (tag < 0) return ""
+      val end = lower.indexOf('>', tag)
+      val tagEnd = if (end < 0) lower.length else end
+      val cs = lower.indexOf("charset", tag)
+      if (cs >= 0 && cs < tagEnd) {
+        var i = cs + 7
+        while (i < tagEnd && (lower.charAt(i) == ' ' || lower.charAt(i) == '\t')) i += 1
+        if (i < tagEnd && lower.charAt(i) == '=') {
+          i += 1
+          while (i < tagEnd && (lower.charAt(i) == ' ' || lower.charAt(i) == '\t')) i += 1
+          val quote = if (i < tagEnd && (lower.charAt(i) == '"' || lower.charAt(i) == '\'')) lower.charAt(i) else 0.toChar
+          if (quote != 0) {
+            val close = lower.indexOf(quote, i + 1)
+            if (close > i && close <= tagEnd) return lower.substring(i + 1, close).trim
+          } else {
+            var j = i
+            while (j < tagEnd && !" \t;\"'".contains(lower.charAt(j))) j += 1
+            if (j > i) return lower.substring(i, j).trim
+          }
+        }
+      }
+      from = tagEnd + 1
+      if (from >= lower.length) return ""
+    }
+    "" // unreachable
+  }
+
+  private def countHighBytes(bytes: Array[Byte], from: Int): Int = {
+    var c = 0
+    var i = from
+    while (i < bytes.length) { if ((bytes(i) & 0xff) >= 0x80) c += 1; i += 1 }
+    c
+  }
 }
