@@ -150,4 +150,99 @@ object Cdx {
     }
     Some(out.toSeq)
   }
+
+  /** One `cluster.idx` line of a TWO-LEVEL index: the FIRST (surt,
+    * timestamp) of a gzip'd CDXJ block and that block's exact byte
+    * range inside its shard. This is the published CommonCrawl index
+    * layout (cdx-toolkit / pywb ZipNum): the per-crawl index is ~300 GB
+    * of gzip-sharded cdx blocks plus a small plain-text secondary
+    * (`cluster.idx`) holding one line per block; a single-URL lookup
+    * binary-searches the secondary and gunzips ONE block, never the
+    * other 99.999% of the index.
+    */
+  final case class ClusterEntry(firstSurt: String, firstTs: String,
+      offset: Long, length: Long)
+
+  /** Build one shard of a two-level index from `entries` (must already
+    * be sorted by (surt, timestamp) — the sort IS the index): every
+    * `blockSize` lines become one CDXJ block gzip'd as its OWN RFC 1952
+    * member (so a reader can range-request any block independently),
+    * members concatenated into the shard bytes; the secondary carries
+    * each block's first key and byte range.
+    */
+  def writeClustered(entries: Seq[Entry], blockSize: Int,
+      codec: Warc.GzipCodec): (Array[Byte], Seq[ClusterEntry]) = {
+    require(blockSize > 0, "blockSize must be positive")
+    require(entries.iterator.sliding(2).withPartial(false).forall { w =>
+      val a = w(0); val b = w(1)
+      a.surt < b.surt || (a.surt == b.surt && a.timestamp <= b.timestamp)
+    }, "entries must be sorted by (surt, timestamp)")
+    val shard = new java.io.ByteArrayOutputStream()
+    val cluster = scala.collection.mutable.ArrayBuffer[ClusterEntry]()
+    entries.grouped(blockSize).foreach { block =>
+      val member = codec.gzip((writeCdxj(block) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      cluster += ClusterEntry(block.head.surt, block.head.timestamp,
+        shard.size().toLong, member.length.toLong)
+      shard.write(member)
+    }
+    (shard.toByteArray, cluster.toSeq)
+  }
+
+  /** Binary-search the secondary for the blocks that can contain keys
+    * in `[fromKey, toKey)`: block i covers `[first_i, first_{i+1})`,
+    * so the answer is the HALF-OPEN run starting at the last block
+    * whose first key is <= fromKey and ending before the first block
+    * whose first key is >= toKey. O(log blocks) compares — the whole
+    * point of the secondary; returns (startBlock, endBlock) indices.
+    */
+  def searchCluster(cluster: IndexedSeq[ClusterEntry],
+      fromKey: String, toKey: String): (Int, Int) = {
+    if (cluster.isEmpty || fromKey >= toKey) return (0, 0)
+    // lower: last index with firstSurt <= fromKey (0 when none)
+    var lo = 0; var hi = cluster.length // invariant: answer in [lo-1, hi)
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cluster(mid).firstSurt <= fromKey) lo = mid + 1 else hi = mid
+    }
+    val start = math.max(0, lo - 1)
+    // upper: first index with firstSurt >= toKey
+    var lo2 = start; var hi2 = cluster.length
+    while (lo2 < hi2) {
+      val mid = (lo2 + hi2) >>> 1
+      if (cluster(mid).firstSurt < toKey) lo2 = mid + 1 else hi2 = mid
+    }
+    (start, lo2)
+  }
+
+  /** Gunzip + parse ONE block by its secondary entry. None on any
+    * transport or grammar violation (same strictness as [[parseCdxj]]).
+    */
+  def readBlock(shard: Array[Byte], ce: ClusterEntry,
+      codec: Warc.GzipCodec): Option[Seq[Entry]] = {
+    if (ce.offset < 0 || ce.length <= 0 || ce.offset + ce.length > shard.length) return None
+    val member = java.util.Arrays.copyOfRange(
+      shard, ce.offset.toInt, (ce.offset + ce.length).toInt)
+    codec.gunzip(member).flatMap { bytes =>
+      val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      parseCdxj(if (text.endsWith("\n")) text.dropRight(1) else text)
+    }
+  }
+
+  /** Two-level lookup: binary-search the secondary, gunzip ONLY the
+    * selected blocks, filter to the exact key range. None if a selected
+    * block is corrupt; blocks outside `(start, end)` are never touched.
+    */
+  def lookupClustered(shard: Array[Byte], cluster: IndexedSeq[ClusterEntry],
+      fromKey: String, toKey: String, codec: Warc.GzipCodec): Option[Seq[Entry]] = {
+    val (start, end) = searchCluster(cluster, fromKey, toKey)
+    val out = scala.collection.mutable.ArrayBuffer[Entry]()
+    var i = start
+    while (i < end) {
+      out ++= readBlock(shard, cluster(i), codec).getOrElse(return None)
+        .filter(e => e.surt >= fromKey && e.surt < toKey)
+      i += 1
+    }
+    Some(out.toSeq)
+  }
 }

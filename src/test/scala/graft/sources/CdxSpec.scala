@@ -85,4 +85,40 @@ class CdxSpec extends AnyFunSuite {
     }
     assert(kept === Seq(0, 2, 4, 6).map(i => s"http://keep.com/doc/$i"))
   }
+
+  test("two-level index: binary search touches only the selected blocks (poisoned-block trap)") {
+    val codec = new Warc.GzipCodec
+    // 40 sorted keys across 10 blocks of 4; the 'kf' prefix spans blocks 5-7
+    val sorted = (0 until 40).map { i =>
+      val key = f"k${('a' + i / 4).toChar}%s,host)/p$i%02d"
+      Entry(key, s"http://host/$i", "20260101000000", i.toLong, 10L)
+    }
+    val (shard, cluster) = writeClustered(sorted, 4, codec)
+    assert(cluster.length === 10)
+    val (start, end) = searchCluster(cluster.toIndexedSeq, "kf", "kf" + Char.MaxValue)
+    // floor block 4 (first key 'ke...' <= 'kf') through block 5 ('kf...')
+    assert(start === 4 && end === 6)
+    // poison EVERY byte outside the selected blocks' ranges
+    val poisoned = shard.clone()
+    val keepLo = cluster(start).offset.toInt
+    val keepHi = (cluster(end - 1).offset + cluster(end - 1).length).toInt
+    for (i <- poisoned.indices if i < keepLo || i >= keepHi) poisoned(i) = 0x5a
+    val got = lookupClustered(poisoned, cluster.toIndexedSeq,
+      "kf", "kf" + Char.MaxValue, codec).get
+    assert(got.map(_.url) === (20 until 24).map(i => s"http://host/$i"))
+    // a corrupt SELECTED block is a hard None, never a partial result
+    val poisonedHit = shard.clone()
+    poisonedHit(cluster(5).offset.toInt + 3) = 0x5a
+    assert(lookupClustered(poisonedHit, cluster.toIndexedSeq,
+      "kf", "kf" + Char.MaxValue, codec).isEmpty)
+    // search edges: before all keys, after all keys, empty range
+    assert(searchCluster(cluster.toIndexedSeq, "a", "b") === ((0, 0)))
+    val (s2, e2) = searchCluster(cluster.toIndexedSeq, "z", "z" + Char.MaxValue)
+    assert(s2 === 9 && e2 === 10) // floor block only
+    assert(searchCluster(cluster.toIndexedSeq, "kf", "kf") === ((0, 0)))
+    // unsorted input is rejected up front — the sort IS the index
+    intercept[IllegalArgumentException] {
+      writeClustered(sorted.reverse, 4, codec)
+    }
+  }
 }
