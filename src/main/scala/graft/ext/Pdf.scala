@@ -12,11 +12,16 @@ package graft.ext
   * closed form: the oracle re-derives the embedded text without running
   * any PDF code.
   *
-  * Reader scope (the PDF 1.4 subset a text pass needs, per the public
+  * Reader scope (the PDF subset a text pass needs, per the public
   * spec ISO 32000-1 / the Adobe PDF 1.4 reference):
   *   - header `%PDF-1.x`, classic cross-reference TABLES (`xref` +
-  *     `trailer`, `/Prev` chains walked with a cycle guard; xref
-  *     STREAMS — a 1.5 feature — are out of scope and rejected),
+  *     `trailer`, `/Prev` chains walked with a cycle guard), AND the
+  *     PDF 1.5 forms every modern producer writes: cross-reference
+  *     STREAMS (ISO 32000-1 §7.5.8 — /W field widths, /Index
+  *     subsections, FlateDecode, PNG-predictor row filters via
+  *     /DecodeParms) and OBJECT streams (§7.5.7 — /N /First header,
+  *     type-2 entries resolved through the packed stream), plus the
+  *     hybrid-reference `/XRefStm` pointer (§7.5.8.4),
   *   - the object grammar: dictionaries, arrays, names (with `#xx`
   *     escapes), numbers, booleans, null, literal strings (nested
   *     parens, all standard escapes, octal, line continuations), hex
@@ -136,6 +141,130 @@ object Pdf {
     (1 to nObjs).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
     w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
+  }
+
+  /** Serialize `pages` as a PDF-1.5 file the way MODERN producers do
+    * (ISO 32000-1 §7.5.7/§7.5.8): all non-stream objects — catalog,
+    * pages root, font, every page dict — packed into ONE object stream
+    * (type-2 xref entries), content streams as regular objects, and the
+    * cross-reference emitted as an XREF STREAM with /W [1 4 2],
+    * FlateDecode and the PNG Up row predictor (/DecodeParms
+    * /Predictor 12) — the exact shape current PDF writers emit.
+    * Same object numbering and page layout as [[encodePdf]], so the
+    * extracted text is identical between the two forms. Deterministic.
+    */
+  def encodePdfXrefStream(pages: Seq[Seq[String]]): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF has at least one page")
+    val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def w(s: String): Unit = out.write(s.getBytes(ascii))
+    // 1 catalog, 2 pages, 3 font, (4+2i) page i, (5+2i) contents i — then
+    // the two 1.5 containers: objstm, xref stream
+    val nObjs = 3 + 2 * pages.length
+    val objStmNum = nObjs + 1
+    val xrefNum = nObjs + 2
+    val offsets = new Array[Long](xrefNum + 1)
+    w("%PDF-1.5\n")
+    out.write(Array[Byte]('%', 0xe2.toByte, 0xe3.toByte, 0xcf.toByte, 0xd3.toByte, '\n'))
+    // content streams: regular (type-1) objects — streams cannot live
+    // inside an object stream
+    val contents = pages.map { lines =>
+      val content = new StringBuilder("BT\n/F1 12 Tf\n")
+      var firstLine = true
+      lines.foreach { line =>
+        content.append(if (firstLine) "72 720 Td\n" else "0 -14 Td\n")
+        firstLine = false
+        content.append('(').append(escapeString(line)).append(") Tj\n")
+      }
+      content.append("ET\n")
+      deflate(content.toString.getBytes(ascii))
+    }
+    contents.zipWithIndex.foreach { case (flated, i) =>
+      val contNum = 5 + 2 * i
+      offsets(contNum) = out.size().toLong
+      w(s"$contNum 0 obj\n<< /Length ${flated.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(flated)
+      w("\nendstream\nendobj\n")
+    }
+    // the object stream: header of (objnum offset) pairs, then the
+    // packed direct objects at /First
+    val kids = pages.indices.map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    val packed: Seq[(Int, String)] =
+      Seq(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [$kids] /Count ${pages.length} >>",
+        3 -> ("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          "/Encoding /WinAnsiEncoding >>")) ++
+        pages.indices.map { i =>
+          (4 + 2 * i) -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+            s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${5 + 2 * i} 0 R >>")
+        }
+    val body = new StringBuilder
+    val pairHeader = new StringBuilder
+    packed.foreach { case (num, objStr) =>
+      pairHeader.append(num).append(' ').append(body.length).append(' ')
+      body.append(objStr).append('\n')
+    }
+    val stmPayload = (pairHeader.toString + body.toString).getBytes(ascii)
+    val first = pairHeader.length
+    val stmFlated = deflate(stmPayload)
+    offsets(objStmNum) = out.size().toLong
+    w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${packed.length} /First $first " +
+      s"/Length ${stmFlated.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(stmFlated)
+    w("\nendstream\nendobj\n")
+    // xref stream: W [1 4 2]; object 0 free, packed objects type 2,
+    // content streams + objstm + the xref stream itself type 1
+    offsets(xrefNum) = out.size().toLong
+    val size = xrefNum + 1
+    val rowLen = 1 + 4 + 2
+    val rows = new Array[Byte](size * rowLen)
+    def putRow(objNum: Int, tpe: Int, f2: Long, f3: Int): Unit = {
+      val rs = objNum * rowLen
+      rows(rs) = tpe.toByte
+      rows(rs + 1) = ((f2 >> 24) & 0xff).toByte
+      rows(rs + 2) = ((f2 >> 16) & 0xff).toByte
+      rows(rs + 3) = ((f2 >> 8) & 0xff).toByte
+      rows(rs + 4) = (f2 & 0xff).toByte
+      rows(rs + 5) = ((f3 >> 8) & 0xff).toByte
+      rows(rs + 6) = (f3 & 0xff).toByte
+    }
+    putRow(0, 0, 0L, 0xffff)
+    packed.zipWithIndex.foreach { case ((num, _), idx) => putRow(num, 2, objStmNum.toLong, idx) }
+    pages.indices.foreach { i => putRow(5 + 2 * i, 1, offsets(5 + 2 * i), 0) }
+    putRow(objStmNum, 1, offsets(objStmNum), 0)
+    putRow(xrefNum, 1, offsets(xrefNum), 0)
+    // PNG Up predictor (filter type 2): encoded = raw - rowAbove
+    val filtered = new Array[Byte](size * (rowLen + 1))
+    var r = 0
+    while (r < size) {
+      filtered(r * (rowLen + 1)) = 2
+      var i = 0
+      while (i < rowLen) {
+        val above = if (r > 0) rows((r - 1) * rowLen + i) & 0xff else 0
+        filtered(r * (rowLen + 1) + 1 + i) = (((rows(r * rowLen + i) & 0xff) - above) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    val xrefFlated = deflate(filtered)
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] /Index [0 $size] " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $rowLen >> " +
+      s"/Root 1 0 R /Length ${xrefFlated.length} >>\nstream\n")
+    out.write(xrefFlated)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n${offsets(xrefNum)}\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** [[encodePdfXrefStream]] over running text — the modern-writer twin
+    * of [[encodeDocPdf]], same split, same closed-form identity.
+    */
+  def encodeDocPdfXrefStream(text: String, charsPerLine: Int, linesPerPage: Int): Array[Byte] = {
+    require(charsPerLine > 0 && linesPerPage > 0)
+    val lines = text.grouped(charsPerLine).toSeq
+    val pages = if (lines.isEmpty) Seq(Seq.empty[String]) else lines.grouped(linesPerPage).toSeq
+    encodePdfXrefStream(pages)
   }
 
   /** [[encodePdf]] over running text: `text` split into consecutive
@@ -362,12 +491,59 @@ object Pdf {
     out.toByteArray
   }
 
+  /** PNG predictor decode (RFC 2083 §6) over `rowLen`-byte rows with
+    * 1 byte per pixel — the /Predictor >= 10 form xref streams carry:
+    * each encoded row is a filter-type byte + `rowLen` filtered bytes.
+    * Strict: length must divide exactly, filter types 0-4 only.
+    */
+  private def pngPredictorDecode(data: Array[Byte], rowLen: Int): Array[Byte] = {
+    if (rowLen <= 0 || data.length % (rowLen + 1) != 0) bad()
+    val rows = data.length / (rowLen + 1)
+    val out = new Array[Byte](rows * rowLen)
+    var r = 0
+    while (r < rows) {
+      val f = data(r * (rowLen + 1)) & 0xff
+      if (f > 4) bad()
+      var i = 0
+      while (i < rowLen) {
+        val x = data(r * (rowLen + 1) + 1 + i) & 0xff
+        val left = if (i > 0) out(r * rowLen + i - 1) & 0xff else 0
+        val up = if (r > 0) out((r - 1) * rowLen + i) & 0xff else 0
+        val ul = if (r > 0 && i > 0) out((r - 1) * rowLen + i - 1) & 0xff else 0
+        val recon = f match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case _ => // Paeth
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        out(r * rowLen + i) = (recon & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
   private final class Doc(bytes: Array[Byte]) {
     private val offsets = scala.collection.mutable.HashMap[Int, Long]() // objnum -> byte offset
+    // objnum -> (object-stream num, index within) — xref-stream type-2 entries
+    private val inObjStm = scala.collection.mutable.HashMap[Int, (Int, Int)]()
+    // every object number any xref section has SPOKEN for (incl. free):
+    // newest-wins incremental-update semantics — a newer free entry must
+    // shadow an older in-use one
+    private val known = scala.collection.mutable.HashSet[Int]()
     private val cache = scala.collection.mutable.HashMap[Int, (PVal, Option[Array[Byte]])]()
     var root: PVal = PNull
 
-    /** Walk `startxref` → xref table(s) (with /Prev chain) → trailer. */
+    /** Walk `startxref` → xref section chain (classic tables AND xref
+      * streams, in any /Prev mix, plus hybrid /XRefStm pointers) →
+      * trailer. Sections are visited newest-first; the `known` set makes
+      * the newest entry for each object number win.
+      */
     def readXref(): Unit = {
       val tailStart = math.max(0, bytes.length - 2048)
       val tail = new String(bytes, tailStart, bytes.length - tailStart,
@@ -382,44 +558,152 @@ object Pdf {
       var next = off
       while (next >= 0) {
         if (next >= bytes.length || !seen.add(next)) bad() // OOB or /Prev cycle
-        val q = new Parser(bytes)
-        q.pos = next.toInt
-        q.expect("xref")
-        q.skipWs()
-        // subsections until the `trailer` keyword
-        var done = false
-        while (!done) {
-          val save = q.pos
-          val t = q.token()
-          if (t == "trailer") done = true
-          else {
-            val start = try t.toInt catch { case _: NumberFormatException => bad() }
-            val count = try q.token().toInt catch { case _: NumberFormatException => bad() }
-            if (start < 0 || count < 0 || count > 10 * 1000 * 1000) bad()
-            var i = 0
-            while (i < count) {
-              val o = try q.token().toLong catch { case _: NumberFormatException => bad() }
-              val g = q.token(); val kind = q.token()
-              if (g.isEmpty || kind.isEmpty) bad()
-              // NEWEST xref wins: earlier tables in the chain are read
-              // first, so only absent entries are added
-              if (kind == "n" && !offsets.contains(start + i)) offsets(start + i) = o
-              else if (kind != "n" && kind != "f") bad()
-              i += 1
-            }
-            val _ = save
-          }
-        }
-        q.skipWs()
-        val trailer = q.parseDict()
-        if (root == PNull) root = trailer.m.getOrElse("Root", PNull)
-        next = trailer.m.get("Prev") match {
-          case Some(PNum(v)) => v.toLong
-          case None => -1L
-          case _ => bad()
-        }
+        next = readSectionAt(next.toInt, seen)
       }
       if (root == PNull) bad()
+    }
+
+    /** One xref section (classic table or xref stream) at `off`;
+      * returns the /Prev offset or -1.
+      */
+    private def readSectionAt(off: Int, seen: scala.collection.mutable.HashSet[Long]): Long = {
+      val q = new Parser(bytes)
+      q.pos = off
+      q.skipWs()
+      val save = q.pos
+      if (q.token() == "xref") readClassicAt(q, seen)
+      else { q.pos = save; readXrefStreamAt(q) }
+    }
+
+    private def readClassicAt(q: Parser,
+        seen: scala.collection.mutable.HashSet[Long]): Long = {
+      q.skipWs()
+      // subsections until the `trailer` keyword
+      var done = false
+      while (!done) {
+        val t = q.token()
+        if (t == "trailer") done = true
+        else {
+          val start = try t.toInt catch { case _: NumberFormatException => bad() }
+          val count = try q.token().toInt catch { case _: NumberFormatException => bad() }
+          if (start < 0 || count < 0 || count > 10 * 1000 * 1000) bad()
+          var i = 0
+          while (i < count) {
+            val o = try q.token().toLong catch { case _: NumberFormatException => bad() }
+            val g = q.token(); val kind = q.token()
+            if (g.isEmpty || kind.isEmpty) bad()
+            // NEWEST xref wins: later sections in the chain are older,
+            // so only numbers not yet spoken for are added
+            if (kind == "n") { if (known.add(start + i)) offsets(start + i) = o }
+            else if (kind == "f") { known.add(start + i); () }
+            else bad()
+            i += 1
+          }
+        }
+      }
+      q.skipWs()
+      val trailer = q.parseDict()
+      if (root == PNull) root = trailer.m.getOrElse("Root", PNull)
+      // hybrid-reference file (§7.5.8.4): the classic section may point
+      // at a supplementary xref STREAM holding the packed objects; it is
+      // newer than /Prev, so read it before following Prev
+      trailer.m.get("XRefStm") match {
+        case Some(PNum(v)) =>
+          val so = v.toLong
+          if (so < 0 || so >= bytes.length || !seen.add(so)) bad()
+          val r = new Parser(bytes); r.pos = so.toInt
+          val _ = readXrefStreamAt(r) // its own /Prev is ignored per spec
+        case None => ()
+        case _ => bad()
+      }
+      trailer.m.get("Prev") match {
+        case Some(PNum(v)) => v.toLong
+        case None => -1L
+        case _ => bad()
+      }
+    }
+
+    /** An xref STREAM (§7.5.8) at the parser position: `num gen obj`
+      * whose value is a /Type /XRef stream. All dict entries must be
+      * DIRECT (the spec's own rule — the table is not loaded yet).
+      * Returns /Prev or -1.
+      */
+    private def readXrefStreamAt(q: Parser): Long = {
+      val num = try q.token().toInt catch { case _: NumberFormatException => bad() }
+      val _gen = q.token()
+      q.expect("obj")
+      val dict = q.parseValue() match { case d: PDict => d; case _ => bad() }
+      if (dict.m.get("Type") != Some(PName("XRef"))) bad()
+      q.skipWs()
+      q.expect("stream")
+      if (q.at(q.pos) == '\r') q.pos += 1
+      if (q.at(q.pos) != '\n') bad()
+      q.pos += 1
+      val len = dict.m.get("Length") match {
+        case Some(PNum(l)) => l.toLong // direct per §7.5.8.2
+        case _ => bad()
+      }
+      if (len < 0 || q.pos + len > bytes.length) bad()
+      val raw = java.util.Arrays.copyOfRange(q.bytes, q.pos, q.pos + len.toInt)
+      q.pos += len.toInt
+      q.expect("endstream")
+      q.expect("endobj")
+      val data = decodeWithParms(dict, raw)
+      val size = dict.m.get("Size") match { case Some(PNum(v)) => v.toInt; case _ => bad() }
+      val wArr = dict.m.get("W") match {
+        case Some(PArr(items)) if items.length >= 3 => items.map {
+          case PNum(v) if v >= 0 && v <= 8 && v == v.floor => v.toInt
+          case _ => bad()
+        }
+        case _ => bad()
+      }
+      val (wa, wb, wc) = (wArr(0), wArr(1), wArr(2))
+      val rowLen = wa + wb + wc
+      if (rowLen <= 0) bad()
+      val index: Seq[(Int, Int)] = dict.m.get("Index") match {
+        case None => Seq((0, size))
+        case Some(PArr(items)) =>
+          if (items.length % 2 != 0 || items.isEmpty) bad()
+          items.grouped(2).map {
+            case Vector(PNum(s), PNum(c)) if s >= 0 && c >= 0 => (s.toInt, c.toInt)
+            case _ => bad()
+          }.toSeq
+        case _ => bad()
+      }
+      val totalRows = index.map(_._2.toLong).sum
+      if (totalRows * rowLen != data.length) bad() // row count must match exactly
+      var row = 0
+      def field(rowStart: Int, fieldOff: Int, width: Int, default: Long): Long = {
+        if (width == 0) return default
+        var v = 0L
+        var i = 0
+        while (i < width) { v = (v << 8) | (data(rowStart + fieldOff + i) & 0xffL); i += 1 }
+        v
+      }
+      index.foreach { case (start, count) =>
+        var i = 0
+        while (i < count) {
+          val rs = row * rowLen
+          val tpe = field(rs, 0, wa, 1L) // width-0 type defaults to 1
+          val f2 = field(rs, wa, wb, 0L)
+          val f3 = field(rs, wa + wb, wc, 0L)
+          val objNum = start + i
+          tpe match {
+            case 0L => known.add(objNum); () // free
+            case 1L => if (known.add(objNum)) offsets(objNum) = f2
+            case 2L => if (known.add(objNum)) inObjStm(objNum) = (f2.toInt, f3.toInt)
+            case _ => bad()
+          }
+          row += 1; i += 1
+        }
+      }
+      val _ = num
+      if (root == PNull) root = dict.m.getOrElse("Root", PNull)
+      dict.m.get("Prev") match {
+        case Some(PNum(v)) => v.toLong
+        case None => -1L
+        case _ => bad()
+      }
     }
 
     private val parsing = scala.collection.mutable.HashSet[Int]()
@@ -443,7 +727,12 @@ object Pdf {
     }
 
     private def parseObjAt(num: Int): (PVal, Option[Array[Byte]]) = {
-      val off = offsets.getOrElse(num, bad())
+      if (!offsets.contains(num)) {
+        // not a direct object: a type-2 entry packed in an object stream
+        val (stmNum, idx) = inObjStm.getOrElse(num, bad())
+        return (objStmValue(num, stmNum, idx), None)
+      }
+      val off = offsets(num)
       if (off < 0 || off >= bytes.length) bad()
       val p = new Parser(bytes)
       p.pos = off.toInt
@@ -487,17 +776,91 @@ object Pdf {
       case other => other
     }
 
-    /** Decoded bytes of stream object `num` (no filter or FlateDecode). */
+    /** Decoded bytes of stream object `num` (no filter or FlateDecode,
+      * with /DecodeParms PNG predictors honored).
+      */
     def streamData(num: Int): Array[Byte] = {
       val (v, data) = obj(num)
       val dict = v match { case d: PDict => d; case _ => bad() }
-      val raw = data.getOrElse(bad())
-      resolve(dict.m.getOrElse("Filter", PNull), 0) match {
+      decodeWithParms(dict, data.getOrElse(bad()))
+    }
+
+    /** Apply /Filter then /DecodeParms to raw stream bytes. Supported:
+      * no filter or FlateDecode; predictor 1 (none) or the PNG
+      * predictors 10-15 with Colors=1, BitsPerComponent=8 (the xref-
+      * stream form). Anything else is a hard reject.
+      */
+    private def decodeWithParms(dict: PDict, raw: Array[Byte]): Array[Byte] = {
+      val inflated = resolve(dict.m.getOrElse("Filter", PNull), 0) match {
         case PNull => raw
         case PName("FlateDecode") => inflate(raw)
         case PArr(Vector(PName("FlateDecode"))) => inflate(raw)
         case _ => bad() // unsupported filter chain
       }
+      val parms = resolve(dict.m.getOrElse("DecodeParms", PNull), 0) match {
+        case PNull => return inflated
+        case d: PDict => d
+        case PArr(Vector(d: PDict)) => d
+        case _ => bad()
+      }
+      def intParm(key: String, default: Int): Int =
+        resolve(parms.m.getOrElse(key, PNum(default)), 0) match {
+          case PNum(v) if v == v.floor => v.toInt
+          case _ => bad()
+        }
+      val predictor = intParm("Predictor", 1)
+      if (predictor == 1) inflated
+      else if (predictor >= 10 && predictor <= 15) {
+        if (intParm("Colors", 1) != 1 || intParm("BitsPerComponent", 8) != 8) bad()
+        pngPredictorDecode(inflated, intParm("Columns", 1))
+      } else bad() // TIFF predictor 2 and the rest: out of scope
+    }
+
+    // objstm num -> (objnum/offset pairs, decoded bytes, /First)
+    private val objStmCache =
+      scala.collection.mutable.HashMap[Int, (Vector[(Int, Int)], Array[Byte], Int)]()
+
+    /** Resolve object `num` = entry `idx` of object stream `stmNum`
+      * (§7.5.7): decoded payload is N (objnum, offset) integer pairs,
+      * then the packed DIRECT objects starting at /First. Strict: the
+      * container must really be /Type /ObjStm, the index in bounds, and
+      * the pair's object number must MATCH the xref's claim.
+      */
+    private def objStmValue(num: Int, stmNum: Int, idx: Int): PVal = {
+      val (pairs, data, first) = objStmCache.get(stmNum) match {
+        case Some(hit) => hit
+        case None =>
+          val (v, _) = obj(stmNum) // must be a DIRECT (type-1) stream object
+          val dict = v match { case d: PDict => d; case _ => bad() }
+          if (dict.m.get("Type") != Some(PName("ObjStm"))) bad()
+          val nObjs = resolve(dict.m.getOrElse("N", bad()), 0) match {
+            case PNum(v2) if v2 >= 0 && v2 == v2.floor => v2.toInt
+            case _ => bad()
+          }
+          val first = resolve(dict.m.getOrElse("First", bad()), 0) match {
+            case PNum(v2) if v2 >= 0 && v2 == v2.floor => v2.toInt
+            case _ => bad()
+          }
+          val data = streamData(stmNum)
+          if (first > data.length) bad()
+          val hp = new Parser(data)
+          val pairs = Vector.tabulate(nObjs) { _ =>
+            val on = try hp.token().toInt catch { case _: NumberFormatException => bad() }
+            val oo = try hp.token().toInt catch { case _: NumberFormatException => bad() }
+            if (hp.pos > first) bad() // header ran past /First
+            (on, oo)
+          }
+          val computed = (pairs, data, first)
+          objStmCache(stmNum) = computed
+          computed
+      }
+      if (idx < 0 || idx >= pairs.length) bad()
+      val (objNum, objOff) = pairs(idx)
+      if (objNum != num) bad() // xref and objstm header disagree
+      if (first + objOff >= data.length) bad()
+      val vp = new Parser(data)
+      vp.pos = first + objOff
+      vp.parseValue() // packed objects are direct values — no obj/endobj
     }
   }
 

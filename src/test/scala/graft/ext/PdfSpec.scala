@@ -111,13 +111,57 @@ class PdfSpec extends AnyFunSuite {
     // page-tree cycle: Pages' kid points back at Pages
     assert(Pdf.extractText(
       handPdf("BT (x) Tj ET").pipeReplace("/Kids [3 0 R]", "/Kids [2 0 R]")) === None)
-    // xref stream files (PDF 1.5) are out of scope -> None
+    // something that is neither a classic table nor a /Type /XRef
+    // stream where startxref points -> None
     assert(Pdf.extractText(
       handPdf("BT (x) Tj ET").pipeReplace("xref\n0 5\n", "6 0 obj\n<< >>\n")) === None)
     // a stream whose /Length references ITSELF must reject, not recurse
     assert(Pdf.extractText(
       handPdf("BT (x) Tj ET", lengthIndirect = true)
         .pipeReplace("<< /Length 5 0 R >>", "<< /Length 4 0 R >>")) === None)
+  }
+
+  test("xref stream + object stream (PDF 1.5): modern writer round trips, equals the classic form") {
+    val pages = Seq(
+      Seq("first page line one", "line two (with) \\parens\\"),
+      Seq("second page", "", "third line"),
+      Seq.empty[String])
+    val modern = Pdf.encodePdfXrefStream(pages)
+    // sanity: the file really is the 1.5 shape — no classic xref table
+    val s = new String(modern, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!s.contains("\ntrailer") && s.contains("/Type /XRef")
+      && s.contains("/Type /ObjStm") && s.contains("/Predictor 12"))
+    val got = Pdf.extractText(modern).get
+    assert(got === Pdf.extractText(Pdf.encodePdf(pages)).get)
+    assert(got.head === "first page line one\nline two (with) \\parens\\")
+    // doc form: exact identity through the char split
+    val text = "The quick brown fox #42 jumps (over) the \\lazy\\ dog! " * 7
+    assert(Pdf.extractDocText(Pdf.encodeDocPdfXrefStream(text, 23, 4)) === Some(text))
+  }
+
+  test("xref-stream malformed battery: every 1.5-grammar lie is None, never a throw") {
+    val good = Pdf.encodePdfXrefStream(Seq(Seq("alpha beta"), Seq("gamma")))
+    assert(Pdf.extractText(good).isDefined)
+    // truncations and byte flips must never throw
+    (1 until good.length by 89).foreach { k =>
+      Pdf.extractText(java.util.Arrays.copyOf(good, k))
+    }
+    (1 until good.length by 41).foreach { k =>
+      val bad = good.clone(); bad(k) = (bad(k) ^ 0x5a).toByte
+      Pdf.extractText(bad)
+    }
+    // (all same-length replacements: offsets must NOT shift, so the
+    // specific grammar check is what fires)
+    // W that disagrees with the data length
+    assert(Pdf.extractText(good.pipeReplace("/W [1 4 2]", "/W [1 4 4]")) === None)
+    // TIFF predictor: out of scope, must reject
+    assert(Pdf.extractText(good.pipeReplace("/Predictor 12", "/Predictor 02")) === None)
+    // /Index row count lying vs the decoded data (size is 10 here)
+    assert(Pdf.extractText(good.pipeReplace("/Index [0 10]", "/Index [0 11]")) === None)
+    // xref stream must carry /Type /XRef
+    assert(Pdf.extractText(good.pipeReplace("/Type /XRef ", "/Type /Xref ")) === None)
+    // ObjStm /N lying (more header pairs than present)
+    assert(Pdf.extractText(good.pipeReplace("/Type /ObjStm /N 5", "/Type /ObjStm /N 6")) === None)
   }
 
   private implicit final class Rep(private val b: Array[Byte]) {
