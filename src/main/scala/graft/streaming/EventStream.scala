@@ -1032,29 +1032,44 @@ object EventStream {
   final case class FetchSlot(doc_id: Long, site: String, host: String,
       site_seq: Long, host_seq: Long, fetch_at_s: Long)
 
+  /** One buffered discovery of [[PolitenessProcessor]] awaiting its
+    * site's release timer: the full host, the URL id, its scheduler
+    * priority and the site's robots crawl-delay.
+    */
+  final case class PendingFetch(host: String, doc_id: Long, prio: Long, delay_s: Long)
+
   /** Streaming per-site politeness frontier (t28) — the scheduler a
     * continuous crawl runs between URL discovery and fetching: keyed by
     * eTLD+1 SITE (politeness budgets are per registrable domain — a CDN
-    * of subdomains must not multiply a site's fetch rate), a typed
-    * `ValueState` carries the site's issued-fetch count (its crawl-delay
-    * clock position, persisting ACROSS microbatches), and a typed
-    * `MapState[host, count]` tracks each full host's sequence — the
-    * t17 MapState shape: only hosts touched in a batch round-trip the
-    * store. Within a batch a site's pending URLs are ordered by
-    * (priority, doc_id) — the same deterministic rank the batch
-    * scheduler (`x_fetch_schedule`) uses — and slot n is released at
-    * `(n-1) × crawl_delay` on the site clock. State per site is
-    * O(distinct hosts), independent of URL volume; runs on the RocksDB
+    * of subdomains must not multiply a site's fetch rate). Release is
+    * enforced by the STATE STORE's event-time timers (the t15
+    * chained-timer shape), not by inline emission: discoveries buffer
+    * into a typed `ListState` and the site keeps ONE live timer just
+    * past its latest discovery's event time; when the watermark seals
+    * the site's discovery window the firing drains the buffer in
+    * deterministic (priority, doc_id) order — the same rank the batch
+    * scheduler (`x_fetch_schedule`) uses — assigning slot n at
+    * `(n-1) × crawl_delay` on the site's `ValueState` clock (which
+    * persists ACROSS firings: a continuous crawl's rate budget never
+    * resets) with a t17-shaped `MapState[host, count]` per-host
+    * sequence. State per site is O(pending URLs + distinct hosts) and
+    * timer traffic is O(batches), not O(URLs); runs on the RocksDB
     * provider (transformWithState requires it).
     */
   class PolitenessProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        String, (String, String, Long, Long, Long), FetchSlot] {
-    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TTLConfig, ValueState}
+        String, (String, String, Long, Long, Long, java.sql.Timestamp), FetchSlot] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var pending: ListState[PendingFetch] = _
+    @transient private var nxt: ValueState[Long] = _ // the ONE live timer
     @transient private var siteSeq: ValueState[Long] = _
     @transient private var hostSeq: MapState[String, Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[PendingFetch](
+        "pending", org.apache.spark.sql.Encoders.product[PendingFetch], TTLConfig.NONE)
+      nxt = getHandle.getValueState[Long](
+        "nxt", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
       siteSeq = getHandle.getValueState[Long](
         "siteSeq", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
       hostSeq = getHandle.getMapState[String, Long](
@@ -1064,19 +1079,49 @@ object EventStream {
 
     override def handleInputRows(
         site: String,
-        rows: Iterator[(String, String, Long, Long, Long)],
-        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[FetchSlot] = {
-      // (site, host, doc_id, prio, delay_s) — deterministic release order
-      val pending = rows.toArray.sortBy { case (_, _, id, prio, _) => (prio, id) }
+        rows: Iterator[(String, String, Long, Long, Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[FetchSlot] = {
+      // buffer only; the timer firing is the ONLY emission point, so the
+      // release order the state store replays is the scheduler's order
+      var maxMs = Long.MinValue
+      rows.foreach { case (_, host, id, prio, delay, ts) =>
+        pending.appendValue(PendingFetch(host, id, prio, delay))
+        if (ts.getTime > maxMs) maxMs = ts.getTime
+      }
+      if (maxMs != Long.MinValue) {
+        // one live timer just past the site's LATEST discovery: firing
+        // means the watermark proved the discovery window sealed (any
+        // still-unseen row at-or-before it would be late). A later batch
+        // with later discoveries pushes the timer forward.
+        val needed = maxMs + 1
+        if (!nxt.exists()) { getHandle.registerTimer(needed); nxt.update(needed) }
+        else if (needed > nxt.get()) {
+          getHandle.deleteTimer(nxt.get())
+          getHandle.registerTimer(needed)
+          nxt.update(needed)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        site: String,
+        timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[FetchSlot] = {
+      val buf = pending.get().toArray
+      pending.clear()
+      nxt.clear()
+      if (buf.isEmpty) return Iterator.empty
+      val ordered = buf.sortBy(p => (p.prio, p.doc_id))
       var s0 = if (siteSeq.exists()) siteSeq.get() else 0L
-      val out = pending.map { case (_, host, id, _, delay) =>
+      val out = ordered.map { p =>
         s0 += 1
-        val h = (if (hostSeq.containsKey(host)) hostSeq.getValue(host) else 0L) + 1
-        hostSeq.updateValue(host, h)
+        val h = (if (hostSeq.containsKey(p.host)) hostSeq.getValue(p.host) else 0L) + 1
+        hostSeq.updateValue(p.host, h)
         // Counters stay Long end-to-end: the ValueState clock survives
-        // across microbatches indefinitely on a continuous crawl, so an
+        // across firings indefinitely on a continuous crawl, so an
         // Int narrowing would silently wrap past 2^31 issued fetches.
-        FetchSlot(id, site, host, s0, h, (s0 - 1) * delay)
+        FetchSlot(p.doc_id, site, p.host, s0, h, (s0 - 1) * p.delay_s)
       }
       siteSeq.update(s0)
       out.iterator
@@ -1084,15 +1129,19 @@ object EventStream {
   }
 
   /** [[PolitenessProcessor]] over a request stream with columns
-    * `(site, host, doc_id, prio, delay_s)`.
+    * `(site, host, doc_id, prio, delay_s, ts)`. `ts` must ALREADY carry
+    * the stream's watermark (apply `withWatermark` upstream, before any
+    * join that drops rows — the watermark node must observe every
+    * discovery's event time, including high-ts rows a later join
+    * filters, or the frontier's timers under-fire).
     */
   def politenessFrontier(requests: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val spark = requests.sparkSession
     import spark.implicits._
-    requests.as[(String, String, Long, Long, Long)]
+    requests.as[(String, String, Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .transformWithState(new PolitenessProcessor, TimeMode.None(), OutputMode.Update())
+      .transformWithState(new PolitenessProcessor, TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
 
