@@ -701,6 +701,67 @@ object Multimodal {
     out
   }
 
+  /** 64-bit perceptual difference hash (dHash — the published gradient
+    * hash: Krawetz, "Kind of Like That", hackerfactor 2013) over DECODED
+    * pixels, all-integer so an oracle can replay it: grayscale each
+    * pixel as the floor-mean of the first min(3, ch) channels (alpha
+    * never influences perception), area-downsample to a 9×8 grid where
+    * cell (cx, cy) is the floor-mean of source block
+    * [⌊cx·w/9⌋, ⌊(cx+1)·w/9⌋) × [⌊cy·h/8⌋, ⌊(cy+1)·h/8⌋), then bit
+    * (cy·8 + cx) = 1 iff cell(cx+1, cy) > cell(cx, cy) — 8 horizontal
+    * gradients per row, 64 bits total. Near-identical images differ in
+    * a few gradient bits; unrelated images land ~32 apart, so Hamming
+    * distance orders visual similarity and the SimHash chunk band-join
+    * finds near-dup pairs without a cross product. Requires w ≥ 9 and
+    * h ≥ 8 (smaller images have no 9×8 grid to hash).
+    */
+  def dHash(w: Int, h: Int, ch: Int, pix: Array[Int]): Long = {
+    require(w >= 9 && h >= 8 && pix.length == w * h * ch, "dHash needs w>=9, h>=8")
+    val gch = math.min(3, ch)
+    val cells = new Array[Long](9 * 8)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            var g = 0
+            var c = 0
+            while (c < gch) { g += pix((y * w + x) * ch + c); c += 1 }
+            sum += g / gch
+            x += 1
+          }
+          y += 1
+        }
+        cells(cy * 9 + cx) = sum / ((x1 - x0).toLong * (y1 - y0))
+        cx += 1
+      }
+      cy += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      val cyy = i / 8; val cxx = i % 8
+      if (cells(cyy * 9 + cxx + 1) > cells(cyy * 9 + cxx)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** [[dHash]] straight off encoded media bytes: decode via
+    * [[decodePixels]], hash the pixels. None when the payload doesn't
+    * decode or is too small to carry a 9×8 grid.
+    */
+  def dHash64(media: Array[Byte]): Option[Long] =
+    decodePixels(media).collect { case (w, h, ch, pix) if w >= 9 && h >= 8 =>
+      dHash(w, h, ch, pix)
+    }
+
   /** Batched REAL pixel decode → exact per-channel sums. The oracle-able
     * face of [[decodePixels]]: for a constructed image whose pixel values
     * follow a SQL-expressible formula, these sums match the formula's sums

@@ -67,6 +67,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2) === ((3L, 100, 400))) // portrait capped by height
   }
 
+  test("dHash: planted gradient bits round-trip through PNG encode/decode, texture means away") {
+    // image whose 2x2 blocks are constant-mean cells walking +-5 per bit
+    def png(hash: Long, ch: Int): Array[Byte] = {
+      def cell(cx: Int, cy: Int): Int = {
+        val row = (hash >>> (cy * 8)) & 0xffL
+        val pre = java.lang.Long.bitCount(row & ((1L << cx) - 1))
+        128 + 5 * (2 * pre - cx)
+      }
+      Multimodal.encodePng(18, 16, ch,
+        (x, y, _) => cell(x / 2, y / 2) + (if (x % 2 == 0 && y % 2 == 0) -3 else 1))
+    }
+    for (hash <- Seq(0L, -1L, 0x9e3779b97f4a7c15L, 0x0123456789abcdefL); ch <- Seq(1, 3))
+      assert(Multimodal.dHash64(png(hash, ch)) === Some(hash), s"hash=$hash ch=$ch")
+    // a one-bit flip in the planted hash moves the decoded hash by exactly 1
+    val a = Multimodal.dHash64(png(42L, 1)).get
+    val b = Multimodal.dHash64(png(42L ^ (1L << 17), 1)).get
+    assert(java.lang.Long.bitCount(a ^ b) === 1)
+  }
+
+  test("dHash: non-uniform block boundaries use the floor-division ranges, not nearest samples") {
+    // 20x10: cell widths alternate 2/3, heights 1/2 -- hand-check one cell:
+    // cx=5 covers x in [floor(5*20/9)=11, floor(6*20/9)=13), cy=0 covers y in [0, floor(10/8)=1)
+    val pix = Array.tabulate(20 * 10)(i => (i * 7 + 3) % 251)
+    val h = Multimodal.dHash(20, 10, 1, pix)
+    def cellMean(cx: Int, cy: Int): Long = {
+      val (x0, x1) = (cx * 20 / 9, (cx + 1) * 20 / 9)
+      val (y0, y1) = (cy * 10 / 8, (cy + 1) * 10 / 8)
+      val vals = for (y <- y0 until y1; x <- x0 until x1) yield pix(y * 20 + x).toLong
+      vals.sum / vals.length
+    }
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val want = cellMean(cx + 1, cy) > cellMean(cx, cy)
+      assert(((h >>> (cy * 8 + cx)) & 1L) === (if (want) 1L else 0L), s"bit ($cx,$cy)")
+    }
+    // too small for a 9x8 grid -> None off the byte path
+    assert(Multimodal.dHash64(Multimodal.encodePng(8, 8, 1, (x, y, _) => x + y)) === None)
+    assert(Multimodal.dHash64(Array[Byte](1, 2, 3)) === None)
+  }
+
   test("sampleFrames emits every stride-th frame index") {
     import spark.implicits._
     val df = Seq((1L, 10), (2L, 1)).toDF("id", "n_frames")
