@@ -66,6 +66,30 @@ object Robots {
     */
   def disallowPrefixes(text: String): Seq[String] = ruleGroups(text)._2
 
+  /** `Sitemap:` URLs declared in `text`, file order — the crawl
+    * DISCOVERY hook (sitemaps.org / RFC 9309 §2.3 treats it as an
+    * "other record": key case-insensitive, value an ABSOLUTE URL, and
+    * the line binds to no group — it applies wherever it appears, even
+    * inside a named agent's group). Comments strip like every other
+    * line; values that aren't absolute http(s) URLs are dropped (the
+    * protocol requires absolute; a relative value is noise, not a map).
+    */
+  def sitemapUrls(text: String): Seq[String] =
+    text.split("\n", -1).iterator.flatMap { raw =>
+      val line = {
+        val hash = raw.indexOf('#')
+        (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      }
+      val sep = line.indexOf(':')
+      if (sep > 0 &&
+          line.substring(0, sep).trim.toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val value = line.substring(sep + 1).trim
+        val lower = value.toLowerCase(java.util.Locale.ROOT)
+        if (lower.startsWith("http://") || lower.startsWith("https://")) Some(value)
+        else None
+      } else None
+    }.toSeq
+
   /** `Crawl-delay` (seconds) binding to the wildcard group — the
     * de-facto politeness extension (not in RFC 9309, honored by most
     * crawlers; Google ignores it, Bing/Yandex apply it). First valid

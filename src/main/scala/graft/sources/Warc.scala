@@ -28,13 +28,25 @@ object Warc {
     * `unspecified` — MUST flag it; a consumer that extracts a truncated
     * payload as if complete corrupts its corpus). `warcType` is the
     * full ISO 28500 §6 vocabulary — `response`, `request`, `metadata`,
-    * `revisit`, `conversion`, `warcinfo`, `resource` — the writer and
-    * parser are type-agnostic. Empty string = header absent.
+    * `revisit`, `conversion`, `warcinfo`, `resource`, `continuation` —
+    * the writer and parser are type-agnostic. Empty string = header
+    * absent.
+    *
+    * Record segmentation (ISO 28500 §5.18–§5.20, how oversized captures
+    * actually ship — a payload too big for one file splits across
+    * records, possibly across FILES): `segment` carries
+    * `WARC-Segment-Number` (1-based; 0 = unsegmented), the first
+    * segment keeps the logical record's type and id, later segments are
+    * `WARC-Type: continuation` records whose `segmentOriginId` names
+    * the first segment's record id, and the LAST segment declares
+    * `segmentTotalLength` (−1 = absent) — the reassembled byte count
+    * the reader must verify.
     */
   final case class Record(warcType: String, recordId: String,
       targetUri: String, content: Array[Byte],
       refersTo: String = "", payloadDigest: String = "",
-      truncated: String = "")
+      truncated: String = "", segment: Long = 0L,
+      segmentOriginId: String = "", segmentTotalLength: Long = -1L)
 
   private val Crlf = "\r\n"
 
@@ -57,6 +69,12 @@ object Warc {
         header.append("WARC-Payload-Digest: ").append(r.payloadDigest).append(Crlf)
       if (r.truncated.nonEmpty)
         header.append("WARC-Truncated: ").append(r.truncated).append(Crlf)
+      if (r.segment > 0)
+        header.append("WARC-Segment-Number: ").append(r.segment).append(Crlf)
+      if (r.segmentOriginId.nonEmpty)
+        header.append("WARC-Segment-Origin-ID: ").append(r.segmentOriginId).append(Crlf)
+      if (r.segmentTotalLength >= 0)
+        header.append("WARC-Segment-Total-Length: ").append(r.segmentTotalLength).append(Crlf)
       header
         .append("Content-Length: ").append(r.content.length).append(Crlf)
         .append(Crlf)
@@ -461,6 +479,7 @@ object Warc {
       i = ve + 2
       var warcType = ""; var recordId = ""; var targetUri = ""
       var refersTo = ""; var payloadDigest = ""; var truncated = ""
+      var segment = 0L; var segmentOriginId = ""; var segmentTotalLength = -1L
       var contentLength = -1L
       var blank = false
       while (!blank) {
@@ -480,6 +499,14 @@ object Warc {
             case "warc-refers-to" => refersTo = value
             case "warc-payload-digest" => payloadDigest = value
             case "warc-truncated" => truncated = value
+            case "warc-segment-number" =>
+              segment = try value.toLong catch { case _: NumberFormatException => return None }
+              if (segment <= 0) return None // 1-based per §5.18
+            case "warc-segment-origin-id" => segmentOriginId = value
+            case "warc-segment-total-length" =>
+              segmentTotalLength =
+                try value.toLong catch { case _: NumberFormatException => return None }
+              if (segmentTotalLength < 0) return None
             case "content-length" =>
               contentLength = try value.toLong catch { case _: NumberFormatException => return None }
             case _ => () // unknown headers are legal; skip
@@ -493,8 +520,82 @@ object Warc {
       if (!(bytes(i) == '\r' && bytes(i + 1) == '\n' && bytes(i + 2) == '\r' && bytes(i + 3) == '\n'))
         return None
       i += 4
-      out += Record(warcType, recordId, targetUri, content, refersTo, payloadDigest, truncated)
+      out += Record(warcType, recordId, targetUri, content, refersTo, payloadDigest,
+        truncated, segment, segmentOriginId, segmentTotalLength)
     }
+    Some(out.toSeq)
+  }
+
+  /** Split `r` into WARC segments of at most `maxBytes` content each
+    * (ISO 28500 §5.18–§5.20): the first segment keeps the record's type
+    * and id with `WARC-Segment-Number: 1`, every later one is a
+    * `continuation` record (id suffixed `;seg=n`) carrying
+    * `WARC-Segment-Origin-ID`, and the last declares
+    * `WARC-Segment-Total-Length`. A record that already fits returns
+    * unchanged and UNSEGMENTED — the spec forbids one-segment chains.
+    */
+  def segmentRecord(r: Record, maxBytes: Int): Seq[Record] = {
+    require(maxBytes > 0, "segment size must be positive")
+    if (r.content.length <= maxBytes) return Seq(r)
+    val n = (r.content.length + maxBytes - 1) / maxBytes
+    (0 until n).map { k =>
+      val piece = java.util.Arrays.copyOfRange(
+        r.content, k * maxBytes, math.min((k + 1) * maxBytes, r.content.length))
+      if (k == 0) r.copy(content = piece, segment = 1L)
+      else Record(
+        warcType = "continuation",
+        recordId = s"${r.recordId};seg=${k + 1}",
+        targetUri = r.targetUri,
+        content = piece,
+        segment = k + 1L,
+        segmentOriginId = r.recordId,
+        segmentTotalLength = if (k == n - 1) r.content.length.toLong else -1L)
+    }
+  }
+
+  /** Reassemble segmented records in a parsed stream back into logical
+    * records (file order of their first segments), leaving unsegmented
+    * records untouched. Strict per the house contract — `None`, never a
+    * guess, when the segment grammar lies: a continuation without its
+    * origin (or preceding it), a gap or duplicate in a chain's segment
+    * numbers, a chain whose last continuation omits
+    * `WARC-Segment-Total-Length` (§5.20 requires it) or declares a
+    * length that disagrees with the concatenated bytes, a non-final
+    * segment declaring a total length, an origin record whose
+    * `WARC-Segment-Number` is not 1, or a chain left dangling without
+    * its terminal segment. Reassembly is per-stream; at corpus scale
+    * callers group a chain's records together first (continuations name
+    * their origin id, so a groupBy on `segmentOriginId`-or-`recordId`
+    * co-locates each chain with ONE shuffle).
+    */
+  def reassemble(records: Seq[Record]): Option[Seq[Record]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Record]()
+    // open chains by origin id: (index in out, next expected segment, buffer)
+    val open = scala.collection.mutable.LinkedHashMap[String,
+      (Int, Long, java.io.ByteArrayOutputStream)]()
+    records.foreach { r =>
+      if (r.warcType == "continuation") {
+        if (r.segmentOriginId.isEmpty || r.segment < 2) return None
+        val (idx, expected, buf) = open.getOrElse(r.segmentOriginId, return None)
+        if (r.segment != expected) return None // gap or duplicate
+        buf.write(r.content)
+        if (r.segmentTotalLength >= 0) { // terminal segment: seal the chain
+          val whole = buf.toByteArray
+          if (whole.length.toLong != r.segmentTotalLength) return None
+          out(idx) = out(idx).copy(content = whole,
+            segment = 0L, segmentOriginId = "", segmentTotalLength = -1L)
+          open.remove(r.segmentOriginId)
+        } else open(r.segmentOriginId) = (idx, expected + 1, buf)
+      } else if (r.segment > 0) {
+        if (r.segment != 1L || r.segmentTotalLength >= 0) return None
+        if (open.contains(r.recordId)) return None // duplicate origin
+        val buf = new java.io.ByteArrayOutputStream()
+        buf.write(r.content)
+        out += r
+        open(r.recordId) = (out.length - 1, 2L, buf)
+      } else out += r
+    }
+    if (open.nonEmpty) return None // dangling chain: terminal segment missing
     Some(out.toSeq)
   }
 }

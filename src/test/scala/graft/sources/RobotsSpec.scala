@@ -104,4 +104,26 @@ class RobotsSpec extends AnyFunSuite {
     // wildcard pattern participates in longest-match by PATTERN length
     assert(!Robots.isAllowed(Seq("/a/"), Seq("/*/5/"), "/a/5/page"))
   }
+
+  test("sitemapUrls: group-independent, case-insensitive key, absolute http(s) only") {
+    val txt =
+      """User-agent: special
+        |Disallow: /x/
+        |SiTeMaP: http://a.com/s1.xml   # inside a named group still binds
+        |User-agent: *
+        |Allow: /
+        |sitemap: https://a.com/s2.xml
+        |Sitemap: ftp://a.com/nope.xml
+        |Sitemap: relative/path.xml
+        |Sitemap:
+        |# Sitemap: http://a.com/commented-out.xml
+        |SITEMAP: http://a.com/s3.xml
+        |""".stripMargin
+    assert(Robots.sitemapUrls(txt) ===
+      Seq("http://a.com/s1.xml", "https://a.com/s2.xml", "http://a.com/s3.xml"))
+    assert(Robots.sitemapUrls("User-agent: *\nDisallow: /") === Seq.empty)
+    // the Sitemap lines must not leak into the rule groups
+    val (allows, disallows) = Robots.ruleGroups(txt)
+    assert(allows === Seq("/") && disallows === Seq.empty)
+  }
 }

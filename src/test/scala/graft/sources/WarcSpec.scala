@@ -270,4 +270,59 @@ class WarcSpec extends AnyFunSuite {
     // a gzip stream truncated mid-member never throws either
     for (n <- 2 until gz.length by 7) Warc.parseRecords(gz.take(n))
   }
+
+  test("segmentation (ISO 28500 §5.18-§5.20): split, headers, interleaved reassembly") {
+    val body = Array.tabulate(257)(i => (i % 251).toByte)
+    val r = Warc.Record("response", "<urn:uuid:r1>", "http://x/", body)
+    // fits -> unchanged and UNSEGMENTED
+    assert(Warc.segmentRecord(r, 257) === Seq(r))
+    val segs = Warc.segmentRecord(r, 100)
+    assert(segs.length === 3)
+    assert(segs.head.warcType === "response" && segs.head.segment === 1L
+      && segs.head.segmentTotalLength === -1L)
+    assert(segs.tail.forall(s => s.warcType === "continuation"
+      && s.segmentOriginId === "<urn:uuid:r1>"))
+    assert(segs.map(_.segment) === Seq(1L, 2L, 3L))
+    assert(segs.last.segmentTotalLength === 257L)
+    assert(segs.map(_.content.length) === Seq(100, 100, 57))
+    // round trip through the wire grammar preserves the segment headers
+    val other = Warc.Record("metadata", "<urn:uuid:m>", "http://x/", "k: v".getBytes("US-ASCII"))
+    val stream = Seq(segs(0), other, segs(1), segs(2)) // interleaving is legal
+    val back = Warc.parseRecords(Warc.gzip(Warc.writeRecords(stream))).get
+    assert(back.map(_.segment) === Seq(1L, 0L, 2L, 3L))
+    assert(back(3).segmentTotalLength === 257L)
+    // reassembly: original bytes back, metadata untouched, file order kept
+    val out = Warc.reassemble(back).get
+    assert(out.map(_.warcType) === Seq("response", "metadata"))
+    assert(out.head.content === body)
+    assert(out.head.segment === 0L && out.head.segmentTotalLength === -1L)
+  }
+
+  test("reassembly rejects every segment-grammar lie as None, never a throw") {
+    val body = Array.tabulate(300)(_.toByte)
+    val segs = Warc.segmentRecord(Warc.Record("response", "<urn:uuid:o>", "http://x/", body), 90)
+    assert(Warc.reassemble(segs).isDefined)
+    // continuation before/without its origin
+    assert(Warc.reassemble(segs.tail) === None)
+    assert(Warc.reassemble(Seq(segs(1), segs(0), segs(2), segs(3))) === None)
+    // gap and duplicate in the chain
+    assert(Warc.reassemble(Seq(segs(0), segs(2), segs(3))) === None)
+    assert(Warc.reassemble(Seq(segs(0), segs(1), segs(1), segs(2), segs(3))) === None)
+    // dangling chain: terminal segment missing
+    assert(Warc.reassemble(segs.dropRight(1)) === None)
+    // total-length lie
+    assert(Warc.reassemble(segs.init :+ segs.last.copy(segmentTotalLength = 299L)) === None)
+    // non-final segment declaring a total length
+    assert(Warc.reassemble(
+      segs.updated(1, segs(1).copy(segmentTotalLength = 300L))) === None)
+    // origin whose segment number is not 1
+    assert(Warc.reassemble(segs.updated(0, segs(0).copy(segment = 2L))) === None)
+    // duplicate origin id
+    assert(Warc.reassemble(segs(0) +: segs) === None)
+    // parse-side strictness: a zero segment number on the wire rejects
+    val zeroSeg = Warc.writeRecords(Seq(segs(0))).clone()
+    val txt = new String(zeroSeg, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("WARC-Segment-Number: 1", "WARC-Segment-Number: 0")
+    assert(Warc.parseRecords(txt.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) === None)
+  }
 }
