@@ -762,6 +762,101 @@ object Multimodal {
       dHash(w, h, ch, pix)
     }
 
+  /** Fixed-point 8-point DCT-II basis, `round(1024·cos((2x+1)uπ/16))` —
+    * HARDCODED (not computed at runtime) so the oracle's literal table
+    * is bit-identical by construction, never hostage to libm.
+    */
+  private val DctC: Array[Array[Long]] = Array(
+    Array(1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024),
+    Array(1004, 851, 569, 200, -200, -569, -851, -1004),
+    Array(946, 392, -392, -946, -946, -392, 392, 946),
+    Array(851, -200, -1004, -569, 569, 1004, 200, -851),
+    Array(724, -724, -724, 724, 724, -724, -724, 724),
+    Array(569, -1004, 200, 851, -851, -200, 1004, -569),
+    Array(392, -946, 946, -392, -392, 946, -946, 392),
+    Array(200, -569, 851, -1004, 1004, -851, 569, -200))
+
+  /** 64-bit perceptual DCT hash (the pHash family — Zauner, "Implementation
+    * and Benchmarking of Perceptual Image Hash Functions", 2010 — in
+    * ALL-INTEGER form so an oracle can replay it exactly): grayscale +
+    * area floor-mean downsample to an 8×8 grid (same block arithmetic
+    * as [[dHash]]), 2D fixed-point DCT-II `F[u][v] = Σx Σy
+    * C[u][x]·C[v][y]·cell[y][x]` over the [[DctC]] basis, then bit
+    * (u·8+v) = 1 iff the coefficient exceeds the LOWER MEDIAN (sorted
+    * index 31) of the 63 AC coefficients — the DC bit stays 0 (overall
+    * brightness must not influence a perceptual match). Captures the
+    * frequency SHAPE of the image where dHash captures local gradients;
+    * the two together are the published near-dup pair for image corpora.
+    * Requires w ≥ 8, h ≥ 8.
+    */
+  def pHashDct(w: Int, h: Int, ch: Int, pix: Array[Int]): Long = {
+    require(w >= 8 && h >= 8 && pix.length == w * h * ch, "pHashDct needs w>=8, h>=8")
+    val gch = math.min(3, ch)
+    val cells = new Array[Long](64) // [cy*8 + cx]
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+      var cx = 0
+      while (cx < 8) {
+        val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            var g = 0
+            var c = 0
+            while (c < gch) { g += pix((y * w + x) * ch + c); c += 1 }
+            sum += g / gch
+            x += 1
+          }
+          y += 1
+        }
+        cells(cy * 8 + cx) = sum / ((x1 - x0).toLong * (y1 - y0))
+        cx += 1
+      }
+      cy += 1
+    }
+    val f = new Array[Long](64) // [u*8 + v]
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var x = 0
+        while (x < 8) {
+          var y = 0
+          while (y < 8) {
+            acc += DctC(u)(x) * DctC(v)(y) * cells(y * 8 + x)
+            y += 1
+          }
+          x += 1
+        }
+        f(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    var hash = 0L
+    var i = 1
+    while (i < 64) {
+      if (f(i) > med) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** [[pHashDct]] straight off encoded media bytes; None when the
+    * payload doesn't decode or is too small for an 8×8 grid.
+    */
+  def pHashDct64(media: Array[Byte]): Option[Long] =
+    decodePixels(media).collect { case (w, h, ch, pix) if w >= 8 && h >= 8 =>
+      pHashDct(w, h, ch, pix)
+    }
+
   /** Batched REAL pixel decode → exact per-channel sums. The oracle-able
     * face of [[decodePixels]]: for a constructed image whose pixel values
     * follow a SQL-expressible formula, these sums match the formula's sums

@@ -192,25 +192,26 @@ object Html {
     out.toSeq
   }
 
-  /** `href` attribute value inside an anchor tag's attribute text, or
-    * None: `href`, optional whitespace, `=`, optional whitespace, then
-    * a quoted or bare value. The attribute name must follow whitespace
-    * (so `data-href=` does not match), and the scan is quote-aware:
-    * `href=` appearing INSIDE another attribute's quoted value (e.g.
+  /** `attr`'s value inside a tag's attribute text, or None: the name,
+    * optional whitespace, `=`, optional whitespace, then a quoted or
+    * bare value. The attribute name must follow whitespace (so
+    * `data-href=` does not match `href`), and the scan is quote-aware:
+    * the name appearing INSIDE another attribute's quoted value (e.g.
     * `<a title="see href='x'" href="/real">`) is skipped over, not
     * mistaken for the attribute.
     */
-  private def hrefIn(inner: String): Option[String] = {
+  private def attrIn(inner: String, attr: String): Option[String] = {
     val n = inner.length
+    val an = attr.length
     var i = 0
     var quote = ' '
     while (i < n) {
       val c = inner.charAt(i)
       if (quote != ' ') { if (c == quote) quote = ' '; i += 1 }
       else if (c == '"' || c == '\'') { quote = c; i += 1 }
-      else if ((c == 'h' || c == 'H') && inner.regionMatches(true, i, "href", 0, 4) &&
+      else if (inner.regionMatches(true, i, attr, 0, an) &&
                i > 0 && inner.charAt(i - 1).isWhitespace) {
-        var j = i + 4
+        var j = i + an
         while (j < n && inner.charAt(j).isWhitespace) j += 1
         if (j < n && inner.charAt(j) == '=') {
           j += 1
@@ -224,11 +225,13 @@ object Html {
             while (end < n && !inner.charAt(end).isWhitespace) end += 1
             return Some(inner.substring(j, end))
           }
-        } else i += 4
+        } else i += an
       } else i += 1
     }
     None
   }
+
+  private def hrefIn(inner: String): Option[String] = attrIn(inner, "href")
 
   /** Outlink extraction — the WAT-file step of a crawl pipeline: the
     * `href` of every real `<a>` tag, document order. Follows the same
@@ -274,5 +277,100 @@ object Html {
     def normalize(sb: StringBuilder): String =
       sb.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
     Extracted(normalize(title), normalize(body), nLinks)
+  }
+
+  /** One extracted `<table>`: rows of whitespace-normalized cell texts
+    * (a `<tr>` without cells is dropped) and the table's `<th>` count.
+    */
+  final case class Table(rows: Seq[Seq[String]], headerCells: Int)
+
+  /** Relational table extraction (the WDC web-tables step of a corpus
+    * pipeline — structured data mined OUT of pages): every COMPLETED
+    * `<table>` in document order of its opening tag. Nested tables are
+    * their own entries and their content does NOT leak into the outer
+    * cell (a stack of builders, one per open table). Cell semantics:
+    * `<td>`/`<th>` opens a cell (implicitly closing an open one),
+    * `<tr>` a row (implicitly closing the previous), text binds only to
+    * the OPEN CELL (content directly under `<tr>`/`<table>` is markup
+    * noise and drops), `<th>` cells count toward `headerCells`, and an
+    * unterminated table never emits — same strictness family as the
+    * other extractors. Drives [[scanTags]], so comment/script/quote
+    * handling can never diverge from [[extract]].
+    */
+  def tables(html: String): Seq[Table] = {
+    final class Builder(val ord: Int) {
+      val rows = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var row: scala.collection.mutable.ArrayBuffer[String] = null
+      var cell: StringBuilder = null
+      var nHeader = 0
+      def closeCell(): Unit = if (cell != null) {
+        row += cell.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        cell = null
+      }
+      def closeRow(): Unit = {
+        closeCell()
+        if (row != null && row.nonEmpty) rows += row.toSeq
+        row = null
+      }
+    }
+    val done = scala.collection.mutable.ArrayBuffer[(Int, Table)]()
+    var nextOrd = 0
+    val stack = scala.collection.mutable.Stack[Builder]()
+    scanTags(html, new ScanHandler {
+      def text(s: String): Unit =
+        if (stack.nonEmpty && stack.top.cell != null) stack.top.cell.append(s)
+      def open(name: String, inner: String): Unit = name match {
+        case "table" =>
+          stack.push(new Builder(nextOrd)); nextOrd += 1
+        case "tr" if stack.nonEmpty =>
+          stack.top.closeRow()
+          stack.top.row = scala.collection.mutable.ArrayBuffer[String]()
+        case "td" | "th" if stack.nonEmpty && stack.top.row != null =>
+          stack.top.closeCell()
+          stack.top.cell = new StringBuilder
+          if (name == "th") stack.top.nHeader += 1
+        case _ => ()
+      }
+      def close(name: String): Unit = name match {
+        case "td" | "th" if stack.nonEmpty => stack.top.closeCell()
+        case "tr" if stack.nonEmpty => stack.top.closeRow()
+        case "table" if stack.nonEmpty =>
+          val b = stack.pop()
+          b.closeRow()
+          done += ((b.ord, Table(b.rows.toSeq, b.nHeader)))
+        case _ => ()
+      }
+    })
+    done.sortBy(_._1).map(_._2).toSeq
+  }
+
+  /** Publish-date extraction with the published precedence (the
+    * trafilatura/newspaper convention): the OpenGraph/article meta
+    * (`<meta property="article:published_time" content=…>`) beats a
+    * generic `<meta name="date" content=…>` beats the first
+    * `<time datetime=…>` — precedence CLASS wins over document order,
+    * first hit within a class. None when no candidate carries a value.
+    */
+  def publishedDate(html: String): Option[String] = {
+    var meta: Option[String] = None
+    var named: Option[String] = None
+    var time: Option[String] = None
+    scanTags(html, new ScanHandler {
+      def text(s: String): Unit = ()
+      def open(name: String, inner: String): Unit = name match {
+        case "meta" =>
+          val prop = attrIn(inner, "property").orElse(attrIn(inner, "name"))
+            .map(_.toLowerCase(java.util.Locale.ROOT))
+          if (prop.contains("article:published_time") && meta.isEmpty)
+            meta = attrIn(inner, "content").filter(_.nonEmpty)
+          else if (prop.contains("date") && named.isEmpty)
+            named = attrIn(inner, "content").filter(_.nonEmpty)
+        case "time" =>
+          if (time.isEmpty) time = attrIn(inner, "datetime").filter(_.nonEmpty)
+        case _ => ()
+      }
+      def close(name: String): Unit = ()
+    })
+    meta.orElse(named).orElse(time)
   }
 }

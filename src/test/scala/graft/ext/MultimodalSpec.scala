@@ -106,6 +106,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.dHash64(Array[Byte](1, 2, 3)) === None)
   }
 
+  test("pHashDct: brightness invariance, shape sensitivity, DC bit zero, small-image rejection") {
+    val pix = Array.tabulate(16 * 16)(i => (i * 5 + 7) % 97 + 40)
+    val h = Multimodal.pHashDct(16, 16, 1, pix)
+    // every AC coefficient is provably invariant to a constant brightness
+    // shift (the cosine rows sum to zero), so the hash must not move
+    assert(Multimodal.pHashDct(16, 16, 1, pix.map(_ + 30)) === h)
+    assert(Multimodal.pHashDct(16, 16, 1, pix.map(_ - 25)) === h)
+    // a localized structural change must move the frequency shape
+    val mod = pix.clone(); (0 until 32).foreach(i => mod(i) = 200)
+    assert(Multimodal.pHashDct(16, 16, 1, mod) !== h)
+    // the DC bit stays 0 by construction
+    assert((h & 1L) === 0L)
+    // identical content in RGB hashes the same as gray
+    val rgb = new Array[Int](16 * 16 * 3)
+    pix.indices.foreach(i => (0 until 3).foreach(c => rgb(i * 3 + c) = pix(i)))
+    assert(Multimodal.pHashDct(16, 16, 3, rgb) === h)
+    // too small for an 8x8 grid -> None off the byte path
+    assert(Multimodal.pHashDct64(Multimodal.encodePng(7, 8, 1, (x, y, _) => x + y)) === None)
+  }
+
   test("sampleFrames emits every stride-th frame index") {
     import spark.implicits._
     val df = Seq((1L, 10), (2L, 1)).toDF("id", "n_frames")

@@ -89,4 +89,49 @@ class HtmlSpec extends AnyFunSuite {
     // …but a trailing bare '<' survives as text
     assert(Html.extract("<p>a <</p>").text === "a <")
   }
+
+  test("tables: cells, th count, implicit closes, noise under <tr>, nesting, unterminated") {
+    val t1 = Html.tables(
+      "<table><tr><th> A </th><th>B</th></tr>" +
+        "<tr>\n noise <td>1</td><td> 2  x </td></tr><tr><td>3</td><td>4</td></tr></table>")
+    assert(t1 === Seq(Html.Table(
+      Seq(Seq("A", "B"), Seq("1", "2 x"), Seq("3", "4")), 2)))
+    // implicit closes: no </td>/</tr> at all (the real-web sloppy form)
+    val t2 = Html.tables("<table><tr><td>a<td>b<tr><td>c<td>d</table>")
+    assert(t2 === Seq(Html.Table(Seq(Seq("a", "b"), Seq("c", "d")), 0)))
+    // nesting: inner table is its own entry, its text does NOT leak out;
+    // order is by the OPENING tag
+    val t3 = Html.tables(
+      "<table><tr><td>out<table><tr><td>in</td></tr></table></td></tr></table>" +
+        "<table><tr><td>second</td></tr></table>")
+    assert(t3 === Seq(
+      Html.Table(Seq(Seq("out")), 0),
+      Html.Table(Seq(Seq("in")), 0),
+      Html.Table(Seq(Seq("second")), 0)))
+    // an unterminated table never emits; a rowless one emits empty
+    assert(Html.tables("<table><tr><td>x</td></tr>") === Seq.empty)
+    assert(Html.tables("<table></table>") === Seq(Html.Table(Seq.empty, 0)))
+    // entities decode inside cells; a fake table inside a comment is skipped
+    assert(Html.tables("<!--<table><tr><td>no</td></tr></table>-->" +
+      "<table><tr><td>a &amp; b</td></tr></table>")
+      === Seq(Html.Table(Seq(Seq("a & b")), 0)))
+  }
+
+  test("publishedDate: precedence classes, comment trap, first-in-class wins") {
+    val article = """<meta property="article:published_time" content="2026-01-02">"""
+    val named = """<meta name="Date" content="2025-03-04">"""
+    val time = """<time datetime="2024-05-06">then</time>"""
+    val deco = """<!-- <meta property="article:published_time" content="1999-01-01"> -->"""
+    assert(Html.publishedDate(s"<html><head>$deco$article$named</head><body>$time</body></html>")
+      === Some("2026-01-02"))
+    assert(Html.publishedDate(s"<head>$named</head><body>$time</body>") === Some("2025-03-04"))
+    assert(Html.publishedDate(s"<body><time>bare</time>$time</body>") === Some("2024-05-06"))
+    assert(Html.publishedDate("<body><p>nothing</p></body>") === None)
+    // first in class wins; a later article meta loses
+    assert(Html.publishedDate(article +
+      """<meta property="article:published_time" content="9999-12-31">""")
+      === Some("2026-01-02"))
+    // empty content is no candidate
+    assert(Html.publishedDate("""<meta name="date" content="">""" + time) === Some("2024-05-06"))
+  }
 }
