@@ -373,4 +373,58 @@ object Html {
     })
     meta.orElse(named).orElse(time)
   }
+
+  /** Canonical-URL extraction — the strongest URL-level dedup signal a
+    * page can carry: `<link rel="canonical" href=…>` beats the OpenGraph
+    * `<meta property="og:url" content=…>` fallback (the published
+    * search-engine precedence); first hit within a class wins, empty
+    * values are no candidate. The `rel` match is token-aware
+    * (`rel="stylesheet canonical"` counts, `rel="canonicalish"` does
+    * not) and case-insensitive.
+    */
+  def canonicalLink(html: String): Option[String] = {
+    var link: Option[String] = None
+    var og: Option[String] = None
+    scanTags(html, new ScanHandler {
+      def text(s: String): Unit = ()
+      def open(name: String, inner: String): Unit = name match {
+        case "link" if link.isEmpty =>
+          val isCanon = attrIn(inner, "rel").exists(
+            _.toLowerCase(java.util.Locale.ROOT).split("\\s+").contains("canonical"))
+          if (isCanon) link = attrIn(inner, "href").filter(_.nonEmpty)
+        case "meta" if og.isEmpty =>
+          if (attrIn(inner, "property").map(_.toLowerCase(java.util.Locale.ROOT))
+              .contains("og:url"))
+            og = attrIn(inner, "content").filter(_.nonEmpty)
+        case _ => ()
+      }
+      def close(name: String): Unit = ()
+    })
+    link.orElse(og)
+  }
+
+  /** Robots META directives (the Robots Exclusion Protocol's page-level
+    * half — `<meta name="robots" content="noindex, nofollow">`): the
+    * lowercased, deduplicated directive set across every robots meta in
+    * the page (multiple metas UNION, the published crawler behavior —
+    * the most restrictive combination applies). Directives split on
+    * commas, whitespace-trimmed; named-bot metas (`name="googlebot"`)
+    * do not bind a generic crawler and are skipped.
+    */
+  def metaRobots(html: String): Set[String] = {
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    scanTags(html, new ScanHandler {
+      def text(s: String): Unit = ()
+      def open(name: String, inner: String): Unit =
+        if (name == "meta" &&
+            attrIn(inner, "name").map(_.toLowerCase(java.util.Locale.ROOT))
+              .contains("robots"))
+          attrIn(inner, "content").foreach(_.split(",").foreach { d =>
+            val t = d.trim.toLowerCase(java.util.Locale.ROOT)
+            if (t.nonEmpty) out += t
+          })
+      def close(name: String): Unit = ()
+    })
+    out.toSet
+  }
 }
