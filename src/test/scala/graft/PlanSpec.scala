@@ -370,6 +370,43 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-14 codec/extraction kernels stay scan-shaped") {
+    // the 1.5 PDF round trip, WAT envelope build+from_json, segmented
+    // in-stream reassembly, perceptual hashes, table/date/governance
+    // extraction: all per-row kernels over the documents scan — the
+    // ONLY exchange allowed is the output sort's range partitioning
+    for (name <- Seq("x_pdf_xrefstream", "x_wat_extract", "x_warc_segmented",
+        "x_image_phash", "x_image_phash_dct", "x_html_tables",
+        "x_date_extract", "x_canonical_url", "x_meta_robots",
+        "x_mime_sniff", "x_robots_sitemap")) {
+      val p = plan(name)
+      val exchanges = "Exchange ".r.findAllIn(p).size
+      val range = "Exchange rangepartitioning".r.findAllIn(p).size
+      assert(exchanges == range && range >= 1,
+        s"$name: the kernel must not shuffle (only the output sort may):\n$p")
+    }
+  }
+
+  test("distributed reassembly and index merge shuffle exactly once before the sort") {
+    // x_warc_reassemble_dist: ONE hash exchange co-locates each chain;
+    // x_cdx_merge: ONE hash exchange for the (surt, ts) dedup, then the
+    // deliberate range exchanges (merge: repartitionByRange + orderBy)
+    val pr = plan("x_warc_reassemble_dist")
+    assert("Exchange hashpartitioning".r.findAllIn(pr).size == 1,
+      s"reassembly gets ONE chain co-location shuffle:\n$pr")
+    val pm = plan("x_cdx_merge")
+    assert("Exchange hashpartitioning".r.findAllIn(pm).size == 1,
+      s"merge gets ONE dedup shuffle:\n$pm")
+    assert(pm.contains("max_by") || pm.contains("partial_max_by")
+      || "HashAggregate".r.findAllIn(pm).size >= 2,
+      s"last-gen-wins must partial-aggregate map-side:\n$pm")
+    // the image pair join buckets by (chunk, cv) — hash exchanges only
+    // on the chunked signatures, never a cartesian
+    val pp = plan("x_image_dedup_pairs")
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
+      s"pair candidates must come from the chunk equi-join:\n$pp")
+  }
+
   test("x_etld1_fullpsl probes the 9,500-rule table with a broadcast join, never a sort-merge") {
     val p = plan("x_etld1_fullpsl")
     assert(p.contains("BroadcastHashJoin"), s"rule table must broadcast:\n$p")
