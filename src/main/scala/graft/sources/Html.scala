@@ -344,6 +344,34 @@ object Html {
     done.sortBy(_._1).map(_._2).toSeq
   }
 
+  /** Column-type inference over an extracted [[Table]] — the
+    * web-tables step AFTER extraction (WDC-style table understanding:
+    * a relational corpus is only queryable once columns carry types).
+    * Per column, header row excluded and ragged rows padded empty:
+    * `integer` when every non-empty body cell is an optionally-signed
+    * digit run, `date` when every non-empty cell is `YYYY-MM-DD`,
+    * `text` otherwise, `empty` when no body cell has content. Column
+    * count is the widest row's.
+    */
+  def columnTypes(t: Table): Seq[String] = {
+    val body = t.rows.drop(1)
+    val nCols = (0 +: t.rows.map(_.length)).max
+    def isInt(s: String): Boolean = {
+      val u = if (s.startsWith("-")) s.substring(1) else s
+      u.nonEmpty && u.forall(c => c >= '0' && c <= '9')
+    }
+    def isDate(s: String): Boolean =
+      s.length == 10 && s(4) == '-' && s(7) == '-' &&
+        Seq(0, 1, 2, 3, 5, 6, 8, 9).forall(i => s(i) >= '0' && s(i) <= '9')
+    (0 until nCols).map { j =>
+      val cells = body.map(r => if (j < r.length) r(j) else "").filter(_.nonEmpty)
+      if (cells.isEmpty) "empty"
+      else if (cells.forall(isInt)) "integer"
+      else if (cells.forall(isDate)) "date"
+      else "text"
+    }
+  }
+
   /** Publish-date extraction with the published precedence (the
     * trafilatura/newspaper convention): the OpenGraph/article meta
     * (`<meta property="article:published_time" content=…>`) beats a

@@ -117,6 +117,23 @@ class HtmlSpec extends AnyFunSuite {
       === Seq(Html.Table(Seq(Seq("a & b")), 0)))
   }
 
+  test("columnTypes: integer/date/text/empty, header excluded, ragged rows pad") {
+    val t = Html.Table(Seq(
+      Seq("h1", "h2", "h3", "h4"),
+      Seq("12", "2026-01-02", "word", ""),
+      Seq("-5", "2026-11-30", "42")), 4) // ragged last row
+    assert(Html.columnTypes(t) === Seq("integer", "date", "text", "empty"))
+    // one stray letter demotes integer to text; empty cells are neutral
+    assert(Html.columnTypes(Html.Table(Seq(Seq("h"), Seq("12"), Seq("12a")), 1))
+      === Seq("text"))
+    assert(Html.columnTypes(Html.Table(Seq(Seq("h"), Seq(""), Seq("7")), 1))
+      === Seq("integer"))
+    // a bare '-' is not an integer; a malformed date is text
+    assert(Html.columnTypes(Html.Table(Seq(Seq("h"), Seq("-")), 1)) === Seq("text"))
+    assert(Html.columnTypes(Html.Table(Seq(Seq("h"), Seq("2026-1-02")), 1)) === Seq("text"))
+    assert(Html.columnTypes(Html.Table(Seq.empty, 0)) === Seq.empty)
+  }
+
   test("publishedDate: precedence classes, comment trap, first-in-class wins") {
     val article = """<meta property="article:published_time" content="2026-01-02">"""
     val named = """<meta name="Date" content="2025-03-04">"""
