@@ -38,24 +38,46 @@ object LinkRank {
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val ns = graft.sources.Tables.spread(nodes).select(col(nodeCol).as("node")).localCheckpoint()
-    val n = ns.count() // one count job over the cached node column (bounded: one scalar)
-    val e = graft.sources.Tables.spread(edges)
+    // No Tables.spread here: the per-row work of a rank iteration is
+    // trivial, and spread's repartition(defaultParallelism) pins the node
+    // vector — and through it EVERY iteration's stages — at core-count
+    // partitions regardless of data size (measured: 32-task stages, each
+    // task ~hundreds of ms of fixed scheduling/codegen cost, dominating
+    // the whole query at bench scale). repartition(col) instead lets AQE
+    // size the layout from the data (guide §2: scale-adaptive
+    // partitioning); at production scale the hash shuffle is required
+    // anyway, so nothing is lost.
+    val nsRaw = nodes.select(col(nodeCol).as("node")).repartition(col("node")).localCheckpoint()
+    val n = nsRaw.count() // one count job over the cached node column (bounded: one scalar)
+    val eRaw = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src")).localCheckpoint() // the ONLY corpus-scale shuffle, paid once
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint() // co-partitioned with e
+    val deg = eRaw.groupBy("src").agg(count(lit(1)).as("deg"))
+    // deg pre-joined into the edge table ONCE (co-partitioned, zero extra
+    // corpus shuffle) so each iteration's contribution pass is a single
+    // join + aggregation instead of two joins (guide §2.4: operations
+    // keyed the same way share one exchange — here, one materialization).
+    val e = eRaw.join(deg, "src").localCheckpoint()
+    // dangling membership is a per-NODE constant: compute it once and
+    // carry it as a flag in the rank vector, so the per-iteration dangling
+    // mass is a narrow filter+agg over pr instead of an anti-join against
+    // the degree table every round (measured: ~2 jobs/iteration saved).
+    val ns = nsRaw
+      .join(deg.select(col("src").as("node"), lit(true).as("_has_out")), Seq("node"), "left")
+      .select(col("node"), col("_has_out").isNull.as("dang"))
+      .localCheckpoint()
 
     // (1 - d) computed, not precomputed as a literal: the oracle runs the
     // same subtraction, so both engines get the identical IEEE double
     val base = (lit(1.0) - lit(damping)) / lit(n.toDouble)
 
     var pr = ns.withColumn("pr", round(lit(1.0) / lit(n.toDouble), 12))
+      .select("node", "pr", "dang")
     for (_ <- 1 to iterations) {
-      val dm = pr.join(deg, pr("node") === deg("src"), "left_anti")
+      val dm = pr.filter(col("dang"))
         .agg(coalesce(sum(col("pr").cast("decimal(28,12)")),
           lit(0).cast("decimal(28,12)")).as("dm"))
       val contrib = e.join(pr, e("src") === pr("node")) // rank vector shuffles TO the edges
-        .join(deg, "src")
         .select(col("dst").as("node"),
           round(col("pr") / col("deg"), 12).cast("decimal(28,12)").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
@@ -66,10 +88,10 @@ object LinkRank {
           round(base + lit(damping) *
             (coalesce(col("s").cast("double"), lit(0.0)) +
               col("dm").cast("double") / lit(n.toDouble)), 12))
-        .select("node", "pr")
+        .select("node", "pr", "dang")
         .localCheckpoint(eager = true)
     }
-    pr
+    pr.select("node", "pr")
   }
 
   /** Personalized PageRank — random walk with restart to a SEED set (the
@@ -93,23 +115,29 @@ object LinkRank {
     val sd = seeds.select(col(seedCol).as("node")).distinct().localCheckpoint()
     val nSeeds = sd.count()
     require(nSeeds >= 1, "seed set must be non-empty")
-    val e = graft.sources.Tables.spread(edges)
+    // Same de-spread + pre-joined-degree + carried-dangling-flag shape as
+    // [[pageRank]] (see the comment there): fewer jobs per iteration, and
+    // the state layout is sized by AQE from the data, not pinned at core
+    // count.
+    val eRaw = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src")).localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val deg = eRaw.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = eRaw.join(deg, "src").localCheckpoint()
     // restart weight rides the node table: 1/|S| on seeds, 0 elsewhere
-    val ns = graft.sources.Tables.spread(nodes).select(col(nodeCol).as("node"))
+    val ns = nodes.select(col(nodeCol).as("node"))
       .join(sd.withColumn("__seed", lit(1)), Seq("node"), "left")
+      .join(deg.select(col("src").as("node"), lit(true).as("_has_out")), Seq("node"), "left")
       .withColumn("r",
         when(col("__seed").isNotNull, lit(1.0) / lit(nSeeds.toDouble)).otherwise(lit(0.0)))
-      .select("node", "r").localCheckpoint()
-    var pr = ns.withColumn("pr", round(col("r"), 12)).select("node", "pr")
+      .select(col("node"), col("r"), col("_has_out").isNull.as("dang"))
+      .repartition(col("node")).localCheckpoint()
+    var pr = ns.withColumn("pr", round(col("r"), 12)).select("node", "pr", "dang")
     for (_ <- 1 to iterations) {
-      val dm = pr.join(deg, pr("node") === deg("src"), "left_anti")
+      val dm = pr.filter(col("dang"))
         .agg(coalesce(sum(col("pr").cast("decimal(28,12)")),
           lit(0).cast("decimal(28,12)")).as("dm"))
       val contrib = e.join(pr, e("src") === pr("node"))
-        .join(deg, "src")
         .select(col("dst").as("node"),
           round(col("pr") / col("deg"), 12).cast("decimal(28,12)").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
@@ -119,10 +147,10 @@ object LinkRank {
         .withColumn("pr",
           round(col("r") * ((lit(1.0) - lit(damping)) + lit(damping) * col("dm").cast("double"))
             + lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12))
-        .select("node", "pr")
+        .select("node", "pr", "dang")
         .localCheckpoint(eager = true)
     }
-    pr
+    pr.select("node", "pr")
   }
 
   /** Per-node triangle participation counts over an undirected view of
@@ -157,14 +185,17 @@ object LinkRank {
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame = {
     require(iterations >= 1)
-    val ns = graft.sources.Tables.spread(nodes).select(col(nodeCol).as("node")).localCheckpoint()
+    // de-spread (see pageRank): rank iterations do trivial per-row work;
+    // core-count partitions on the score vectors only multiply fixed
+    // per-task cost at bench scale and add an extra shuffle at any scale
+    val ns = nodes.select(col(nodeCol).as("node")).localCheckpoint()
     val n = ns.count()
     // BOTH edge orientations are materialized once: the authority update
     // joins on src, the hub update on dst — with a single src-hashed copy
     // the hub join would re-shuffle the whole edge table every iteration
     // (caught by ShuffleAuditSpec's edge-multiplicity invariant). Two
     // one-time corpus-scale shuffles; after that only score vectors move.
-    val eSrc = graft.sources.Tables.spread(edges)
+    val eSrc = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src")).localCheckpoint()
     val eDst = eSrc.repartition(col("dst")).localCheckpoint()
@@ -218,7 +249,7 @@ object LinkRank {
     * Returns (node, label) after `rounds` rounds.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String, rounds: Int): DataFrame = {
-    val und = graft.sources.Tables.spread(edges)
+    val und = edges
       .select(col(srcCol).as("s"), col(dstCol).as("d"))
       .filter(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
@@ -259,7 +290,7 @@ object LinkRank {
     * LinkRankSpec).
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int, rounds: Int): DataFrame = {
-    val und = graft.sources.Tables.spread(edges)
+    val und = edges
       .select(col(srcCol).as("s"), col(dstCol).as("d"))
       .filter(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
@@ -284,7 +315,7 @@ object LinkRank {
   }
 
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = graft.sources.Tables.spread(edges)
+    val und = edges
       .select(col(srcCol).as("s"), col(dstCol).as("d"))
       .filter(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
