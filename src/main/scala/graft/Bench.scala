@@ -53,6 +53,13 @@ object Bench {
       // form and Tables.loadEvents normalizes whatever is stored
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // JVM-wide compiled-codegen cache (STATIC conf, read once at first
+      // codegen): the default 100 entries thrashes under a many-query
+      // session — every cache miss is a fresh Janino compile on the task
+      // path (measured: x_dbscan -47%, x_mmr_rerank -33% at sf0.1 from
+      // this alone). Sized for one long-lived JVM running the full query
+      // surface; compiled classes are small, heap cost is negligible.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // engine extensions registered ONCE, before any query: no per-query
