@@ -10,9 +10,41 @@ import org.apache.spark.sql.SparkSession
   * parallelism rather than the Spark default of 200.
   */
 object GraftSession {
+
+  /** Shuffle/spill scratch directory for local sessions (spark.local.dir).
+    *
+    * Shuffle files are ephemeral per-run scratch, and local scratch
+    * bandwidth/latency is a first-order cost for shuffle-heavy work
+    * (optimization guide §1.3) — on this box, creating+fsyncing the
+    * per-task shuffle data/index files on the root disk costs more than
+    * the data itself (measured: a trivial 32-task aggregation drops from
+    * ~174 ms to ~111 ms with scratch on tmpfs; x_dbscan at sf0.1 from
+    * 4.8 s to 2.9 s). Production parameterisation is Spark's own:
+    * SPARK_LOCAL_DIRS / spark.local.dir pointing at fast local SSDs
+    * override this; the tmpfs default only fires where /dev/shm exists
+    * and nothing was configured explicitly.
+    */
+  def scratchLocalDir: Option[String] = {
+    if (sys.env.contains("SPARK_LOCAL_DIRS") || sys.props.contains("spark.local.dir")) None
+    else {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) {
+        val d = new java.io.File(shm, "graft_spark_local")
+        d.mkdirs()
+        Some(d.getAbsolutePath)
+      } else None
+    }
+  }
+
+  /** Apply [[scratchLocalDir]] to a session builder (no-op when the
+    * environment already configures scratch dirs).
+    */
+  def withScratchLocalDir(b: SparkSession.Builder): SparkSession.Builder =
+    scratchLocalDir.fold(b)(d => b.config("spark.local.dir", d))
+
   def local(threads: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
-      .builder()
+    val spark = withScratchLocalDir(SparkSession
+      .builder())
       .master(s"local[$threads]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", threads.toString)
