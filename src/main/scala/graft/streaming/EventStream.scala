@@ -64,6 +64,17 @@ object EventStream {
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Changelog checkpointing for the RocksDB provider: each commit ships
+    * the batch's CHANGE SET to the checkpoint instead of a snapshot of
+    * the store's SST files, so commit cost tracks the change rate rather
+    * than total state size — the published recommendation for RocksDB
+    * state at scale, and measured slightly faster even at bench state
+    * sizes (t20/t21 ~10%). Set alongside [[rocksDbStateStore]] whenever a
+    * query opts into RocksDB.
+    */
+  val rocksDbChangelog: (String, String) =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true"
+
   /** File-source stream over a directory of events parquet, `ts`
     * normalized to TimestampType. Streams can't infer schemas, so the
     * stored `ts` type is probed from the directory's parquet footers via
@@ -278,12 +289,12 @@ object EventStream {
   private def withRocksDb[A](spark: SparkSession, enable: Boolean)(start: => A): A =
     if (!enable) start
     else {
-      val (key, value) = rocksDbStateStore
-      val prev = spark.conf.getOption(key)
-      try { spark.conf.set(key, value); start }
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      val confs = Seq(rocksDbStateStore, rocksDbChangelog)
+      val prev = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
+      try { confs.foreach { case (key, value) => spark.conf.set(key, value) }; start }
+      finally prev.foreach {
+        case (key, Some(v)) => spark.conf.set(key, v)
+        case (key, None) => spark.conf.unset(key)
       }
     }
 
