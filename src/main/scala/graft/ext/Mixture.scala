@@ -43,13 +43,25 @@ object Mixture {
       sourceCol: String,
       textCol: String,
       rates: Map[String, Double],
-      defaultRate: Double): DataFrame = {
+      defaultRate: Double): DataFrame =
+    docs.filter(keepPredicate(sourceCol, textCol, rates, defaultRate))
+
+  /** The keep decision of [[sampleMixture]] as a COLUMN — lets a caller
+    * that needs per-stage counts evaluate the mixture decision as a flag
+    * in one pass instead of re-running the filtered lineage per stage
+    * (x_train_funnel). Exactly the predicate sampleMixture filters on.
+    */
+  def keepPredicate(
+      sourceCol: String,
+      textCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double): Column = {
     val thresh = rates.foldLeft(lit(math.round(defaultRate * (1 << 24)).toInt)) {
       case (acc, (src, r)) =>
         require(r >= 0.0 && r <= 1.0, s"rate must be in [0,1], got $r for $src")
         when(col(sourceCol) === src, lit(math.round(r * (1 << 24)).toInt)).otherwise(acc)
     }
-    docs.filter(hash24(col(textCol)) < thresh)
+    hash24(col(textCol)) < thresh
   }
 
   /** Temperature-weighted mixture (multilingual-LM style, α = 1/2): keep
