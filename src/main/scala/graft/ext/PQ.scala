@@ -155,6 +155,14 @@ object PQ {
     * once in a projection over the (small) query set.
     */
   private def adcTable(v: Column, model: Model): Column =
+    graft.functions.PqAdcTable.pqAdcTable(v, model.flatBooks, model.m, model.k)
+
+  /** The Column-expression executable spec [[adcTable]] replaced (m·k
+    * literal-codeword sqDist exprs — ~10k plan nodes at m=16,k=32, whose
+    * analysis alone cost ~2 s of driver time per recall query). Kept as
+    * the equivalence pin for PqAdcTable in PQSpec; not on any query path.
+    */
+  private[graft] def adcTableHof(v: Column, model: Model): Column =
     array((0 until model.m).flatMap(s =>
       model.codebooks(s).map(cw => VectorFunctions.sqDist(subvec(v, model, s), codewordLit(cw)))): _*)
 

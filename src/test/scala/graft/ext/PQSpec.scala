@@ -33,6 +33,22 @@ class PQSpec extends AnyFunSuite {
     }
   }
 
+  test("native PqAdcTable is bit-identical to the literal-codeword Column spec") {
+    import graft.functions.VectorFunctions
+    val q = embs.filter(col("vec_id") < 50)
+      .select(col("vec_id"), VectorFunctions.l2Normalize(col("embedding")).as("nq"))
+    val nat = q.select(col("vec_id"),
+        graft.functions.PqAdcTable.pqAdcTable(col("nq"), model.flatBooks, model.m, model.k).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val hof = q.select(col("vec_id"), PQ.adcTableHof(col("nq"), model).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(nat.size === hof.size && nat.nonEmpty)
+    nat.foreach { case (id, adc) =>
+      assert(adc.length === model.m * model.k)
+      assert(adc === hof(id), s"ADC table mismatch for query $id")
+    }
+  }
+
   test("PqEncode fuses into whole-stage codegen and the generated code compiles") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
