@@ -183,6 +183,19 @@ object TextFunctions {
     */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
     require(k > 0 && w > 1, s"need k > 0 and w > 1, got k=$k w=$w")
+    // hot path: the hash + sliding-min + sort-distinct loops run in ONE
+    // codegen kernel over the (native) gram array — the HOF tower below
+    // is interpreted and was x_winnow_pairs' dominant task time; see
+    // WinnowMins for the equivalence contract (pinned in
+    // TextFunctionsSpec against [[winnowFingerprintsHof]])
+    WinnowMins.winnowMins(ngramsAll(text, k), w)
+  }
+
+  /** The interpreted HOF executable spec [[winnowFingerprints]] replaced —
+    * kept as the equivalence pin for [[WinnowMins]]; not on a query path.
+    */
+  private[graft] def winnowFingerprintsHof(text: Column, k: Int, w: Int): Column = {
+    require(k > 0 && w > 1, s"need k > 0 and w > 1, got k=$k w=$w")
     val hashes = transform(ngramsAll(text, k),
       g => conv(substring(md5(g), 1, 6), 16, 10).cast("long"))
     val nh = size(hashes)

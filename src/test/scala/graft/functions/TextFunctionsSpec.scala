@@ -10,6 +10,25 @@ class TextFunctionsSpec extends AnyFunSuite {
 
   private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
 
+  test("native WinnowMins fingerprints are bit-identical to the HOF spec on real docs") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id", $"text")
+    val nat = docs.select($"doc_id", TextFunctions.winnowFingerprints($"text", 3, 4).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[java.lang.Long](1)).toMap
+    val hof = docs.select($"doc_id", TextFunctions.winnowFingerprintsHof($"text", 3, 4).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[java.lang.Long](1)).toMap
+    assert(nat.size === hof.size && nat.nonEmpty)
+    nat.foreach { case (id, f) => assert(f === hof(id), s"winnow mismatch for doc $id") }
+    // edge cases the corpus may not hit: empty text (0 grams -> [null]),
+    // short text (<= w windows collapse to one global min)
+    for (t <- Seq("", "one", "a b", "a b c d e f g")) {
+      val df = one(t)
+      val n = df.select(TextFunctions.winnowFingerprints($"text", 3, 4)).collect()(0).getSeq[java.lang.Long](0)
+      val h = df.select(TextFunctions.winnowFingerprintsHof($"text", 3, 4)).collect()(0).getSeq[java.lang.Long](0)
+      assert(n === h, s"winnow mismatch for text '$t'")
+    }
+  }
+
   test("tokenCount on normalized whitespace") {
     val df = one("  the   quick\tbrown\n fox ")
     assert(df.select(TextFunctions.tokenCount($"text")).as[Int].head() === 4)
