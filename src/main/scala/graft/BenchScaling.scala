@@ -43,7 +43,7 @@ object BenchScaling {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "/root/repo/BENCH_SCALING.json")
     def queries = SparkEntry.queries.filter(q => only.forall(_.contains(q._1)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.withScratchLocalDir(SparkSession.builder())
+    val spark = GraftSession.withScratchLocalDir(SparkSession.builder(), s"local[$cpus]")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -15,7 +15,7 @@ object Profile {
     val sf = args.headOption.getOrElse("0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else Bench.headline
     val sfDir = if (sf.startsWith("/")) sf else s"/root/testdata/sf$sf"
-    val spark = GraftSession.withScratchLocalDir(SparkSession.builder())
+    val spark = GraftSession.withScratchLocalDir(SparkSession.builder(), "local[32]")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")

@@ -13,7 +13,7 @@ object Scratch {
     val names = if (args.length > 1) args.drop(1).toSeq else Bench.headline
     // an absolute path selects a synthesized corpus (e.g. MakeScale's sf1)
     val sfDir = if (sf.startsWith("/")) sf else s"/root/testdata/sf$sf"
-    val spark = GraftSession.withScratchLocalDir(SparkSession.builder())
+    val spark = GraftSession.withScratchLocalDir(SparkSession.builder(), "local[32]")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")

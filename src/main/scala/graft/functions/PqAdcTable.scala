@@ -20,9 +20,14 @@ import org.apache.spark.sql.types._
   *
   * Arithmetic is bit-identical to the Column form (pinned in PQSpec):
   * per entry, diff² terms accumulate in ascending element order from an
-  * acc of 0.0 — exactly `aggregate(zip_with(...))`'s fold — and, like
-  * zip_with, elements past the input vector's length are SKIPPED, not
-  * zero-padded. The input must already be L2-normalized (the caller
+  * acc of 0.0 — exactly `aggregate(zip_with(...))`'s fold — FOR inputs
+  * with at least m·dsub elements (every caller: vectors are fixed-width
+  * by construction). On a SHORTER input the two forms diverge by design
+  * of the HOF: zip_with null-pads the shorter array, so the HOF's
+  * aggregate yields NULL entries, while this kernel SKIPS the missing
+  * elements and returns the partial sum (a defined value is strictly
+  * more useful than NULL, and PQSpec pins the divergence so it can't
+  * drift silently). The input must already be L2-normalized (the caller
   * normalizes once, as before).
   */
 case class PqAdcTable(child: Expression, books: Array[Double], m: Int, k: Int)

@@ -33,12 +33,13 @@ object Batching {
       it.grouped(batchSize).foreach(chunk => handle(chunk))
     }
 
-  /** Parity path: global 1-based batch number by `orderCol`. The global
-    * window funnels through one task — use only when batch identity must be
-    * deterministic across the whole dataset (tests / reference parity).
+  /** Parity path: global 1-based batch number by `orderCol`. The window
+    * funnels through one task (keyed on a constant partition — explicit,
+    * rather than an unkeyed WindowExec) — use only when batch identity must
+    * be deterministic across the whole dataset (tests / reference parity).
     */
   def withOrdinalBatch(df: DataFrame, orderCol: String, batchSize: Int): DataFrame = {
-    val rn = row_number().over(Window.orderBy(col(orderCol)))
+    val rn = row_number().over(Window.partitionBy(Windows.constKey(col(orderCol))).orderBy(col(orderCol)))
     df.withColumn("batch", (floor((rn - lit(1)) / lit(batchSize.toDouble)) + lit(1)).cast("bigint"))
   }
 

@@ -111,14 +111,20 @@ object Compaction {
     val d = dims.length
     require(d > 0, "at least one dimension")
     require(bits > 0 && d * bits <= 62, s"$d dims x $bits bits overflows the key")
-    def rank(c: String): Column = {
-      val probes = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
-      val bounds = df.select(col(c).cast("double").as("_v"))
-        .stat.approxQuantile("_v", probes, 0.005).distinct.sorted
-      bounds.map(bv => when(col(c).cast("double") >= lit(bv), 1L).otherwise(0L))
+    val probes = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    // ONE quantile-sketch pass over ALL dimensions (multi-column
+    // approxQuantile builds one sketch per column in a single scan) —
+    // the per-dimension form re-scanned the input once per dimension
+    // (guide §6: the sampling jobs dominated the write's cost). The
+    // per-column sketch is identical to the single-column call's, so the
+    // boundaries (and the key) are unchanged.
+    val projected = df.select(dims.map(c => col(c).cast("double").as(c)): _*)
+    val allBounds = projected.stat.approxQuantile(dims.toArray, probes, 0.005)
+    def rank(c: String, bounds: Array[Double]): Column =
+      bounds.distinct.sorted.toIndexedSeq
+        .map(bv => when(col(c).cast("double") >= lit(bv), 1L).otherwise(0L))
         .reduceOption((a, x) => a + x).getOrElse(lit(0L))
-    }
-    val ranks = dims.map(rank)
+    val ranks = dims.lazyZip(allBounds).map(rank).toSeq
     (for { i <- 0 until bits; j <- 0 until d } yield
       shiftright(ranks(j), i).bitwiseAND(lit(1L)) * lit(1L << (i * d + j)))
       .reduce(_ + _)

@@ -136,6 +136,28 @@ class PlanSpec extends AnyFunSuite {
       "the token-offset cumsum must be partitioned by prefix bucket, not global")
   }
 
+  test("no declared query in the bounded-grid window family plans an UNKEYED WindowExec") {
+    // Windows over bounded grids (day tables, count histograms, top-K
+    // lists) are keyed on a constant partition — explicit intent, and the
+    // pin below means an UNBOUNDED input can never silently serialize
+    // through an unkeyed global window (it would have to be added without
+    // a partitionSpec, which this test rejects).
+    import org.apache.spark.sql.catalyst.plans.logical
+    val boundedGridWindowQueries = Seq(
+      "w2_moving_avg", "x_skyline", "x_cochran_q", "x_psm_att",
+      "x_quantile_norm", "x_mannwhitney", "x_kruskal_wallis", "x_mcnemar",
+      "x_zipf_fit", "x_theilsen", "x_vocab_coverage", "x_gini", "x_ks_test",
+      "x_auc", "x_sprt", "x_binseg", "x_anomaly_iqr", "x_gains_table",
+      "x_outlier_mad", "x_rolling_corr", "x_uplift_tlearner", "x_rake_keywords")
+    boundedGridWindowQueries.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      val windows = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$name plans a window with an empty partitionSpec — key bounded-grid " +
+          "windows on a constant partition (or a real key) instead")
+    }
+  }
+
   test("x_decontaminate probes the benchmark grams with a broadcast join (corpus never shuffles)") {
     val docs = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
     import org.apache.spark.sql.functions.col

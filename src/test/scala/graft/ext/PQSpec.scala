@@ -49,6 +49,30 @@ class PQSpec extends AnyFunSuite {
     }
   }
 
+  test("PqAdcTable under-length input: kernel returns partial sums where the HOF null-pads") {
+    // The bit-identity contract above holds for inputs with >= m*dsub
+    // elements (every caller: fixed-width vectors). On a SHORTER input
+    // the forms diverge BY DESIGN of the HOF: zip_with null-pads, so the
+    // HOF's aggregate yields NULL entries, while the native kernel skips
+    // missing elements and returns the partial sum. Pin the divergence so
+    // it can never drift silently into a caller with variable-width input.
+    import spark.implicits._
+    val dsub = model.flatBooks.length / (model.m * model.k)
+    val short = Seq((1L, Array.fill(dsub / 2 + 1)(0.25))).toDF("vec_id", "nq")
+    val nat = short.select(
+        graft.functions.PqAdcTable.pqAdcTable(col("nq"), model.flatBooks, model.m, model.k).as("adc"))
+      .head().getSeq[Double](0)
+    assert(nat.length === model.m * model.k && nat.forall(d => !d.isNaN),
+      "kernel must return defined partial sums for under-length input")
+    val hof = short.select(PQ.adcTableHof(col("nq"), model).as("adc")).head()
+    val hofArr = hof.getSeq[java.lang.Double](0)
+    // every entry is NULL under the HOF: even subvector 0 is partial, so
+    // zip_with null-pads the missing elements and the aggregate goes NULL
+    assert(hofArr.forall(_ == null),
+      "HOF spec must null-pad under-length subvectors — if this ever changes, " +
+        "re-examine PqAdcTable's skip semantics")
+  }
+
   test("PqEncode fuses into whole-stage codegen and the generated code compiles") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
