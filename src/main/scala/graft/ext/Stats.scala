@@ -86,33 +86,94 @@ object Stats {
     */
   def logisticIrls(pts: DataFrame, x: Column, y: Column, iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1)
-    val hist = pts.select(x.as("x"), y.as("y"))
-      .groupBy("x", "y").agg(count(lit(1)).as("f")).localCheckpoint()
-    def f6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-    def d6(c: Column) = f6(c).cast("decimal(28,6)")
-    val xD = col("x").cast("double"); val fD = col("f").cast("double")
-    val yD = col("y").cast("double")
-    def pCol = greatest(least(
-      f6(lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * xD)))),
-      lit(0.999999)), lit(0.000001))
-    var coef = hist.sparkSession.range(1)
-      .select(lit(0.0).as("b0"), lit(0.0).as("b1"))
-    for (_ <- 1 to iters) {
-      val cells = hist.crossJoin(broadcast(coef))
-        .withColumn("p", pCol)
-        .withColumn("w", col("p") * (lit(1.0) - col("p")))
-      val ag = cells.agg(
-        sum(d6(fD * (yD - col("p")))).cast("double").as("g0"),
-        sum(d6(fD * (yD - col("p")) * xD)).cast("double").as("g1"),
-        sum(d6(fD * col("w"))).cast("double").as("h00"),
-        sum(d6(fD * col("w") * xD)).cast("double").as("h01"),
-        sum(d6(fD * col("w") * xD * xD)).cast("double").as("h11"))
-      val det = col("h00") * col("h11") - col("h01") * col("h01")
-      coef = ag.crossJoin(broadcast(coef)).select(
-        f6(col("b0") + (col("h11") * col("g0") - col("h01") * col("g1")) / det).as("b0"),
-        f6(col("b1") + (col("h00") * col("g1") - col("h01") * col("g0")) / det).as("b1"))
-    }
+    val spark = pts.sparkSession
+    val histPlan = pts.select(x.as("x"), y.as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("f"))
+    // The joint histogram is VALUE-GRID bounded (quantized score × binary
+    // label — cells, never rows), i.e. metadata-scale at any corpus size,
+    // so it is collected once and the Newton steps run as driver
+    // arithmetic over it — the kmeansCents/Compaction discipline for
+    // alphabet-bounded state. The corpus still pays exactly its one
+    // histogram shuffle (ShuffleAuditSpec pins iteration count adds ~zero
+    // shuffle bytes); what this removes is the per-step tiny-frame
+    // cross-join/aggregate round-trips (~3 scheduler jobs per step) that
+    // dominated the fit's wall time at any histogram size.
+    //
+    // Every driver op below replicates the previous Column chain's IEEE /
+    // decimal semantics exactly (StatsSpec + the DuckDB oracle pin it):
+    //  - f6(v)  = floor(v·1e6 + 0.5) / 1e6 on doubles;
+    //  - d6 sums = java BigDecimal.valueOf(f6val).setScale(6, HALF_UP)
+    //    (Spark's double→decimal(28,6) cast), summed exactly, then one
+    //    .doubleValue() (the aggregate's final double cast);
+    //  - null cells (null x or y) drop out of every sum, as they did
+    //    under Spark's null-skipping sum;
+    //  - an EMPTY histogram leaves the sums NULL (not 0), so the coef
+    //    pair stays null, as the aggregate form returned.
+    val rows = histPlan.collect()
+    val hist = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), histPlan.schema)
+    val xi = hist.schema.fieldIndex("x")
+    val yi = hist.schema.fieldIndex("y")
+    val fi = hist.schema.fieldIndex("f")
+    val cells = rows.iterator.filterNot(r => r.isNullAt(xi) || r.isNullAt(yi)).map { r =>
+      def num(i: Int): Double = r.get(i) match {
+        case d: java.lang.Double => d
+        case f: java.lang.Float => f.toDouble
+        case n: java.lang.Number => n.doubleValue()
+        case d: java.math.BigDecimal => d.doubleValue()
+        case other => other.toString.toDouble
+      }
+      (num(xi), num(yi), r.getLong(fi).toDouble)
+    }.toArray
+    val (b0, b1) = irlsSolve(cells, iters)
+    val coef = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(b0, b1)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("b0", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("b1", org.apache.spark.sql.types.DoubleType))))
     (hist, coef)
+  }
+
+  /** The driver-side Newton loop of [[logisticIrls]] over (x, y, f) cells —
+    * exposed so callers that already hold a (sliced) joint histogram can
+    * fit without another corpus pass. Returns (b0, b1), null on an empty
+    * cell set (the aggregate form's NULL-sum edge).
+    */
+  private[graft] def irlsSolve(
+      cells: Array[(Double, Double, Double)], iters: Int): (java.lang.Double, java.lang.Double) = {
+    def f6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    // Spark parity on the degenerate edges: least/greatest order NaN as
+    // the LARGEST double (so a NaN sigmoid clamps to the upper bound,
+    // where math.min would keep NaN), and a non-finite double casts to
+    // decimal as NULL, which sum skips — replicated by skipping the term.
+    def least(a: Double, b: Double): Double = if (a.isNaN) b else math.min(a, b)
+    def greatest(a: Double, b: Double): Double = if (a.isNaN) a else math.max(a, b)
+    def d6(v: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(f6(v)).setScale(6, java.math.RoundingMode.HALF_UP)
+    def addD6(acc: java.math.BigDecimal, v: Double): java.math.BigDecimal =
+      if (v.isNaN || v.isInfinite) acc else acc.add(d6(v))
+    if (cells.isEmpty) return (null, null)
+    var b0 = 0.0
+    var b1 = 0.0
+    for (_ <- 1 to iters) {
+      var g0, g1, h00, h01, h11 = java.math.BigDecimal.ZERO
+      cells.foreach { case (xv, yv, fv) =>
+        val p = greatest(least(
+          f6(1.0 / (1.0 + math.exp(-(b0 + b1 * xv)))), 0.999999), 0.000001)
+        val w = p * (1.0 - p)
+        g0 = addD6(g0, fv * (yv - p))
+        g1 = addD6(g1, fv * (yv - p) * xv)
+        h00 = addD6(h00, fv * w)
+        h01 = addD6(h01, fv * w * xv)
+        h11 = addD6(h11, fv * w * xv * xv)
+      }
+      val (g0d, g1d, h00d, h01d, h11d) =
+        (g0.doubleValue, g1.doubleValue, h00.doubleValue, h01.doubleValue, h11.doubleValue)
+      val det = h00d * h11d - h01d * h01d
+      b0 = f6(b0 + (h11d * g0d - h01d * g1d) / det)
+      b1 = f6(b1 + (h00d * g1d - h01d * g0d) / det)
+    }
+    (b0, b1)
   }
 
   /** The clamped floor-6 sigmoid of [[logisticIrls]] for a given

@@ -40,6 +40,50 @@ class StatsSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).size === 1, s"exactly one exchange expected:\n$plan")
   }
 
+  test("driver-side IRLS is bit-identical to the aggregate Column spec") {
+    // logisticIrls' Newton steps moved to driver arithmetic over the
+    // collected joint histogram (metadata-scale — the kmeansCents
+    // discipline). This spec RETAINS the original per-step Column chain
+    // and pins bit-identity against it, so the driver loop can never
+    // drift from the algebra the DuckDB oracle replays.
+    val pts = (1 to 700).map(i => (i % 23, if ((i * 7) % 23 > 11 ^ i % 13 == 0) 1 else 0))
+      .toDF("x", "y")
+    def columnSpecFit(iters: Int): (Double, Double) = {
+      val hist = pts.groupBy("x", "y").agg(count(lit(1)).as("f"))
+      def f6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      def d6(c: org.apache.spark.sql.Column) = f6(c).cast("decimal(28,6)")
+      val xD = col("x").cast("double"); val fD = col("f").cast("double")
+      val yD = col("y").cast("double")
+      def pCol = greatest(least(
+        f6(lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * xD)))),
+        lit(0.999999)), lit(0.000001))
+      var coef = spark.range(1).select(lit(0.0).as("b0"), lit(0.0).as("b1"))
+      for (_ <- 1 to iters) {
+        val cells = hist.crossJoin(broadcast(coef))
+          .withColumn("p", pCol)
+          .withColumn("w", col("p") * (lit(1.0) - col("p")))
+        val ag = cells.agg(
+          sum(d6(fD * (yD - col("p")))).cast("double").as("g0"),
+          sum(d6(fD * (yD - col("p")) * xD)).cast("double").as("g1"),
+          sum(d6(fD * col("w"))).cast("double").as("h00"),
+          sum(d6(fD * col("w") * xD)).cast("double").as("h01"),
+          sum(d6(fD * col("w") * xD * xD)).cast("double").as("h11"))
+        val det = col("h00") * col("h11") - col("h01") * col("h01")
+        coef = ag.crossJoin(broadcast(coef)).select(
+          f6(col("b0") + (col("h11") * col("g0") - col("h01") * col("g1")) / det).as("b0"),
+          f6(col("b1") + (col("h00") * col("g1") - col("h01") * col("g0")) / det).as("b1"))
+      }
+      val r = coef.collect().head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    for (iters <- Seq(1, 3, 5)) {
+      val (_, coef) = Stats.logisticIrls(pts, col("x"), col("y"), iters)
+      val r = coef.collect().head
+      assert((r.getDouble(0), r.getDouble(1)) === columnSpecFit(iters),
+        s"driver IRLS diverged from the Column spec at iters=$iters")
+    }
+  }
+
   test("logisticIrls is partitioning-invariant: decimal sums make the fit bit-identical") {
     // the classic nondeterminism failure mode for iterative fits is
     // float accumulation order varying with partitioning; the quantized
