@@ -120,10 +120,13 @@ object Compaction {
     // boundaries (and the key) are unchanged.
     val projected = df.select(dims.map(c => col(c).cast("double").as(c)): _*)
     val allBounds = projected.stat.approxQuantile(dims.toArray, probes, 0.005)
+    // native binary-search rank (one plan node per dimension) — the
+    // when-chain form put (2^bits - 1) expression nodes per dimension
+    // into every task binary of the scan stage; parity (incl. NULL→0 and
+    // NaN→top-bucket) pinned in CompactionSpec
     def rank(c: String, bounds: Array[Double]): Column =
-      bounds.distinct.sorted.toIndexedSeq
-        .map(bv => when(col(c).cast("double") >= lit(bv), 1L).otherwise(0L))
-        .reduceOption((a, x) => a + x).getOrElse(lit(0L))
+      graft.functions.SearchSortedRank.searchSortedRank(
+        col(c).cast("double"), bounds.distinct.sorted)
     val ranks = dims.lazyZip(allBounds).map(rank).toSeq
     (for { i <- 0 until bits; j <- 0 until d } yield
       shiftright(ranks(j), i).bitwiseAND(lit(1L)) * lit(1L << (i * d + j)))

@@ -288,6 +288,32 @@ class DedupSpec extends AnyFunSuite {
       expr("substr(text, 1, CAST(floor(length(text)*0.9) AS INT))").as("text")))
   }
 
+  test("native JaccardShingles is bit-identical to the array_intersect Column spec") {
+    // the fused kernel replaced round(size(array_intersect)/(...), 4) in
+    // prefixJaccardPairs' verify step — pin bit-parity on real shingle
+    // arrays plus the edges: identical, disjoint, subset, and both-empty
+    // (0/0 -> NaN under Spark's Round pass-through)
+    import graft.functions.JaccardShingles.jaccardShingles
+    val sh = docs.select(Dedup.shingles($"text", 3).as("a"))
+    val pairs = sh.crossJoin(sh.select(col("a").as("b")))
+      .unionByName(Seq((Seq("x y z", "y z w"), Seq.empty[String])).toDF("a", "b"))
+    val spec = round(
+      size(array_intersect(col("a"), col("b"))).cast("double") /
+        (size(col("a")) + size(col("b")) - size(array_intersect(col("a"), col("b")))).cast("double"), 4)
+    val got = pairs.select(jaccardShingles(col("a"), col("b")).as("native"), spec.as("spec")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, s) = (r.getDouble(0), r.getDouble(1))
+      assert(n === s || (n.isNaN && s.isNaN), s"kernel $n != spec $s")
+    }
+    // both-empty is IMPOSSIBLE in the verify path (a candidate pair shares
+    // >=1 shingle, so the union is never empty); the Column spec would
+    // raise ANSI DIVIDE_BY_ZERO there, the kernel returns a defensive NaN
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+      .select(jaccardShingles(col("a"), col("b"))).head().getDouble(0)
+    assert(empty.isNaN)
+  }
+
   test("prefixJaccardPairs equals the brute inverted-index join exactly") {
     val corp = truncCorpus
     val got = Dedup.prefixJaccardPairs(corp, "doc_id", "text", n = 3, threshold = 0.5)

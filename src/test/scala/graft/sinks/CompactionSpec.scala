@@ -11,6 +11,34 @@ class CompactionSpec extends AnyFunSuite {
 
   private def events = Tables.withDay(Tables.loadEvents(spark, TestSpark.sfDir))
 
+  test("SearchSortedRank is bit-identical to the when-chain rank, incl. NULL/NaN/boundary edges") {
+    import spark.implicits._
+    val bounds = Array(-3.5, 0.0, 1.0, 2.5, 7.25)
+    // values straddling, hitting, and escaping every boundary + the edges
+    val vs: Seq[java.lang.Double] = Seq(
+      -100.0, -3.5, -3.4999999, 0.0, -0.0, 0.5, 1.0, 2.5, 2.5000001, 7.25,
+      1e18, java.lang.Double.NaN, java.lang.Double.POSITIVE_INFINITY,
+      java.lang.Double.NEGATIVE_INFINITY, null)
+    val df = vs.toDF("v")
+    val whenChain = bounds.toIndexedSeq
+      .map(bv => when(col("v") >= lit(bv), 1L).otherwise(0L))
+      .reduce((a, x) => a + x)
+    val got = df.select(
+        graft.functions.SearchSortedRank.searchSortedRank(col("v"), bounds).as("native"),
+        whenChain.as("spec"))
+      .collect()
+    got.zip(vs).foreach { case (r, v) =>
+      assert(r.getLong(0) === r.getLong(1), s"rank mismatch for input $v")
+    }
+    // and it fuses: over a parquet scan (a LocalTableScan pre-evaluates),
+    // the rank must run inside whole-stage codegen
+    val plan = events.select(
+        graft.functions.SearchSortedRank.searchSortedRank(col("value").cast("double"), bounds))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[searchsortedrank""".r.findFirstIn(plan).isDefined,
+      s"rank must fuse into a whole-stage-codegen'd Project (the *(n) prefix):\n$plan")
+  }
+
   test("compactTo: size cap holds, parallelism scales with data, data survives") {
     val out = Files.createTempDirectory("graft_compact").toString + "/out"
     val maxRecords = 40L
